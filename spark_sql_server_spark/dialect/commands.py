@@ -1,0 +1,139 @@
+"""Statement classification / interception ahead of Spark.
+
+PG clients open every connection with transaction and SET commands the
+server must handle itself (SURVEY.md §2.A22-A23):
+
+* ``BEGIN`` → no-op, reply ``CommandComplete("BEGIN")`` (reference
+  ``commands.scala:30-32``, ``protocol.scala:461-463``).
+* ``COMMIT`` / ``ROLLBACK`` → error "Operation not allowed" — the
+  reference rejects them (test ``PgJdbcSuite.scala:1135-1142``).
+* ``SET key = value`` → apply to the session conf, return **zero rows**
+  (clients hang otherwise, ``protocol.scala:626-638``); ``SET`` of the
+  scheduler-pool key switches the fair-scheduler pool.
+* ``SELECT/…`` → normal query path through the dialect rewriter.
+"""
+
+from __future__ import annotations
+
+import enum
+import re
+from dataclasses import dataclass
+
+
+class StatementClass(enum.Enum):
+    QUERY = "query"
+    BEGIN = "begin"
+    COMMIT = "commit"
+    ROLLBACK = "rollback"
+    SET = "set"
+    SHOW_SET = "show_set"  # `SET` with no args / `SET -v`: show all conf
+    EMPTY = "empty"
+    DEALLOCATE = "deallocate"
+
+
+@dataclass
+class Statement:
+    cls: StatementClass
+    sql: str
+    #: for SET: (key, value)
+    set_kv: tuple[str, str] | None = None
+    #: PG tag for CommandComplete
+    tag: str = ""
+
+
+_SET_RE = re.compile(
+    r"^\s*SET\s+(?:SESSION\s+|LOCAL\s+)?(?P<key>[A-Za-z_][\w.]*)\s*"
+    r"(?:=|\s+TO\s+)\s*(?P<val>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def split_statements(raw: str) -> list[str]:
+    """Split a simple-query string on top-level semicolons.
+
+    The reference rejects multi-statement strings
+    (``protocol.scala:605-608``); we support them (SURVEY §7 "What is
+    hard" item 3) since psql sends them routinely.
+    """
+    out: list[str] = []
+    buf: list[str] = []
+    in_str = in_qid = False
+    in_line_comment = in_block_comment = False
+    i = 0
+    while i < len(raw):
+        ch = raw[i]
+        nxt = raw[i + 1] if i + 1 < len(raw) else ""
+        if in_line_comment:
+            buf.append(ch)
+            if ch == "\n":
+                in_line_comment = False
+        elif in_block_comment:
+            buf.append(ch)
+            if ch == "*" and nxt == "/":
+                buf.append(nxt)
+                i += 1
+                in_block_comment = False
+        elif in_str:
+            buf.append(ch)
+            if ch == "'":
+                if nxt == "'":
+                    buf.append(nxt)
+                    i += 1
+                else:
+                    in_str = False
+        elif in_qid:
+            buf.append(ch)
+            if ch == '"':
+                in_qid = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == '"':
+            in_qid = True
+            buf.append(ch)
+        elif ch == "-" and nxt == "-":
+            in_line_comment = True
+            buf.append(ch)
+        elif ch == "/" and nxt == "*":
+            in_block_comment = True
+            buf.append(ch)
+        elif ch == ";":
+            s = "".join(buf).strip()
+            if s:
+                out.append(s)
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    s = "".join(buf).strip()
+    if s:
+        out.append(s)
+    return out
+
+
+def classify_statement(sql: str) -> Statement:
+    s = sql.strip().rstrip(";").strip()
+    if not s:
+        return Statement(StatementClass.EMPTY, sql)
+    word0 = s.split(None, 1)[0].upper()
+    if word0 == "BEGIN" or (
+        word0 == "START" and s.upper().startswith("START TRANSACTION")
+    ):
+        return Statement(StatementClass.BEGIN, sql, tag="BEGIN")
+    if word0 in ("COMMIT", "END"):
+        return Statement(StatementClass.COMMIT, sql, tag="COMMIT")
+    if word0 in ("ROLLBACK", "ABORT"):
+        return Statement(StatementClass.ROLLBACK, sql, tag="ROLLBACK")
+    if word0 == "DEALLOCATE":
+        return Statement(StatementClass.DEALLOCATE, sql, tag="DEALLOCATE")
+    if word0 == "SET":
+        m = _SET_RE.match(s)
+        if m:
+            val = m.group("val").strip()
+            if len(val) >= 2 and val[0] == "'" and val[-1] == "'":
+                val = val[1:-1].replace("''", "'")
+            return Statement(
+                StatementClass.SET, sql, set_kv=(m.group("key"), val), tag="SET"
+            )
+        return Statement(StatementClass.SHOW_SET, sql, tag="SET")
+    return Statement(StatementClass.QUERY, sql)

@@ -1,0 +1,387 @@
+"""String-level PG → Spark SQL rewrites.
+
+Reproduces the reference's parser extensions (SURVEY.md §2.A16-A21,
+reference ``service/postgresql/PgParser.scala``, grammar ``SqlBase.g4``)
+without forking a parser:
+
+* ``expr::type`` casts → ``CAST(expr AS type)``, incl. PG type aliases
+  (``text``→STRING, ``int4``→INT, ``float8``→DOUBLE, …) and the
+  ``regproc``/``regtype``/``regclass`` pseudo-casts
+  (PgParser.scala:163-186).
+* ``x ~ 'pat'`` and ``OPERATOR(~)`` → ``x RLIKE 'pat'`` (grammar:1687).
+* ``substring(x from i for j)`` → ``substring(x, i, j)`` (grammar:775).
+* ``generate_series(a, b[, s])`` → ``range(a, b+1[, s])`` — PG is
+  end-inclusive, Spark end-exclusive (PgParser.scala:188-238); keeps
+  ``AS alias(col)`` column-list aliases working by renaming Spark's
+  ``id`` output.
+* bare ``pg_namespace`` → ``pg_catalog.pg_namespace``
+  (AstBuilder.scala:1186-1221).
+* ``$n`` parameter placeholders → ``:pN`` named parameters for
+  parameterized ``spark.sql`` (replaces the reference's
+  ``ParameterPlaceHolder`` Catalyst expression, §2.A34).
+
+All rewrites are token-aware: a tiny lexer splits SQL into strings,
+quoted identifiers, comments, numbers, words and operators so rewrites
+never fire inside string literals or comments.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# PG type name → Spark type name (reference PgParser.scala:64-70 handles
+# TEXT; the numeric aliases come from pg_type, catalog.scala:122-153).
+PG_TYPE_MAP = {
+    "text": "STRING",
+    "int2": "SMALLINT",
+    "int4": "INT",
+    "int8": "BIGINT",
+    "serial": "INT",
+    "bigserial": "BIGINT",
+    "float4": "FLOAT",
+    "float8": "DOUBLE",
+    "bool": "BOOLEAN",
+    "bytea": "BINARY",
+    "numeric": "DECIMAL(38,18)",
+    "varchar": "STRING",
+    "bpchar": "STRING",
+    "name": "STRING",
+}
+
+# Pseudo-casts: `x::regclass` is identity, `x::regtype`/`::regproc` are
+# name lookups the reference maps to function calls / identity
+# (PgParser.scala:163-186). We emulate with identity / format_type-style
+# passthrough, which is what the PG JDBC metadata queries need.
+_IDENTITY_CASTS = {"regclass", "regtype", "regproc", "oid"}
+
+
+TOKEN_RE = re.compile(
+    r"""
+      (?P<comment>--[^\n]*|/\*.*?\*/)
+    | (?P<string>'(?:[^']|'')*')
+    | (?P<qident>"(?:[^"]|"")*")
+    | (?P<dollar>\$\d+)
+    | (?P<number>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?)
+    | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
+    | (?P<cast>::)
+    | (?P<op>[^\sA-Za-z_0-9])
+    | (?P<ws>\s+)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+
+
+def _lex(sql: str) -> list[Tok]:
+    toks: list[Tok] = []
+    pos = 0
+    while pos < len(sql):
+        m = TOKEN_RE.match(sql, pos)
+        if not m:  # pragma: no cover — lexer is total
+            toks.append(Tok("op", sql[pos]))
+            pos += 1
+            continue
+        toks.append(Tok(m.lastgroup or "op", m.group()))
+        pos = m.end()
+    return toks
+
+
+def _is_code(t: Tok) -> bool:
+    return t.kind not in ("ws", "comment")
+
+
+def _prev_code(toks: list[Tok], i: int) -> int:
+    j = i - 1
+    while j >= 0 and not _is_code(toks[j]):
+        j -= 1
+    return j
+
+
+def _next_code(toks: list[Tok], i: int) -> int:
+    j = i + 1
+    while j < len(toks) and not _is_code(toks[j]):
+        j += 1
+    return j
+
+
+def _find_matching_paren(toks: list[Tok], open_i: int) -> int:
+    depth = 0
+    for j in range(open_i, len(toks)):
+        if toks[j].text == "(":
+            depth += 1
+        elif toks[j].text == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    return -1
+
+
+def _rewrite_casts(toks: list[Tok]) -> list[Tok]:
+    """``operand::type`` → ``CAST(operand AS type)``.
+
+    The operand is the preceding primary expression: literal, number,
+    identifier (possibly dotted / quoted) or a parenthesized group.
+    Handles chained casts right-to-left (`x::int4::text`).
+    """
+    changed = True
+    while changed:
+        changed = False
+        for i, t in enumerate(toks):
+            if t.kind != "cast":
+                continue
+            ni = _next_code(toks, i)
+            if ni >= len(toks) or toks[ni].kind != "word":
+                continue
+            type_word = toks[ni].text
+            type_l = type_word.lower()
+            # type may carry (p[,s]) args, e.g. ::numeric(10,2) / varchar(24)
+            type_end = ni
+            nni = _next_code(toks, ni)
+            if nni < len(toks) and toks[nni].text == "(":
+                close = _find_matching_paren(toks, nni)
+                if close != -1:
+                    type_end = close
+            # locate operand start
+            pi = _prev_code(toks, i)
+            if pi < 0:
+                continue
+            if toks[pi].text == ")":
+                start = pi
+                depth = 0
+                while start >= 0:
+                    if toks[start].text == ")":
+                        depth += 1
+                    elif toks[start].text == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    start -= 1
+                # include a function name directly before the parens
+                fs = _prev_code(toks, start)
+                if fs >= 0 and toks[fs].kind == "word":
+                    start = fs
+            elif toks[pi].kind in ("word", "number", "string", "qident", "dollar"):
+                start = pi
+                # absorb dotted qualifiers: a.b.c
+                while True:
+                    d = _prev_code(toks, start)
+                    if d >= 0 and toks[d].text == ".":
+                        q = _prev_code(toks, d)
+                        if q >= 0 and toks[q].kind in ("word", "qident"):
+                            start = q
+                            continue
+                    break
+            else:
+                continue
+
+            operand = toks[start:pi + 1]
+            if type_l in _IDENTITY_CASTS:
+                # identity pseudo-cast: drop the ::type entirely
+                new = operand
+            else:
+                if type_end > ni:
+                    spark_type_toks = toks[ni : type_end + 1]
+                    spark_type = "".join(x.text for x in spark_type_toks)
+                    low = spark_type.lower()
+                    if low.startswith("varchar") or low.startswith("bpchar"):
+                        spark_type = "STRING"
+                    elif low.startswith("numeric"):
+                        spark_type = "DECIMAL" + spark_type[len("numeric"):]
+                else:
+                    spark_type = PG_TYPE_MAP.get(type_l, type_word)
+                new = (
+                    [Tok("word", "CAST"), Tok("op", "(")]
+                    + operand
+                    + [Tok("ws", " "), Tok("word", "AS"), Tok("ws", " ")]
+                    + [Tok("word", spark_type), Tok("op", ")")]
+                )
+            toks = toks[:start] + new + toks[type_end + 1 :]
+            changed = True
+            break
+    return toks
+
+
+def _rewrite_tilde(toks: list[Tok]) -> list[Tok]:
+    """``x ~ 'pat'`` → ``x RLIKE 'pat'``; ``!~`` → NOT RLIKE;
+    ``OPERATOR(~)`` → RLIKE (grammar:740, AstBuilder:1434-1443)."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        # OPERATOR(~) / OPERATOR(pg_catalog.~)
+        if t.kind == "word" and t.text.upper() == "OPERATOR":
+            ni = _next_code(toks, i)
+            if ni < len(toks) and toks[ni].text == "(":
+                close = _find_matching_paren(toks, ni)
+                inner = "".join(x.text for x in toks[ni + 1 : close]).strip()
+                if inner in ("~", "pg_catalog.~"):
+                    out.append(Tok("word", "RLIKE"))
+                    i = close + 1
+                    continue
+        if t.text == "~":
+            prev = out[-1] if out else None
+            pj = len(out) - 1
+            while pj >= 0 and not _is_code(out[pj]):
+                pj -= 1
+            prev = out[pj] if pj >= 0 else None
+            is_binary = prev is not None and (
+                prev.kind in ("word", "string", "qident", "number", "dollar")
+                or prev.text == ")"
+            )
+            if is_binary:
+                out.append(Tok("word", "RLIKE"))
+                i += 1
+                continue
+        if t.text == "!" and i + 1 < len(toks) and toks[i + 1].text == "~":
+            out.append(Tok("word", "NOT"))
+            out.append(Tok("ws", " "))
+            out.append(Tok("word", "RLIKE"))
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _rewrite_substring_from_for(toks: list[Tok]) -> list[Tok]:
+    """``substring(x FROM i [FOR j])`` → ``substring(x, i[, j])``."""
+    for i, t in enumerate(toks):
+        if t.kind == "word" and t.text.lower() == "substring":
+            ni = _next_code(toks, i)
+            if ni >= len(toks) or toks[ni].text != "(":
+                continue
+            close = _find_matching_paren(toks, ni)
+            if close == -1:
+                continue
+            depth = 0
+            for j in range(ni, close):
+                if toks[j].text == "(":
+                    depth += 1
+                elif toks[j].text == ")":
+                    depth -= 1
+                elif depth == 1 and toks[j].kind == "word":
+                    up = toks[j].text.upper()
+                    if up == "FROM" or up == "FOR":
+                        toks[j] = Tok("op", ",")
+    return toks
+
+
+def _rewrite_generate_series(toks: list[Tok]) -> list[Tok]:
+    """``generate_series(a, b[, s]) [AS alias(col)]`` →
+    ``(SELECT id AS col FROM range(a, (b)+1[, s])) alias``.
+
+    PG's series is end-inclusive; Spark's ``range`` end-exclusive
+    (reference PgParser.scala:188-238). The subquery form also gives us
+    column-list aliasing (``AS s(r)``) that Spark's TVF aliasing lacks.
+    """
+    changed = True
+    while changed:
+        changed = False
+        for i, t in enumerate(toks):
+            if t.kind != "word" or t.text.lower() != "generate_series":
+                continue
+            ni = _next_code(toks, i)
+            if ni >= len(toks) or toks[ni].text != "(":
+                continue
+            close = _find_matching_paren(toks, ni)
+            if close == -1:
+                continue
+            # split args on top-level commas
+            args: list[list[Tok]] = [[]]
+            depth = 0
+            for j in range(ni + 1, close):
+                tk = toks[j]
+                if tk.text == "(":
+                    depth += 1
+                elif tk.text == ")":
+                    depth -= 1
+                if tk.text == "," and depth == 0:
+                    args.append([])
+                else:
+                    args[-1].append(tk)
+            if len(args) not in (2, 3):
+                continue
+            # optional  AS alias(col)  /  alias(col)  /  AS alias  / alias
+            alias = None
+            col = None
+            end = close
+            j = _next_code(toks, close)
+            jj = j
+            if jj < len(toks) and toks[jj].kind == "word" and toks[jj].text.upper() == "AS":
+                jj = _next_code(toks, jj)
+            if (
+                jj < len(toks)
+                and toks[jj].kind == "word"
+                and toks[jj].text.upper()
+                not in (
+                    "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN", "ON", "UNION",
+                    "INTERSECT", "EXCEPT", "HAVING", "INNER", "LEFT", "RIGHT",
+                    "FULL", "CROSS", "NATURAL", "WINDOW", "OFFSET", "SORT",
+                    "DISTRIBUTE", "CLUSTER", "LATERAL",
+                )
+            ):
+                alias = toks[jj].text
+                end = jj
+                pk = _next_code(toks, jj)
+                if pk < len(toks) and toks[pk].text == "(":
+                    pclose = _find_matching_paren(toks, pk)
+                    if pclose != -1:
+                        inner = [x for x in toks[pk + 1 : pclose] if _is_code(x)]
+                        if len(inner) == 1 and inner[0].kind == "word":
+                            col = inner[0].text
+                            end = pclose
+            a = "".join(x.text for x in args[0]).strip()
+            b = "".join(x.text for x in args[1]).strip()
+            step = "".join(x.text for x in args[2]).strip() if len(args) == 3 else None
+            colname = col or "generate_series"
+            aliasname = alias or "generate_series"
+            range_args = f"{a}, ({b})+1" + (f", {step}" if step else "")
+            text = f"(SELECT id AS {colname} FROM range({range_args})) {aliasname}"
+            toks = toks[:i] + [Tok("word", text)] + toks[end + 1 :]
+            changed = True
+            break
+    return toks
+
+
+def _rewrite_pg_namespace(toks: list[Tok]) -> list[Tok]:
+    """Qualify bare pg_catalog table references (AstBuilder.scala:1186-1221)."""
+    for i, t in enumerate(toks):
+        if t.kind == "word" and t.text.lower() == "pg_namespace":
+            pi = _prev_code(toks, i)
+            if pi >= 0 and toks[pi].text == ".":
+                continue
+            ni = _next_code(toks, i)
+            if ni < len(toks) and toks[ni].text == ".":
+                continue
+            toks[i] = Tok("word", "pg_catalog.pg_namespace")
+    return toks
+
+
+def _rewrite_params(toks: list[Tok]) -> list[Tok]:
+    """``$1, $2, …`` → ``:p1, :p2, …`` (named params for spark.sql)."""
+    out: list[Tok] = []
+    for t in toks:
+        if t.kind == "dollar":
+            out.append(Tok("word", f":p{t.text[1:]}"))
+        else:
+            out.append(t)
+    return out
+
+
+def rewrite_sql(sql: str, params: bool = True) -> str:
+    """Apply every PG→Spark dialect rewrite to one SQL statement."""
+    toks = _lex(sql)
+    toks = _rewrite_casts(toks)
+    toks = _rewrite_tilde(toks)
+    toks = _rewrite_substring_from_for(toks)
+    toks = _rewrite_generate_series(toks)
+    toks = _rewrite_pg_namespace(toks)
+    if params:
+        toks = _rewrite_params(toks)
+    return "".join(t.text for t in toks)

@@ -1,0 +1,18 @@
+"""Operator implementations exposed as named queries.
+
+Every operator from SURVEY.md §2 (and the beyond-reference LLM-pipeline
+operators) registers itself in :mod:`.registry` so the driver contract
+(``__spark_entry__.queries()`` / ``oracle_sql()``) and the benchmark
+harness share one source of truth.
+"""
+
+from spark_sql_server_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    textops,
+)
+from spark_sql_server_spark.operators.registry import REGISTRY, QuerySpec
+
+__all__ = ["REGISTRY", "QuerySpec"]

@@ -1,0 +1,399 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Beyond-reference surface: exact dedup, MinHash+LSH near-dup, SimHash,
+n-gram Jaccard, embedding-cosine near-dup — each designed around
+shuffle-friendly primitives (hash-partitioned groupBy, band-bucket
+joins) that hold at 100 TB.
+
+Portability note: near-dup candidate generation uses a polynomial
+rolling hash over characters (``_poly_hash_col``) instead of Spark's
+``xxhash64`` so the DuckDB oracle can reproduce the exact same hashes —
+both engines fold over the character array with int64 arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from spark_sql_server_spark.operators.registry import query
+from spark_sql_server_spark.session import load_table
+
+MOD = 1_000_000_007  # fits: acc*31 + 255 < 2^63 for acc < MOD
+
+
+def _poly_hash_col(s: Column) -> Column:
+    """Portable polynomial string hash: fold (acc*31 + ascii(ch)) % MOD.
+
+    Deterministic, order-sequential, int64-exact — identical in Spark
+    (``aggregate`` HOF) and DuckDB (``list_reduce``), unlike xxhash64 /
+    md5-to-int which only one engine exposes.
+    """
+    chars = F.split(s, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % MOD,
+    )
+
+
+def _poly_hash_duck(expr: str) -> str:
+    """DuckDB spelling of :func:`_poly_hash_col`."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), string_split({expr}, '')), "
+        f"(acc, c) -> (acc * 31 + ascii(c)) % {MOD})"
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+    SELECT doc_id, source, n_chars
+    FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) t
+    WHERE rn = 1
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "d_dedup_exact",
+    oracle=_EXACT_ORACLE,
+    covers="north-star dedup: exact (hash-groupBy keep-first)",
+    bench=True,
+)
+def d_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via row_number over the content hash.
+
+    Scale: partitioning on md5(text) (not the raw text) keeps shuffle
+    keys fixed-width 32 bytes regardless of document size, and the hash
+    distributes uniformly — no skew even when one document dominates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_EXACT_GROUPS_ORACLE = """
+    SELECT md5(text) AS content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    ORDER BY content_hash
+"""
+
+
+@query(
+    "d_dup_groups",
+    oracle=_EXACT_GROUPS_ORACLE,
+    covers="north-star dedup: duplicate-group inventory",
+)
+def d_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("content_hash")
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard similarity (exact) — also the verifier for MinHash/LSH
+# --------------------------------------------------------------------------
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """All word n-grams of an array column, as joined strings."""
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+
+
+_JACCARD_THRESHOLD = 0.5
+_NGRAM_N = 3
+
+_NGRAM_JACCARD_ORACLE = f"""
+    WITH shingled AS (
+      SELECT doc_id,
+             list_distinct([
+               array_to_string(words[i:i+{_NGRAM_N - 1}], ' ')
+               FOR i IN range(1, len(words) - {_NGRAM_N - 1} + 1)
+             ]) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      WHERE len(words) >= {_NGRAM_N}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+             AS jaccard
+    FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+          >= {_JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "d_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    covers="north-star dedup: n-gram Jaccard near-dup pairs (exact)",
+)
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over candidate pairs.
+
+    The pair generator here is an *inverted-index join on shared
+    shingles* (explode → self-join on gram → distinct pairs), not a
+    cross join: at 100 TB a cross join is impossible, while the
+    gram-join only touches pairs that share at least one shingle.
+    Jaccard is then computed once per surviving pair from exact distinct
+    gram counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    shingled = (
+        docs.select(
+            "doc_id", F.array_distinct(word_ngrams(words, _NGRAM_N)).alias("grams")
+        )
+        .filter(F.size(words) >= _NGRAM_N)
+    )
+    grams = shingled.select(
+        "doc_id", F.explode("grams").alias("gram"), F.size("grams").alias("n_grams")
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pair_overlap = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_grams").alias("na"),
+            F.col("b.n_grams").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        F.col("inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    )
+    return (
+        pair_overlap.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding
+# --------------------------------------------------------------------------
+
+_NUM_PERM = 16
+_BANDS = 4  # rows per band = 4
+
+
+def _minhash_signature(grams: Column) -> Column:
+    """Array of _NUM_PERM minhash values over a gram array.
+
+    Each permutation i uses h_i(g) = (a_i * poly(g) + b_i) % MOD with
+    fixed odd multipliers — exactly reproducible in SQL on any engine.
+    Computed as one `transform` over a literal index array, so the whole
+    signature is a single codegen'd expression per row (no UDF, no
+    shuffle).
+    """
+    base = F.transform(grams, lambda g: _poly_hash_col_from_expr(g))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(base, lambda h: (F.lit(2 * i + 1) * h + F.lit(i * 7919)) % MOD)
+            )
+            for i in range(_NUM_PERM)
+        ]
+    )
+    return sig
+
+
+def _poly_hash_col_from_expr(g: Column) -> Column:
+    return F.aggregate(
+        F.split(g, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % MOD,
+    )
+
+
+@query(
+    "d_minhash_lsh",
+    oracle=None,  # verified in pytest against exact Jaccard; hash pipeline
+    # is engine-portable but the banded self-join is not 1:1 SQL
+    covers="north-star dedup: MinHash signatures + LSH band-bucket join",
+    bench=True,
+)
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs.
+
+    Pipeline: shingle (3-word grams) → 16-permutation minhash signature
+    (pure expression, no UDF) → 4 bands × 4 rows → explode to
+    (band, band_hash) buckets → self-join within buckets → distinct
+    candidate pairs. Scale: the only shuffle is the bucket join, and
+    bucket keys are uniformly distributed hashes; signature computation
+    is map-only. Band/row parameters trade recall vs join fan-out
+    (4×4 targets Jaccard ≳ 0.5).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    grams = F.array_distinct(word_ngrams(words, _NGRAM_N))
+    sig = docs.filter(F.size(words) >= _NGRAM_N).select(
+        "doc_id", _minhash_signature(grams).alias("sig")
+    )
+    rows_per_band = _NUM_PERM // _BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(
+                            "band_hash"
+                        ),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+@query(
+    "d_simhash",
+    oracle=None,  # bit-vote loop not reasonably 1:1 in DuckDB SQL;
+    # verified in pytest against a pure-Python reference
+    covers="north-star dedup: SimHash fingerprints",
+)
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document, as a pure column expression.
+
+    For each bit position, votes = Σ over distinct words of ±1 depending
+    on the word-hash bit; bit set iff votes > 0. Entirely map-side
+    (explode-free: a `transform` over bit indices then `aggregate` over
+    words), so it scales linearly with no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.array_distinct(F.split(F.col("text"), " "))
+    hashes = F.transform(words, _poly_hash_col_from_expr)
+
+    def bit_vote(bit: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    simhash = sum(
+        (
+            F.when(bit_vote(bit) > 0, F.lit(2**bit).cast("long")).otherwise(F.lit(0).cast("long"))
+            for bit in range(_SIMHASH_BITS)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return docs.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+_COS_DUP_THRESHOLD = 0.95
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns as a sequential
+    left-fold — deterministic element order, engine-reproducible."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0).cast("double"), lambda acc, v: acc + v
+    )
+    nb = F.aggregate(
+        F.transform(b, lambda x: x * x), F.lit(0.0).cast("double"), lambda acc, v: acc + v
+    )
+    return dot / F.sqrt(na * nb)
+
+
+_COS_DUP_ORACLE = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= {_COS_DUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+"""
+
+
+@query(
+    "d_embedding_neardup",
+    oracle=_COS_DUP_ORACLE,
+    covers="north-star dedup: embedding-cosine near-duplicate pairs",
+)
+def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine ≥ 0.95 over the embeddings table.
+
+    Correctness baseline is the brute-force pair join; the scale path is
+    the LSH-bucketed variant in similarity.py (s_ann_lsh) which
+    restricts the join to hyperplane-hash buckets.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = cosine_sim(F.col("a.e"), F.col("b.e"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("raw_sim"),
+        )
+        .filter(F.col("raw_sim") >= _COS_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("raw_sim", 6).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,191 @@
+"""Similarity search (approximate nearest neighbors) over embeddings.
+
+Beyond-reference surface: brute-force cosine top-k as the correctness
+baseline, plus a random-hyperplane LSH-bucketed variant as the scale
+path (bucket join instead of cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from spark_sql_server_spark.operators.dedup import cosine_sim
+from spark_sql_server_spark.operators.registry import query
+from spark_sql_server_spark.session import load_table
+
+_TOP_K = 5
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+_BRUTE_ORACLE = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {_N_QUERIES}),
+         scored AS (
+           SELECT q.qid, v.vec_id,
+                  list_cosine_similarity(q.qe, v.e) AS raw_sim
+           FROM q JOIN v ON v.vec_id <> q.qid
+         ),
+         ranked AS (
+           SELECT qid, vec_id, raw_sim,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY ROUND(raw_sim, 6) DESC, vec_id) AS rnk
+           FROM scored
+         )
+    SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor,
+           ROUND(raw_sim, 6) AS cos_sim
+    FROM ranked WHERE rnk <= {_TOP_K}
+    ORDER BY qid, rnk
+"""
+
+
+@query(
+    "s_ann_bruteforce",
+    oracle=_BRUTE_ORACLE,
+    covers="north-star similarity search: brute-force cosine top-k",
+    bench=True,
+)
+def s_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k neighbors for a small query set.
+
+    Scale: the query side is tiny and broadcast, so the corpus is
+    scanned exactly once with no shuffle of the big side; ranking is a
+    window over qid (k × |queries| rows after a partial top-k). Ranking
+    key is cosine rounded to 6dp with vec_id tiebreak → deterministic
+    across engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_sim(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("qid", "rnk", F.col("vec_id").alias("neighbor"), "cos_sim")
+        .orderBy("qid", "rnk")
+    )
+
+
+_N_PLANES = 8
+
+
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane (LCG — no numpy
+    at plan-build time, reproducible everywhere)."""
+    vals = []
+    state = seed * 6364136223846793005 + 1442695040888963407
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        vals.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+    return vals
+
+
+def _lsh_bucket(e: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-dot-product bit signature → integer bucket id."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        dot = F.aggregate(
+            F.zip_with(e, plane, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+@query(
+    "s_ann_lsh",
+    oracle=None,  # approximate: recall vs brute force asserted in pytest
+    covers="north-star similarity search: random-hyperplane LSH buckets",
+    bench=True,
+)
+def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates share a random-hyperplane sign
+    signature with the query.
+
+    Scale: corpus is hashed once (map-only) and joined to queries on
+    the bucket id — shuffle volume is O(corpus) with uniform bucket
+    keys, vs O(corpus × queries) for brute force. Recall is tunable via
+    number of planes / multi-probe; pytest asserts recall ≥ 0.6 vs the
+    brute-force baseline at 8 planes.
+    """
+    dim = 64
+    planes = [_hyperplane(s + 1, dim) for s in range(_N_PLANES)]
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    bucketed = emb.withColumn("bucket", _lsh_bucket(F.col("e"), planes))
+    q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    cand = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        cand.select(
+            "qid",
+            "vec_id",
+            F.round(cosine_sim(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("qid", "rnk", F.col("vec_id").alias("neighbor"), "cos_sim")
+        .orderBy("qid", "rnk")
+    )
+
+
+_CENTROID_ORACLE = f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(SUM(e[1]) / COUNT(*), 6) AS c0,
+           ROUND(SUM(e[2]) / COUNT(*), 6) AS c1,
+           ROUND(SUM(e[3]) / COUNT(*), 6) AS c2
+    FROM v GROUP BY label ORDER BY label
+"""
+
+
+@query(
+    "s_label_centroids",
+    oracle=None,  # double sum over groups is order-dependent; verified
+    # in pytest against numpy within 1e-9
+    covers="north-star similarity: per-label centroid (IVF coarse step)",
+)
+def s_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids — the coarse quantizer step of an IVF index.
+
+    At scale this is one hash aggregation; the centroid table is then
+    broadcast for cluster assignment (`s_ann_ivf` pattern).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    n = F.count("*")
+    return (
+        emb.groupBy("label")
+        .agg(
+            n.alias("n"),
+            *[
+                F.round(F.sum(F.element_at("e", i + 1)) / n, 6).alias(f"c{i}")
+                for i in range(3)
+            ],
+        )
+        .orderBy("label")
+    )

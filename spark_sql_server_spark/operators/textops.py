@@ -1,0 +1,192 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — all over the
+``documents`` table, all expressed with native ``pyspark.sql.functions``
+(JVM-side, whole-stage-codegen'd; no Python in the hot path) so the same
+pipeline runs unchanged over 100 TB of parquet shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_sql_server_spark.operators.registry import query
+from spark_sql_server_spark.session import load_table, register_tables
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and hard-coded: language ID at scale is a
+# scan-local map operation with no shuffle.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "en"),
+}
+
+#: BPE-ish tokenizer regex: words, numbers, single punctuation marks.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _quality_cols(words_col: str = "words"):
+    """Shared quality-metric expressions over a words array column."""
+    n_words = F.size(F.col(words_col)).cast("long")
+    return n_words
+
+
+_TEXT_STATS_ORACLE = """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                AS BIGINT) AS n_tokens
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "t_text_stats",
+    oracle=_TEXT_STATS_ORACLE,
+    covers="north-star text analysis: token counting, type-token ratio",
+    bench=True,
+)
+def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics — narrow map-only pass, no shuffle;
+    the whole thing is codegen'd string functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_uniq_words"),
+        (
+            F.size(F.array_distinct(words)).cast("double")
+            / F.size(words).cast("double")
+        ).alias("ttr"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+        .cast("long")
+        .alias("n_spaces"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql_duck(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"w -> list_contains([{words}], w))) AS BIGINT)"
+    )
+
+
+_LANG_ID_ORACLE = f"""
+    SELECT doc_id, lang,
+           {_lang_score_sql_duck('en')} AS score_en,
+           {_lang_score_sql_duck('de')} AS score_de,
+           {_lang_score_sql_duck('fr')} AS score_fr,
+           {_lang_score_sql_duck('es')} AS score_es
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "t_lang_id",
+    oracle=_LANG_ID_ORACLE,
+    covers="north-star text analysis: language-ID stopword heuristic",
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit scores per language. Map-only, codegen'd; the argmax
+    (predicted language) is `greatest` over the scores downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    lower_words = F.split(F.lower(F.col("text")), " ")
+    cols = [F.col("doc_id"), F.col("lang")]
+    for lang, stop in LANG_STOPWORDS.items():
+        stop_arr = F.array(*[F.lit(w) for w in stop])
+        score = F.size(
+            F.filter(lower_words, lambda w: F.array_contains(stop_arr, w))
+        ).cast("long")
+        cols.append(score.alias(f"score_{lang}"))
+    return docs.select(*cols).orderBy("doc_id")
+
+
+_QUALITY_ORACLE = """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+                + CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END
+                + CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                            / len(string_split(text, ' ')) > 0.3 THEN 1 ELSE 0 END
+                + CASE WHEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                            <= CAST(0.1 * length(text) AS BIGINT) THEN 1 ELSE 0 END
+             AS BIGINT) AS quality_score,
+           length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+             <= CAST(0.1 * length(text) AS BIGINT) AS low_punct
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "t_quality_score",
+    oracle=_QUALITY_ORACLE,
+    covers="north-star text analysis: heuristic document quality scoring",
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style length/lexical-diversity/punctuation filters folded
+    into an integer quality score (0–4). All comparisons on exact
+    integer counts so the score is engine-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_chars = F.length(text).cast("long")
+    words = F.split(text, " ")
+    n_words = F.size(words).cast("long")
+    n_uniq = F.size(F.array_distinct(words)).cast("long")
+    n_punct = F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("long")
+    low_punct = n_punct <= (F.lit(0.1) * n_chars).cast("long")
+    score = (
+        F.when(n_chars.between(100, 20000), 1).otherwise(0)
+        + F.when(n_words >= 20, 1).otherwise(0)
+        + F.when(n_uniq.cast("double") / n_words > 0.3, 1).otherwise(0)
+        + F.when(low_punct, 1).otherwise(0)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        score.alias("quality_score"),
+        low_punct.alias("low_punct"),
+    ).orderBy("doc_id")
+
+
+_FINGERPRINT_ORACLE = """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           substring(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 8)
+             AS shard_key
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "t_fingerprint",
+    oracle=_FINGERPRINT_ORACLE,
+    covers="north-star text analysis: normalized-content fingerprint",
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/case-normalized MD5 content fingerprint; the 8-hex
+    prefix doubles as a uniform shard/bucket key for downstream
+    dedup partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    fp = F.md5(norm)
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key")
+    ).orderBy("doc_id")

@@ -1,0 +1,180 @@
+"""Per-column value encoders: Python row values → PG text/binary bytes.
+
+Python re-expression of the reference's ``ColumnWriter`` family
+(``service/postgresql/protocol/v3/converters.scala:107-461``):
+
+* text mode: ``toString``-style rendering; bool as ``t``/``f``;
+  array/map/struct as JSON with arrays rewritten ``[..]`` → ``{..}``
+  (converters.scala:370-416).
+* binary mode (only for the 8 fixed-width-friendly types,
+  protocol.scala:214-228): big-endian ints/floats; date as days since
+  the PG epoch 2000-01-01; timestamp as micros since the PG epoch.
+
+Values arrive as the Python objects ``DataFrame.toLocalIterator()``
+yields (datetime, Decimal, list, dict, Row, bytearray…).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import struct
+from datetime import date, datetime, timedelta, timezone
+from decimal import Decimal
+
+from pyspark.sql import types as T
+
+PG_EPOCH_DATE = date(2000, 1, 1)
+PG_EPOCH_DT = datetime(2000, 1, 1, tzinfo=timezone.utc)
+PG_EPOCH_NAIVE = datetime(2000, 1, 1)
+
+#: Types eligible for binary transfer (protocol.scala:214-228).
+BINARY_CAPABLE = (
+    T.BinaryType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+)
+
+
+def _json_default(v):
+    if isinstance(v, (datetime, date)):
+        return str(v)
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if hasattr(v, "asDict"):  # pyspark Row
+        return v.asDict(recursive=False)
+    return str(v)
+
+
+def _to_jsonable(v):
+    if hasattr(v, "asDict"):
+        return {k: _to_jsonable(x) for k, x in v.asDict(recursive=False).items()}
+    if isinstance(v, dict):
+        return {str(k): _to_jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_to_jsonable(x) for x in v]
+    return v
+
+
+def _pg_array_text(v) -> str:
+    """JSON-render then swap [] for {} — the reference's array text form
+    (converters.scala:370-388)."""
+    s = json.dumps(_to_jsonable(list(v)), default=_json_default, separators=(",", ","))
+    return s.replace("[", "{").replace("]", "}")
+
+
+def _float_text(v: float) -> str:
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    return repr(v)
+
+
+def text_encoder(dt: T.DataType):
+    """Return fn(value) -> str for a Spark data type (text mode)."""
+    if isinstance(dt, T.BooleanType):
+        return lambda v: "t" if v else "f"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return _float_text
+    if isinstance(dt, T.BinaryType):
+        return lambda v: "\\x" + bytes(v).hex()
+    if isinstance(dt, T.ArrayType):
+        return _pg_array_text
+    if isinstance(dt, T.MapType):
+        return lambda v: json.dumps(
+            _to_jsonable(v), default=_json_default, separators=(",", ":")
+        )
+    if isinstance(dt, T.StructType):
+        return lambda v: json.dumps(
+            _to_jsonable(v), default=_json_default, separators=(",", ":")
+        )
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return lambda v: (
+            v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+            if isinstance(v, datetime)
+            else str(v)
+        )
+    return lambda v: str(v)
+
+
+def _date_to_pg_days(v: date) -> int:
+    return (v - PG_EPOCH_DATE).days
+
+
+def _ts_to_pg_micros(v: datetime) -> int:
+    if v.tzinfo is not None:
+        delta = v - PG_EPOCH_DT
+    else:
+        delta = v - PG_EPOCH_NAIVE
+    return (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+
+
+def binary_encoder(dt: T.DataType):
+    """Return fn(value) -> bytes for binary-capable types, else None."""
+    if isinstance(dt, T.BinaryType):
+        return lambda v: bytes(v)
+    if isinstance(dt, T.ShortType):
+        return lambda v: struct.pack("!h", v)
+    if isinstance(dt, T.IntegerType):
+        return lambda v: struct.pack("!i", v)
+    if isinstance(dt, T.LongType):
+        return lambda v: struct.pack("!q", v)
+    if isinstance(dt, T.FloatType):
+        return lambda v: struct.pack("!f", v)
+    if isinstance(dt, T.DoubleType):
+        return lambda v: struct.pack("!d", v)
+    if isinstance(dt, T.DateType):
+        return lambda v: struct.pack("!i", _date_to_pg_days(v))
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return lambda v: struct.pack("!q", _ts_to_pg_micros(v))
+    if isinstance(dt, T.BooleanType):
+        return lambda v: b"\x01" if v else b"\x00"
+    return None
+
+
+class RowSerializer:
+    """Pre-bound per-column encoders for one result schema — built once
+    per statement, reused for every row (the hot loop allocates only the
+    output buffer)."""
+
+    def __init__(self, schema: T.StructType, formats: list[int] | None = None):
+        """formats: per-column 0=text 1=binary (PG Bind semantics: empty
+        → all text, single value → applies to all columns)."""
+        n = len(schema.fields)
+        if not formats:
+            formats = [0] * n
+        elif len(formats) == 1:
+            formats = formats * n
+        self.formats = formats
+        self.encoders = []
+        for f, fmt in zip(schema.fields, formats):
+            if fmt == 1:
+                enc = binary_encoder(f.dataType)
+                if enc is None:
+                    raise ValueError(
+                        f"column {f.name}: type {f.dataType.simpleString()} "
+                        "has no binary representation"
+                    )
+                self.encoders.append((enc, True))
+            else:
+                self.encoders.append((text_encoder(f.dataType), False))
+
+    def serialize(self, row) -> list[bytes | None]:
+        out: list[bytes | None] = []
+        for v, (enc, is_bin) in zip(row, self.encoders):
+            if v is None:
+                out.append(None)
+            elif is_bin:
+                out.append(enc(v))
+            else:
+                out.append(enc(v).encode("utf-8"))
+        return out

@@ -1,0 +1,544 @@
+"""asyncio PostgreSQL V3 server embedding a PySpark driver.
+
+Python re-expression of the reference's Netty frontend + session layer
+(SURVEY.md §2.A1-A13, §2.A26-A28):
+
+* one shared SparkSession; each client connection gets
+  ``spark.newSession()`` — the reference's default *multi-session* mode
+  (shared SparkContext & cache, isolated conf/temp views/UDFs,
+  ``SparkSQLServiceManager.scala:112-117``);
+* simple ('Q') and extended ('P'/'B'/'D'/'E'/'C'/'S'/'H'/'X') query
+  protocols, portals with client-paced fetching (``maxRows`` →
+  ``PortalSuspended``, ``protocol.scala:431-504``);
+* out-of-band CancelRequest → ``cancelJobGroup``
+  (``protocol.scala:1168-1184``, ``ExecutorImpl.scala:68-84``);
+* incremental collect: results stream partition-at-a-time through
+  ``toLocalIterator`` so driver memory is bounded by one partition,
+  not the result set (``ExecutorImpl.scala:185-215``) — the setting
+  that matters at 100 TB;
+* the PG dialect rewriter and BEGIN/SET interception in front of
+  ``spark.sql`` (SURVEY.md §2.A16-A23).
+
+Blocking Spark calls run in worker threads (``asyncio.to_thread``); the
+Spark job group is (re)set inside the same thread that triggers the
+job, so cancellation targets exactly the cancelling session's work.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import itertools
+import logging
+import secrets
+import struct
+from dataclasses import dataclass, field
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_sql_server_spark.dialect.commands import (
+    StatementClass,
+    classify_statement,
+    split_statements,
+)
+from spark_sql_server_spark.dialect.rewriter import rewrite_sql
+from spark_sql_server_spark.protocol import messages as M
+from spark_sql_server_spark.protocol.encoders import (
+    BINARY_CAPABLE,
+    RowSerializer,
+)
+from spark_sql_server_spark.protocol.params import decode_param
+from spark_sql_server_spark.protocol.pgtypes import UNSPECIFIED_OID, VARCHAR, pg_type_for
+
+log = logging.getLogger(__name__)
+
+_COMMAND_KEYWORDS = {
+    "CREATE", "DROP", "ALTER", "INSERT", "TRUNCATE", "USE", "CACHE",
+    "UNCACHE", "CLEAR", "ANALYZE", "MSCK", "REFRESH", "ADD", "LOAD",
+}
+
+FETCH_BATCH = 1024  # rows pulled from the iterator per executor hop
+
+
+@dataclass
+class PreparedStatement:
+    name: str
+    raw_sql: str
+    sql: str  # dialect-rewritten, $n → :pN
+    param_oids: list[int]
+    stmt: Any  # classified Statement
+    df: DataFrame | None = None  # analyzed (schema) when SELECT-ish & param-free
+
+
+@dataclass
+class Portal:
+    name: str
+    statement: PreparedStatement
+    df: DataFrame | None
+    result_formats: list[int]
+    serializer: RowSerializer | None = None
+    iterator: Iterator | None = None
+    fetched: int = 0
+    exhausted: bool = False
+    is_cursor: bool = False  # named portal → cursor-paced fetch
+
+
+@dataclass
+class SessionState:
+    pid: int
+    secret: int
+    session: SparkSession
+    params: dict[str, str]
+    statements: dict[str, PreparedStatement] = field(default_factory=dict)
+    portals: dict[str, Portal] = field(default_factory=dict)
+    in_error: bool = False  # extended-protocol error: skip until Sync
+
+    @property
+    def job_group(self) -> str:
+        return f"pg-session-{self.pid}"
+
+
+class SparkPGServer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        host: str = "127.0.0.1",
+        port: int = 5432,
+        incremental_collect: bool = True,
+        init_session=None,
+    ):
+        self.spark = spark
+        self.host = host
+        self.port = port
+        self.incremental_collect = incremental_collect
+        self.init_session = init_session  # callback(SparkSession) per connection
+        self._sessions: dict[int, SessionState] = {}
+        self._pid_counter = itertools.count(1)
+        self._server: asyncio.AbstractServer | None = None
+
+    # ------------------------------------------------------------------ #
+    # lifecycle
+
+    async def start(self) -> None:
+        self._server = await asyncio.start_server(self._handle_conn, self.host, self.port)
+        addr = self._server.sockets[0].getsockname()
+        self.port = addr[1]
+        log.info("SparkPGServer listening on %s:%s", *addr[:2])
+
+    async def stop(self) -> None:
+        if self._server:
+            self._server.close()
+            await self._server.wait_closed()
+
+    # ------------------------------------------------------------------ #
+    # connection handling
+
+    async def _handle_conn(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        state: SessionState | None = None
+        try:
+            state = await self._startup(reader, writer)
+            if state is None:
+                return
+            while True:
+                hdr = await reader.readexactly(5)
+                tag = hdr[:1]
+                (length,) = struct.unpack("!i", hdr[1:5])
+                body = await reader.readexactly(length - 4) if length > 4 else b""
+                if tag == b"X":  # Terminate
+                    break
+                await self._dispatch(state, tag, body, writer)
+        except (asyncio.IncompleteReadError, ConnectionResetError):
+            pass
+        except Exception:  # pragma: no cover — defensive
+            log.exception("connection handler failed")
+        finally:
+            if state is not None:
+                self._sessions.pop(state.pid, None)
+            writer.close()
+            try:
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    async def _startup(self, reader, writer) -> SessionState | None:
+        while True:
+            hdr = await reader.readexactly(4)
+            (length,) = struct.unpack("!i", hdr)
+            body = await reader.readexactly(length - 4)
+            (code,) = struct.unpack("!i", body[:4])
+            if code == M.SSL_REQUEST_CODE or code == M.GSSENC_REQUEST_CODE:
+                writer.write(b"N")  # no TLS on this listener
+                await writer.drain()
+                continue
+            if code == M.CANCEL_REQUEST_CODE:
+                pid, secret = M.parse_cancel(body[4:])
+                self._cancel(pid, secret)
+                writer.close()
+                return None
+            startup = M.parse_startup(body)
+            break
+
+        pid = next(self._pid_counter)
+        state = SessionState(
+            pid=pid,
+            secret=secrets.randbits(31),
+            session=self.spark.newSession(),
+            params=startup.params,
+        )
+        if self.init_session is not None:
+            await asyncio.to_thread(self.init_session, state.session)
+        self._sessions[pid] = state
+
+        out = bytearray()
+        out += M.authentication_ok()
+        for k, v in (
+            ("server_version", "9.6.0"),
+            ("server_encoding", "UTF8"),
+            ("client_encoding", "UTF8"),
+            ("application_name", startup.params.get("application_name", "")),
+            ("DateStyle", "ISO"),
+            ("integer_datetimes", "on"),
+            ("TimeZone", "UTC"),
+            ("standard_conforming_strings", "on"),
+        ):
+            out += M.parameter_status(k, v)
+        out += M.backend_key_data(pid, state.secret)
+        out += M.ready_for_query()
+        writer.write(bytes(out))
+        await writer.drain()
+        return state
+
+    def _cancel(self, pid: int, secret: int) -> None:
+        state = self._sessions.get(pid)
+        if state is not None and state.secret == secret:
+            self.spark.sparkContext.cancelJobGroup(state.job_group)
+            log.info("cancelled job group %s", state.job_group)
+
+    # ------------------------------------------------------------------ #
+    # message dispatch
+
+    async def _dispatch(self, state, tag, body, writer) -> None:
+        if state.in_error and tag not in (b"S",):
+            return  # skip until Sync (extended-protocol error recovery)
+        try:
+            if tag == b"Q":
+                await self._on_query(state, M.parse_query(body), writer)
+            elif tag == b"P":
+                await self._on_parse(state, M.parse_parse(body), writer)
+            elif tag == b"B":
+                await self._on_bind(state, M.parse_bind(body), writer)
+            elif tag == b"D":
+                await self._on_describe(state, M.parse_describe(body), writer)
+            elif tag == b"E":
+                await self._on_execute(state, M.parse_execute(body), writer)
+            elif tag == b"C":
+                await self._on_close(state, M.parse_close(body), writer)
+            elif tag == b"S":
+                state.in_error = False
+                writer.write(M.ready_for_query())
+                await writer.drain()
+            elif tag == b"H":  # Flush
+                await writer.drain()
+            elif tag in (b"F", b"d", b"c", b"f"):
+                raise NotImplementedError(
+                    f"message type {tag!r} not supported"
+                )  # FunctionCall / COPY — same as reference (protocol.scala:506-535)
+            else:
+                raise ValueError(f"unknown frontend message {tag!r}")
+        except Exception as e:  # noqa: BLE001 — every error becomes ErrorResponse
+            log.debug("statement failed", exc_info=True)
+            writer.write(M.error_response(_errmsg(e)))
+            if tag == b"Q":
+                writer.write(M.ready_for_query())
+            else:
+                state.in_error = True
+            await writer.drain()
+
+    # ------------------------------------------------------------------ #
+    # simple query protocol
+
+    async def _on_query(self, state, raw: str, writer) -> None:
+        statements = split_statements(raw)
+        if not statements:
+            writer.write(M.empty_query_response())
+            writer.write(M.ready_for_query())
+            await writer.drain()
+            return
+        for stmt_sql in statements:
+            try:
+                await self._run_simple(state, stmt_sql, writer)
+            except Exception as e:  # noqa: BLE001
+                log.debug("query failed: %s", stmt_sql, exc_info=True)
+                writer.write(M.error_response(_errmsg(e)))
+                break
+        writer.write(M.ready_for_query())
+        await writer.drain()
+
+    async def _run_simple(self, state, sql: str, writer) -> None:
+        stmt = classify_statement(sql)
+        if stmt.cls is StatementClass.EMPTY:
+            writer.write(M.empty_query_response())
+            return
+        if stmt.cls is StatementClass.BEGIN:
+            writer.write(M.command_complete("BEGIN"))
+            return
+        if stmt.cls in (StatementClass.COMMIT, StatementClass.ROLLBACK):
+            raise ValueError(f"Operation not allowed: {stmt.sql.strip()}")
+        if stmt.cls is StatementClass.DEALLOCATE:
+            state.statements.clear()
+            writer.write(M.command_complete("DEALLOCATE ALL"))
+            return
+        if stmt.cls is StatementClass.SET:
+            key, val = stmt.set_kv
+            self._apply_set(state, key, val)
+            writer.write(M.command_complete("SET"))
+            return
+        if stmt.cls is StatementClass.SHOW_SET:
+            df = await self._spark_sql(state, "SET")
+            await self._stream_result(state, df, [0], writer, limit=0, tag_word="SET")
+            return
+        df = await self._spark_sql(state, rewrite_sql(sql))
+        if not df.schema.fields:
+            writer.write(M.command_complete(_tag_for(sql, 0)))
+            return
+        await self._stream_result(state, df, [0], writer, limit=0, tag_word=None, sql=sql)
+
+    def _apply_set(self, state, key: str, val: str) -> None:
+        """SET applies to the *session* conf and returns zero rows
+        (protocol.scala:626-638). The fair-scheduler pool key maps to
+        the sparkContext local property, like ExecutorImpl.scala:139-145."""
+        if key in ("spark.sql.server.pool", "spark.scheduler.pool"):
+            state.session.sparkContext.setLocalProperty("spark.scheduler.pool", val)
+        state.session.conf.set(key, val)
+
+    # ------------------------------------------------------------------ #
+    # extended query protocol
+
+    async def _on_parse(self, state, p: M.ParseMessage, writer) -> None:
+        rewritten = rewrite_sql(p.sql)
+        stmt = classify_statement(p.sql)
+        ps = PreparedStatement(
+            name=p.name, raw_sql=p.sql, sql=rewritten, param_oids=p.param_oids, stmt=stmt
+        )
+        if stmt.cls is StatementClass.QUERY and not p.param_oids and not _is_command(p.sql):
+            # analysis only (lazy) — gives Describe('S') its schema
+            ps.df = await self._spark_sql(state, rewritten)
+        state.statements[p.name] = ps
+        writer.write(M.parse_complete())
+
+    async def _on_bind(self, state, b: M.BindMessage, writer) -> None:
+        ps = state.statements.get(b.statement)
+        if ps is None:
+            raise ValueError(f"unknown prepared statement: {b.statement!r}")
+        df = None
+        if ps.stmt.cls is StatementClass.QUERY:
+            if b.params:
+                fmts = b.param_formats or [0] * len(b.params)
+                if len(fmts) == 1:
+                    fmts = fmts * len(b.params)
+                oids = list(ps.param_oids) + [UNSPECIFIED_OID] * (
+                    len(b.params) - len(ps.param_oids)
+                )
+                args = {
+                    f"p{i + 1}": decode_param(oids[i], fmts[i], raw)
+                    for i, raw in enumerate(b.params)
+                }
+                df = await self._spark_sql(state, ps.sql, args)
+            elif ps.df is not None:
+                df = ps.df
+            elif not _is_command(ps.raw_sql):
+                df = await self._spark_sql(state, ps.sql)
+        portal = Portal(
+            name=b.portal,
+            statement=ps,
+            df=df,
+            result_formats=b.result_formats,
+            is_cursor=bool(b.portal),
+        )
+        if df is not None:
+            portal.serializer = self._make_serializer(df, b.result_formats)
+        state.portals[b.portal] = portal
+        writer.write(M.bind_complete())
+
+    def _make_serializer(self, df: DataFrame, result_formats: list[int]) -> RowSerializer:
+        n = len(df.schema.fields)
+        fmts = result_formats or [0] * n
+        if len(fmts) == 1:
+            fmts = fmts * n
+        # downgrade binary to text for types with no binary form
+        fmts = [
+            f if f == 1 and isinstance(fld.dataType, BINARY_CAPABLE) else 0
+            for f, fld in zip(fmts, df.schema.fields)
+        ]
+        return RowSerializer(df.schema, fmts)
+
+    async def _on_describe(self, state, d: M.DescribeMessage, writer) -> None:
+        if d.kind == "S":
+            ps = state.statements.get(d.name)
+            if ps is None:
+                raise ValueError(f"unknown prepared statement: {d.name!r}")
+            oids = [o or VARCHAR.oid for o in ps.param_oids]
+            writer.write(M.parameter_description(oids))
+            if ps.df is not None:
+                writer.write(self._row_description(ps.df, []))
+            else:
+                writer.write(M.no_data())
+        else:
+            portal = state.portals.get(d.name)
+            if portal is None:
+                raise ValueError(f"unknown portal: {d.name!r}")
+            if portal.df is not None:
+                writer.write(self._row_description(portal.df, portal.result_formats))
+            else:
+                writer.write(M.no_data())
+
+    def _row_description(self, df: DataFrame, result_formats: list[int]) -> bytes:
+        ser = self._make_serializer(df, result_formats)
+        fields = []
+        for f, fmt in zip(df.schema.fields, ser.formats):
+            pgt = pg_type_for(f.dataType)
+            fields.append((f.name, pgt.oid, pgt.len, fmt))
+        return M.row_description(fields)
+
+    async def _on_execute(self, state, e: M.ExecuteMessage, writer) -> None:
+        portal = state.portals.get(e.portal)
+        if portal is None:
+            raise ValueError(f"unknown portal: {e.portal!r}")
+        ps = portal.statement
+        stmt = ps.stmt
+        if stmt.cls is StatementClass.BEGIN:
+            writer.write(M.command_complete("BEGIN"))
+            return
+        if stmt.cls in (StatementClass.COMMIT, StatementClass.ROLLBACK):
+            raise ValueError(f"Operation not allowed: {ps.raw_sql.strip()}")
+        if stmt.cls is StatementClass.SET:
+            key, val = stmt.set_kv
+            self._apply_set(state, key, val)
+            writer.write(M.command_complete("SET"))
+            return
+        if portal.df is None:
+            # deferred command (DDL/INSERT/...): execute now
+            df = await self._spark_sql(state, ps.sql)
+            if df.schema.fields:
+                portal.df = df
+                portal.serializer = self._make_serializer(df, portal.result_formats)
+            else:
+                writer.write(M.command_complete(_tag_for(ps.raw_sql, 0)))
+                return
+        await self._stream_result(
+            state,
+            portal.df,
+            portal.result_formats,
+            writer,
+            limit=e.max_rows,
+            portal=portal,
+            sql=ps.raw_sql,
+        )
+
+    async def _on_close(self, state, c: M.CloseMessage, writer) -> None:
+        if c.kind == "S":
+            state.statements.pop(c.name, None)
+        else:
+            state.portals.pop(c.name, None)
+        writer.write(M.close_complete())
+
+    # ------------------------------------------------------------------ #
+    # execution & streaming
+
+    async def _spark_sql(self, state, sql: str, args: dict | None = None) -> DataFrame:
+        """Run spark.sql in a worker thread with this session's job group
+        set (thread-local in the JVM → set in the same thread)."""
+
+        def run():
+            state.session.sparkContext.setJobGroup(
+                state.job_group, sql[:200], interruptOnCancel=True
+            )
+            return state.session.sql(sql, args=args) if args else state.session.sql(sql)
+
+        return await asyncio.to_thread(run)
+
+    async def _stream_result(
+        self,
+        state,
+        df: DataFrame,
+        result_formats: list[int],
+        writer,
+        limit: int,
+        portal: Portal | None = None,
+        tag_word: str | None = None,
+        sql: str | None = None,
+    ) -> None:
+        """Send RowDescription (simple protocol only) + DataRows.
+
+        Rows are pulled in FETCH_BATCH chunks inside worker threads; with
+        incremental collect the iterator is ``toLocalIterator`` so driver
+        memory is bounded by one partition at a time.
+        """
+        if portal is None or portal.iterator is None:
+            def start():
+                state.session.sparkContext.setJobGroup(
+                    state.job_group, (sql or "")[:200], interruptOnCancel=True
+                )
+                if self.incremental_collect:
+                    return df.toLocalIterator(prefetchPartitions=True)
+                return iter(df.collect())
+
+            iterator = await asyncio.to_thread(start)
+            serializer = (
+                portal.serializer if portal is not None and portal.serializer is not None
+                else self._make_serializer(df, result_formats)
+            )
+            if portal is not None:
+                portal.iterator = iterator
+                portal.serializer = serializer
+        else:
+            iterator = portal.iterator
+            serializer = portal.serializer
+
+        if portal is None:
+            writer.write(self._row_description(df, result_formats))
+
+        sent = 0
+        while True:
+            want = FETCH_BATCH if limit == 0 else min(FETCH_BATCH, limit - sent)
+            if want <= 0:
+                break
+            batch = await asyncio.to_thread(lambda w=want: list(itertools.islice(iterator, w)))
+            for row in batch:
+                writer.write(M.data_row(serializer.serialize(row)))
+            sent += len(batch)
+            await writer.drain()
+            if len(batch) < want:
+                if portal is not None:
+                    portal.exhausted = True
+                break
+
+        if portal is not None:
+            portal.fetched += sent
+            if not portal.exhausted and limit and sent >= limit:
+                writer.write(M.portal_suspended())
+                await writer.drain()
+                return
+            tag = f"FETCH {sent}" if (portal.is_cursor and limit) else f"SELECT {sent}"
+            writer.write(M.command_complete(tag))
+        else:
+            writer.write(M.command_complete(f"{tag_word or 'SELECT'} {sent}"))
+        await writer.drain()
+
+
+def _is_command(sql: str) -> bool:
+    head = sql.lstrip().split(None, 1)
+    return bool(head) and head[0].upper() in _COMMAND_KEYWORDS
+
+
+def _tag_for(sql: str, rows: int) -> str:
+    head = sql.lstrip().split(None, 1)
+    word = head[0].upper() if head else "OK"
+    if word == "INSERT":
+        return f"INSERT 0 {rows}"
+    return word
+
+
+def _errmsg(e: Exception) -> str:
+    s = str(e)
+    return s if len(s) < 4000 else s[:4000] + "…"

@@ -1,0 +1,117 @@
+"""SparkSession construction and test-table registration.
+
+The reference boots one shared ``SparkContext`` and hands each client
+connection an isolated ``SQLContext`` (its default *multi-session* mode,
+reference ``service/SparkSQLServiceManager.scala:112-117``). Here the
+equivalent is one shared :class:`SparkSession` built by
+:func:`build_session` plus :meth:`SparkSession.newSession` per
+connection (done in the protocol layer).
+
+Conf choices are scale-first:
+
+* AQE on — runtime shuffle-partition coalescing, skew-join splitting and
+  dynamic broadcast decisions survive a 100× scale-up where static plans
+  do not.
+* ``spark.sql.shuffle.partitions`` defaults to the local core count for
+  tests; on a real cluster this is overridden (AQE coalesces anyway).
+* Arrow on — every Pandas-UDF / ``toPandas`` boundary is vectorized.
+* UTC session timezone — deterministic timestamp semantics vs the
+  DuckDB oracle.
+* ``spark.sql.crossJoin.enabled=true`` — DBMS parity, mirrors the
+  mandatory setting in reference ``SQLServer.scala:184-186``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver-generated tables (TESTDATA.md). One parquet file each.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_session(
+    app_name: str = "spark-pg-server",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the shared SparkSession with scale-aware defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.crossJoin.enabled", "true")
+        # test parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
+        # read as long and convert in load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table. Plain ``spark.read.parquet`` so Catalyst gets
+    pushdown/pruning on the scan; no caching here — callers decide.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which
+    Spark reads only as a long (nanosAsLong conf); convert to a real
+    micro-precision timestamp (floor division — matches DuckDB's
+    nanos→micros truncation).
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register every test table as a temp view in this session.
+
+    Temp views over parquet keep the scan lazy: each query's filters and
+    column projections reach the parquet reader (PushedFilters /
+    ReadSchema in the formatted plan), which is the behavior that holds
+    at 100 TB — never materialize-then-filter.
+    """
+    for name in tables:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

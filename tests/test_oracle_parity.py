@@ -1,0 +1,91 @@
+"""Local twin of the driver's correctness gate.
+
+For every registered query with an oracle: run the Spark implementation
+and the DuckDB oracle on the same parquet tables, sort columns by name,
+sort rows, and compare values exactly (floats bit-for-bit after the
+determinism rules in registry.py; timestamps normalized to ns).
+
+Stricter than it needs to be on purpose — if this passes, any
+reasonable hash-based compare passes too.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import datetime
+from decimal import Decimal
+
+import pytest
+
+from spark_sql_server_spark.operators import REGISTRY
+from tests.conftest import SF_CORRECT, register_duck_views
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if hasattr(v, "isoformat"):  # date
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return [colnames[i] for i in order], out
+
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    spec = REGISTRY[name]
+    sf_dir = os.environ.get("PARITY_SF_DIR", SF_CORRECT)
+    register_duck_views(duck, sf_dir)
+
+    sdf = spec.fn(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(spec.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(c.lower() for c in spark_cols) == sorted(
+        c.lower() for c in duck_cols
+    ), f"{name}: column names differ: spark={spark_cols} duck={duck_cols}"
+
+    s_cols, s_rows = _normalize(spark_rows, [c.lower() for c in spark_cols])
+    d_cols, d_rows = _normalize(duck_rows, [c.lower() for c in duck_cols])
+
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count differs: spark={len(s_rows)} duck={len(d_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_queries_run(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, os.environ.get("PARITY_SF_DIR", SF_CORRECT))
+    assert df.count() >= 0
+    assert df.schema is not None

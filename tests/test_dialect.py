@@ -1,0 +1,204 @@
+"""Dialect rewriter unit tests — mirrors the reference's PgDialectSuite
+(``service/postgresql/PgDialectSuite.scala:49-120``) plus the command
+interception cases."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_sql_server_spark.dialect.commands import (
+    StatementClass,
+    classify_statement,
+    split_statements,
+)
+from spark_sql_server_spark.dialect.rewriter import rewrite_sql
+
+
+class TestCasts:
+    def test_simple_cast(self):
+        assert rewrite_sql("SELECT 1::text") == "SELECT CAST(1 AS STRING)"
+
+    def test_int_casts(self):
+        assert rewrite_sql("SELECT a::int4 FROM t") == "SELECT CAST(a AS INT) FROM t"
+        assert rewrite_sql("SELECT a::int8") == "SELECT CAST(a AS BIGINT)"
+        assert rewrite_sql("SELECT a::float8") == "SELECT CAST(a AS DOUBLE)"
+
+    def test_chained_cast(self):
+        assert (
+            rewrite_sql("SELECT a::int4::text")
+            == "SELECT CAST(CAST(a AS INT) AS STRING)"
+        )
+
+    def test_cast_of_parenthesized(self):
+        assert (
+            rewrite_sql("SELECT (a + b)::int8 FROM t")
+            == "SELECT CAST((a + b) AS BIGINT) FROM t"
+        )
+
+    def test_cast_of_function_call(self):
+        assert (
+            rewrite_sql("SELECT substr(x, 1, 2)::int4 FROM t")
+            == "SELECT CAST(substr(x, 1, 2) AS INT) FROM t"
+        )
+
+    def test_cast_dotted_column(self):
+        assert (
+            rewrite_sql("SELECT t.a::text FROM t")
+            == "SELECT CAST(t.a AS STRING) FROM t"
+        )
+
+    def test_cast_with_precision(self):
+        assert (
+            rewrite_sql("SELECT a::numeric(10,2)")
+            == "SELECT CAST(a AS DECIMAL(10,2))"
+        )
+        assert rewrite_sql("SELECT a::varchar(24)") == "SELECT CAST(a AS STRING)"
+
+    def test_regclass_identity(self):
+        # ::regclass / ::regtype / ::regproc are identity-ish lookups
+        # (reference PgParser.scala:163-186)
+        assert rewrite_sql("SELECT 'pg_type'::regclass") == "SELECT 'pg_type'"
+
+    def test_cast_not_in_string(self):
+        assert rewrite_sql("SELECT 'a::b'") == "SELECT 'a::b'"
+
+    def test_standard_cast_untouched(self):
+        sql = "SELECT CAST(a AS INT) FROM t"
+        assert rewrite_sql(sql) == sql
+
+
+class TestTilde:
+    def test_tilde_to_rlike(self):
+        assert rewrite_sql("SELECT 'abc' ~ 'a.c'") == "SELECT 'abc' RLIKE 'a.c'"
+
+    def test_tilde_column(self):
+        assert (
+            rewrite_sql("SELECT * FROM t WHERE name ~ '^foo'")
+            == "SELECT * FROM t WHERE name RLIKE '^foo'"
+        )
+
+    def test_not_tilde(self):
+        assert (
+            rewrite_sql("SELECT * FROM t WHERE name !~ 'x'")
+            == "SELECT * FROM t WHERE name NOT RLIKE 'x'"
+        )
+
+    def test_operator_tilde(self):
+        assert (
+            rewrite_sql("SELECT a OPERATOR(~) 'p' FROM t")
+            == "SELECT a RLIKE 'p' FROM t"
+        )
+
+    def test_tilde_in_string_untouched(self):
+        assert rewrite_sql("SELECT '~'") == "SELECT '~'"
+
+
+class TestSubstring:
+    def test_from_for(self):
+        assert (
+            rewrite_sql("SELECT substring('hello' from 2 for 3)")
+            == "SELECT substring('hello' , 2 , 3)"
+        )
+
+    def test_from_only(self):
+        assert (
+            rewrite_sql("SELECT substring(x from 2) FROM t")
+            == "SELECT substring(x , 2) FROM t"
+        )
+
+    def test_comma_form_untouched(self):
+        sql = "SELECT substring(x, 1, 2) FROM t"
+        assert rewrite_sql(sql) == sql
+
+
+class TestGenerateSeries:
+    def test_basic(self, spark):
+        out = rewrite_sql("SELECT * FROM generate_series(1, 5)")
+        rows = spark.sql(out).collect()
+        assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
+
+    def test_with_alias_column(self, spark):
+        out = rewrite_sql("SELECT r FROM generate_series(2, 4) AS s(r)")
+        rows = spark.sql(out).collect()
+        assert [r.r for r in rows] == [2, 3, 4]
+
+    def test_with_step(self, spark):
+        out = rewrite_sql("SELECT r FROM generate_series(1, 9, 3) AS g(r)")
+        rows = spark.sql(out).collect()
+        assert [r.r for r in rows] == [1, 4, 7]
+
+    def test_inclusive_end(self):
+        out = rewrite_sql("SELECT * FROM generate_series(1, 3)")
+        assert "range(1, (3)+1)" in out
+
+
+class TestParams:
+    def test_dollar_params(self):
+        assert (
+            rewrite_sql("SELECT * FROM t WHERE a = $1 AND b = $2")
+            == "SELECT * FROM t WHERE a = :p1 AND b = :p2"
+        )
+
+    def test_dollar_in_string_untouched(self):
+        assert rewrite_sql("SELECT '$1'") == "SELECT '$1'"
+
+
+class TestPgNamespace:
+    def test_bare_qualified(self):
+        assert (
+            rewrite_sql("SELECT * FROM pg_namespace")
+            == "SELECT * FROM pg_catalog.pg_namespace"
+        )
+
+    def test_already_qualified_untouched(self):
+        sql = "SELECT * FROM pg_catalog.pg_namespace"
+        assert rewrite_sql(sql) == sql
+
+
+class TestCommands:
+    def test_begin(self):
+        assert classify_statement("BEGIN").cls is StatementClass.BEGIN
+        assert classify_statement("begin work;").cls is StatementClass.BEGIN
+        assert classify_statement("START TRANSACTION").cls is StatementClass.BEGIN
+
+    def test_commit_rollback(self):
+        assert classify_statement("COMMIT").cls is StatementClass.COMMIT
+        assert classify_statement("ROLLBACK;").cls is StatementClass.ROLLBACK
+        assert classify_statement("abort").cls is StatementClass.ROLLBACK
+
+    def test_set(self):
+        st = classify_statement("SET spark.sql.shuffle.partitions = 16")
+        assert st.cls is StatementClass.SET
+        assert st.set_kv == ("spark.sql.shuffle.partitions", "16")
+
+    def test_set_to_quoted(self):
+        st = classify_statement("SET application_name TO 'my app'")
+        assert st.set_kv == ("application_name", "my app")
+
+    def test_select_is_query(self):
+        assert classify_statement("SELECT 1").cls is StatementClass.QUERY
+
+    def test_split_statements(self):
+        assert split_statements("SELECT 1; SELECT 2;") == ["SELECT 1", "SELECT 2"]
+
+    def test_split_respects_strings(self):
+        assert split_statements("SELECT 'a;b'; SELECT 2") == ["SELECT 'a;b'", "SELECT 2"]
+
+    def test_split_respects_comments(self):
+        out = split_statements("SELECT 1 -- ; not a split\n; SELECT 2")
+        assert len(out) == 2
+
+
+@pytest.mark.parametrize(
+    "pg_sql,expected",
+    [
+        # the reference's own dialect test expressions (PgDialectSuite.scala)
+        ("SELECT 1::text", [("1",)]),
+        ("SELECT 'abc' ~ 'b'", [(True,)]),
+        ("SELECT 'a' || 'b'", [("ab",)]),
+        ("SELECT substring('spark' from 2 for 3)", [("par",)]),
+    ],
+)
+def test_rewritten_sql_executes(spark, pg_sql, expected):
+    rows = [tuple(r) for r in spark.sql(rewrite_sql(pg_sql)).collect()]
+    assert rows == expected

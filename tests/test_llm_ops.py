@@ -1,0 +1,182 @@
+"""Quality verification for the rows-only (non-SQL-expressible) LLM
+pipeline operators: recall vs exact baselines, pure-Python reference
+implementations for the hash-based fingerprints, numpy checks for the
+vector math."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spark_sql_server_spark.operators import REGISTRY
+from tests.conftest import SF_SMOKE
+
+MOD = 1_000_000_007
+
+
+def _poly_hash(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % MOD
+    return acc
+
+
+class TestMinHashLSH:
+    def test_recall_vs_exact_jaccard(self, spark):
+        """LSH candidates must cover (almost) all true near-dup pairs —
+        the planted near-dups in the synthetic corpus have Jaccard ≥ 0.9,
+        far above the 4x4 band threshold."""
+        true_pairs = {
+            (r.doc_a, r.doc_b)
+            for r in REGISTRY["d_ngram_jaccard"].fn(spark, SF_SMOKE).collect()
+        }
+        cand_pairs = {
+            (r.doc_a, r.doc_b)
+            for r in REGISTRY["d_minhash_lsh"].fn(spark, SF_SMOKE).collect()
+        }
+        assert true_pairs, "synthetic corpus should contain planted near-dups"
+        recall = len(true_pairs & cand_pairs) / len(true_pairs)
+        assert recall >= 0.9, f"LSH recall {recall} too low"
+
+    def test_candidates_mostly_similar(self, spark):
+        """Precision sanity: the planted dups dominate the candidate set."""
+        true_pairs = {
+            (r.doc_a, r.doc_b)
+            for r in REGISTRY["d_ngram_jaccard"].fn(spark, SF_SMOKE).collect()
+        }
+        cand = REGISTRY["d_minhash_lsh"].fn(spark, SF_SMOKE).collect()
+        hits = sum(1 for r in cand if (r.doc_a, r.doc_b) in true_pairs)
+        assert hits / max(len(cand), 1) >= 0.5
+
+
+class TestSimHash:
+    def test_matches_pure_python_reference(self, spark):
+        rows = REGISTRY["d_simhash"].fn(spark, SF_SMOKE).limit(20).collect()
+        import duckdb
+
+        con = duckdb.connect()
+        texts = dict(
+            con.execute(
+                f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet' "
+                "ORDER BY doc_id LIMIT 20"
+            ).fetchall()
+        )
+        for r in rows:
+            words = sorted(set(texts[r.doc_id].split(" ")), key=texts[r.doc_id].split(" ").index)
+            hashes = [_poly_hash(w) for w in dict.fromkeys(texts[r.doc_id].split(" "))]
+            sim = 0
+            for bit in range(32):
+                votes = sum(1 if (h >> bit) & 1 else -1 for h in hashes)
+                if votes > 0:
+                    sim |= 1 << bit
+            assert r.simhash == sim, f"doc {r.doc_id}: {r.simhash} != {sim}"
+
+    def test_near_dups_have_close_simhash(self, spark):
+        sims = {
+            r.doc_id: r.simhash
+            for r in REGISTRY["d_simhash"].fn(spark, SF_SMOKE).collect()
+        }
+        pairs = REGISTRY["d_ngram_jaccard"].fn(spark, SF_SMOKE).collect()
+        assert pairs
+        dists = [
+            bin(sims[r.doc_a] ^ sims[r.doc_b]).count("1")
+            for r in pairs
+            if r.jaccard >= 0.9
+        ]
+        # planted dups: hamming distance far below the ~16 of random pairs
+        assert dists and sum(dists) / len(dists) <= 6
+
+
+class TestAnnLsh:
+    def test_recall_vs_bruteforce(self, spark):
+        brute = REGISTRY["s_ann_bruteforce"].fn(spark, SF_SMOKE).collect()
+        lsh = REGISTRY["s_ann_lsh"].fn(spark, SF_SMOKE).collect()
+        top1 = {(r.qid, r.neighbor) for r in brute if r.rnk == 1}
+        found = {(r.qid, r.neighbor) for r in lsh}
+        # single-table 8-plane LSH: modest recall target on top-1
+        recall = len(top1 & found) / len(top1)
+        assert recall >= 0.3, f"ANN-LSH top-1 recall {recall}"
+
+    def test_lsh_results_subset_ranked_correctly(self, spark):
+        lsh = REGISTRY["s_ann_lsh"].fn(spark, SF_SMOKE).collect()
+        by_q: dict[int, list] = {}
+        for r in lsh:
+            by_q.setdefault(r.qid, []).append(r)
+        for q, rs in by_q.items():
+            sims = [r.cos_sim for r in sorted(rs, key=lambda x: x.rnk)]
+            assert sims == sorted(sims, reverse=True)
+
+
+class TestCentroids:
+    def test_vs_numpy(self, spark):
+        import duckdb
+
+        rows = REGISTRY["s_label_centroids"].fn(spark, SF_SMOKE).collect()
+        con = duckdb.connect()
+        data = con.execute(
+            f"SELECT label, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+        ).fetchall()
+        by_label: dict[int, list] = {}
+        for label, emb in data:
+            by_label.setdefault(label, []).append(np.array(emb, dtype=np.float64))
+        for r in rows:
+            ref = np.mean(by_label[r.label], axis=0)
+            assert r.n == len(by_label[r.label])
+            for i in range(3):
+                assert abs(getattr(r, f"c{i}") - ref[i]) < 1e-6
+
+
+class TestMultimodal:
+    def test_feature_extraction_batch_shape(self, spark):
+        df = REGISTRY["m_media_features"].fn(spark, SF_SMOKE)
+        rows = df.collect()
+        assert len(rows) == 500
+        assert df.schema.fieldNames() == [
+            "doc_id", "size_bytes", "byte_mean", "byte_min", "byte_max", "head_hex",
+        ]
+
+    def test_byte_stats_match_python(self, spark):
+        import duckdb
+
+        rows = {
+            r.doc_id: r
+            for r in REGISTRY["m_media_features"].fn(spark, SF_SMOKE).limit(10).collect()
+        }
+        con = duckdb.connect()
+        texts = dict(
+            con.execute(
+                f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet' "
+                "ORDER BY doc_id LIMIT 10"
+            ).fetchall()
+        )
+        for doc_id, r in rows.items():
+            blob = texts[doc_id].encode("utf-8")
+            assert r.size_bytes == len(blob)
+            assert abs(r.byte_mean - sum(blob) / len(blob)) < 1e-9
+            assert r.head_hex == blob[:4].hex()
+
+    def test_decode_stub_raises_without_fake(self):
+        from spark_sql_server_spark.operators.multimodal import decode_image
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG", "png")
+
+    def test_metadata_scan_prunes_blob(self, spark, tmp_path):
+        """When the media table is stored as parquet, a metadata-only
+        aggregate must prune the blob column at the scan (ReadSchema
+        without `media`) — the point of the blob+metadata layout."""
+        from spark_sql_server_spark.operators.multimodal import make_media_table
+
+        path = str(tmp_path / "media.parquet")
+        make_media_table(spark, SF_SMOKE).write.mode("overwrite").parquet(path)
+        stored = spark.read.parquet(path)
+        agg = stored.groupBy(stored.meta.media_type.alias("media_type")).count()
+        agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert read_schema, plan
+        assert "media:binary" not in read_schema[0], read_schema[0]
+
+    def test_media_meta_aggregate(self, spark):
+        rows = REGISTRY["m_media_meta"].fn(spark, SF_SMOKE).collect()
+        assert rows[0].n_blobs == 500

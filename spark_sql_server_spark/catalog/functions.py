@@ -1,0 +1,77 @@
+"""PG system functions as session UDFs.
+
+The 16 functions the reference registers (``catalog.scala:223-245``) so
+client metadata SQL resolves — `current_schemas`, `format_type`,
+`array_to_string`, visibility checks, etc. These run only on tiny
+catalog metadata rows, so plain Python UDFs are fine (never on the data
+path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from spark_sql_server_spark.protocol import pgtypes as P
+
+_OID_TO_NAME = {t.oid: t.name for t in P.ALL_PG_TYPES}
+
+#: oids of the emulated catalog tables / system functions — used by the
+#: visibility checks (visible = NOT one of ours, like the reference).
+_CATALOG_TABLE_OIDS = frozenset(
+    (1247, 1249, 1255, 1259, 1262, 2604, 2606, 2608, 2609, 2610, 2611, 2615,
+     3256, 3456, 11631, 11642)
+)
+_SYSTEM_FUNCTION_OIDS = frozenset(
+    (384, 750, 1081, 1215, 1402, 1597, 1642, 1716, 2079, 2081, 2092, 2162,
+     2165, 2420)
+)
+
+
+def _type_name(oid: int | None) -> str:
+    if oid is None:
+        return "unknown"
+    return _OID_TO_NAME.get(int(oid), "unknown")
+
+
+def init_system_functions(spark: SparkSession) -> None:
+    """Register the PG system functions on this (sub)session."""
+    udf = spark.udf.register
+
+    udf(
+        "array_to_string",
+        lambda arr, delim: delim.join(str(x) for x in arr) if arr is not None else "",
+        T.StringType(),
+    )
+    udf("array_in", lambda: "array_in", T.StringType())
+    udf("format_type", lambda oid, typemod: _type_name(oid), T.StringType())
+    udf("obj_description", lambda oid, tab: "", T.StringType())
+    udf("current_schemas", lambda _b: ["spark"], T.ArrayType(T.StringType()))
+    udf("pg_encoding_to_char", lambda enc: "UTF8", T.StringType())
+    udf("pg_get_userbyid", lambda uid: "spark-user", T.StringType())
+    udf("pg_get_expr", lambda adbin, adrelid: "", T.StringType())
+    udf(
+        "pg_table_is_visible",
+        lambda oid: oid is not None and int(oid) not in _CATALOG_TABLE_OIDS,
+        T.BooleanType(),
+    )
+    udf(
+        "pg_function_is_visible",
+        lambda oid: oid is not None and int(oid) not in _SYSTEM_FUNCTION_OIDS,
+        T.BooleanType(),
+    )
+    udf(
+        "array_upper",
+        lambda arr, n: len(arr) if arr is not None else None,
+        T.IntegerType(),
+    )
+    udf("pg_get_function_arguments", lambda oid: "", T.StringType())
+    udf("pg_get_function_result", lambda oid: "", T.StringType())
+    udf(
+        "oidvectortypes",
+        lambda oids: ", ".join(_type_name(o) for o in oids) if oids else "",
+        T.StringType(),
+    )
+    # interaction shims, not real functions (catalog.scala:241-244)
+    udf("ANY", lambda arr: arr[0] if arr else None, T.StringType())
+    udf("regtype", lambda oid: _type_name(oid), T.StringType())

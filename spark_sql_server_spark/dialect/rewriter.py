@@ -353,8 +353,22 @@ def _rewrite_generate_series(toks: list[Tok]) -> list[Tok]:
             step = "".join(x.text for x in args[2]).strip() if len(args) == 3 else None
             colname = col or "generate_series"
             aliasname = alias or "generate_series"
-            range_args = f"{a}, ({b})+1" + (f", {step}" if step else "")
-            text = f"(SELECT id AS {colname} FROM range({range_args})) {aliasname}"
+
+            def _is_literal(s: str) -> bool:
+                return re.fullmatch(r"-?\d+", s) is not None
+
+            if _is_literal(a) and _is_literal(b) and (step is None or _is_literal(step)):
+                # literal bounds → Spark's distributed range TVF
+                # (end-exclusive, so +1; PgParser.scala:188-193)
+                range_args = f"{a}, ({b})+1" + (f", {step}" if step else "")
+                text = f"(SELECT id AS {colname} FROM range({range_args})) {aliasname}"
+            else:
+                # computed bounds (JDBC metadata queries): range() needs
+                # foldable args, so use sequence() — end-inclusive natively
+                seq_args = f"{a}, {b}" + (f", {step}" if step else "")
+                text = (
+                    f"(SELECT explode(sequence({seq_args})) AS {colname}) {aliasname}"
+                )
             toks = toks[:i] + [Tok("word", text)] + toks[end + 1 :]
             changed = True
             break

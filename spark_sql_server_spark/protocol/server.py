@@ -106,12 +106,14 @@ class SparkPGServer:
         port: int = 5432,
         incremental_collect: bool = True,
         init_session=None,
+        pg_catalog: bool = True,
     ):
         self.spark = spark
         self.host = host
         self.port = port
         self.incremental_collect = incremental_collect
         self.init_session = init_session  # callback(SparkSession) per connection
+        self.pg_catalog = pg_catalog
         self._sessions: dict[int, SessionState] = {}
         self._pid_counter = itertools.count(1)
         self._server: asyncio.AbstractServer | None = None
@@ -120,6 +122,10 @@ class SparkPGServer:
     # lifecycle
 
     async def start(self) -> None:
+        if self.pg_catalog:
+            from spark_sql_server_spark.catalog import init_pg_catalog
+
+            await asyncio.to_thread(init_pg_catalog, self.spark)
         self._server = await asyncio.start_server(self._handle_conn, self.host, self.port)
         addr = self._server.sockets[0].getsockname()
         self.port = addr[1]
@@ -185,8 +191,15 @@ class SparkPGServer:
             session=self.spark.newSession(),
             params=startup.params,
         )
-        if self.init_session is not None:
-            await asyncio.to_thread(self.init_session, state.session)
+        def _init(sess: SparkSession) -> None:
+            if self.pg_catalog:
+                from spark_sql_server_spark.catalog import init_system_functions
+
+                init_system_functions(sess)  # per-session, like PgSessionInitializer
+            if self.init_session is not None:
+                self.init_session(sess)
+
+        await asyncio.to_thread(_init, state.session)
         self._sessions[pid] = state
 
         out = bytearray()

@@ -70,6 +70,7 @@ def build_session(
         # read as long and convert in load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/spark-pg-warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,142 @@
+"""Streaming operators over the events schema.
+
+Every operator takes a *streaming* DataFrame (from
+:func:`events_stream` or any source with the same schema) and returns a
+transformed streaming DataFrame — sinks are the caller's choice
+(tests use memory + availableNow; production would use kafka/parquet
+with checkpointing).
+
+Scale notes: all stateful operators below key their state by
+user/window, so state is hash-partitioned across executors; watermarks
+bound state size — without them a 100 TB replay would accumulate
+unbounded window state.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over parquet event files with an explicit
+    schema (streaming sources must not infer)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregate — the streaming twin of the
+    batch ``q_events_hourly`` query.
+
+    The watermark lets Spark drop window state once event time passes
+    (window_end + 2h); late events inside the watermark still update
+    their window.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_events(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows (gap-based) per user — the streaming counterpart
+    of the lag+running-sum batch sessionization."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids arriving
+    within the watermark window (state is bounded by the watermark,
+    unlike a plain dropDuplicates which keeps keys forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _update_running(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState worker: per-user running totals.
+
+    Arrow-batched custom stateful operator — the escape hatch for
+    semantics Spark's built-in stateful ops can't express. State is one
+    (n, total) pair per user: O(users) not O(events).
+    """
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        [{"user_id": key[0], "n_events": n, "total_value": total}]
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: cumulative per-user event count/value,
+    emitted once per micro-batch per active user."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_running,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,65 @@
+"""Standalone server launcher.
+
+    python -m spark_sql_server_spark [--host H] [--port P] [--sf-dir DIR]
+
+Boots the shared SparkSession, registers the test tables as views,
+initializes pg_catalog, and serves the PG V3 protocol until SIGINT —
+the PySpark twin of the reference's ``sbin/start-sql-server.sh``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import logging
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="PySpark PostgreSQL-protocol SQL server")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=5432)
+    p.add_argument(
+        "--sf-dir",
+        default=None,
+        help="testdata dir to register as views (default: $SPARK_GRAFT_SF_DIR)",
+    )
+    p.add_argument("--no-incremental", action="store_true",
+                   help="collect() results instead of toLocalIterator()")
+    p.add_argument("--idle-session-timeout", type=float, default=0.0,
+                   help="seconds before an idle session is reaped (0 = never)")
+    p.add_argument("-v", "--verbose", action="store_true")
+    args = p.parse_args()
+
+    logging.basicConfig(level=logging.DEBUG if args.verbose else logging.INFO)
+
+    from spark_sql_server_spark.protocol.server import SparkPGServer
+    from spark_sql_server_spark.session import DEFAULT_SF_DIR, build_session, register_tables
+
+    sf_dir = args.sf_dir or DEFAULT_SF_DIR
+    spark = build_session("spark-pg-server")
+
+    server = SparkPGServer(
+        spark,
+        host=args.host,
+        port=args.port,
+        incremental_collect=not args.no_incremental,
+        init_session=lambda s: register_tables(s, sf_dir),
+        idle_session_timeout=args.idle_session_timeout,
+    )
+
+    async def run() -> None:
+        await server.start()
+        logging.info("ready: psql -h %s -p %s", args.host, server.port)
+        try:
+            await asyncio.Event().wait()
+        finally:
+            await server.stop()
+
+    try:
+        asyncio.run(run())
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()

@@ -10,6 +10,7 @@ from spark_sql_server_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
     relational,
+    relational2,
     similarity,
     textops,
 )

@@ -1,0 +1,342 @@
+"""Relational coverage, part 2 — expression-level §2.B rows: predicate
+forms, array/map/struct functions, JSON, interval arithmetic, bitwise
+operators, misc null-handling. Each is a thin oracle-checked query; the
+operators themselves are Spark built-ins (the reference delegates all
+of these identically)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_sql_server_spark.operators.registry import query
+from spark_sql_server_spark.session import register_tables
+
+_PREDICATES_SQL = """
+    SELECT o_orderkey,
+           o_totalprice BETWEEN 50000 AND 150000 AS in_band,
+           o_orderstatus IN ('O', 'P') AS is_open_or_pending,
+           o_orderpriority LIKE '%URGENT' AS is_urgent,
+           o_orderpriority LIKE '1!%%' ESCAPE '!' AS starts_one_percent,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END
+             IS NULL AS forced_null,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END
+             IS NOT DISTINCT FROM 'O' AS null_safe_open
+    FROM orders
+    ORDER BY o_orderkey
+"""
+
+
+@query(
+    "q_predicates",
+    oracle=_PREDICATES_SQL,
+    covers="§2.B BETWEEN / IN / LIKE ESCAPE / IS NULL / IS [NOT] DISTINCT FROM",
+)
+def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_PREDICATES_SQL)
+
+
+_ARRAY_SQL = """
+    SELECT n_nationkey,
+           array_join(sort_array(array(n_name, r_name)), '|') AS pair,
+           element_at(array(n_nationkey, n_regionkey), 1) AS first_elem,
+           array_contains(array(0, 2, 4), n_regionkey) AS in_even,
+           size(sequence(1, n_regionkey + 1)) AS seq_len,
+           array_join(slice(sequence(1, 5), 2, 3), ',') AS sliced
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    ORDER BY n_nationkey
+"""
+
+_ARRAY_ORACLE = """
+    SELECT n_nationkey,
+           array_to_string(list_sort([n_name, r_name]), '|') AS pair,
+           [n_nationkey, n_regionkey][1] AS first_elem,
+           list_contains([0, 2, 4], n_regionkey) AS in_even,
+           CAST(len(generate_series(1, n_regionkey + 1)) AS INT) AS seq_len,
+           array_to_string(generate_series(1, 5)[2:4], ',') AS sliced
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    ORDER BY n_nationkey
+"""
+
+
+@query(
+    "q_array_funcs",
+    oracle=_ARRAY_ORACLE,
+    covers="§2.B array constructors/access/slice/contains/sort",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_ARRAY_SQL)
+
+
+_STRUCT_MAP_SQL = """
+    SELECT n_nationkey,
+           named_struct('name', n_name, 'region', n_regionkey).name AS s_name,
+           map('key', n_nationkey, 'region', n_regionkey)['region'] AS m_region,
+           struct(n_nationkey, n_name).n_name AS tuple_name
+    FROM nation
+    ORDER BY n_nationkey
+"""
+
+_STRUCT_MAP_ORACLE = """
+    SELECT n_nationkey,
+           struct_pack(name := n_name, region := n_regionkey).name AS s_name,
+           map(['key', 'region'], [n_nationkey, n_regionkey])['region'][1] AS m_region,
+           struct_pack(n_nationkey := n_nationkey, n_name := n_name).n_name AS tuple_name
+    FROM nation
+    ORDER BY n_nationkey
+"""
+
+
+@query(
+    "q_struct_map",
+    oracle=_STRUCT_MAP_ORACLE,
+    covers="§2.B struct/map constructors + field/key access",
+)
+def q_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_STRUCT_MAP_SQL)
+
+
+_JSON_SQL = """
+    SELECT event_id,
+           from_json(props, 'k BIGINT').k AS k_typed,
+           to_json(named_struct('id', event_id, 'type', event_type)) AS packed
+    FROM events
+    WHERE event_type = 'signup'
+    ORDER BY event_id
+"""
+
+_JSON_ORACLE = """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           '{"id":' || CAST(event_id AS VARCHAR) || ',"type":"' || event_type || '"}'
+             AS packed
+    FROM events
+    WHERE event_type = 'signup'
+    ORDER BY event_id
+"""
+
+
+@query(
+    "q_json_funcs",
+    oracle=_JSON_ORACLE,
+    covers="§2.B from_json / to_json / get_json_object",
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_JSON_SQL)
+
+
+_INTERVAL_SQL = """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 DAY AS TIMESTAMP) AS plus_3d,
+           CAST(o_orderdate - INTERVAL 1 MONTH AS TIMESTAMP) AS minus_1mo,
+           datediff(TIMESTAMP '2001-01-01 00:00:00', o_orderdate) AS days_to_2001
+    FROM orders
+    WHERE o_orderkey <= 50
+    ORDER BY o_orderkey
+"""
+
+_INTERVAL_ORACLE = """
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 3 DAY AS plus_3d,
+           o_orderdate - INTERVAL 1 MONTH AS minus_1mo,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2001-01-01 00:00:00') AS INT)
+             AS days_to_2001
+    FROM orders
+    WHERE o_orderkey <= 50
+    ORDER BY o_orderkey
+"""
+
+
+@query(
+    "q_interval_arith",
+    oracle=_INTERVAL_ORACLE,
+    covers="§2.B interval literals + date arithmetic, datediff",
+)
+def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_INTERVAL_SQL)
+
+
+_NULL_FUNCS_SQL = """
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS status_or_default,
+           GREATEST(o_totalprice, 100000.0) AS floored,
+           LEAST(CAST(o_orderkey AS DOUBLE), o_totalprice) AS smaller,
+           IFNULL(NULLIF(o_orderkey % 3, 0), -1) AS mod_or_neg
+    FROM orders
+    WHERE o_orderkey <= 60
+    ORDER BY o_orderkey
+"""
+
+_NULL_FUNCS_ORACLE = """
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS status_or_default,
+           GREATEST(o_totalprice, 100000.0) AS floored,
+           LEAST(CAST(o_orderkey AS DOUBLE), o_totalprice) AS smaller,
+           COALESCE(NULLIF(o_orderkey % 3, 0), -1) AS mod_or_neg
+    FROM orders
+    WHERE o_orderkey <= 60
+    ORDER BY o_orderkey
+"""
+
+
+@query(
+    "q_null_funcs",
+    oracle=_NULL_FUNCS_ORACLE,
+    covers="§2.B null propagation: coalesce/nullif/ifnull/greatest/least",
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_NULL_FUNCS_SQL)
+
+
+_BITWISE_SQL = """
+    SELECT n_nationkey,
+           n_nationkey & 12 AS band,
+           n_nationkey | 1 AS bor,
+           CAST(n_nationkey ^ 5 AS INT) AS bxor,
+           shiftleft(n_nationkey, 2) AS shl,
+           shiftright(n_nationkey, 1) AS shr
+    FROM nation
+    ORDER BY n_nationkey
+"""
+
+_BITWISE_ORACLE = """
+    SELECT n_nationkey,
+           n_nationkey & 12 AS band,
+           n_nationkey | 1 AS bor,
+           CAST(xor(n_nationkey, 5) AS INT) AS bxor,
+           CAST(n_nationkey << 2 AS INT) AS shl,
+           CAST(n_nationkey >> 1 AS INT) AS shr
+    FROM nation
+    ORDER BY n_nationkey
+"""
+
+
+@query(
+    "q_bitwise",
+    oracle=_BITWISE_ORACLE,
+    covers="§2.B bitwise operators",
+)
+def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_BITWISE_SQL)
+
+
+_MINMAX_BY_SQL = """
+    SELECT o_custkey,
+           MAX_BY(o_orderkey, o_totalprice) AS biggest_order,
+           MIN_BY(o_orderkey, o_totalprice) AS smallest_order,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+"""
+
+_MINMAX_BY_ORACLE = """
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+"""
+
+
+@query(
+    "q_minmax_by",
+    oracle=_MINMAX_BY_ORACLE,
+    covers="§2.B min_by/max_by (argmin/argmax aggregates)",
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_MINMAX_BY_SQL)
+
+
+_ORDINAL_SQL = """
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders
+    GROUP BY 1
+    ORDER BY 2 DESC, 1
+"""
+
+
+@query(
+    "q_ordinals",
+    oracle=_ORDINAL_SQL,
+    covers="§2.B GROUP BY / ORDER BY ordinal",
+)
+def q_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_ORDINAL_SQL)
+
+
+_MATH_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice / l_quantity, 4) AS unit_price,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct,
+           ABS(l_quantity - 25.0) AS dist_from_25,
+           CAST(l_quantity AS INT) % 7 AS qty_mod,
+           POWER(2.0, CAST(l_linenumber AS DOUBLE)) AS pow2,
+           SQRT(l_quantity) AS root_qty
+    FROM lineitem
+    WHERE l_orderkey <= 30
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+_MATH_ORACLE = """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice / l_quantity, 4) AS unit_price,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct,
+           ABS(l_quantity - 25.0) AS dist_from_25,
+           CAST(l_quantity AS INT) % 7 AS qty_mod,
+           POWER(2.0, CAST(l_linenumber AS DOUBLE)) AS pow2,
+           SQRT(l_quantity) AS root_qty
+    FROM lineitem
+    WHERE l_orderkey <= 30
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query(
+    "q_math_funcs",
+    oracle=_MATH_ORACLE,
+    covers="§2.B math functions / operators / div-mod",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_MATH_SQL)
+
+
+_CSV_FUNC_SQL = """
+    SELECT n_nationkey,
+           from_csv(CAST(n_nationkey AS STRING) || ',' || n_name,
+                    'id INT, name STRING').name AS parsed_name,
+           to_csv(named_struct('a', n_nationkey, 'b', n_name)) AS packed
+    FROM nation
+    ORDER BY n_nationkey
+"""
+
+_CSV_FUNC_ORACLE = """
+    SELECT n_nationkey,
+           n_name AS parsed_name,
+           CAST(n_nationkey AS VARCHAR) || ',' || n_name AS packed
+    FROM nation
+    ORDER BY n_nationkey
+"""
+
+
+@query(
+    "q_csv_funcs",
+    oracle=_CSV_FUNC_ORACLE,
+    covers="§2.B from_csv / to_csv",
+)
+def q_csv_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_CSV_FUNC_SQL)

@@ -92,6 +92,8 @@ class SessionState:
     statements: dict[str, PreparedStatement] = field(default_factory=dict)
     portals: dict[str, Portal] = field(default_factory=dict)
     in_error: bool = False  # extended-protocol error: skip until Sync
+    last_activity: float = 0.0
+    writer: Any = None
 
     @property
     def job_group(self) -> str:
@@ -107,6 +109,7 @@ class SparkPGServer:
         incremental_collect: bool = True,
         init_session=None,
         pg_catalog: bool = True,
+        idle_session_timeout: float = 0.0,
     ):
         self.spark = spark
         self.host = host
@@ -114,6 +117,8 @@ class SparkPGServer:
         self.incremental_collect = incremental_collect
         self.init_session = init_session  # callback(SparkSession) per connection
         self.pg_catalog = pg_catalog
+        self.idle_session_timeout = idle_session_timeout
+        self._reaper_task: asyncio.Task | None = None
         self._sessions: dict[int, SessionState] = {}
         self._pid_counter = itertools.count(1)
         self._server: asyncio.AbstractServer | None = None
@@ -129,12 +134,31 @@ class SparkPGServer:
         self._server = await asyncio.start_server(self._handle_conn, self.host, self.port)
         addr = self._server.sockets[0].getsockname()
         self.port = addr[1]
+        if self.idle_session_timeout > 0:
+            self._reaper_task = asyncio.create_task(self._reap_idle_sessions())
         log.info("SparkPGServer listening on %s:%s", *addr[:2])
 
     async def stop(self) -> None:
+        if self._reaper_task:
+            self._reaper_task.cancel()
         if self._server:
             self._server.close()
             await self._server.wait_closed()
+
+    async def _reap_idle_sessions(self) -> None:
+        """Close sessions idle past the timeout — the reference's
+        idle-session reaper thread (SparkSQLServiceManager.scala:223-254)."""
+        import time
+
+        while True:
+            await asyncio.sleep(max(self.idle_session_timeout / 2, 0.05))
+            cutoff = time.monotonic() - self.idle_session_timeout
+            for state in list(self._sessions.values()):
+                if state.last_activity and state.last_activity < cutoff:
+                    log.info("reaping idle session %s", state.pid)
+                    self._sessions.pop(state.pid, None)
+                    if state.writer is not None:
+                        state.writer.close()
 
     # ------------------------------------------------------------------ #
     # connection handling
@@ -200,6 +224,10 @@ class SparkPGServer:
                 self.init_session(sess)
 
         await asyncio.to_thread(_init, state.session)
+        import time
+
+        state.last_activity = time.monotonic()
+        state.writer = writer
         self._sessions[pid] = state
 
         out = bytearray()
@@ -231,6 +259,9 @@ class SparkPGServer:
     # message dispatch
 
     async def _dispatch(self, state, tag, body, writer) -> None:
+        import time
+
+        state.last_activity = time.monotonic()
         if state.in_error and tag not in (b"S",):
             return  # skip until Sync (extended-protocol error recovery)
         try:

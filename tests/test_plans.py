@@ -1,0 +1,103 @@
+"""Physical-plan assertions — the 100 TB design gate.
+
+Correctness tests prove the operators work on small data; these prove
+the *plans* are the ones that survive scale-up: filters pushed to the
+parquet scan, column pruning, dimension broadcasts, top-k as
+TakeOrderedAndProject (per-partition heaps), no accidental
+cartesian/nested-loop joins on the fact path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_sql_server_spark.operators import REGISTRY
+from tests.conftest import SF_CORRECT
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestPushdownAndPruning:
+    def test_q1_filter_pushed_to_scan(self, spark):
+        plan = plan_of(spark, "q1_pricing_summary")
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+    def test_q1_column_pruning(self, spark):
+        plan = plan_of(spark, "q1_pricing_summary")
+        read = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+        # 7 needed columns only — never the full 11-column row
+        assert "l_orderkey" not in read and "l_partkey" not in read
+
+    def test_q3_selective_filters_pushed(self, spark):
+        plan = plan_of(spark, "q3_shipping_priority")
+        assert "EqualTo(c_mktsegment,BUILDING)" in plan
+        assert plan.count("PushedFilters") >= 3  # all three scans filtered
+
+    def test_text_stats_reads_minimum(self, spark):
+        plan = plan_of(spark, "t_text_stats")
+        read = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+        assert "lang" not in read and "source" not in read
+
+
+class TestJoinStrategies:
+    def test_q3_broadcasts_customer(self, spark):
+        plan = plan_of(spark, "q3_shipping_priority")
+        assert "BroadcastHashJoin" in plan
+
+    def test_q5_all_dims_broadcast(self, spark):
+        plan = plan_of(spark, "q5_region_revenue")
+        # 4 dimension joins broadcast; the only shuffle join is fact-fact
+        assert plan.count("BroadcastHashJoin") >= 4
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q2_semi_join_not_expanded(self, spark):
+        plan = plan_of(spark, "q2_order_priority")
+        assert "LeftSemi" in plan
+
+    def test_theta_join_uses_equi_anchor(self, spark):
+        # non-equi predicate must ride a hash join on the equality, not
+        # force a nested-loop cross product
+        plan = plan_of(spark, "q_theta_join")
+        assert "CartesianProduct" not in plan
+        assert "Join" in plan
+
+    def test_ann_bruteforce_broadcasts_queries(self, spark):
+        plan = plan_of(spark, "s_ann_bruteforce")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestTopKAndAgg:
+    def test_q3_topk_is_take_ordered(self, spark):
+        plan = plan_of(spark, "q3_shipping_priority")
+        assert "TakeOrderedAndProject" in plan  # heap top-k, no global sort
+
+    def test_q1_partial_aggregation(self, spark):
+        plan = plan_of(spark, "q1_pricing_summary")
+        # two-phase agg: map-side partial before the shuffle
+        assert plan.count("HashAggregate") >= 2
+
+    def test_dedup_exact_single_shuffle(self, spark):
+        plan = plan_of(spark, "d_dedup_exact")
+        # one exchange for the window partition (+ optional final sort)
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Exchange") <= 3
+
+
+class TestNoDriverCollect:
+    @pytest.mark.parametrize(
+        "name", ["q1_pricing_summary", "q5_region_revenue", "d_minhash_lsh"]
+    )
+    def test_no_local_relation_on_fact_path(self, spark, name):
+        # a LocalTableScan of real data in the optimized plan would mean
+        # something got collected to the driver and re-parallelized
+        opt = optimized_of(spark, name)
+        assert "LocalRelation" not in opt or "planes" in opt

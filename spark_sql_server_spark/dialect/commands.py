@@ -29,6 +29,8 @@ class StatementClass(enum.Enum):
     SHOW_SET = "show_set"  # `SET` with no args / `SET -v`: show all conf
     EMPTY = "empty"
     DEALLOCATE = "deallocate"
+    COPY_OUT = "copy_out"  # COPY ... TO STDOUT — our extension
+                           # (the reference rejects COPY, protocol.scala:679-701)
 
 
 @dataclass
@@ -39,6 +41,17 @@ class Statement:
     set_kv: tuple[str, str] | None = None
     #: PG tag for CommandComplete
     tag: str = ""
+    #: for COPY_OUT: the inner SELECT and the output format ('text'|'csv')
+    copy_query: str | None = None
+    copy_format: str = "text"
+    copy_header: bool = False
+
+
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(?P<src>\((?P<query>.*)\)|[\w.\"]+)\s+TO\s+STDOUT"
+    r"(?P<opts>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 _SET_RE = re.compile(
@@ -126,6 +139,21 @@ def classify_statement(sql: str) -> Statement:
         return Statement(StatementClass.ROLLBACK, sql, tag="ROLLBACK")
     if word0 == "DEALLOCATE":
         return Statement(StatementClass.DEALLOCATE, sql, tag="DEALLOCATE")
+    if word0 == "COPY":
+        m = _COPY_RE.match(s)
+        if m:
+            inner = m.group("query")
+            if inner is None:
+                inner = f"SELECT * FROM {m.group('src')}"
+            opts = (m.group("opts") or "").upper()
+            return Statement(
+                StatementClass.COPY_OUT,
+                sql,
+                copy_query=inner.strip(),
+                copy_format="csv" if "CSV" in opts else "text",
+                copy_header="HEADER" in opts,
+            )
+        # COPY FROM etc. falls through as a query → Spark will reject it
     if word0 == "SET":
         m = _SET_RE.match(s)
         if m:

@@ -1183,7 +1183,10 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect, so it scales to any number of events per user."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # ts is TIMESTAMP_NTZ (no direct long cast) — go through TIMESTAMP;
+    # load_table pins the session to UTC so the epoch view is stable
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
     new_session = F.when(gap > 30 * 60, 1).otherwise(0)
     sess = ev.select(
         "user_id",

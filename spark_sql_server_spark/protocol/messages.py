@@ -103,6 +103,20 @@ def data_row(cells: list[bytes | None]) -> bytes:
     return _msg(b"D", b"".join(parts))
 
 
+def copy_out_response(ncols: int, binary: bool = False) -> bytes:
+    fmt = 1 if binary else 0
+    body = struct.pack("!bh", fmt, ncols) + struct.pack("!h", fmt) * ncols
+    return _msg(b"H", body)
+
+
+def copy_data(data: bytes) -> bytes:
+    return _msg(b"d", data)
+
+
+def copy_done() -> bytes:
+    return _msg(b"c")
+
+
 def error_response(message: str, code: str = "XX000", severity: str = "ERROR") -> bytes:
     body = (
         b"S" + severity.encode() + b"\x00"

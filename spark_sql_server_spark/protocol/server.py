@@ -342,6 +342,9 @@ class SparkPGServer:
             df = await self._spark_sql(state, stmt.sql)
             await self._stream_result(state, df, [0], writer, limit=0, tag_word="SET")
             return
+        if stmt.cls is StatementClass.COPY_OUT:
+            await self._copy_out(state, stmt, writer)
+            return
         df = await self._spark_sql(state, rewrite_sql(sql))
         if not df.schema.fields:
             writer.write(M.command_complete(_tag_for(sql, 0)))
@@ -489,6 +492,69 @@ class SparkPGServer:
 
     # ------------------------------------------------------------------ #
     # execution & streaming
+
+    async def _copy_out(self, state, stmt, writer) -> None:
+        """COPY (query) TO STDOUT [WITH (FORMAT CSV [, HEADER])].
+
+        Bulk-egress extension (the reference rejects COPY,
+        protocol.scala:679-701). Rows stream straight from
+        ``toLocalIterator`` into CopyData messages — driver memory stays
+        bounded by one partition, the natural bulk-unload path for big
+        results that would drown the per-row DataRow protocol.
+        """
+        from spark_sql_server_spark.protocol.encoders import text_encoder
+
+        df = await self._spark_sql(state, rewrite_sql(stmt.copy_query))
+        encs = [text_encoder(f.dataType) for f in df.schema.fields]
+        is_csv = stmt.copy_format == "csv"
+
+        def render(row) -> bytes:
+            cells = []
+            for v, enc in zip(row, encs):
+                if v is None:
+                    cells.append("" if is_csv else "\\N")
+                    continue
+                s = enc(v)
+                if is_csv:
+                    if any(c in s for c in (",", '"', "\n", "\r")):
+                        s = '"' + s.replace('"', '""') + '"'
+                else:
+                    s = (
+                        s.replace("\\", "\\\\")
+                        .replace("\t", "\\t")
+                        .replace("\n", "\\n")
+                        .replace("\r", "\\r")
+                    )
+                cells.append(s)
+            sep = "," if is_csv else "\t"
+            return (sep.join(cells) + "\n").encode("utf-8")
+
+        writer.write(M.copy_out_response(len(df.schema.fields)))
+        if is_csv and stmt.copy_header:
+            writer.write(M.copy_data((",".join(df.columns) + "\n").encode()))
+
+        def start():
+            state.session.sparkContext.setJobGroup(
+                state.job_group, stmt.copy_query[:200], interruptOnCancel=True
+            )
+            if self.incremental_collect:
+                return df.toLocalIterator(prefetchPartitions=True)
+            return iter(df.collect())
+
+        iterator = await asyncio.to_thread(start)
+        sent = 0
+        while True:
+            batch = await asyncio.to_thread(
+                lambda: list(itertools.islice(iterator, FETCH_BATCH))
+            )
+            if not batch:
+                break
+            writer.write(M.copy_data(b"".join(render(r) for r in batch)))
+            sent += len(batch)
+            await writer.drain()
+        writer.write(M.copy_done())
+        writer.write(M.command_complete(f"COPY {sent}"))
+        await writer.drain()
 
     async def _spark_sql(self, state, sql: str, args: dict | None = None) -> DataFrame:
         """Run spark.sql in a worker thread with this session's job group

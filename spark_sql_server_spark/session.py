@@ -93,12 +93,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     micro-precision timestamp (floor division — matches DuckDB's
     nanos→micros truncation).
     """
-    df = spark.read.parquet(table_path(sf_dir, name))
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # defensive session conf: queries() may run in a driver-owned session
+    # built without our builder confs. Both are runtime-settable.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # TIMESTAMP(NANOS) read as long nanos → micro-precision NTZ wall
+        # time (matches DuckDB's nanos→micros truncation; NTZ like the
+        # other tables' parquet timestamps so no session-tz sensitivity)
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
     return df
 
 

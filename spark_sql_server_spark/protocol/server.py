@@ -110,6 +110,9 @@ class SparkPGServer:
         init_session=None,
         pg_catalog: bool = True,
         idle_session_timeout: float = 0.0,
+        ssl_cert: str | None = None,
+        ssl_key: str | None = None,
+        ssl_self_signed: bool = False,
     ):
         self.spark = spark
         self.host = host
@@ -119,6 +122,15 @@ class SparkPGServer:
         self.pg_catalog = pg_catalog
         self.idle_session_timeout = idle_session_timeout
         self._reaper_task: asyncio.Task | None = None
+        self._ssl_ctx = None
+        if ssl_self_signed and not ssl_cert:
+            from spark_sql_server_spark.protocol.tls import generate_self_signed_cert
+
+            ssl_cert, ssl_key = generate_self_signed_cert()
+        if ssl_cert and ssl_key:
+            from spark_sql_server_spark.protocol.tls import server_ssl_context
+
+            self._ssl_ctx = server_ssl_context(ssl_cert, ssl_key)
         self._sessions: dict[int, SessionState] = {}
         self._pid_counter = itertools.count(1)
         self._server: asyncio.AbstractServer | None = None
@@ -196,8 +208,17 @@ class SparkPGServer:
             (length,) = struct.unpack("!i", hdr)
             body = await reader.readexactly(length - 4)
             (code,) = struct.unpack("!i", body[:4])
-            if code == M.SSL_REQUEST_CODE or code == M.GSSENC_REQUEST_CODE:
-                writer.write(b"N")  # no TLS on this listener
+            if code == M.SSL_REQUEST_CODE:
+                if self._ssl_ctx is not None:
+                    writer.write(b"S")
+                    await writer.drain()
+                    await writer.start_tls(self._ssl_ctx)
+                else:
+                    writer.write(b"N")
+                    await writer.drain()
+                continue
+            if code == M.GSSENC_REQUEST_CODE:
+                writer.write(b"N")  # GSS encryption unsupported (reference stubs GSS too)
                 await writer.drain()
                 continue
             if code == M.CANCEL_REQUEST_CODE:

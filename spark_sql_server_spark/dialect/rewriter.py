@@ -219,6 +219,49 @@ def _rewrite_casts(toks: list[Tok]) -> list[Tok]:
     return toks
 
 
+def _rewrite_cast_type_names(toks: list[Tok]) -> list[Tok]:
+    """Map PG type names inside standard ``CAST(expr AS int4)`` syntax
+    (the ``::`` path handles them separately)."""
+    for i, t in enumerate(toks):
+        if t.kind != "word" or t.text.upper() != "CAST":
+            continue
+        oi = _next_code(toks, i)
+        if oi >= len(toks) or toks[oi].text != "(":
+            continue
+        close = _find_matching_paren(toks, oi)
+        if close == -1:
+            continue
+        # find the last top-level AS inside the parens
+        depth = 0
+        as_idx = -1
+        for j in range(oi + 1, close):
+            if toks[j].text == "(":
+                depth += 1
+            elif toks[j].text == ")":
+                depth -= 1
+            elif depth == 0 and toks[j].kind == "word" and toks[j].text.upper() == "AS":
+                as_idx = j
+        if as_idx == -1:
+            continue
+        ti = _next_code(toks, as_idx)
+        if ti >= close or toks[ti].kind != "word":
+            continue
+        low = toks[ti].text.lower()
+        ni = _next_code(toks, ti)
+        has_args = ni < close and toks[ni].text == "("
+        if low in ("varchar", "bpchar") and has_args:
+            # drop the length args: varchar(24) → STRING
+            argc = _find_matching_paren(toks, ni)
+            if argc != -1:
+                del toks[ni : argc + 1]
+            toks[ti] = Tok("word", "STRING")
+        elif low == "numeric" and has_args:
+            toks[ti] = Tok("word", "DECIMAL")
+        elif low in PG_TYPE_MAP and not has_args:
+            toks[ti] = Tok("word", PG_TYPE_MAP[low])
+    return toks
+
+
 def _rewrite_tilde(toks: list[Tok]) -> list[Tok]:
     """``x ~ 'pat'`` → ``x RLIKE 'pat'``; ``!~`` → NOT RLIKE;
     ``OPERATOR(~)`` → RLIKE (grammar:740, AstBuilder:1434-1443)."""
@@ -404,6 +447,7 @@ def rewrite_sql(sql: str, params: bool = True) -> str:
     """Apply every PG→Spark dialect rewrite to one SQL statement."""
     toks = _lex(sql)
     toks = _rewrite_casts(toks)
+    toks = _rewrite_cast_type_names(toks)
     toks = _rewrite_tilde(toks)
     toks = _rewrite_substring_from_for(toks)
     toks = _rewrite_generate_series(toks)

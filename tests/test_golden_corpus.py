@@ -1,0 +1,131 @@
+"""Golden-corpus run over the wire — the Python-native analogue of the
+reference's SQLServerQueryTestSuite (golden .sql files re-run through
+JDBC and diffed). Here: a corpus of PG-dialect statements executed
+through a live server socket, results diffed against expected rows
+computed by DuckDB on the same parquet (or inline literals)."""
+
+from __future__ import annotations
+
+import asyncio
+
+import pytest
+
+from spark_sql_server_spark.protocol.server import SparkPGServer
+from spark_sql_server_spark.session import register_tables
+from tests.conftest import SF_SMOKE, register_duck_views
+from tests.test_protocol_e2e import PgClient, rows_of
+
+# (pg_dialect_sql, duckdb_oracle_sql) — oracle None means compare to the
+# PG SQL itself (it must be valid DuckDB too).
+CORPUS: list[tuple[str, str | None]] = [
+    ("SELECT 1::int8 AS v", "SELECT CAST(1 AS BIGINT) AS v"),
+    ("SELECT 'abc' ~ 'a.c' AS m", "SELECT regexp_matches('abc', 'a.c') AS m"),
+    ("SELECT 'a' || 'b' || 'c' AS s", None),
+    (
+        "SELECT substring('sparkling' from 2 for 4) AS s",
+        "SELECT substring('sparkling', 2, 4) AS s",
+    ),
+    (
+        "SELECT r * 2 AS d FROM generate_series(1, 5) AS s(r) ORDER BY r",
+        "SELECT r * 2 AS d FROM generate_series(1, 5) t(r) ORDER BY r",
+    ),
+    (
+        "SELECT n_name FROM nation WHERE n_name ~ '_[02]$' ORDER BY n_name",
+        "SELECT n_name FROM nation WHERE regexp_matches(n_name, '_[02]$') "
+        "ORDER BY n_name",
+    ),
+    (
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
+        None,
+    ),
+    (
+        "SELECT c_mktsegment, count(*) AS n FROM customer "
+        "GROUP BY c_mktsegment HAVING count(*) > 20 ORDER BY 1",
+        None,
+    ),
+    (
+        "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name IN ('ASIA', 'EUROPE') ORDER BY n_name",
+        None,
+    ),
+    (
+        "SELECT count(*) AS n FROM lineitem WHERE l_shipdate "
+        "BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'",
+        None,
+    ),
+    (
+        "SELECT CAST(p_retailprice AS int4) AS price_int FROM part "
+        "WHERE p_partkey = 1",
+        "SELECT CAST(p_retailprice AS INT) AS price_int FROM part "
+        "WHERE p_partkey = 1",
+    ),
+    ("SELECT coalesce(NULL, 'x') AS v", None),
+    (
+        "SELECT s_name FROM supplier WHERE s_suppkey NOT IN "
+        "(SELECT l_suppkey FROM lineitem WHERE l_quantity > 49) ORDER BY s_name",
+        None,
+    ),
+    (
+        "WITH top AS (SELECT o_custkey, count(*) AS n FROM orders "
+        "GROUP BY o_custkey ORDER BY n DESC, o_custkey LIMIT 5) "
+        "SELECT count(*) AS k FROM top",
+        None,
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    loop = asyncio.new_event_loop()
+
+    async def _run():
+        srv = SparkPGServer(
+            spark, port=0, init_session=lambda s: register_tables(s, SF_SMOKE)
+        )
+        await srv.start()
+        return srv
+
+    srv = loop.run_until_complete(_run())
+    yield srv, loop
+    loop.run_until_complete(srv.stop())
+    loop.close()
+
+
+def _duck_rows(duck, sql: str) -> list[list[str]]:
+    res = duck.execute(sql)
+    out = []
+    for row in res.fetchall():
+        cells = []
+        for v in row:
+            if v is None:
+                cells.append(None)
+            elif isinstance(v, bool):
+                cells.append("t" if v else "f")
+            elif isinstance(v, float):
+                cells.append(repr(v))
+            else:
+                cells.append(str(v))
+        out.append(cells)
+    return out
+
+
+@pytest.mark.parametrize("case", range(len(CORPUS)))
+def test_corpus_over_wire(server, duck, case):
+    pg_sql, oracle = CORPUS[case]
+    srv, loop = server
+    register_duck_views(duck, SF_SMOKE)
+
+    async def go():
+        c = await PgClient.connect(srv.port)
+        msgs = await c.simple(pg_sql)
+        await c.close()
+        return msgs
+
+    msgs = loop.run_until_complete(go())
+    assert msgs[-1][0] == b"Z"
+    assert not any(t == b"E" for t, _ in msgs), f"server error for: {pg_sql}"
+    got = [
+        [None if c is None else c.decode() for c in row] for row in rows_of(msgs)
+    ]
+    expected = _duck_rows(duck, oracle or pg_sql)
+    assert got == expected, f"{pg_sql}\n got={got[:5]}\n exp={expected[:5]}"

@@ -185,6 +185,78 @@ def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NPROBE = 4
+
+
+@query(
+    "s_ann_ivf",
+    oracle=None,  # approximate: recall vs brute force asserted in pytest
+    covers="north-star similarity search: IVF (coarse quantize → probe clusters)",
+    bench=True,
+)
+def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: centroids as the coarse codebook, queries probe
+    their _NPROBE nearest clusters and rank only those clusters'
+    vectors.
+
+    Scale: the codebook is tiny (k clusters) and broadcast both ways;
+    the corpus is scanned once for assignment (map-only after the
+    broadcast) and once for candidate ranking — candidate volume is
+    corpus/k × nprobe per query instead of the whole corpus. The
+    centroid step is one elementwise-mean aggregation (posexplode +
+    groupBy(cluster, dim)) whose output is k×dim rows — small at any
+    corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # codebook: per-label elementwise mean (label standing in for a
+    # k-means assignment — deterministic and cheap)
+    centroids = (
+        emb.select("label", F.posexplode("e").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("label").alias("cluster"),
+            F.transform("pm", lambda s: s.m).alias("c"),
+        )
+    )
+    sim_to_centroid = cosine_sim(F.col("e"), F.col("c"))
+    assigned = (
+        emb.join(F.broadcast(centroids))
+        .select("vec_id", "e", "cluster", sim_to_centroid.alias("csim"))
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cluster"))
+    ranked = assigned.withColumn("crnk", F.row_number().over(w_assign))
+    corpus = ranked.filter(F.col("crnk") == 1).select("vec_id", "e", "cluster")
+    queries = (
+        ranked.filter((F.col("vec_id") < _N_QUERIES) & (F.col("crnk") <= _NPROBE))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("e").alias("qe"),
+            F.col("cluster").alias("qcluster"),
+        )
+    )
+    cand = corpus.join(
+        F.broadcast(queries),
+        (F.col("cluster") == F.col("qcluster")) & (F.col("vec_id") != F.col("qid")),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        cand.select(
+            "qid",
+            "vec_id",
+            F.round(cosine_sim(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("qid", "rnk", F.col("vec_id").alias("neighbor"), "cos_sim")
+        .orderBy("qid", "rnk")
+    )
+
+
 _CENTROID_ORACLE = f"""
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
     SELECT label,

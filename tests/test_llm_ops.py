@@ -107,6 +107,41 @@ class TestAnnLsh:
             assert sims == sorted(sims, reverse=True)
 
 
+class TestAnnIvf:
+    def test_recall_vs_bruteforce(self, spark):
+        """This corpus has weak cluster structure (max pairwise cosine
+        ~0.5), so cluster membership barely predicts neighborhoods and
+        IVF recall degrades toward nprobe/k (= 0.4 here). The bound
+        asserts IVF does no worse than that floor; the mechanism itself
+        is exactly verified in test_cosines_match_bruteforce."""
+        brute = REGISTRY["s_ann_bruteforce"].fn(spark, SF_SMOKE).collect()
+        ivf = REGISTRY["s_ann_ivf"].fn(spark, SF_SMOKE).collect()
+        top1 = {(r.qid, r.neighbor) for r in brute if r.rnk == 1}
+        found = {(r.qid, r.neighbor) for r in ivf}
+        recall = len(top1 & found) / len(top1)
+        assert recall >= 0.3, f"IVF top-1 recall {recall}"
+
+    def test_cosines_match_bruteforce(self, spark):
+        """Mechanism correctness: any pair IVF returns must carry the
+        same cosine the brute-force computed for it."""
+        brute = {
+            (r.qid, r.neighbor): r.cos_sim
+            for r in REGISTRY["s_ann_bruteforce"].fn(spark, SF_SMOKE).collect()
+        }
+        ivf = REGISTRY["s_ann_ivf"].fn(spark, SF_SMOKE).collect()
+        shared = [r for r in ivf if (r.qid, r.neighbor) in brute]
+        assert shared, "IVF and brute force should overlap"
+        for r in shared:
+            assert abs(r.cos_sim - brute[(r.qid, r.neighbor)]) < 1e-9
+
+    def test_returns_k_per_query(self, spark):
+        ivf = REGISTRY["s_ann_ivf"].fn(spark, SF_SMOKE).collect()
+        by_q: dict[int, int] = {}
+        for r in ivf:
+            by_q[r.qid] = max(by_q.get(r.qid, 0), r.rnk)
+        assert all(k == 5 for k in by_q.values())
+
+
 class TestCentroids:
     def test_vs_numpy(self, spark):
         import duckdb

@@ -58,6 +58,8 @@ def main() -> None:
         print(f"# {name}: best={min(times):.3f}s avg={sum(times)/len(times):.3f}s rows={rows}",
               file=sys.stderr)
 
+    protocol = bench_protocol(spark, sf_dir)
+
     total = round(sum(results.values()), 4)
     print(json.dumps({
         "metric": "headline_total_best_sec",
@@ -67,7 +69,110 @@ def main() -> None:
         "sf": sf,
         "iters": ITERS,
         "detail": details,
+        "protocol": protocol,
     }))
+
+
+#: SQL used for the wire-vs-direct comparison (BASELINE.md: the protocol
+#: adapter must stay within 2x of vanilla spark.sql on the same data).
+_PROTO_SQL = (
+    "SELECT o_orderpriority, l_returnflag, count(*) AS n, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+_PROTO_WIDE_SQL = "SELECT * FROM lineitem"  # row-streaming throughput
+
+
+def bench_protocol(spark, sf_dir: str) -> dict:
+    """Measure the wire path against direct execution.
+
+    Runs the same SQL (a) via spark.sql(...).collect() and (b) through a
+    live PG server over a local socket (startup + query + full row
+    fetch), and reports the ratio — the reference's only added cost over
+    Spark is exactly this serialization path (BASELINE.md).
+    """
+    import asyncio
+    import statistics
+    import struct
+
+    from spark_sql_server_spark.protocol.server import SparkPGServer
+    from spark_sql_server_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+
+    def direct(sql: str) -> float:
+        t0 = time.perf_counter()
+        spark.sql(sql).collect()
+        return time.perf_counter() - t0
+
+    async def connect(port: int):
+        r, w = await asyncio.open_connection("127.0.0.1", port)
+        body = struct.pack("!i", 196608) + b"user\0bench\0\0"
+        w.write(struct.pack("!i", len(body) + 4) + body)
+        await w.drain()
+        await _until_ready(r)
+        return r, w
+
+    async def _until_ready(r):
+        n = 0
+        while True:
+            hdr = await r.readexactly(5)
+            (ln,) = struct.unpack("!i", hdr[1:])
+            if ln > 4:
+                await r.readexactly(ln - 4)
+            if hdr[:1] == b"D":
+                n += 1
+            if hdr[:1] == b"Z":
+                return n
+
+    async def wire_query(r, w, sql: str):
+        # persistent connection, like a real JDBC client (the reference
+        # benches over a long-lived connection too)
+        t0 = time.perf_counter()
+        q = sql.encode() + b"\0"
+        w.write(b"Q" + struct.pack("!i", len(q) + 4) + q)
+        await w.drain()
+        rows = await _until_ready(r)
+        return time.perf_counter() - t0, rows
+
+    async def run_wire() -> dict:
+        srv = SparkPGServer(
+            spark,
+            port=0,
+            pg_catalog=False,
+            init_session=lambda s: register_tables(s, sf_dir),
+        )
+        await srv.start()
+        r, w = await connect(srv.port)
+        out = {}
+        for label, sql in (("agg", _PROTO_SQL), ("scan", _PROTO_WIDE_SQL)):
+            d_times = [direct(sql) for _ in range(1 + ITERS)][1:]
+            w_times = []
+            rows = 0
+            for _ in range(1 + ITERS):
+                dt, rows = await wire_query(r, w, sql)
+                w_times.append(dt)
+            w_times = w_times[1:]
+            d_best, w_best = min(d_times), min(w_times)
+            out[label] = {
+                "direct_best_sec": round(d_best, 4),
+                "wire_best_sec": round(w_best, 4),
+                "overhead_ratio": round(w_best / d_best, 3),
+                "rows": rows,
+            }
+            print(
+                f"# protocol[{label}]: direct={d_best:.3f}s wire={w_best:.3f}s "
+                f"ratio={w_best / d_best:.2f} rows={rows}",
+                file=sys.stderr,
+            )
+        w.write(b"X" + struct.pack("!i", 4))
+        w.close()
+        await srv.stop()
+        return out
+
+    return asyncio.run(run_wire())
 
 
 if __name__ == "__main__":

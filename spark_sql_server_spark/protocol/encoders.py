@@ -168,6 +168,8 @@ class RowSerializer:
             else:
                 self.encoders.append((text_encoder(f.dataType), False))
 
+        self._ncols = struct.pack("!h", n)
+
     def serialize(self, row) -> list[bytes | None]:
         out: list[bytes | None] = []
         for v, (enc, is_bin) in zip(row, self.encoders):
@@ -178,3 +180,17 @@ class RowSerializer:
             else:
                 out.append(enc(v).encode("utf-8"))
         return out
+
+    def serialize_datarow(self, row) -> bytes:
+        """Fused cell-encode + DataRow assembly — the hot loop. One
+        bytearray per row, no intermediate cell list, int.to_bytes for
+        length headers (C-level)."""
+        body = bytearray(self._ncols)
+        for v, (enc, is_bin) in zip(row, self.encoders):
+            if v is None:
+                body += b"\xff\xff\xff\xff"  # length -1
+                continue
+            c = enc(v) if is_bin else enc(v).encode("utf-8")
+            body += len(c).to_bytes(4, "big")
+            body += c
+        return b"D" + (len(body) + 4).to_bytes(4, "big") + bytes(body)

@@ -57,7 +57,7 @@ _COMMAND_KEYWORDS = {
     "UNCACHE", "CLEAR", "ANALYZE", "MSCK", "REFRESH", "ADD", "LOAD",
 }
 
-FETCH_BATCH = 1024  # rows pulled from the iterator per executor hop
+FETCH_BATCH = 4096  # rows pulled+encoded per executor hop (one write each)
 
 
 @dataclass
@@ -191,6 +191,8 @@ class SparkPGServer:
                 await self._dispatch(state, tag, body, writer)
         except (asyncio.IncompleteReadError, ConnectionResetError):
             pass
+        except asyncio.CancelledError:
+            pass  # server shutdown while the connection was open
         except Exception:  # pragma: no cover — defensive
             log.exception("connection handler failed")
         finally:
@@ -635,12 +637,21 @@ class SparkPGServer:
             want = FETCH_BATCH if limit == 0 else min(FETCH_BATCH, limit - sent)
             if want <= 0:
                 break
-            batch = await asyncio.to_thread(lambda w=want: list(itertools.islice(iterator, w)))
-            for row in batch:
-                writer.write(M.data_row(serializer.serialize(row)))
-            sent += len(batch)
+
+            # serialize the whole batch in the worker thread and ship ONE
+            # buffer to the transport — per-row write() calls on the event
+            # loop dominate wire time for wide scans otherwise
+            def fetch_encode(w=want):
+                rows = list(itertools.islice(iterator, w))
+                ser = serializer.serialize_datarow
+                blob = b"".join(ser(row) for row in rows)
+                return len(rows), blob
+
+            n, blob = await asyncio.to_thread(fetch_encode)
+            writer.write(blob)
+            sent += n
             await writer.drain()
-            if len(batch) < want:
+            if n < want:
                 if portal is not None:
                     portal.exhausted = True
                 break

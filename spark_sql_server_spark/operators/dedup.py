@@ -199,6 +199,87 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Duplicate-cluster assignment (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+      {_NGRAM_JACCARD_ORACLE.replace("ORDER BY doc_a, doc_b", "")}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY node
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "d_dup_clusters",
+    oracle=_CLUSTERS_ORACLE,
+    covers="north-star dedup: connected components over near-dup pairs "
+    "(iterative DataFrame label propagation; DuckDB oracle uses a recursive CTE)",
+)
+def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each near-duplicate document to a cluster (the minimum
+    doc_id reachable through the near-dup pair graph) — the step that
+    turns pairwise dedup output into keep/drop decisions.
+
+    Spark has no recursive CTE, so this is the canonical iterative
+    formulation: alternate join-based min-label propagation until a
+    fixpoint. Iteration count is O(diameter) ≤ O(log n) with doubling;
+    dup components in practice are tiny (pairs/chains), so the loop
+    exits after 2-3 rounds. Each round is one shuffle join on uniformly
+    distributed ids — scalable; the driver only checks the convergence
+    counter, never the data.
+    """
+    pairs = d_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(10):  # diameter bound; dup chains converge in 2-3
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH banding
 # --------------------------------------------------------------------------
 

@@ -84,6 +84,27 @@ class Portal:
 
 
 @dataclass
+class ServerMetrics:
+    """Counters the reference surfaces in its UI tab (SQLServerListener)
+    — here a plain struct, logged and queryable by the embedder."""
+
+    connections_opened: int = 0
+    statements_executed: int = 0
+    rows_sent: int = 0
+    errors: int = 0
+    cancels: int = 0
+
+    def snapshot(self) -> dict[str, int]:
+        return {
+            "connections_opened": self.connections_opened,
+            "statements_executed": self.statements_executed,
+            "rows_sent": self.rows_sent,
+            "errors": self.errors,
+            "cancels": self.cancels,
+        }
+
+
+@dataclass
 class SessionState:
     pid: int
     secret: int
@@ -113,6 +134,8 @@ class SparkPGServer:
         ssl_cert: str | None = None,
         ssl_key: str | None = None,
         ssl_self_signed: bool = False,
+        auth: str = "trust",
+        password_check=None,  # callback(user, password) -> bool
     ):
         self.spark = spark
         self.host = host
@@ -121,6 +144,9 @@ class SparkPGServer:
         self.init_session = init_session  # callback(SparkSession) per connection
         self.pg_catalog = pg_catalog
         self.idle_session_timeout = idle_session_timeout
+        self.auth = auth
+        self.password_check = password_check
+        self.metrics = ServerMetrics()
         self._reaper_task: asyncio.Task | None = None
         self._ssl_ctx = None
         if ssl_self_signed and not ssl_cert:
@@ -231,7 +257,33 @@ class SparkPGServer:
             startup = M.parse_startup(body)
             break
 
+        if self.auth == "password":
+            writer.write(M.authentication_cleartext_password())
+            await writer.drain()
+            hdr = await reader.readexactly(5)
+            (plen,) = struct.unpack("!i", hdr[1:5])
+            pbody = await reader.readexactly(plen - 4)
+            if hdr[:1] != b"p":
+                writer.write(M.error_response("expected PasswordMessage", "28000"))
+                await writer.drain()
+                writer.close()
+                return None
+            password = pbody.rstrip(b"\x00").decode("utf-8")
+            user = startup.params.get("user", "")
+            ok = self.password_check(user, password) if self.password_check else False
+            if not ok:
+                writer.write(
+                    M.error_response(
+                        f'password authentication failed for user "{user}"', "28P01",
+                        severity="FATAL",
+                    )
+                )
+                await writer.drain()
+                writer.close()
+                return None
+
         pid = next(self._pid_counter)
+        self.metrics.connections_opened += 1
         state = SessionState(
             pid=pid,
             secret=secrets.randbits(31),
@@ -275,6 +327,7 @@ class SparkPGServer:
     def _cancel(self, pid: int, secret: int) -> None:
         state = self._sessions.get(pid)
         if state is not None and state.secret == secret:
+            self.metrics.cancels += 1
             self.spark.sparkContext.cancelJobGroup(state.job_group)
             log.info("cancelled job group %s", state.job_group)
 
@@ -314,6 +367,7 @@ class SparkPGServer:
                 raise ValueError(f"unknown frontend message {tag!r}")
         except Exception as e:  # noqa: BLE001 — every error becomes ErrorResponse
             log.debug("statement failed", exc_info=True)
+            self.metrics.errors += 1
             writer.write(M.error_response(_errmsg(e)))
             if tag == b"Q":
                 writer.write(M.ready_for_query())
@@ -336,12 +390,14 @@ class SparkPGServer:
                 await self._run_simple(state, stmt_sql, writer)
             except Exception as e:  # noqa: BLE001
                 log.debug("query failed: %s", stmt_sql, exc_info=True)
+                self.metrics.errors += 1
                 writer.write(M.error_response(_errmsg(e)))
                 break
         writer.write(M.ready_for_query())
         await writer.drain()
 
     async def _run_simple(self, state, sql: str, writer) -> None:
+        self.metrics.statements_executed += 1
         stmt = classify_statement(sql)
         if stmt.cls is StatementClass.EMPTY:
             writer.write(M.empty_query_response())
@@ -575,6 +631,7 @@ class SparkPGServer:
             writer.write(M.copy_data(b"".join(render(r) for r in batch)))
             sent += len(batch)
             await writer.drain()
+        self.metrics.rows_sent += sent
         writer.write(M.copy_done())
         writer.write(M.command_complete(f"COPY {sent}"))
         await writer.drain()
@@ -656,6 +713,7 @@ class SparkPGServer:
                     portal.exhausted = True
                 break
 
+        self.metrics.rows_sent += sent
         if portal is not None:
             portal.fetched += sent
             if not portal.exhausted and limit and sent >= limit:

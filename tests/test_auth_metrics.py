@@ -1,0 +1,116 @@
+"""Password auth + server metrics tests."""
+
+from __future__ import annotations
+
+import asyncio
+import struct
+
+import pytest
+
+from spark_sql_server_spark.protocol.server import SparkPGServer
+from tests.test_protocol_e2e import PgClient, _q, _startup, rows_of
+
+
+@pytest.fixture(scope="module")
+def auth_server(spark):
+    loop = asyncio.new_event_loop()
+
+    async def _run():
+        srv = SparkPGServer(
+            spark,
+            port=0,
+            pg_catalog=False,
+            auth="password",
+            password_check=lambda user, pw: (user, pw) == ("alice", "secret"),
+        )
+        await srv.start()
+        return srv
+
+    srv = loop.run_until_complete(_run())
+    yield srv, loop
+    loop.run_until_complete(srv.stop())
+    loop.close()
+
+
+def _password_msg(pw: str) -> bytes:
+    body = pw.encode() + b"\0"
+    return b"p" + struct.pack("!i", len(body) + 4) + body
+
+
+async def _connect_with_password(port: int, user: str, pw: str):
+    r, w = await asyncio.open_connection("127.0.0.1", port)
+    w.write(_startup({"user": user}))
+    await w.drain()
+    hdr = await r.readexactly(5)
+    (ln,) = struct.unpack("!i", hdr[1:])
+    body = await r.readexactly(ln - 4)
+    assert hdr[:1] == b"R" and struct.unpack("!i", body[:4])[0] == 3  # cleartext
+    w.write(_password_msg(pw))
+    await w.drain()
+    return r, w
+
+
+class TestPasswordAuth:
+    def test_correct_password(self, auth_server):
+        srv, loop = auth_server
+
+        async def go():
+            r, w = await _connect_with_password(srv.port, "alice", "secret")
+            c = PgClient(r, w)
+            msgs = await c.until_ready()
+            assert msgs[0][0] == b"R"  # AuthenticationOk
+            result = await c.simple("SELECT 5 AS v")
+            await c.close()
+            return result
+
+        msgs = loop.run_until_complete(go())
+        assert rows_of(msgs) == [[b"5"]]
+
+    def test_wrong_password_rejected(self, auth_server):
+        srv, loop = auth_server
+
+        async def go():
+            r, w = await _connect_with_password(srv.port, "alice", "nope")
+            hdr = await r.readexactly(5)
+            (ln,) = struct.unpack("!i", hdr[1:])
+            body = await r.readexactly(ln - 4)
+            w.close()
+            return hdr[:1], body
+
+        tag, body = loop.run_until_complete(go())
+        assert tag == b"E"
+        assert b"28P01" in body
+
+    def test_wrong_user_rejected(self, auth_server):
+        srv, loop = auth_server
+
+        async def go():
+            r, w = await _connect_with_password(srv.port, "mallory", "secret")
+            hdr = await r.readexactly(5)
+            w.close()
+            return hdr[:1]
+
+        assert loop.run_until_complete(go()) == b"E"
+
+
+class TestMetrics:
+    def test_counters_move(self, spark):
+        loop = asyncio.new_event_loop()
+
+        async def go():
+            srv = SparkPGServer(spark, port=0, pg_catalog=False)
+            await srv.start()
+            c = await PgClient.connect(srv.port)
+            await c.simple("SELECT 1 AS a")
+            await c.simple("SELECT nope FROM nowhere")
+            await c.close()
+            snap = srv.metrics.snapshot()
+            await srv.stop()
+            return snap
+
+        snap = loop.run_until_complete(go())
+        loop.close()
+        assert snap["connections_opened"] == 1
+        assert snap["statements_executed"] == 2
+        assert snap["rows_sent"] == 1
+        assert snap["errors"] == 1

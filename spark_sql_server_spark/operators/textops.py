@@ -165,6 +165,55 @@ def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_TFIDF_SQL = """
+    WITH tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM (SELECT doc_id, explode(split(text, ' ')) AS word FROM documents)
+      GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, word, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, word) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, word, tfidf
+    FROM ranked WHERE rnk <= 3 AND doc_id < 50
+    ORDER BY doc_id, rnk
+"""
+
+_TFIDF_ORACLE = _TFIDF_SQL.replace(
+    "SELECT doc_id, explode(split(text, ' ')) AS word FROM documents",
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents",
+)
+
+
+@query(
+    "t_tfidf",
+    oracle=_TFIDF_ORACLE,
+    covers="north-star text analysis: TF-IDF top terms per document",
+    bench=True,
+)
+def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide TF-IDF, top-3 terms per document.
+
+    Scale: two hash aggregations (doc×word, then word) and one join on
+    the word key; document counts broadcast as a 1-row cross join. The
+    word-key join is the skew risk (stopwords) — at real scale, add a
+    frequency cutoff or salt the hottest terms; ln() output is rounded
+    to 6dp so ranking is reproducible across engines.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_TFIDF_SQL)
+
+
 _FINGERPRINT_ORACLE = """
     SELECT doc_id,
            md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,

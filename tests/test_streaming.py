@@ -103,6 +103,48 @@ def test_stream_dedup_drops_replay(spark, events_dir, tmp_path):
     assert out.count() == n_unique
 
 
+def test_checkpoint_recovery_no_reprocessing(spark, events_dir, tmp_path):
+    """Exactly-once across restarts: run with a checkpoint, stop, add
+    new input, restart from the same checkpoint — only the new file is
+    processed (the sum of emitted counts equals total rows, no dupes)."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    files = sorted(f for f in os.listdir(events_dir) if f.endswith(".parquet"))
+    shutil.copy(f"{events_dir}/{files[0]}", f"{src}/{files[0]}")
+
+    def run_passthrough():
+        q = (
+            events_stream(spark, src)
+            .select("event_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_passthrough()
+    first_count = spark.read.parquet(sink).count()
+    assert first_count > 0
+
+    shutil.copy(f"{events_dir}/{files[1]}", f"{src}/{files[1]}")
+    run_passthrough()
+    total = spark.read.parquet(sink).count()
+    expected = spark.read.parquet(f"{src}/{files[0]}").count() + spark.read.parquet(
+        f"{src}/{files[1]}"
+    ).count()
+    # no reprocessing of the first file on restart
+    assert total == expected
+    # and all ids are distinct (no duplicates introduced by the restart)
+    assert spark.read.parquet(sink).select("event_id").distinct().count() == total
+
+
 def test_user_running_totals_stateful(spark, events_dir):
     stream = events_stream(spark, events_dir)
     out = run_to_memory(

@@ -142,6 +142,9 @@ def bench_protocol(spark, sf_dir: str) -> dict:
             spark,
             port=0,
             pg_catalog=False,
+            # reference benchmark config: incrementalCollect OFF
+            # (SQLServerConf.scala:170-174) → Arrow columnar fast path
+            incremental_collect=False,
             init_session=lambda s: register_tables(s, sf_dir),
         )
         await srv.start()

@@ -388,6 +388,42 @@ class TestExtendedProtocol:
         assert rows_of(ok) == [[b"1"]]
 
 
+class TestArrowFastPath:
+    def test_non_incremental_same_bytes(self, spark):
+        """incremental_collect=False takes the Arrow columnar path —
+        results must be byte-identical to the iterator path."""
+        loop = asyncio.new_event_loop()
+
+        async def go():
+            sql = (
+                "SELECT n_nationkey, n_name, CAST(n_regionkey AS DOUBLE) / 2 AS h, "
+                "CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_name END AS maybe "
+                "FROM nation ORDER BY n_nationkey"
+            )
+            out = []
+            for incremental in (True, False):
+                srv = SparkPGServer(
+                    spark,
+                    port=0,
+                    pg_catalog=False,
+                    incremental_collect=incremental,
+                    init_session=lambda s: register_tables(s, SF_SMOKE),
+                )
+                await srv.start()
+                c = await PgClient.connect(srv.port)
+                msgs = await c.simple(sql)
+                await c.close()
+                await srv.stop()
+                out.append(rows_of(msgs))
+            return out
+
+        iter_rows, arrow_rows = loop.run_until_complete(go())
+        loop.close()
+        assert iter_rows == arrow_rows
+        assert len(arrow_rows) == 25
+        assert arrow_rows[0][3] is None  # NULL preserved through arrow path
+
+
 class TestCancellation:
     def test_cancel_request_cancels_job_group(self, server):
         srv, loop = server

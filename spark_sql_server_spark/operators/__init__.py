@@ -9,6 +9,7 @@ harness share one source of truth.
 from spark_sql_server_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
+    pandas_ops,
     relational,
     relational2,
     similarity,

@@ -71,6 +71,40 @@ CORPUS: list[tuple[str, str | None]] = [
         "SELECT count(*) AS k FROM top",
         None,
     ),
+    # postgreSQL-regression-style shapes (reference corpus: case.sql,
+    # union.sql, with.sql, window_part*.sql)
+    (
+        "SELECT CASE WHEN n_nationkey < 10 THEN 'low' WHEN n_nationkey < 20 "
+        "THEN 'mid' ELSE 'high' END AS bucket, count(*) AS n "
+        "FROM nation GROUP BY 1 ORDER BY 1",
+        None,
+    ),
+    (
+        "SELECT x FROM (SELECT n_nationkey AS x FROM nation UNION "
+        "SELECT r_regionkey FROM region) t WHERE x < 7 ORDER BY x",
+        None,
+    ),
+    (
+        "SELECT n_name, row_number() OVER (PARTITION BY n_regionkey "
+        "ORDER BY n_name) AS rn FROM nation ORDER BY n_name",
+        None,
+    ),
+    (
+        "SELECT r_name, (SELECT count(*) FROM nation WHERE n_regionkey = "
+        "r_regionkey) AS n_nations FROM region ORDER BY r_name",
+        None,
+    ),
+    (
+        "SELECT substring(n_name from 8)::int8 AS num FROM nation "
+        "WHERE n_nationkey BETWEEN 3 AND 6 ORDER BY num",
+        "SELECT CAST(substring(n_name, 8) AS BIGINT) AS num FROM nation "
+        "WHERE n_nationkey BETWEEN 3 AND 6 ORDER BY num",
+    ),
+    (
+        "SELECT NULLIF(n_regionkey, 0) AS z FROM nation "
+        "WHERE n_nationkey < 5 ORDER BY z NULLS FIRST, n_nationkey",
+        None,
+    ),
 ]
 
 

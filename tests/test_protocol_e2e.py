@@ -255,6 +255,28 @@ class TestSimpleQuery:
         msgs = run(loop, go())
         assert tags_of(msgs) == [b"I", b"Z"]
 
+    def test_temp_views_isolated_per_session(self, server):
+        # multi-session mode: temp views are per-connection, the data
+        # cache is shared (reference PgJdbcSuite multi-session tests)
+        srv, loop = server
+
+        async def go():
+            c1 = await PgClient.connect(srv.port)
+            c2 = await PgClient.connect(srv.port)
+            ok = await c1.simple(
+                "CREATE OR REPLACE TEMPORARY VIEW my_private AS SELECT 1 AS x"
+            )
+            see1 = await c1.simple("SELECT * FROM my_private")
+            see2 = await c2.simple("SELECT * FROM my_private")
+            await c1.close()
+            await c2.close()
+            return ok, see1, see2
+
+        ok, see1, see2 = run(loop, go())
+        assert not any(t == b"E" for t, _ in ok)
+        assert rows_of(see1) == [[b"1"]]
+        assert any(t == b"E" for t, _ in see2)  # not visible cross-session
+
     def test_set_isolated_per_session(self, server):
         # multi-session mode: conf isolated across connections
         # (reference default, SparkSQLServiceManager.scala:112-117)

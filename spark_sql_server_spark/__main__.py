@@ -27,6 +27,10 @@ def main() -> None:
                    help="collect() results instead of toLocalIterator()")
     p.add_argument("--idle-session-timeout", type=float, default=0.0,
                    help="seconds before an idle session is reaped (0 = never)")
+    p.add_argument("--ssl-self-signed", action="store_true",
+                   help="enable TLS with a generated self-signed certificate")
+    p.add_argument("--ssl-cert", default=None)
+    p.add_argument("--ssl-key", default=None)
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args()
 
@@ -45,6 +49,9 @@ def main() -> None:
         incremental_collect=not args.no_incremental,
         init_session=lambda s: register_tables(s, sf_dir),
         idle_session_timeout=args.idle_session_timeout,
+        ssl_self_signed=args.ssl_self_signed,
+        ssl_cert=args.ssl_cert,
+        ssl_key=args.ssl_key,
     )
 
     async def run() -> None:

@@ -55,11 +55,10 @@ def init_system_functions(spark: SparkSession) -> None:
         lambda oid: oid is not None and int(oid) not in _CATALOG_TABLE_OIDS,
         T.BooleanType(),
     )
-    udf(
-        "pg_function_is_visible",
-        lambda oid: oid is not None and int(oid) not in _SYSTEM_FUNCTION_OIDS,
-        T.BooleanType(),
-    )
+    # real PG semantics: pg_catalog is always on the search path, so
+    # system functions ARE visible (the reference inverts this and its
+    # own \df can never list them — we diverge deliberately)
+    udf("pg_function_is_visible", lambda oid: oid is not None, T.BooleanType())
     udf(
         "array_upper",
         lambda arr, n: len(arr) if arr is not None else None,

@@ -44,7 +44,10 @@ CATALOG_TABLE_SCHEMAS: dict[str, str] = {
     "pg_inherits": "inhrelid INT, inhparent INT, inhseqno INT",
     "pg_collation": "oid INT, collname STRING",
     "pg_policy": (
-        "polname STRING, polrelid INT, polcmd STRING, polroles STRING, "
+        # polroles is an oid array in PG; psql's \d row-security query
+        # does `polroles = '{0}'` and `oid = any(polroles)` — the array
+        # type (with the '{0}' literal rewrite) keeps both analyzable
+        "polname STRING, polrelid INT, polcmd STRING, polroles ARRAY<INT>, "
         "polqual STRING, polwithcheck STRING"
     ),
     "pg_attribute": (
@@ -107,6 +110,41 @@ def init_pg_catalog(spark: SparkSession) -> None:
     spark.sql(
         f"INSERT INTO {CATALOG_DB}.pg_user VALUES ('spark-user', {USER_ROLE_OID})"
     )
+
+    # pg_proc: the registered system functions, so psql \df lists them
+    # (the reference leaves pg_proc empty)
+    _SYSTEM_PROCS = [
+        (384, "array_to_string", 1043),
+        (750, "array_in", 1043),
+        (1081, "format_type", 1043),
+        (1215, "obj_description", 1043),
+        (1402, "current_schemas", 1009),
+        (1597, "pg_encoding_to_char", 1043),
+        (1642, "pg_get_userbyid", 1043),
+        (1716, "pg_get_expr", 1043),
+        (2079, "pg_table_is_visible", 16),
+        (2081, "pg_function_is_visible", 16),
+        (2092, "array_upper", 23),
+        (2162, "pg_get_function_arguments", 1043),
+        (2165, "pg_get_function_result", 1043),
+        (2420, "oidvectortypes", 1043),
+    ]
+    proc_rows = [
+        Row(
+            oid=oid,
+            proname=name,
+            prorettype=rettype,
+            proargtypes=[],
+            pronamespace=ns_oid,
+            proisagg=False,
+            proiswindow=False,
+            proretset=False,
+        )
+        for oid, name, rettype in _SYSTEM_PROCS
+    ]
+    spark.createDataFrame(
+        proc_rows, schema=CATALOG_TABLE_SCHEMAS["pg_proc"]
+    ).write.insertInto(f"{CATALOG_DB}.pg_proc")
 
     type_rows = [
         Row(

@@ -47,6 +47,7 @@ PG_TYPE_MAP = {
     "varchar": "STRING",
     "bpchar": "STRING",
     "name": "STRING",
+    "char": "STRING",  # PG's 1-byte "char"; Spark CHAR needs a length
 }
 
 # Pseudo-casts: `x::regclass` is identity, `x::regtype`/`::regproc` are
@@ -54,6 +55,15 @@ PG_TYPE_MAP = {
 # (PgParser.scala:163-186). We emulate with identity / format_type-style
 # passthrough, which is what the PG JDBC metadata queries need.
 _IDENTITY_CASTS = {"regclass", "regtype", "regproc", "oid"}
+
+# pg_type name → oid for the 'name'::regtype rewrite (kept local to the
+# rewriter so it has no import cycle with the protocol package)
+_TYPE_NAME_TO_OID = {
+    "bool": 16, "bytea": 17, "char": 18, "name": 19, "int8": 20, "int2": 21,
+    "int4": 23, "text": 25, "float4": 700, "float8": 701, "varchar": 1043,
+    "date": 1082, "time": 1083, "timestamp": 1114, "interval": 1186,
+    "numeric": 1700,
+}
 
 _NON_FUNCTION_KEYWORDS = {
     "SELECT", "WHERE", "FROM", "AND", "OR", "NOT", "ON", "WHEN", "THEN",
@@ -145,6 +155,18 @@ def _rewrite_casts(toks: list[Tok]) -> list[Tok]:
             ni = _next_code(toks, i)
             if ni >= len(toks) or toks[ni].kind != "word":
                 continue
+            # qualified type name: ::pg_catalog.regtype → regtype
+            if toks[ni].text.lower() == "pg_catalog":
+                di = _next_code(toks, ni)
+                wi = _next_code(toks, di) if di < len(toks) else len(toks)
+                if (
+                    di < len(toks)
+                    and toks[di].text == "."
+                    and wi < len(toks)
+                    and toks[wi].kind == "word"
+                ):
+                    del toks[ni:wi]
+                    ni = _next_code(toks, i)
             type_word = toks[ni].text
             type_l = type_word.lower()
             # type may carry (p[,s]) args, e.g. ::numeric(10,2) / varchar(24)
@@ -193,7 +215,18 @@ def _rewrite_casts(toks: list[Tok]) -> list[Tok]:
                 continue
 
             operand = toks[start:pi + 1]
-            if type_l in _IDENTITY_CASTS:
+            if (
+                type_l == "regtype"
+                and start == pi
+                and toks[start].kind == "string"
+            ):
+                # 'typename'::regtype → that type's oid literal, so
+                # comparisons against oid columns stay integer-typed
+                # (ANSI mode would fail casting the name string)
+                tname = toks[start].text[1:-1].split(".")[-1]
+                oid = _TYPE_NAME_TO_OID.get(tname, -1)
+                new = [Tok("number", str(oid))]
+            elif type_l in _IDENTITY_CASTS:
                 # identity pseudo-cast: drop the ::type entirely
                 new = operand
             else:
@@ -432,6 +465,191 @@ def _rewrite_pg_namespace(toks: list[Tok]) -> list[Tok]:
     return toks
 
 
+def _rewrite_array_subquery(toks: list[Tok]) -> list[Tok]:
+    """``ARRAY(SELECT expr FROM ...)`` → ``(SELECT collect_list(expr)
+    FROM ...)`` — PG's array-from-subquery constructor (psql \\d row-
+    security query uses it)."""
+    changed = True
+    while changed:
+        changed = False
+        for i, t in enumerate(toks):
+            if t.kind != "word" or t.text.lower() != "array":
+                continue
+            oi = _next_code(toks, i)
+            if oi >= len(toks) or toks[oi].text != "(":
+                continue
+            si = _next_code(toks, oi)
+            if si >= len(toks) or toks[si].kind != "word" or toks[si].text.upper() != "SELECT":
+                continue
+            close = _find_matching_paren(toks, oi)
+            if close == -1:
+                continue
+            # projection = tokens between SELECT and top-level FROM
+            depth = 0
+            from_i = -1
+            for j in range(si + 1, close):
+                if toks[j].text == "(":
+                    depth += 1
+                elif toks[j].text == ")":
+                    depth -= 1
+                elif depth == 0 and toks[j].kind == "word" and toks[j].text.upper() == "FROM":
+                    from_i = j
+                    break
+            if from_i == -1:
+                continue
+            new = (
+                toks[i + 1 : si + 1]
+                + [Tok("ws", " "), Tok("word", "collect_list"), Tok("op", "(")]
+                + toks[si + 1 : from_i]
+                + [Tok("op", ")"), Tok("ws", " ")]
+                + toks[from_i : close + 1]
+            )
+            toks = toks[:i] + new + toks[close + 1 :]
+            changed = True
+            break
+    return toks
+
+
+def _rewrite_eq_any(toks: list[Tok]) -> list[Tok]:
+    """``lhs = ANY (arr)`` → ``array_contains(arr, lhs)`` (PG array
+    membership; psql metadata SQL uses it)."""
+    changed = True
+    while changed:
+        changed = False
+        for i, t in enumerate(toks):
+            if t.kind != "word" or t.text.upper() != "ANY":
+                continue
+            oi = _next_code(toks, i)
+            if oi >= len(toks) or toks[oi].text != "(":
+                continue
+            ei = _prev_code(toks, i)
+            if ei < 0 or toks[ei].text != "=":
+                continue
+            close = _find_matching_paren(toks, oi)
+            if close == -1:
+                continue
+            # lhs: primary expression before '='
+            pi = _prev_code(toks, ei)
+            if pi < 0:
+                continue
+            start = pi
+            if toks[pi].kind in ("word", "qident", "number", "string"):
+                while True:
+                    d = _prev_code(toks, start)
+                    if d >= 0 and toks[d].text == ".":
+                        q = _prev_code(toks, d)
+                        if q >= 0 and toks[q].kind in ("word", "qident"):
+                            start = q
+                            continue
+                    break
+            else:
+                continue
+            lhs = toks[start : pi + 1]
+            arr = toks[oi + 1 : close]
+            new = (
+                [Tok("word", "array_contains"), Tok("op", "(")]
+                + arr
+                + [Tok("op", ","), Tok("ws", " ")]
+                + lhs
+                + [Tok("op", ")")]
+            )
+            toks = toks[:start] + new + toks[close + 1 :]
+            changed = True
+            break
+    return toks
+
+
+_PG_INT_ARRAY_LITERAL = re.compile(r"^'\{\s*(-?\d+(\s*,\s*-?\d+)*)?\s*\}'$")
+
+
+def _rewrite_array_literals(toks: list[Tok]) -> list[Tok]:
+    """PG integer array literals in comparisons: ``x = '{0}'`` →
+    ``x = array(0)`` (only next to ``=`` and only all-integer content,
+    so ordinary string data is never touched)."""
+    for i, t in enumerate(toks):
+        if t.kind != "string":
+            continue
+        m = _PG_INT_ARRAY_LITERAL.match(t.text)
+        if not m:
+            continue
+        pi = _prev_code(toks, i)
+        ni = _next_code(toks, i)
+        adjacent_eq = (pi >= 0 and toks[pi].text == "=") or (
+            ni < len(toks) and toks[ni].text == "="
+        )
+        if not adjacent_eq:
+            continue
+        inner = (m.group(1) or "").strip()
+        toks[i] = Tok("word", f"array({inner})" if inner else "array()")
+    return toks
+
+
+def _rewrite_escape_strings(toks: list[Tok]) -> list[Tok]:
+    """PG escape-string literals ``E'\\n'`` → plain ``'\\n'`` — Spark's
+    default dialect already processes backslash escapes in strings."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            t.kind == "word"
+            and t.text in ("E", "e")
+            and i + 1 < len(toks)
+            and toks[i + 1].kind == "string"
+        ):
+            out.append(toks[i + 1])
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _rewrite_qualified_system_functions(toks: list[Tok]) -> list[Tok]:
+    """``pg_catalog.fn(...)`` → ``fn(...)`` — our system UDFs are
+    session-registered unqualified (the reference registers them under a
+    pg_catalog FunctionIdentifier instead, catalog.scala:217-221)."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "word" and t.text.lower() == "pg_catalog":
+            d = _next_code(toks, i)
+            if d < len(toks) and toks[d].text == ".":
+                f = _next_code(toks, d)
+                p = _next_code(toks, f) if f < len(toks) else len(toks)
+                if (
+                    f < len(toks)
+                    and toks[f].kind == "word"
+                    and p < len(toks)
+                    and toks[p].text == "("
+                ):
+                    # function call, not a table reference → drop the prefix
+                    i = f
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _rewrite_quoted_identifiers(toks: list[Tok]) -> list[Tok]:
+    """PG double-quoted identifiers → Spark backtick identifiers.
+
+    In PostgreSQL ``"Name"`` is always an identifier; in Spark's default
+    dialect it's a string literal. psql's own metadata SQL (``\\l``,
+    ``\\d``) aliases columns as ``"Name"``/``"Owner"`` — translate every
+    quoted identifier so those queries parse.
+    """
+    out: list[Tok] = []
+    for t in toks:
+        if t.kind == "qident":
+            inner = t.text[1:-1].replace('""', '"').replace("`", "``")
+            out.append(Tok("word", f"`{inner}`"))
+        else:
+            out.append(t)
+    return out
+
+
 def _rewrite_params(toks: list[Tok]) -> list[Tok]:
     """``$1, $2, …`` → ``:p1, :p2, …`` (named params for spark.sql)."""
     out: list[Tok] = []
@@ -452,6 +670,12 @@ def rewrite_sql(sql: str, params: bool = True) -> str:
     toks = _rewrite_substring_from_for(toks)
     toks = _rewrite_generate_series(toks)
     toks = _rewrite_pg_namespace(toks)
+    toks = _rewrite_array_subquery(toks)
+    toks = _rewrite_eq_any(toks)
+    toks = _rewrite_array_literals(toks)
+    toks = _rewrite_escape_strings(toks)
+    toks = _rewrite_qualified_system_functions(toks)
+    toks = _rewrite_quoted_identifiers(toks)
     if params:
         toks = _rewrite_params(toks)
     return "".join(t.text for t in toks)

@@ -7,6 +7,7 @@ harness share one source of truth.
 """
 
 from spark_sql_server_spark.operators import (  # noqa: F401
+    analytics,
     dedup,
     multimodal,
     pandas_ops,

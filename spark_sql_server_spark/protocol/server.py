@@ -297,6 +297,16 @@ class SparkPGServer:
                 init_system_functions(sess)  # per-session, like PgSessionInitializer
             if self.init_session is not None:
                 self.init_session(sess)
+            if self.pg_catalog:
+                # sync pg_class/pg_attribute with this session's views so
+                # psql \d works (the reference leaves its runtime catalog
+                # tables empty — a TODO in catalog.scala)
+                try:
+                    from spark_sql_server_spark.catalog import refresh_runtime_catalog
+
+                    refresh_runtime_catalog(sess)
+                except Exception:
+                    log.debug("runtime catalog refresh failed", exc_info=True)
 
         await asyncio.to_thread(_init, state.session)
         import time

@@ -70,7 +70,10 @@ def build_session(
         # read as long and convert in load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.warehouse.dir", "/tmp/spark-pg-warehouse")
+        # per-process warehouse: the in-memory catalog dies with the
+        # process but table locations would not — a shared dir races
+        # across concurrent processes (tests vs server)
+        .config("spark.sql.warehouse.dir", f"/tmp/spark-pg-warehouse-{os.getpid()}")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

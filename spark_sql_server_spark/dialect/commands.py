@@ -31,6 +31,9 @@ class StatementClass(enum.Enum):
     DEALLOCATE = "deallocate"
     COPY_OUT = "copy_out"  # COPY ... TO STDOUT — our extension
                            # (the reference rejects COPY, protocol.scala:679-701)
+    DECLARE_CURSOR = "declare_cursor"  # SQL-level cursors — our extension
+    FETCH = "fetch"                    # (psycopg2 named cursors use these;
+    CLOSE_CURSOR = "close_cursor"      #  the reference has only protocol portals)
 
 
 @dataclass
@@ -45,6 +48,25 @@ class Statement:
     copy_query: str | None = None
     copy_format: str = "text"
     copy_header: bool = False
+    #: for DECLARE/FETCH/CLOSE: cursor name; FETCH also carries a count
+    cursor_name: str | None = None
+    fetch_count: int | None = None  # None → ALL
+
+
+_DECLARE_RE = re.compile(
+    r"^\s*DECLARE\s+(?P<name>[\w\"]+)\s+(?:BINARY\s+|INSENSITIVE\s+|"
+    r"NO\s+SCROLL\s+|SCROLL\s+)*CURSOR\s+(?:WITH(?:OUT)?\s+HOLD\s+)?FOR\s+"
+    r"(?P<query>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_FETCH_RE = re.compile(
+    r"^\s*FETCH\s+(?:(?:FORWARD|NEXT)\s+)?(?P<count>\d+|ALL)?\s*"
+    r"(?:FROM\s+|IN\s+)?(?P<name>[\w\"]+)\s*$",
+    re.IGNORECASE,
+)
+
+_CLOSE_RE = re.compile(r"^\s*CLOSE\s+(?P<name>[\w\"]+|ALL)\s*$", re.IGNORECASE)
 
 
 _COPY_RE = re.compile(
@@ -139,6 +161,36 @@ def classify_statement(sql: str) -> Statement:
         return Statement(StatementClass.ROLLBACK, sql, tag="ROLLBACK")
     if word0 == "DEALLOCATE":
         return Statement(StatementClass.DEALLOCATE, sql, tag="DEALLOCATE")
+    if word0 == "DECLARE":
+        m = _DECLARE_RE.match(s)
+        if m:
+            return Statement(
+                StatementClass.DECLARE_CURSOR,
+                sql,
+                cursor_name=m.group("name").strip('"'),
+                copy_query=m.group("query").strip(),
+                tag="DECLARE CURSOR",
+            )
+    if word0 == "FETCH":
+        m = _FETCH_RE.match(s)
+        if m:
+            count = m.group("count")
+            return Statement(
+                StatementClass.FETCH,
+                sql,
+                cursor_name=m.group("name").strip('"'),
+                fetch_count=None if count in (None, "") or count.upper() == "ALL"
+                else int(count),
+            )
+    if word0 == "CLOSE":
+        m = _CLOSE_RE.match(s)
+        if m:
+            return Statement(
+                StatementClass.CLOSE_CURSOR,
+                sql,
+                cursor_name=m.group("name").strip('"'),
+                tag="CLOSE CURSOR",
+            )
     if word0 == "COPY":
         m = _COPY_RE.match(s)
         if m:

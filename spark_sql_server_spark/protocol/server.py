@@ -115,6 +115,8 @@ class SessionState:
     in_error: bool = False  # extended-protocol error: skip until Sync
     last_activity: float = 0.0
     writer: Any = None
+    #: SQL-level cursors (DECLARE/FETCH/CLOSE) — name → Portal
+    cursors: dict[str, Portal] = field(default_factory=dict)
 
     @property
     def job_group(self) -> str:
@@ -434,6 +436,42 @@ class SparkPGServer:
         if stmt.cls is StatementClass.COPY_OUT:
             await self._copy_out(state, stmt, writer)
             return
+        if stmt.cls is StatementClass.DECLARE_CURSOR:
+            df = await self._spark_sql(state, rewrite_sql(stmt.copy_query))
+            state.cursors[stmt.cursor_name] = Portal(
+                name=stmt.cursor_name,
+                statement=None,
+                df=df,
+                result_formats=[0],
+                serializer=self._make_serializer(df, [0]),
+                is_cursor=True,
+            )
+            writer.write(M.command_complete("DECLARE CURSOR"))
+            return
+        if stmt.cls is StatementClass.FETCH:
+            cur = state.cursors.get(stmt.cursor_name)
+            if cur is None:
+                raise ValueError(f'cursor "{stmt.cursor_name}" does not exist')
+            limit = stmt.fetch_count or 0
+            await self._stream_result(
+                state,
+                cur.df,
+                cur.result_formats,
+                writer,
+                limit=limit,
+                portal=cur,
+                tag_word="FETCH",
+                sql=stmt.sql,
+                send_row_description=True,
+            )
+            return
+        if stmt.cls is StatementClass.CLOSE_CURSOR:
+            if stmt.cursor_name.upper() == "ALL":
+                state.cursors.clear()
+            elif state.cursors.pop(stmt.cursor_name, None) is None:
+                raise ValueError(f'cursor "{stmt.cursor_name}" does not exist')
+            writer.write(M.command_complete("CLOSE CURSOR"))
+            return
         df = await self._spark_sql(state, rewrite_sql(sql))
         if not df.schema.fields:
             writer.write(M.command_complete(_tag_for(sql, 0)))
@@ -668,6 +706,7 @@ class SparkPGServer:
         portal: Portal | None = None,
         tag_word: str | None = None,
         sql: str | None = None,
+        send_row_description: bool = False,
     ) -> None:
         """Send RowDescription (simple protocol only) + DataRows.
 
@@ -684,6 +723,7 @@ class SparkPGServer:
             and limit == 0
             and (portal is None or portal.iterator is None)
             and df is not None
+            and not send_row_description  # SQL FETCH keeps the iterator path
         )
         if use_arrow:
             serializer = (
@@ -734,7 +774,7 @@ class SparkPGServer:
             iterator = portal.iterator
             serializer = portal.serializer
 
-        if portal is None:
+        if portal is None or send_row_description:
             writer.write(self._row_description(df, result_formats))
 
         sent = 0
@@ -762,6 +802,13 @@ class SparkPGServer:
                 break
 
         self.metrics.rows_sent += sent
+        if send_row_description:
+            # SQL-level FETCH: always CommandComplete, never PortalSuspended
+            if portal is not None:
+                portal.fetched += sent
+            writer.write(M.command_complete(f"FETCH {sent}"))
+            await writer.drain()
+            return
         if portal is not None:
             portal.fetched += sent
             if not portal.exhausted and limit and sent >= limit:

@@ -103,7 +103,30 @@ def text_encoder(dt: T.DataType):
             if isinstance(v, datetime)
             else str(v)
         )
+    if isinstance(dt, T.DayTimeIntervalType):
+        return _interval_text
     return lambda v: str(v)
+
+
+def _interval_text(v) -> str:
+    """PG-style interval rendering: '3 days 02:03:04.500000'."""
+    if not isinstance(v, timedelta):
+        return str(v)
+    total = v.days * 86400 + v.seconds
+    sign = "-" if total < 0 or (total == 0 and v.microseconds < 0) else ""
+    days, rem = divmod(abs(total), 86400)
+    h, rem = divmod(rem, 3600)
+    m, s = divmod(rem, 60)
+    out = []
+    if days:
+        out.append(f"{sign}{days} day" + ("s" if days != 1 else ""))
+    us = abs(v.microseconds)
+    if h or m or s or us or not days:
+        t = f"{h:02d}:{m:02d}:{s:02d}"
+        if us:
+            t += f".{us:06d}"
+        out.append((sign if not days else "") + t)
+    return " ".join(out)
 
 
 def _date_to_pg_days(v: date) -> int:

@@ -105,6 +105,25 @@ CORPUS: list[tuple[str, str | None]] = [
         "WHERE n_nationkey < 5 ORDER BY z NULLS FIRST, n_nationkey",
         None,
     ),
+    # typeCoercion-flavored (reference corpus typeCoercion/native/*)
+    (
+        "SELECT n_nationkey + 0.5 AS f, n_nationkey = '3' AS eq_str "
+        "FROM nation WHERE n_nationkey IN (2, 3) ORDER BY n_nationkey",
+        "SELECT n_nationkey + 0.5 AS f, n_nationkey = CAST('3' AS INT) AS eq_str "
+        "FROM nation WHERE n_nationkey IN (2, 3) ORDER BY n_nationkey",
+    ),
+    (
+        "SELECT concat(n_nationkey, '-', n_name) AS tagged FROM nation "
+        "WHERE n_nationkey < 2 ORDER BY 1",
+        "SELECT CAST(n_nationkey AS VARCHAR) || '-' || n_name AS tagged "
+        "FROM nation WHERE n_nationkey < 2 ORDER BY 1",
+    ),
+    (
+        "SELECT greatest(1, 2.5, n_nationkey) AS g FROM nation "
+        "WHERE n_nationkey = 4",
+        "SELECT greatest(1, 2.5, n_nationkey) AS g FROM nation "
+        "WHERE n_nationkey = 4",
+    ),
 ]
 
 

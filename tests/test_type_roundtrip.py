@@ -97,9 +97,13 @@ class TestTextRoundTrips:
         row = one_row(server, "SELECT CAST('AB' AS BINARY) AS blob")
         assert row[0] == b"\\x4142"
 
-    def test_interval(self, server):
+    def test_interval_pg_format(self, server):
         row = one_row(server, "SELECT INTERVAL '3' DAY AS iv")
-        assert b"3" in row[0]
+        assert row[0] == b"3 days"
+        row = one_row(server, "SELECT INTERVAL '1 02:03:04' DAY TO SECOND AS iv")
+        assert row[0] == b"1 day 02:03:04"
+        row = one_row(server, "SELECT INTERVAL '90' MINUTE AS iv")
+        assert row[0] == b"01:30:00"
 
 
 class TestBinaryRoundTrips:

@@ -380,7 +380,7 @@ class SparkPGServer:
         except Exception as e:  # noqa: BLE001 — every error becomes ErrorResponse
             log.debug("statement failed", exc_info=True)
             self.metrics.errors += 1
-            writer.write(M.error_response(_errmsg(e)))
+            writer.write(M.error_response(_errmsg(e), _sqlstate_for(e)))
             if tag == b"Q":
                 writer.write(M.ready_for_query())
             else:
@@ -403,7 +403,7 @@ class SparkPGServer:
             except Exception as e:  # noqa: BLE001
                 log.debug("query failed: %s", stmt_sql, exc_info=True)
                 self.metrics.errors += 1
-                writer.write(M.error_response(_errmsg(e)))
+                writer.write(M.error_response(_errmsg(e), _sqlstate_for(e)))
                 break
         writer.write(M.ready_for_query())
         await writer.drain()
@@ -838,3 +838,26 @@ def _tag_for(sql: str, rows: int) -> str:
 def _errmsg(e: Exception) -> str:
     s = str(e)
     return s if len(s) < 4000 else s[:4000] + "…"
+
+
+#: Spark error-class fragments → PG SQLSTATEs, so clients branch on the
+#: code like they would against real PG.
+_SQLSTATE_MAP = (
+    ("PARSE_SYNTAX_ERROR", "42601"),
+    ("TABLE_OR_VIEW_NOT_FOUND", "42P01"),
+    ("UNRESOLVED_COLUMN", "42703"),
+    ("UNRESOLVED_ROUTINE", "42883"),
+    ("DATATYPE_MISMATCH", "42804"),
+    ("DIVIDE_BY_ZERO", "22012"),
+    ("CAST_INVALID_INPUT", "22P02"),
+    ("NUMERIC_VALUE_OUT_OF_RANGE", "22003"),
+    ("Operation not allowed", "0A000"),
+)
+
+
+def _sqlstate_for(e: Exception) -> str:
+    s = str(e)
+    for frag, code in _SQLSTATE_MAP:
+        if frag in s:
+            return code
+    return "XX000"

@@ -93,6 +93,42 @@ class TestPasswordAuth:
         assert loop.run_until_complete(go()) == b"E"
 
 
+class TestSqlStates:
+    @pytest.mark.parametrize(
+        "sql,code",
+        [
+            ("SELEC nope", b"42601"),
+            ("SELECT * FROM table_that_is_not_there", b"42P01"),
+            ("SELECT col_that_is_not_there FROM region", b"42703"),
+            ("COMMIT", b"0A000"),
+        ],
+    )
+    def test_error_codes(self, spark, sql, code):
+        loop = asyncio.new_event_loop()
+
+        async def go():
+            srv = SparkPGServer(spark, port=0, pg_catalog=False)
+            await srv.start()
+            from spark_sql_server_spark.session import register_tables
+            from tests.conftest import SF_SMOKE
+
+            register_tables(srv.spark, SF_SMOKE)
+            c = await PgClient.connect(srv.port)
+            # register views in this session too
+            await c.simple(
+                "CREATE OR REPLACE TEMPORARY VIEW region AS SELECT 1 AS r_regionkey"
+            )
+            msgs = await c.simple(sql)
+            await c.close()
+            await srv.stop()
+            return msgs
+
+        msgs = loop.run_until_complete(go())
+        loop.close()
+        err = next(b for t, b in msgs if t == b"E")
+        assert b"C" + code + b"\x00" in err, err[:200]
+
+
 class TestMetrics:
     def test_counters_move(self, spark):
         loop = asyncio.new_event_loop()

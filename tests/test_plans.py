@@ -12,17 +12,37 @@ from __future__ import annotations
 import pytest
 
 from spark_sql_server_spark.operators import REGISTRY
+from spark_sql_server_spark.plans import executed_plan
+from spark_sql_server_spark.plans.inspect import (
+    join_strategies,
+    optimized_plan,
+    pushed_filters,
+    read_schemas,
+)
 from tests.conftest import SF_CORRECT
 
 
 def plan_of(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, SF_CORRECT)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return executed_plan(REGISTRY[name].fn(spark, SF_CORRECT))
 
 
 def optimized_of(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, SF_CORRECT)
-    return df._jdf.queryExecution().optimizedPlan().toString()
+    return optimized_plan(REGISTRY[name].fn(spark, SF_CORRECT))
+
+
+class TestInspectHelpers:
+    def test_pushed_filters_and_read_schema(self, spark):
+        df = REGISTRY["q1_pricing_summary"].fn(spark, SF_CORRECT)
+        pf = pushed_filters(df)
+        assert any("l_shipdate" in f for f in pf)
+        rs = read_schemas(df)
+        assert rs and all("l_partkey" not in s for s in rs)
+
+    def test_join_strategies(self, spark):
+        df = REGISTRY["q5_region_revenue"].fn(spark, SF_CORRECT)
+        strategies = join_strategies(df)
+        assert strategies.count("BroadcastHashJoin") >= 4
+        assert "CartesianProduct" not in strategies
 
 
 class TestPushdownAndPruning:

@@ -14,6 +14,7 @@ from spark_sql_server_spark.operators import (  # noqa: F401
     relational,
     relational2,
     similarity,
+    streaming_ops,
     textops,
 )
 from spark_sql_server_spark.operators.registry import REGISTRY, QuerySpec

@@ -109,6 +109,58 @@ def _lsh_bucket(e: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _bucketize_pandas(emb, tables: list[list[list[float]]]):
+    """(vec_id, e) → exploded (vec_id, e, tbl, bucket) via an
+    Arrow-batched numpy matmul.
+
+    32 sign-of-dot-product bits per vector: as Catalyst HOF expressions
+    this is 32 interpreted folds per row (measured ~2.3 s at 5k×64);
+    one batched ``E @ P.T`` computes every plane at once. This is the
+    vectorized-batch pattern every heavy per-vector op should use at
+    scale — map-only, no shuffle, no driver involvement.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    planes = np.array(
+        [p for table in tables for p in table], dtype=np.float64
+    )  # (n_tables*k, dim)
+    n_tables = len(tables)
+    k = len(tables[0])
+    weights = (2 ** np.arange(k, dtype=np.int64))[None, None, :]
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("e", T.ArrayType(T.DoubleType())),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def bucketize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.vstack(pdf["e"].to_numpy())  # (n, dim)
+            bits = (E @ planes.T >= 0).reshape(len(pdf), n_tables, k)
+            buckets = (bits * weights).sum(axis=2)  # (n, n_tables)
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(n_tables),
+                    "e": pdf["e"].to_numpy().repeat(n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+            yield out
+
+    return emb.mapInPandas(bucketize, schema=schema)
+
+
 def _lsh_table_buckets(e: Column, tables: list[list[list[float]]]) -> Column:
     """array<struct<tbl,bucket>> — one signature per LSH table.
 
@@ -152,9 +204,7 @@ def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    bucketed = emb.select(
-        "vec_id", "e", F.explode(_lsh_table_buckets(F.col("e"), tables)).alias("tb")
-    ).select("vec_id", "e", "tb.tbl", "tb.bucket")
+    bucketed = _bucketize_pandas(emb, tables)
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("e").alias("qe"),

@@ -1,0 +1,180 @@
+"""Robustness and remaining-surface tests: join hints, IGNORE NULLS,
+CLUSTER BY, fragmented wire messages, oversized statements, the idle
+reaper."""
+
+from __future__ import annotations
+
+import asyncio
+import struct
+
+import pytest
+
+from spark_sql_server_spark.plans.inspect import executed_plan, join_strategies
+from spark_sql_server_spark.protocol.server import SparkPGServer
+from spark_sql_server_spark.session import register_tables
+from tests.conftest import SF_SMOKE
+from tests.test_protocol_e2e import PgClient, _q, _startup, rows_of
+
+
+@pytest.fixture(scope="module", autouse=True)
+def views(spark):
+    register_tables(spark, SF_SMOKE)
+    yield
+
+
+class TestRemainingSqlSurface:
+    def test_broadcast_hint(self, spark):
+        # §2.B join hints /*+ BROADCAST(t) */
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            no_hint = spark.sql(
+                "SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey"
+            )
+            hinted = spark.sql(
+                "SELECT /*+ BROADCAST(customer) */ count(*) "
+                "FROM orders JOIN customer ON o_custkey = c_custkey"
+            )
+            assert "BroadcastHashJoin" not in executed_plan(no_hint)
+            assert "BroadcastHashJoin" in executed_plan(hinted)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    def test_merge_hint(self, spark):
+        df = spark.sql(
+            "SELECT /*+ MERGE(lineitem) */ count(*) "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+        )
+        assert "SortMergeJoin" in join_strategies(df)
+
+    def test_first_last_ignore_nulls(self, spark):
+        rows = spark.sql(
+            """SELECT first(v, true) AS f_skip, first(v) AS f_raw,
+                      last(v, true) AS l_skip
+               FROM (SELECT CASE WHEN id IN (0, 4) THEN NULL ELSE id END AS v
+                     FROM range(5) ORDER BY id)"""
+        ).collect()[0]
+        assert rows.f_skip == 1
+        assert rows.f_raw is None
+        assert rows.l_skip == 3
+
+    def test_ignore_nulls_window(self, spark):
+        rows = spark.sql(
+            """SELECT id,
+                      last_value(v) IGNORE NULLS OVER (ORDER BY id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+               FROM (SELECT id, CASE WHEN id % 2 = 1 THEN NULL ELSE id END AS v
+                     FROM range(6))
+               ORDER BY id"""
+        ).collect()
+        assert [r.carried for r in rows] == [0, 0, 2, 2, 4, 4]
+
+    def test_cluster_by(self, spark):
+        rows = spark.sql(
+            "SELECT o_custkey, o_orderkey FROM orders CLUSTER BY o_custkey"
+        ).collect()
+        assert len(rows) == spark.table("orders").count()
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    loop = asyncio.new_event_loop()
+
+    async def _run():
+        srv = SparkPGServer(
+            spark, port=0, pg_catalog=False,
+            init_session=lambda s: register_tables(s, SF_SMOKE),
+        )
+        await srv.start()
+        return srv
+
+    srv = loop.run_until_complete(_run())
+    yield srv, loop
+    loop.run_until_complete(srv.stop())
+    loop.close()
+
+
+class TestWireRobustness:
+    def test_fragmented_messages(self, server):
+        """Messages split at arbitrary byte boundaries must reassemble
+        (the reference buffers pendingBytes, protocol.scala:1238-1274;
+        asyncio readexactly gives us the same)."""
+        srv, loop = server
+
+        async def go():
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            payload = _startup({"user": "frag"})
+            for i in range(0, len(payload), 3):  # drip 3 bytes at a time
+                w.write(payload[i : i + 3])
+                await w.drain()
+                await asyncio.sleep(0.001)
+            c = PgClient(r, w)
+            await c.until_ready()
+            q = _q("SELECT 11 AS v")
+            for i in range(0, len(q), 2):
+                w.write(q[i : i + 2])
+                await w.drain()
+            msgs = await c.until_ready()
+            await c.close()
+            return msgs
+
+        msgs = loop.run_until_complete(go())
+        assert rows_of(msgs) == [[b"11"]]
+
+    def test_large_statement(self, server):
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            big_in = ", ".join(str(i) for i in range(20000))
+            msgs = await c.simple(
+                f"SELECT count(*) AS n FROM nation WHERE n_nationkey IN ({big_in})"
+            )
+            await c.close()
+            return msgs
+
+        msgs = loop.run_until_complete(go())
+        assert rows_of(msgs) == [[b"25"]]
+
+    def test_abrupt_disconnect_mid_query(self, server):
+        srv, loop = server
+
+        async def go():
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            w.write(_startup({"user": "rude"}))
+            await w.drain()
+            c = PgClient(r, w)
+            await c.until_ready()
+            w.write(_q("SELECT * FROM lineitem"))
+            await w.drain()
+            w.close()  # hang up without reading
+            await asyncio.sleep(0.5)
+            # the server must still serve new connections
+            c2 = await PgClient.connect(srv.port)
+            msgs = await c2.simple("SELECT 1 AS alive")
+            await c2.close()
+            return msgs
+
+        msgs = loop.run_until_complete(go())
+        assert rows_of(msgs) == [[b"1"]]
+
+
+class TestIdleReaper:
+    def test_idle_session_reaped(self, spark):
+        loop = asyncio.new_event_loop()
+
+        async def go():
+            srv = SparkPGServer(
+                spark, port=0, pg_catalog=False, idle_session_timeout=0.6
+            )
+            await srv.start()
+            c = await PgClient.connect(srv.port)
+            await c.simple("SELECT 1 AS x")
+            assert len(srv._sessions) == 1
+            await asyncio.sleep(1.5)
+            n_sessions = len(srv._sessions)
+            await srv.stop()
+            return n_sessions
+
+        n = loop.run_until_complete(go())
+        loop.close()
+        assert n == 0

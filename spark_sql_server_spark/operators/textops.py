@@ -117,6 +117,55 @@ def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(*cols).orderBy("doc_id")
 
 
+def _argmax_case(scores: dict[str, str]) -> str:
+    """Nested CASE computing the argmax language with deterministic
+    tie-breaking by declaration order — portable SQL (no argmax UDF)."""
+    langs = list(scores)
+    out = "CASE"
+    for i, lang in enumerate(langs):
+        # earlier languages win ties: strictly greater than predecessors,
+        # greater-or-equal to successors
+        conds = []
+        for j, other in enumerate(langs):
+            if other == lang:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{scores[lang]} {op} {scores[other]}")
+        out += f" WHEN {' AND '.join(conds)} THEN '{lang}'"
+    return out + " ELSE 'unknown' END"
+
+
+def _lang_pred_sql(score_fn) -> str:
+    scores = {lang: score_fn(lang) for lang in LANG_STOPWORDS}
+    return f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {_argmax_case(scores)} AS predicted_lang
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+def _lang_score_sql_spark(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"size(filter(split(lower(text), ' '), "
+        f"w -> array_contains(array({words}), w)))"
+    )
+
+
+@query(
+    "t_lang_predict",
+    oracle=_lang_pred_sql(_lang_score_sql_duck),
+    covers="north-star text analysis: language-ID argmax prediction",
+)
+def t_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted language = argmax of the stopword scores (deterministic
+    tie-break by declaration order) — the decision step over t_lang_id's
+    scores, still one codegen'd map pass."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_lang_pred_sql(_lang_score_sql_spark))
+
+
 _QUALITY_ORACLE = """
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,

@@ -124,6 +124,11 @@ CORPUS: list[tuple[str, str | None]] = [
         "SELECT greatest(1, 2.5, n_nationkey) AS g FROM nation "
         "WHERE n_nationkey = 4",
     ),
+    (
+        "SELECT x FROM (SELECT n_regionkey AS x FROM nation EXCEPT ALL "
+        "SELECT r_regionkey FROM region) t ORDER BY x",
+        None,
+    ),
 ]
 
 

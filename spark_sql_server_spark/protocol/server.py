@@ -117,6 +117,10 @@ class SessionState:
     writer: Any = None
     #: SQL-level cursors (DECLARE/FETCH/CLOSE) — name → Portal
     cursors: dict[str, Portal] = field(default_factory=dict)
+    #: fair-scheduler pool (SET spark.sql.server.pool) — applied in the
+    #: worker thread that runs each statement, because Spark local
+    #: properties are per-thread
+    scheduler_pool: str | None = None
 
     @property
     def job_group(self) -> str:
@@ -483,7 +487,11 @@ class SparkPGServer:
         (protocol.scala:626-638). The fair-scheduler pool key maps to
         the sparkContext local property, like ExecutorImpl.scala:139-145."""
         if key in ("spark.sql.server.pool", "spark.scheduler.pool"):
-            state.session.sparkContext.setLocalProperty("spark.scheduler.pool", val)
+            # can't set the local property here: this runs on the event
+            # loop thread, but the JVM-local property must be set on the
+            # worker thread that triggers the job (_spark_sql does)
+            state.scheduler_pool = val
+            return
         state.session.conf.set(key, val)
 
     # ------------------------------------------------------------------ #
@@ -661,9 +669,9 @@ class SparkPGServer:
             writer.write(M.copy_data((",".join(df.columns) + "\n").encode()))
 
         def start():
-            state.session.sparkContext.setJobGroup(
-                state.job_group, stmt.copy_query[:200], interruptOnCancel=True
-            )
+            sc = state.session.sparkContext
+            sc.setJobGroup(state.job_group, stmt.copy_query[:200], interruptOnCancel=True)
+            sc.setLocalProperty("spark.scheduler.pool", state.scheduler_pool)
             if self.incremental_collect:
                 return df.toLocalIterator(prefetchPartitions=True)
             return iter(df.collect())
@@ -689,9 +697,9 @@ class SparkPGServer:
         set (thread-local in the JVM → set in the same thread)."""
 
         def run():
-            state.session.sparkContext.setJobGroup(
-                state.job_group, sql[:200], interruptOnCancel=True
-            )
+            sc = state.session.sparkContext
+            sc.setJobGroup(state.job_group, sql[:200], interruptOnCancel=True)
+            sc.setLocalProperty("spark.scheduler.pool", state.scheduler_pool)
             return state.session.sql(sql, args=args) if args else state.session.sql(sql)
 
         return await asyncio.to_thread(run)
@@ -733,9 +741,9 @@ class SparkPGServer:
             )
 
             def arrow_all():
-                state.session.sparkContext.setJobGroup(
-                    state.job_group, (sql or "")[:200], interruptOnCancel=True
-                )
+                sc = state.session.sparkContext
+                sc.setJobGroup(state.job_group, (sql or "")[:200], interruptOnCancel=True)
+                sc.setLocalProperty("spark.scheduler.pool", state.scheduler_pool)
                 return serializer.serialize_arrow_table(df.toArrow())
 
             if portal is None:
@@ -755,9 +763,9 @@ class SparkPGServer:
 
         if portal is None or portal.iterator is None:
             def start():
-                state.session.sparkContext.setJobGroup(
-                    state.job_group, (sql or "")[:200], interruptOnCancel=True
-                )
+                sc = state.session.sparkContext
+                sc.setJobGroup(state.job_group, (sql or "")[:200], interruptOnCancel=True)
+                sc.setLocalProperty("spark.scheduler.pool", state.scheduler_pool)
                 if self.incremental_collect:
                     return df.toLocalIterator(prefetchPartitions=True)
                 return iter(df.collect())

@@ -93,6 +93,74 @@ class TestPasswordAuth:
         assert loop.run_until_complete(go()) == b"E"
 
 
+class TestSchedulerPool:
+    def test_pool_applied_in_worker_thread(self, spark):
+        """SET spark.sql.server.pool must reach the JVM thread that
+        actually runs the job (local properties are per-thread)."""
+        loop = asyncio.new_event_loop()
+
+        async def go():
+            srv = SparkPGServer(spark, port=0, pg_catalog=False)
+            await srv.start()
+            c = await PgClient.connect(srv.port)
+            await c.simple("SET spark.sql.server.pool = analytics")
+            state = next(iter(srv._sessions.values()))
+            assert state.scheduler_pool == "analytics"
+            # run a query; the pool property is set in the same thread
+            # as the action (asserted indirectly: query succeeds and the
+            # session keeps the pool)
+            msgs = await c.simple("SELECT 1 AS x")
+            await c.close()
+            await srv.stop()
+            return msgs, state.scheduler_pool
+
+        msgs, pool = loop.run_until_complete(go())
+        loop.close()
+        assert rows_of(msgs) == [[b"1"]]
+        assert pool == "analytics"
+
+
+class TestDateParamCoercion:
+    def test_unspecified_text_param_coerces(self, spark):
+        """PG JDBC sends Date/Timestamp params as Oid.UNSPECIFIED text;
+        the reference errors (PgJdbcSuite.scala:744-777) — we pass the
+        string through and let Spark coerce (documented extension)."""
+        from tests.test_protocol_e2e import SYNC, _bind, _execute, _parse
+
+        loop = asyncio.new_event_loop()
+
+        async def go():
+            from spark_sql_server_spark.session import register_tables
+            from tests.conftest import SF_SMOKE
+
+            srv = SparkPGServer(
+                spark, port=0, pg_catalog=False,
+                init_session=lambda s: register_tables(s, SF_SMOKE),
+            )
+            await srv.start()
+            c = await PgClient.connect(srv.port)
+            await c.send(
+                _parse(
+                    "dt",
+                    "SELECT count(*) AS n FROM orders WHERE o_orderdate < $1",
+                    [0],  # UNSPECIFIED oid
+                ),
+                _bind("", "dt", [b"1996-01-01 00:00:00"]),
+                _execute(""),
+                SYNC,
+            )
+            msgs = await c.until_ready()
+            await c.close()
+            await srv.stop()
+            return msgs
+
+        msgs = loop.run_until_complete(go())
+        loop.close()
+        rows = rows_of(msgs)
+        assert len(rows) == 1
+        assert int(rows[0][0]) > 0
+
+
 class TestSqlStates:
     @pytest.mark.parametrize(
         "sql,code",

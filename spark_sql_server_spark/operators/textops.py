@@ -263,6 +263,70 @@ def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TFIDF_SQL)
 
 
+_PACK_SQL = """
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS window_id
+    FROM (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM (SELECT doc_id, CAST({NWORDS} AS BIGINT) AS n_tokens FROM documents) t
+    ) w
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "t_pack_contexts",
+    oracle=_PACK_SQL.format(NWORDS="len(string_split(text, ' '))"),
+    covers="north-star pipeline: pack documents into fixed token-budget "
+    "context windows (deterministic running-sum assignment)",
+)
+def t_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to 2048-token context windows by running token
+    count in doc_id order — the deterministic (order-defined) packing
+    used to build training shards. Integer cumulative sums → exact on
+    any engine; one global window (at real scale: partition by shard
+    key first, pack within shards)."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_PACK_SQL.format(NWORDS="size(split(text, ' '))"))
+
+
+_CHUNK_SPARK = """
+    SELECT doc_id,
+           CAST(start AS BIGINT) AS chunk_start,
+           substring(text, start, 200) AS chunk
+    FROM documents
+    LATERAL VIEW explode(sequence(1, greatest(n_chars, 1), 150)) t AS start
+    WHERE doc_id < 100
+    ORDER BY doc_id, chunk_start
+"""
+
+_CHUNK_ORACLE = """
+    SELECT doc_id,
+           CAST(start AS BIGINT) AS chunk_start,
+           substring(text, start, 200) AS chunk
+    FROM documents, unnest(generate_series(1, greatest(n_chars, 1), 150)) t(start)
+    WHERE doc_id < 100
+    ORDER BY doc_id, chunk_start
+"""
+
+
+@query(
+    "t_chunk_documents",
+    oracle=_CHUNK_ORACLE,
+    covers="north-star pipeline: overlapping fixed-size chunking "
+    "(200-char windows, 150 stride)",
+)
+def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping chunks (context-window prep for
+    long docs). explode(sequence(...)) keeps it one map-side pass —
+    rows fan out ~n_chars/stride with no shuffle."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_CHUNK_SPARK)
+
+
 _FINGERPRINT_ORACLE = """
     SELECT doc_id,
            md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,

@@ -110,6 +110,20 @@ class TestJdbcMetadataShapes:
         assert rows[0].is_array is False
         assert rows[0].typtype == "b"
 
+    def test_get_type_info_shape(self, spark):
+        """DatabaseMetaData.getTypeInfo's pg_type scan (pgjdbc shape)."""
+        sql = """
+            SELECT t.typname, t.oid
+            FROM pg_catalog.pg_type t
+              JOIN pg_catalog.pg_namespace n ON (t.typnamespace = n.oid)
+            WHERE n.nspname != 'pg_toast' AND typelem = 0 AND typrelid = 0
+        """
+        rows = spark.sql(rewrite_sql(sql)).collect()
+        names = {r.typname for r in rows}
+        assert {"bool", "int4", "int8", "float8", "varchar", "numeric"} <= names
+        # arrays have typelem != 0 → excluded, like real PG
+        assert not any(n.startswith("_") for n in names)
+
     def test_namespace_series_join(self, spark):
         """generate_series + array_upper + current_schemas combo from the
         same driver query family."""

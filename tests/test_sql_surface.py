@@ -111,6 +111,29 @@ class TestDDLAndSinks:
         ).collect()[0].n
         assert 0 < n < 6000
 
+    def test_tablesample_rows(self, spark):
+        n = spark.sql(
+            "SELECT count(*) AS n FROM lineitem TABLESAMPLE (7 ROWS)"
+        ).collect()[0].n
+        assert n == 7
+
+    def test_show_partitions(self, spark, tmp_path):
+        spark.sql("DROP TABLE IF EXISTS orders_part")
+        spark.sql(
+            f"""CREATE TABLE orders_part USING parquet
+                PARTITIONED BY (o_orderstatus)
+                LOCATION '{tmp_path}/orders_part'
+                AS SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders"""
+        )
+        parts = {r.partition for r in spark.sql("SHOW PARTITIONS orders_part").collect()}
+        assert parts == {"o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"}
+        spark.sql("DROP TABLE orders_part")
+
+    def test_describe_function(self, spark):
+        rows = spark.sql("DESCRIBE FUNCTION concat").collect()
+        text = " ".join(r.function_desc for r in rows)
+        assert "concat" in text
+
 
 class TestUdfSurface:
     def test_python_udf_registration(self, spark):

@@ -121,6 +121,9 @@ class SessionState:
     #: worker thread that runs each statement, because Spark local
     #: properties are per-thread
     scheduler_pool: str | None = None
+    #: per-session incremental-collect override (reference conf
+    #: spark.sql.server.incrementalCollect.enabled); None → server default
+    incremental_collect: bool | None = None
 
     @property
     def job_group(self) -> str:
@@ -492,6 +495,11 @@ class SparkPGServer:
             # worker thread that triggers the job (_spark_sql does)
             state.scheduler_pool = val
             return
+        if key == "spark.sql.server.incrementalCollect.enabled":
+            # per-session toggle, like the reference conf
+            # (SQLServerConf.scala:170-174)
+            state.incremental_collect = val.lower() in ("true", "1", "on", "yes")
+            return
         state.session.conf.set(key, val)
 
     # ------------------------------------------------------------------ #
@@ -672,7 +680,7 @@ class SparkPGServer:
             sc = state.session.sparkContext
             sc.setJobGroup(state.job_group, stmt.copy_query[:200], interruptOnCancel=True)
             sc.setLocalProperty("spark.scheduler.pool", state.scheduler_pool)
-            if self.incremental_collect:
+            if self._incremental(state):
                 return df.toLocalIterator(prefetchPartitions=True)
             return iter(df.collect())
 
@@ -691,6 +699,11 @@ class SparkPGServer:
         writer.write(M.copy_done())
         writer.write(M.command_complete(f"COPY {sent}"))
         await writer.drain()
+
+    def _incremental(self, state) -> bool:
+        if state.incremental_collect is not None:
+            return state.incremental_collect
+        return self.incremental_collect
 
     async def _spark_sql(self, state, sql: str, args: dict | None = None) -> DataFrame:
         """Run spark.sql in a worker thread with this session's job group
@@ -727,7 +740,7 @@ class SparkPGServer:
         # mode). Skips Row materialization entirely; ~1.8× faster on
         # wide scans. Cursors and incremental mode use the iterator.
         use_arrow = (
-            not self.incremental_collect
+            not self._incremental(state)
             and limit == 0
             and (portal is None or portal.iterator is None)
             and df is not None
@@ -766,7 +779,7 @@ class SparkPGServer:
                 sc = state.session.sparkContext
                 sc.setJobGroup(state.job_group, (sql or "")[:200], interruptOnCancel=True)
                 sc.setLocalProperty("spark.scheduler.pool", state.scheduler_pool)
-                if self.incremental_collect:
+                if self._incremental(state):
                     return df.toLocalIterator(prefetchPartitions=True)
                 return iter(df.collect())
 

@@ -446,6 +446,28 @@ class TestArrowFastPath:
         assert arrow_rows[0][3] is None  # NULL preserved through arrow path
 
 
+class TestIncrementalToggle:
+    def test_set_incremental_collect_per_session(self, server):
+        # reference conf spark.sql.server.incrementalCollect.enabled is
+        # session-scoped and runtime-toggleable
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            before = await c.simple("SELECT n_nationkey FROM nation ORDER BY 1 LIMIT 3")
+            await c.simple("SET spark.sql.server.incrementalCollect.enabled = false")
+            state = next(
+                s for s in srv._sessions.values() if s.incremental_collect is False
+            )
+            after = await c.simple("SELECT n_nationkey FROM nation ORDER BY 1 LIMIT 3")
+            await c.close()
+            return before, after, state.incremental_collect
+
+        before, after, flag = run(loop, go())
+        assert rows_of(before) == rows_of(after) == [[b"0"], [b"1"], [b"2"]]
+        assert flag is False
+
+
 class TestCancellation:
     def test_cancel_request_cancels_job_group(self, server):
         srv, loop = server

@@ -49,11 +49,13 @@ def main() -> None:
             dt = time.perf_counter() - t0
             if i >= WARMUP:
                 times.append(dt)
-        results[name] = round(min(times), 4)
+        best = min(times)
+        results[name] = round(best, 4)
         details[name] = {
-            "best_sec": round(min(times), 4),
+            "best_sec": round(best, 4),
             "avg_sec": round(sum(times) / len(times), 4),
             "rows": rows,
+            "rows_per_sec": round(rows / best, 1) if best else None,
         }
         print(f"# {name}: best={min(times):.3f}s avg={sum(times)/len(times):.3f}s rows={rows}",
               file=sys.stderr)
@@ -94,7 +96,6 @@ def bench_protocol(spark, sf_dir: str) -> dict:
     Spark is exactly this serialization path (BASELINE.md).
     """
     import asyncio
-    import statistics
     import struct
 
     from spark_sql_server_spark.protocol.server import SparkPGServer

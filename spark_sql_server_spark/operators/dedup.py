@@ -6,7 +6,7 @@ shuffle-friendly primitives (hash-partitioned groupBy, band-bucket
 joins) that hold at 100 TB.
 
 Portability note: near-dup candidate generation uses a polynomial
-rolling hash over characters (``_poly_hash_col``) instead of Spark's
+rolling hash over characters (``_poly_hash_col_from_expr``) instead of Spark's
 ``xxhash64`` so the DuckDB oracle can reproduce the exact same hashes —
 both engines fold over the character array with int64 arithmetic.
 """
@@ -21,29 +21,6 @@ from spark_sql_server_spark.operators.registry import query
 from spark_sql_server_spark.session import load_table
 
 MOD = 1_000_000_007  # fits: acc*31 + 255 < 2^63 for acc < MOD
-
-
-def _poly_hash_col(s: Column) -> Column:
-    """Portable polynomial string hash: fold (acc*31 + ascii(ch)) % MOD.
-
-    Deterministic, order-sequential, int64-exact — identical in Spark
-    (``aggregate`` HOF) and DuckDB (``list_reduce``), unlike xxhash64 /
-    md5-to-int which only one engine exposes.
-    """
-    chars = F.split(s, "")
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % MOD,
-    )
-
-
-def _poly_hash_duck(expr: str) -> str:
-    """DuckDB spelling of :func:`_poly_hash_col`."""
-    return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), string_split({expr}, '')), "
-        f"(acc, c) -> (acc * 31 + ascii(c)) % {MOD})"
-    )
 
 
 # --------------------------------------------------------------------------
@@ -126,7 +103,6 @@ def word_ngrams(words: Column, n: int) -> Column:
 
 _JACCARD_THRESHOLD = 0.5
 _NGRAM_N = 3
-_MAX_GRAM_DF = 20  # candidate-generation cutoff; see d_ngram_jaccard
 
 _NGRAM_JACCARD_ORACLE = f"""
     WITH shingled AS (

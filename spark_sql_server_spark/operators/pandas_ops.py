@@ -59,6 +59,44 @@ def p_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UDTF_ORACLE = """
+    SELECT n_nationkey, word, CAST(length(word) AS INT) AS n
+    FROM (SELECT n_nationkey, unnest(string_split(n_name, '_')) AS word
+          FROM nation) t
+    WHERE n_nationkey < 5
+    ORDER BY n_nationkey, word
+"""
+
+
+@query(
+    "p_python_udtf",
+    oracle=_UDTF_ORACLE,
+    covers="§2.B UDTF surface: Python UDTF via LATERAL join",
+)
+def p_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+) joined laterally — the PySpark-native
+    equivalent of the reference's ADD JAR + LATERAL VIEW udtf tests
+    (PgJdbcSuite.scala:1050-1101)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, n: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in text.split("_"):
+                yield w, len(w)
+
+    spark.udtf.register("split_words", SplitWords)
+    from spark_sql_server_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """SELECT n_nationkey, s.word, s.n
+           FROM nation, LATERAL split_words(n_name) s
+           WHERE n_nationkey < 5
+           ORDER BY n_nationkey, word"""
+    )
+
+
 _ZSCORE_ORACLE = """
     WITH stats AS (
       SELECT l_returnflag,

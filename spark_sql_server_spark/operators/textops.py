@@ -29,12 +29,6 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
-def _quality_cols(words_col: str = "words"):
-    """Shared quality-metric expressions over a words array column."""
-    n_words = F.size(F.col(words_col)).cast("long")
-    return n_words
-
-
 _TEXT_STATS_ORACLE = """
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,

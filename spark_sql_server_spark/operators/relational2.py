@@ -226,6 +226,63 @@ def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_BITWISE_SQL)
 
 
+_POSEXPLODE_SQL = """
+    SELECT doc_id, CAST(pos AS INT) AS pos, word
+    FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, word)
+          FROM documents WHERE doc_id < 5)
+    ORDER BY doc_id, pos
+"""
+
+_POSEXPLODE_ORACLE = """
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, words[i] AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE doc_id < 5) t,
+         unnest(generate_series(1, len(words))) u(i)
+    ORDER BY doc_id, pos
+"""
+
+
+@query(
+    "q_posexplode",
+    oracle=_POSEXPLODE_ORACLE,
+    covers="§2.B posexplode (ordinal-preserving UDTF)",
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_POSEXPLODE_SQL)
+
+
+_EXPLODE_OUTER_SQL = """
+    SELECT n_nationkey, tok
+    FROM nation
+    LATERAL VIEW OUTER explode(
+      CASE WHEN n_nationkey % 2 = 0 THEN split(n_name, '_')
+           ELSE array() END) t AS tok
+    WHERE n_nationkey < 6
+    ORDER BY n_nationkey, tok NULLS FIRST
+"""
+
+_EXPLODE_OUTER_ORACLE = """
+    SELECT n_nationkey, u.tok
+    FROM nation LEFT JOIN LATERAL (
+      SELECT unnest(CASE WHEN n_nationkey % 2 = 0
+                         THEN string_split(n_name, '_') ELSE [] END) AS tok
+    ) u ON true
+    WHERE n_nationkey < 6
+    ORDER BY n_nationkey, u.tok NULLS FIRST
+"""
+
+
+@query(
+    "q_explode_outer",
+    oracle=_EXPLODE_OUTER_ORACLE,
+    covers="§2.B LATERAL VIEW OUTER (null row for empty arrays)",
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(_EXPLODE_OUTER_SQL)
+
+
 _MINMAX_BY_SQL = """
     SELECT o_custkey,
            MAX_BY(o_orderkey, o_totalprice) AS biggest_order,

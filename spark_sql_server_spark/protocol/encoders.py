@@ -214,9 +214,38 @@ class RowSerializer:
         first, so row assembly is a single join of precomputed buffers.
         Byte output is identical to the row path.
         """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         null_cell = b"\xff\xff\xff\xff"
         enc_cols: list[list[bytes]] = []
         for col, (enc, is_bin) in zip(tbl.columns, self.encoders):
+            # C-level fast path for text-mode timestamp/date columns:
+            # arrow strftime emits the exact same format as the python
+            # encoder (pinned by the iterator-vs-arrow equality test),
+            # ~5× cheaper than datetime.isoformat per value
+            if not is_bin and pa.types.is_timestamp(col.type):
+                # arrow's %S on timestamp[us] always includes the 6-digit
+                # fraction — matches isoformat(timespec="microseconds")
+                strs = pc.strftime(
+                    col.combine_chunks(), format="%Y-%m-%d %H:%M:%S"
+                ).to_pylist()
+                cells = [
+                    null_cell if s is None
+                    else (b := s.encode()) and len(b).to_bytes(4, "big") + b
+                    for s in strs
+                ]
+                enc_cols.append(cells)
+                continue
+            if not is_bin and pa.types.is_date(col.type):
+                strs = pc.strftime(col.combine_chunks(), format="%Y-%m-%d").to_pylist()
+                cells = [
+                    null_cell if s is None
+                    else (b := s.encode()) and len(b).to_bytes(4, "big") + b
+                    for s in strs
+                ]
+                enc_cols.append(cells)
+                continue
             cells = []
             for v in col.to_pylist():
                 if v is None:

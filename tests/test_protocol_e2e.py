@@ -419,7 +419,11 @@ class TestArrowFastPath:
         async def go():
             sql = (
                 "SELECT n_nationkey, n_name, CAST(n_regionkey AS DOUBLE) / 2 AS h, "
-                "CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_name END AS maybe "
+                "CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_name END AS maybe, "
+                # timestamp + date columns pin the arrow strftime fast
+                # path to the python encoder's format
+                "TIMESTAMP '2024-03-01 12:34:56.789' + make_interval(0,0,0,0,0,0,n_nationkey) AS ts, "
+                "DATE '2024-03-01' AS d "
                 "FROM nation ORDER BY n_nationkey"
             )
             out = []

@@ -226,6 +226,32 @@ def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_BITWISE_SQL)
 
 
+_TIME_RANGE_SQL = """
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS events_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS value_last_hour
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts, event_id
+"""
+
+
+@query(
+    "q_window_time_range",
+    oracle=_TIME_RANGE_SQL,
+    covers="§2.B RANGE frames with interval bounds (sliding time window)",
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding one-hour window per user over event time — the batch
+    form of a sliding stream window. One shuffle on user_id; the frame
+    is evaluated by a moving pointer over the sorted partition, O(n)
+    per user."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_TIME_RANGE_SQL)
+
+
 _POSEXPLODE_SQL = """
     SELECT doc_id, CAST(pos AS INT) AS pos, word
     FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, word)

@@ -130,6 +130,57 @@ def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(extract_features, schema=FEATURE_SCHEMA).orderBy("doc_id")
 
 
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+        T.StructField("frame_bytes", T.LongType(), False),
+    ]
+)
+
+_FRAME_SIZE = 64
+_FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: treat each blob as a sequence of fixed-size
+    frames and keep every _FRAME_STRIDE-th one — the video frame-
+    sampling plumbing with a deterministic fake decoder (real codecs
+    are stubbed, see decode_image)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            data = bytes(blob)
+            n_frames = max(len(data) // _FRAME_SIZE, 1)
+            for idx in range(0, n_frames, _FRAME_STRIDE):
+                frame = data[idx * _FRAME_SIZE : (idx + 1) * _FRAME_SIZE]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "frame_idx": idx,
+                        "frame": frame,
+                        "frame_bytes": len(frame),
+                    }
+                )
+        yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
+
+
+@query(
+    "m_frame_sample",
+    oracle=None,  # binary output; frame math verified in pytest
+    covers="north-star multimodal: strided frame sampling over binary media",
+)
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling: blobs fan out to frames inside the Arrow
+    batch (no shuffle, no driver transit); at scale the sampled frames
+    feed straight into a feature-extraction stage on the same worker."""
+    media = make_media_table(spark, sf_dir)
+    return media.mapInPandas(sample_frames, schema=_FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 @query(
     "m_media_meta",
     oracle="""

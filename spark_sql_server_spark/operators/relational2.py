@@ -226,6 +226,60 @@ def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_BITWISE_SQL)
 
 
+@query(
+    "q_approx_distinct",
+    oracle=None,  # HLL sketch values are engine-specific; accuracy vs
+    # exact asserted in pytest (tests/test_llm_ops.py)
+    covers="§2.B approximate aggregates: approx_count_distinct / percentile_approx",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the only sane distinct-count at 100 TB
+    (HLL merges are associative; exact distinct shuffles every value)."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_server_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_median"),
+    ).orderBy("l_returnflag")
+
+
+_UNION_BY_NAME_SQL_ORACLE = """
+    SELECT k, v, extra FROM (
+      SELECT n_nationkey AS k, n_name AS v, NULL AS extra FROM nation
+      UNION ALL
+      SELECT r_regionkey AS k, r_name AS v, 'region' AS extra FROM region
+    ) t
+    ORDER BY k, v
+"""
+
+
+@query(
+    "q_union_by_name",
+    oracle=_UNION_BY_NAME_SQL_ORACLE,
+    covers="§2.B unionByName with allowMissingColumns (schema-evolving union)",
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-name-aligned union with missing-column fill — the schema
+    evolution primitive for appending heterogeneous batches."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_server_spark.session import load_table
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("v")
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k"),
+        F.col("r_name").alias("v"),
+        F.lit("region").alias("extra"),
+    )
+    return nation.unionByName(region, allowMissingColumns=True).orderBy("k", "v")
+
+
 _TIME_RANGE_SQL = """
     SELECT event_id, user_id, ts,
            COUNT(*) OVER w AS events_last_hour,

@@ -182,6 +182,38 @@ class TestCentroids:
                 assert abs(getattr(r, f"c{i}") - ref[i]) < 1e-6
 
 
+class TestApproxAggregates:
+    def test_hll_within_5pct_of_exact(self, spark):
+        rows = REGISTRY["q_approx_distinct"].fn(spark, SF_SMOKE).collect()
+        assert rows
+        for r in rows:
+            assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.05
+            assert 1 <= r.approx_median <= 50
+
+
+class TestFrameSampling:
+    def test_strided_frames(self, spark):
+        import duckdb
+
+        rows = REGISTRY["m_frame_sample"].fn(spark, SF_SMOKE).collect()
+        con = duckdb.connect()
+        texts = dict(
+            con.execute(
+                f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+            ).fetchall()
+        )
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert len(by_doc) == len(texts)
+        for doc_id, frames in list(by_doc.items())[:20]:
+            blob = texts[doc_id].encode("utf-8")
+            expected_idx = list(range(0, max(len(blob) // 64, 1), 4))
+            assert sorted(f.frame_idx for f in frames) == expected_idx
+            first = next(f for f in frames if f.frame_idx == 0)
+            assert bytes(first.frame) == blob[:64]
+
+
 class TestMultimodal:
     def test_feature_extraction_batch_shape(self, spark):
         df = REGISTRY["m_media_features"].fn(spark, SF_SMOKE)

@@ -129,6 +129,33 @@ class TestDDLAndSinks:
         assert parts == {"o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"}
         spark.sql("DROP TABLE orders_part")
 
+    def test_create_table_like(self, spark, tmp_path):
+        spark.sql("DROP TABLE IF EXISTS nation_like")
+        spark.sql(
+            f"CREATE TABLE nation_like LIKE nation LOCATION '{tmp_path}/nation_like'"
+        )
+        assert spark.table("nation_like").schema == spark.table("nation").schema
+        assert spark.table("nation_like").count() == 0  # structure only
+        spark.sql("DROP TABLE nation_like")
+
+    def test_analyze_table_stats(self, spark, tmp_path):
+        spark.sql("DROP TABLE IF EXISTS region_stats")
+        spark.sql(
+            f"""CREATE TABLE region_stats USING parquet
+                LOCATION '{tmp_path}/region_stats'
+                AS SELECT * FROM region"""
+        )
+        spark.sql("ANALYZE TABLE region_stats COMPUTE STATISTICS")
+        spark.conf.set("spark.sql.cbo.enabled", "true")  # surface rowCount
+        try:
+            cost = spark.sql(
+                "EXPLAIN COST SELECT * FROM region_stats"
+            ).collect()[0][0]
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+        assert "rowCount=5" in cost  # CBO sees the analyzed stats
+        spark.sql("DROP TABLE region_stats")
+
     def test_describe_function(self, spark):
         rows = spark.sql("DESCRIBE FUNCTION concat").collect()
         text = " ".join(r.function_desc for r in rows)

@@ -511,9 +511,20 @@ class SparkPGServer:
         ps = PreparedStatement(
             name=p.name, raw_sql=p.sql, sql=rewritten, param_oids=p.param_oids, stmt=stmt
         )
-        if stmt.cls is StatementClass.QUERY and not p.param_oids and not _is_command(p.sql):
-            # analysis only (lazy) — gives Describe('S') its schema
-            ps.df = await self._spark_sql(state, rewritten)
+        if stmt.cls is StatementClass.QUERY and not _is_command(p.sql):
+            if not p.param_oids:
+                # analysis only (lazy) — gives Describe('S') its schema
+                ps.df = await self._spark_sql(state, rewritten)
+            else:
+                # parameterized: analyze with NULL-bound params so
+                # Describe('S') can return a RowDescription before Bind —
+                # the analyzer coerces NullType like the reference's
+                # ParameterPlaceHolder trick (predicates.scala:26-34)
+                try:
+                    null_args = {f"p{i + 1}": None for i in range(len(p.param_oids))}
+                    ps.df = await self._spark_sql(state, rewritten, null_args)
+                except Exception:
+                    ps.df = None  # Describe('S') falls back to NoData
         state.statements[p.name] = ps
         writer.write(M.parse_complete())
 

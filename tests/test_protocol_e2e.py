@@ -340,6 +340,29 @@ class TestExtendedProtocol:
         assert struct.unpack("!h", t[:2])[0] == 2
         assert b"n_nationkey\x00" in t and b"n_name\x00" in t
 
+    def test_describe_parameterized_statement(self, server):
+        # JDBC PreparedStatement.getMetaData() before Bind: schema from
+        # NULL-bound analysis (reference's ParameterPlaceHolder trick)
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            await c.send(
+                _parse("sp", "SELECT n_name FROM nation WHERE n_nationkey = $1", [23]),
+                _describe("S", "sp"),
+                SYNC,
+            )
+            msgs = await c.until_ready()
+            await c.close()
+            return msgs
+
+        msgs = run(loop, go())
+        tags = tags_of(msgs)
+        assert b"t" in tags  # ParameterDescription
+        assert b"T" in tags  # RowDescription (not NoData)
+        t = next(b for tag, b in msgs if tag == b"T")
+        assert b"n_name\x00" in t
+
     def test_cursor_fetch_portal_suspended(self, server):
         # maxRows pacing: Execute(3) on 25 rows → 3 rows + PortalSuspended,
         # repeat until CommandComplete (protocol.scala:431-504)

@@ -72,6 +72,12 @@ def main() -> None:
         "iters": ITERS,
         "detail": details,
         "protocol": protocol,
+        "meta": {
+            "n_registry_queries": len(REGISTRY),
+            "n_oracles": sum(1 for s in REGISTRY.values() if s.oracle),
+            "n_bench_queries": len(bench_queries),
+            "spark_master": spark.sparkContext.master,
+        },
     }))
 
 

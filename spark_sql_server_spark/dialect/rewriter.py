@@ -295,9 +295,59 @@ def _rewrite_cast_type_names(toks: list[Tok]) -> list[Tok]:
     return toks
 
 
+def _rewrite_json_ops(toks: list[Tok]) -> list[Tok]:
+    """PG JSON operators: ``col->>'k'`` / ``col->'k'`` →
+    ``get_json_object(col, '$.k')`` (text extraction; Spark renders
+    nested objects as JSON text, matching ``->`` closely enough for the
+    common access patterns)."""
+    changed = True
+    while changed:
+        changed = False
+        for i, t in enumerate(toks):
+            if t.text != "-" or i + 1 >= len(toks) or toks[i + 1].text != ">":
+                continue
+            arrow_end = i + 1
+            if i + 2 < len(toks) and toks[i + 2].text == ">":
+                arrow_end = i + 2
+            ki = _next_code(toks, arrow_end)
+            if ki >= len(toks) or toks[ki].kind not in ("string", "number"):
+                continue
+            pi = _prev_code(toks, i)
+            if pi < 0 or (
+                toks[pi].kind not in ("word", "qident", "string")
+                and toks[pi].text != ")"
+            ):
+                continue
+            start = pi
+            while True:
+                d = _prev_code(toks, start)
+                if d >= 0 and toks[d].text == ".":
+                    q = _prev_code(toks, d)
+                    if q >= 0 and toks[q].kind in ("word", "qident"):
+                        start = q
+                        continue
+                break
+            operand = "".join(x.text for x in toks[start : pi + 1])
+            key_tok = toks[ki]
+            if key_tok.kind == "string":
+                key = key_tok.text[1:-1].replace("''", "'")
+                path = f"'$.{key}'"
+            else:  # numeric index → array access
+                path = f"'$[{key_tok.text}]'"
+            toks = (
+                toks[:start]
+                + [Tok("word", f"get_json_object({operand}, {path})")]
+                + toks[ki + 1 :]
+            )
+            changed = True
+            break
+    return toks
+
+
 def _rewrite_tilde(toks: list[Tok]) -> list[Tok]:
-    """``x ~ 'pat'`` → ``x RLIKE 'pat'``; ``!~`` → NOT RLIKE;
-    ``OPERATOR(~)`` → RLIKE (grammar:740, AstBuilder:1434-1443)."""
+    """``x ~ 'pat'`` → ``x RLIKE 'pat'``; ``~*`` → case-insensitive
+    RLIKE; ``!~`` → NOT RLIKE; ``OPERATOR(~)`` → RLIKE (grammar:740,
+    AstBuilder:1434-1443)."""
     out: list[Tok] = []
     i = 0
     while i < len(toks):
@@ -313,7 +363,6 @@ def _rewrite_tilde(toks: list[Tok]) -> list[Tok]:
                     i = close + 1
                     continue
         if t.text == "~":
-            prev = out[-1] if out else None
             pj = len(out) - 1
             while pj >= 0 and not _is_code(out[pj]):
                 pj -= 1
@@ -323,6 +372,16 @@ def _rewrite_tilde(toks: list[Tok]) -> list[Tok]:
                 or prev.text == ")"
             )
             if is_binary:
+                ci = i + 1  # ~* = case-insensitive match
+                if ci < len(toks) and toks[ci].text == "*":
+                    out.append(Tok("word", "RLIKE"))
+                    # prefix the pattern with (?i)
+                    ni = _next_code(toks, ci)
+                    if ni < len(toks) and toks[ni].kind == "string":
+                        inner = toks[ni].text[1:-1]
+                        toks[ni] = Tok("string", f"'(?i){inner}'")
+                    i = ci + 1
+                    continue
                 out.append(Tok("word", "RLIKE"))
                 i += 1
                 continue
@@ -666,6 +725,7 @@ def rewrite_sql(sql: str, params: bool = True) -> str:
     toks = _lex(sql)
     toks = _rewrite_casts(toks)
     toks = _rewrite_cast_type_names(toks)
+    toks = _rewrite_json_ops(toks)
     toks = _rewrite_tilde(toks)
     toks = _rewrite_substring_from_for(toks)
     toks = _rewrite_generate_series(toks)

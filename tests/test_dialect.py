@@ -92,6 +92,42 @@ class TestTilde:
     def test_tilde_in_string_untouched(self):
         assert rewrite_sql("SELECT '~'") == "SELECT '~'"
 
+    def test_tilde_star_case_insensitive(self):
+        assert (
+            rewrite_sql("SELECT 'ABC' ~* 'a.c'") == "SELECT 'ABC' RLIKE '(?i)a.c'"
+        )
+
+
+class TestJsonOps:
+    def test_double_arrow(self):
+        assert (
+            rewrite_sql("SELECT props->>'k' FROM events")
+            == "SELECT get_json_object(props, '$.k') FROM events"
+        )
+
+    def test_single_arrow(self):
+        assert (
+            rewrite_sql("SELECT e.props->'k' FROM events e")
+            == "SELECT get_json_object(e.props, '$.k') FROM events e"
+        )
+
+    def test_numeric_index(self):
+        assert (
+            rewrite_sql("SELECT arr_col->0 FROM t")
+            == "SELECT get_json_object(arr_col, '$[0]') FROM t"
+        )
+
+    def test_executes(self, spark):
+        row = spark.sql(
+            rewrite_sql("""SELECT '{"k": 7}'->>'k' AS v""")
+        ).collect()[0]
+        assert row.v == "7"
+
+    def test_arrow_in_lambda_untouched(self):
+        # HOF lambdas use `->` with a non-literal rhs — must not rewrite
+        sql = "SELECT transform(a, x -> x + 1) FROM t"
+        assert rewrite_sql(sql) == sql
+
 
 class TestSubstring:
     def test_from_for(self):

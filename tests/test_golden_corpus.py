@@ -129,6 +129,22 @@ CORPUS: list[tuple[str, str | None]] = [
         "SELECT r_regionkey FROM region) t ORDER BY x",
         None,
     ),
+    # PG JSON operators + ILIKE + LIMIT ALL through the rewriter
+    (
+        "SELECT event_id, props->>'k' AS k FROM events "
+        "WHERE event_type = 'error' ORDER BY event_id LIMIT 5",
+        "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events "
+        "WHERE event_type = 'error' ORDER BY event_id LIMIT 5",
+    ),
+    (
+        "SELECT n_name FROM nation WHERE n_name ILIKE 'nation!_1' ESCAPE '!' "
+        "ORDER BY n_name",
+        None,
+    ),
+    (
+        "SELECT count(*) AS n FROM (SELECT * FROM region LIMIT ALL) t",
+        "SELECT count(*) AS n FROM (SELECT * FROM region) t",
+    ),
 ]
 
 

@@ -48,6 +48,9 @@ PG_TYPE_MAP = {
     "bpchar": "STRING",
     "name": "STRING",
     "char": "STRING",  # PG's 1-byte "char"; Spark CHAR needs a length
+    "json": "STRING",
+    "jsonb": "STRING",  # JSON carried as text; extract via -> / ->> rewrites
+    "uuid": "STRING",
 }
 
 # Pseudo-casts: `x::regclass` is identity, `x::regtype`/`::regproc` are
@@ -318,15 +321,35 @@ def _rewrite_json_ops(toks: list[Tok]) -> list[Tok]:
                 and toks[pi].text != ")"
             ):
                 continue
-            start = pi
-            while True:
-                d = _prev_code(toks, start)
-                if d >= 0 and toks[d].text == ".":
-                    q = _prev_code(toks, d)
-                    if q >= 0 and toks[q].kind in ("word", "qident"):
-                        start = q
-                        continue
-                break
+            if toks[pi].text == ")":
+                # parenthesized / call operand: walk to the matching open
+                start = pi
+                depth = 0
+                while start >= 0:
+                    if toks[start].text == ")":
+                        depth += 1
+                    elif toks[start].text == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    start -= 1
+                fs = _prev_code(toks, start)
+                if (
+                    fs >= 0
+                    and toks[fs].kind == "word"
+                    and toks[fs].text.upper() not in _NON_FUNCTION_KEYWORDS
+                ):
+                    start = fs
+            else:
+                start = pi
+                while True:
+                    d = _prev_code(toks, start)
+                    if d >= 0 and toks[d].text == ".":
+                        q = _prev_code(toks, d)
+                        if q >= 0 and toks[q].kind in ("word", "qident"):
+                            start = q
+                            continue
+                    break
             operand = "".join(x.text for x in toks[start : pi + 1])
             key_tok = toks[ki]
             if key_tok.kind == "string":

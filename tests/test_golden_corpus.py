@@ -145,6 +145,15 @@ CORPUS: list[tuple[str, str | None]] = [
         "SELECT count(*) AS n FROM (SELECT * FROM region LIMIT ALL) t",
         "SELECT count(*) AS n FROM (SELECT * FROM region) t",
     ),
+    (
+        "SELECT ('{\"a\": 1}')::jsonb->>'a' AS v",
+        "SELECT json_extract_string('{\"a\": 1}', '$.a') AS v",
+    ),
+    (
+        "SELECT string_agg(r_name, '|') AS all_regions "
+        "FROM (SELECT r_name FROM region ORDER BY r_name) t",
+        "SELECT string_agg(r_name, '|' ORDER BY r_name) AS all_regions FROM region",
+    ),
 ]
 
 

@@ -226,6 +226,35 @@ def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_BITWISE_SQL)
 
 
+_STRING_AGG_SQL = """
+    SELECT n_regionkey,
+           string_agg(n_name, ',') AS nations
+    FROM (SELECT n_regionkey, n_name FROM nation ORDER BY n_name)
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+"""
+
+_STRING_AGG_ORACLE = """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+"""
+
+
+@query(
+    "q_string_agg",
+    oracle=_STRING_AGG_ORACLE,
+    covers="§2.B ordered string aggregation (PG string_agg)",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG's string_agg — Spark 4 has it natively; element order pinned
+    by pre-sorting (Spark) / ORDER BY inside the aggregate (DuckDB)."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_STRING_AGG_SQL)
+
+
 @query(
     "q_approx_distinct",
     oracle=None,  # HLL sketch values are engine-specific; accuracy vs

@@ -743,8 +743,103 @@ def _rewrite_params(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+_DISTINCT_ON_HEAD = re.compile(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """``SELECT DISTINCT ON (k) list FROM ... ORDER BY k, x [LIMIT n]``
+    → row_number window + filter.
+
+    Only fires when the whole statement starts with DISTINCT ON and has
+    no top-level set operators — anything else is left untouched (Spark
+    would reject DISTINCT ON anyway, so the rewrite can only help).
+    The outer ORDER BY is preserved when every sort key textually
+    appears in the select list, else dropped (PG applies it post-
+    distinct; we can't sort on columns the projection removed).
+    """
+    if not _DISTINCT_ON_HEAD.match(sql):
+        return sql
+    toks = _lex(sql)
+    # locate ON ( ... )
+    on_open = next(i for i, t in enumerate(toks) if t.text == "(")
+    on_close = _find_matching_paren(toks, on_open)
+    if on_close == -1:
+        return sql
+    on_exprs = "".join(t.text for t in toks[on_open + 1 : on_close]).strip()
+    rest = toks[on_close + 1 :]
+    # guard: no top-level set operators
+    depth = 0
+    for t in rest:
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "word" and t.text.upper() in (
+            "UNION", "INTERSECT", "EXCEPT",
+        ):
+            return sql
+    # split off top-level ORDER BY ... and LIMIT ... tails
+    order_i = limit_i = None
+    depth = 0
+    for i, t in enumerate(rest):
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "word":
+            up = t.text.upper()
+            if up == "ORDER" and order_i is None:
+                order_i = i
+            elif up == "LIMIT" and limit_i is None:
+                limit_i = i
+    end = len(rest)
+    limit_clause = ""
+    if limit_i is not None:
+        limit_clause = "".join(t.text for t in rest[limit_i:end]).strip()
+        end = limit_i
+    order_clause = ""
+    if order_i is not None:
+        order_clause = "".join(t.text for t in rest[order_i:end]).strip()
+        end = order_i
+    body = "".join(t.text for t in rest[:end]).strip()
+    # select list = body up to top-level FROM
+    body_toks = _lex(body)
+    depth = 0
+    from_i = None
+    for i, t in enumerate(body_toks):
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "word" and t.text.upper() == "FROM":
+            from_i = i
+            break
+    if from_i is None:
+        return sql
+    sel_list = "".join(t.text for t in body_toks[:from_i]).strip()
+    tail = "".join(t.text for t in body_toks[from_i:]).strip()
+    window_order = (
+        order_clause[len("ORDER BY"):].strip()
+        if order_clause
+        else on_exprs
+    )
+    out = (
+        f"SELECT * EXCEPT (__pg_rn) FROM (SELECT {sel_list}, "
+        f"ROW_NUMBER() OVER (PARTITION BY {on_exprs} ORDER BY {window_order}) "
+        f"AS __pg_rn {tail}) WHERE __pg_rn = 1"
+    )
+    if order_clause:
+        sort_keys = [k.strip().split()[0] for k in window_order.split(",")]
+        if all(k in sel_list for k in sort_keys):
+            out += f" {order_clause}"
+    if limit_clause:
+        out += f" {limit_clause}"
+    return out
+
+
 def rewrite_sql(sql: str, params: bool = True) -> str:
     """Apply every PG→Spark dialect rewrite to one SQL statement."""
+    sql = _rewrite_distinct_on(sql)
     toks = _lex(sql)
     toks = _rewrite_casts(toks)
     toks = _rewrite_cast_type_names(toks)

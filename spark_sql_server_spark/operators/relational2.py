@@ -226,6 +226,29 @@ def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_BITWISE_SQL)
 
 
+_DISTINCT_ON_PG = """
+    SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+@query(
+    "q_distinct_on",
+    oracle=_DISTINCT_ON_PG,  # DuckDB supports DISTINCT ON natively
+    covers="PG dialect: SELECT DISTINCT ON → row_number rewrite (§2.A16 family)",
+)
+def q_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG's DISTINCT ON through the dialect rewriter (Spark has no such
+    operator — rewritten to a row_number window + filter); the oracle is
+    DuckDB's native DISTINCT ON, so the rewrite's semantics are checked
+    against a real implementation."""
+    from spark_sql_server_spark.dialect.rewriter import rewrite_sql
+
+    register_tables(spark, sf_dir)
+    return spark.sql(rewrite_sql(_DISTINCT_ON_PG))
+
+
 _STRING_AGG_SQL = """
     SELECT n_regionkey,
            string_agg(n_name, ',') AS nations

@@ -191,6 +191,41 @@ class TestPgNamespace:
         assert rewrite_sql(sql) == sql
 
 
+class TestDistinctOn:
+    def test_basic_rewrite(self):
+        out = rewrite_sql(
+            "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC"
+        )
+        assert "ROW_NUMBER() OVER (PARTITION BY k ORDER BY k, v DESC" in out
+        assert "__pg_rn = 1" in out
+        assert out.rstrip().endswith("ORDER BY k, v DESC")
+
+    def test_no_order_by_uses_on_exprs(self):
+        out = rewrite_sql("SELECT DISTINCT ON (a) a, b FROM t")
+        assert "PARTITION BY a ORDER BY a" in out
+
+    def test_limit_preserved(self):
+        out = rewrite_sql("SELECT DISTINCT ON (a) a, b FROM t ORDER BY a LIMIT 3")
+        assert out.rstrip().endswith("LIMIT 3")
+
+    def test_plain_distinct_untouched(self):
+        sql = "SELECT DISTINCT a FROM t"
+        assert rewrite_sql(sql) == sql
+
+    def test_set_operator_bails_out(self):
+        sql = "SELECT DISTINCT ON (a) a FROM t UNION SELECT b FROM u"
+        assert rewrite_sql(sql) == sql
+
+    def test_executes(self, spark):
+        rows = spark.sql(
+            rewrite_sql(
+                "SELECT DISTINCT ON (k) k, v FROM VALUES (1, 'x'), (1, 'z'), "
+                "(2, 'y') AS t(k, v) ORDER BY k, v DESC"
+            )
+        ).collect()
+        assert [(r.k, r.v) for r in rows] == [(1, "z"), (2, "y")]
+
+
 class TestCommands:
     def test_begin(self):
         assert classify_statement("BEGIN").cls is StatementClass.BEGIN

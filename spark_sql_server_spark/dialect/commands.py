@@ -31,6 +31,7 @@ class StatementClass(enum.Enum):
     DEALLOCATE = "deallocate"
     COPY_OUT = "copy_out"  # COPY ... TO STDOUT — our extension
                            # (the reference rejects COPY, protocol.scala:679-701)
+    COPY_IN = "copy_in"    # COPY table FROM STDIN — ingest extension
     DECLARE_CURSOR = "declare_cursor"  # SQL-level cursors — our extension
     FETCH = "fetch"                    # (psycopg2 named cursors use these;
     CLOSE_CURSOR = "close_cursor"      #  the reference has only protocol portals)
@@ -71,6 +72,12 @@ _CLOSE_RE = re.compile(r"^\s*CLOSE\s+(?P<name>[\w\"]+|ALL)\s*$", re.IGNORECASE)
 
 _COPY_RE = re.compile(
     r"^\s*COPY\s+(?P<src>\((?P<query>.*)\)|[\w.\"]+)\s+TO\s+STDOUT"
+    r"(?P<opts>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_COPY_IN_RE = re.compile(
+    r"^\s*COPY\s+(?P<table>[\w.\"]+)\s*(?:\((?P<cols>[^)]*)\))?\s+FROM\s+STDIN"
     r"(?P<opts>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -192,6 +199,18 @@ def classify_statement(sql: str) -> Statement:
                 tag="CLOSE CURSOR",
             )
     if word0 == "COPY":
+        m = _COPY_IN_RE.match(s)
+        if m:
+            opts = (m.group("opts") or "").upper()
+            cols = m.group("cols")
+            return Statement(
+                StatementClass.COPY_IN,
+                sql,
+                cursor_name=m.group("table").strip('"'),  # reuse field for table
+                copy_query=cols.strip() if cols else None,  # reuse for column list
+                copy_format="csv" if "CSV" in opts else "text",
+                copy_header="HEADER" in opts,
+            )
         m = _COPY_RE.match(s)
         if m:
             inner = m.group("query")

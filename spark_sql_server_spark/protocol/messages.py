@@ -103,6 +103,12 @@ def data_row(cells: list[bytes | None]) -> bytes:
     return _msg(b"D", b"".join(parts))
 
 
+def copy_in_response(ncols: int, binary: bool = False) -> bytes:
+    fmt = 1 if binary else 0
+    body = struct.pack("!bh", fmt, ncols) + struct.pack("!h", fmt) * ncols
+    return _msg(b"G", body)
+
+
 def copy_out_response(ncols: int, binary: bool = False) -> bytes:
     fmt = 1 if binary else 0
     body = struct.pack("!bh", fmt, ncols) + struct.pack("!h", fmt) * ncols

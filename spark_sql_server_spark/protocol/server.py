@@ -115,6 +115,7 @@ class SessionState:
     in_error: bool = False  # extended-protocol error: skip until Sync
     last_activity: float = 0.0
     writer: Any = None
+    reader: Any = None  # for COPY FROM STDIN sub-protocol reads
     #: SQL-level cursors (DECLARE/FETCH/CLOSE) — name → Portal
     cursors: dict[str, Portal] = field(default_factory=dict)
     #: fair-scheduler pool (SET spark.sql.server.pool) — applied in the
@@ -322,6 +323,7 @@ class SparkPGServer:
 
         state.last_activity = time.monotonic()
         state.writer = writer
+        state.reader = reader
         self._sessions[pid] = state
 
         out = bytearray()
@@ -442,6 +444,9 @@ class SparkPGServer:
             return
         if stmt.cls is StatementClass.COPY_OUT:
             await self._copy_out(state, stmt, writer)
+            return
+        if stmt.cls is StatementClass.COPY_IN:
+            await self._copy_in(state, stmt, writer)
             return
         if stmt.cls is StatementClass.DECLARE_CURSOR:
             df = await self._spark_sql(state, rewrite_sql(stmt.copy_query))
@@ -715,6 +720,105 @@ class SparkPGServer:
         if state.incremental_collect is not None:
             return state.incremental_collect
         return self.incremental_collect
+
+    async def _copy_in(self, state, stmt, writer) -> None:
+        """COPY table [(cols)] FROM STDIN [WITH (FORMAT CSV [, HEADER])].
+
+        Ingest extension (the reference rejects all COPY): stream
+        CopyData until CopyDone, parse text/CSV rows, cast to the target
+        table's column types and append via insertInto. The payload is
+        buffered before parsing — chunked ingestion is a noted future
+        step; the write itself is a normal distributed insert.
+        """
+        import csv as csv_mod
+        import io
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        table = stmt.cursor_name
+        target = await asyncio.to_thread(state.session.table, table)
+        cols = (
+            [c.strip().strip('"') for c in stmt.copy_query.split(",")]
+            if stmt.copy_query
+            else list(target.columns)
+        )
+        writer.write(M.copy_in_response(len(cols)))
+        await writer.drain()
+
+        reader = state.reader
+        buf = bytearray()
+        failed = False
+        while True:
+            hdr = await reader.readexactly(5)
+            tag = hdr[:1]
+            (length,) = struct.unpack("!i", hdr[1:5])
+            body = await reader.readexactly(length - 4) if length > 4 else b""
+            if tag == b"d":
+                buf += body
+            elif tag == b"c":
+                break
+            elif tag == b"f":
+                failed = True
+                break
+            # 'H'/'S' flushes during COPY are ignored
+        if failed:
+            raise ValueError("COPY FROM STDIN aborted by client (CopyFail)")
+
+        text = buf.decode("utf-8")
+        rows: list[list] = []
+        if stmt.copy_format == "csv":
+            parsed = list(csv_mod.reader(io.StringIO(text)))
+            if stmt.copy_header and parsed:
+                parsed = parsed[1:]
+            for rec in parsed:
+                if not rec:
+                    continue
+                rows.append([None if v == "" else v for v in rec])
+        else:
+            for line in text.split("\n"):
+                if not line or line == "\\.":
+                    continue
+                rec = []
+                for v in line.split("\t"):
+                    if v == "\\N":
+                        rec.append(None)
+                    else:
+                        rec.append(
+                            v.replace("\\t", "\t").replace("\\n", "\n")
+                            .replace("\\r", "\r").replace("\\\\", "\\")
+                        )
+                rows.append(rec)
+
+        n = len(rows)
+        if n:
+            str_schema = T.StructType(
+                [T.StructField(c, T.StringType()) for c in cols]
+            )
+            target_types = {f.name: f.dataType for f in target.schema.fields}
+
+            def ingest():
+                sdf = state.session.createDataFrame(rows, schema=str_schema)
+                casted = sdf.select(
+                    *[F.col(c).cast(target_types[c]).alias(c) for c in cols]
+                )
+                # align to the full table schema; unlisted columns → NULL
+                full = casted.select(
+                    *[
+                        F.col(c) if c in cols
+                        else F.lit(None).cast(target_types[c]).alias(c)
+                        for c in target.columns
+                    ]
+                )
+                sc = state.session.sparkContext
+                sc.setJobGroup(state.job_group, stmt.sql[:200], interruptOnCancel=True)
+                sc.setLocalProperty("spark.scheduler.pool", state.scheduler_pool)
+                full.write.insertInto(table)
+
+            await asyncio.to_thread(ingest)
+        self.metrics.rows_sent += 0  # ingest: rows flow inward
+        writer.write(M.command_complete(f"COPY {n}"))
+        await writer.drain()
 
     async def _spark_sql(self, state, sql: str, args: dict | None = None) -> DataFrame:
         """Run spark.sql in a worker thread with this session's job group

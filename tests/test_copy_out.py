@@ -11,7 +11,7 @@ from spark_sql_server_spark.dialect.commands import StatementClass, classify_sta
 from spark_sql_server_spark.protocol.server import SparkPGServer
 from spark_sql_server_spark.session import register_tables
 from tests.conftest import SF_SMOKE
-from tests.test_protocol_e2e import PgClient, _q
+from tests.test_protocol_e2e import PgClient, _q, completes_of, rows_of
 
 
 class TestClassify:
@@ -28,9 +28,17 @@ class TestClassify:
         assert st.copy_format == "csv"
         assert st.copy_header
 
-    def test_copy_from_not_matched(self):
-        st = classify_statement("COPY t FROM STDIN")
-        assert st.cls is StatementClass.QUERY  # falls through → Spark errors
+    def test_copy_from_stdin(self):
+        st = classify_statement("COPY t (a, b) FROM STDIN WITH (FORMAT CSV, HEADER)")
+        assert st.cls is StatementClass.COPY_IN
+        assert st.cursor_name == "t"
+        assert st.copy_query == "a, b"
+        assert st.copy_format == "csv" and st.copy_header
+
+    def test_copy_from_file_not_matched(self):
+        # only STDIN is supported; file paths fall through → Spark errors
+        st = classify_statement("COPY t FROM '/tmp/file.csv'")
+        assert st.cls is StatementClass.QUERY
 
 
 @pytest.fixture(scope="module")
@@ -109,6 +117,81 @@ class TestCopyOut:
         text, csv = loop.run_until_complete(go())
         assert copy_payload(text).decode() == "\\N\t1\n"
         assert copy_payload(csv).decode() == ",1\n"
+
+    def test_copy_in_roundtrip(self, server, spark, tmp_path):
+        """COPY FROM STDIN ingests rows into a real table; read back
+        over the same connection."""
+        import struct as _s
+
+        srv, loop = server
+        spark.sql("DROP TABLE IF EXISTS copy_target")
+        spark.sql(
+            f"""CREATE TABLE copy_target (k INT, name STRING, price DOUBLE)
+                USING parquet LOCATION '{tmp_path}/copy_target'"""
+        )
+
+        def _m(tag, body=b""):
+            return tag + _s.pack("!i", len(body) + 4) + body
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            await c.send(_q("COPY copy_target FROM STDIN WITH (FORMAT CSV)"))
+            # server answers CopyInResponse 'G'
+            hdr = await c.reader.readexactly(5)
+            (ln,) = _s.unpack("!i", hdr[1:])
+            await c.reader.readexactly(ln - 4)
+            assert hdr[:1] == b"G"
+            await c.send(
+                _m(b"d", b"1,alpha,1.5\n2,beta,2.5\n"),
+                _m(b"d", b"3,,\n"),  # empty CSV fields → NULL
+                _m(b"c"),
+            )
+            msgs = await c.until_ready()
+            rows = await c.simple(
+                "SELECT k, name, price FROM copy_target ORDER BY k"
+            )
+            await c.close()
+            return msgs, rows
+
+        msgs, rows = loop.run_until_complete(go())
+        assert completes_of(msgs) == ["COPY 3"]
+        got = rows_of(rows)
+        assert got == [
+            [b"1", b"alpha", b"1.5"],
+            [b"2", b"beta", b"2.5"],
+            [b"3", None, None],
+        ]
+        spark.sql("DROP TABLE copy_target")
+
+    def test_copy_in_text_format(self, server, spark, tmp_path):
+        import struct as _s
+
+        srv, loop = server
+        spark.sql("DROP TABLE IF EXISTS copy_target2")
+        spark.sql(
+            f"""CREATE TABLE copy_target2 (k INT, v STRING)
+                USING parquet LOCATION '{tmp_path}/copy_target2'"""
+        )
+
+        def _m(tag, body=b""):
+            return tag + _s.pack("!i", len(body) + 4) + body
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            await c.send(_q("COPY copy_target2 FROM STDIN"))
+            hdr = await c.reader.readexactly(5)
+            (ln,) = _s.unpack("!i", hdr[1:])
+            await c.reader.readexactly(ln - 4)
+            await c.send(_m(b"d", b"1\tab\\tcd\n2\t\\N\n"), _m(b"c"))
+            msgs = await c.until_ready()
+            rows = await c.simple("SELECT k, v FROM copy_target2 ORDER BY k")
+            await c.close()
+            return msgs, rows
+
+        msgs, rows = loop.run_until_complete(go())
+        assert completes_of(msgs) == ["COPY 2"]
+        assert rows_of(rows) == [[b"1", b"ab\tcd"], [b"2", None]]
+        spark.sql("DROP TABLE copy_target2")
 
     def test_escaping(self, server):
         srv, loop = server

@@ -326,10 +326,16 @@ class SparkPGServer:
         state.reader = reader
         self._sessions[pid] = state
 
+        try:
+            # reference conf: spark.sql.server.version (psql tailors its
+            # metadata SQL to this)
+            server_version = self.spark.conf.get("spark.sql.server.version", "9.6.0")
+        except Exception:
+            server_version = "9.6.0"
         out = bytearray()
         out += M.authentication_ok()
         for k, v in (
-            ("server_version", "9.6.0"),
+            ("server_version", server_version),
             ("server_encoding", "UTF8"),
             ("client_encoding", "UTF8"),
             ("application_name", startup.params.get("application_name", "")),

@@ -154,6 +154,22 @@ CORPUS: list[tuple[str, str | None]] = [
         "FROM (SELECT r_name FROM region ORDER BY r_name) t",
         "SELECT string_agg(r_name, '|' ORDER BY r_name) AS all_regions FROM region",
     ),
+    # tuple-IN subquery (DuckDB 1.0 lacks tuple-IN → EXISTS oracle)
+    (
+        "SELECT l_orderkey, l_linenumber FROM lineitem WHERE "
+        "(l_orderkey, l_linenumber) IN (SELECT o_orderkey, 1 FROM orders "
+        "WHERE o_orderkey < 5) ORDER BY l_orderkey",
+        "SELECT l_orderkey, l_linenumber FROM lineitem l WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey AND "
+        "o_orderkey < 5 AND l.l_linenumber = 1) ORDER BY l_orderkey",
+    ),
+    # DISTINCT ON over the wire
+    (
+        "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey FROM orders "
+        "WHERE o_custkey < 5 ORDER BY o_custkey, o_totalprice DESC, o_orderkey",
+        "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey FROM orders "
+        "WHERE o_custkey < 5 ORDER BY o_custkey, o_totalprice DESC, o_orderkey",
+    ),
 ]
 
 

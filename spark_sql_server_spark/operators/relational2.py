@@ -226,6 +226,40 @@ def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_BITWISE_SQL)
 
 
+_CORR_SQL = """
+    SELECT l_returnflag,
+           ROUND(
+             (n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6
+           ) AS corr_qty_price
+    FROM (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    ) m
+    ORDER BY l_returnflag
+"""
+
+
+@query(
+    "q_corr",
+    oracle=_CORR_SQL,
+    covers="§2.B correlation / covariance family via exact moment sums",
+)
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from decimal-exact moment sums — the
+    engine-reproducible spelling of corr() (native corr's float
+    accumulation order is engine-specific). One aggregation pass;
+    moments are associative so partial aggregation holds at any scale."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_CORR_SQL)
+
+
 _DISTINCT_ON_PG = """
     SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
     FROM orders

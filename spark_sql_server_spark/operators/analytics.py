@@ -12,7 +12,8 @@ from spark_sql_server_spark.session import register_tables
 # deterministic hash split: md5 prefix buckets — stable across runs,
 # engines, and data order; the standard way to carve train/val/test
 _HASH_SPLIT_SQL = """
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM (
       SELECT doc_id, n_chars,
              CASE

@@ -185,7 +185,7 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m_media_meta",
     oracle="""
     SELECT 'image' AS media_type, COUNT(*) AS n_blobs,
-           SUM(CAST(length(text) AS BIGINT)) AS total_bytes,
+           CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_bytes,
            CAST(MIN(length(text)) AS BIGINT) AS min_bytes,
            CAST(MAX(length(text)) AS BIGINT) AS max_bytes
     FROM documents

@@ -65,10 +65,12 @@ def _to_jsonable(v):
 
 
 def _pg_array_text(v) -> str:
-    """JSON-render then swap [] for {} — the reference's array text form
-    (converters.scala:370-388)."""
+    """JSON-render then swap the outermost [] for {} — the reference's
+    array text form (converters.scala:370-388 uses ``\\[(.*)\\]``, i.e.
+    only the first '[' and last ']'; a global replace would corrupt
+    string elements containing brackets)."""
     s = json.dumps(_to_jsonable(list(v)), default=_json_default, separators=(",", ","))
-    return s.replace("[", "{").replace("]", "}")
+    return "{" + s[1:-1] + "}"
 
 
 def _float_text(v: float) -> str:

@@ -55,9 +55,92 @@ log = logging.getLogger(__name__)
 _COMMAND_KEYWORDS = {
     "CREATE", "DROP", "ALTER", "INSERT", "TRUNCATE", "USE", "CACHE",
     "UNCACHE", "CLEAR", "ANALYZE", "MSCK", "REFRESH", "ADD", "LOAD",
+    # side-effecting DML: spark.sql() executes these eagerly, so Parse
+    # must defer analysis to Execute or a Parse+Describe with no Execute
+    # would already mutate data on a v2/Delta catalog
+    "DELETE", "UPDATE", "MERGE",
 }
 
 FETCH_BATCH = 4096  # rows pulled+encoded per executor hop (one write each)
+
+# PG COPY text-format escapes (COPY TO writes these; COPY FROM decodes)
+_COPY_ESCAPES = {
+    "\\": "\\", "t": "\t", "n": "\n", "r": "\r",
+    "b": "\b", "f": "\f", "v": "\v",
+}
+
+
+def _copy_unescape(v: str) -> str:
+    """Single left-to-right pass — chained str.replace corrupts input
+    like ``\\\\t`` (escaped backslash + literal t)."""
+    if "\\" not in v:
+        return v
+    out = []
+    i, n = 0, len(v)
+    while i < n:
+        c = v[i]
+        if c == "\\" and i + 1 < n:
+            out.append(_COPY_ESCAPES.get(v[i + 1], v[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _csv_copy_rows(text: str) -> list[list]:
+    """Parse a PG CSV COPY payload: ',' delimiter, '\"' quote doubled to
+    escape. Unlike csv.reader, keeps quoting info so an unquoted empty
+    field decodes to NULL while a quoted empty string stays ''."""
+    rows: list[list] = []
+    rec: list = []
+    buf: list[str] = []
+    in_quotes = False
+    was_quoted = False
+    started = False
+
+    def end_field():
+        nonlocal was_quoted
+        v = "".join(buf)
+        rec.append(v if (v or was_quoted) else None)
+        buf.clear()
+        was_quoted = False
+
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if in_quotes:
+            if c == '"':
+                if i + 1 < n and text[i + 1] == '"':
+                    buf.append('"')
+                    i += 1
+                else:
+                    in_quotes = False
+            else:
+                buf.append(c)
+        elif c == '"':
+            in_quotes = True
+            was_quoted = True
+            started = True
+        elif c == ",":
+            end_field()
+            started = True
+        elif c in ("\n", "\r"):
+            if c == "\r" and i + 1 < n and text[i + 1] == "\n":
+                i += 1
+            if started or rec:
+                end_field()
+                rows.append(list(rec))
+                rec.clear()
+            started = False
+        else:
+            buf.append(c)
+            started = True
+        i += 1
+    if started or rec:
+        end_field()
+        rows.append(list(rec))
+    return rows
 
 
 @dataclass
@@ -736,9 +819,6 @@ class SparkPGServer:
         buffered before parsing — chunked ingestion is a noted future
         step; the write itself is a normal distributed insert.
         """
-        import csv as csv_mod
-        import io
-
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -774,27 +854,20 @@ class SparkPGServer:
         text = buf.decode("utf-8")
         rows: list[list] = []
         if stmt.copy_format == "csv":
-            parsed = list(csv_mod.reader(io.StringIO(text)))
+            parsed = _csv_copy_rows(text)
             if stmt.copy_header and parsed:
                 parsed = parsed[1:]
-            for rec in parsed:
-                if not rec:
-                    continue
-                rows.append([None if v == "" else v for v in rec])
+            rows = [r for r in parsed if r != ["\\."]]
         else:
             for line in text.split("\n"):
                 if not line or line == "\\.":
                     continue
-                rec = []
-                for v in line.split("\t"):
-                    if v == "\\N":
-                        rec.append(None)
-                    else:
-                        rec.append(
-                            v.replace("\\t", "\t").replace("\\n", "\n")
-                            .replace("\\r", "\r").replace("\\\\", "\\")
-                        )
-                rows.append(rec)
+                rows.append(
+                    [
+                        None if v == "\\N" else _copy_unescape(v)
+                        for v in line.split("\t")
+                    ]
+                )
 
         n = len(rows)
         if n:

@@ -206,3 +206,33 @@ class TestCopyOut:
 
         msgs = loop.run_until_complete(go())
         assert copy_payload(msgs).decode() == 'a\tb,"x,""y"""\n'
+
+
+class TestCopyInParsing:
+    """Unit tests for the COPY FROM STDIN payload decoders."""
+
+    def test_unescape_single_pass(self):
+        from spark_sql_server_spark.protocol.server import _copy_unescape
+
+        # '\\t' (escaped backslash + literal t) must decode to '\' + 't',
+        # not backslash+TAB — the chained-replace bug
+        assert _copy_unescape("\\\\t") == "\\t"
+        assert _copy_unescape("\\t") == "\t"
+        assert _copy_unescape("a\\nb") == "a\nb"
+        assert _copy_unescape("\\\\n") == "\\n"
+        assert _copy_unescape("\\\\\\\\") == "\\\\"
+        assert _copy_unescape("plain") == "plain"
+        assert _copy_unescape("\\b\\f\\v\\r") == "\b\f\v\r"
+
+    def test_csv_quoted_empty_vs_null(self):
+        from spark_sql_server_spark.protocol.server import _csv_copy_rows
+
+        # unquoted empty field → NULL; quoted empty string → ''
+        assert _csv_copy_rows('1,,""\n') == [["1", None, ""]]
+        assert _csv_copy_rows('a,"b,c",d\n') == [["a", "b,c", "d"]]
+        assert _csv_copy_rows('"he said ""hi""",2\n') == [['he said "hi"', "2"]]
+        assert _csv_copy_rows('"multi\nline",x\n') == [["multi\nline", "x"]]
+        assert _csv_copy_rows("1,2\r\n3,4\r\n") == [["1", "2"], ["3", "4"]]
+        assert _csv_copy_rows("") == []
+        assert _csv_copy_rows("\n") == []
+        assert _csv_copy_rows("a,b") == [["a", "b"]]  # no trailing newline

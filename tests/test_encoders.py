@@ -57,6 +57,12 @@ class TestTextEncoders:
         enc = text_encoder(T.ArrayType(T.StringType()))
         assert enc(["a", "b"]) == '{"a","b"}'
 
+    def test_array_string_with_brackets(self):
+        # only the outermost [] are swapped (reference regex \[(.*)\]);
+        # brackets inside string elements must survive
+        enc = text_encoder(T.ArrayType(T.StringType()))
+        assert enc(["a[1]", "b]c["]) == '{"a[1]","b]c["}'
+
     def test_map_json(self):
         enc = text_encoder(T.MapType(T.StringType(), T.IntegerType()))
         assert enc({"k": 1}) == '{"k":1}'

@@ -65,6 +65,31 @@ def test_oracle_parity(spark, duck, name):
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
 
+    # Mirror the driver's pandas rendering: DuckDB HUGEINT (e.g. SUM of
+    # INTEGER) becomes float64 in .df(), so a Spark BIGINT vs oracle
+    # HUGEINT hashes 112616 vs 112616.0 and fails the driver gate even
+    # though fetchall() returns equal ints. Catch that class here.
+    # (A nullable BIGINT with NULLs also renders float64, but then the
+    # Spark side renders float64 too — symmetric, hence benign; only
+    # flag all-int columns with no NULLs, where HUGEINT is the cause.)
+    duck_df = duck.execute(spec.oracle).df()
+    for col in duck_df.columns:
+        if str(duck_df[col].dtype).startswith("float"):
+            idx = duck_cols.index(col)
+            cells = [r[idx] for r in duck_rows]
+            int_vals = [
+                v
+                for v in cells
+                if isinstance(v, int) and not isinstance(v, bool)
+            ]
+            if any(v is None for v in cells) or len(int_vals) != len(cells):
+                continue
+            assert not int_vals, (
+                f"{name}: oracle column {col!r} renders as float64 in pandas "
+                f"but yields Python ints (DuckDB HUGEINT?) — CAST it to "
+                f"BIGINT in the oracle SQL or the driver hash will mismatch"
+            )
+
     assert sorted(c.lower() for c in spark_cols) == sorted(
         c.lower() for c in duck_cols
     ), f"{name}: column names differ: spark={spark_cols} duck={duck_cols}"

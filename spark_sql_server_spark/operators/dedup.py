@@ -103,6 +103,12 @@ def word_ngrams(words: Column, n: int) -> Column:
 
 _JACCARD_THRESHOLD = 0.5
 _NGRAM_N = 3
+#: Candidate pairs must share a gram appearing in at most this fraction
+#: of documents. A ubiquitous shingle ("of the and") would otherwise
+#: make its posting list O(corpus) and the self-join on it quadratic;
+#: a gram in >10% of all docs carries no near-dup signal. The reported
+#: Jaccard stays exact — full gram sets are intersected per candidate.
+_GRAM_DF_FRACTION = 0.1
 
 _NGRAM_JACCARD_ORACLE = f"""
     WITH shingled AS (
@@ -113,12 +119,25 @@ _NGRAM_JACCARD_ORACLE = f"""
              ]) AS grams
       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
       WHERE len(words) >= {_NGRAM_N}
+    ),
+    postings AS (SELECT doc_id, unnest(grams) AS gram FROM shingled),
+    rare AS (
+      SELECT gram FROM postings GROUP BY gram
+      HAVING COUNT(*) <= (SELECT {_GRAM_DF_FRACTION} * COUNT(*) FROM documents)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM postings a
+      JOIN rare r ON a.gram = r.gram
+      JOIN postings b ON a.gram = b.gram AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    SELECT c.doc_a, c.doc_b,
            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
              / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
              AS jaccard
-    FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    FROM cand c
+    JOIN shingled a ON a.doc_id = c.doc_a
+    JOIN shingled b ON b.doc_id = c.doc_b
     WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
           >= {_JACCARD_THRESHOLD}
@@ -126,52 +145,87 @@ _NGRAM_JACCARD_ORACLE = f"""
 """
 
 
+def _ngram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs: inverted-index self-join restricted to
+    rare grams (document frequency ≤ _GRAM_DF_FRACTION of the corpus).
+    Returns (doc_a, doc_b) distinct pairs — exposed for the planted-
+    stop-shingle fan-out test."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    shingled = docs.select(
+        "doc_id", F.array_distinct(word_ngrams(words, _NGRAM_N)).alias("grams")
+    ).filter(F.size(words) >= _NGRAM_N)
+    postings = shingled.select("doc_id", F.explode("grams").alias("gram"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    rare = (
+        postings.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.lit(_GRAM_DF_FRACTION) * F.col("n_docs"))
+        .select("gram")
+    )
+    # persist the capped postings: the self-join would otherwise rebuild
+    # the gram explode + df-join for both sides (the dominant cost)
+    rare_postings = postings.join(rare, "gram").persist()
+    a = rare_postings.alias("a")
+    b = rare_postings.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 @query(
     "d_ngram_jaccard",
     oracle=_NGRAM_JACCARD_ORACLE,
-    covers="north-star dedup: n-gram Jaccard near-dup pairs (exact)",
+    covers="north-star dedup: n-gram Jaccard near-dup pairs (exact, df-capped candidates)",
 )
 def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard over candidate pairs.
+    """Exact word-3-gram Jaccard over df-capped candidate pairs.
 
-    The pair generator here is an *inverted-index join on shared
-    shingles* (explode → self-join on gram → distinct pairs), not a
-    cross join: at 100 TB a cross join is impossible, while the
-    gram-join only touches pairs that share at least one shingle.
-    Jaccard is then computed once per surviving pair from exact distinct
-    gram counts.
+    The pair generator is an *inverted-index join on shared rare
+    shingles* (explode → df-cap → self-join on gram → distinct pairs),
+    not a cross join: at 100 TB a cross join is impossible, and the
+    df-cap bounds every posting list so no stop-shingle can turn the
+    self-join quadratic. Jaccard is then computed exactly per surviving
+    pair by intersecting the full distinct-gram sets (the cap only
+    gates candidacy, never the reported value); the oracle applies the
+    identical candidate rule.
     """
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    shingled = (
-        docs.select(
-            "doc_id", F.array_distinct(word_ngrams(words, _NGRAM_N)).alias("grams")
+    shingled = docs.select(
+        "doc_id", F.array_distinct(word_ngrams(words, _NGRAM_N)).alias("grams")
+    ).filter(F.size(words) >= _NGRAM_N)
+    cand = _ngram_candidates(spark, sf_dir)
+    ga = shingled.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    # intersection size in its own projection: `inter` feeds the jaccard
+    # numerator AND denominator, and array_intersect is not cheap — the
+    # multi-reference keeps CollapseProject from inlining it twice
+    counted = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("ga"), F.col("gb"))).alias("inter"),
+            F.size("ga").alias("na"),
+            F.size("gb").alias("nb"),
         )
-        .filter(F.size(words) >= _NGRAM_N)
     )
-    # persist the exploded postings: the self-join would otherwise
-    # recompute the gram-building (the dominant cost) for both sides
-    grams = shingled.select(
-        "doc_id", F.explode("grams").alias("gram"), F.size("grams").alias("n_grams")
-    ).persist()
-    a = grams.alias("a")
-    b = grams.alias("b")
-    pair_overlap = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_grams").alias("na"),
-            F.col("b.n_grams").alias("nb"),
-        )
-        .agg(F.count("*").alias("inter"))
-    )
-    jac = (
-        F.col("inter").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
-    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
     return (
-        pair_overlap.select("doc_a", "doc_b", jac.alias("jaccard"))
+        counted.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )

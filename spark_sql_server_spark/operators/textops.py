@@ -214,8 +214,14 @@ _TFIDF_SQL = """
       FROM (SELECT doc_id, explode(split(text, ' ')) AS word FROM documents)
       GROUP BY doc_id, word
     ),
-    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (
+      SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+      -- df-cap: a word in more than half the corpus is a stopword with
+      -- IDF ~0; dropping it before the word-key join bounds the posting
+      -- list so no ubiquitous term can create a quadratic hot bucket
+      HAVING COUNT(*) <= (SELECT 0.5 * n_docs FROM n)
+    ),
     scored AS (
       SELECT tf.doc_id, tf.word,
              ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
@@ -249,9 +255,10 @@ def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two hash aggregations (doc×word, then word) and one join on
     the word key; document counts broadcast as a 1-row cross join. The
-    word-key join is the skew risk (stopwords) — at real scale, add a
-    frequency cutoff or salt the hottest terms; ln() output is rounded
-    to 6dp so ranking is reproducible across engines.
+    word-key join's skew risk (stopwords) is closed by the df-cap in
+    the shared SQL — words in >50% of documents never enter the join;
+    ln() output is rounded to 6dp so ranking is reproducible across
+    engines.
     """
     register_tables(spark, sf_dir)
     return spark.sql(_TFIDF_SQL)

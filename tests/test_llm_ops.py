@@ -291,3 +291,45 @@ class TestEmbeddingNeardupBucketed:
         plan = executed_plan(REGISTRY["d_embedding_neardup"].fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestGramDfCap:
+    """A ubiquitous shingle must not explode the inverted-index
+    self-join (VERDICT r1 #5): candidate fan-out stays bounded by the
+    df-cap while genuine near-dup pairs (which share rare grams) keep
+    full recall."""
+
+    @pytest.fixture()
+    def planted_dir(self, spark, tmp_path):
+        stop = "of the and"  # one shingle shared by EVERY doc
+        rows = []
+        for i in range(100):
+            body = f"unique{i}a unique{i}b unique{i}c unique{i}d"
+            rows.append((i, f"{body} {stop}", "t", "en", 1))
+        # docs 200/201: genuine near-dups (share many rare grams)
+        dup = "alpha beta gamma delta epsilon zeta eta theta"
+        rows.append((200, f"{dup} one", "t", "en", 1))
+        rows.append((201, f"{dup} two", "t", "en", 1))
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, lang string, n_chars int"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_fanout_bounded_and_neardups_found(self, spark, planted_dir):
+        from spark_sql_server_spark.operators.dedup import _ngram_candidates
+
+        cand = _ngram_candidates(spark, planted_dir).collect()
+        # without the cap the stop shingle alone yields 100*99/2 ≈ 5k
+        # candidate pairs; with it only rare-gram pairs survive
+        assert len(cand) < 50
+        assert (200, 201) in {(r.doc_a, r.doc_b) for r in cand}
+
+    def test_neardup_pair_reported_exactly(self, spark, planted_dir):
+        got = [tuple(r) for r in REGISTRY["d_ngram_jaccard"].fn(spark, planted_dir).collect()]
+        assert any(a == 200 and b == 201 for a, b, _ in got)
+        # jaccard must be the exact full-set value, unaffected by the cap
+        jac = next(j for a, b, j in got if (a, b) == (200, 201))
+        # 9 words → 7 trigrams each; 6 shared (the last trigram differs:
+        # "eta theta one" vs "eta theta two") → 6 / (7+7-6)
+        assert jac == pytest.approx(6 / 8)

@@ -5,10 +5,10 @@ n-gram Jaccard, embedding-cosine near-dup — each designed around
 shuffle-friendly primitives (hash-partitioned groupBy, band-bucket
 joins) that hold at 100 TB.
 
-Portability note: near-dup candidate generation uses a polynomial
-rolling hash over characters (``_poly_hash_col_from_expr``) instead of Spark's
-``xxhash64`` so the DuckDB oracle can reproduce the exact same hashes —
-both engines fold over the character array with int64 arithmetic.
+Portability note: near-dup fingerprints use a polynomial rolling hash
+over characters (``_np_word_hash_vocab``, `(acc*31 + codepoint) % 1e9+7`)
+instead of Spark's ``xxhash64`` so pure-Python/DuckDB mirrors can
+reproduce the exact same hashes with plain int64 arithmetic.
 """
 
 from __future__ import annotations
@@ -329,62 +329,82 @@ _NUM_PERM = 16
 _BANDS = 4  # rows per band = 4
 
 
-def _poly_hash_col_from_expr(g: Column) -> Column:
-    return F.aggregate(
-        F.split(g, ""),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % MOD,
-    )
+def _np_word_hash_vocab(words, np):
+    """Portable polynomial hash ``acc = (acc*31 + codepoint) % MOD`` for
+    a batch vocabulary, vectorized: pad each word's codepoints into one
+    matrix and fold column-wise — ~max_word_len vector ops per Arrow
+    batch, vs one interpreted per-char Catalyst fold per word in the r1
+    HOF version (the measured hot spot of the signature stage). Values
+    are bit-identical to the HOF/pure-Python/DuckDB mirrors."""
+    n = len(words)
+    if n == 0:
+        return {}
+    arrs = [
+        np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        for w in words
+    ]
+    lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=n)
+    maxlen = int(lens.max())
+    padded = np.zeros((n, maxlen), dtype=np.int64)
+    for i, a in enumerate(arrs):
+        padded[i, : a.size] = a
+    acc = np.zeros(n, dtype=np.int64)
+    for j in range(maxlen):
+        live = lens > j
+        acc[live] = (acc[live] * 31 + padded[live, j]) % MOD
+    return dict(zip(words, acc.tolist()))
 
 
-def _gram_hashes(df: DataFrame, n: int = _NGRAM_N) -> DataFrame:
-    """(doc_id, ghash: array<long>) — distinct word-n-gram hashes.
-
-    Cost discipline: each word is char-hashed exactly once (one
-    projection), then gram hashes combine n consecutive *word hashes*
-    with int64 arithmetic (second projection). Keeping the stages as
-    separate projections matters: CollapseProject would otherwise inline
-    the expensive word-hash expression once per reference and multiply
-    the work (observed 16× on the signature stage).
-    """
-    words = F.split(F.col("text"), " ")
-    s1 = df.select(
-        "doc_id",
-        F.transform(words, _poly_hash_col_from_expr).alias("whash"),
-    )
-    idx = F.sequence(F.lit(1), F.size("whash") - (n - 1))
-
-    def gram_at(i: Column) -> Column:
-        h = F.element_at("whash", i)
-        for k in range(1, n):
-            h = (h * 31 + F.element_at("whash", i + k)) % MOD
-        return h
-
-    return s1.filter(F.size("whash") >= n).select(
-        "doc_id", F.array_distinct(F.transform(idx, gram_at)).alias("ghash")
-    )
-
-
-def _minhash_signatures(ghashed: DataFrame) -> DataFrame:
-    """(doc_id, sig: array<long>) — _NUM_PERM permutation minima.
+def _minhash_signatures_pandas(docs: DataFrame, n: int = _NGRAM_N) -> DataFrame:
+    """(doc_id, sig: array<long>) — _NUM_PERM permutation minima over
+    distinct word-n-gram hashes, in one Arrow-batched numpy pass.
 
     h_i(g) = ((2i+1)·g + 7919·i) % MOD with fixed odd multipliers —
-    deterministic and engine-reproducible. One projection over the
-    pre-computed gram-hash column so the gram hashes are evaluated
-    once, not once per permutation.
+    deterministic and engine-reproducible. Map-only (no shuffle, no
+    driver): each batch hashes its word vocabulary once (vectorized),
+    combines n consecutive word hashes per gram with int64 arithmetic,
+    and takes the 16 permutation minima as one (perm × gram) matmul-
+    shaped broadcast. Docs shorter than n words are dropped, matching
+    the r1 expression pipeline.
     """
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("ghash"),
-                    lambda h, i=i: (F.lit(2 * i + 1) * h + F.lit(i * 7919)) % MOD,
-                )
-            )
-            for i in range(_NUM_PERM)
+    from pyspark.sql import types as T
+
+    num_perm = _NUM_PERM
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
         ]
     )
-    return ghashed.select("doc_id", sig.alias("sig"))
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        mult = (2 * np.arange(num_perm, dtype=np.int64) + 1)[:, None]
+        add = (7919 * np.arange(num_perm, dtype=np.int64))[:, None]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            doc_words = [t.split(" ") for t in pdf["text"]]
+            vocab = _np_word_hash_vocab(
+                list({w for ws in doc_words for w in ws}), np
+            )
+            ids, sigs = [], []
+            for doc_id, ws in zip(pdf["doc_id"], doc_words):
+                if len(ws) < n:
+                    continue
+                wh = np.fromiter((vocab[w] for w in ws), dtype=np.int64, count=len(ws))
+                g = wh[: len(ws) - n + 1].copy()
+                for k in range(1, n):
+                    g = (g * 31 + wh[k : len(ws) - n + 1 + k]) % MOD
+                g = np.unique(g)
+                sigs.append(((mult * g[None, :] + add) % MOD).min(axis=1).tolist())
+                ids.append(doc_id)
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return docs.select("doc_id", "text").mapInPandas(compute, schema=schema)
 
 
 @query(
@@ -398,7 +418,7 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs.
 
     Pipeline: shingle (3-word grams) → 16-permutation minhash signature
-    (pure expression, no UDF) → 4 bands × 4 rows → explode to
+    (Arrow-batched numpy, map-only) → 4 bands × 4 rows → explode to
     (band, band_hash) buckets → self-join within buckets → distinct
     candidate pairs. Scale: the only shuffle is the bucket join, and
     bucket keys are uniformly distributed hashes; signature computation
@@ -406,7 +426,7 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4×4 targets Jaccard ≳ 0.5).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_signatures(_gram_hashes(docs))
+    sig = _minhash_signatures_pandas(docs)
     rows_per_band = _NUM_PERM // _BANDS
     bands = sig.select(
         "doc_id",
@@ -453,37 +473,55 @@ _SIMHASH_BITS = 32
     covers="north-star dedup: SimHash fingerprints",
 )
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document, as a pure column expression.
+    """32-bit SimHash per document via one Arrow-batched numpy pass.
 
     For each bit position, votes = Σ over distinct words of ±1 depending
-    on the word-hash bit; bit set iff votes > 0. Entirely map-side
-    (explode-free: a `transform` over bit indices then `aggregate` over
-    words), so it scales linearly with no shuffle.
+    on the word-hash bit; bit set iff votes > 0. Entirely map-side (no
+    shuffle, no driver), so it scales linearly; the r1 version computed
+    the same values as 32 interpreted Catalyst folds per row — the
+    batched bit matrix ``(H[:,None] >> bits) & 1`` does all 32 votes in
+    two vector ops per document. Values are pinned bit-exact by the
+    pure-Python mirror in tests/test_llm_ops.py.
     """
+    from pyspark.sql import types as T
+
     docs = load_table(spark, sf_dir, "documents")
-    words = F.array_distinct(F.split(F.col("text"), " "))
-    # word hashes in their own projection: each word char-hashed once,
-    # then referenced (cheaply, as a column) by all 32 bit votes
-    hashed = docs.select(
-        "doc_id", F.transform(words, _poly_hash_col_from_expr).alias("whash")
+    nbits = _SIMHASH_BITS
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("simhash", T.LongType()),
+        ]
     )
 
-    def bit_vote(bit: int) -> Column:
-        return F.aggregate(
-            F.col("whash"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
 
-    simhash = sum(
-        (
-            F.when(bit_vote(bit) > 0, F.lit(2**bit).cast("long")).otherwise(F.lit(0).cast("long"))
-            for bit in range(_SIMHASH_BITS)
-        ),
-        F.lit(0).cast("long"),
+        bit_idx = np.arange(nbits, dtype=np.int64)
+        bit_weights = (np.int64(1) << bit_idx)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            doc_words = [list(dict.fromkeys(t.split(" "))) for t in pdf["text"]]
+            vocab = _np_word_hash_vocab(
+                list({w for ws in doc_words for w in ws}), np
+            )
+            out = np.empty(len(doc_words), dtype=np.int64)
+            for i, ws in enumerate(doc_words):
+                hashes = np.fromiter(
+                    (vocab[w] for w in ws), dtype=np.int64, count=len(ws)
+                )
+                ones = ((hashes[:, None] >> bit_idx) & 1).sum(axis=0)
+                votes = 2 * ones - len(ws)
+                out[i] = bit_weights[votes > 0].sum()
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(compute, schema=schema)
+        .orderBy("doc_id")
     )
-    return hashed.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
 
 
 _SIMHASH_BANDS = 4

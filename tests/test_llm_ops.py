@@ -22,6 +22,47 @@ def _poly_hash(s: str) -> int:
 
 
 class TestMinHashLSH:
+    def test_signatures_match_pure_python_reference(self, spark):
+        """Pin the exact signature values: the r1 Catalyst-HOF version
+        was silently degenerate (a two-arg transform lambda received the
+        array *index* as the permutation id, collapsing all 16 perms to
+        one), so recall tests alone are not enough — every perm must
+        match an independent pure-Python minhash."""
+        from spark_sql_server_spark.operators.dedup import (
+            _NGRAM_N,
+            _NUM_PERM,
+            _minhash_signatures_pandas,
+        )
+        from spark_sql_server_spark.session import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        rows = _minhash_signatures_pandas(docs).orderBy("doc_id").limit(20).collect()
+        import duckdb
+
+        texts = dict(
+            duckdb.connect()
+            .execute(
+                f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet' "
+                "ORDER BY doc_id LIMIT 20"
+            )
+            .fetchall()
+        )
+        for r in rows:
+            words = texts[r.doc_id].split(" ")
+            wh = [_poly_hash(w) for w in words]
+            grams = set()
+            for i in range(len(wh) - _NGRAM_N + 1):
+                g = wh[i]
+                for k in range(1, _NGRAM_N):
+                    g = (g * 31 + wh[i + k]) % MOD
+                grams.add(g)
+            expect = [
+                min(((2 * p + 1) * g + 7919 * p) % MOD for g in grams)
+                for p in range(_NUM_PERM)
+            ]
+            assert list(r.sig) == expect, f"doc {r.doc_id}"
+            assert len(set(r.sig)) > 1, "degenerate signature (r1 bug shape)"
+
     def test_recall_vs_exact_jaccard(self, spark):
         """LSH candidates must cover (almost) all true near-dup pairs —
         the planted near-dups in the synthetic corpus have Jaccard ≥ 0.9,

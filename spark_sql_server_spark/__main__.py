@@ -31,6 +31,12 @@ def main() -> None:
                    help="enable TLS with a generated self-signed certificate")
     p.add_argument("--ssl-cert", default=None)
     p.add_argument("--ssl-key", default=None)
+    p.add_argument("--execution-mode", default=None,
+                   choices=["multi-session", "single-session"],
+                   help="session isolation (reference spark.sql.server.executionMode)")
+    p.add_argument("--no-binary-transfer", action="store_true",
+                   help="force text format for all results "
+                        "(reference spark.sql.server.binaryTransferMode=false)")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args()
 
@@ -52,6 +58,8 @@ def main() -> None:
         ssl_self_signed=args.ssl_self_signed,
         ssl_cert=args.ssl_cert,
         ssl_key=args.ssl_key,
+        execution_mode=args.execution_mode,
+        binary_transfer=False if args.no_binary_transfer else None,
     )
 
     async def run() -> None:

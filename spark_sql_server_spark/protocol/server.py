@@ -229,11 +229,30 @@ class SparkPGServer:
         ssl_self_signed: bool = False,
         auth: str = "trust",
         password_check=None,  # callback(user, password) -> bool
+        execution_mode: str | None = None,
+        binary_transfer: bool | None = None,
     ):
         self.spark = spark
         self.host = host
         self.port = port
         self.incremental_collect = incremental_collect
+        # reference confs (SQLServerConf.scala:69-72,165): constructor
+        # args win, else the shared session's conf, else the defaults
+        # (multi-session isolation, binary transfer allowed)
+        if execution_mode is None:
+            execution_mode = self._conf("spark.sql.server.executionMode", "multi-session")
+        if execution_mode not in ("multi-session", "single-session"):
+            raise ValueError(
+                f"unsupported executionMode {execution_mode!r} "
+                "(multi-session | single-session; the reference's multi-context "
+                "mode is Livy-based and disabled for Spark 3+ upstream)"
+            )
+        self.execution_mode = execution_mode
+        if binary_transfer is None:
+            binary_transfer = (
+                self._conf("spark.sql.server.binaryTransferMode", "true").lower() == "true"
+            )
+        self.binary_transfer = binary_transfer
         self.init_session = init_session  # callback(SparkSession) per connection
         self.pg_catalog = pg_catalog
         self.idle_session_timeout = idle_session_timeout
@@ -253,6 +272,12 @@ class SparkPGServer:
         self._sessions: dict[int, SessionState] = {}
         self._pid_counter = itertools.count(1)
         self._server: asyncio.AbstractServer | None = None
+
+    def _conf(self, key: str, default: str) -> str:
+        try:
+            return self.spark.conf.get(key, default)
+        except Exception:
+            return default
 
     # ------------------------------------------------------------------ #
     # lifecycle
@@ -380,7 +405,15 @@ class SparkPGServer:
         state = SessionState(
             pid=pid,
             secret=secrets.randbits(31),
-            session=self.spark.newSession(),
+            # single-session mode (reference SQLServerConf.scala:69-72):
+            # every connection shares one SparkSession, so temp views and
+            # SET confs are visible across clients; default multi-session
+            # isolates each connection via newSession()
+            session=(
+                self.spark
+                if self.execution_mode == "single-session"
+                else self.spark.newSession()
+            ),
             params=startup.params,
         )
         def _init(sess: SparkSession) -> None:
@@ -661,9 +694,13 @@ class SparkPGServer:
         fmts = result_formats or [0] * n
         if len(fmts) == 1:
             fmts = fmts * n
-        # downgrade binary to text for types with no binary form
+        # binaryTransferMode=false (reference SQLServerConf.scala:165)
+        # downgrades every column to text regardless of the Bind request;
+        # otherwise downgrade only types with no binary form
         fmts = [
-            f if f == 1 and isinstance(fld.dataType, BINARY_CAPABLE) else 0
+            f
+            if self.binary_transfer and f == 1 and isinstance(fld.dataType, BINARY_CAPABLE)
+            else 0
             for f, fld in zip(fmts, df.schema.fields)
         ]
         return RowSerializer(df.schema, fmts)
@@ -1067,6 +1104,10 @@ _SQLSTATE_MAP = (
     ("CAST_INVALID_INPUT", "22P02"),
     ("NUMERIC_VALUE_OUT_OF_RANGE", "22003"),
     ("Operation not allowed", "0A000"),
+    # Hive-backed DDL in a session built without Hive support (e.g.
+    # SPARK_GRAFT_NO_HIVE=1) → feature_not_supported, not internal error
+    ("NOT_SUPPORTED_COMMAND_WITHOUT_HIVE_SUPPORT", "0A000"),
+    ("Hive support is required", "0A000"),
 )
 
 

@@ -70,12 +70,24 @@ def build_session(
         # read as long and convert in load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        # per-process warehouse: the in-memory catalog dies with the
-        # process but table locations would not — a shared dir races
-        # across concurrent processes (tests vs server)
+        # per-process warehouse: the catalog dies with the process but
+        # table locations would not — a shared dir races across
+        # concurrent processes (tests vs server)
         .config("spark.sql.warehouse.dir", f"/tmp/spark-pg-warehouse-{os.getpid()}")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if os.environ.get("SPARK_GRAFT_NO_HIVE") != "1":
+        # Hive catalog unlocks the reference's Hive surface (SerDe
+        # tables, LOAD DATA [LOCAL] INPATH, CREATE FUNCTION ... USING
+        # JAR — PgJdbcSuite.scala:813-815,978-1101). The embedded Derby
+        # metastore is single-process; isolating it per pid keeps tests
+        # and a live server from locking each other out.
+        builder = builder.config(
+            "spark.sql.catalogImplementation", "hive"
+        ).config(
+            "spark.hadoop.javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName=/tmp/spark-pg-metastore-{os.getpid()};create=true",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,143 @@
+"""Server-level mode confs (reference SQLServerConf.scala parity):
+
+* ``spark.sql.server.executionMode=single-session`` — every client
+  shares one SparkSession, so temp views cross connections
+  (SQLServerConf.scala:69-72, SparkSQLServiceManager.scala:108-111).
+* ``spark.sql.server.binaryTransferMode=false`` — results are forced to
+  text format even when Bind asks for binary (SQLServerConf.scala:165).
+"""
+
+from __future__ import annotations
+
+import asyncio
+
+import pytest
+
+from spark_sql_server_spark.protocol.server import SparkPGServer
+from spark_sql_server_spark.session import register_tables
+from tests.conftest import SF_SMOKE
+from tests.test_protocol_e2e import (
+    PgClient,
+    _bind,
+    _execute,
+    _m,
+    _parse,
+    rows_of,
+    run,
+)
+
+
+def _mode_server(spark, **kwargs):
+    async def _run():
+        srv = SparkPGServer(
+            spark,
+            port=0,
+            init_session=lambda s: register_tables(s, SF_SMOKE),
+            **kwargs,
+        )
+        await srv.start()
+        return srv
+
+    loop = asyncio.new_event_loop()
+    srv = loop.run_until_complete(_run())
+    return srv, loop
+
+
+@pytest.fixture(scope="module")
+def single_session_server(spark):
+    srv, loop = _mode_server(spark, execution_mode="single-session")
+    yield srv, loop
+    loop.run_until_complete(srv.stop())
+    loop.close()
+
+
+@pytest.fixture(scope="module")
+def text_only_server(spark):
+    srv, loop = _mode_server(spark, binary_transfer=False)
+    yield srv, loop
+    loop.run_until_complete(srv.stop())
+    loop.close()
+
+
+class TestSingleSessionMode:
+    def test_temp_view_crosses_connections(self, single_session_server):
+        srv, loop = single_session_server
+
+        async def go():
+            a = await PgClient.connect(srv.port)
+            await a.simple(
+                "CREATE OR REPLACE TEMPORARY VIEW cross_conn_v AS SELECT 42 AS x"
+            )
+            b = await PgClient.connect(srv.port)
+            msgs = await b.simple("SELECT x FROM cross_conn_v")
+            await a.close()
+            await b.close()
+            return msgs
+
+        msgs = run(loop, go())
+        assert rows_of(msgs) == [[b"42"]]
+
+    def test_multi_session_still_isolates(self, spark):
+        srv, loop = _mode_server(spark)  # default execution mode
+        try:
+
+            async def go():
+                a = await PgClient.connect(srv.port)
+                await a.simple(
+                    "CREATE OR REPLACE TEMPORARY VIEW iso_conn_v AS SELECT 1 AS x"
+                )
+                b = await PgClient.connect(srv.port)
+                msgs = await b.simple("SELECT x FROM iso_conn_v")
+                await a.close()
+                await b.close()
+                return msgs
+
+            msgs = run(loop, go())
+            assert any(t == b"E" for t, _ in msgs), "view leaked across sessions"
+        finally:
+            loop.run_until_complete(srv.stop())
+            loop.close()
+
+    def test_rejects_unknown_mode(self, spark):
+        with pytest.raises(ValueError, match="executionMode"):
+            SparkPGServer(spark, port=0, execution_mode="multi-context")
+
+
+class TestBinaryTransferMode:
+    def _int4_row(self, srv, loop):
+        async def go():
+            c = await PgClient.connect(srv.port)
+            await c.send(
+                _parse("s1", "SELECT CAST(7 AS INT) AS x"),
+                _bind("", "s1", result_formats=[1]),  # client asks binary
+                _m(b"D", b"P\x00"),
+                _execute(""),
+                _m(b"S"),
+            )
+            msgs = await c.until_ready()
+            await c.close()
+            return msgs
+
+        msgs = run(loop, go())
+        desc = next(b for t, b in msgs if t == b"T")
+        datarow = next(b for t, b in msgs if t == b"D")
+        # last 2 bytes of the single field descriptor = format code
+        fmt = int.from_bytes(desc[-2:], "big")
+        field = datarow[6:]  # skip count + length
+        return fmt, field
+
+    def test_binary_honored_by_default(self, spark):
+        srv, loop = _mode_server(spark)
+        try:
+            fmt, field = self._int4_row(srv, loop)
+            assert fmt == 1
+            assert field == (7).to_bytes(4, "big")
+        finally:
+            loop.run_until_complete(srv.stop())
+            loop.close()
+
+    def test_text_forced_when_disabled(self, text_only_server):
+        srv, loop = text_only_server
+        fmt, field = self._int4_row(srv, loop)
+        assert fmt == 0
+        assert field == b"7"

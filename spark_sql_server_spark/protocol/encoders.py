@@ -206,18 +206,195 @@ class RowSerializer:
                 out.append(enc(v).encode("utf-8"))
         return out
 
+    # ------------------------------------------------------------------ #
+    # Arrow columnar fast path
+
+    @staticmethod
+    def _vec_supported(t) -> bool:
+        import pyarrow.types as pat
+
+        return (
+            pat.is_integer(t)
+            or pat.is_floating(t)
+            or pat.is_boolean(t)
+            or pat.is_string(t)
+            or pat.is_large_string(t)
+            or pat.is_timestamp(t)
+            or pat.is_date(t)
+        )
+
+    @staticmethod
+    def _fixed_width_cells(mat, valid):
+        """(N, W) uint8 matrix of fixed-width renderings + validity →
+        compacted pa.BinaryArray (null rows become empty cells)."""
+        import numpy as np
+        import pyarrow as pa
+
+        n, w = mat.shape
+        if valid.all():
+            data = np.ascontiguousarray(mat)
+            offsets = np.arange(0, w * (n + 1), w, dtype=np.int32)
+        else:
+            data = np.ascontiguousarray(mat[valid])
+            offsets = np.zeros(n + 1, np.int32)
+            offsets[1:] = np.cumsum(valid, dtype=np.int32) * w
+        return pa.Array.from_buffers(
+            pa.binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(data)]
+        )
+
+    @staticmethod
+    def _vec_text_cells(arr):
+        """One Arrow column → (cells: null-free pa.BinaryArray of utf-8
+        text payloads — empty where the value is NULL —, valid mask),
+        computed without per-value Python.
+
+        * ints/bools render via Arrow C kernels (cast / if_else) whose
+          output matches the per-value Python encoders exactly (pinned
+          by the iterator-vs-arrow equality test).
+        * timestamps/dates go through ``np.datetime_as_string`` into a
+          fixed-width byte matrix (measured ~5× faster than Arrow
+          strftime); format is identical to
+          ``isoformat(timespec="microseconds")``.
+        * floats must match Python ``repr`` (shortest round-trip — what
+          the iterator path emits; Arrow's own float→string cast differs
+          on integral values, -0.0 and exponent thresholds). repr runs
+          once per *distinct bit pattern* (unique on the int64 view
+          keeps -0.0/0.0 and NaN payloads apart), then one C-level take
+          expands to rows — TPC-H-shaped money/discount columns have few
+          distinct values; worst case degrades to one repr per row,
+          never worse than the scalar path.
+        """
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = arr.type
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        n = len(arr)
+        if pa.types.is_floating(t):
+            width = np.float32 if pa.types.is_float32(t) else np.float64
+            buf = np.frombuffer(arr.buffers()[1], dtype=width)[
+                arr.offset : arr.offset + n
+            ]
+            # widen exactly like Row/Arrow materialization does before
+            # the Python encoder sees the value
+            bits = np.ascontiguousarray(buf.astype(np.float64)).view(np.int64)
+            uniq, inv = np.unique(bits, return_inverse=True)
+            texts = [_float_text(v).encode() for v in uniq.view(np.float64)]
+            texts.append(b"")  # nulls take the empty cell
+            inv = np.where(valid, inv, len(texts) - 1)
+            cells = pc.take(pa.array(texts, pa.binary()), pa.array(inv))
+            return cells, valid
+        if pa.types.is_timestamp(t) and t.tz in (None, "UTC"):
+            ints = np.frombuffer(arr.buffers()[1], np.int64)[
+                arr.offset : arr.offset + n
+            ]
+            ints = np.where(valid, ints, 0)  # null slots: render epoch, drop later
+            vals = ints.view(f"datetime64[{t.unit}]").astype("datetime64[us]")
+            strs = np.datetime_as_string(vals, unit="us")
+            if strs.dtype == np.dtype("<U26"):  # years 1-9999 (always, for
+                # values the Python datetime iterator path could carry at all)
+                mat = strs.astype("S26").view(np.uint8).reshape(n, 26).copy()
+                mat[:, 10] = 0x20  # 'T' -> ' '
+                return RowSerializer._fixed_width_cells(mat, valid), valid
+        if pa.types.is_date(t):
+            width = np.int32 if pa.types.is_date32(t) else np.int64
+            ints = np.frombuffer(arr.buffers()[1], width)[arr.offset : arr.offset + n]
+            ints = np.where(valid, ints, 0)
+            unit = "D" if pa.types.is_date32(t) else "ms"
+            vals = ints.astype(f"datetime64[{unit}]").astype("datetime64[D]")
+            strs = np.datetime_as_string(vals, unit="D")
+            if strs.dtype == np.dtype("<U10"):
+                mat = strs.astype("S10").view(np.uint8).reshape(n, 10)
+                return RowSerializer._fixed_width_cells(mat, valid), valid
+            sarr = pc.fill_null(pc.strftime(arr, format="%Y-%m-%d"), "")
+            return pc.cast(sarr, pa.binary()), valid
+        if pa.types.is_timestamp(t):  # exotic tz (or pre-CE years above)
+            sarr = pc.strftime(arr, format="%Y-%m-%d %H:%M:%S")
+        elif pa.types.is_boolean(t):
+            sarr = pc.if_else(arr, pa.scalar("t"), pa.scalar("f"))
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            sarr = arr
+        else:  # integers
+            sarr = pc.cast(arr, pa.string())
+        if isinstance(sarr, pa.ChunkedArray):
+            sarr = sarr.combine_chunks()
+        if sarr.null_count:
+            sarr = pc.fill_null(sarr, "")
+        if pa.types.is_large_string(sarr.type):
+            sarr = pc.cast(sarr, pa.large_binary())
+        else:
+            sarr = pc.cast(sarr, pa.binary())
+        return sarr, valid
+
+    def _serialize_arrow_vectorized(self, cols) -> tuple[int, bytes]:
+        """Assemble every DataRow with one variadic
+        ``binary_join_element_wise`` kernel: per-row 7-byte headers and
+        per-cell 4-byte length prefixes are built as big-endian numpy
+        matrices (C-level views), payload cells stay in Arrow buffers,
+        and the element-wise join interleaves header + prefix + payload
+        per row at memcpy speed. No per-row Python anywhere."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        nrows = len(cols[0])
+        parts = [self._vec_text_cells(a) for a in cols]
+        slens = []
+        for cells, valid in parts:
+            off_dtype = (
+                np.int64 if pa.types.is_large_binary(cells.type) else np.int32
+            )
+            off = np.frombuffer(cells.buffers()[1], dtype=off_dtype)[
+                cells.offset : cells.offset + nrows + 1
+            ].astype(np.int64)
+            slens.append(off[1:] - off[:-1])
+        row_len = 7 + sum(4 + s for s in slens)  # D + len(4) + ncols(2) + cells
+        # headers: 'D' + int32 msg-len (excludes the tag byte) + int16 ncols
+        hdr = np.empty((nrows, 7), np.uint8)
+        hdr[:, 0] = 0x44
+        hdr[:, 1:5] = (row_len - 1).astype(">u4").view(np.uint8).reshape(nrows, 4)
+        hdr[:, 5] = self._ncols[0]
+        hdr[:, 6] = self._ncols[1]
+        all_valid = np.ones(nrows, bool)
+        pieces = [self._fixed_width_cells(hdr, all_valid)]
+        for (cells, valid), slen in zip(parts, slens):
+            prefix = (
+                np.where(valid, slen, 0xFFFFFFFF)
+                .astype(">u4")
+                .view(np.uint8)
+                .reshape(nrows, 4)
+            )
+            pieces.append(self._fixed_width_cells(prefix, all_valid))
+            pieces.append(cells)
+        joined = pc.binary_join_element_wise(*pieces, pa.scalar(b"", pa.binary()))
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        off_dtype = np.int64 if pa.types.is_large_binary(joined.type) else np.int32
+        off = np.frombuffer(joined.buffers()[1], dtype=off_dtype)
+        start = int(off[joined.offset])
+        end = int(off[joined.offset + len(joined)])
+        return nrows, joined.buffers()[2].to_pybytes()[start:end]
+
     def serialize_arrow_table(self, tbl) -> tuple[int, bytes]:
         """Columnar fast path: encode a whole PyArrow table to one
         DataRow byte stream.
 
         ``df.toArrow()`` skips Row-object materialization entirely (the
         dominant cost of the collect path — measured 1.7 s collect vs
-        0.4 s toArrow for 60k×11). Cells are length-prefixed per column
-        first, so row assembly is a single join of precomputed buffers.
-        Byte output is identical to the row path.
+        0.4 s toArrow for 60k×11). All-text results over the common
+        scalar types take the fully vectorized assembler above; anything
+        else (binary formats, arrays/maps/structs/decimals/intervals)
+        falls back to the per-cell loop below. Byte output is identical
+        to the row path either way.
         """
         import pyarrow as pa
         import pyarrow.compute as pc
+
+        if tbl.num_rows and all(f == 0 for f in self.formats):
+            cols = [c.combine_chunks() for c in tbl.columns]
+            if cols and all(self._vec_supported(c.type) for c in cols):
+                return self._serialize_arrow_vectorized(cols)
 
         null_cell = b"\xff\xff\xff\xff"
         enc_cols: list[list[bytes]] = []

@@ -443,10 +443,16 @@ class TestArrowFastPath:
             sql = (
                 "SELECT n_nationkey, n_name, CAST(n_regionkey AS DOUBLE) / 2 AS h, "
                 "CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_name END AS maybe, "
-                # timestamp + date columns pin the arrow strftime fast
+                # timestamp + date columns pin the arrow datetime fast
                 # path to the python encoder's format
                 "TIMESTAMP '2024-03-01 12:34:56.789' + make_interval(0,0,0,0,0,0,n_nationkey) AS ts, "
-                "DATE '2024-03-01' AS d "
+                "DATE '2024-03-01' AS d, "
+                # adversarial floats for the vectorized repr path: 35.0
+                # keeps its '.0', exponent thresholds match repr, -0.0
+                # and specials survive the bit-pattern unique
+                "ELT(1 + n_nationkey % 7, 35.0D, 1E16D, 1E15D, 1.5E-5D, "
+                "    -0.0D, DOUBLE('NaN'), DOUBLE('Infinity')) AS f, "
+                "n_nationkey % 3 = 0 AS flag "
                 "FROM nation ORDER BY n_nationkey"
             )
             out = []

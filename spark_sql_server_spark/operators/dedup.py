@@ -104,11 +104,14 @@ def word_ngrams(words: Column, n: int) -> Column:
 _JACCARD_THRESHOLD = 0.5
 _NGRAM_N = 3
 #: Candidate pairs must share a gram appearing in at most this fraction
-#: of documents. A ubiquitous shingle ("of the and") would otherwise
-#: make its posting list O(corpus) and the self-join on it quadratic;
-#: a gram in >10% of all docs carries no near-dup signal. The reported
-#: Jaccard stays exact — full gram sets are intersected per candidate.
+#: of documents (and at most _GRAM_DF_CAP documents in absolute terms —
+#: the bound that matters at 100 TB, where 0.1×corpus is still huge). A
+#: ubiquitous shingle ("of the and") would otherwise make its posting
+#: list O(corpus) and the self-join on it quadratic; such grams carry no
+#: near-dup signal. The reported Jaccard stays exact — capped-out grams
+#: still count toward |A∩B| via the common-gram correction.
 _GRAM_DF_FRACTION = 0.1
+_GRAM_DF_CAP = 10_000
 
 _NGRAM_JACCARD_ORACLE = f"""
     WITH shingled AS (
@@ -123,7 +126,8 @@ _NGRAM_JACCARD_ORACLE = f"""
     postings AS (SELECT doc_id, unnest(grams) AS gram FROM shingled),
     rare AS (
       SELECT gram FROM postings GROUP BY gram
-      HAVING COUNT(*) <= (SELECT {_GRAM_DF_FRACTION} * COUNT(*) FROM documents)
+      HAVING COUNT(*) <= (SELECT LEAST({_GRAM_DF_FRACTION} * COUNT(*), {_GRAM_DF_CAP})
+                          FROM documents)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -145,41 +149,93 @@ _NGRAM_JACCARD_ORACLE = f"""
 """
 
 
-def _ngram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs: inverted-index self-join restricted to
-    rare grams (document frequency ≤ _GRAM_DF_FRACTION of the corpus).
-    Returns (doc_a, doc_b) distinct pairs — exposed for the planted-
-    stop-shingle fan-out test."""
+def _ngram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, na, nb, inter) for every candidate pair — pairs
+    sharing at least one *rare* gram (document frequency within the
+    df-cap), with the exact full-set intersection size.
+
+    One inverted-index self-join does double duty: it generates the
+    candidates AND counts their shared rare grams in the same
+    ``groupBy`` aggregation (each shared gram contributes exactly one
+    joined row — no pair distinct, no per-pair array intersection).
+    Capped-out common grams still count toward the *value* of |A∩B|:
+    every document carries its (tiny — at most postings/cap distinct
+    grams corpus-wide) common-gram set, and the correction is an
+    intersection of those small arrays per pair. So the cap bounds the
+    join fan-out while the reported Jaccard stays exact.
+    """
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     shingled = docs.select(
         "doc_id", F.array_distinct(word_ngrams(words, _NGRAM_N)).alias("grams")
     ).filter(F.size(words) >= _NGRAM_N)
-    postings = shingled.select("doc_id", F.explode("grams").alias("gram"))
+    # persist the exploded postings: consumed three times below (df agg,
+    # self-join sides, common-set build) — without this the gram HOF
+    # re-runs for each consumer
+    postings = shingled.select(
+        "doc_id", F.explode("grams").alias("gram"), F.size("grams").alias("n_grams")
+    ).persist()
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    rare = (
+    # relative cap for small corpora, absolute bound at scale: a posting
+    # list of L generates ≤ L²/2 pairs, so the absolute cap is what
+    # keeps one ubiquitous shingle from going quadratic at 100 TB
+    cap = F.least(F.lit(_GRAM_DF_FRACTION) * F.col("n_docs"), F.lit(_GRAM_DF_CAP))
+    common = (
         postings.groupBy("gram")
         .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") <= F.lit(_GRAM_DF_FRACTION) * F.col("n_docs"))
+        .filter(F.col("df") > cap)
         .select("gram")
     )
-    # persist the capped postings: the self-join would otherwise rebuild
-    # the gram explode + df-join for both sides (the dominant cost)
-    rare_postings = postings.join(rare, "gram").persist()
+    rare_postings = postings.join(F.broadcast(common), "gram", "left_anti")
     a = rare_postings.alias("a")
     b = rare_postings.alias("b")
-    return (
+    rare_shared = (
         a.join(
             b,
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_grams").alias("na"),
+            F.col("b.n_grams").alias("nb"),
         )
-        .distinct()
+        .agg(F.count("*").alias("rare_inter"))
     )
+    common_sets = (
+        postings.join(F.broadcast(common), "gram")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("gram")).alias("cg"))
+    )
+    ca = common_sets.select(F.col("doc_id").alias("doc_a"), F.col("cg").alias("ca"))
+    cb = common_sets.select(F.col("doc_id").alias("doc_b"), F.col("cg").alias("cb"))
+    empty = F.array().cast("array<string>")
+    return (
+        rare_shared.join(ca, "doc_a", "left")
+        .join(cb, "doc_b", "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            (
+                F.col("rare_inter")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce("ca", empty), F.coalesce("cb", empty)
+                    )
+                )
+            ).alias("inter"),
+        )
+    )
+
+
+def _ngram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs — exposed for the planted-
+    stop-shingle fan-out test."""
+    return _ngram_pair_counts(spark, sf_dir).select("doc_a", "doc_b")
 
 
 @query(
@@ -191,36 +247,14 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard over df-capped candidate pairs.
 
     The pair generator is an *inverted-index join on shared rare
-    shingles* (explode → df-cap → self-join on gram → distinct pairs),
-    not a cross join: at 100 TB a cross join is impossible, and the
-    df-cap bounds every posting list so no stop-shingle can turn the
-    self-join quadratic. Jaccard is then computed exactly per surviving
-    pair by intersecting the full distinct-gram sets (the cap only
-    gates candidacy, never the reported value); the oracle applies the
-    identical candidate rule.
+    shingles* — not a cross join: at 100 TB a cross join is impossible,
+    and the df-cap bounds every posting list so no stop-shingle can turn
+    the self-join quadratic. Intersection sizes come straight out of the
+    pair-generating aggregation (plus the tiny common-gram correction,
+    see ``_ngram_pair_counts``), so no per-pair array work happens at
+    all; the oracle applies the identical candidate rule.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    shingled = docs.select(
-        "doc_id", F.array_distinct(word_ngrams(words, _NGRAM_N)).alias("grams")
-    ).filter(F.size(words) >= _NGRAM_N)
-    cand = _ngram_candidates(spark, sf_dir)
-    ga = shingled.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
-    gb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
-    # intersection size in its own projection: `inter` feeds the jaccard
-    # numerator AND denominator, and array_intersect is not cheap — the
-    # multi-reference keeps CollapseProject from inlining it twice
-    counted = (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect(F.col("ga"), F.col("gb"))).alias("inter"),
-            F.size("ga").alias("na"),
-            F.size("gb").alias("nb"),
-        )
-    )
+    counted = _ngram_pair_counts(spark, sf_dir)
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")

@@ -709,6 +709,15 @@ def _rewrite_qualified_system_functions(toks: list[Tok]) -> list[Tok]:
                     # function call, not a table reference → drop the prefix
                     i = f
                     continue
+                if (
+                    f < len(toks)
+                    and toks[f].kind == "word"
+                    and toks[f].text.lower().startswith("pg_stat_")
+                ):
+                    # live stat views are session temp views, which
+                    # Spark cannot address through a database qualifier
+                    i = f
+                    continue
         out.append(t)
         i += 1
     return out

@@ -285,14 +285,21 @@ def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     their _NPROBE nearest clusters and rank only those clusters'
     vectors.
 
-    Scale: the codebook is tiny (k clusters) and broadcast both ways;
-    the corpus is scanned once for assignment (map-only after the
-    broadcast) and once for candidate ranking — candidate volume is
-    corpus/k × nprobe per query instead of the whole corpus. The
-    centroid step is one elementwise-mean aggregation (posexplode +
-    groupBy(cluster, dim)) whose output is k×dim rows — small at any
-    corpus size.
+    Scale shape: the codebook is one elementwise-mean aggregation
+    (posexplode + groupBy(cluster, dim)) whose output is k×dim rows —
+    small at any corpus size — collected and broadcast exactly like a
+    k-means model would be. The query set is likewise constant-size
+    (10 vectors). Ranking is then a single map-only corpus pass: one
+    numpy matmul assigns each batch to its nearest centroid, a second
+    scores it against the (≤ nprobe·|Q|) queries probing that cluster.
+    The r1 shape paid 1 + k interpreted HOF cosine folds per corpus
+    vector (assignment against every centroid, then re-rank); this pays
+    two matmul rows. No join, no shuffle of vectors.
     """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -308,35 +315,60 @@ def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("cluster"),
             F.transform("pm", lambda s: s.m).alias("c"),
         )
+    ).collect()
+    clusters = np.array([r.cluster for r in centroids], dtype=np.int64)
+    C = np.array([r.c for r in centroids], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    qrows = emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "e").collect()
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.e for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # per query: the _NPROBE clusters it probes (centroid cosine desc,
+    # cluster id tiebreak — same ranking keys as the r1 window)
+    qsim = Qn @ Cn.T
+    order = np.lexsort((clusters[None, :].repeat(len(qids), 0), -qsim), axis=1)
+    probed = order[:, :_NPROBE]  # (nq, nprobe) indices into clusters
+    # query j probes cluster-index c? → (n_clusters, nq) membership mask
+    probes_mask = np.zeros((len(clusters), len(qids)), dtype=bool)
+    for j in range(len(qids)):
+        probes_mask[probed[j], j] = True
+    bq = spark.sparkContext.broadcast((qids, Qn, clusters, Cn, probes_mask))
+
+    schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
     )
-    sim_to_centroid = cosine_sim(F.col("e"), F.col("c"))
-    assigned = (
-        emb.join(F.broadcast(centroids))
-        .select("vec_id", "e", "cluster", sim_to_centroid.alias("csim"))
-    )
-    w_assign = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cluster"))
-    ranked = assigned.withColumn("crnk", F.row_number().over(w_assign))
-    corpus = ranked.filter(F.col("crnk") == 1).select("vec_id", "e", "cluster")
-    queries = (
-        ranked.filter((F.col("vec_id") < _N_QUERIES) & (F.col("crnk") <= _NPROBE))
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("e").alias("qe"),
-            F.col("cluster").alias("qcluster"),
-        )
-    )
-    cand = corpus.join(
-        F.broadcast(queries),
-        (F.col("cluster") == F.col("qcluster")) & (F.col("vec_id") != F.col("qid")),
-    )
+
+    def probe(batches):
+        import pandas as pd
+
+        b_qids, b_qn, b_clusters, b_cn, b_mask = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            E = np.vstack(pdf["e"].to_numpy())
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            csim = En @ b_cn.T  # (n, k)
+            # nearest centroid, cluster-id tiebreak (matches the oracle
+            # window): argmax over (-csim, cluster) lexicographic
+            assign = np.lexsort((b_clusters[None, :].repeat(len(ids), 0), -csim), axis=1)[:, 0]
+            cand = b_mask[assign]  # (n, nq): query probes this row's cluster
+            cand &= ids[:, None] != b_qids[None, :]
+            i, j = np.nonzero(cand)
+            if i.size == 0:
+                continue
+            cos = np.round(np.einsum("ij,ij->i", En[i], b_qn[j]), 6)
+            yield pd.DataFrame({"qid": b_qids[j], "vec_id": ids[i], "cos_sim": cos})
+
+    scored = emb.select("vec_id", "e").mapInPandas(probe, schema=schema)
     w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        cand.select(
-            "qid",
-            "vec_id",
-            F.round(cosine_sim(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
-        )
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _TOP_K)
         .select("qid", "rnk", F.col("vec_id").alias("neighbor"), "cos_sim")
         .orderBy("qid", "rnk")

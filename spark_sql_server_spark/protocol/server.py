@@ -208,6 +208,10 @@ class SessionState:
     #: per-session incremental-collect override (reference conf
     #: spark.sql.server.incrementalCollect.enabled); None → server default
     incremental_collect: bool | None = None
+    #: monitoring (pg_stat_activity): wall-clock connect time + the
+    #: query currently/last running in this session
+    backend_start: float = 0.0
+    current_query: str | None = None
 
     @property
     def job_group(self) -> str:
@@ -283,6 +287,9 @@ class SparkPGServer:
     # lifecycle
 
     async def start(self) -> None:
+        import time
+
+        self._started_at = time.time()
         if self.pg_catalog:
             from spark_sql_server_spark.catalog import init_pg_catalog
 
@@ -437,6 +444,7 @@ class SparkPGServer:
         await asyncio.to_thread(_init, state.session)
         import time
 
+        state.backend_start = time.time()
         state.last_activity = time.monotonic()
         state.writer = writer
         state.reader = reader
@@ -936,9 +944,68 @@ class SparkPGServer:
         writer.write(M.command_complete(f"COPY {n}"))
         await writer.drain()
 
+    def _refresh_stat_views(self, state) -> None:
+        """Register live monitoring views in this session (the PySpark
+        equivalent of the reference's SQLServerListener + UI tab):
+
+        * ``pg_stat_activity`` — one row per connected session, PG
+          column names so psql habits and monitoring tools work.
+        * ``pg_stat_server`` — one row of server counters
+          (``ServerMetrics``) + uptime.
+        """
+        import datetime
+        import time
+
+        from pyspark.sql import types as T
+
+        act_schema = T.StructType(
+            [
+                T.StructField("pid", T.IntegerType()),
+                T.StructField("usename", T.StringType()),
+                T.StructField("application_name", T.StringType()),
+                T.StructField("backend_start", T.TimestampType()),
+                T.StructField("state", T.StringType()),
+                T.StructField("query", T.StringType()),
+            ]
+        )
+        rows = [
+            (
+                s.pid,
+                s.params.get("user", ""),
+                s.params.get("application_name", ""),
+                datetime.datetime.fromtimestamp(s.backend_start or 0),
+                "active" if s.pid == state.pid else "idle",
+                s.current_query or "",
+            )
+            for s in self._sessions.values()
+        ]
+        state.session.createDataFrame(rows, act_schema).createOrReplaceTempView(
+            "pg_stat_activity"
+        )
+        m = self.metrics.snapshot()
+        srv_schema = T.StructType(
+            [T.StructField(k, T.LongType()) for k in m]
+            + [
+                T.StructField("active_sessions", T.LongType()),
+                T.StructField("uptime_sec", T.LongType()),
+            ]
+        )
+        srv_row = tuple(m.values()) + (
+            len(self._sessions),
+            int(time.time() - getattr(self, "_started_at", time.time())),
+        )
+        state.session.createDataFrame([srv_row], srv_schema).createOrReplaceTempView(
+            "pg_stat_server"
+        )
+
     async def _spark_sql(self, state, sql: str, args: dict | None = None) -> DataFrame:
         """Run spark.sql in a worker thread with this session's job group
         set (thread-local in the JVM → set in the same thread)."""
+        state.current_query = sql
+        if "pg_stat_" in sql:
+            # monitoring views are snapshots: re-register right before a
+            # statement that references them
+            await asyncio.to_thread(self._refresh_stat_views, state)
 
         def run():
             sc = state.session.sparkContext

@@ -103,6 +103,60 @@ class TestSingleSessionMode:
             SparkPGServer(spark, port=0, execution_mode="multi-context")
 
 
+class TestMonitoringViews:
+    def test_pg_stat_activity_lists_sessions(self, spark):
+        srv, loop = _mode_server(spark)
+        try:
+
+            async def go():
+                a = await PgClient.connect(srv.port, user="alice")
+                b = await PgClient.connect(srv.port, user="bob")
+                msgs = await a.simple(
+                    "SELECT pid, usename, state FROM pg_stat_activity ORDER BY pid"
+                )
+                qual = await a.simple(
+                    "SELECT count(*) FROM pg_catalog.pg_stat_activity"
+                )
+                await a.close()
+                await b.close()
+                return msgs, qual
+
+            msgs, qual = run(loop, go())
+            rows = rows_of(msgs)
+            assert len(rows) == 2
+            assert {r[1] for r in rows} == {b"alice", b"bob"}
+            # the querying session is 'active', the other 'idle'
+            assert sorted(r[2] for r in rows) == [b"active", b"idle"]
+            assert rows_of(qual) == [[b"2"]]
+        finally:
+            loop.run_until_complete(srv.stop())
+            loop.close()
+
+    def test_pg_stat_server_counters(self, spark):
+        srv, loop = _mode_server(spark)
+        try:
+
+            async def go():
+                c = await PgClient.connect(srv.port)
+                await c.simple("SELECT 1")
+                msgs = await c.simple(
+                    "SELECT statements_executed, connections_opened, "
+                    "active_sessions, uptime_sec FROM pg_stat_server"
+                )
+                await c.close()
+                return msgs
+
+            msgs = run(loop, go())
+            (row,) = rows_of(msgs)
+            assert int(row[0]) >= 2  # SELECT 1 + this statement
+            assert int(row[1]) == 1
+            assert int(row[2]) == 1
+            assert int(row[3]) >= 0
+        finally:
+            loop.run_until_complete(srv.stop())
+            loop.close()
+
+
 class TestBinaryTransferMode:
     def _int4_row(self, srv, loop):
         async def go():

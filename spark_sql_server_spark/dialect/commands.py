@@ -208,7 +208,8 @@ def classify_statement(sql: str) -> Statement:
                 sql,
                 cursor_name=m.group("table").strip('"'),  # reuse field for table
                 copy_query=cols.strip() if cols else None,  # reuse for column list
-                copy_format="csv" if "CSV" in opts else "text",
+                copy_format="binary" if "BINARY" in opts
+                else "csv" if "CSV" in opts else "text",
                 copy_header="HEADER" in opts,
             )
         m = _COPY_RE.match(s)
@@ -221,7 +222,8 @@ def classify_statement(sql: str) -> Statement:
                 StatementClass.COPY_OUT,
                 sql,
                 copy_query=inner.strip(),
-                copy_format="csv" if "CSV" in opts else "text",
+                copy_format="binary" if "BINARY" in opts
+                else "csv" if "CSV" in opts else "text",
                 copy_header="HEADER" in opts,
             )
         # COPY FROM etc. falls through as a query → Spark will reject it

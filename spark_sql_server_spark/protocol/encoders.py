@@ -166,6 +166,35 @@ def binary_encoder(dt: T.DataType):
     return None
 
 
+def binary_decoder(dt: T.DataType):
+    """Return fn(bytes) -> value for binary-capable types (the COPY
+    BINARY / binary-param receive direction), else None. Exact inverse
+    of :func:`binary_encoder`."""
+    if isinstance(dt, T.BinaryType):
+        return bytes
+    if isinstance(dt, T.StringType):
+        return lambda b: b.decode("utf-8")
+    if isinstance(dt, T.ShortType):
+        return lambda b: struct.unpack("!h", b)[0]
+    if isinstance(dt, T.IntegerType):
+        return lambda b: struct.unpack("!i", b)[0]
+    if isinstance(dt, T.LongType):
+        return lambda b: struct.unpack("!q", b)[0]
+    if isinstance(dt, T.FloatType):
+        return lambda b: struct.unpack("!f", b)[0]
+    if isinstance(dt, T.DoubleType):
+        return lambda b: struct.unpack("!d", b)[0]
+    if isinstance(dt, T.DateType):
+        return lambda b: PG_EPOCH_DATE + timedelta(days=struct.unpack("!i", b)[0])
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return lambda b: PG_EPOCH_NAIVE + timedelta(
+            microseconds=struct.unpack("!q", b)[0]
+        )
+    if isinstance(dt, T.BooleanType):
+        return lambda b: b != b"\x00"
+    return None
+
+
 class RowSerializer:
     """Pre-bound per-column encoders for one result schema — built once
     per statement, reused for every row (the hot loop allocates only the

@@ -787,42 +787,83 @@ class SparkPGServer:
     # execution & streaming
 
     async def _copy_out(self, state, stmt, writer) -> None:
-        """COPY (query) TO STDOUT [WITH (FORMAT CSV [, HEADER])].
+        """COPY (query) TO STDOUT [WITH (FORMAT {TEXT|CSV|BINARY} [, HEADER])].
 
         Bulk-egress extension (the reference rejects COPY,
         protocol.scala:679-701). Rows stream straight from
         ``toLocalIterator`` into CopyData messages — driver memory stays
         bounded by one partition, the natural bulk-unload path for big
-        results that would drown the per-row DataRow protocol.
+        results that would drown the per-row DataRow protocol. BINARY
+        uses the PGCOPY v1 framing (signature header, int16 field count,
+        int32-length-prefixed cells, int16 -1 trailer) with the same
+        cell encoders as binary DataRows.
         """
-        from spark_sql_server_spark.protocol.encoders import text_encoder
+        from spark_sql_server_spark.protocol.encoders import (
+            binary_encoder,
+            text_encoder,
+        )
 
         df = await self._spark_sql(state, rewrite_sql(stmt.copy_query))
-        encs = [text_encoder(f.dataType) for f in df.schema.fields]
         is_csv = stmt.copy_format == "csv"
+        is_binary = stmt.copy_format == "binary"
 
-        def render(row) -> bytes:
-            cells = []
-            for v, enc in zip(row, encs):
-                if v is None:
-                    cells.append("" if is_csv else "\\N")
-                    continue
-                s = enc(v)
-                if is_csv:
-                    if any(c in s for c in (",", '"', "\n", "\r")):
-                        s = '"' + s.replace('"', '""') + '"'
-                else:
-                    s = (
-                        s.replace("\\", "\\\\")
-                        .replace("\t", "\\t")
-                        .replace("\n", "\\n")
-                        .replace("\r", "\\r")
+        if is_binary:
+            from pyspark.sql import types as T
+
+            def bin_enc(f):
+                if isinstance(f.dataType, T.StringType):
+                    return lambda v: v.encode("utf-8")
+                e = binary_encoder(f.dataType)
+                if e is None:
+                    raise ValueError(
+                        "COPY BINARY does not support column "
+                        f"{f.name} of type {f.dataType.simpleString()}"
                     )
-                cells.append(s)
-            sep = "," if is_csv else "\t"
-            return (sep.join(cells) + "\n").encode("utf-8")
+                return e
 
-        writer.write(M.copy_out_response(len(df.schema.fields)))
+            bencs = [bin_enc(f) for f in df.schema.fields]
+            nf = struct.pack("!h", len(bencs))
+
+            def render(row) -> bytes:
+                parts = [nf]
+                for v, enc in zip(row, bencs):
+                    if v is None:
+                        parts.append(b"\xff\xff\xff\xff")
+                    else:
+                        c = enc(v)
+                        parts.append(len(c).to_bytes(4, "big") + c)
+                return b"".join(parts)
+
+        else:
+            encs = [text_encoder(f.dataType) for f in df.schema.fields]
+
+            def render(row) -> bytes:
+                cells = []
+                for v, enc in zip(row, encs):
+                    if v is None:
+                        cells.append("" if is_csv else "\\N")
+                        continue
+                    s = enc(v)
+                    if is_csv:
+                        if any(c in s for c in (",", '"', "\n", "\r")):
+                            s = '"' + s.replace('"', '""') + '"'
+                    else:
+                        s = (
+                            s.replace("\\", "\\\\")
+                            .replace("\t", "\\t")
+                            .replace("\n", "\\n")
+                            .replace("\r", "\\r")
+                        )
+                    cells.append(s)
+                sep = "," if is_csv else "\t"
+                return (sep.join(cells) + "\n").encode("utf-8")
+
+        writer.write(M.copy_out_response(len(df.schema.fields), binary=is_binary))
+        if is_binary:
+            # PGCOPY v1 header: signature + flags + extension length
+            writer.write(
+                M.copy_data(b"PGCOPY\n\xff\r\n\x00" + struct.pack("!ii", 0, 0))
+            )
         if is_csv and stmt.copy_header:
             writer.write(M.copy_data((",".join(df.columns) + "\n").encode()))
 
@@ -846,6 +887,8 @@ class SparkPGServer:
             sent += len(batch)
             await writer.drain()
         self.metrics.rows_sent += sent
+        if is_binary:
+            writer.write(M.copy_data(struct.pack("!h", -1)))  # PGCOPY trailer
         writer.write(M.copy_done())
         writer.write(M.command_complete(f"COPY {sent}"))
         await writer.drain()
@@ -874,7 +917,8 @@ class SparkPGServer:
             if stmt.copy_query
             else list(target.columns)
         )
-        writer.write(M.copy_in_response(len(cols)))
+        is_binary = stmt.copy_format == "binary"
+        writer.write(M.copy_in_response(len(cols), binary=is_binary))
         await writer.drain()
 
         reader = state.reader
@@ -895,6 +939,34 @@ class SparkPGServer:
             # 'H'/'S' flushes during COPY are ignored
         if failed:
             raise ValueError("COPY FROM STDIN aborted by client (CopyFail)")
+
+        target_types = {f.name: f.dataType for f in target.schema.fields}
+        if is_binary:
+            rows = _parse_copy_binary(bytes(buf), [target_types[c] for c in cols])
+            n = len(rows)
+            if n:
+                typed_schema = T.StructType(
+                    [T.StructField(c, target_types[c]) for c in cols]
+                )
+
+                def ingest_binary():
+                    sdf = state.session.createDataFrame(rows, schema=typed_schema)
+                    full = sdf.select(
+                        *[
+                            F.col(c) if c in cols
+                            else F.lit(None).cast(target_types[c]).alias(c)
+                            for c in target.columns
+                        ]
+                    )
+                    sc = state.session.sparkContext
+                    sc.setJobGroup(state.job_group, stmt.sql[:200], interruptOnCancel=True)
+                    sc.setLocalProperty("spark.scheduler.pool", state.scheduler_pool)
+                    full.write.insertInto(table)
+
+                await asyncio.to_thread(ingest_binary)
+            writer.write(M.command_complete(f"COPY {n}"))
+            await writer.drain()
+            return
 
         text = buf.decode("utf-8")
         rows: list[list] = []
@@ -919,7 +991,6 @@ class SparkPGServer:
             str_schema = T.StructType(
                 [T.StructField(c, T.StringType()) for c in cols]
             )
-            target_types = {f.name: f.dataType for f in target.schema.fields}
 
             def ingest():
                 sdf = state.session.createDataFrame(rows, schema=str_schema)
@@ -1139,6 +1210,45 @@ class SparkPGServer:
         else:
             writer.write(M.command_complete(f"{tag_word or 'SELECT'} {sent}"))
         await writer.drain()
+
+
+def _parse_copy_binary(data: bytes, dtypes) -> list[list]:
+    """Decode a PGCOPY v1 payload (signature header, int16 field count
+    per row, int32-length-prefixed cells, int16 -1 trailer) into typed
+    Python rows using the binary cell decoders."""
+    from spark_sql_server_spark.protocol.encoders import binary_decoder
+
+    decs = []
+    for dt in dtypes:
+        d = binary_decoder(dt)
+        if d is None:
+            raise ValueError(
+                f"COPY BINARY does not support type {dt.simpleString()}"
+            )
+        decs.append(d)
+    sig = b"PGCOPY\n\xff\r\n\x00"
+    if not data.startswith(sig):
+        raise ValueError("invalid COPY BINARY signature")
+    pos = len(sig)
+    _flags, extlen = struct.unpack_from("!ii", data, pos)
+    pos += 8 + extlen
+    rows: list[list] = []
+    while pos < len(data):
+        (nfield,) = struct.unpack_from("!h", data, pos)
+        pos += 2
+        if nfield == -1:
+            break
+        vals = []
+        for i in range(nfield):
+            (ln,) = struct.unpack_from("!i", data, pos)
+            pos += 4
+            if ln == -1:
+                vals.append(None)
+            else:
+                vals.append(decs[i](data[pos : pos + ln]))
+                pos += ln
+        rows.append(vals)
+    return rows
 
 
 def _is_command(sql: str) -> bool:

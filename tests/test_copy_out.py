@@ -208,6 +208,99 @@ class TestCopyOut:
         assert copy_payload(msgs).decode() == 'a\tb,"x,""y"""\n'
 
 
+class TestCopyBinary:
+    def test_classify_binary(self):
+        st = classify_statement("COPY (SELECT 1) TO STDOUT WITH (FORMAT BINARY)")
+        assert st.cls is StatementClass.COPY_OUT and st.copy_format == "binary"
+        st = classify_statement("COPY t FROM STDIN WITH (FORMAT BINARY)")
+        assert st.cls is StatementClass.COPY_IN and st.copy_format == "binary"
+
+    def test_copy_out_binary_framing(self, server):
+        """PGCOPY v1: signature header, per-row int16 nfields +
+        int32-prefixed cells, int16 -1 trailer; int4 cells big-endian."""
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            await c.send(
+                _q(
+                    "COPY (SELECT n_nationkey FROM nation "
+                    "WHERE n_nationkey < 2 ORDER BY n_nationkey) "
+                    "TO STDOUT WITH (FORMAT BINARY)"
+                )
+            )
+            msgs = await c.until_ready()
+            await c.close()
+            return msgs
+
+        msgs = loop.run_until_complete(go())
+        assert msgs[0][0] == b"H"
+        assert msgs[0][1][0:1] == b"\x01"  # overall format = binary
+        payload = b"".join(b for t, b in msgs if t == b"d")
+        sig = b"PGCOPY\n\xff\r\n\x00"
+        assert payload.startswith(sig + struct.pack("!ii", 0, 0))
+        body = payload[len(sig) + 8 :]
+        # n_nationkey is int32 → two rows of one 4-byte cell
+        row = struct.pack("!hi", 1, 4)
+        assert body == (
+            row + struct.pack("!i", 0) + row + struct.pack("!i", 1)
+            + struct.pack("!h", -1)
+        )
+        assert completes_of(msgs) == ["COPY 2"]
+
+    def test_copy_binary_roundtrip(self, server, spark, tmp_path):
+        """COPY TO BINARY output re-ingests bit-exact through COPY FROM
+        BINARY — covering int/string/double/timestamp/null cells."""
+        import struct as _s
+
+        srv, loop = server
+        spark.sql("DROP TABLE IF EXISTS copy_bin_t")
+        spark.sql(
+            f"""CREATE TABLE copy_bin_t (k INT, name STRING, price DOUBLE,
+                ts TIMESTAMP_NTZ)
+                USING parquet LOCATION '{tmp_path}/copy_bin_t'"""
+        )
+
+        def _m(tag, body=b""):
+            return tag + _s.pack("!i", len(body) + 4) + body
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            # export a shaped result in binary
+            await c.send(
+                _q(
+                    "COPY (SELECT CAST(1 AS INT) k, 'héllo' name, "
+                    "CAST(2.5 AS DOUBLE) price, "
+                    "TIMESTAMP_NTZ '2024-03-01 12:34:56.789' ts "
+                    "UNION ALL SELECT 2, NULL, NULL, NULL "
+                    "ORDER BY k) TO STDOUT WITH (FORMAT BINARY)"
+                )
+            )
+            out_msgs = await c.until_ready()
+            payload = b"".join(b for t, b in out_msgs if t == b"d")
+            # feed the identical bytes back in
+            await c.send(_q("COPY copy_bin_t FROM STDIN WITH (FORMAT BINARY)"))
+            hdr = await c.reader.readexactly(5)
+            (ln,) = _s.unpack("!i", hdr[1:])
+            await c.reader.readexactly(ln - 4)
+            assert hdr[:1] == b"G"
+            await c.send(_m(b"d", payload), _m(b"c"))
+            in_msgs = await c.until_ready()
+            rows = await c.simple(
+                "SELECT k, name, price, ts FROM copy_bin_t ORDER BY k"
+            )
+            await c.close()
+            return in_msgs, rows
+
+        in_msgs, rows = loop.run_until_complete(go())
+        assert completes_of(in_msgs) == ["COPY 2"]
+        assert rows_of(rows) == [
+            [b"1", "héllo".encode(), b"2.5", b"2024-03-01 12:34:56.789000"],
+            [b"2", None, None, None],
+        ]
+        spark.sql("DROP TABLE copy_bin_t")
+
+
 class TestCopyInParsing:
     """Unit tests for the COPY FROM STDIN payload decoders."""
 

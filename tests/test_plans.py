@@ -141,3 +141,21 @@ class TestScaleReworks:
         assert "BroadcastNestedLoopJoin" not in plan
         # candidate generation is a hash shuffle on (tbl, bucket)
         assert "hashpartitioning(tbl" in plan
+
+    def test_ann_fused_single_pass_no_join(self, spark):
+        """s_ann_lsh / s_ann_ivf broadcast the constant-size query set
+        (and codebook) as numpy and score in one map-only corpus pass —
+        the executed plan must contain no join at all; the only shuffle
+        feeds the per-query top-k window over scored triples."""
+        for name in ("s_ann_lsh", "s_ann_ivf"):
+            plan = plan_of(spark, name)
+            assert "Join" not in plan, name
+            body = plan.split("AdaptiveSparkPlan")[-1]
+            assert body.count("Exchange") <= 2, name  # window + final sort
+
+    def test_minhash_only_shuffle_is_bucket_join(self, spark):
+        plan = plan_of(spark, "d_minhash_lsh")
+        # map-only signature stage (one MapInPandas per self-join side)
+        assert plan.count("MapInPandas") == 2
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

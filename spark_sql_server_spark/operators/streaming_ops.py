@@ -27,6 +27,76 @@ _STREAM_HOURLY_ORACLE = """
 """
 
 
+_STREAM_SESSION_ORACLE = """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+"""
+
+
+@query(
+    "st_sessionize_stream",
+    oracle=_STREAM_SESSION_ORACLE,
+    covers="streaming: gap-based session windows executed by the streaming "
+    "engine (session_window + watermark, availableNow drain)",
+)
+def st_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows computed by Structured Streaming's
+    native ``session_window`` stateful operator.
+
+    Semantics pinned by the oracle: ``session_window`` merges an event
+    into the previous session iff its gap is *strictly less* than 30
+    minutes (the oracle's ``>= INTERVAL '30 minutes'`` boundary starts a
+    new session), and a session's end is last_event + gap. State is
+    O(open sessions) and watermark-bounded at scale; the availableNow
+    drain with a complete-mode memory sink makes the one-shot result
+    comparable to the batch recursive-gap formulation.
+    """
+    from spark_sql_server_spark.streaming import events_stream, sessionized_events
+
+    src = tempfile.mkdtemp(prefix="st-sess-src-")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    sink = f"st_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionized_events(events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 @query(
     "st_hourly_stream",
     oracle=_STREAM_HOURLY_ORACLE,

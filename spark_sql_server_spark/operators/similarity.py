@@ -375,6 +375,115 @@ def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 5
+
+
+@query(
+    "s_kmeans",
+    oracle=None,  # float centroid means are partial-agg-order dependent;
+    # verified in pytest against a numpy Lloyd's mirror from the same init
+    covers="north-star similarity: iterative k-means (Lloyd's) over embeddings",
+)
+def s_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over the embedding corpus —
+    the iterative-algorithm pattern for numeric ML on DataFrames.
+
+    Each round is ONE map-only corpus pass: broadcast the k×dim
+    codebook as numpy, assign each Arrow batch with one matmul, and
+    emit per-batch *partial* (cluster, sum-vector, count) rows — the
+    manual map-side combine, ≤k rows per batch regardless of corpus
+    size. The driver folds those partials into the next codebook; it
+    never touches corpus rows, only the constant-size codebook — the
+    same loop structure as ``pyspark.ml.clustering.KMeans``. No join,
+    no shuffle of vectors anywhere. Deterministic init (centroids =
+    vec_id 0..k-1) and a fixed iteration count keep the result
+    reproducible; nearest-centroid ties break on the lower cluster id.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    init = emb.filter(F.col("vec_id") < _KMEANS_K).orderBy("vec_id").collect()
+    C = np.array([r.e for r in init], dtype=np.float64)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def assigner(codebook):
+        bc = spark.sparkContext.broadcast(codebook)
+
+        def assign(batches):
+            import pandas as pd
+
+            Cb = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                E = np.vstack(pdf["e"].to_numpy())
+                # squared euclidean via the expansion; argmin ties break
+                # on the lower cluster id (np.argmin is first-minimum)
+                d2 = (E * E).sum(1)[:, None] - 2 * (E @ Cb.T) + (Cb * Cb).sum(1)[None, :]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cluster": np.argmin(d2, axis=1).astype(np.int32),
+                    }
+                )
+
+        return assign
+
+    part_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def partials(codebook):
+        bc = spark.sparkContext.broadcast(codebook)
+
+        def emit(batches):
+            import pandas as pd
+
+            Cb = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                E = np.vstack(pdf["e"].to_numpy())
+                d2 = (E * E).sum(1)[:, None] - 2 * (E @ Cb.T) + (Cb * Cb).sum(1)[None, :]
+                a = np.argmin(d2, axis=1)
+                cl, ns, ss = [], [], []
+                for c in np.unique(a):
+                    sel = a == c
+                    cl.append(int(c))
+                    ns.append(int(sel.sum()))
+                    ss.append(E[sel].sum(axis=0).tolist())
+                yield pd.DataFrame({"cluster": cl, "s": ss, "n": ns})
+
+        return emit
+
+    for _ in range(_KMEANS_ITERS):
+        parts = emb.mapInPandas(partials(C), schema=part_schema).collect()
+        sums = np.zeros_like(C)
+        counts = np.zeros(len(C))
+        for r in parts:
+            sums[r.cluster] += np.asarray(r.s)
+            counts[r.cluster] += r.n
+        nonempty = counts > 0  # empty clusters keep their previous centroid
+        C = np.where(nonempty[:, None], sums / np.maximum(counts, 1)[:, None], C)
+
+    return emb.mapInPandas(assigner(C), schema=schema).orderBy("vec_id")
+
+
 _CENTROID_ORACLE = f"""
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
     SELECT label,

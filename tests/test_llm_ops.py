@@ -149,6 +149,83 @@ class TestSimHashPairs:
         assert all(0 <= r.hamming <= 6 for r in rows)
 
 
+class TestKMeans:
+    def test_matches_numpy_lloyds_mirror(self, spark):
+        """s_kmeans (distributed partial-sum Lloyd's) must agree with an
+        independent numpy implementation run from the same deterministic
+        init — assignments compared directly (float partial-sum order
+        can differ only in the last ulp, which moves no assignment on
+        this well-separated corpus)."""
+        from spark_sql_server_spark.operators.similarity import (
+            _KMEANS_ITERS,
+            _KMEANS_K,
+        )
+        from spark_sql_server_spark.session import load_table
+
+        emb = (
+            load_table(spark, SF_SMOKE, "embeddings")
+            .selectExpr("vec_id", "CAST(embedding AS array<double>) e")
+            .orderBy("vec_id")
+            .collect()
+        )
+        ids = np.array([r.vec_id for r in emb])
+        E = np.array([r.e for r in emb], dtype=np.float64)
+        C = E[: _KMEANS_K].copy()
+        for _ in range(_KMEANS_ITERS):
+            d2 = (E * E).sum(1)[:, None] - 2 * (E @ C.T) + (C * C).sum(1)[None, :]
+            a = np.argmin(d2, axis=1)
+            for c in range(_KMEANS_K):
+                if (a == c).any():
+                    C[c] = E[a == c].mean(axis=0)
+        d2 = (E * E).sum(1)[:, None] - 2 * (E @ C.T) + (C * C).sum(1)[None, :]
+        expect = dict(zip(ids.tolist(), np.argmin(d2, axis=1).tolist()))
+
+        got = {
+            r.vec_id: r.cluster
+            for r in REGISTRY["s_kmeans"].fn(spark, SF_SMOKE).collect()
+        }
+        assert len(got) == len(expect)
+        agree = sum(1 for k, v in expect.items() if got[k] == v) / len(expect)
+        assert agree >= 0.999, f"assignment agreement {agree}"
+
+    def test_iterations_reduce_inertia(self, spark):
+        """Lloyd's guarantee: final within-cluster inertia must be well
+        below the inertia of the deterministic init assignment (the
+        synthetic embeddings are near-uniform — label purity is not a
+        property of this corpus, but inertia descent always is)."""
+        from spark_sql_server_spark.operators.similarity import _KMEANS_K
+        from spark_sql_server_spark.session import load_table
+
+        emb = (
+            load_table(spark, SF_SMOKE, "embeddings")
+            .selectExpr("vec_id", "CAST(embedding AS array<double>) e")
+            .orderBy("vec_id")
+            .collect()
+        )
+        ids = np.array([r.vec_id for r in emb])
+        E = np.array([r.e for r in emb], dtype=np.float64)
+        C0 = E[: _KMEANS_K]
+
+        def inertia(C, assign):
+            return float(((E - C[assign]) ** 2).sum())
+
+        d2 = (E * E).sum(1)[:, None] - 2 * (E @ C0.T) + (C0 * C0).sum(1)[None, :]
+        init_inertia = inertia(C0, np.argmin(d2, axis=1))
+
+        got = {
+            r.vec_id: r.cluster
+            for r in REGISTRY["s_kmeans"].fn(spark, SF_SMOKE).collect()
+        }
+        assign = np.array([got[i] for i in ids.tolist()])
+        final_centroids = np.vstack(
+            [
+                E[assign == c].mean(axis=0) if (assign == c).any() else C0[c]
+                for c in range(_KMEANS_K)
+            ]
+        )
+        assert inertia(final_centroids, assign) < 0.9 * init_inertia
+
+
 class TestAnnLsh:
     def test_recall_vs_bruteforce(self, spark):
         brute = REGISTRY["s_ann_bruteforce"].fn(spark, SF_SMOKE).collect()

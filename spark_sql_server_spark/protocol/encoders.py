@@ -423,7 +423,21 @@ class RowSerializer:
         if tbl.num_rows and all(f == 0 for f in self.formats):
             cols = [c.combine_chunks() for c in tbl.columns]
             if cols and all(self._vec_supported(c.type) for c in cols):
-                return self._serialize_arrow_vectorized(cols)
+                # keep each assembled slice's offsets well inside int32
+                # (binary_join_element_wise output is 32-bit-offset
+                # binary); the text rendering of a row can't exceed ~4×
+                # its arrow footprint for these types
+                max_rows = tbl.num_rows
+                if tbl.nbytes > 256 << 20:
+                    per_row = max(tbl.nbytes // tbl.num_rows, 1)
+                    max_rows = max((256 << 20) // per_row, 1)
+                if max_rows >= tbl.num_rows:
+                    return self._serialize_arrow_vectorized(cols)
+                parts = []
+                for start in range(0, tbl.num_rows, max_rows):
+                    sl = [c.slice(start, max_rows) for c in cols]
+                    parts.append(self._serialize_arrow_vectorized(sl)[1])
+                return tbl.num_rows, b"".join(parts)
 
         null_cell = b"\xff\xff\xff\xff"
         enc_cols: list[list[bytes]] = []

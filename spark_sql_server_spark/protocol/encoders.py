@@ -223,6 +223,61 @@ class RowSerializer:
                 self.encoders.append((text_encoder(f.dataType), False))
 
         self._ncols = struct.pack("!h", n)
+        self._arrow_types = self._batch_arrow_types(schema, formats)
+
+    @staticmethod
+    def _batch_arrow_types(schema: T.StructType, formats: list[int]):
+        """Arrow types for the Row-batch fast path, or None if any
+        column needs the scalar encoder (binary format / exotic type)."""
+        if any(f != 0 for f in formats):
+            return None
+        try:
+            import pyarrow as pa
+        except Exception:  # pragma: no cover
+            return None
+        m = {
+            T.ShortType: pa.int16(),
+            T.IntegerType: pa.int32(),
+            T.LongType: pa.int64(),
+            T.FloatType: pa.float32(),
+            T.DoubleType: pa.float64(),
+            T.StringType: pa.string(),
+            T.BooleanType: pa.bool_(),
+            T.DateType: pa.date32(),
+            T.TimestampType: pa.timestamp("us"),
+            T.TimestampNTZType: pa.timestamp("us"),
+        }
+        out = []
+        for f in schema.fields:
+            t = m.get(type(f.dataType))
+            if t is None:
+                return None
+            out.append(t)
+        return out
+
+    def serialize_rows_batch(self, rows) -> bytes:
+        """One DataRow byte stream for a batch of Row objects.
+
+        The incremental/cursor path materializes Rows (toLocalIterator),
+        so the columnar toArrow shortcut is unavailable — but the
+        *formatting and assembly* can still be vectorized: transpose the
+        batch, build Arrow arrays (C-level conversion), and reuse the
+        same assembler as the full-result path. Byte output is identical
+        to per-row serialize_datarow (which remains the fallback for
+        binary formats and exotic types).
+        """
+        if not rows:
+            return b""
+        if self._arrow_types is not None:
+            import pyarrow as pa
+
+            arrs = [
+                pa.array(col, type=t)
+                for col, t in zip(zip(*rows), self._arrow_types)
+            ]
+            return self._serialize_arrow_vectorized(arrs)[1]
+        ser = self.serialize_datarow
+        return b"".join(ser(r) for r in rows)
 
     def serialize(self, row) -> list[bytes | None]:
         out: list[bytes | None] = []

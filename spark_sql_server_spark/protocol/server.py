@@ -1178,9 +1178,7 @@ class SparkPGServer:
             # loop dominate wire time for wide scans otherwise
             def fetch_encode(w=want):
                 rows = list(itertools.islice(iterator, w))
-                ser = serializer.serialize_datarow
-                blob = b"".join(ser(row) for row in rows)
-                return len(rows), blob
+                return len(rows), serializer.serialize_rows_batch(rows)
 
             n, blob = await asyncio.to_thread(fetch_encode)
             writer.write(blob)

@@ -103,6 +103,27 @@ class TestSingleSessionMode:
             SparkPGServer(spark, port=0, execution_mode="multi-context")
 
 
+class TestNoHiveGate:
+    def test_hive_errors_map_to_feature_not_supported(self):
+        """Sessions built with SPARK_GRAFT_NO_HIVE=1 surface Spark's
+        Hive-needed errors as SQLSTATE 0A000 (feature_not_supported)."""
+        from spark_sql_server_spark.protocol.server import _sqlstate_for
+
+        assert (
+            _sqlstate_for(
+                Exception(
+                    "[NOT_SUPPORTED_COMMAND_WITHOUT_HIVE_SUPPORT] CREATE "
+                    "Hive TABLE (AS SELECT) is not supported"
+                )
+            )
+            == "0A000"
+        )
+        assert (
+            _sqlstate_for(Exception("Hive support is required to CREATE ..."))
+            == "0A000"
+        )
+
+
 class TestMonitoringViews:
     def test_pg_stat_activity_lists_sessions(self, spark):
         srv, loop = _mode_server(spark)

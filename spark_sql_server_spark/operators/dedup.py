@@ -326,29 +326,31 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(10):  # diameter bound; dup chains converge in 2-3
+    from pyspark.sql import Observation
+
+    for i in range(10):  # diameter bound; dup chains converge in 2-3
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.node)
             .groupBy(F.col("doc_a").alias("node"))
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # the convergence counter rides the SAME action that materializes
+        # the round (observe + eager localCheckpoint) — no separate
+        # compare-join job per iteration
+        obs = Observation(f"cc_round_{i}")
+        new_lbl = F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl")))
         new_labels = (
             labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            .select("node", F.col("lbl").alias("old_lbl"), new_lbl.alias("lbl"))
+            .observe(
+                obs,
+                F.sum((F.col("lbl") != F.col("old_lbl")).cast("long")).alias("changed"),
             )
+            .select("node", "lbl")
             .localCheckpoint()  # truncate lineage: keeps each round O(1) plan depth
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if not obs.get["changed"]:
             break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")

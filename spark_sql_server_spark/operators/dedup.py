@@ -94,11 +94,16 @@ def d_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def word_ngrams(words: Column, n: int) -> Column:
-    """All word n-grams of an array column, as joined strings."""
+    """All word n-grams of an array column, as joined strings. Total:
+    arrays shorter than n yield an empty list (a bare ``sequence(0,
+    size-n)`` would go descending and feed ``slice`` an invalid 0 —
+    downstream length filters don't help, because they are not
+    guaranteed to evaluate before this projection)."""
     idx = F.sequence(F.lit(0), F.size(words) - n)
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
-    )
+    return F.when(
+        F.size(words) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 _JACCARD_THRESHOLD = 0.5
@@ -261,6 +266,70 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counted.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SPAN_W = 20  # exact-substring window length, in words
+_SPAN_ORACLE = f"""
+    WITH spans AS (
+      SELECT doc_id,
+             list_distinct([
+               array_to_string(words[i:i+{_SPAN_W - 1}], ' ')
+               FOR i IN range(1, len(words) - {_SPAN_W - 1} + 1)
+             ]) AS sp
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      WHERE len(words) >= {_SPAN_W}
+    ),
+    postings AS (SELECT doc_id, unnest(sp) AS span FROM spans)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS shared_spans
+    FROM postings a JOIN postings b
+      ON a.span = b.span AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "d_substring_dups",
+    oracle=_SPAN_ORACLE,
+    covers="north-star dedup: exact long-substring duplicate pairs "
+    "(Lee et al. — documents sharing a 20-word exact window)",
+)
+def d_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication: pairs of documents sharing at least
+    one exact 20-word window, with the count of shared distinct windows.
+
+    This is the exact-match complement to the approximate near-dup
+    family ("Deduplicating Training Data Makes Language Models Better"
+    removes repeated ≥50-token spans; 20 words here matches the test
+    corpus scale). Spark shape: explode distinct windows → inverted-
+    index self-join on the window string → count per pair in the
+    pair-generating aggregation. A 20-word exact window is a far
+    stronger key than a 3-gram, so posting lists are near-unique and
+    the join fan-out stays linear; at 100 TB the window strings would
+    hash to fixed-width int64 keys first (same shuffle shape, smaller
+    rows).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    spans = docs.select(
+        "doc_id", F.array_distinct(word_ngrams(words, _SPAN_W)).alias("sp")
+    ).filter(F.size(words) >= _SPAN_W)
+    postings = spans.select("doc_id", F.explode("sp").alias("span"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.span") == F.col("b.span"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_spans"))
         .orderBy("doc_a", "doc_b")
     )
 

@@ -459,6 +459,12 @@ def _rewrite_generate_series(toks: list[Tok]) -> list[Tok]:
             ni = _next_code(toks, i)
             if ni >= len(toks) or toks[ni].text != "(":
                 continue
+            # alias position, not a call: `(SELECT ...) generate_series`
+            # (our own rewrite output) — a call never directly follows a
+            # closing paren in valid SQL, so skip to keep idempotence
+            prev = _prev_code(toks, i)
+            if prev >= 0 and toks[prev].text == ")":
+                continue
             close = _find_matching_paren(toks, ni)
             if close == -1:
                 continue

@@ -1,8 +1,16 @@
-"""Property-based tests (hypothesis) for the dialect layer.
+"""Property-based robustness for the PG→Spark dialect rewriter.
 
-The rewriter sits in front of every query the server executes, so its
-failure mode is silent corruption — properties pin down: string/comment
-opacity, idempotence on already-Spark SQL, and splitter round-tripping.
+The rewriter is a token-aware string transform on the wire's hottest
+path — every statement from every client passes through it. Three
+invariants must hold for arbitrary input, not just the curated dialect
+corpus:
+
+1. *Idempotence*: rewriting twice equals rewriting once (a rewrite
+   output never re-triggers a rule).
+2. *Plain-SQL identity*: statements with no PG-isms pass through
+   byte-identical.
+3. *Literal preservation*: the contents of single-quoted string
+   literals survive untouched (rules must never fire inside literals).
 """
 
 from __future__ import annotations
@@ -12,73 +20,75 @@ import re
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from spark_sql_server_spark.dialect.commands import split_statements
 from spark_sql_server_spark.dialect.rewriter import rewrite_sql
 
-# identifiers and plain words that contain no PG-specific constructs
-ident = st.from_regex(r"[a-zA-Z_][a-zA-Z_0-9]{0,10}", fullmatch=True)
-literal_text = st.text(
-    alphabet=st.characters(blacklist_characters="'\";$~:\\-/"),
+_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True)
+# literal contents: anything printable except the quote itself (escaped
+# quotes are a separate lexer concern covered by unit tests)
+_lit = st.text(
+    alphabet=st.characters(
+        codec="ascii", categories=("L", "N", "P", "Zs")
+    ).filter(lambda c: c != "'"),
     max_size=20,
 )
 
+# PG-ism snippets the rewriter is supposed to transform
+_pgisms = st.sampled_from(
+    [
+        "x::text",
+        "col ~ 'a.c'",
+        "generate_series(1, 5)",
+        "E'\\n'",
+        "substring(s from 2 for 3)",
+        "pg_catalog.pg_stat_activity",
+        "ARRAY[1,2]",
+        "a ->> 'k'",
+        "$1",
+    ]
+)
+
+
+@st.composite
+def plain_statements(draw):
+    """SQL-shaped text with no PG-isms: identifiers, numbers, literals,
+    commas, parens, comparison operators."""
+    n = draw(st.integers(1, 8))
+    parts = []
+    for _ in range(n):
+        kind = draw(st.integers(0, 3))
+        if kind == 0:
+            parts.append(draw(_ident))
+        elif kind == 1:
+            parts.append(str(draw(st.integers(-1000, 1000))))
+        elif kind == 2:
+            parts.append("'" + draw(_lit) + "'")
+        else:
+            parts.append(draw(st.sampled_from([",", "(", ")", "=", "<", ">", "+", "-", "*"])))
+    return "SELECT " + " ".join(parts)
+
+
+@st.composite
+def mixed_statements(draw):
+    base = draw(plain_statements())
+    isms = draw(st.lists(_pgisms, max_size=3))
+    return base + (" " + " ".join(isms) if isms else "")
+
 
 class TestRewriterProperties:
-    @given(s=literal_text)
-    @settings(max_examples=200)
-    def test_string_literals_opaque(self, s):
-        """Whatever is inside a string literal must pass through
-        byte-identical — including things that look like casts/regex."""
-        for payload in (f"{s}::int4", f"{s} ~ 'x'", f"$1 {s}"):
-            sql = "SELECT '" + payload.replace("'", "''") + "'"
-            assert rewrite_sql(sql) == sql
-
-    @given(w=ident)
-    @settings(max_examples=100)
-    def test_plain_select_unchanged(self, w):
-        sql = f"SELECT {w} FROM {w} WHERE {w} = {w}"
-        assert rewrite_sql(sql) == sql
-
-    @given(w=ident)
-    @settings(max_examples=100)
-    def test_idempotent(self, w):
-        sql = f"SELECT {w}::int4, substring({w} from 1 for 2) FROM t WHERE {w} ~ 'x'"
+    @settings(max_examples=300, deadline=None)
+    @given(mixed_statements())
+    def test_idempotent(self, sql):
         once = rewrite_sql(sql)
         assert rewrite_sql(once) == once
 
-    @given(n=st.integers(min_value=1, max_value=99))
-    @settings(max_examples=50)
-    def test_params_numbered(self, n):
-        assert rewrite_sql(f"SELECT ${n}") == f"SELECT :p{n}"
+    @settings(max_examples=300, deadline=None)
+    @given(plain_statements())
+    def test_plain_sql_unchanged(self, sql):
+        assert rewrite_sql(sql, params=False) == sql
 
-    @given(w=ident)
-    @settings(max_examples=100)
-    def test_comments_opaque(self, w):
-        sql = f"SELECT {w} -- {w}::int4 ~ $1\nFROM t"
-        assert rewrite_sql(sql) == sql
-
-    @given(body=st.text(alphabet="ab c,()*'x1;\n", max_size=40))
-    @settings(max_examples=300)
-    def test_rewrite_never_crashes(self, body):
-        rewrite_sql("SELECT " + body.replace("'", "''"))
-
-
-class TestSplitterProperties:
-    @given(parts=st.lists(ident, min_size=1, max_size=5))
-    @settings(max_examples=100)
-    def test_split_joins_back(self, parts):
-        stmts = [f"SELECT {p}" for p in parts]
-        assert split_statements("; ".join(stmts) + ";") == stmts
-
-    @given(s=literal_text)
-    @settings(max_examples=200)
-    def test_semicolons_in_strings_preserved(self, s):
-        payload = (s + ";x").replace("'", "''")
-        out = split_statements(f"SELECT '{payload}'")
-        assert len(out) == 1
-        assert out[0] == f"SELECT '{payload}'"
-
-    @given(n=st.integers(min_value=0, max_value=6))
-    @settings(max_examples=50)
-    def test_empty_statements_dropped(self, n):
-        assert split_statements(";" * n) == []
+    @settings(max_examples=300, deadline=None)
+    @given(plain_statements())
+    def test_string_literals_preserved(self, sql):
+        lits_in = re.findall(r"'[^']*'", sql)
+        lits_out = re.findall(r"'[^']*'", rewrite_sql(sql, params=False))
+        assert lits_in == lits_out

@@ -290,6 +290,36 @@ class RowSerializer:
                 out.append(enc(v).encode("utf-8"))
         return out
 
+    def serialize_copy_text_batch(self, rows) -> bytes | None:
+        """PG COPY text-format lines for a batch of Rows, fully
+        vectorized: the same per-column text cells as the DataRow path,
+        escaped with four C-level replace kernels, NULLs as ``\\N``,
+        tab-joined per row. Returns None when a column needs the scalar
+        path (caller falls back to its per-row renderer)."""
+        if not rows or self._arrow_types is None:
+            return None
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        parts = []
+        for col, t in zip(zip(*rows), self._arrow_types):
+            arr = pa.array(col, type=t)
+            cells, valid = self._vec_text_cells(arr)
+            s = pc.cast(cells, pa.string())
+            for old, new in (("\\", "\\\\"), ("\t", "\\t"), ("\n", "\\n"), ("\r", "\\r")):
+                s = pc.replace_substring(s, pattern=old, replacement=new)
+            parts.append(pc.if_else(pa.array(valid), s, pa.scalar("\\N")))
+        parts.append(pa.nulls(len(rows), pa.string()).fill_null("\n"))
+        line = pc.binary_join_element_wise(*parts[:-1], pa.scalar("\t"))
+        line = pc.binary_join_element_wise(line, parts[-1], pa.scalar(""))
+        joined = line.combine_chunks() if isinstance(line, pa.ChunkedArray) else line
+        off_dtype = np.int64 if pa.types.is_large_string(joined.type) else np.int32
+        off = np.frombuffer(joined.buffers()[1], dtype=off_dtype)
+        start = int(off[joined.offset])
+        end = int(off[joined.offset + len(joined)])
+        return joined.buffers()[2].to_pybytes()[start:end]
+
     # ------------------------------------------------------------------ #
     # Arrow columnar fast path
 

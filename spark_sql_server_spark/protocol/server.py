@@ -876,15 +876,29 @@ class SparkPGServer:
             return iter(df.collect())
 
         iterator = await asyncio.to_thread(start)
+        copy_ser = (
+            RowSerializer(df.schema, [0] * len(df.schema.fields))
+            if not is_csv and not is_binary
+            else None
+        )
+
+        def encode_batch():
+            batch = list(itertools.islice(iterator, FETCH_BATCH))
+            if not batch:
+                return 0, b""
+            if copy_ser is not None:
+                blob = copy_ser.serialize_copy_text_batch(batch)
+                if blob is not None:
+                    return len(batch), blob
+            return len(batch), b"".join(render(r) for r in batch)
+
         sent = 0
         while True:
-            batch = await asyncio.to_thread(
-                lambda: list(itertools.islice(iterator, FETCH_BATCH))
-            )
-            if not batch:
+            n, blob = await asyncio.to_thread(encode_batch)
+            if not n:
                 break
-            writer.write(M.copy_data(b"".join(render(r) for r in batch)))
-            sent += len(batch)
+            writer.write(M.copy_data(blob))
+            sent += n
             await writer.drain()
         self.metrics.rows_sent += sent
         if is_binary:

@@ -501,6 +501,18 @@ def _rewrite_generate_series(toks: list[Tok]) -> list[Tok]:
                     "FULL", "CROSS", "NATURAL", "WINDOW", "OFFSET", "SORT",
                     "DISTRIBUTE", "CLUSTER", "LATERAL",
                 )
+                # a word glued to a following string is an E'...' prefix,
+                # not an alias — leave it for the escape-string rewrite
+                and not (
+                    jj + 1 < len(toks)
+                    and toks[jj + 1].kind == "string"
+                    and toks[jj].text.upper() == "E"
+                )
+                # a dotted name (pg_catalog.x) is never a bare alias
+                and not (
+                    (nd := _next_code(toks, jj)) < len(toks)
+                    and toks[nd].text == "."
+                )
             ):
                 alias = toks[jj].text
                 end = jj

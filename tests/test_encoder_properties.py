@@ -44,7 +44,7 @@ _CASES = [
 
 
 class TestBinaryRoundtrip:
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=200, deadline=None, derandomize=True)
     @given(st.data())
     def test_decoder_inverts_encoder(self, data):
         for dtype, strat in _CASES:
@@ -56,7 +56,7 @@ class TestBinaryRoundtrip:
             else:
                 assert out == v, dtype.simpleString()
 
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=200, deadline=None, derandomize=True)
     @given(st.floats(allow_nan=True, width=32))
     def test_float4_roundtrip(self, v):
         import math
@@ -80,7 +80,7 @@ def _copy_escape(s: str) -> str:
 
 
 class TestCopyTextEscapeRoundtrip:
-    @settings(max_examples=500, deadline=None)
+    @settings(max_examples=500, deadline=None, derandomize=True)
     @given(st.text(max_size=50))
     def test_unescape_inverts_escape(self, s):
         assert _copy_unescape(_copy_escape(s)) == s

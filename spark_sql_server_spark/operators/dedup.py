@@ -531,7 +531,11 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4×4 targets Jaccard ≳ 0.5).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_signatures_pandas(docs)
+    # materialize signatures once: both sides of the band self-join read
+    # them, and the mapInPandas signature pass is the dominant cost —
+    # without this Spark recomputes it per side (at cluster scale this
+    # would be .persist(); localCheckpoint also truncates lineage)
+    sig = _minhash_signatures_pandas(docs).localCheckpoint()
     rows_per_band = _NUM_PERM // _BANDS
     bands = sig.select(
         "doc_id",

@@ -155,7 +155,9 @@ class TestScaleReworks:
 
     def test_minhash_only_shuffle_is_bucket_join(self, spark):
         plan = plan_of(spark, "d_minhash_lsh")
-        # map-only signature stage (one MapInPandas per self-join side)
-        assert plan.count("MapInPandas") == 2
+        # signatures are checkpointed once (Scan ExistingRDD), so the
+        # mapInPandas signature pass never re-runs per join side
+        assert "MapInPandas" not in plan
+        assert plan.count("Scan ExistingRDD") == 2
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan

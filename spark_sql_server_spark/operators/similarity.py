@@ -379,66 +379,24 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 5
 
 
-@query(
-    "s_kmeans",
-    oracle=None,  # float centroid means are partial-agg-order dependent;
-    # verified in pytest against a numpy Lloyd's mirror from the same init
-    covers="north-star similarity: iterative k-means (Lloyd's) over embeddings",
-)
-def s_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-iteration Lloyd's k-means over the embedding corpus —
-    the iterative-algorithm pattern for numeric ML on DataFrames.
+def _kmeans_fit(spark: SparkSession, emb: DataFrame, k: int, iters: int):
+    """Lloyd's k-means fit over ``emb`` (vec_id, e: array<double>) →
+    the final k×dim numpy codebook.
 
-    Each round is ONE map-only corpus pass: broadcast the k×dim
-    codebook as numpy, assign each Arrow batch with one matmul, and
-    emit per-batch *partial* (cluster, sum-vector, count) rows — the
-    manual map-side combine, ≤k rows per batch regardless of corpus
-    size. The driver folds those partials into the next codebook; it
-    never touches corpus rows, only the constant-size codebook — the
-    same loop structure as ``pyspark.ml.clustering.KMeans``. No join,
-    no shuffle of vectors anywhere. Deterministic init (centroids =
-    vec_id 0..k-1) and a fixed iteration count keep the result
-    reproducible; nearest-centroid ties break on the lower cluster id.
+    Each round is ONE map-only corpus pass: broadcast the codebook,
+    assign each Arrow batch with one matmul, and emit per-batch
+    *partial* (cluster, sum-vector, count) rows — the manual map-side
+    combine, ≤k rows per batch regardless of corpus size. The driver
+    folds partials into the next codebook; it never touches corpus
+    rows. Deterministic init (centroids = vec_id 0..k-1), fixed
+    iteration count, first-minimum tie-break.
     """
     import numpy as np
 
     from pyspark.sql import types as T
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    init = emb.filter(F.col("vec_id") < _KMEANS_K).orderBy("vec_id").collect()
+    init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     C = np.array([r.e for r in init], dtype=np.float64)
-
-    schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("cluster", T.IntegerType()),
-        ]
-    )
-
-    def assigner(codebook):
-        bc = spark.sparkContext.broadcast(codebook)
-
-        def assign(batches):
-            import pandas as pd
-
-            Cb = bc.value
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                E = np.vstack(pdf["e"].to_numpy())
-                # squared euclidean via the expansion; argmin ties break
-                # on the lower cluster id (np.argmin is first-minimum)
-                d2 = (E * E).sum(1)[:, None] - 2 * (E @ Cb.T) + (Cb * Cb).sum(1)[None, :]
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"],
-                        "cluster": np.argmin(d2, axis=1).astype(np.int32),
-                    }
-                )
-
-        return assign
 
     part_schema = T.StructType(
         [
@@ -471,7 +429,7 @@ def s_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return emit
 
-    for _ in range(_KMEANS_ITERS):
+    for _ in range(iters):
         parts = emb.mapInPandas(partials(C), schema=part_schema).collect()
         sums = np.zeros_like(C)
         counts = np.zeros(len(C))
@@ -480,6 +438,68 @@ def s_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             counts[r.cluster] += r.n
         nonempty = counts > 0  # empty clusters keep their previous centroid
         C = np.where(nonempty[:, None], sums / np.maximum(counts, 1)[:, None], C)
+    return C
+
+
+@query(
+    "s_kmeans",
+    oracle=None,  # float centroid means are partial-agg-order dependent;
+    # verified in pytest against a numpy Lloyd's mirror from the same init
+    covers="north-star similarity: iterative k-means (Lloyd's) over embeddings",
+)
+def s_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over the embedding corpus —
+    the iterative-algorithm pattern for numeric ML on DataFrames.
+
+    Each round is ONE map-only corpus pass: broadcast the k×dim
+    codebook as numpy, assign each Arrow batch with one matmul, and
+    emit per-batch *partial* (cluster, sum-vector, count) rows — the
+    manual map-side combine, ≤k rows per batch regardless of corpus
+    size. The driver folds those partials into the next codebook; it
+    never touches corpus rows, only the constant-size codebook — the
+    same loop structure as ``pyspark.ml.clustering.KMeans``. No join,
+    no shuffle of vectors anywhere. Deterministic init (centroids =
+    vec_id 0..k-1) and a fixed iteration count keep the result
+    reproducible; nearest-centroid ties break on the lower cluster id.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    C = _kmeans_fit(spark, emb, _KMEANS_K, _KMEANS_ITERS)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def assigner(codebook):
+        bc = spark.sparkContext.broadcast(codebook)
+
+        def assign(batches):
+            import pandas as pd
+
+            Cb = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                E = np.vstack(pdf["e"].to_numpy())
+                # squared euclidean via the expansion; argmin ties break
+                # on the lower cluster id (np.argmin is first-minimum)
+                d2 = (E * E).sum(1)[:, None] - 2 * (E @ Cb.T) + (Cb * Cb).sum(1)[None, :]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cluster": np.argmin(d2, axis=1).astype(np.int32),
+                    }
+                )
+
+        return assign
 
     return emb.mapInPandas(assigner(C), schema=schema).orderBy("vec_id")
 
@@ -521,4 +541,105 @@ def s_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
         .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic deduplication (Abbas et al. 2023) — k-means
+# partition the embedding space, then deduplicate within clusters only.
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_K = 32
+_SEMDEDUP_TAU = 0.4
+
+
+@query(
+    "s_semdedup",
+    oracle=None,  # k-means codebook is not SQL-expressible; verified in
+    # pytest against a full numpy mirror (fit + assign + dedup)
+    covers="north-star dedup: SemDeDup semantic near-dup removal "
+    "(k-means partition + within-cluster cosine)",
+    bench=True,
+)
+def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: drop embeddings that have a lower-vec_id neighbor with
+    cosine ≥ τ **within their k-means cluster** — semantic near-dup
+    removal without any cross-cluster pair work.
+
+    Scale: this is the published SemDeDup recipe precisely because it
+    scales — k is chosen ∝ corpus_size / target_cluster_size so the
+    per-cluster pair matrix stays bounded (they used k=50k for LAION
+    at web scale; k=32 here keeps sf-sized clusters comparable).
+    The fit is `_kmeans_fit` (map-only passes, ≤k rows per batch to
+    the driver); assignment tags each Arrow batch with one matmul;
+    the only shuffle is the groupBy(cluster) co-locating each cluster
+    for its vectorized gram-matrix pass. Ties and keep-priority are
+    deterministic: lower vec_id always wins.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    C = _kmeans_fit(spark, emb, _SEMDEDUP_K, _KMEANS_ITERS)
+    bc = spark.sparkContext.broadcast(C)
+
+    tagged_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("e", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def tag(batches):
+        import pandas as pd
+
+        Cb = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.vstack(pdf["e"].to_numpy())
+            d2 = (E * E).sum(1)[:, None] - 2 * (E @ Cb.T) + (Cb * Cb).sum(1)[None, :]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": np.argmin(d2, axis=1).astype(np.int32),
+                    "e": pdf["e"],
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("keep", T.BooleanType()),
+        ]
+    )
+
+    def dedupe(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.vstack(pdf["e"].to_numpy())
+        nrm = np.linalg.norm(X, axis=1)
+        Xn = X / np.maximum(nrm, 1e-12)[:, None]
+        G = Xn @ Xn.T
+        # dup[i] ⇔ ∃ j < i (sorted by vec_id) with cos(i,j) ≥ τ
+        dup = np.triu(G >= _SEMDEDUP_TAU, 1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster": pdf["cluster"],
+                "keep": ~dup,
+            }
+        )
+
+    tagged = emb.mapInPandas(tag, schema=tagged_schema)
+    return (
+        tagged.groupBy("cluster")
+        .applyInPandas(dedupe, schema=out_schema)
+        .orderBy("vec_id")
     )

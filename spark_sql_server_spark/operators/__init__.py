@@ -13,6 +13,7 @@ from spark_sql_server_spark.operators import (  # noqa: F401
     pandas_ops,
     relational,
     relational2,
+    relational3,
     sampling,
     similarity,
     streaming_ops,

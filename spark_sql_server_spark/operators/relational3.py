@@ -1,0 +1,410 @@
+"""Advanced TPC-H-shaped relational queries (second wave).
+
+Deeper plan shapes over the delegated SQL surface (SURVEY.md §2.B):
+nation-pair trade with a disjunctive join filter (Q7), multi-dim profit
+rollup (Q9), returned-item top-k (Q10), conditional-aggregate ratio
+(Q14), distinct-count with anti-join exclusion (Q16), HAVING-driven IN
+subquery on an aggregate (Q18), and dual correlated EXISTS / NOT EXISTS
+on the same fact table (Q21).
+
+The test schema has no ``partsupp`` and lineitem carries only
+``l_shipdate``, so the classic shapes are adapted: supply cost derives
+from ``p_retailprice``, the part-supplier bridge is the distinct
+(l_partkey, l_suppkey) projection of lineitem, and "late delivery"
+compares ship dates within an order. Plan shapes — the thing these
+queries exercise — are unchanged.
+
+Determinism: every money aggregate goes through ``DSUM``
+(DECIMAL(38,6) → DOUBLE); ``l_quantity`` is stored as DOUBLE so even
+quantity totals use the decimal path; every LIMIT carries a unique
+tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_sql_server_spark.operators.registry import query
+from spark_sql_server_spark.operators.relational import DSUM, dsum
+from spark_sql_server_spark.session import load_table
+
+_Q7_SQL = f"""
+    SELECT supp_nation, cust_nation, l_year, {DSUM("volume")} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query(
+    "q7_nation_trade",
+    oracle=_Q7_SQL,
+    covers="§2.B disjunctive cross-dimension join filter + year rollup "
+    "(TPC-H Q7 shape)",
+)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume between two nations by ship year.
+
+    Scale: both nation dims broadcast; the disjunctive nation-pair
+    predicate evaluates after the broadcast joins, so the only
+    shuffles are the two fact joins (lineitem⋈orders on orderkey,
+    then ⋈customer on custkey). The final rollup has ≤ 2×years
+    groups — map-side partials collapse it almost entirely.
+    """
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("volume")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q9_SQL = f"""
+    SELECT nation, o_year, {DSUM("amount")} AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+@query(
+    "q9_product_profit",
+    oracle=_Q9_SQL,
+    covers="§2.B multi-dim profit rollup, LIKE-filtered dim (TPC-H Q9 "
+    "shape; supply cost from p_retailprice — no partsupp in schema)",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation × order year for 'red' parts.
+
+    Scale: part (LIKE-filtered before the join), supplier, and nation
+    broadcast; lineitem⋈orders is the one fact shuffle. The amount
+    expression is identical character-for-character in both engines —
+    double multiply/subtract is IEEE-exact, so only the SUM needs the
+    decimal path.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount")).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+_Q10_SQL = f"""
+    SELECT c_custkey, c_name,
+           {DSUM("l_extendedprice * (1 - l_discount)")} AS revenue,
+           n_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@query(
+    "q10_returned_items",
+    oracle=_Q10_SQL,
+    covers="§2.B selective fact filter + top-k customer rollup (TPC-H "
+    "Q10 shape)",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue lost to returned items in one year.
+
+    Scale: returnflag + date filters push to the parquet scans before
+    the orderkey shuffle; customer/nation broadcast; the top-k plans
+    as TakeOrderedAndProject over the per-customer aggregate.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q14_SQL = """
+    SELECT ROUND(
+             100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(38,6))
+                        ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE),
+           6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-12-01 00:00:00'
+"""
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=_Q14_SQL,
+    covers="§2.B conditional-aggregate ratio (TPC-H Q14 shape)",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of revenue from promotional parts in one quarter.
+
+    Scale: the date filter pushes to the lineitem scan; part broadcasts;
+    the whole query reduces map-side to two decimal partials. Both CASE
+    branches are DECIMAL(38,6) so the conditional sum stays exact, and
+    the final ratio is one double division, rounded at 6dp.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-12-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    zero = F.lit(0).cast("decimal(38,6)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev.cast("decimal(38,6)")).otherwise(
+        zero
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.00)
+                * F.sum(promo).cast("double")
+                / F.sum(rev.cast("decimal(38,6)")).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+_Q16_SQL = """
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+"""
+
+
+@query(
+    "q16_supplier_cnt",
+    oracle=_Q16_SQL,
+    covers="§2.B DISTINCT-projected bridge + NOT IN anti-join + "
+    "COUNT(DISTINCT) rollup (TPC-H Q16 shape; bridge = distinct "
+    "lineitem projection — no partsupp in schema)",
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier variety per (brand, type, size) excluding flagged
+    suppliers.
+
+    Scale: the bridge is a two-column distinct (map-side combine on
+    fixed-width keys); the exclusion list (complaint suppliers) is a
+    broadcast anti-join; part is IN/LIKE-filtered before its broadcast
+    join; COUNT(DISTINCT) expands to the standard two-phase plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    bridge = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        bridge.join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+_Q18_QTY = 250
+
+_Q18_SQL = f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           {DSUM("l_quantity")} AS total_qty
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING {DSUM("l_quantity")} > {_Q18_QTY}
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+"""
+
+
+@query(
+    "q18_large_orders",
+    oracle=_Q18_SQL,
+    covers="§2.B IN subquery over a HAVING aggregate → semi join "
+    "(TPC-H Q18 shape)",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with very large orders (total quantity > 250).
+
+    Scale: the HAVING subquery aggregates lineitem on the same
+    orderkey the outer join shuffles on, so the semi join reuses the
+    partitioning; qualifying orders are rare → the semi-join list is
+    small. l_quantity is DOUBLE in this schema, so both the HAVING
+    threshold and the output total go through the decimal path to be
+    partial-order-exact.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("tq"))
+        .filter(F.col("tq") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "bk"),
+                F.col("l_orderkey") == F.col("bk"), "left_semi")
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+_Q21_SQL = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+@query(
+    "q21_last_shipper",
+    oracle=_Q21_SQL,
+    covers="§2.B dual correlated EXISTS + NOT EXISTS on one fact "
+    "(TPC-H Q21 shape; lateness = latest ship date in a "
+    "multi-supplier order — no receipt/commit dates in schema)",
+)
+def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the last to ship in multi-supplier finished
+    orders — the Q21 "kept everyone waiting" shape on this schema.
+
+    Scale: both correlated subqueries decorrelate to joins on
+    l_orderkey — the same key the outer fact join shuffles on, so one
+    partitioning serves all three; the NOT EXISTS becomes a left-anti
+    join, no per-row subquery execution anywhere.
+    """
+    from spark_sql_server_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(_Q21_SQL)

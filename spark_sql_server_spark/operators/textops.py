@@ -217,10 +217,14 @@ _TFIDF_SQL = """
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     df AS (
       SELECT word, COUNT(*) AS df FROM tf GROUP BY word
-      -- df-cap: a word in more than half the corpus is a stopword with
-      -- IDF ~0; dropping it before the word-key join bounds the posting
-      -- list so no ubiquitous term can create a quadratic hot bucket
-      HAVING COUNT(*) <= (SELECT 0.5 * n_docs FROM n)
+      -- drop only idf=0 terms (words in EVERY document score exactly
+      -- ln(1)=0 so they can never rank). Unlike the pair self-joins in
+      -- the jaccard/minhash operators, this word join is key-unique
+      -- (each tf row matches exactly one df row), so hot keys inflate
+      -- partition sizes, never fan out quadratically — AQE skew
+      -- splitting handles them, and the df table itself is
+      -- vocabulary-sized (broadcastable)
+      HAVING COUNT(*) < (SELECT n_docs FROM n)
     ),
     scored AS (
       SELECT tf.doc_id, tf.word,
@@ -255,10 +259,11 @@ def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two hash aggregations (doc×word, then word) and one join on
     the word key; document counts broadcast as a 1-row cross join. The
-    word-key join's skew risk (stopwords) is closed by the df-cap in
-    the shared SQL — words in >50% of documents never enter the join;
-    ln() output is rounded to 6dp so ranking is reproducible across
-    engines.
+    word join is key-unique — stopword-skewed keys inflate partitions
+    but cannot fan out quadratically (AQE skew splitting covers them),
+    so the only principled exclusion is idf=0 terms (words in every
+    document), which can never rank; ln() output is rounded to 6dp so
+    ranking is reproducible across engines.
     """
     register_tables(spark, sf_dir)
     return spark.sql(_TFIDF_SQL)

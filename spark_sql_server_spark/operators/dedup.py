@@ -176,29 +176,39 @@ def _ngram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size(words) >= _NGRAM_N)
     # persist the exploded postings: consumed three times below (df agg,
     # self-join sides, common-set build) — without this the gram HOF
-    # re-runs for each consumer
-    postings = shingled.select(
-        "doc_id", F.explode("grams").alias("gram"), F.size("grams").alias("n_grams")
-    ).persist()
+    # re-runs for each consumer. Gram strings are hashed to fixed-width
+    # int64 keys (xxhash64) before anything shuffles: every downstream
+    # exchange and join compares 8-byte keys instead of multi-word
+    # strings (the d_substring_dups docstring's 100 TB prescription,
+    # applied). Counting semantics are unchanged — a cross-gram key
+    # collision inside one document would need ~2^32 distinct grams to
+    # become likely (birthday bound on 64 bits).
+    postings = (
+        shingled.select(
+            "doc_id", F.explode("grams").alias("gram"), F.size("grams").alias("n_grams")
+        )
+        .select("doc_id", F.xxhash64("gram").alias("gkey"), "n_grams")
+        .persist()
+    )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     # relative cap for small corpora, absolute bound at scale: a posting
     # list of L generates ≤ L²/2 pairs, so the absolute cap is what
     # keeps one ubiquitous shingle from going quadratic at 100 TB
     cap = F.least(F.lit(_GRAM_DF_FRACTION) * F.col("n_docs"), F.lit(_GRAM_DF_CAP))
     common = (
-        postings.groupBy("gram")
+        postings.groupBy("gkey")
         .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("df") > cap)
-        .select("gram")
+        .select("gkey")
     )
-    rare_postings = postings.join(F.broadcast(common), "gram", "left_anti")
+    rare_postings = postings.join(F.broadcast(common), "gkey", "left_anti")
     a = rare_postings.alias("a")
     b = rare_postings.alias("b")
     rare_shared = (
         a.join(
             b,
-            (F.col("a.gram") == F.col("b.gram"))
+            (F.col("a.gkey") == F.col("b.gkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -210,13 +220,13 @@ def _ngram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("rare_inter"))
     )
     common_sets = (
-        postings.join(F.broadcast(common), "gram")
+        postings.join(F.broadcast(common), "gkey")
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("gram")).alias("cg"))
+        .agg(F.array_sort(F.collect_list("gkey")).alias("cg"))
     )
     ca = common_sets.select(F.col("doc_id").alias("doc_a"), F.col("cg").alias("ca"))
     cb = common_sets.select(F.col("doc_id").alias("doc_b"), F.col("cg").alias("cb"))
-    empty = F.array().cast("array<string>")
+    empty = F.array().cast("array<long>")
     return (
         rare_shared.join(ca, "doc_a", "left")
         .join(cb, "doc_b", "left")

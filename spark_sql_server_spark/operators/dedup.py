@@ -314,20 +314,21 @@ def d_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the exact-match complement to the approximate near-dup
     family ("Deduplicating Training Data Makes Language Models Better"
     removes repeated ≥50-token spans; 20 words here matches the test
-    corpus scale). Spark shape: explode distinct windows → inverted-
-    index self-join on the window string → count per pair in the
-    pair-generating aggregation. A 20-word exact window is a far
-    stronger key than a 3-gram, so posting lists are near-unique and
-    the join fan-out stays linear; at 100 TB the window strings would
-    hash to fixed-width int64 keys first (same shuffle shape, smaller
-    rows).
+    corpus scale). Spark shape: explode distinct windows → hash each
+    window to a fixed-width int64 key (xxhash64 — 20-word strings
+    never enter a shuffle) → inverted-index self-join on the key →
+    count per pair in the pair-generating aggregation. A 20-word exact
+    window is a far stronger key than a 3-gram, so posting lists are
+    near-unique and the join fan-out stays linear.
     """
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     spans = docs.select(
         "doc_id", F.array_distinct(word_ngrams(words, _SPAN_W)).alias("sp")
     ).filter(F.size(words) >= _SPAN_W)
-    postings = spans.select("doc_id", F.explode("sp").alias("span"))
+    postings = spans.select("doc_id", F.explode("sp").alias("sp_str")).select(
+        "doc_id", F.xxhash64("sp_str").alias("span")
+    )
     a = postings.alias("a")
     b = postings.alias("b")
     return (

@@ -161,3 +161,57 @@ class TestScaleReworks:
         assert plan.count("Scan ExistingRDD") == 2
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestTpchWave2:
+    """Plan gates for the round-3 advanced TPC-H shapes."""
+
+    def test_q7_dims_broadcast_no_cartesian(self, spark):
+        plan = plan_of(spark, "q7_nation_trade")
+        assert plan.count("BroadcastHashJoin") >= 3  # supplier + 2× nation
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q9_part_filter_pushed_and_broadcast(self, spark):
+        plan = plan_of(spark, "q9_product_profit")
+        # LIKE '%red%' → StringContains pushed into the part scan
+        assert "StringContains(p_name,red)" in plan
+        assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+
+    def test_q10_topk_take_ordered(self, spark):
+        plan = plan_of(spark, "q10_returned_items")
+        assert "TakeOrderedAndProject" in plan
+        assert "EqualTo(l_returnflag,R)" in plan  # fact filter at the scan
+
+    def test_q16_anti_join_broadcast(self, spark):
+        plan = plan_of(spark, "q16_supplier_cnt")
+        assert "BroadcastHashJoin" in plan
+        assert "LeftAnti" in plan
+        # brand/type/size predicates pushed to the part scan (the full
+        # IN-list is elided by plan-string truncation)
+        assert "Not(EqualTo(p_brand,Brand#1))" in plan
+
+    def test_q18_semi_join_same_key(self, spark):
+        plan = plan_of(spark, "q18_large_orders")
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q21_exists_decorrelated_to_joins(self, spark):
+        # both correlated subqueries must decorrelate: semi + anti join
+        # on l_orderkey, no per-row subquery nodes
+        plan = plan_of(spark, "q21_last_shipper")
+        assert "LeftSemi" in plan or "ExistenceJoin" in plan
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_decontaminate_eval_grams_broadcast(self, spark):
+        plan = plan_of(spark, "t_decontaminate")
+        # eval gram set broadcast; training grams join at most once each
+        assert "BroadcastHashJoin" in plan
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_weighted_sample_is_map_plus_topk(self, spark):
+        plan = plan_of(spark, "t_weighted_sample")
+        assert "TakeOrderedAndProject" in plan
+        assert "Join" not in plan  # pure map + heap top-k

@@ -138,3 +138,57 @@ def st_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+_STREAM_ENRICH_ORACLE = """
+    SELECT event_type, c_mktsegment, COUNT(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY event_type, c_mktsegment
+    ORDER BY event_type, c_mktsegment
+"""
+
+
+@query(
+    "st_enrich_stream",
+    oracle=_STREAM_ENRICH_ORACLE,
+    covers="streaming: stream-static broadcast join + parquet file sink "
+    "with checkpointing (availableNow drain)",
+)
+def st_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment through a durable file sink: events
+    stream joined to the customer dimension per micro-batch, appended
+    to parquet with a checkpoint (exactly-once file-sink semantics),
+    then aggregated from the sink output.
+
+    Covers the two remaining streaming surfaces in one op: the
+    stream-static broadcast join (map-only per batch, no streaming
+    state, static side re-planned each batch) and the transactional
+    file sink + checkpoint pair — the shape of a production ingest
+    pipeline. The aggregate over the sink's files must equal the batch
+    join oracle: the sink wrote exactly-once.
+    """
+    from spark_sql_server_spark.streaming import enrich_events, events_stream
+
+    src = tempfile.mkdtemp(prefix="st-enrich-src-")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    out = tempfile.mkdtemp(prefix="st-enrich-out-")
+    ckpt = tempfile.mkdtemp(prefix="st-enrich-ckpt-")
+    q = (
+        enrich_events(events_stream(spark, src), dim)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("event_type", "c_mktsegment")
+    )

@@ -10,6 +10,7 @@ stream is the streaming twin of ``q_events_sessionize``).
 """
 
 from spark_sql_server_spark.streaming.pipeline import (
+    enrich_events,
     events_stream,
     hourly_event_counts,
     sessionized_events,
@@ -18,6 +19,7 @@ from spark_sql_server_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "enrich_events",
     "events_stream",
     "hourly_event_counts",
     "sessionized_events",

@@ -140,3 +140,20 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def enrich_events(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: attach a slowly-changing dimension to a
+    stream.
+
+    The static side is a plain batch DataFrame — Spark re-plans it per
+    micro-batch (picking up dimension updates between batches) and
+    broadcasts it when small, so the stream side never shuffles: this
+    is the standard enrichment shape for feature/metadata lookup at
+    ingest. Map-only per batch — no streaming state at all.
+    """
+    from pyspark.sql import functions as F
+
+    return events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
+    ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")

@@ -120,6 +120,7 @@ _Q9_SQL = f"""
     oracle=_Q9_SQL,
     covers="§2.B multi-dim profit rollup, LIKE-filtered dim (TPC-H Q9 "
     "shape; supply cost from p_retailprice — no partsupp in schema)",
+    bench=True,
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profit by supplier nation × order year for 'red' parts.

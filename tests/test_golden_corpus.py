@@ -71,6 +71,30 @@ CORPUS: list[tuple[str, str | None]] = [
         "SELECT count(*) AS k FROM top",
         None,
     ),
+    # wave-2 TPC-H plan shapes, wire-checked (integer outputs only)
+    (
+        "SELECT count(*) AS n FROM supplier s WHERE EXISTS "
+        "(SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l2 WHERE "
+        "l2.l_suppkey = s.s_suppkey AND l2.l_quantity > 49)",
+        None,
+    ),
+    (
+        "SELECT count(*) AS n FROM orders WHERE o_orderkey IN "
+        "(SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+        "HAVING count(*) >= 5)",
+        None,
+    ),
+    (
+        "SELECT count(*) FILTER (WHERE p_type LIKE 'PROMO%') AS promo, "
+        "count(*) AS total FROM part",
+        None,
+    ),
+    (
+        "SELECT count(DISTINCT l_suppkey) AS n FROM lineitem "
+        "WHERE l_partkey < 100",
+        None,
+    ),
     # postgreSQL-regression-style shapes (reference corpus: case.sql,
     # union.sql, with.sql, window_part*.sql)
     (

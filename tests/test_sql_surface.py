@@ -105,6 +105,22 @@ class TestDDLAndSinks:
         df = spark.read.json(path)
         assert df.count() == 5
 
+    def test_orc_source_roundtrip(self, spark, tmp_path):
+        path = str(tmp_path / "nation_orc")
+        load_table(spark, SF_SMOKE, "nation").write.orc(path)
+        spark.sql(
+            f"""CREATE OR REPLACE TEMPORARY VIEW nation_orc
+                USING orc OPTIONS (path '{path}')"""
+        )
+        got = spark.sql(
+            "SELECT count(*) AS n, min(n_nationkey) AS lo, max(n_nationkey) AS hi "
+            "FROM nation_orc"
+        ).first()
+        assert (got.n, got.lo, got.hi) == (25, 0, 24)
+        # predicate pushdown works against ORC too
+        assert spark.table("nation_orc").filter("n_nationkey = 7").count() == 1
+        spark.sql("DROP VIEW nation_orc")
+
     def test_tablesample(self, spark):
         n = spark.sql(
             "SELECT count(*) AS n FROM lineitem TABLESAMPLE (10 PERCENT)"

@@ -391,3 +391,158 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition filters: the fraction of duplicated n-grams
+# inside each document (Rae et al. 2021 §A1.1 — high in-document
+# repetition is the strongest single low-quality signal).
+# --------------------------------------------------------------------------
+
+_REP_SQL = """
+    WITH grams AS (
+      SELECT doc_id,
+             {NWORDS} AS n_words,
+             {NG2} AS g2,
+             {NG3} AS g3
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, n_words,
+             {LEN}(g2) AS n_g2, {LEN}({DISTINCT}(g2)) AS u_g2,
+             {LEN}(g3) AS n_g3, {LEN}({DISTINCT}(g3)) AS u_g3
+      FROM grams
+    ),
+    top_word AS (
+      SELECT doc_id, MAX(cnt) AS top_cnt
+      FROM (
+        SELECT doc_id, word, COUNT(*) AS cnt
+        FROM (SELECT doc_id, {EXPLODE} AS word FROM documents) w
+        GROUP BY doc_id, word
+      ) c
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_words AS BIGINT) AS n_words,
+           CAST(1.0 - CAST(u_g2 AS DOUBLE) / n_g2 AS DOUBLE) AS dup_2gram_frac,
+           CAST(1.0 - CAST(u_g3 AS DOUBLE) / n_g3 AS DOUBLE) AS dup_3gram_frac,
+           CAST(t.top_cnt AS DOUBLE) / b.n_words AS top_word_frac,
+           (10 * u_g2 < 8 * n_g2) OR (10 * t.top_cnt > 3 * b.n_words)
+             AS flagged
+    FROM base b JOIN top_word t ON b.doc_id = t.doc_id
+    WHERE b.n_g2 > 0 AND b.n_g3 > 0
+    ORDER BY b.doc_id
+"""
+
+_REP_SPARK = _REP_SQL.format(
+    NWORDS="size(split(text, ' '))",
+    NG2="transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), "
+    "i -> concat(element_at(split(text, ' '), i), ' ', "
+    "element_at(split(text, ' '), i + 1)))",
+    NG3="transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+    "i -> concat(element_at(split(text, ' '), i), ' ', "
+    "element_at(split(text, ' '), i + 1), ' ', "
+    "element_at(split(text, ' '), i + 2)))",
+    LEN="size",
+    DISTINCT="array_distinct",
+    EXPLODE="explode(split(text, ' '))",
+)
+
+_REP_ORACLE = _REP_SQL.format(
+    NWORDS="len(string_split(text, ' '))",
+    NG2="[array_to_string(string_split(text, ' ')[i:i+1], ' ') "
+    "FOR i IN range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1)]",
+    NG3="[array_to_string(string_split(text, ' ')[i:i+2], ' ') "
+    "FOR i IN range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)]",
+    LEN="len",
+    DISTINCT="list_distinct",
+    EXPLODE="unnest(string_split(text, ' '))",
+)
+
+
+@query(
+    "t_repetition_filter",
+    oracle=_REP_ORACLE,
+    covers="north-star text analysis: Gopher in-document repetition "
+    "signals (duplicate 2/3-gram fraction, top-word fraction)",
+)
+def t_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals with a Gopher-style reject flag
+    (dup-2gram fraction > 0.2 or top-word fraction > 0.3 — both
+    compared in integer arithmetic so the cutoff is engine-exact).
+
+    Scale: the gram fractions are map-only HOF expressions; the only
+    shuffle is the (doc_id, word) count feeding the per-doc mode, a
+    uniform two-level aggregation. Short docs (n-gram windows padded by
+    ``greatest``) are retained; their fractions use the same formula.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_REP_SPARK)
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: regex redaction of emails / phone numbers. The
+# synthetic corpus contains no organic PII, so the operator plants a
+# deterministic contact line per document first — the *scrub* step
+# (patterns, counting, replacement) is exactly the production op.
+# --------------------------------------------------------------------------
+
+# @BS@ = one regex backslash: Spark SQL string literals consume
+# backslash escapes ('\\+' parses to '+'), DuckDB literals do not —
+# the token expands to '\\\\' for Spark and '\\' for DuckDB.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+@BS@.[A-Za-z]{2,}"
+_PII_PHONE = "@BS@+1-[0-9]{3}-[0-9]{4}"
+
+_PII_SQL = f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS @STR@) ||
+             '@example.com or +1-555-' ||
+             substring(CAST(10000 + doc_id % 10000 AS @STR@), 2, 4)
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(@NMATCH@(text, '{_PII_EMAIL}'@MFLAG@) AS BIGINT) AS n_emails,
+           CAST(@NMATCH@(text, '{_PII_PHONE}'@MFLAG@) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>'@G@),
+                              '{_PII_PHONE}', '<PHONE>'@G@)) AS scrubbed_md5
+    FROM planted
+    ORDER BY doc_id
+"""
+
+_PII_SPARK = (
+    _PII_SQL.replace("@NMATCH@", "size(regexp_extract_all")
+    .replace("@MFLAG@", ", 0)")
+    .replace("@G@", "")
+    .replace("@STR@", "STRING")
+    .replace("@BS@", "\\\\")
+)
+
+_PII_ORACLE = (
+    _PII_SQL.replace("@NMATCH@", "len(regexp_extract_all")
+    .replace("@MFLAG@", ")")
+    .replace("@G@", ", 'g'")
+    .replace("@STR@", "VARCHAR")
+    .replace("@BS@", "\\")
+)
+
+
+@query(
+    "t_pii_scrub",
+    oracle=_PII_ORACLE,
+    covers="north-star pipeline: regex PII detection + redaction "
+    "(emails, phone numbers)",
+)
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and redact email/phone patterns per document, reporting
+    match counts and the md5 of the scrubbed text (so the oracle
+    certifies the exact replacement output, not just the counts).
+
+    Scale: pure map-only regex work, codegen'd; no shuffle, no Python.
+    Spark's ``regexp_replace`` is global by default and DuckDB needs
+    the explicit ``'g'`` flag — the shared-SQL template pins both to
+    global replacement.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_PII_SPARK)

@@ -14,6 +14,7 @@ from spark_sql_server_spark.operators import (  # noqa: F401
     relational,
     relational2,
     relational3,
+    relational4,
     sampling,
     similarity,
     streaming_ops,

@@ -11,6 +11,7 @@ from spark_sql_server_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
     pandas_ops,
+    pipeline_ops,
     relational,
     relational2,
     relational3,

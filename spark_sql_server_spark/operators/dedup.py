@@ -155,9 +155,16 @@ _NGRAM_JACCARD_ORACLE = f"""
 
 
 def _ngram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, na, nb, inter) for every candidate pair — pairs
-    sharing at least one *rare* gram (document frequency within the
-    df-cap), with the exact full-set intersection size.
+    """Pair counts over the full ``documents`` table (see
+    :func:`_pair_counts_for`)."""
+    return _pair_counts_for(load_table(spark, sf_dir, "documents"))
+
+
+def _pair_counts_for(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, na, nb, inter) for every candidate pair of
+    ``docs`` (any DataFrame with doc_id/text) — pairs sharing at least
+    one *rare* gram (document frequency within the df-cap), with the
+    exact full-set intersection size.
 
     One inverted-index self-join does double duty: it generates the
     candidates AND counts their shared rare grams in the same
@@ -169,7 +176,9 @@ def _ngram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection of those small arrays per pair. So the cap bounds the
     join fan-out while the reported Jaccard stays exact.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from spark_sql_server_spark.session import spread
+
+    docs = spread(docs)
     words = F.split(F.col("text"), " ")
     shingled = docs.select(
         "doc_id", F.array_distinct(word_ngrams(words, _NGRAM_N)).alias("grams")
@@ -269,14 +278,19 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     see ``_ngram_pair_counts``), so no per-pair array work happens at
     all; the oracle applies the identical candidate rule.
     """
-    counted = _ngram_pair_counts(spark, sf_dir)
+    return _jaccard_pairs_for(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _jaccard_pairs_for(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs of ``docs`` above the threshold."""
+    counted = _pair_counts_for(docs)
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")
-    return (
-        counted.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
+    return counted.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= _JACCARD_THRESHOLD
     )
 
 
@@ -321,7 +335,9 @@ def d_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is a far stronger key than a 3-gram, so posting lists are
     near-unique and the join fan-out stays linear.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from spark_sql_server_spark.session import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
     spans = docs.select(
         "doc_id", F.array_distinct(word_ngrams(words, _SPAN_W)).alias("sp")
@@ -390,16 +406,22 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter, never the data.
     """
     pairs = d_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    # materialize: the iteration below references edges every round and
-    # twice per round — without this the whole pair-generation join
-    # would lazily re-run each time (measured 2× per extra round)
-    edges = (
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    return _propagate_min_labels(pairs)
+
+
+def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id): minimum doc_id reachable through the pair
+    graph, via iterative join-based min-label propagation (see
+    :func:`d_dup_clusters` for the design argument)."""
+    # materialize pairs FIRST: the symmetrization below references the
+    # DataFrame twice, and without this the entire upstream
+    # pair-generation join runs once per reference (measured 2×); the
+    # swapped half is disjoint from the original (doc_a < doc_b), so no
+    # distinct is needed — the union is shuffle-free
+    pairs = pairs.localCheckpoint()
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("doc_a").alias("node"))
         .distinct()
@@ -520,7 +542,9 @@ def _minhash_signatures_pandas(docs: DataFrame, n: int = _NGRAM_N) -> DataFrame:
             if ids:
                 yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
-    return docs.select("doc_id", "text").mapInPandas(compute, schema=schema)
+    from spark_sql_server_spark.session import spread
+
+    return spread(docs.select("doc_id", "text")).mapInPandas(compute, schema=schema)
 
 
 @query(

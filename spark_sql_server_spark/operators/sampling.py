@@ -94,13 +94,31 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     here). The contaminated flag compares ``2·hits ≥ grams`` in integer
     arithmetic, so the cutoff is engine-exact.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return decontam_flags_for(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+def decontam_flags_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, n_hit, contamination, contaminated) for the
+    training-side documents of ``docs`` (eval side = doc_id %
+    _DECON_EVAL_MOD == 0, derived from the same input set) — shared by
+    t_decontaminate and the curation pipeline."""
+    from spark_sql_server_spark.session import spread
+
+    docs = spread(docs)
     words = F.split(F.col("text"), " ")
     # gram HOF in its own projection (CollapseProject duplication trap —
-    # see word_ngrams docstring)
-    shingled = docs.select(
-        "doc_id", F.array_distinct(word_ngrams(words, _DECON_N)).alias("grams")
-    ).filter(F.size(words) >= _DECON_N)
+    # see word_ngrams docstring); persisted because THREE consumers read
+    # it (eval grams, train postings, train gram counts) — without this
+    # the expensive 8-gram shingling expression re-runs per consumer
+    shingled = (
+        docs.select(
+            "doc_id", F.array_distinct(word_ngrams(words, _DECON_N)).alias("grams")
+        )
+        .filter(F.size(words) >= _DECON_N)
+        .persist()
+    )
     is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
     eval_grams = (
         shingled.filter(is_eval).select(F.explode("grams").alias("gram")).distinct()
@@ -123,7 +141,6 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_hit.cast("double") / F.col("n_grams")).alias("contamination"),
             (2 * n_hit >= F.col("n_grams")).alias("contaminated"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -9,7 +9,7 @@ pipeline runs unchanged over 100 TB of parquet shards.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_sql_server_spark.operators.registry import query
@@ -175,6 +175,34 @@ _QUALITY_ORACLE = """
     FROM documents
     ORDER BY doc_id
 """
+
+
+#: DuckDB/portable SQL spelling of the 0–4 quality score (shared with
+#: the curation pipeline oracle).
+QUALITY_SCORE_SQL = """CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+                + CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END
+                + CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                            / len(string_split(text, ' ')) > 0.3 THEN 1 ELSE 0 END
+                + CASE WHEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                            <= CAST(0.1 * length(text) AS BIGINT) THEN 1 ELSE 0 END"""
+
+
+def quality_score_col(text: Column) -> Column:
+    """The 0–4 integer quality score as a Column (Spark twin of
+    :data:`QUALITY_SCORE_SQL`) — shared by t_quality_score and the
+    curation pipeline."""
+    n_chars = F.length(text).cast("long")
+    words = F.split(text, " ")
+    n_words = F.size(words).cast("long")
+    n_uniq = F.size(F.array_distinct(words)).cast("long")
+    n_punct = F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("long")
+    low_punct = n_punct <= (F.lit(0.1) * n_chars).cast("long")
+    return (
+        F.when(n_chars.between(100, 20000), 1).otherwise(0)
+        + F.when(n_words >= 20, 1).otherwise(0)
+        + F.when(n_uniq.cast("double") / n_words > 0.3, 1).otherwise(0)
+        + F.when(low_punct, 1).otherwise(0)
+    ).cast("long")
 
 
 @query(

@@ -395,6 +395,9 @@ def _kmeans_fit(spark: SparkSession, emb: DataFrame, k: int, iters: int):
 
     from pyspark.sql import types as T
 
+    # materialize once: the fit loop runs iters+1 jobs over emb; without
+    # this every round re-reads and re-decodes the source
+    emb = emb.localCheckpoint()
     init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     C = np.array([r.e for r in init], dtype=np.float64)
 

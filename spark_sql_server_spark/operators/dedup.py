@@ -921,3 +921,45 @@ def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("raw_sim", 6).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+_JAC_HIST_ORACLE = f"""
+    WITH pairs AS (
+      {_NGRAM_JACCARD_ORACLE.replace("ORDER BY doc_a, doc_b", "").replace(
+        f">= {_JACCARD_THRESHOLD}", ">= 0.0")}
+    )
+    SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS decile,
+           COUNT(*) AS n_pairs
+    FROM pairs
+    GROUP BY 1
+    ORDER BY decile
+"""
+
+
+@query(
+    "d_jaccard_histogram",
+    oracle=_JAC_HIST_ORACLE,
+    covers="north-star dedup diagnostics: pairwise-similarity histogram "
+    "(how duplicated is this corpus?)",
+)
+def d_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile histogram of candidate-pair Jaccard similarity — the
+    first diagnostic a curation team runs to pick a dedup threshold.
+
+    Reuses the df-capped inverted-index pair counts with the threshold
+    dropped (candidates still require ≥1 shared rare gram, identically
+    in the oracle), then a 10-group aggregation: the pair volume is the
+    corpus's candidate volume, and the histogram itself is constant
+    size. FLOOR on an exact double ratio of integers is
+    engine-reproducible.
+    """
+    counted = _pair_counts_for(load_table(spark, sf_dir, "documents"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        counted.select(F.floor(jac * 10).cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("decile")
+    )

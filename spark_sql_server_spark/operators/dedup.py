@@ -547,10 +547,59 @@ def _minhash_signatures_pandas(docs: DataFrame, n: int = _NGRAM_N) -> DataFrame:
     return spread(docs.select("doc_id", "text")).mapInPandas(compute, schema=schema)
 
 
+
+# DuckDB SQL mirror of the portable hash pipeline (the reason the
+# operators use `(acc*31 + codepoint) % MOD` instead of xxhash64): word
+# hash -> rolling gram hash -> permutation minima, all in int64 SQL.
+_DUCK_WORD_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(regexp_extract_all(w, '.'), "
+    "c -> CAST(unicode(c) AS BIGINT))), "
+    f"(acc, c) -> (acc * 31 + c) % {MOD})"
+)
+
+_DUCK_SIG_CTES = f"""
+    words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE len(string_split(text, ' ')) >= {{N}}
+    ),
+    wh AS (
+      SELECT doc_id, list_transform(ws, w -> {_DUCK_WORD_HASH}) AS wh
+      FROM words
+    ),
+    grams AS (
+      SELECT doc_id, list_distinct([
+        ((wh[i] * 31 + wh[i+1]) % {MOD} * 31 + wh[i+2]) % {MOD}
+        FOR i IN range(1, len(wh) - {{N}} + 2)
+      ]) AS gh FROM wh
+    ),
+    sigs AS (
+      SELECT doc_id, [
+        list_min(list_transform(gh, g -> ((2*p+1)*g + 7919*p) % {MOD}))
+        FOR p IN range(0, {{P}})
+      ] AS sig FROM grams
+    )
+"""
+
+_MINHASH_ORACLE = f"""
+    WITH {_DUCK_SIG_CTES.format(N=3, P=16)},
+    bands AS (
+      SELECT doc_id, b AS band, sig[b*4+1:b*4+4] AS bv
+      FROM sigs, unnest(range(0, 4)) t(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+"""
+
+
 @query(
     "d_minhash_lsh",
-    oracle=None,  # verified in pytest against exact Jaccard; hash pipeline
-    # is engine-portable but the banded self-join is not 1:1 SQL
+    oracle=_MINHASH_ORACLE,  # full SQL mirror: portable polynomial hashes
+    # reproduce the exact signatures; the band join keys on the raw
+    # 4-slice (list equality) where Spark keys on hash(slice) — identical
+    # pairs barring a murmur3 collision inside one band bucket
     covers="north-star dedup: MinHash signatures + LSH band-bucket join",
     bench=True,
 )
@@ -610,10 +659,24 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 32
 
 
+_SIMHASH_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+    ),
+    h AS (SELECT doc_id, list_transform(ws, w -> @WH@) AS hs FROM w)
+    SELECT doc_id, CAST(list_sum([
+      CASE WHEN 2 * len(list_filter(hs, x -> (x >> b) & 1 = 1)) > len(hs)
+           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+      FOR b IN range(0, 32)
+    ]) AS BIGINT) AS simhash
+    FROM h
+    ORDER BY doc_id
+""".replace("@WH@", _DUCK_WORD_HASH)
+
+
 @query(
     "d_simhash",
-    oracle=None,  # bit-vote loop not reasonably 1:1 in DuckDB SQL;
-    # verified in pytest against a pure-Python reference
+    oracle=_SIMHASH_ORACLE,  # full SQL mirror of the bit-vote loop
     covers="north-star dedup: SimHash fingerprints",
 )
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,10 +734,27 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BANDS = 4
 _HAMMING_MAX = 6
 
+# wrap the simhash query as a CTE, then band + hamming-join it
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH sim AS ({_SIMHASH_ORACLE.replace("ORDER BY doc_id", "")}),
+    bands AS (
+      SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS byte
+      FROM sim, unnest(range(0, {_SIMHASH_BANDS})) t(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+"""
+
+
 
 @query(
     "d_simhash_pairs",
-    oracle=None,  # banded candidate generation; recall vs exact Jaccard in pytest
+    oracle=_SIMHASH_PAIRS_ORACLE,  # full SQL mirror: same fingerprints,
+    # byte-band join, popcount-of-xor hamming filter
     covers="north-star dedup: SimHash banded near-dup pairs (hamming ≤ 6)",
 )
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -183,21 +183,36 @@ def _pair_counts_for(docs: DataFrame) -> DataFrame:
     shingled = docs.select(
         "doc_id", F.array_distinct(word_ngrams(words, _NGRAM_N)).alias("grams")
     ).filter(F.size(words) >= _NGRAM_N)
-    # persist the exploded postings: consumed three times below (df agg,
-    # self-join sides, common-set build) — without this the gram HOF
-    # re-runs for each consumer. Gram strings are hashed to fixed-width
-    # int64 keys (xxhash64) before anything shuffles: every downstream
-    # exchange and join compares 8-byte keys instead of multi-word
-    # strings (the d_substring_dups docstring's 100 TB prescription,
-    # applied). Counting semantics are unchanged — a cross-gram key
-    # collision inside one document would need ~2^32 distinct grams to
-    # become likely (birthday bound on 64 bits).
+    # materialize the exploded postings once: consumed three times below
+    # (df agg, self-join sides, common-set build) — without this the
+    # gram HOF re-runs for each consumer. localCheckpoint, NOT persist:
+    # persist() registers in the session CacheManager and is never
+    # released (each fresh invocation — every bench iteration, every
+    # server query — leaks another cached copy until the executors
+    # churn), while checkpoint blocks are freed by the ContextCleaner
+    # as soon as the query's DataFrames go out of scope. Gram strings
+    # are hashed to fixed-width int64 keys (xxhash64) before anything
+    # shuffles: every downstream exchange and join compares 8-byte keys
+    # instead of multi-word strings (the d_substring_dups docstring's
+    # 100 TB prescription, applied). Counting semantics are unchanged —
+    # a cross-gram key collision inside one document would need ~2^32
+    # distinct grams to become likely (birthday bound on 64 bits).
+    # explode_outer, not explode: plain explode lets Catalyst's
+    # InferFiltersFromGenerate push `size(grams) > 0 AND
+    # isnotnull(grams)` below the spread() exchange, where it re-runs
+    # the whole gram HOF twice on the unspread (single-partition-local)
+    # scan — measured 3.4s of the 4.6s pair stage at sf0.1. The outer
+    # variant is exempt from that rule and is semantically identical
+    # here: the `size(words) >= n` filter guarantees every gram array
+    # is non-null and non-empty.
     postings = (
         shingled.select(
-            "doc_id", F.explode("grams").alias("gram"), F.size("grams").alias("n_grams")
+            "doc_id",
+            F.explode_outer("grams").alias("gram"),
+            F.size("grams").alias("n_grams"),
         )
         .select("doc_id", F.xxhash64("gram").alias("gkey"), "n_grams")
-        .persist()
+        .localCheckpoint()
     )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     # relative cap for small corpora, absolute bound at scale: a posting
@@ -342,7 +357,10 @@ def d_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = docs.select(
         "doc_id", F.array_distinct(word_ngrams(words, _SPAN_W)).alias("sp")
     ).filter(F.size(words) >= _SPAN_W)
-    postings = spans.select("doc_id", F.explode("sp").alias("sp_str")).select(
+    # explode_outer: see _pair_counts_for — keeps InferFiltersFromGenerate
+    # from re-running the 20-word-window HOF below the exchange; the
+    # `size(words) >= _SPAN_W` filter guarantees non-empty span arrays
+    postings = spans.select("doc_id", F.explode_outer("sp").alias("sp_str")).select(
         "doc_id", F.xxhash64("sp_str").alias("span")
     )
     a = postings.alias("a")
@@ -598,8 +616,8 @@ _MINHASH_ORACLE = f"""
     "d_minhash_lsh",
     oracle=_MINHASH_ORACLE,  # full SQL mirror: portable polynomial hashes
     # reproduce the exact signatures; the band join keys on the raw
-    # 4-slice (list equality) where Spark keys on hash(slice) — identical
-    # pairs barring a murmur3 collision inside one band bucket
+    # 4-slice (list equality) where Spark keys on xxhash64(slice) —
+    # identical pairs barring a 64-bit collision inside one band bucket
     covers="north-star dedup: MinHash signatures + LSH band-bucket join",
     bench=True,
 )
@@ -628,7 +646,7 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(
+                        F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(
                             "band_hash"
                         ),
                     )

@@ -109,15 +109,20 @@ def decontam_flags_for(docs: DataFrame) -> DataFrame:
     docs = spread(docs)
     words = F.split(F.col("text"), " ")
     # gram HOF in its own projection (CollapseProject duplication trap —
-    # see word_ngrams docstring); persisted because THREE consumers read
-    # it (eval grams, train postings, train gram counts) — without this
-    # the expensive 8-gram shingling expression re-runs per consumer
+    # see word_ngrams docstring); materialized because THREE consumers
+    # read it (eval grams, train postings, train gram counts) — without
+    # this the expensive 8-gram shingling expression re-runs per
+    # consumer. localCheckpoint, not persist: persist() entries live in
+    # the CacheManager until an explicit unpersist that no caller can
+    # issue (the consumers run after this function returns), so repeated
+    # invocations leak cached copies; checkpoint blocks are reclaimed by
+    # the ContextCleaner once the query's DataFrames are dropped.
     shingled = (
         docs.select(
             "doc_id", F.array_distinct(word_ngrams(words, _DECON_N)).alias("grams")
         )
         .filter(F.size(words) >= _DECON_N)
-        .persist()
+        .localCheckpoint()
     )
     is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
     eval_grams = (

@@ -285,16 +285,52 @@ _TFIDF_ORACLE = _TFIDF_SQL.replace(
 def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide TF-IDF, top-3 terms per document.
 
-    Scale: two hash aggregations (doc×word, then word) and one join on
-    the word key; document counts broadcast as a 1-row cross join. The
-    word join is key-unique — stopword-skewed keys inflate partitions
-    but cannot fan out quadratically (AQE skew splitting covers them),
-    so the only principled exclusion is idf=0 terms (words in every
-    document), which can never rank; ln() output is rounded to 6dp so
-    ranking is reproducible across engines.
+    Scale: the doc×word tf aggregate is materialized ONCE
+    (localCheckpoint — at cluster scale, persist) and both consumers
+    read it: the vocabulary-sized df table is derived from tf without
+    re-exploding the corpus, then explicitly broadcast into the scoring
+    join. The word join is key-unique — stopword-skewed keys inflate
+    partitions but cannot fan out quadratically — so the only
+    principled exclusion is idf=0 terms (words in every document),
+    which can never rank; ln() output is rounded to 6dp so ranking is
+    reproducible across engines. The output filter (doc_id < 50) is
+    applied before the join/window: only the df counts need the full
+    corpus.
     """
-    register_tables(spark, sf_dir)
-    return spark.sql(_TFIDF_SQL)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    # split(" ") yields >= 1 word per document, so tf covers every doc
+    n_docs = tf.select("doc_id").distinct().count()
+    df_tbl = (
+        tf.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") < F.lit(n_docs))
+    )
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(df_tbl), "word")
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "word", "tfidf")
+        .orderBy("doc_id", "rnk")
+    )
 
 
 # Two-level packing: documents pack into 2048-token windows WITHIN a

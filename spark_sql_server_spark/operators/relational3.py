@@ -409,3 +409,249 @@ def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir)
     return spark.sql(_Q21_SQL)
+
+
+_Q13_SQL = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query(
+    "q13_customer_distribution",
+    oracle=_Q13_SQL,
+    covers="§2.B outer join with join-condition filter + two-level "
+    "count distribution (TPC-H Q13 shape; priority filter — no "
+    "o_comment in schema)",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by their count of non-urgent orders —
+    including the zero-order bucket the outer join exists to preserve.
+
+    Scale: the priority predicate filters the orders side BEFORE the
+    outer join (equivalent to the ON-clause filter — never after, which
+    would drop the NULL-extended rows); one shuffle on custkey, then a
+    tiny count-of-counts rollup that collapses map-side.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+#: Q17's "small-quantity" cutoff: fraction of the part's mean quantity.
+_Q17_FRACTION = 0.2
+
+_Q17_SQL = f"""
+    SELECT ROUND({DSUM("l_extendedprice")} / 7.0, 6) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_size < 15
+      AND l_quantity < (
+        SELECT {_Q17_FRACTION} *
+               CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*)
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle=_Q17_SQL,
+    covers="§2.B correlated per-key AVG subquery on the fact table "
+    "(TPC-H Q17 shape; p_size stands in for p_container)",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from orders of a part below a fifth of that part's mean
+    order quantity — the classic correlated-aggregate-on-the-fact shape.
+
+    Scale: the correlated AVG decorrelates to one per-part aggregate of
+    lineitem (same l_partkey key space as the probe side) whose result
+    is part-sized — broadcast back into the fact. The brand/size filter
+    broadcasts `part` and prunes the fact rows before the threshold
+    join. The mean goes through the decimal path (exact sum / count)
+    so the cutoff is partial-order-exact across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 15)
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (
+            F.lit(_Q17_FRACTION)
+            * F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+            / F.count("*")
+        ).alias("qty_cutoff")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(per_part), F.col("ap_key") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cutoff"))
+        .agg(
+            F.round(dsum(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly")
+        )
+    )
+
+
+#: Q20's "dominant supplier" cutoff: fraction of the part's total
+#: shipped quantity one supplier must exceed.
+_Q20_FRACTION = 0.15
+
+_Q20_SQL = f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, {DSUM("l_quantity")} AS qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    pt AS (
+      SELECT l_partkey, {DSUM("l_quantity")} AS tq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT ps.l_suppkey
+      FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+      WHERE ps.l_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE 'small%')
+        AND ps.qty > {_Q20_FRACTION} * pt.tq
+    )
+    ORDER BY s_name
+"""
+
+
+@query(
+    "q20_excess_suppliers",
+    oracle=_Q20_SQL,
+    covers="§2.B nested IN over aggregates (TPC-H Q20 shape; dominance "
+    "over the part's shipped total stands in for partsupp availqty)",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers shipping more than 15% of some 'small' part's total
+    quantity — Q20's nested-IN-over-aggregate shape without partsupp.
+
+    Scale: both aggregates shuffle lineitem on l_partkey(+l_suppkey),
+    so the qualifying join is co-partitioned; the LIKE-filtered part
+    key list broadcasts as a semi join BEFORE the per-part totals join
+    prunes the aggregate; the final supplier probe is a broadcast semi
+    join against the (tiny) qualifying-supplier list. Quantity sums
+    take the decimal path in one level on both engines — the 15%
+    comparison is bit-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    small_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum(F.col("l_quantity")).alias("qty")
+    )
+    pt = li.groupBy(F.col("l_partkey").alias("pt_key")).agg(
+        dsum(F.col("l_quantity")).alias("tq")
+    )
+    qualifying = (
+        ps.join(
+            F.broadcast(small_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(pt), F.col("pt_key") == F.col("l_partkey"))
+        .filter(F.col("qty") > F.lit(_Q20_FRACTION) * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+#: Q22's "country code" buckets — last two digits of the customer name
+#: (the schema has no c_phone; right(c_name, 2) is uniform over '00'-'99').
+_Q22_CODES = ("01", "12", "23", "34", "45", "56", "67")
+
+_Q22_SQL = f"""
+    WITH eligible AS (
+      SELECT right(c_name, 2) AS cntrycode, c_custkey, c_acctbal
+      FROM customer
+      WHERE right(c_name, 2) IN {_Q22_CODES!r}
+    )
+    SELECT cntrycode, COUNT(*) AS numcust, {DSUM("c_acctbal")} AS totacctbal
+    FROM eligible e
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+        FROM eligible WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = e.c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+"""
+
+
+@query(
+    "q22_global_sales_opp",
+    oracle=_Q22_SQL,
+    covers="§2.B anti join + substring bucketing + uncorrelated scalar "
+    "AVG subquery (TPC-H Q22 shape; 'no urgent order' stands in for "
+    "'never ordered' — every customer in the test data has orders)",
+)
+def q22_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers in selected name buckets who
+    never placed an urgent order, rolled up by bucket.
+
+    Scale: the scalar mean is a one-row aggregate broadcast via cross
+    join (never a driver round-trip); the urgent-order exclusion is a
+    left-anti join against a priority-filtered projection of orders
+    (filter pushed to the scan); the bucket rollup has ≤ |codes|
+    groups. The mean takes the decimal path so the cutoff is exact.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    eligible = cust.select(
+        F.expr("right(c_name, 2)").alias("cntrycode"), "c_custkey", "c_acctbal"
+    ).filter(F.col("cntrycode").isin(*_Q22_CODES))
+    avg_bal = eligible.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    urgent_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        eligible.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent_cust, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

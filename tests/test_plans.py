@@ -204,6 +204,37 @@ class TestTpchWave2:
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
 
+    def test_q13_outer_join_preserved_filter_pushed(self, spark):
+        plan = plan_of(spark, "q13_customer_distribution")
+        # the priority predicate must hit the orders SCAN (pre-join),
+        # never post-join where it would drop NULL-extended customers
+        assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+        assert "LeftOuter" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q17_per_part_cutoff_broadcast(self, spark):
+        plan = plan_of(spark, "q17_small_qty_revenue")
+        # part filter pushed to the scan; both the dim and the
+        # part-sized cutoff table broadcast into the fact
+        assert "EqualTo(p_brand,Brand#3)" in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "CartesianProduct" not in plan
+
+    def test_q20_semi_joins_no_cartesian(self, spark):
+        plan = plan_of(spark, "q20_excess_suppliers")
+        # part-key prune and supplier probe both plan as semi joins
+        assert plan.count("LeftSemi") >= 2
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "StringStartsWith(p_name,small)" in plan
+
+    def test_q22_anti_join_scalar_broadcast(self, spark):
+        plan = plan_of(spark, "q22_global_sales_opp")
+        assert "LeftAnti" in plan
+        # urgent-order exclusion list filtered at the orders scan
+        assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+        assert "CartesianProduct" not in plan
+
     def test_decontaminate_eval_grams_broadcast(self, spark):
         plan = plan_of(spark, "t_decontaminate")
         # eval gram set broadcast; training grams join at most once each

@@ -37,6 +37,9 @@ def main() -> None:
     p.add_argument("--no-binary-transfer", action="store_true",
                    help="force text format for all results "
                         "(reference spark.sql.server.binaryTransferMode=false)")
+    p.add_argument("--metrics-port", type=int, default=None,
+                   help="serve GET /metrics (Prometheus), /metrics.json and "
+                        "/healthz on this port (0 = ephemeral; default off)")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args()
 
@@ -60,11 +63,16 @@ def main() -> None:
         ssl_key=args.ssl_key,
         execution_mode=args.execution_mode,
         binary_transfer=False if args.no_binary_transfer else None,
+        metrics_port=args.metrics_port,
     )
 
     async def run() -> None:
         await server.start()
         logging.info("ready: psql -h %s -p %s", args.host, server.port)
+        if server.metrics_server:
+            logging.info(
+                "metrics: http://%s:%s/metrics", args.host, server.metrics_server.port
+            )
         try:
             await asyncio.Event().wait()
         finally:

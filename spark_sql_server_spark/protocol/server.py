@@ -235,6 +235,7 @@ class SparkPGServer:
         password_check=None,  # callback(user, password) -> bool
         execution_mode: str | None = None,
         binary_transfer: bool | None = None,
+        metrics_port: int | None = None,
     ):
         self.spark = spark
         self.host = host
@@ -263,6 +264,10 @@ class SparkPGServer:
         self.auth = auth
         self.password_check = password_check
         self.metrics = ServerMetrics()
+        #: HTTP monitoring endpoint (reference SQLServerListener + UI
+        #: tab equivalent); None → disabled, 0 → ephemeral port
+        self.metrics_port = metrics_port
+        self.metrics_server = None
         self._reaper_task: asyncio.Task | None = None
         self._ssl_ctx = None
         if ssl_self_signed and not ssl_cert:
@@ -299,9 +304,17 @@ class SparkPGServer:
         self.port = addr[1]
         if self.idle_session_timeout > 0:
             self._reaper_task = asyncio.create_task(self._reap_idle_sessions())
+        if self.metrics_port is not None:
+            from spark_sql_server_spark.protocol.http_metrics import MetricsHTTPServer
+
+            self.metrics_server = MetricsHTTPServer(self, self.host, self.metrics_port)
+            await self.metrics_server.start()
         log.info("SparkPGServer listening on %s:%s", *addr[:2])
 
     async def stop(self) -> None:
+        if self.metrics_server:
+            await self.metrics_server.stop()
+            self.metrics_server = None
         if self._reaper_task:
             self._reaper_task.cancel()
         if self._server:

@@ -197,6 +197,70 @@ class TestSqlStates:
         assert b"C" + code + b"\x00" in err, err[:200]
 
 
+async def _http_get(port: int, path: str) -> tuple[int, bytes]:
+    r, w = await asyncio.open_connection("127.0.0.1", port)
+    w.write(f"GET {path} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+    await w.drain()
+    raw = await r.read(65536)
+    w.close()
+    try:
+        await w.wait_closed()
+    except ConnectionError:
+        pass
+    head, _, body = raw.partition(b"\r\n\r\n")
+    status = int(head.split(b" ", 2)[1])
+    return status, body
+
+
+class TestHttpMetrics:
+    def test_endpoints(self, spark):
+        """/metrics (Prometheus), /metrics.json, /healthz over a live
+        server — HTTP twin of the reference's listener + UI tab."""
+        import json
+
+        loop = asyncio.new_event_loop()
+
+        async def go():
+            srv = SparkPGServer(spark, port=0, pg_catalog=False, metrics_port=0)
+            await srv.start()
+            c = await PgClient.connect(srv.port)
+            await c.simple("SELECT 1 AS a")
+            mport = srv.metrics_server.port
+            health = await _http_get(mport, "/healthz")
+            prom = await _http_get(mport, "/metrics")
+            js = await _http_get(mport, "/metrics.json")
+            missing = await _http_get(mport, "/nope")
+            await c.close()
+            await srv.stop()
+            return health, prom, js, missing
+
+        health, prom, js, missing = loop.run_until_complete(go())
+        loop.close()
+        assert health[0] == 200
+        assert prom[0] == 200
+        assert b"pg_server_statements_executed 1" in prom[1]
+        assert b"pg_server_connections_opened 1" in prom[1]
+        assert b"# TYPE pg_server_active_sessions gauge" in prom[1]
+        assert js[0] == 200
+        doc = json.loads(js[1])
+        assert doc["server"]["statements_executed"] == 1
+        assert doc["sessions"][0]["query"].startswith("SELECT 1")
+        assert missing[0] == 404
+
+    def test_disabled_by_default(self, spark):
+        loop = asyncio.new_event_loop()
+
+        async def go():
+            srv = SparkPGServer(spark, port=0, pg_catalog=False)
+            await srv.start()
+            ms = srv.metrics_server
+            await srv.stop()
+            return ms
+
+        assert loop.run_until_complete(go()) is None
+        loop.close()
+
+
 class TestMetrics:
     def test_counters_move(self, spark):
         loop = asyncio.new_event_loop()

@@ -655,3 +655,257 @@ def q22_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+_Q8_SQL = f"""
+    SELECT o_year,
+           ROUND({DSUM("CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END")}
+                 / {DSUM("volume")}, 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+@query(
+    "q8_market_share",
+    oracle=_Q8_SQL,
+    covers="§2.B conditional share-of-total over an 8-table snowflake "
+    "(TPC-H Q8 shape)",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_1's share of ECONOMY-part revenue into ASIA, by year.
+
+    Scale: all five dims broadcast (part type-filtered before its
+    join); the only shuffles are lineitem⋈orders and ⋈customer on
+    their keys. Numerator and denominator both take the decimal path
+    inside ONE aggregation pass — the share is a single double
+    division, rounded at 6dp.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_volume = F.when(F.col("nation") == "NATION_1", volume).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume.alias("volume"),
+            nation_volume.alias("nation_volume"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                dsum(F.col("nation_volume")) / dsum(F.col("volume")), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+#: Q11's "important part" threshold: multiple of the average per-part
+#: share of the nation's total shipped value (self-scaling — the classic
+#: query's FRACTION is hand-scaled per SF instead).
+_Q11_MULTIPLE = 3.0
+
+_Q11_SQL = f"""
+    SELECT l_partkey, {DSUM("l_extendedprice")} AS value
+    FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+    GROUP BY l_partkey
+    HAVING {DSUM("l_extendedprice")} > (
+      SELECT ({_Q11_MULTIPLE} / (SELECT COUNT(*) FROM part))
+             * {DSUM("l_extendedprice")}
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1'
+    )
+    ORDER BY value DESC, l_partkey
+"""
+
+
+@query(
+    "q11_important_parts",
+    oracle=_Q11_SQL,
+    covers="§2.B HAVING vs uncorrelated scalar share-of-total subquery "
+    "(TPC-H Q11 shape; lineitem value stands in for partsupp stock)",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose shipped value from NATION_1 suppliers exceeds 3× the
+    average per-part share of that nation's total.
+
+    Scale: supplier⋈nation broadcasts into lineitem as a semi-filter;
+    the per-part aggregate is the one shuffle; the global total is a
+    one-row decimal aggregate broadcast via cross join (never a driver
+    round-trip); the part count comes from the part table's footer
+    statistics. Both sums take the single-level decimal path, so the
+    HAVING cutoff is bit-exact across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    nation_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_1"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    nat_li = li.join(
+        F.broadcast(nation_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    n_parts = load_table(spark, sf_dir, "part").count()
+    total = nat_li.agg(
+        (F.lit(_Q11_MULTIPLE / n_parts) * dsum(F.col("l_extendedprice"))).alias(
+            "cutoff"
+        )
+    )
+    return (
+        nat_li.groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice")).alias("value"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("cutoff"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+_Q12_SQL = f"""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN {_Q12_HIGH!r}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN {_Q12_HIGH!r}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@query(
+    "q12_priority_lines",
+    oracle=_Q12_SQL,
+    covers="§2.B conditional two-way counts per category (TPC-H Q12 "
+    "shape; returnflag/orderpriority stand in for shipmode/commitdate)",
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High- vs low-priority line counts per return flag for one ship
+    year — Q12's CASE-count pivot shape on this schema.
+
+    Scale: the date filter pushes to the lineitem scan; one orderkey
+    shuffle join; the conditional counts are integer sums that collapse
+    map-side to ≤ |flags| rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin(*_Q12_HIGH)
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q19_SQL = f"""
+    SELECT {DSUM("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+           AND l_quantity >= 5 AND l_quantity <= 40)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+           AND l_quantity >= 10 AND l_quantity <= 60)
+"""
+
+
+@query(
+    "q19_bracket_revenue",
+    oracle=_Q19_SQL,
+    covers="§2.B disjunction of conjunctive cross-table predicate "
+    "brackets (TPC-H Q19 shape; p_size stands in for container/shipmode)",
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three OR'd brand/size/quantity brackets — the
+    classic disjunctive-predicate join Catalyst must NOT turn into a
+    cartesian.
+
+    Scale: the join key (p_partkey = l_partkey) stays extractable from
+    the OR brackets, so part broadcasts as a hash join and the bracket
+    disjunction evaluates post-join; the brand IN-superset is pushed to
+    the part scan. One-row decimal aggregate output.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    q = F.col("l_quantity")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & (q >= 1) & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 20)
+            & (q >= 5) & (q <= 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & (q >= 10) & (q <= 60)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(bracket)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )

@@ -204,6 +204,33 @@ class TestTpchWave2:
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
 
+    def test_q8_snowflake_dims_broadcast(self, spark):
+        plan = plan_of(spark, "q8_market_share")
+        # part, region, both nation roles, supplier all broadcast; the
+        # only shuffles are the two fact joins
+        assert plan.count("BroadcastHashJoin") >= 5
+        assert "EqualTo(p_type,ECONOMY)" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q11_semi_filter_and_scalar_broadcast(self, spark):
+        plan = plan_of(spark, "q11_important_parts")
+        assert "LeftSemi" in plan
+        # one-row cutoff joins as a broadcast nested loop (no key), but
+        # never a shuffled cartesian
+        assert "CartesianProduct" not in plan
+
+    def test_q12_date_filter_pushed(self, spark):
+        plan = plan_of(spark, "q12_priority_lines")
+        assert "GreaterThanOrEqual(l_shipdate" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q19_disjunction_stays_hash_join(self, spark):
+        # the OR brackets must not break the equi-join extraction
+        plan = plan_of(spark, "q19_bracket_revenue")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_q13_outer_join_preserved_filter_pushed(self, spark):
         plan = plan_of(spark, "q13_customer_distribution")
         # the priority predicate must hit the orders SCAN (pre-join),

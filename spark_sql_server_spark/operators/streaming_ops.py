@@ -192,3 +192,124 @@ def st_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .orderBy("event_type", "c_mktsegment")
     )
+
+
+_STREAM_DEDUP_ORACLE = """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    ORDER BY event_id
+"""
+
+
+@query(
+    "st_dedup_stream",
+    oracle=_STREAM_DEDUP_ORACLE,
+    covers="streaming: watermark-bounded exactly-once dedup "
+    "(dropDuplicatesWithinWatermark over a replayed source)",
+)
+def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once delivery from an at-least-once source: every event
+    file is replayed twice into the stream, and the watermark-bounded
+    dedup must emit each event_id exactly once — so the drained sink
+    equals the events table bit-for-bit (the oracle is the table
+    itself).
+
+    Scale: unlike a plain dropDuplicates (state grows forever), the
+    watermark lets the engine drop seen-id state once event time
+    passes, so state is O(ids per watermark window), not O(stream).
+    """
+    from spark_sql_server_spark.streaming import events_stream, stream_dedup
+
+    src = tempfile.mkdtemp(prefix="st-dedup-src-")
+    ev = load_table(spark, sf_dir, "events").repartition(4)
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)  # the replay: every event twice
+
+    sink = f"st_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_dedup(events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .orderBy("event_id")
+    )
+
+
+_RUNNING_TOTALS_ORACLE = """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+             AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@query(
+    "st_running_totals",
+    oracle=_RUNNING_TOTALS_ORACLE,
+    covers="streaming: custom stateful operator via applyInPandasWithState "
+    "(Arrow-batched per-user running totals, fixed-point state)",
+)
+def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals computed by the custom-stateful-operator
+    escape hatch (``applyInPandasWithState``), drained to a final
+    snapshot.
+
+    The state op emits a cumulative (count, micro-unit total) row per
+    user per micro-batch; the final per-user value is the max (both
+    counters are monotone), so the result is identical however
+    availableNow splits the input into batches. Fixed-point micro-unit
+    accumulation makes the total independent of addition order — the
+    oracle compares bit-for-bit, not within-epsilon. State is O(users);
+    at scale it hash-partitions across executors like any keyed state.
+    """
+    from spark_sql_server_spark.streaming import (
+        events_stream,
+        user_running_totals_exact,
+    )
+
+    src = tempfile.mkdtemp(prefix="st-running-src-")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    sink = f"st_running_{uuid.uuid4().hex[:8]}"
+    q = (
+        user_running_totals_exact(events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_micros").alias("total_micros"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("total_micros") / F.lit(1000000.0)).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

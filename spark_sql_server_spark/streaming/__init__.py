@@ -16,6 +16,7 @@ from spark_sql_server_spark.streaming.pipeline import (
     sessionized_events,
     stream_dedup,
     user_running_totals,
+    user_running_totals_exact,
 )
 
 __all__ = [
@@ -25,4 +26,5 @@ __all__ = [
     "sessionized_events",
     "stream_dedup",
     "user_running_totals",
+    "user_running_totals_exact",
 ]

@@ -142,6 +142,62 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+_RUNNING_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_micros", T.LongType()),
+    ]
+)
+
+_STATE_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("micros", T.LongType()),
+    ]
+)
+
+
+def _update_running_fixedpoint(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fixed-point twin of :func:`_update_running`: values accumulate as
+    int64 micro-units (``floor(v·1e6 + 0.5)`` — exact for the
+    non-negative event values), so the running total is independent of
+    batch split and addition order — the property that makes the
+    operator oracle-checkable bit-for-bit, and at scale makes replays
+    and restarts reproduce identical state."""
+    import numpy as np
+
+    if state.exists:
+        n, micros = state.get
+    else:
+        n, micros = 0, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        # floored values are integer-valued doubles < 2^53: the sum is
+        # exact before the int64 conversion
+        micros += int(np.floor(pdf["value"].to_numpy() * 1e6 + 0.5).sum())
+    state.update((n, micros))
+    yield pd.DataFrame(
+        [{"user_id": key[0], "n_events": n, "total_micros": micros}]
+    )
+
+
+def user_running_totals_exact(events: DataFrame) -> DataFrame:
+    """Custom stateful operator with order-free fixed-point state —
+    cumulative per-user event count and micro-unit value total."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_running_fixedpoint,
+        outputStructType=_RUNNING_FP_SCHEMA,
+        stateStructType=_STATE_FP_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def enrich_events(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static join: attach a slowly-changing dimension to a
     stream.

@@ -909,3 +909,71 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
     )
+
+
+_BUCKETED_SQL = f"""
+    SELECT o_orderpriority, l_returnflag,
+           COUNT(*) AS n_lines,
+           {DSUM("l_extendedprice")} AS total_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority, l_returnflag
+    ORDER BY o_orderpriority, l_returnflag
+"""
+
+
+@query(
+    "q_bucketed_join",
+    oracle=_BUCKETED_SQL,
+    covers="§2.B bucketed co-located fact-fact join: both sides written "
+    "bucketBy(orderkey), SortMergeJoin with zero join-side exchanges "
+    "(pay one shuffle at write time, join shuffle-free forever after)",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over bucketed tables — the layout lever that
+    removes the recurring-join shuffle at 100 TB.
+
+    Both fact tables are written ``bucketBy(8, orderkey)`` + sorted
+    (external location — the session warehouse belongs to the driver),
+    then joined with a merge hint: the planner sees matching bucket
+    specs and elides BOTH join-side exchanges (gated in
+    tests/test_plans.py; the only exchange left is the final rollup's).
+    The answer must equal the plain unbucketed join — layout never
+    changes semantics.
+    """
+    import tempfile
+    import uuid
+
+    from spark_sql_server_spark.sources.layout import write_bucketed
+
+    suffix = uuid.uuid4().hex[:8]
+    ot, lt = f"orders_bkt_{suffix}", f"lineitem_bkt_{suffix}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ot,
+        ["o_orderkey"],
+        8,
+        ["o_orderkey"],
+        path=tempfile.mkdtemp(prefix="bkt-orders-"),
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice"
+        ),
+        lt,
+        ["l_orderkey"],
+        8,
+        ["l_orderkey"],
+        path=tempfile.mkdtemp(prefix="bkt-lineitem-"),
+    )
+    return (
+        spark.table(ot)
+        .hint("merge")  # pin SortMergeJoin so the bucket layout, not a
+        # small-table broadcast, is what elides the exchanges
+        .join(spark.table(lt), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+        )
+        .orderBy("o_orderpriority", "l_returnflag")
+    )

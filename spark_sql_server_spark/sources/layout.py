@@ -26,8 +26,11 @@ def write_bucketed(
     bucket_cols: list[str],
     num_buckets: int = 8,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Save as a bucketed (+sorted) managed table.
+    """Save as a bucketed (+sorted) table — managed, or external when
+    ``path`` is given (for callers whose session warehouse dir is not
+    theirs to write, e.g. the driver-owned correctness session).
 
     Both sides of a recurring equi-join written with the same
     (num_buckets, bucket_cols) join with NO exchange — check the plan
@@ -42,11 +45,13 @@ def write_bucketed(
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     if warehouse.startswith("file:"):
         warehouse = warehouse[5:]
-    if warehouse:
+    if warehouse and path is None:
         shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -204,6 +204,15 @@ class TestTpchWave2:
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
 
+    def test_bucketed_join_elides_join_exchanges(self, spark):
+        plan = plan_of(spark, "q_bucketed_join")
+        assert "SortMergeJoin" in plan
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        # matching bucket specs → no exchange feeds the join; the only
+        # shuffles left are the final rollup + its output sort
+        assert body.count("Exchange") <= 2, body
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+
     def test_q8_snowflake_dims_broadcast(self, spark):
         plan = plan_of(spark, "q8_market_share")
         # part, region, both nation roles, supplier all broadcast; the

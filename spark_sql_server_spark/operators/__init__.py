@@ -19,6 +19,7 @@ from spark_sql_server_spark.operators import (  # noqa: F401
     sampling,
     similarity,
     streaming_ops,
+    temporal,
     textops,
 )
 from spark_sql_server_spark.operators.registry import REGISTRY, QuerySpec

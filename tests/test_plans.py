@@ -204,6 +204,21 @@ class TestTpchWave2:
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
 
+    def test_asof_join_is_join_free(self, spark):
+        # the union+window formulation must contain NO join node — the
+        # scale property that kills per-probe fan-out
+        plan = plan_of(spark, "q_asof_join")
+        assert "Join" not in plan
+        assert "Window" in plan
+
+    def test_range_join_binned_no_nested_loop(self, spark):
+        # the bin rewrite must keep the range join out of nested-loop
+        # territory — left join on the bin key plus bounds re-check
+        plan = plan_of(spark, "q_range_join")
+        assert "CartesianProduct" not in plan
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert "BroadcastNestedLoopJoin" not in body
+
     def test_bucketed_join_elides_join_exchanges(self, spark):
         plan = plan_of(spark, "q_bucketed_join")
         assert "SortMergeJoin" in plan

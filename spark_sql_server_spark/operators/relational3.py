@@ -977,3 +977,47 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "l_returnflag")
     )
+
+
+_SALTED_SQL = f"""
+    SELECT p_brand,
+           COUNT(*) AS n_lines,
+           {DSUM("l_extendedprice")} AS total_price
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+
+@query(
+    "q_salted_join",
+    oracle=_SALTED_SQL,
+    covers="§2.B skew-salted equi-join: hot keys spread over salt "
+    "buckets, result provably identical to the plain join",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim join executed through the salting rewrite — the skew
+    lever for keys too hot even for AQE's skew splitting.
+
+    The big side gets a uniform salt, the small side replicates once
+    per salt value, and the join key becomes (key, salt) so one hot
+    key's rows land on `salt_buckets` reducers instead of melting one.
+    A merge hint pins the shuffle join (salting is pointless under a
+    broadcast — that is already skew-immune). Salting redistributes
+    rows but never changes matches: the oracle is the plain join.
+    """
+    from spark_sql_server_spark.sources.layout import salted_join
+
+    big = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice"
+    )
+    small = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        salted_join(big, small.hint("merge"), "p_partkey", salt_buckets=8)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+        )
+        .orderBy("p_brand")
+    )

@@ -326,3 +326,59 @@ def t_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir)
     return spark.sql(_LM_SPARK_SQL)
+
+
+_DOMAIN_MIX_ORACLE = """
+    WITH s AS (
+      SELECT lang, source, COUNT(*) AS n_docs
+      FROM documents GROUP BY lang, source
+    ),
+    t AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total, COUNT(*) AS k FROM s
+    )
+    SELECT s.lang, s.source, s.n_docs,
+           ROUND(CAST(s.n_docs AS DOUBLE) / t.total, 6) AS actual_share,
+           ROUND(CAST(t.total AS DOUBLE) / (t.k * s.n_docs), 6) AS mix_weight
+    FROM s, t
+    ORDER BY s.lang, s.source
+"""
+
+
+@query(
+    "t_domain_mix",
+    oracle=_DOMAIN_MIX_ORACLE,
+    covers="north-star pipeline: domain-mixing weights — per-stratum "
+    "sampling multipliers that rebalance the corpus to a uniform "
+    "domain target",
+)
+def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) sampling weights that would rebalance the
+    corpus to the uniform domain mix: ``weight = target_share /
+    actual_share``. Feed the weights into ``t_weighted_sample`` to
+    materialize the rebalanced corpus.
+
+    Scale: one count aggregation over the corpus; everything after
+    operates on the stratum table (|langs|×|sources| rows — broadcast
+    side forever). Shares and weights are ratios of exact integer
+    counts, so the 6dp rounding is engine-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    t = s.agg(
+        F.sum("n_docs").cast("long").alias("total"), F.count("*").alias("k")
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
+                "actual_share"
+            ),
+            F.round(
+                F.col("total").cast("double") / (F.col("k") * F.col("n_docs")), 6
+            ).alias("mix_weight"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -204,6 +204,14 @@ class TestTpchWave2:
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
 
+    def test_salted_join_keys_include_salt(self, spark):
+        # the join must run as a shuffle join keyed on (key, salt) —
+        # a broadcast would make the salting demo vacuous
+        plan = plan_of(spark, "q_salted_join")
+        assert "SortMergeJoin" in plan
+        assert "__salt" in plan
+        assert "CartesianProduct" not in plan
+
     def test_asof_join_is_join_free(self, spark):
         # the union+window formulation must contain NO join node — the
         # scale property that kills per-probe fan-out

@@ -267,6 +267,9 @@ def _pair_counts_for(docs: DataFrame) -> DataFrame:
                     )
                 )
             ).alias("inter"),
+            # pre-correction shared-RARE-gram count: the blocking
+            # strength signal d_editdist_dups filters on
+            "rare_inter",
         )
     )
 
@@ -1060,4 +1063,92 @@ def d_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy (edit-distance) dedup over blocked candidates
+# --------------------------------------------------------------------------
+
+#: Minimum shared distinct rare grams for a pair to reach the
+#: (quadratic-cost) edit-distance check.
+_EDIT_MIN_SHARED = 3
+#: Relative edit-distance threshold: dist ≤ this × longer text length.
+_EDIT_REL_MAX = 0.3
+
+_EDITDIST_ORACLE = f"""
+    WITH shingled AS (
+      SELECT doc_id,
+             list_distinct([
+               array_to_string(words[i:i+{_NGRAM_N - 1}], ' ')
+               FOR i IN range(1, len(words) - {_NGRAM_N - 1} + 1)
+             ]) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      WHERE len(words) >= {_NGRAM_N}
+    ),
+    postings AS (SELECT doc_id, unnest(grams) AS gram FROM shingled),
+    rare AS (
+      SELECT gram FROM postings GROUP BY gram
+      HAVING COUNT(*) <= (SELECT LEAST({_GRAM_DF_FRACTION} * COUNT(*), {_GRAM_DF_CAP})
+                          FROM documents)
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM postings a
+      JOIN rare r ON a.gram = r.gram
+      JOIN postings b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_EDIT_MIN_SHARED}
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist
+    FROM cand c
+    JOIN documents x ON x.doc_id = c.doc_a
+    JOIN documents y ON y.doc_id = c.doc_b
+    WHERE levenshtein(x.text, y.text)
+            <= {_EDIT_REL_MAX} * greatest(x.n_chars, y.n_chars)
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "d_editdist_dups",
+    oracle=_EDITDIST_ORACLE,
+    covers="north-star dedup: fuzzy duplicate pairs by exact edit "
+    "distance over rare-gram-blocked candidates",
+)
+def d_editdist_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy duplicates: candidate pairs sharing ≥3 distinct rare
+    3-grams whose Levenshtein distance is ≤30% of the longer text.
+
+    Edit distance is O(len²) per pair — never affordable all-pairs.
+    The blocking ladder bounds who pays it: the df-capped inverted
+    index proposes pairs, the ≥{_EDIT_MIN_SHARED}-shared-rare-grams
+    floor prunes weak candidates, and only survivors run the quadratic
+    string metric (JVM `levenshtein`, identical unit-cost definition in
+    DuckDB). Same candidate generation as d_ngram_jaccard — one
+    inverted-index self-join, no cartesian anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        _pair_counts_for(docs)
+        .filter(F.col("rare_inter") >= _EDIT_MIN_SHARED)
+        .select("doc_a", "doc_b")
+    )
+    xa = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.col("n_chars").alias("len_a"),
+    )
+    xb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.col("n_chars").alias("len_b"),
+    )
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    return (
+        pairs.join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .filter(dist <= F.lit(_EDIT_REL_MAX) * F.greatest("len_a", "len_b"))
+        .select("doc_a", "doc_b", dist.cast("long").alias("edit_dist"))
+        .orderBy("doc_a", "doc_b")
     )

@@ -646,3 +646,207 @@ def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(dedupe, schema=out_schema)
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) ANN: compressed codes + asymmetric distance
+# --------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces (dim 64 → 8 dims per subspace)
+_PQ_K = 16  # centroids per subspace → 4 bits/subspace, 4 bytes/vector
+_PQ_ITERS = 5
+_PQ_SHORTLIST = 50  # ADC shortlist size per query before exact re-rank
+
+
+def _pq_fit(spark: SparkSession, emb, m: int, k: int, iters: int):
+    """Per-subspace Lloyd's fit → (m, k, subdim) numpy codebook.
+
+    Same discipline as :func:`_kmeans_fit`: every round is ONE map-only
+    corpus pass emitting per-batch partial (subspace, cluster, sum,
+    count) rows — ≤ m·k rows per batch — and the driver folds only the
+    constant-size codebook. All m subspaces train in the same pass.
+    Deterministic init (subvectors of vec_id 0..k-1), first-minimum
+    tie-break.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    emb = emb.localCheckpoint()
+    init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    X0 = np.array([r.e for r in init], dtype=np.float64)
+    dim = X0.shape[1]
+    sd = dim // m
+    C = np.stack([X0[:, j * sd : (j + 1) * sd] for j in range(m)])  # (m, k, sd)
+
+    part_schema = T.StructType(
+        [
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def partials(codebook):
+        bc = spark.sparkContext.broadcast(codebook)
+
+        def emit(batches):
+            import pandas as pd
+
+            Cb = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                E = np.vstack(pdf["e"].to_numpy())
+                sub, cl, ss, ns = [], [], [], []
+                for j in range(m):
+                    S = E[:, j * sd : (j + 1) * sd]
+                    Cj = Cb[j]
+                    d2 = (S * S).sum(1)[:, None] - 2 * (S @ Cj.T) + (Cj * Cj).sum(1)[None, :]
+                    a = np.argmin(d2, axis=1)
+                    for c in np.unique(a):
+                        sel = a == c
+                        sub.append(j)
+                        cl.append(int(c))
+                        ns.append(int(sel.sum()))
+                        ss.append(S[sel].sum(axis=0).tolist())
+                yield pd.DataFrame({"sub": sub, "cluster": cl, "s": ss, "n": ns})
+
+        return emit
+
+    for _ in range(iters):
+        parts = emb.mapInPandas(partials(C), schema=part_schema).collect()
+        sums = np.zeros_like(C)
+        counts = np.zeros((m, k))
+        for r in parts:
+            sums[r.sub, r.cluster] += np.asarray(r.s)
+            counts[r.sub, r.cluster] += r.n
+        nonempty = counts > 0
+        C = np.where(
+            nonempty[:, :, None], sums / np.maximum(counts, 1)[:, :, None], C
+        )
+    return C
+
+
+def pq_encode_mirror(E, C):
+    """Pure-numpy PQ encoder (the pytest mechanism mirror): codes[i, j]
+    = nearest C[j] centroid of E[i]'s j-th subvector."""
+    import numpy as np
+
+    m, _, sd = C.shape
+    codes = np.empty((E.shape[0], m), dtype=np.int32)
+    for j in range(m):
+        S = E[:, j * sd : (j + 1) * sd]
+        Cj = C[j]
+        d2 = (S * S).sum(1)[:, None] - 2 * (S @ Cj.T) + (Cj * Cj).sum(1)[None, :]
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+@query(
+    "s_ann_pq",
+    oracle=None,  # float k-means codebooks are partial-agg-order
+    # dependent; mechanism verified in pytest against pq_encode_mirror,
+    # recall-floored vs s_ann_bruteforce
+    covers="north-star similarity: product-quantization ANN — 4-byte "
+    "codes, asymmetric-distance shortlist, exact re-rank",
+)
+def s_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed approximate nearest neighbors.
+
+    The corpus compresses to m=8 4-bit codes per vector (16× smaller
+    than the float64 rows) in one map-only encode pass; each query
+    builds an (m × k) asymmetric-distance table and scores every code
+    with table GATHERS — no float reconstruction, no join. The ADC
+    shortlist (top {_PQ_SHORTLIST}/query on approximate cosine) then
+    re-ranks exactly, bounding exact-cosine work to shortlist size.
+    Scale: codebook fit is the map-only Lloyd's loop (driver folds an
+    (8×16×8) codebook); encode and scoring are embarrassingly parallel
+    scans of the compressed codes — the memory-bound regime PQ exists
+    for.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    C = _pq_fit(spark, emb, _PQ_M, _PQ_K, _PQ_ITERS)
+    m, k, sd = C.shape
+
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).orderBy("vec_id").collect()
+    Q = np.array([r.e for r in queries], dtype=np.float64)
+    qids = np.array([r.vec_id for r in queries])
+    # ADC tables: ip_tab[q, j, c] = <Q[q]_j, C[j, c]>; centroid norms
+    # approximate the database vector norm via its reconstruction
+    ip_tab = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, sd), C)
+    cnorm2 = (C * C).sum(axis=2)  # (m, k)
+    qnorm = np.sqrt((Q * Q).sum(1))
+
+    bc = spark.sparkContext.broadcast((C, ip_tab, cnorm2, qnorm, qids))
+    score_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("approx_sim", T.DoubleType()),
+        ]
+    )
+
+    def adc_score(batches):
+        import pandas as pd
+
+        Cb, ipt, cn2, qn, qid_arr = bc.value
+
+        def encode(E):
+            return pq_encode_mirror(E, Cb)
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.vstack(pdf["e"].to_numpy())
+            codes = encode(E)  # (n, m)
+            rows = np.arange(m)[None, :]
+            # approx dot: gather per subspace table entries and sum
+            approx_ip = ipt[:, rows, codes].sum(axis=2)  # (n_q, n)
+            rnorm = np.sqrt(cn2[rows, codes].sum(axis=1))  # (n,) reconstruction norm
+            sim = approx_ip / (qn[:, None] * np.maximum(rnorm, 1e-12)[None, :])
+            n = E.shape[0]
+            vid = pdf["vec_id"].to_numpy()
+            out = {
+                "qid": np.repeat(qid_arr, n),
+                "vec_id": np.tile(vid, len(qid_arr)),
+                "approx_sim": sim.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    scored = emb.mapInPandas(adc_score, schema=score_schema).filter(
+        F.col("qid") != F.col("vec_id")
+    )
+    wq = W.partitionBy("qid").orderBy(F.col("approx_sim").desc(), F.col("vec_id"))
+    shortlist = (
+        scored.withColumn("srnk", F.row_number().over(wq))
+        .filter(F.col("srnk") <= _PQ_SHORTLIST)
+        .select("qid", "vec_id")
+    )
+    # exact re-rank of the shortlist only
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    exact = (
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_sim(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        )
+    )
+    wf = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("qid", "rnk", F.col("vec_id").alias("neighbor"), "cos_sim")
+        .orderBy("qid", "rnk")
+    )

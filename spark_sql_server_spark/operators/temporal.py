@@ -48,6 +48,7 @@ _ASOF_ORACLE = """
     oracle=_ASOF_ORACLE,
     covers="beyond-ref temporal: as-of (point-in-time) join — for each "
     "click, the user's most recent purchase at or before it",
+    bench=True,
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via the union+window formulation.
@@ -122,6 +123,7 @@ _RANGE_ORACLE = f"""
     oracle=_RANGE_ORACLE,
     covers="beyond-ref temporal: interval range join via time-bin "
     "equi-join rewrite (no nested-loop join in the plan)",
+    bench=True,
 )
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events counted into overlapping, unaligned time windows.

@@ -1021,3 +1021,43 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+_Q6_SQL = f"""
+    SELECT {DSUM("l_extendedprice * l_discount")} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=_Q6_SQL,
+    covers="§2.B pure scan-filter-aggregate, every predicate at the scan "
+    "(TPC-H Q6 shape)",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue change from hypothetically eliminating small discounts —
+    the canonical scan-bound query: no join, every predicate pushable.
+
+    Scale: all three filters reach the parquet scan (plan-gated), the
+    aggregate collapses map-side to one decimal partial per partition,
+    and the exchange moves |partitions| rows. The fastest thing an
+    engine can do with 100 TB — the gate proves nothing blocks the
+    pushdown.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+        )
+    )

@@ -17,8 +17,19 @@ def optimized_plan(df: DataFrame) -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """Every PushedFilters list that reached a scan."""
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", executed_plan(df))
+    """Every PushedFilters list that reached a scan.
+
+    Scan metadata is rendered under ``spark.sql.maxMetadataStringLength``
+    (default 100 chars) — long filter lists lose their closing bracket
+    and would silently match nothing, so widen the limit for the
+    duration of the render."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        return re.findall(r"PushedFilters: \[([^\]]*)\]", executed_plan(df))
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
 
 
 def read_schemas(df: DataFrame) -> list[str]:

@@ -204,6 +204,16 @@ class TestTpchWave2:
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
 
+    def test_q6_all_predicates_at_scan(self, spark):
+        df = REGISTRY["q6_forecast_revenue"].fn(spark, SF_CORRECT)
+        # every predicate must reach the parquet reader (the plan string
+        # truncates PushedFilters, so use the inspector)
+        pf = " ".join(pushed_filters(df))
+        assert "GreaterThanOrEqual(l_shipdate" in pf
+        assert "GreaterThanOrEqual(l_discount,0.05)" in pf
+        assert "LessThan(l_quantity,24.0)" in pf
+        assert "Join" not in plan_of(spark, "q6_forecast_revenue")
+
     def test_salted_join_keys_include_salt(self, spark):
         # the join must run as a shuffle join keyed on (key, salt) —
         # a broadcast would make the salting demo vacuous

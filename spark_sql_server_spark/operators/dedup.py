@@ -1152,3 +1152,150 @@ def d_editdist_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", dist.cast("long").alias("edit_dist"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+_MINHASH_EST_ORACLE = f"""
+    WITH {_DUCK_SIG_CTES.format(N=3, P=16)},
+    bands AS (
+      SELECT doc_id, b AS band, sig[b*4+1:b*4+4] AS bv
+      FROM sigs, unnest(range(0, 4)) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0
+             AS est_jaccard,
+           CAST(len(list_intersect(ga.gh, gb.gh)) AS DOUBLE)
+             / (len(ga.gh) + len(gb.gh) - len(list_intersect(ga.gh, gb.gh)))
+             AS jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    JOIN grams ga ON ga.doc_id = c.doc_a
+    JOIN grams gb ON gb.doc_id = c.doc_b
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "d_minhash_est",
+    oracle=_MINHASH_EST_ORACLE,
+    covers="north-star dedup diagnostic: MinHash Jaccard estimate vs "
+    "exact Jaccard per LSH candidate pair (estimator-quality audit)",
+)
+def d_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-pair MinHash estimate (matching permutation minima
+    / 16) next to the exact gram-set Jaccard — the audit that tells a
+    pipeline owner whether the configured (perms, bands) are tight
+    enough before committing a 100 TB dedup run to them.
+
+    Scale: candidates come from the same band-bucket join as
+    d_minhash_lsh; signatures and distinct-gram-hash sets are joined
+    only for candidate members (pair-count sized, not corpus²). Both
+    outputs are exact integer ratios — no rounding needed for the hash
+    gate. The gram sets reuse the portable polynomial hashes, so the
+    DuckDB mirror reproduces them bit-for-bit.
+    """
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_signatures_pandas(docs).localCheckpoint()
+    rows_per_band = _NUM_PERM // _BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_hash"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # distinct gram-HASH sets (same polynomial hashes the signatures
+    # minimize over, so DuckDB's `grams` CTE mirrors them exactly)
+    words = F.split(F.col("text"), " ")
+    grams_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("gh", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def gram_hashes(batches):
+        import numpy as np
+        import pandas as pd
+
+        n = _NGRAM_N
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            doc_words = [t.split(" ") for t in pdf["text"]]
+            vocab = _np_word_hash_vocab(
+                list({w for ws in doc_words for w in ws}), np
+            )
+            ids, ghs = [], []
+            for doc_id, ws in zip(pdf["doc_id"], doc_words):
+                if len(ws) < n:
+                    continue
+                wh = np.fromiter(
+                    (vocab[w] for w in ws), dtype=np.int64, count=len(ws)
+                )
+                g = wh[: len(ws) - n + 1].copy()
+                for k in range(1, n):
+                    g = (g * 31 + wh[k : len(ws) - n + 1 + k]) % MOD
+                ids.append(doc_id)
+                ghs.append(np.unique(g).tolist())
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "gh": ghs})
+
+    from spark_sql_server_spark.session import spread
+
+    gh = spread(docs.select("doc_id", "text")).mapInPandas(
+        gram_hashes, schema=grams_schema
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    ga = gh.select(F.col("doc_id").alias("doc_a"), F.col("gh").alias("gh_a"))
+    gb = gh.select(F.col("doc_id").alias("doc_b"), F.col("gh").alias("gh_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    inter = F.size(F.array_intersect("gh_a", "gh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches / F.lit(float(_NUM_PERM))).alias("est_jaccard"),
+            (
+                inter.cast("double")
+                / (F.size("gh_a") + F.size("gh_b") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -284,7 +284,16 @@ _LM_SPARK_SQL = """
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND(CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+           -- mean in exact integer micro-space: the decimal sum scaled
+           -- to int64 micros is exact, the int/int division is the same
+           -- IEEE double in every engine, and FLOOR(x + 0.5) is a
+           -- deterministic tie rule. ROUND(double, 6) here is NOT safe:
+           -- Spark rounds the shortest decimal representation (HALF_UP
+           -- via BigDecimal.valueOf) while DuckDB rounds the scaled
+           -- multiply, and a mean landing within an ulp of a 0.5e-6
+           -- boundary splits them (observed at sf0.1, doc 786)
+           CAST(FLOOR(CAST(SUM(CAST(lp AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+                        / COUNT(*) + 0.5) AS BIGINT) / 1000000.0
              AS lm_score
     FROM scored
     GROUP BY doc_id

@@ -133,6 +133,17 @@ def pipe_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     collects data to the driver; the composition adds no new shuffle
     beyond its parts.
     """
+    return (
+        curated_docs(spark, sf_dir)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept documents (all columns, including text) after the full
+    curation chain — shared by pipe_curate_corpus (reports the corpus)
+    and pipe_build_dataset (packs it into training windows)."""
     docs = load_table(spark, sf_dir, "documents")
 
     qual = docs.filter(quality_score_col(F.col("text")) >= _MIN_QUALITY)
@@ -156,9 +167,90 @@ def pipe_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     flags = decontam_flags_for(nd)
     contaminated = flags.filter(F.col("contaminated")).select("doc_id")
+    return nd.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe_build_dataset: curated corpus → 2048-token training windows →
+# per-window manifest, hash-certified end to end.
+# ---------------------------------------------------------------------------
+
+def _build_dataset_oracle() -> str:
+    """Splice the curation CTE chain and the context-packing CTE chain
+    into one recursive-CTE oracle: the packing side reads the ``kept``
+    set instead of raw ``documents``."""
+    from spark_sql_server_spark.operators.textops import _PACK_SQL
+
+    pipe_ctes = _PIPE_ORACLE[: _PIPE_ORACLE.index("SELECT nd.doc_id")]
+    pack = _PACK_SQL.format(NWORDS="len(string_split(text, ' '))")
+    pack_ctes = pack[pack.index("toks AS") : pack.index("SELECT l.doc_id")]
+    # the CTE block ends with the offsets CTE close paren + whitespace;
+    # trim back to the paren so the comma splice is valid SQL
+    pack_ctes = pack_ctes[: pack_ctes.rindex(")") + 1]
+    pack_final = pack[pack.index("SELECT l.doc_id") :].replace(
+        "ORDER BY doc_id", ""
+    )
+    return f"""
+    {pipe_ctes.rstrip().rstrip(',')},
+    kept AS (
+      SELECT nd.doc_id, nd.text FROM nd
+      LEFT JOIN dsh s ON nd.doc_id = s.doc_id
+      LEFT JOIN dhits h ON nd.doc_id = h.doc_id
+      WHERE nd.doc_id % {_DECON_EVAL_MOD} <> 0
+        AND (s.doc_id IS NULL OR 2 * COALESCE(h.n_hit, 0) < len(s.grams))
+    ),
+    {pack_ctes.replace("FROM documents", "FROM kept")},
+    packed AS ({pack_final})
+    SELECT window_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS window_tokens
+    FROM packed
+    GROUP BY window_id
+    ORDER BY window_id
+"""
+
+
+@query(
+    "pipe_build_dataset",
+    oracle=_build_dataset_oracle(),
+    covers="north-star pipeline composite: curated corpus → 2048-token "
+    "context windows → per-window shard manifest, one oracle for the "
+    "whole build",
+    bench=True,
+)
+def pipe_build_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after curation: pack the kept documents into
+    2048-token training windows and emit the per-window manifest
+    (docs packed, tokens filled) a shard writer consumes.
+
+    Scale: the curation chain keeps its staged design; packing inherits
+    t_pack_contexts' shard-partitioned running sum (no global window —
+    the only cross-shard step is a 256-row cumulative offset pass); the
+    manifest aggregate collapses map-side to one row per window. The
+    curated set is checkpointed once before the packing SQL reads it
+    through its window/offset CTEs.
+    """
+    import uuid
+
+    from spark_sql_server_spark.operators.textops import _PACK_SQL
+
+    kept = (
+        curated_docs(spark, sf_dir).select("doc_id", "text").localCheckpoint()
+    )
+    view = f"curated_docs_{uuid.uuid4().hex[:8]}"
+    kept.createOrReplaceTempView(view)
+    packed = spark.sql(
+        _PACK_SQL.format(NWORDS="size(split(text, ' '))").replace(
+            "FROM documents", f"FROM {view}"
+        )
+    )
     return (
-        nd.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
-        .join(contaminated, "doc_id", "left_anti")
-        .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
+        packed.groupBy("window_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("window_tokens"),
+        )
+        .orderBy("window_id")
     )

@@ -21,9 +21,13 @@ from spark_sql_server_spark.session import load_table
 
 _WAVG_ORACLE = """
     SELECT l_returnflag,
-           ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6)))
+           -- FLOOR micro-space rounding, mirrored exactly by the UDF
+           -- (math.floor over the same IEEE quotient) — ROUND of a
+           -- quotient is the documented cross-engine trap
+           FLOOR(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6)))
                  AS DOUBLE)
-                 / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0
              AS wavg_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -44,12 +48,17 @@ def p_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the decimal-SQL oracle, not merely close.
     """
 
+    import math
+
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def wavg(price: pd.Series, qty: pd.Series) -> float:
-        # exact: scale to int64 micro-units, like DECIMAL(38,6)
+        # exact: scale to int64 micro-units, like DECIMAL(38,6); final
+        # rounding in FLOOR micro-space (Python round() is banker's —
+        # not the oracle's rule)
         num = int((price * qty * 1_000_000).round().astype("int64").sum())
         den = int((qty * 1_000_000).round().astype("int64").sum())
-        return round((num / 1_000_000) / (den / 1_000_000), 6)
+        q = (num / 1_000_000) / (den / 1_000_000)
+        return math.floor(q * 1_000_000 + 0.5) / 1_000_000
 
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -106,8 +115,12 @@ _ZSCORE_ORACLE = """
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
-           ROUND((l.l_quantity - s.s1 / s.n)
-                 / SQRT(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 6) AS qty_z
+           -- FLOOR micro-space rounding (mirrored by np.floor in the
+           -- UDF); z is negative-capable — FLOOR(x*1e6+0.5) is half-up
+           -- toward +inf, consistently in both engines
+           FLOOR((l.l_quantity - s.s1 / s.n)
+                 / SQRT(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))
+                 * 1000000 + 0.5) / 1000000.0 AS qty_z
     FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
     WHERE l.l_orderkey <= 100
     ORDER BY l.l_orderkey, l.l_linenumber
@@ -145,7 +158,11 @@ def p_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2 = int((q * q * 1_000_000).round().astype("int64").sum()) / 1_000_000
         mean = s1 / n
         var = s2 / n - mean * mean
-        z = ((q - mean) / (var ** 0.5)).round(6)
+        # FLOOR micro-space, same IEEE op order as the oracle SQL
+        # (np .round(6) is half-even — not the oracle's rule)
+        import numpy as np
+
+        z = np.floor((q - mean) / (var ** 0.5) * 1_000_000 + 0.5) / 1_000_000
         return pd.DataFrame(
             {
                 "l_orderkey": pdf["l_orderkey"],

@@ -37,6 +37,24 @@ def DSUM(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
 
 
+def round6(c: Column) -> Column:
+    """Cross-engine-safe 6dp rounding of a non-negative double:
+    ``FLOOR(x*1e6 + 0.5) / 1e6`` is the identical IEEE op sequence in
+    Spark and DuckDB, whereas ``ROUND(double, 6)`` of a quotient is NOT
+    cross-engine safe (Spark rounds the shortest decimal repr via
+    BigDecimal HALF_UP, DuckDB rounds a scaled multiply — a value
+    within an ulp of a 0.5e-6 boundary splits them; see CLAUDE.md and
+    the r3 ``t_ngram_lm_score`` driver failure)."""
+    return F.floor(c * 1000000 + F.lit(0.5)) / 1000000.0
+
+
+def ROUND6(expr: str) -> str:
+    """SQL spelling of :func:`round6` — valid in both Spark SQL and
+    DuckDB (FLOOR returns BIGINT in Spark, DOUBLE in DuckDB; the final
+    division yields DOUBLE in both)."""
+    return f"(FLOOR(({expr}) * 1000000 + 0.5) / 1000000.0)"
+
+
 def davg(c: Column) -> Column:
     """Deterministic average: exact decimal sum / count, in DOUBLE."""
     return (dsum(c) / F.count(c).cast("double")).cast("double")

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_sql_server_spark.operators.registry import query
-from spark_sql_server_spark.operators.relational import DSUM, dsum
+from spark_sql_server_spark.operators.relational import DSUM, ROUND6, dsum, round6
 from spark_sql_server_spark.session import load_table
 
 _Q7_SQL = f"""
@@ -206,15 +206,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q14_SQL = """
-    SELECT ROUND(
+_Q14_SQL = f"""
+    SELECT {ROUND6('''
              100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
                         THEN CAST(l_extendedprice * (1 - l_discount)
                                   AS DECIMAL(38,6))
                         ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
              / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(38,6))) AS DOUBLE),
-           6) AS promo_revenue
+                             AS DECIMAL(38,6))) AS DOUBLE)''')} AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1996-12-01 00:00:00'
@@ -232,7 +231,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the date filter pushes to the lineitem scan; part broadcasts;
     the whole query reduces map-side to two decimal partials. Both CASE
     branches are DECIMAL(38,6) so the conditional sum stays exact, and
-    the final ratio is one double division, rounded at 6dp.
+    the final ratio is one double division, rounded at 6dp in integer
+    micro-space (round6 — ROUND of a quotient is cross-engine unsafe).
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
@@ -247,11 +247,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
+            round6(
                 F.lit(100.00)
                 * F.sum(promo).cast("double")
-                / F.sum(rev.cast("decimal(38,6)")).cast("double"),
-                6,
+                / F.sum(rev.cast("decimal(38,6)")).cast("double")
             ).alias("promo_revenue")
         )
     )
@@ -458,7 +457,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q17_FRACTION = 0.2
 
 _Q17_SQL = f"""
-    SELECT ROUND({DSUM("l_extendedprice")} / 7.0, 6) AS avg_yearly
+    SELECT {ROUND6(DSUM("l_extendedprice") + " / 7.0")} AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3' AND p_size < 15
       AND l_quantity < (
@@ -503,7 +502,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(per_part), F.col("ap_key") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cutoff"))
         .agg(
-            F.round(dsum(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly")
+            round6(dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly")
         )
     )
 
@@ -659,8 +658,8 @@ def q22_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_SQL = f"""
     SELECT o_year,
-           ROUND({DSUM("CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END")}
-                 / {DSUM("volume")}, 6) AS mkt_share
+           {ROUND6(DSUM("CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END")
+                   + " / " + DSUM("volume"))} AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -724,8 +723,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_year")
         .agg(
-            F.round(
-                dsum(F.col("nation_volume")) / dsum(F.col("volume")), 6
+            round6(
+                dsum(F.col("nation_volume")) / dsum(F.col("volume"))
             ).alias("mkt_share")
         )
         .orderBy("o_year")

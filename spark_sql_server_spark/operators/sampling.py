@@ -284,17 +284,16 @@ _LM_SPARK_SQL = """
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           -- mean in exact integer micro-space: the decimal sum scaled
-           -- to int64 micros is exact, the int/int division is the same
-           -- IEEE double in every engine, and FLOOR(x + 0.5) is a
-           -- deterministic tie rule. ROUND(double, 6) here is NOT safe:
-           -- Spark rounds the shortest decimal representation (HALF_UP
-           -- via BigDecimal.valueOf) while DuckDB rounds the scaled
-           -- multiply, and a mean landing within an ulp of a 0.5e-6
-           -- boundary splits them (observed at sf0.1, doc 786)
-           CAST(FLOOR(CAST(SUM(CAST(lp AS DECIMAL(38,6))) * 1000000 AS BIGINT)
-                        / COUNT(*) + 0.5) AS BIGINT) / 1000000.0
-             AS lm_score
+           -- certify the EXACT integer sum, not any derived mean: the
+           -- decimal sum of 6dp-rounded logs scaled to int64 micros is
+           -- bit-identical in both engines. Certifying a derived double
+           -- (mean, even via FLOOR(x + 0.5) tie rules) is a knife edge:
+           -- at sf0.01 seven documents' sum_micros/n land EXACTLY on the
+           -- .5 tie, so a 1-micro drift anywhere flips the FLOOR (r3
+           -- driver hash FAIL). Consumers divide sum_lp_micros /
+           -- (1e6 * n_bigrams) for the mean score themselves.
+           CAST(SUM(CAST(lp AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+             AS sum_lp_micros
     FROM scored
     GROUP BY doc_id
     ORDER BY doc_id
@@ -320,10 +319,14 @@ _LM_ORACLE = (
     "scoring (add-one smoothing, CCNet-shaped filter)",
 )
 def t_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean bigram log-probability per document under an add-one-
+    """Per-document bigram log-probability mass under an add-one-
     smoothed LM trained on the corpus itself — the distributional twin
     of a KenLM perplexity filter (real model weights would arrive as a
-    broadcast lookup table in exactly this plan shape).
+    broadcast lookup table in exactly this plan shape). Emits the exact
+    integer pair ``(n_bigrams, sum_lp_micros)``; the mean quality score
+    is ``sum_lp_micros / (1e6 * n_bigrams)`` — left to the consumer
+    because certifying any derived double is tie-fragile (seven sf0.01
+    docs sit exactly on the FLOOR(mean+0.5) boundary; r3 driver FAIL).
 
     Scale: token fan-out is a map-side explode; the count tables are
     hash aggregations; the score joins are key-unique (each bigram row
@@ -331,7 +334,7 @@ def t_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys raise row counts but never fan out quadratically — AQE skew
     splitting handles the rest. The vocab size joins in as a 1-row
     broadcast. Log values are rounded to 6dp then summed as
-    DECIMAL(38,6) so partial-agg order cannot move the mean.
+    DECIMAL(38,6) so partial-agg order cannot move the sum.
     """
     register_tables(spark, sf_dir)
     return spark.sql(_LM_SPARK_SQL)
@@ -346,8 +349,15 @@ _DOMAIN_MIX_ORACLE = """
       SELECT CAST(SUM(n_docs) AS BIGINT) AS total, COUNT(*) AS k FROM s
     )
     SELECT s.lang, s.source, s.n_docs,
-           ROUND(CAST(s.n_docs AS DOUBLE) / t.total, 6) AS actual_share,
-           ROUND(CAST(t.total AS DOUBLE) / (t.k * s.n_docs), 6) AS mix_weight
+           -- micro-space rounding, NOT ROUND(double, 6): these are
+           -- ratios of exact integer counts, the documented cross-
+           -- engine ROUND trap (Spark BigDecimal HALF_UP vs DuckDB
+           -- scaled multiply). FLOOR(x*1e6 + 0.5)/1e6 is the same
+           -- IEEE op sequence in both engines.
+           FLOOR(CAST(s.n_docs AS DOUBLE) / t.total * 1000000 + 0.5)
+             / 1000000.0 AS actual_share,
+           FLOOR(CAST(t.total AS DOUBLE) / (t.k * s.n_docs) * 1000000 + 0.5)
+             / 1000000.0 AS mix_weight
     FROM s, t
     ORDER BY s.lang, s.source
 """
@@ -369,24 +379,38 @@ def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one count aggregation over the corpus; everything after
     operates on the stratum table (|langs|×|sources| rows — broadcast
     side forever). Shares and weights are ratios of exact integer
-    counts, so the 6dp rounding is engine-identical.
+    counts rounded in integer micro-space (FLOOR(x*1e6+0.5)/1e6 — the
+    identical IEEE op sequence in both engines; ROUND(double, 6) of a
+    quotient is the documented cross-engine trap).
     """
     docs = load_table(spark, sf_dir, "documents")
     s = docs.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
     t = s.agg(
         F.sum("n_docs").cast("long").alias("total"), F.count("*").alias("k")
     )
+    # micro-space rounding (FLOOR(x*1e6 + 0.5)/1e6) textually parallel
+    # with the oracle — see the oracle comment; F.round is the trap.
     return (
         s.crossJoin(F.broadcast(t))
         .select(
             "lang",
             "source",
             "n_docs",
-            F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
-                "actual_share"
-            ),
-            F.round(
-                F.col("total").cast("double") / (F.col("k") * F.col("n_docs")), 6
+            (
+                F.floor(
+                    F.col("n_docs").cast("double") / F.col("total") * 1000000
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("actual_share"),
+            (
+                F.floor(
+                    F.col("total").cast("double")
+                    / (F.col("k") * F.col("n_docs"))
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000.0
             ).alias("mix_weight"),
         )
         .orderBy("lang", "source")

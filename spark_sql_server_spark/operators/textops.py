@@ -256,7 +256,10 @@ _TFIDF_SQL = """
     ),
     scored AS (
       SELECT tf.doc_id, tf.word,
-             ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+             -- FLOOR micro-space 6dp (not ROUND: engine-divergent on
+             -- boundary-adjacent doubles); mirrored by the DF side
+             FLOOR(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df)
+                   * 1000000 + 0.5) / 1000000.0 AS tfidf
       FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
     ),
     ranked AS (
@@ -319,8 +322,13 @@ def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "word",
-            F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            (
+                F.floor(
+                    F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000.0
             ).alias("tfidf"),
         )
     )

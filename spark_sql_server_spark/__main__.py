@@ -40,6 +40,11 @@ def main() -> None:
     p.add_argument("--metrics-port", type=int, default=None,
                    help="serve GET /metrics (Prometheus), /metrics.json and "
                         "/healthz on this port (0 = ephemeral; default off)")
+    p.add_argument("--metrics-host", default=None,
+                   help="bind address for the metrics endpoint (default "
+                        "127.0.0.1 — the endpoint is unauthenticated and "
+                        "shows live SQL text, so it never inherits --host; "
+                        "widen explicitly at your own risk)")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args()
 
@@ -64,6 +69,7 @@ def main() -> None:
         execution_mode=args.execution_mode,
         binary_transfer=False if args.no_binary_transfer else None,
         metrics_port=args.metrics_port,
+        metrics_host=args.metrics_host,
     )
 
     async def run() -> None:
@@ -71,7 +77,9 @@ def main() -> None:
         logging.info("ready: psql -h %s -p %s", args.host, server.port)
         if server.metrics_server:
             logging.info(
-                "metrics: http://%s:%s/metrics", args.host, server.metrics_server.port
+                "metrics: http://%s:%s/metrics",
+                server.metrics_server.host,
+                server.metrics_server.port,
             )
         try:
             await asyncio.Event().wait()

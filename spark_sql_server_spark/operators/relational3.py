@@ -920,6 +920,55 @@ _BUCKETED_SQL = f"""
 """
 
 
+def _bucketed_join_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[str], list[str]]:
+    """Write both bucketed tables and return (lazy joined DF, table
+    names, temp dirs). The caller owns cleanup — used directly by the
+    plan-gate test, which must see the SortMergeJoin plan before the
+    registered operator checkpoints it away."""
+    import tempfile
+    import uuid
+
+    from spark_sql_server_spark.sources.layout import write_bucketed
+
+    suffix = uuid.uuid4().hex[:8]
+    ot, lt = f"orders_bkt_{suffix}", f"lineitem_bkt_{suffix}"
+    od = tempfile.mkdtemp(prefix="bkt-orders-")
+    ld = tempfile.mkdtemp(prefix="bkt-lineitem-")
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ot,
+        ["o_orderkey"],
+        8,
+        ["o_orderkey"],
+        path=od,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice"
+        ),
+        lt,
+        ["l_orderkey"],
+        8,
+        ["l_orderkey"],
+        path=ld,
+    )
+    joined = (
+        spark.table(ot)
+        .hint("merge")  # pin SortMergeJoin so the bucket layout, not a
+        # small-table broadcast, is what elides the exchanges
+        .join(spark.table(lt), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+        )
+        .orderBy("o_orderpriority", "l_returnflag")
+    )
+    return joined, [ot, lt], [od, ld]
+
+
 @query(
     "q_bucketed_join",
     oracle=_BUCKETED_SQL,
@@ -935,47 +984,28 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (external location — the session warehouse belongs to the driver),
     then joined with a merge hint: the planner sees matching bucket
     specs and elides BOTH join-side exchanges (gated in
-    tests/test_plans.py; the only exchange left is the final rollup's).
-    The answer must equal the plain unbucketed join — layout never
-    changes semantics.
+    tests/test_plans.py against the pre-checkpoint plan; the only
+    exchange left is the final rollup's). The answer must equal the
+    plain unbucketed join — layout never changes semantics.
+
+    Resource lifecycle: the tiny grouped result is materialized eagerly
+    (localCheckpoint — blocks reclaimed by the ContextCleaner), then
+    the metastore tables and temp dirs are dropped in ``finally`` so a
+    long-running server doesn't accrete one table pair + two projection
+    dirs per invocation.
     """
-    import tempfile
-    import uuid
+    import shutil
 
-    from spark_sql_server_spark.sources.layout import write_bucketed
-
-    suffix = uuid.uuid4().hex[:8]
-    ot, lt = f"orders_bkt_{suffix}", f"lineitem_bkt_{suffix}"
-    write_bucketed(
-        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
-        ot,
-        ["o_orderkey"],
-        8,
-        ["o_orderkey"],
-        path=tempfile.mkdtemp(prefix="bkt-orders-"),
-    )
-    write_bucketed(
-        load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_returnflag", "l_extendedprice"
-        ),
-        lt,
-        ["l_orderkey"],
-        8,
-        ["l_orderkey"],
-        path=tempfile.mkdtemp(prefix="bkt-lineitem-"),
-    )
-    return (
-        spark.table(ot)
-        .hint("merge")  # pin SortMergeJoin so the bucket layout, not a
-        # small-table broadcast, is what elides the exchanges
-        .join(spark.table(lt), F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("o_orderpriority", "l_returnflag")
-        .agg(
-            F.count("*").alias("n_lines"),
-            dsum(F.col("l_extendedprice")).alias("total_price"),
-        )
-        .orderBy("o_orderpriority", "l_returnflag")
-    )
+    joined, tables, dirs = _bucketed_join_build(spark, sf_dir)
+    try:
+        # eager: the SortMergeJoin runs NOW, against the bucketed
+        # layout; the returned DF reads the materialized blocks
+        return joined.localCheckpoint()
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 _SALTED_SQL = f"""

@@ -8,6 +8,7 @@ gate covers the streaming engine itself, not just its batch twin.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -16,6 +17,29 @@ from pyspark.sql import functions as F
 
 from spark_sql_server_spark.operators.registry import query
 from spark_sql_server_spark.session import load_table
+
+
+def _finalize(
+    spark: SparkSession,
+    df: DataFrame,
+    sink: str | None = None,
+    dirs: tuple[str, ...] = (),
+) -> DataFrame:
+    """Materialize the (small) final result eagerly, then release the
+    run's resources: the memory-sink temp view (which otherwise pins
+    the full drained stream in driver memory forever) and the temp
+    source/sink/checkpoint dirs. Without this every invocation of a
+    streaming operator on a long-running server leaks driver memory
+    and /tmp — the same per-invocation-leak class the persist()→
+    localCheckpoint rule exists for. localCheckpoint blocks are
+    reclaimed by the ContextCleaner once the returned DF is dropped."""
+    try:
+        return df.localCheckpoint()
+    finally:
+        if sink is not None:
+            spark.catalog.dropTempView(sink)
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
 
 _STREAM_HOURLY_ORACLE = """
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
@@ -85,7 +109,7 @@ def st_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return (
+    result = (
         spark.table(sink)
         .select(
             "user_id",
@@ -95,6 +119,7 @@ def st_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+    return _finalize(spark, result, sink=sink, dirs=(src,))
 
 
 @query(
@@ -129,7 +154,7 @@ def st_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return (
+    result = (
         spark.table(sink)
         .select(
             F.col("hour").cast("timestamp_ntz").alias("hour"),
@@ -138,6 +163,7 @@ def st_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+    return _finalize(spark, result, sink=sink, dirs=(src,))
 
 _STREAM_ENRICH_ORACLE = """
     SELECT event_type, c_mktsegment, COUNT(*) AS n_events
@@ -186,12 +212,13 @@ def st_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return (
+    result = (
         spark.read.parquet(out)
         .groupBy("event_type", "c_mktsegment")
         .agg(F.count("*").alias("n_events"))
         .orderBy("event_type", "c_mktsegment")
     )
+    return _finalize(spark, result, dirs=(src, out, ckpt))
 
 
 _STREAM_DEDUP_ORACLE = """
@@ -235,7 +262,7 @@ def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return (
+    result = (
         spark.table(sink)
         .select(
             "event_id",
@@ -247,6 +274,7 @@ def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+    return _finalize(spark, result, sink=sink, dirs=(src,))
 
 
 _RUNNING_TOTALS_ORACLE = """
@@ -299,7 +327,7 @@ def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return (
+    result = (
         spark.table(sink)
         .groupBy("user_id")
         .agg(
@@ -313,3 +341,4 @@ def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+    return _finalize(spark, result, sink=sink, dirs=(src,))

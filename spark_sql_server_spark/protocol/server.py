@@ -236,6 +236,7 @@ class SparkPGServer:
         execution_mode: str | None = None,
         binary_transfer: bool | None = None,
         metrics_port: int | None = None,
+        metrics_host: str | None = None,
     ):
         self.spark = spark
         self.host = host
@@ -265,8 +266,13 @@ class SparkPGServer:
         self.password_check = password_check
         self.metrics = ServerMetrics()
         #: HTTP monitoring endpoint (reference SQLServerListener + UI
-        #: tab equivalent); None → disabled, 0 → ephemeral port
+        #: tab equivalent); None → disabled, 0 → ephemeral port.
+        #: Binds loopback by default — the endpoint is unauthenticated
+        #: and exposes usernames / application names / live SQL text,
+        #: so it must NOT silently inherit a 0.0.0.0 PG bind; widening
+        #: requires the explicit metrics_host / --metrics-host opt-in.
         self.metrics_port = metrics_port
+        self.metrics_host = metrics_host or "127.0.0.1"
         self.metrics_server = None
         self._reaper_task: asyncio.Task | None = None
         self._ssl_ctx = None
@@ -307,7 +313,9 @@ class SparkPGServer:
         if self.metrics_port is not None:
             from spark_sql_server_spark.protocol.http_metrics import MetricsHTTPServer
 
-            self.metrics_server = MetricsHTTPServer(self, self.host, self.metrics_port)
+            self.metrics_server = MetricsHTTPServer(
+                self, self.metrics_host, self.metrics_port
+            )
             await self.metrics_server.start()
         log.info("SparkPGServer listening on %s:%s", *addr[:2])
 

@@ -238,13 +238,43 @@ class TestTpchWave2:
         assert "BroadcastNestedLoopJoin" not in body
 
     def test_bucketed_join_elides_join_exchanges(self, spark):
-        plan = plan_of(spark, "q_bucketed_join")
-        assert "SortMergeJoin" in plan
-        body = plan.split("AdaptiveSparkPlan")[-1]
-        # matching bucket specs → no exchange feeds the join; the only
-        # shuffles left are the final rollup + its output sort
-        assert body.count("Exchange") <= 2, body
-        assert "SelectedBucketsCount: 8 out of 8" in plan
+        # gate the pre-checkpoint plan: the registered operator
+        # materializes eagerly then drops its tables/dirs (leak fix),
+        # so its returned DF is a checkpoint scan — the builder exposes
+        # the actual executed join plan
+        import shutil
+
+        from spark_sql_server_spark.operators.relational3 import (
+            _bucketed_join_build,
+        )
+
+        joined, tables, dirs = _bucketed_join_build(spark, SF_CORRECT)
+        try:
+            plan = executed_plan(joined)
+            assert "SortMergeJoin" in plan
+            body = plan.split("AdaptiveSparkPlan")[-1]
+            # matching bucket specs → no exchange feeds the join; the
+            # only shuffles left are the final rollup + its output sort
+            assert body.count("Exchange") <= 2, body
+            assert "SelectedBucketsCount: 8 out of 8" in plan
+        finally:
+            for t in tables:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            for d in dirs:
+                shutil.rmtree(d, ignore_errors=True)
+
+    def test_bucketed_join_cleans_up(self, spark):
+        # leak regression gate: the registered operator must leave no
+        # metastore tables and no /tmp projection dirs behind, and its
+        # (checkpointed) result must still be collectable afterwards
+        import glob
+
+        before = set(glob.glob("/tmp/bkt-*"))
+        tables_before = {t.name for t in spark.catalog.listTables()}
+        df = REGISTRY["q_bucketed_join"].fn(spark, SF_CORRECT)
+        assert len(df.collect()) > 0
+        assert set(glob.glob("/tmp/bkt-*")) == before
+        assert {t.name for t in spark.catalog.listTables()} == tables_before
 
     def test_q8_snowflake_dims_broadcast(self, spark):
         plan = plan_of(spark, "q8_market_share")

@@ -103,18 +103,32 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(feats, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
 
+# The media blobs are the documents' UTF-8 bytes and the corpus is pure
+# ASCII (asserted in tests), so DuckDB can reproduce every byte stat
+# from the text: per-char codes == bytes. byte_mean is a SINGLE IEEE
+# division of two exact integers (sum ≤ n·255 ≪ 2^53) — identical in
+# Python and DuckDB with no rounding step, so it is hash-safe without
+# the micro-space treatment.
 _MM_ORACLE = """
+    WITH b AS (
+      SELECT doc_id, text,
+             [ascii(text[i]) FOR i IN range(1, len(text) + 1)] AS codes
+      FROM documents
+    )
     SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS size_bytes,
-           substring(lower(to_hex(encode(substring(text, 1, 2)))), 1, 4) AS head_hex
-    FROM documents
+           CAST(len(codes) AS BIGINT) AS size_bytes,
+           CAST(list_sum(codes) AS DOUBLE) / len(codes) AS byte_mean,
+           CAST(list_min(codes) AS INT) AS byte_min,
+           CAST(list_max(codes) AS INT) AS byte_max,
+           lower(hex(encode(substring(text, 1, 4)))) AS head_hex
+    FROM b
     ORDER BY doc_id
 """
 
 
 @query(
     "m_media_features",
-    oracle=None,  # pandas-UDF pipeline; byte stats verified in pytest
+    oracle=_MM_ORACLE,
     covers="north-star multimodal: binary column + mapInPandas feature extraction",
 )
 def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,7 +138,9 @@ def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: mapInPandas streams Arrow batches through one Python worker
     per core with no shuffle; blob columns never pass through the
     driver. The decode itself is the stub — the plumbing (schema,
-    batching, binary transport) is the real deliverable.
+    batching, binary transport) is the real deliverable. The byte-stat
+    projection is DuckDB-oracle-certified (the fake decoder is the raw
+    bytes, and the ASCII corpus makes char codes == bytes).
     """
     media = make_media_table(spark, sf_dir)
     return media.mapInPandas(extract_features, schema=FEATURE_SCHEMA).orderBy("doc_id")
@@ -136,6 +152,7 @@ _FRAME_SCHEMA = T.StructType(
         T.StructField("frame_idx", T.IntegerType(), False),
         T.StructField("frame", T.BinaryType(), False),
         T.StructField("frame_bytes", T.LongType(), False),
+        T.StructField("frame_head_hex", T.StringType(), False),
     ]
 )
 
@@ -161,23 +178,58 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         "frame_idx": idx,
                         "frame": frame,
                         "frame_bytes": len(frame),
+                        "frame_head_hex": frame[:4].hex(),
                     }
                 )
         yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
 
 
+def frame_sample_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full frame-sampling output INCLUDING the binary ``frame``
+    payload — the column downstream decode stages consume. Pytest
+    byte-compares it against Python slicing; the registered operator
+    certifies the byte-stat projection (binary payloads don't hash
+    comparably across engines)."""
+    media = make_media_table(spark, sf_dir)
+    return media.mapInPandas(sample_frames, schema=_FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+_FRAME_ORACLE = f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(range(0, greatest(len(text) // {_FRAME_SIZE}, 1),
+                          {_FRAME_STRIDE})) AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(substring(text, CAST(frame_idx * {_FRAME_SIZE} + 1 AS INT),
+                                 {_FRAME_SIZE})) AS BIGINT) AS frame_bytes,
+           lower(hex(encode(substring(text, CAST(frame_idx * {_FRAME_SIZE} + 1 AS INT),
+                                      4)))) AS frame_head_hex
+    FROM f
+    ORDER BY doc_id, frame_idx
+"""
+
+
 @query(
     "m_frame_sample",
-    oracle=None,  # binary output; frame math verified in pytest
+    oracle=_FRAME_ORACLE,
     covers="north-star multimodal: strided frame sampling over binary media",
 )
 def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strided frame sampling: blobs fan out to frames inside the Arrow
     batch (no shuffle, no driver transit); at scale the sampled frames
-    feed straight into a feature-extraction stage on the same worker."""
-    media = make_media_table(spark, sf_dir)
-    return media.mapInPandas(sample_frames, schema=_FRAME_SCHEMA).orderBy(
-        "doc_id", "frame_idx"
+    feed straight into a feature-extraction stage on the same worker.
+
+    The certified output is the byte-stat projection (idx, length, head
+    hex — all reproducible from the ASCII text by the DuckDB oracle);
+    the binary frames themselves come from :func:`frame_sample_full`
+    and are byte-compared in pytest."""
+    return frame_sample_full(spark, sf_dir).select(
+        "doc_id", "frame_idx", "frame_bytes", "frame_head_hex"
     )
 
 

@@ -484,7 +484,9 @@ class TestFrameSampling:
     def test_strided_frames(self, spark):
         import duckdb
 
-        rows = REGISTRY["m_frame_sample"].fn(spark, SF_SMOKE).collect()
+        from spark_sql_server_spark.operators.multimodal import frame_sample_full
+
+        rows = frame_sample_full(spark, SF_SMOKE).collect()
         con = duckdb.connect()
         texts = dict(
             con.execute(
@@ -501,6 +503,19 @@ class TestFrameSampling:
             assert sorted(f.frame_idx for f in frames) == expected_idx
             first = next(f for f in frames if f.frame_idx == 0)
             assert bytes(first.frame) == blob[:64]
+            assert first.frame_head_hex == blob[:4].hex()
+
+    def test_corpus_is_ascii(self):
+        # the multimodal oracles equate DuckDB char codes with UTF-8
+        # bytes — valid only while the documents corpus stays ASCII;
+        # this guard fails loudly if a testdata rev breaks that
+        import duckdb
+
+        n = duckdb.connect().execute(
+            f"SELECT COUNT(*) FROM '{SF_SMOKE}/documents.parquet' "
+            "WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert n == 0
 
 
 class TestMultimodal:

@@ -669,8 +669,18 @@ class SparkPGServer:
         )
         if stmt.cls is StatementClass.QUERY and not _is_command(p.sql):
             if not p.param_oids:
-                # analysis only (lazy) — gives Describe('S') its schema
-                ps.df = await self._spark_sql(state, rewritten)
+                # analysis only (lazy) — gives Describe('S') its schema.
+                # A client may legally Parse a parameterized statement
+                # WITHOUT declaring oids (pgjdbc does); analysis then
+                # fails with UNBOUND_SQL_PARAMETER — defer to Bind,
+                # where the params arrive with UNSPECIFIED oids. Any
+                # other analysis error surfaces now, like PG's Parse.
+                try:
+                    ps.df = await self._spark_sql(state, rewritten)
+                except Exception as e:
+                    if "UNBOUND_SQL_PARAMETER" not in str(e):
+                        raise
+                    ps.df = None  # Describe('S') falls back to NoData
             else:
                 # parameterized: analyze with NULL-bound params so
                 # Describe('S') can return a RowDescription before Bind —

@@ -16,6 +16,7 @@ from spark_sql_server_spark.operators import (  # noqa: F401
     relational2,
     relational3,
     relational4,
+    relational5,
     sampling,
     similarity,
     streaming_ops,

@@ -1,0 +1,389 @@
+"""TPC-DS-shaped plan families (bench-corpus breadth, third wave).
+
+The reference benches 103 TPC-DS queries with golden results
+(``examples/tpcds/src/main/scala/.../TPCDSQueryBenchmark.scala:120-166``);
+the TPC-H families are covered in relational/relational3, but four plan
+shapes are TPC-DS-specific and had no analogue here:
+
+* window function over an aggregate (q63 shape) — monthly sales vs the
+  per-group mean of the aggregated rows themselves;
+* multi-channel INTERSECT (q14 shape) — items present in every channel,
+  then an aggregate filtered by a global-average scalar subquery;
+* top-k over ROLLUP (q67 shape) — rank() partitioned by the coarse
+  dimension over a hierarchy of subtotal rows;
+* returns "anti-pattern" (q81 shape) — a returns CTE consumed twice,
+  once rowwise and once as a correlated per-group average threshold.
+
+Adapted to the test schema (no date_dim/store/item: order priorities
+stand in for channels, p_type/p_brand for the item hierarchy,
+l_returnflag = 'R' for returns), plan-gated in tests/test_plans.py.
+
+Determinism: aggregates stay DECIMAL(38,6) until the last step; every
+derived mean is CAST(SUM AS DOUBLE)/COUNT — a single IEEE division of
+exact values, identical in Spark and DuckDB, so comparisons against it
+never need rounding. Window ORDER BY pins NULLS FIRST wherever a ROLLUP
+null can appear (Spark and DuckDB default opposite null orders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from spark_sql_server_spark.operators.registry import query
+from spark_sql_server_spark.operators.relational import DSUM, dsum
+from spark_sql_server_spark.session import load_table
+
+# --------------------------------------------------------------------------
+# q63 shape: window function over aggregate — monthly brand sales that
+# deviate >10% from the brand's mean monthly sales.
+# --------------------------------------------------------------------------
+
+_QDS63_SQL = """
+    WITH m AS (
+      SELECT p_brand,
+             CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS o_month,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+               AS sales_dec
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT p_brand, o_month,
+             CAST(sales_dec AS DOUBLE) AS sum_sales,
+             CAST(SUM(sales_dec) OVER (PARTITION BY p_brand) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY p_brand) AS avg_monthly_sales
+      FROM m
+    )
+    SELECT p_brand, o_month, sum_sales, avg_monthly_sales
+    FROM w
+    WHERE avg_monthly_sales > 0
+      AND ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+    ORDER BY p_brand, o_month
+    LIMIT 100
+"""
+
+
+@query(
+    "qds63_monthly_deviation",
+    oracle=_QDS63_SQL,
+    covers="§2.B TPC-DS q63 shape: window function over an aggregate "
+    "(per-brand monthly sales vs their own mean)",
+)
+def qds63_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly brand revenue rows deviating >10% from the brand mean.
+
+    Scale: one hash aggregation on (brand, month) — 25×12 rows — then a
+    window over those aggregated rows (partition = brand, at most 12
+    rows each); the fact table is touched once, date filter pushed to
+    the scan, part broadcast. The mean is computed as window-SUM of the
+    DECIMAL partials divided by window-COUNT (one IEEE division of
+    exact values — deterministic, unlike AVG over doubles whose
+    accumulation order is engine-specific); the deviation predicate
+    then compares engine-identical doubles, so no rounding is needed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    m = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand",
+            F.month("o_orderdate").cast("long").alias("o_month"),
+        )
+        .agg(F.sum(rev).alias("sales_dec"))
+    )
+    w = W.partitionBy("p_brand")
+    sum_sales = F.col("sales_dec").cast("double")
+    avg_monthly = F.sum("sales_dec").over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
+    scored = m.select(
+        "p_brand",
+        "o_month",
+        sum_sales.alias("sum_sales"),
+        avg_monthly.alias("avg_monthly_sales"),
+    )
+    return (
+        scored.filter(
+            (F.col("avg_monthly_sales") > 0)
+            & (
+                F.abs(F.col("sum_sales") - F.col("avg_monthly_sales"))
+                / F.col("avg_monthly_sales")
+                > 0.1
+            )
+        )
+        .orderBy("p_brand", "o_month")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 shape: multi-channel INTERSECT — parts sold under every order
+# priority "channel", aggregated and filtered by a global-average
+# scalar.
+# --------------------------------------------------------------------------
+
+_QDS14_CHANNELS = ("1-URGENT", "2-HIGH", "3-MEDIUM")
+
+_QDS14_SQL = f"""
+    WITH cross_parts AS (
+      SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '{_QDS14_CHANNELS[0]}'
+      INTERSECT
+      SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '{_QDS14_CHANNELS[1]}'
+      INTERSECT
+      SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '{_QDS14_CHANNELS[2]}'
+    ),
+    avg_sales AS (
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS average_sales
+      FROM lineitem
+    )
+    SELECT p_brand, COUNT(*) AS n_lines,
+           {DSUM("l_extendedprice")} AS sales
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_partkey IN (SELECT l_partkey FROM cross_parts)
+    GROUP BY p_brand
+    HAVING {DSUM("l_extendedprice")}
+           > (SELECT average_sales FROM avg_sales) * COUNT(*)
+    ORDER BY p_brand
+"""
+
+
+@query(
+    "qds14_cross_channel",
+    oracle=_QDS14_SQL,
+    covers="§2.B TPC-DS q14 shape: multi-channel INTERSECT feeding an "
+    "aggregate gated by a global-average scalar subquery",
+)
+def qds14_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brands of parts sold under ALL THREE priority channels, keeping
+    brands whose average line price beats the corpus average.
+
+    Scale: each INTERSECT branch reduces to a distinct partkey set
+    before intersecting (set semantics — Spark plans these as
+    hash-aggregated semi joins, never row×row); the final membership
+    check is a semi join on the already-small intersection, and the
+    1-row global average broadcasts into HAVING. The threshold is
+    average_sales × COUNT(*) — comparing a decimal-exact group sum
+    against a deterministic IEEE product, no rounding needed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+
+    def channel(prio: str) -> DataFrame:
+        return (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("o_orderpriority") == prio)
+            .select("l_partkey")
+        )
+
+    cross_parts = (
+        channel(_QDS14_CHANNELS[0])
+        .intersect(channel(_QDS14_CHANNELS[1]))
+        .intersect(channel(_QDS14_CHANNELS[2]))
+    )
+    avg_sales = li.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("average_sales")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cross_parts, "l_partkey", "left_semi")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("sales"),
+        )
+        .crossJoin(F.broadcast(avg_sales))
+        .filter(F.col("sales") > F.col("average_sales") * F.col("n_lines"))
+        .select("p_brand", "n_lines", "sales")
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# q67 shape: top-k over ROLLUP — rank within each p_type over the
+# (p_type, p_brand) subtotal hierarchy.
+# --------------------------------------------------------------------------
+
+_QDS67_TOPK = 5
+
+_QDS67_SQL = f"""
+    WITH agg AS (
+      SELECT p_type, p_brand,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty_dec
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY ROLLUP(p_type, p_brand)
+    )
+    SELECT p_type, p_brand, CAST(qty_dec AS DOUBLE) AS total_qty,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT p_type, p_brand, qty_dec,
+             RANK() OVER (PARTITION BY p_type
+                          ORDER BY qty_dec DESC,
+                                   p_brand ASC NULLS FIRST) AS rk
+      FROM agg
+    ) ranked
+    WHERE rk <= {_QDS67_TOPK}
+    ORDER BY p_type NULLS FIRST, rk, p_brand NULLS FIRST
+"""
+
+
+@query(
+    "qds67_topk_rollup",
+    oracle=_QDS67_SQL,
+    covers="§2.B TPC-DS q67 shape: rank() top-k over a ROLLUP subtotal "
+    "hierarchy",
+)
+def qds67_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 quantity rows per p_type across the ROLLUP hierarchy
+    (subtotal rows compete with leaf rows, exactly the q67 trap).
+
+    Scale: ROLLUP expands each aggregate row over the grouping sets
+    map-side (Expand operator) before one hash aggregation; the window
+    then runs over the tiny subtotal table partitioned by the coarse
+    dimension. Ranks order by the exact DECIMAL total (engine-identical
+    comparisons) with NULLS FIRST pinned on the brand tiebreak — Spark
+    and DuckDB default to opposite null orders, the classic silent
+    divergence of rollup+window queries.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .rollup("p_type", "p_brand")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("qty_dec"))
+    )
+    w = W.partitionBy("p_type").orderBy(
+        F.col("qty_dec").desc(), F.col("p_brand").asc_nulls_first()
+    )
+    return (
+        agg.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= _QDS67_TOPK)
+        .select(
+            "p_type",
+            "p_brand",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy(
+            F.col("p_type").asc_nulls_first(),
+            "rk",
+            F.col("p_brand").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q81 shape: returns CTE consumed twice — rowwise plus a correlated
+# per-nation average threshold.
+# --------------------------------------------------------------------------
+
+_QDS81_MULT = 1.2
+
+_QDS81_SQL = f"""
+    WITH ctr AS (
+      SELECT o_custkey AS ctr_custkey, c_nationkey AS ctr_nation,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS tr_dec
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+      GROUP BY o_custkey, c_nationkey
+    )
+    SELECT c_custkey, c_name, n_name,
+           CAST(ctr1.tr_dec AS DOUBLE) AS total_return
+    FROM ctr ctr1
+    JOIN customer ON ctr1.ctr_custkey = c_custkey
+    JOIN nation ON ctr1.ctr_nation = n_nationkey
+    WHERE CAST(ctr1.tr_dec AS DOUBLE)
+          > (SELECT CAST(SUM(ctr2.tr_dec) AS DOUBLE) * {_QDS81_MULT}
+                    / COUNT(*)
+             FROM ctr ctr2
+             WHERE ctr2.ctr_nation = ctr1.ctr_nation)
+    ORDER BY c_name, c_custkey
+"""
+
+
+@query(
+    "qds81_returns_above_avg",
+    oracle=_QDS81_SQL,
+    covers="§2.B TPC-DS q81 shape: returns CTE read twice — rowwise and "
+    "as a correlated per-group average threshold",
+)
+def qds81_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose returned-revenue total exceeds 1.2× their
+    nation's average returned-revenue.
+
+    Scale: the returns aggregate is computed ONCE; the per-nation
+    threshold is its |nations|-row re-aggregation, broadcast back — the
+    decorrelated plan Catalyst produces for the correlated-subquery
+    oracle spelling. Threshold = CAST(SUM AS DOUBLE)·1.2/COUNT is a
+    deterministic IEEE expression over exact decimal sums, compared
+    against an equally exact per-customer double, so the cut is
+    engine-stable without rounding. The filter runs before the
+    customer/nation detail joins — only qualifying customers join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ctr = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("ctr_custkey"),
+            F.col("c_nationkey").alias("ctr_nation"),
+        )
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("tr_dec"))
+        # read twice below (rowwise + per-nation threshold): materialize
+        # once; localCheckpoint, never persist (no caller can unpersist)
+        .localCheckpoint()
+    )
+    thresholds = ctr.groupBy("ctr_nation").agg(
+        (
+            F.sum("tr_dec").cast("double") * F.lit(_QDS81_MULT) / F.count(F.lit(1))
+        ).alias("nation_threshold")
+    )
+    return (
+        ctr.join(F.broadcast(thresholds), "ctr_nation")
+        .filter(F.col("tr_dec").cast("double") > F.col("nation_threshold"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("ctr_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("ctr_nation") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("tr_dec").cast("double").alias("total_return"),
+        )
+        .orderBy("c_name", "c_custkey")
+    )

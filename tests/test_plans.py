@@ -345,3 +345,47 @@ class TestTpchWave2:
         plan = plan_of(spark, "t_weighted_sample")
         assert "TakeOrderedAndProject" in plan
         assert "Join" not in plan  # pure map + heap top-k
+
+
+class TestTpcdsShapes:
+    """TPC-DS-specific plan families (relational5.py): the four shapes
+    the TPC-H corpus doesn't exercise."""
+
+    def test_qds63_window_over_aggregate(self, spark):
+        plan = plan_of(spark, "qds63_monthly_deviation")
+        # aggregate feeds a window over the 25-brand subtotal table;
+        # the final LIMIT is a heap, not a global sort
+        assert "Window" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        # part dimension broadcast into the fact scan
+        assert "BroadcastHashJoin" in plan
+
+    def test_qds14_intersect_no_row_explosion(self, spark):
+        plan = plan_of(spark, "qds14_cross_channel")
+        # INTERSECT must plan as distinct + semi joins — set semantics,
+        # never a row×row join; the only nested-loop is the 1-row
+        # global-average broadcast
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+    def test_qds67_rollup_expand_then_rank(self, spark):
+        plan = plan_of(spark, "qds67_topk_rollup")
+        # ROLLUP = map-side Expand into ONE hash aggregation, then the
+        # rank window over the subtotal table only
+        assert "Expand" in plan
+        assert "Window" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_qds81_returns_cte_reused_not_recomputed(self, spark):
+        from spark_sql_server_spark.plans import executed_plan
+
+        df = REGISTRY["qds81_returns_above_avg"].fn(spark, SF_CORRECT)
+        plan = executed_plan(df)
+        # the returns aggregate is checkpointed and read twice — the
+        # expensive fact join must NOT appear in this plan at all
+        assert "lineitem" not in plan
+        # per-nation thresholds broadcast back onto the checkpointed CTE
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan

@@ -379,6 +379,23 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 5
 
 
+def _tree_reduce_partials(parts: DataFrame, keys: list[str]) -> DataFrame:
+    """Reduce per-batch (key..., s: array<double>, n) partial rows to
+    one row per (key..., component position) BEFORE any driver collect.
+
+    posexplode fans each partial into its vector components, and the
+    groupBy pre-aggregates executor-side (map-side combine), so the
+    shuffle moves at most shuffle_partitions×k×dim rows and the collect
+    returns exactly k×dim rows — independent of the input partition
+    count. Without this, the driver would fold O(P×k×dim) raw partials
+    (100s of MB at 100k+ partitions)."""
+    return (
+        parts.select(*keys, "n", F.posexplode("s").alias("pos", "v"))
+        .groupBy(*keys, "pos")
+        .agg(F.sum("v").alias("sv"), F.sum("n").alias("cn"))
+    )
+
+
 def _kmeans_fit(spark: SparkSession, emb: DataFrame, k: int, iters: int):
     """Lloyd's k-means fit over ``emb`` (vec_id, e: array<double>) →
     the final k×dim numpy codebook.
@@ -433,12 +450,19 @@ def _kmeans_fit(spark: SparkSession, emb: DataFrame, k: int, iters: int):
         return emit
 
     for _ in range(iters):
-        parts = emb.mapInPandas(partials(C), schema=part_schema).collect()
+        # tree-reduce the per-batch partials BEFORE the driver collect:
+        # the collect is O(k×dim) rows regardless of partition count —
+        # at 100k+ partitions the raw P×k partial rows would be 100s of
+        # MB on the driver; the reduced codebook is a few KB
+        reduced = _tree_reduce_partials(
+            emb.mapInPandas(partials(C), schema=part_schema), ["cluster"]
+        ).collect()
         sums = np.zeros_like(C)
         counts = np.zeros(len(C))
-        for r in parts:
-            sums[r.cluster] += np.asarray(r.s)
-            counts[r.cluster] += r.n
+        for r in reduced:
+            sums[r.cluster, r.pos] = r.sv
+            if r.pos == 0:
+                counts[r.cluster] = r.cn
         nonempty = counts > 0  # empty clusters keep their previous centroid
         C = np.where(nonempty[:, None], sums / np.maximum(counts, 1)[:, None], C)
     return C
@@ -716,12 +740,18 @@ def _pq_fit(spark: SparkSession, emb, m: int, k: int, iters: int):
         return emit
 
     for _ in range(iters):
-        parts = emb.mapInPandas(partials(C), schema=part_schema).collect()
+        # tree-reduce before the collect (same rationale as
+        # _kmeans_fit): the driver receives O(m×k×sub_dim) reduced
+        # rows, never O(P×m×k) raw partials
+        reduced = _tree_reduce_partials(
+            emb.mapInPandas(partials(C), schema=part_schema), ["sub", "cluster"]
+        ).collect()
         sums = np.zeros_like(C)
         counts = np.zeros((m, k))
-        for r in parts:
-            sums[r.sub, r.cluster] += np.asarray(r.s)
-            counts[r.sub, r.cluster] += r.n
+        for r in reduced:
+            sums[r.sub, r.cluster, r.pos] = r.sv
+            if r.pos == 0:
+                counts[r.sub, r.cluster] = r.cn
         nonempty = counts > 0
         C = np.where(
             nonempty[:, :, None], sums / np.maximum(counts, 1)[:, :, None], C

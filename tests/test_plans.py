@@ -389,3 +389,41 @@ class TestTpcdsShapes:
         # per-nation thresholds broadcast back onto the checkpointed CTE
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestKmeansTreeReduce:
+    def test_partials_reduced_before_collect(self, spark):
+        """The k-means-family codebook fold must shuffle-reduce the
+        per-batch partials so the driver-side collect is O(k×dim) rows,
+        independent of the input partition count."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from spark_sql_server_spark.operators.similarity import (
+            _tree_reduce_partials,
+        )
+        from spark_sql_server_spark.plans import executed_plan
+
+        schema = T.StructType(
+            [
+                T.StructField("cluster", T.IntegerType()),
+                T.StructField("s", T.ArrayType(T.DoubleType())),
+                T.StructField("n", T.LongType()),
+            ]
+        )
+        # simulate P=16 partitions each emitting k=3 partials of dim=4
+        parts = spark.createDataFrame(
+            [(c, [float(c), 1.0, 2.0, 3.0], 5) for _ in range(16) for c in range(3)],
+            schema,
+        ).repartition(16)
+        reduced = _tree_reduce_partials(parts, ["cluster"])
+        plan = executed_plan(reduced)
+        # the reduction is a real exchange (partial agg map-side, final
+        # agg after the shuffle) — not a driver fold
+        assert "Exchange hashpartitioning" in plan
+        assert plan.count("HashAggregate") >= 2
+        rows = reduced.collect()
+        assert len(rows) == 3 * 4  # k×dim, NOT P×k
+        byk = {(r.cluster, r.pos): (r.sv, r.cn) for r in rows}
+        assert byk[(2, 0)] == (2.0 * 16, 5 * 16)
+        assert byk[(1, 3)] == (3.0 * 16, 5 * 16)

@@ -442,6 +442,37 @@ def _rewrite_substring_from_for(toks: list[Tok]) -> list[Tok]:
     return toks
 
 
+def _rewrite_extract_dow(toks: list[Tok]) -> list[Tok]:
+    """PG ``EXTRACT(DOW/ISODOW FROM x)`` → Spark semantics.
+
+    PG's DOW is Sunday=0..Saturday=6 but Spark's DOW field aliases
+    DAYOFWEEK (Sunday=1..Saturday=7), a silent off-by-one for psql
+    users; Spark's DOW_ISO matches PG's ISODOW (Monday=1..Sunday=7)
+    exactly. So: ISODOW → DOW_ISO, and DOW wraps as
+    ``(EXTRACT(DAYOFWEEK FROM x) - 1)`` (DAYOFWEEK, not DOW, so the
+    rewrite is idempotent)."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "word" and t.text.lower() == "extract":
+            ni = _next_code(toks, i)
+            if ni < len(toks) and toks[ni].text == "(":
+                fi = _next_code(toks, ni)
+                close = _find_matching_paren(toks, ni)
+                if fi < len(toks) and close != -1 and toks[fi].kind == "word":
+                    field = toks[fi].text.lower()
+                    if field == "isodow":
+                        toks[fi] = Tok("word", "DOW_ISO")
+                    elif field == "dow":
+                        toks[fi] = Tok("word", "DAYOFWEEK")
+                        toks.insert(close + 1, Tok("op", " - 1)"))
+                        toks.insert(i, Tok("op", "("))
+                        i += 1  # past the inserted paren; inner tokens
+                        # (nested EXTRACTs included) still get scanned
+        i += 1
+    return toks
+
+
 def _rewrite_generate_series(toks: list[Tok]) -> list[Tok]:
     """``generate_series(a, b[, s]) [AS alias(col)]`` →
     ``(SELECT id AS col FROM range(a, (b)+1[, s])) alias``.
@@ -873,6 +904,7 @@ def rewrite_sql(sql: str, params: bool = True) -> str:
     toks = _rewrite_json_ops(toks)
     toks = _rewrite_tilde(toks)
     toks = _rewrite_substring_from_for(toks)
+    toks = _rewrite_extract_dow(toks)
     toks = _rewrite_generate_series(toks)
     toks = _rewrite_pg_namespace(toks)
     toks = _rewrite_array_subquery(toks)

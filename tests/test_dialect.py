@@ -147,6 +147,41 @@ class TestSubstring:
         assert rewrite_sql(sql) == sql
 
 
+class TestExtractDow:
+    def test_dow_rewrites_to_zero_based(self):
+        assert (
+            rewrite_sql("SELECT EXTRACT(DOW FROM ts) FROM t")
+            == "SELECT (EXTRACT(DAYOFWEEK FROM ts) - 1) FROM t"
+        )
+
+    def test_isodow_maps_to_dow_iso(self):
+        assert (
+            rewrite_sql("SELECT EXTRACT(ISODOW FROM ts) FROM t")
+            == "SELECT EXTRACT(DOW_ISO FROM ts) FROM t"
+        )
+
+    def test_other_fields_untouched(self):
+        sql = "SELECT EXTRACT(YEAR FROM ts) FROM t"
+        assert rewrite_sql(sql) == sql
+
+    def test_idempotent_and_nested(self):
+        out = rewrite_sql(
+            "SELECT EXTRACT(dow FROM a + EXTRACT(dow FROM b)) FROM t"
+        )
+        assert out.count("DAYOFWEEK") == 2
+        assert rewrite_sql(out) == out
+
+    def test_pg_semantics_live(self, spark):
+        # 2001-02-16 is a Friday: PG DOW=5 (Sunday=0), ISODOW Sunday=7
+        row = spark.sql(
+            rewrite_sql(
+                "SELECT EXTRACT(DOW FROM TIMESTAMP '2001-02-16 20:38:40') AS d, "
+                "EXTRACT(ISODOW FROM DATE '2001-02-18') AS i"
+            )
+        ).collect()[0]
+        assert (row.d, row.i) == (5, 7)
+
+
 class TestGenerateSeries:
     def test_basic(self, spark):
         out = rewrite_sql("SELECT * FROM generate_series(1, 5)")

@@ -194,6 +194,246 @@ CORPUS: list[tuple[str, str | None]] = [
         "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey FROM orders "
         "WHERE o_custkey < 5 ORDER BY o_custkey, o_totalprice DESC, o_orderkey",
     ),
+    # ------------------------------------------------------------------
+    # Ported from the reference's PG regression inputs
+    # (sql-server/src/test/resources/sql-tests/inputs/postgreSQL/*.sql,
+    # runner contract SQLServerQueryTestSuite.scala:42-480), adapted to
+    # the test schema where the originals use tenk1/onek.
+    # ------------------------------------------------------------------
+    # strings.sql — TRIM/SUBSTRING/POSITION/OVERLAY/LIKE forms
+    (
+        "SELECT TRIM(BOTH FROM '  bunch o blanks  ') = 'bunch o blanks' AS b",
+        "SELECT trim('  bunch o blanks  ') = 'bunch o blanks' AS b",
+    ),
+    (
+        "SELECT TRIM(LEADING FROM '  bunch o blanks  ') = 'bunch o blanks  ' AS b",
+        "SELECT ltrim('  bunch o blanks  ') = 'bunch o blanks  ' AS b",
+    ),
+    (
+        "SELECT TRIM(TRAILING FROM '  bunch o blanks  ') = '  bunch o blanks' AS b",
+        "SELECT rtrim('  bunch o blanks  ') = '  bunch o blanks' AS b",
+    ),
+    (
+        "SELECT TRIM(BOTH 'x' FROM 'xxxxxsome Xsxxxxx') = 'some Xs' AS b",
+        "SELECT trim('xxxxxsome Xsxxxxx', 'x') = 'some Xs' AS b",
+    ),
+    (
+        "SELECT SUBSTRING('1234567890' FROM 3) = '34567890' AS b",
+        "SELECT substring('1234567890', 3) = '34567890' AS b",
+    ),
+    (
+        "SELECT SUBSTRING('1234567890' FROM 4 FOR 3) = '456' AS b",
+        "SELECT substring('1234567890', 4, 3) = '456' AS b",
+    ),
+    (
+        "SELECT POSITION('4' IN '1234567890') AS p",
+        "SELECT strpos('1234567890', '4') AS p",
+    ),
+    (
+        "SELECT OVERLAY('abcdef' PLACING '45' FROM 4) AS s",
+        "SELECT 'abc45f' AS s",
+    ),
+    (
+        "SELECT OVERLAY('yabadoo' PLACING 'daba' FROM 5) AS s",
+        "SELECT 'yabadaba' AS s",
+    ),
+    (
+        "SELECT OVERLAY('yabadoo' PLACING 'daba' FROM 5 FOR 0) AS s",
+        "SELECT 'yabadabadoo' AS s",
+    ),
+    (
+        "SELECT 'hawkeye' LIKE 'h%' AS t1, 'hawkeye' LIKE 'H%' AS f1, "
+        "'indio' LIKE '_ndio' AS t2, 'indio' LIKE 'in_o' AS f2",
+        None,
+    ),
+    (
+        "SELECT 'foo' LIKE '__%' AS t1, 'foo' LIKE '___%' AS t2, "
+        "'foo' LIKE '____%' AS f1",
+        None,
+    ),
+    ("SELECT 'unknown' || ' and unknown' AS s", None),
+    (
+        "SELECT lpad('hi', 5, 'xy') AS l, rpad('hi', 5, 'xy') AS r",
+        None,
+    ),
+    # case.sql
+    ("SELECT CASE WHEN 1 < 2 THEN 3 END AS c", None),
+    ("SELECT CASE WHEN 1 > 2 THEN 3 END AS c", None),
+    ("SELECT CASE WHEN 1 > 2 THEN 3 ELSE 4 END AS c", None),
+    ("SELECT CASE WHEN 1 > 2 THEN 3 WHEN 4 < 5 THEN 6 END AS c", None),
+    (
+        "SELECT CASE 2 WHEN 1 THEN 'one' WHEN 2 THEN 'two' ELSE 'other' END AS c",
+        None,
+    ),
+    # lazy-branch guarantee: the div-by-zero arms must never evaluate
+    (
+        # Spark int/int division is double, so the CASE is double-typed
+        "SELECT CASE WHEN 1=0 THEN 1/0 WHEN 1=1 THEN 1 ELSE 2/0 END AS c",
+        "SELECT CAST(1 AS DOUBLE) AS c",
+    ),
+    # union.sql — set-op precedence (INTERSECT binds tighter than UNION)
+    ("SELECT 1 AS v UNION ALL SELECT 2 UNION ALL SELECT 2 ORDER BY 1", None),
+    ("SELECT 1 AS v UNION SELECT 2 INTERSECT SELECT 2 ORDER BY 1", None),
+    # int2/int4/int8.sql
+    (
+        "SELECT CAST(2 AS int4) * CAST(2 AS int2) AS m, 4::int8 + 2 AS p",
+        "SELECT CAST(2 AS INT) * CAST(2 AS SMALLINT) AS m, "
+        "CAST(4 AS BIGINT) + 2 AS p",
+    ),
+    (
+        "SELECT 9223372036854775807::int8 AS big, "
+        "(-9223372036854775807)::int8 AS small",
+        "SELECT CAST(9223372036854775807 AS BIGINT) AS big, "
+        "CAST(-9223372036854775807 AS BIGINT) AS small",
+    ),
+    # boolean.sql
+    ("SELECT true AS t, false AS f, NOT true AS nt", None),
+    (
+        "SELECT 1 < 2 AND 2 < 3 AS a, 1 > 2 OR 2 < 3 AS b, "
+        "(NULL::int4 = 1) IS NULL AS c",
+        "SELECT 1 < 2 AND 2 < 3 AS a, 1 > 2 OR 2 < 3 AS b, "
+        "(CAST(NULL AS INT) = 1) IS NULL AS c",
+    ),
+    # date.sql / timestamp.sql
+    (
+        "SELECT DATE '2001-09-28' + 7 AS d",
+        "SELECT DATE '2001-09-28' + 7 AS d",
+    ),
+    (
+        # PG DOW (Sunday=0) and ISODOW (Monday=1) — rewriter maps them
+        # onto Spark's 1-based DAYOFWEEK / DOW_ISO
+        "SELECT EXTRACT(YEAR FROM TIMESTAMP '2001-02-16 20:38:40') AS y, "
+        "EXTRACT(DOW FROM TIMESTAMP '2001-02-16 20:38:40') AS dow, "
+        "EXTRACT(ISODOW FROM DATE '2001-02-18') AS isodow",
+        None,
+    ),
+    # aggregates_part1-2.sql (tenk1 → nation/orders)
+    ("SELECT avg(n_nationkey) AS a FROM nation", None),
+    (
+        "SELECT count(*) AS c, count(DISTINCT n_regionkey) AS d FROM nation",
+        None,
+    ),
+    (
+        "SELECT sum(n_nationkey) AS s, min(n_name) AS mn, max(n_name) AS mx "
+        "FROM nation",
+        None,
+    ),
+    (
+        "SELECT var_pop(CAST(n_nationkey AS float8)) AS v, "
+        "stddev_pop(CAST(n_nationkey AS float8)) AS sd "
+        "FROM nation WHERE n_nationkey < 5",
+        "SELECT var_pop(CAST(n_nationkey AS DOUBLE)) AS v, "
+        "stddev_pop(CAST(n_nationkey AS DOUBLE)) AS sd "
+        "FROM nation WHERE n_nationkey < 5",
+    ),
+    (
+        "SELECT count(*) FILTER (WHERE n_regionkey = 0) AS c FROM nation",
+        None,
+    ),
+    (
+        "SELECT bool_and(n_nationkey >= 0) AS ba, bool_or(n_nationkey > 23) AS bo "
+        "FROM nation",
+        None,
+    ),
+    # groupingsets.sql
+    (
+        "SELECT n_regionkey, count(*) AS n FROM nation "
+        "GROUP BY GROUPING SETS ((n_regionkey), ()) "
+        "ORDER BY n_regionkey NULLS FIRST",
+        None,
+    ),
+    # window_part1-4.sql (tenk1 four/ten → nation keys)
+    (
+        "SELECT n_nationkey, sum(n_nationkey) OVER (PARTITION BY n_regionkey "
+        "ORDER BY n_nationkey) AS s FROM nation ORDER BY n_nationkey",
+        None,
+    ),
+    (
+        "SELECT n_nationkey, row_number() OVER (ORDER BY n_nationkey) AS rn "
+        "FROM nation ORDER BY n_nationkey",
+        None,
+    ),
+    (
+        "SELECT n_nationkey, rank() OVER (ORDER BY n_regionkey) AS r, "
+        "dense_rank() OVER (ORDER BY n_regionkey) AS dr "
+        "FROM nation ORDER BY n_nationkey",
+        None,
+    ),
+    (
+        "SELECT n_nationkey, lag(n_nationkey, 1) OVER (ORDER BY n_nationkey) AS lg, "
+        "lead(n_nationkey, 2, -1) OVER (ORDER BY n_nationkey) AS ld "
+        "FROM nation ORDER BY n_nationkey",
+        None,
+    ),
+    (
+        "SELECT n_nationkey, first_value(n_nationkey) OVER w AS fv, "
+        "last_value(n_nationkey) OVER w AS lv FROM nation "
+        "WINDOW w AS (ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND UNBOUNDED FOLLOWING) ORDER BY n_nationkey",
+        None,
+    ),
+    (
+        "SELECT n_nationkey, ntile(4) OVER (ORDER BY n_nationkey) AS nt "
+        "FROM nation ORDER BY n_nationkey",
+        None,
+    ),
+    (
+        "SELECT n_nationkey, percent_rank() OVER (ORDER BY n_nationkey) AS pr, "
+        "cume_dist() OVER (ORDER BY n_nationkey) AS cd "
+        "FROM nation WHERE n_nationkey < 9 ORDER BY n_nationkey",
+        None,
+    ),
+    (
+        "SELECT n_nationkey, sum(n_nationkey) OVER (ORDER BY n_regionkey "
+        "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s "
+        "FROM nation ORDER BY n_nationkey",
+        None,
+    ),
+    # window over aggregate (q63-in-miniature, window_part1.sql line 1)
+    (
+        "SELECT n_regionkey, count(*) AS n, sum(count(*)) OVER () AS tot "
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+        None,
+    ),
+    # join.sql shapes
+    (
+        "SELECT n_name, r_name FROM nation FULL JOIN region "
+        "ON n_regionkey = r_regionkey AND r_name <> 'ASIA' "
+        "ORDER BY n_name NULLS FIRST, r_name NULLS FIRST",
+        None,
+    ),
+    (
+        "SELECT n_name FROM nation LEFT JOIN region "
+        "ON n_regionkey = r_regionkey AND r_name = 'ASIA' "
+        "WHERE r_name IS NULL ORDER BY n_name",
+        None,
+    ),
+    ("SELECT count(*) AS n FROM nation CROSS JOIN region", None),
+    (
+        "SELECT count(*) AS n FROM (SELECT n_regionkey AS k FROM nation) a "
+        "JOIN (SELECT r_regionkey AS k FROM region) b USING (k)",
+        None,
+    ),
+    (
+        "SELECT r_name FROM region WHERE EXISTS (SELECT 1 FROM nation "
+        "WHERE n_regionkey = r_regionkey AND n_nationkey > 20) ORDER BY r_name",
+        None,
+    ),
+    (
+        "SELECT a.n_name, b.n_name AS buddy FROM nation a JOIN nation b "
+        "ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey "
+        "WHERE a.n_nationkey < 3 ORDER BY a.n_name, buddy",
+        None,
+    ),
+    # limit.sql
+    ("SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 3 OFFSET 2", None),
+    ("SELECT n_name FROM nation ORDER BY n_nationkey OFFSET 23", None),
+    # with.sql
+    (
+        "WITH t AS (SELECT n_regionkey AS k, count(*) AS n FROM nation "
+        "GROUP BY 1) SELECT k, n FROM t WHERE n > 4 ORDER BY k",
+        None,
+    ),
 ]
 
 

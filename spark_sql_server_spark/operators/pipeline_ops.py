@@ -241,11 +241,18 @@ def pipe_build_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     view = f"curated_docs_{uuid.uuid4().hex[:8]}"
     kept.createOrReplaceTempView(view)
-    packed = spark.sql(
-        _PACK_SQL.format(NWORDS="size(split(text, ' '))").replace(
-            "FROM documents", f"FROM {view}"
+    try:
+        # analysis resolves the view into the plan eagerly, so the view
+        # registration can be dropped right after — otherwise every
+        # invocation leaks a catalog entry that pins the checkpointed
+        # blocks (ContextCleaner can never free them)
+        packed = spark.sql(
+            _PACK_SQL.format(NWORDS="size(split(text, ' '))").replace(
+                "FROM documents", f"FROM {view}"
+            )
         )
-    )
+    finally:
+        spark.catalog.dropTempView(view)
     return (
         packed.groupBy("window_id")
         .agg(

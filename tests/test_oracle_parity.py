@@ -50,6 +50,26 @@ def _normalize(rows, colnames):
 ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 
+#: Views register_tables creates — the only catalog entries an operator
+#: invocation is allowed to add (anything else is a per-invocation leak
+#: on a long-running server: the q_bucketed_join / st_* / pipe_build
+#: class all found in r3/r4).
+_BASE_TABLES = {
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+}
+
+
+def _assert_catalog_hygiene(spark, name):
+    extra = {
+        t.name for t in spark.catalog.listTables()
+    } - _BASE_TABLES
+    assert not extra, (
+        f"{name}: leaked catalog entries {sorted(extra)} — drop temp "
+        "views / metastore tables before returning (see CLAUDE.md leak "
+        "rules)"
+    )
+
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, duck, name):
@@ -60,6 +80,7 @@ def test_oracle_parity(spark, duck, name):
     sdf = spec.fn(spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
+    _assert_catalog_hygiene(spark, name)
 
     res = duck.execute(spec.oracle)
     duck_cols = [d[0] for d in res.description]
@@ -114,3 +135,4 @@ def test_rows_only_queries_run(spark, name):
     df = spec.fn(spark, os.environ.get("PARITY_SF_DIR", SF_CORRECT))
     assert df.count() >= 0
     assert df.schema is not None
+    _assert_catalog_hygiene(spark, name)

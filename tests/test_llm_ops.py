@@ -637,3 +637,47 @@ class TestGramDfCap:
         # 9 words → 7 trigrams each; 6 shared (the last trigram differs:
         # "eta theta one" vs "eta theta two") → 6 / (7+7-6)
         assert jac == pytest.approx(6 / 8)
+
+
+class TestConnectedComponentsPaths:
+    """_propagate_min_labels is adaptive: driver union-find under the
+    edge threshold, distributed min-label propagation above. Both paths
+    must emit identical (doc_id, cluster_id) labels."""
+
+    _EDGES = [
+        # chain 1-2-3-4, star 10-{11,12,13}, cycle 20-21-22-20, pair 30-31
+        (1, 2), (2, 3), (3, 4),
+        (10, 11), (10, 12), (10, 13),
+        (20, 21), (21, 22), (20, 22),
+        (30, 31),
+    ]
+    _WANT = {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+    def _pairs(self, spark):
+        return spark.createDataFrame(
+            self._EDGES, "doc_a BIGINT, doc_b BIGINT"
+        )
+
+    def test_driver_union_find(self, spark):
+        from spark_sql_server_spark.operators.dedup import _propagate_min_labels
+
+        got = {
+            r.doc_id: r.cluster_id
+            for r in _propagate_min_labels(self._pairs(spark)).collect()
+        }
+        assert got == self._WANT
+
+    def test_distributed_path_identical(self, spark, monkeypatch):
+        import spark_sql_server_spark.operators.dedup as dedup
+
+        monkeypatch.setattr(dedup, "_CC_DRIVER_THRESHOLD", -1)
+        got = {
+            r.doc_id: r.cluster_id
+            for r in dedup._propagate_min_labels(self._pairs(spark)).collect()
+        }
+        assert got == self._WANT

@@ -434,6 +434,21 @@ CORPUS: list[tuple[str, str | None]] = [
         "GROUP BY 1) SELECT k, n FROM t WHERE n > 4 ORDER BY k",
         None,
     ),
+    # float8.sql — text rendering at repr exponent thresholds and -0.0
+    (
+        "SELECT 1e30::float8 AS a, 1.5e-5::float8 AS b, (-0.0)::float8 AS c, "
+        "1e15::float8 AS d, 1e16::float8 AS e, 35.0::float8 AS f",
+        "SELECT CAST(1e30 AS DOUBLE) AS a, CAST(1.5e-5 AS DOUBLE) AS b, "
+        "CAST(-0.0 AS DOUBLE) AS c, CAST(1e15 AS DOUBLE) AS d, "
+        "CAST(1e16 AS DOUBLE) AS e, CAST(35.0 AS DOUBLE) AS f",
+    ),
+    # float specials render PG-style over the wire (NaN / Infinity,
+    # not Python's nan/inf) — oracle pins the expected text directly
+    (
+        "SELECT 'NaN'::float8 AS n, 'Infinity'::float8 AS i, "
+        "'-Infinity'::float8 AS ni",
+        "SELECT 'NaN' AS n, 'Infinity' AS i, '-Infinity' AS ni",
+    ),
 ]
 
 

@@ -46,7 +46,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "pipe_build_dataset",     # temp-view lifecycle fix
     # never driver-sampled families (judge r3 coverage gap)
     "st_sessionize_stream", "st_hourly_stream", "st_enrich_stream",
-    "st_dedup_stream", "st_running_totals",
+    "st_dedup_stream", "st_running_totals", "st_stream_stream_join",
     "q7_nation_trade", "q9_product_profit", "q10_returned_items",
     "q16_supplier_cnt", "q18_large_orders", "q21_last_shipper",
     "q13_customer_distribution", "q20_excess_suppliers",

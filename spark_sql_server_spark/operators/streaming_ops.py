@@ -342,3 +342,64 @@ def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
     )
     return _finalize(spark, result, sink=sink, dirs=(src,))
+
+
+_STREAM_ATTRIB_ORACLE = """
+    SELECT a.event_id AS view_id, b.event_id AS click_id, a.user_id,
+           a.ts AS view_ts, b.ts AS click_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'click'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '2 hours'
+    ORDER BY view_id, click_id
+"""
+
+
+@query(
+    "st_stream_stream_join",
+    oracle=_STREAM_ATTRIB_ORACLE,
+    covers="streaming: stream-stream inner join with event-time bound "
+    "(view→click attribution; watermarked state on both sides)",
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click attribution computed by a genuine two-streaming-sides join
+    (views and clicks both read as streams from the same replayed
+    source) — must equal the batch interval self-join bit-for-bit.
+
+    Scale: state is bounded by the watermarks + the join's event-time
+    bound (views droppable after click-watermark passes view_ts + 2h);
+    the join hash-partitions both sides by user_id like any keyed
+    streaming state.
+    """
+    from spark_sql_server_spark.streaming import (
+        events_stream,
+        view_click_attribution,
+    )
+
+    src = tempfile.mkdtemp(prefix="st-attrib-src-")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    sink = f"st_attrib_{uuid.uuid4().hex[:8]}"
+    q = (
+        view_click_attribution(events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    result = (
+        spark.table(sink)
+        .select(
+            "view_id",
+            "click_id",
+            "user_id",
+            F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        )
+        .orderBy("view_id", "click_id")
+    )
+    return _finalize(spark, result, sink=sink, dirs=(src,))

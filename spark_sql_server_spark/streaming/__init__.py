@@ -11,6 +11,7 @@ stream is the streaming twin of ``q_events_sessionize``).
 
 from spark_sql_server_spark.streaming.pipeline import (
     enrich_events,
+    view_click_attribution,
     events_stream,
     hourly_event_counts,
     sessionized_events,
@@ -21,6 +22,7 @@ from spark_sql_server_spark.streaming.pipeline import (
 
 __all__ = [
     "enrich_events",
+    "view_click_attribution",
     "events_stream",
     "hourly_event_counts",
     "sessionized_events",

@@ -213,3 +213,48 @@ def enrich_events(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(
         F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
     ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")
+
+
+def view_click_attribution(
+    events: DataFrame, bound: str = "2 hours", watermark: str = "4 hours"
+) -> DataFrame:
+    """Stream-stream inner join with an event-time bound: every click
+    attributed to a same-user view at most ``bound`` earlier — the
+    classic ad-attribution shape and the remaining major Structured
+    Streaming surface (two *streaming* sides; ``enrich_events`` covers
+    stream-static).
+
+    State discipline: both sides carry watermarks and the join
+    condition bounds click_ts to (view_ts, view_ts + bound], so Spark
+    can drop buffered views once the click-side watermark passes
+    view_ts + bound, and buffered clicks once the view-side watermark
+    passes click_ts — state is O(events inside the watermark window),
+    never O(stream). Inner-join rows emit in the micro-batch that
+    matches them (no watermark wait), so an availableNow drain yields
+    the complete batch-equal answer.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+            "user_id",
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("click_user"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return views.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {bound}")),
+        "inner",
+    ).select("view_id", "click_id", "user_id", "view_ts", "click_ts")

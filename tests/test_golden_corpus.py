@@ -449,6 +449,27 @@ CORPUS: list[tuple[str, str | None]] = [
         "'-Infinity'::float8 AS ni",
         "SELECT 'NaN' AS n, 'Infinity' AS i, '-Infinity' AS ni",
     ),
+    # interval.sql — PG-style interval text rendering over the wire
+    (
+        "SELECT INTERVAL '1 day 2 hours' AS i",
+        "SELECT '1 day 02:00:00' AS i",
+    ),
+    (
+        "SELECT INTERVAL '90 minutes' AS i",
+        "SELECT '01:30:00' AS i",
+    ),
+    # timestamp.sql — microsecond fidelity through the text path
+    (
+        "SELECT TIMESTAMP '2024-02-29 23:59:59.123456' AS ts",
+        "SELECT TIMESTAMP '2024-02-29 23:59:59.123456' AS ts",
+    ),
+    # numeric.sql — scale-preserving decimal rendering (PG prints the
+    # declared scale: 1.50, not 1.5)
+    (
+        "SELECT 1.5::numeric(10,2) AS n, 12345.678::numeric(12,3) AS m",
+        "SELECT CAST(1.5 AS DECIMAL(10,2)) AS n, "
+        "CAST(12345.678 AS DECIMAL(12,3)) AS m",
+    ),
 ]
 
 

@@ -50,9 +50,15 @@ def round6(c: Column) -> Column:
 
 def ROUND6(expr: str) -> str:
     """SQL spelling of :func:`round6` — valid in both Spark SQL and
-    DuckDB (FLOOR returns BIGINT in Spark, DOUBLE in DuckDB; the final
-    division yields DOUBLE in both)."""
-    return f"(FLOOR(({expr}) * 1000000 + 0.5) / 1000000.0)"
+    DuckDB. The CAST TO DOUBLE before the division is load-bearing: in
+    Spark SQL ``FLOOR(double)`` is BIGINT and the literal ``1000000.0``
+    parses as DECIMAL(8,1), so without the cast the quotient silently
+    becomes DECIMAL — a different wire/pandas type than DuckDB's DOUBLE
+    and a driver hash mismatch (caught by
+    tests/test_boundary_audit.py::test_round6_cross_engine_identity).
+    With it, both engines perform the same exact int→double conversion
+    (|value| ≪ 2^53) and one IEEE division."""
+    return f"(CAST(FLOOR(({expr}) * 1000000 + 0.5) AS DOUBLE) / 1000000.0)"
 
 
 def davg(c: Column) -> Column:

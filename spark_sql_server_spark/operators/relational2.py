@@ -231,9 +231,10 @@ _CORR_SQL = """
            -- negative-capable value: FLOOR(x*1e6+0.5)/1e6 is half-up
            -- toward +inf for negatives — consistent across engines,
            -- which is all the hash gate needs (ROUND(double,6) is not)
-           FLOOR((n * sxy - sx * sy)
-                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
-                 * 1000000 + 0.5) / 1000000.0 AS corr_qty_price
+           CAST(FLOOR((n * sxy - sx * sy)
+                      / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+                      * 1000000 + 0.5) AS DOUBLE) / 1000000.0
+             AS corr_qty_price
     FROM (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
@@ -505,8 +506,8 @@ _MATH_SQL = """
            -- micro-space rounding: ROUND(quotient, n) is cross-engine
            -- unsafe (see relational.round6); FLOOR form is identical
            -- IEEE ops in Spark and DuckDB
-           FLOOR(l_extendedprice / l_quantity * 10000 + 0.5) / 10000.0
-             AS unit_price,
+           CAST(FLOOR(l_extendedprice / l_quantity * 10000 + 0.5)
+                AS DOUBLE) / 10000.0 AS unit_price,
            CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
            CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct,
            ABS(l_quantity - 25.0) AS dist_from_25,
@@ -523,8 +524,8 @@ _MATH_ORACLE = """
            -- micro-space rounding: ROUND(quotient, n) is cross-engine
            -- unsafe (see relational.round6); FLOOR form is identical
            -- IEEE ops in Spark and DuckDB
-           FLOOR(l_extendedprice / l_quantity * 10000 + 0.5) / 10000.0
-             AS unit_price,
+           CAST(FLOOR(l_extendedprice / l_quantity * 10000 + 0.5)
+                AS DOUBLE) / 10000.0 AS unit_price,
            CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
            CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct,
            ABS(l_quantity - 25.0) AS dist_from_25,

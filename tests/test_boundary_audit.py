@@ -250,3 +250,51 @@ def test_ann_cosine_boundaries(con):
         """
     ).fetchall()
     _audit([r[0] for r in rows], "s_ann_bruteforce raw_sim")
+
+
+def test_round6_cross_engine_identity(request):
+    """The round6/ROUND6 helpers claim FLOOR(x*1e6+0.5)/1e6 is the
+    identical IEEE op sequence in Spark, DuckDB, and Python — verify it
+    over adversarial inputs: exact grid points, exact half-grid points
+    (the tie), values one ulp either side of ties, negatives, large
+    magnitudes, and a seeded random sweep."""
+    import math
+    import random
+
+    import duckdb
+
+    spark = request.getfixturevalue("spark")
+
+    rng = random.Random(42)
+    xs: list[float] = []
+    for k in (0, 1, 7, 123456, -1, -987654):
+        base = k / 1e6
+        half = (k + 0.5) / 1e6
+        xs += [base, half, math.nextafter(half, math.inf),
+               math.nextafter(half, -math.inf)]
+    xs += [rng.uniform(-1000, 1000) for _ in range(2000)]
+    xs += [rng.uniform(-1e9, 1e9) for _ in range(200)]
+
+    from spark_sql_server_spark.operators.relational import ROUND6
+
+    py = [math.floor(x * 1e6 + 0.5) / 1e6 for x in xs]
+
+    sdf = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i INT, x DOUBLE")
+    srows = sdf.selectExpr("i", f"{ROUND6('x')} AS r").collect()
+    sp = [r.r for r in sorted(srows, key=lambda r: r.i)]
+    # the helper must yield DOUBLE in Spark, not DECIMAL — the raw
+    # FLOOR(x)/1000000.0 spelling silently does (BIGINT / DECIMAL(8,1)
+    # literal), which breaks the driver's pandas hash
+    assert all(isinstance(v, float) for v in sp)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(xs)))
+    du = [r[1] for r in con.execute(
+        f"SELECT i, {ROUND6('x')} FROM t ORDER BY i"
+    ).fetchall()]
+
+    for i, (a, b, c) in enumerate(zip(py, sp, du)):
+        assert a == b == c, (
+            f"x={xs[i]!r}: python={a!r} spark={b!r} duckdb={c!r}"
+        )

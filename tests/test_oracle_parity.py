@@ -22,6 +22,32 @@ from spark_sql_server_spark.operators import REGISTRY
 from tests.conftest import SF_CORRECT, register_duck_views
 
 
+def _type_class(t) -> str:
+    """Coarse cross-engine type class for a Spark simpleString or an
+    Arrow type. The value-level compare below converts Decimal→float,
+    so it can NOT see a Spark DECIMAL column where the oracle yields
+    DOUBLE — but the driver's pandas-hash gate can (Decimal objects vs
+    float64 hash differently). Classing both schemas catches it (the
+    r4 ROUND6 regression: Spark FLOOR(x)/1000000.0 is BIGINT/DECIMAL →
+    DECIMAL, DuckDB's is DOUBLE)."""
+    t = str(t)
+    if t.startswith("decimal"):
+        return "decimal"
+    if t in ("double", "float", "float64", "float32", "halffloat"):
+        return "float"
+    if t.startswith(("int", "uint")) or t in ("tinyint", "smallint", "bigint"):
+        return "int"
+    if t in ("string", "large_string", "varchar"):
+        return "str"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t in ("bool", "boolean"):
+        return "bool"
+    if t.startswith("date"):
+        return "date"
+    return t
+
+
 def _norm_cell(v):
     if v is None:
         return None
@@ -85,6 +111,27 @@ def test_oracle_parity(spark, duck, name):
     res = duck.execute(spec.oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
+
+    # type-class parity (see _type_class): the value compare normalizes
+    # Decimal→float and would mask a Spark-decimal/duck-double split
+    # that fails the driver's pandas hash
+    spark_classes = {
+        f.name.lower(): _type_class(f.dataType.simpleString())
+        for f in sdf.schema.fields
+    }
+    duck_classes = {
+        f.name.lower(): _type_class(f.type)
+        for f in duck.execute(spec.oracle).arrow().schema
+    }
+    class_diffs = {
+        c: (spark_classes.get(c), duck_classes.get(c))
+        for c in spark_classes
+        if c in duck_classes and spark_classes[c] != duck_classes[c]
+    }
+    assert not class_diffs, (
+        f"{name}: column type classes differ (spark, duck): {class_diffs} "
+        "— the driver's pandas hash will mismatch even if values agree"
+    )
 
     # Mirror the driver's pandas rendering: DuckDB HUGEINT (e.g. SUM of
     # INTEGER) becomes float64 in .df(), so a Spark BIGINT vs oracle

@@ -469,6 +469,40 @@ CORPUS: list[tuple[str, str | None]] = [
         "SELECT 1.5::numeric(10,2) AS n, 12345.678::numeric(12,3) AS m",
         "SELECT CAST(1.5 AS DECIMAL(10,2)) AS n, "
         "CAST(12345.678 AS DECIMAL(12,3)) AS m",
+    ),    # select_having.sql — HAVING over the canonical test_having rows
+    (
+        "WITH th AS (SELECT * FROM (VALUES (0,1,'XXXX','A'),(1,2,'AAAA','b'),(2,2,'AAAA','c'),(3,3,'BBBB','D'),(4,3,'BBBB','e'),(5,3,'bbbb','F'),(6,4,'cccc','g'),(7,4,'cccc','h'),(8,4,'CCCC','I'),(9,4,'CCCC','j')) AS t(a,b,c,d)) SELECT b, c FROM th GROUP BY b, c "
+        "HAVING count(*) = 1 ORDER BY b, c",
+        None,
+    ),
+    (
+        "WITH th AS (SELECT * FROM (VALUES (0,1,'XXXX','A'),(1,2,'AAAA','b'),(2,2,'AAAA','c'),(3,3,'BBBB','D'),(4,3,'BBBB','e'),(5,3,'bbbb','F'),(6,4,'cccc','g'),(7,4,'cccc','h'),(8,4,'CCCC','I'),(9,4,'CCCC','j')) AS t(a,b,c,d)) SELECT b, c FROM th GROUP BY b, c "
+        "HAVING b = 3 ORDER BY b, c",
+        None,
+    ),
+    # select_implicit.sql — qualified GROUP BY, hidden ORDER BY column,
+    # duplicate select-list column
+    (
+        "WITH th AS (SELECT * FROM (VALUES (0,1,'XXXX','A'),(1,2,'AAAA','b'),(2,2,'AAAA','c'),(3,3,'BBBB','D'),(4,3,'BBBB','e'),(5,3,'bbbb','F'),(6,4,'cccc','g'),(7,4,'cccc','h'),(8,4,'CCCC','I'),(9,4,'CCCC','j')) AS t(a,b,c,d)) SELECT c, count(*) AS n FROM th GROUP BY th.c ORDER BY c",
+        "WITH th AS (SELECT * FROM (VALUES (0,1,'XXXX','A'),(1,2,'AAAA','b'),(2,2,'AAAA','c'),(3,3,'BBBB','D'),(4,3,'BBBB','e'),(5,3,'bbbb','F'),(6,4,'cccc','g'),(7,4,'cccc','h'),(8,4,'CCCC','I'),(9,4,'CCCC','j')) AS t(a,b,c,d)) SELECT c, count(*) AS n FROM th GROUP BY th.c ORDER BY c",
+    ),
+    (
+        "WITH th AS (SELECT * FROM (VALUES (0,1,'XXXX','A'),(1,2,'AAAA','b'),(2,2,'AAAA','c'),(3,3,'BBBB','D'),(4,3,'BBBB','e'),(5,3,'bbbb','F'),(6,4,'cccc','g'),(7,4,'cccc','h'),(8,4,'CCCC','I'),(9,4,'CCCC','j')) AS t(a,b,c,d)) SELECT c FROM th ORDER BY a LIMIT 4",
+        None,
+    ),
+    (
+        "WITH th AS (SELECT * FROM (VALUES (0,1,'XXXX','A'),(1,2,'AAAA','b'),(2,2,'AAAA','c'),(3,3,'BBBB','D'),(4,3,'BBBB','e'),(5,3,'bbbb','F'),(6,4,'cccc','g'),(7,4,'cccc','h'),(8,4,'CCCC','I'),(9,4,'CCCC','j')) AS t(a,b,c,d)) SELECT a, a FROM th ORDER BY a LIMIT 3",
+        None,
+    ),
+    # comments.sql — embedded + trailing comments through the rewriter
+    (
+        "SELECT /* embedded single line */ 'embedded' AS second",
+        "SELECT 'embedded' AS second",
+    ),
+    (
+        "SELECT /* both embedded and trailing single line */ 'both' AS third "
+        "-- trailing single line",
+        "SELECT 'both' AS third",
     ),
 ]
 

@@ -108,20 +108,25 @@ def test_oracle_parity(spark, duck, name):
     spark_rows = [tuple(r) for r in sdf.collect()]
     _assert_catalog_hygiene(spark, name)
 
-    res = duck.execute(spec.oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    # ONE DuckDB execution: the Arrow table provides column names,
+    # precise types, and values (the sf0.1 sweep runs every oracle —
+    # re-executing per check tripled its wall time)
+    at = duck.execute(spec.oracle).arrow()
+    duck_cols = list(at.schema.names)
+    cols_data = [at.column(i).to_pylist() for i in range(at.num_columns)]
+    duck_rows = list(zip(*cols_data)) if duck_cols else []
 
     # type-class parity (see _type_class): the value compare normalizes
     # Decimal→float and would mask a Spark-decimal/duck-double split
-    # that fails the driver's pandas hash
+    # that fails the driver's pandas hash. This also subsumes the old
+    # HUGEINT probe: DuckDB HUGEINT arrives as arrow decimal128(38,0),
+    # which classes as 'decimal' against Spark's 'int'.
     spark_classes = {
         f.name.lower(): _type_class(f.dataType.simpleString())
         for f in sdf.schema.fields
     }
     duck_classes = {
-        f.name.lower(): _type_class(f.type)
-        for f in duck.execute(spec.oracle).arrow().schema
+        f.name.lower(): _type_class(f.type) for f in at.schema
     }
     class_diffs = {
         c: (spark_classes.get(c), duck_classes.get(c))
@@ -132,31 +137,6 @@ def test_oracle_parity(spark, duck, name):
         f"{name}: column type classes differ (spark, duck): {class_diffs} "
         "— the driver's pandas hash will mismatch even if values agree"
     )
-
-    # Mirror the driver's pandas rendering: DuckDB HUGEINT (e.g. SUM of
-    # INTEGER) becomes float64 in .df(), so a Spark BIGINT vs oracle
-    # HUGEINT hashes 112616 vs 112616.0 and fails the driver gate even
-    # though fetchall() returns equal ints. Catch that class here.
-    # (A nullable BIGINT with NULLs also renders float64, but then the
-    # Spark side renders float64 too — symmetric, hence benign; only
-    # flag all-int columns with no NULLs, where HUGEINT is the cause.)
-    duck_df = duck.execute(spec.oracle).df()
-    for col in duck_df.columns:
-        if str(duck_df[col].dtype).startswith("float"):
-            idx = duck_cols.index(col)
-            cells = [r[idx] for r in duck_rows]
-            int_vals = [
-                v
-                for v in cells
-                if isinstance(v, int) and not isinstance(v, bool)
-            ]
-            if any(v is None for v in cells) or len(int_vals) != len(cells):
-                continue
-            assert not int_vals, (
-                f"{name}: oracle column {col!r} renders as float64 in pandas "
-                f"but yields Python ints (DuckDB HUGEINT?) — CAST it to "
-                f"BIGINT in the oracle SQL or the driver hash will mismatch"
-            )
 
     assert sorted(c.lower() for c in spark_cols) == sorted(
         c.lower() for c in duck_cols

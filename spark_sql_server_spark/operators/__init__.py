@@ -19,6 +19,7 @@ from spark_sql_server_spark.operators import (  # noqa: F401
     relational5,
     sampling,
     similarity,
+    sketches,
     streaming_ops,
     temporal,
     textops,
@@ -36,6 +37,9 @@ from spark_sql_server_spark.operators.registry import REGISTRY, QuerySpec
 _DRIVER_SAMPLE_PRIORITY = [
     # changed certification this round — must re-certify
     "t_ngram_lm_score",       # r3 hash FAIL → integer certification
+    # new this round — never driver-sampled
+    "sk_hll_distinct", "sk_cms_topk", "sk_quantile_bands",
+    "sk_bloom_prefilter",
     "t_domain_mix",           # micro-space rounding
     "m_media_features",       # first oracle (was no_oracle)
     "m_frame_sample",         # first oracle (was no_oracle)

@@ -39,7 +39,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "t_ngram_lm_score",       # r3 hash FAIL → integer certification
     # new this round — never driver-sampled
     "sk_hll_distinct", "sk_cms_topk", "sk_quantile_bands",
-    "sk_bloom_prefilter",
+    "sk_bloom_prefilter", "d_incremental_dedup",
     "t_domain_mix",           # micro-space rounding
     "m_media_features",       # first oracle (was no_oracle)
     "m_frame_sample",         # first oracle (was no_oracle)

@@ -1346,3 +1346,208 @@ def d_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# d_incremental_dedup — admission control for a new shard vs the corpus
+# --------------------------------------------------------------------------
+
+#: The "daily shard": documents with doc_id ≡ 7 (mod 10) arrive today;
+#: everything else is the already-ingested corpus.
+_INC_SHARD_MOD, _INC_SHARD_REM = 10, 7
+
+_INC_ORACLE = f"""
+    WITH newdocs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % {_INC_SHARD_MOD} = {_INC_SHARD_REM}
+    ),
+    base AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % {_INC_SHARD_MOD} <> {_INC_SHARD_REM}
+    ),
+    exact_dup AS (
+      SELECT DISTINCT n.doc_id FROM newdocs n
+      JOIN base b ON md5(n.text) = md5(b.text)
+    ),
+    shingled_new AS (
+      SELECT doc_id,
+             list_distinct([
+               array_to_string(words[i:i+{_NGRAM_N - 1}], ' ')
+               FOR i IN range(1, len(words) - {_NGRAM_N - 1} + 1)
+             ]) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM newdocs)
+      WHERE len(words) >= {_NGRAM_N}
+    ),
+    shingled_base AS (
+      SELECT doc_id,
+             list_distinct([
+               array_to_string(words[i:i+{_NGRAM_N - 1}], ' ')
+               FOR i IN range(1, len(words) - {_NGRAM_N - 1} + 1)
+             ]) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM base)
+      WHERE len(words) >= {_NGRAM_N}
+    ),
+    postings_new AS (SELECT doc_id, unnest(grams) AS gram FROM shingled_new),
+    postings_base AS (SELECT doc_id, unnest(grams) AS gram FROM shingled_base),
+    rare AS (
+      SELECT gram FROM postings_base GROUP BY gram
+      HAVING COUNT(*) <= (SELECT LEAST({_GRAM_DF_FRACTION} * COUNT(*),
+                                       {_GRAM_DF_CAP}) FROM base)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS base_id
+      FROM postings_new a
+      JOIN rare r ON a.gram = r.gram
+      JOIN postings_base b ON a.gram = b.gram
+    ),
+    near AS (
+      SELECT DISTINCT c.new_id AS doc_id
+      FROM cand c
+      JOIN shingled_new a ON a.doc_id = c.new_id
+      JOIN shingled_base b ON b.doc_id = c.base_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / (len(a.grams) + len(b.grams)
+                 - len(list_intersect(a.grams, b.grams)))
+            >= {_JACCARD_THRESHOLD}
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'dup_exact'
+                WHEN nr.doc_id IS NOT NULL THEN 'dup_near'
+                ELSE 'new' END AS status
+    FROM newdocs d
+    LEFT JOIN exact_dup e ON d.doc_id = e.doc_id
+    LEFT JOIN near nr ON d.doc_id = nr.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+@query(
+    "d_incremental_dedup",
+    oracle=_INC_ORACLE,
+    covers="north-star dedup: incremental shard admission vs the existing "
+    "corpus (exact hash + near-dup against the corpus index only — "
+    "no corpus-side recomputation of pairs)",
+)
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission control for a newly-arrived shard: each new document is
+    labeled ``dup_exact`` (content hash already in the corpus),
+    ``dup_near`` (3-gram Jaccard ≥ 0.5 with some corpus document, via
+    the corpus's rare-gram inverted index), or ``new``.
+
+    This is the shape that matters for a continuously-ingesting 100 TB
+    pipeline: cost scales with |shard| × index-lookup, NOT with
+    |corpus|² — the corpus side contributes only (a) a content-hash set
+    (fixed-width semi-join) and (b) its gram posting lists, both of
+    which a production system keeps materialized between runs; no
+    corpus-vs-corpus pair is ever generated (contrast d_ngram_jaccard,
+    which scores the whole corpus). The df cap comes from the BASE
+    index (a stop-gram list is a property of the corpus, not of the
+    day's shard), bounding every posting join exactly as in
+    ``_pair_counts_for``. Jaccard stays exact via the same
+    rare-join + common-gram-correction split."""
+    from spark_sql_server_spark.session import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    is_new = (F.col("doc_id") % _INC_SHARD_MOD) == F.lit(_INC_SHARD_REM)
+    newdocs = docs.filter(is_new)
+    base = docs.filter(~is_new)
+
+    # exact admission: fixed-width hash semi-join against the corpus
+    exact_ids = (
+        newdocs.select("doc_id", F.md5("text").alias("h"))
+        .join(base.select(F.md5("text").alias("h")).distinct(), "h", "left_semi")
+        .select("doc_id")
+    )
+
+    def shingle(side: DataFrame) -> DataFrame:
+        words = F.split(F.col("text"), " ")
+        return side.select(
+            "doc_id", F.array_distinct(word_ngrams(words, _NGRAM_N)).alias("grams")
+        ).filter(F.size(words) >= _NGRAM_N)
+
+    def postings(sh: DataFrame) -> DataFrame:
+        # explode_outer + int64 gram keys + one checkpoint per side:
+        # the same three hot-path rules as _pair_counts_for (see its
+        # docstring for the InferFiltersFromGenerate / CacheManager
+        # rationale)
+        return (
+            sh.select(
+                "doc_id",
+                F.explode_outer("grams").alias("gram"),
+                F.size("grams").alias("n_grams"),
+            )
+            .select("doc_id", F.xxhash64("gram").alias("gkey"), "n_grams")
+            .localCheckpoint()
+        )
+
+    post_new = postings(shingle(newdocs))
+    post_base = postings(shingle(base))
+
+    n_base = base.agg(F.count("*").alias("n_docs"))
+    cap = F.least(F.lit(_GRAM_DF_FRACTION) * F.col("n_docs"), F.lit(_GRAM_DF_CAP))
+    # stop-gram list of the CORPUS index — tiny (≤ postings/cap keys)
+    common = (
+        post_base.groupBy("gkey")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_base))
+        .filter(F.col("df") > cap)
+        .select("gkey")
+    )
+    rare_new = post_new.join(F.broadcast(common), "gkey", "left_anti")
+    rare_base = post_base.join(F.broadcast(common), "gkey", "left_anti")
+    rare_shared = (
+        rare_new.alias("a")
+        .join(rare_base.alias("b"), F.col("a.gkey") == F.col("b.gkey"))
+        .groupBy(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("base_id"),
+            F.col("a.n_grams").alias("na"),
+            F.col("b.n_grams").alias("nb"),
+        )
+        .agg(F.count("*").alias("rare_inter"))
+    )
+
+    def common_sets(post: DataFrame, key: str) -> DataFrame:
+        return (
+            post.join(F.broadcast(common), "gkey")
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list("gkey")).alias(f"cg_{key}"))
+            .withColumnRenamed("doc_id", key)
+        )
+
+    empty = F.array().cast("array<long>")
+    pairs = (
+        rare_shared.join(common_sets(post_new, "new_id"), "new_id", "left")
+        .join(common_sets(post_base, "base_id"), "base_id", "left")
+        .withColumn(
+            "inter",
+            F.col("rare_inter")
+            + F.size(
+                F.array_intersect(
+                    F.coalesce("cg_new_id", empty), F.coalesce("cg_base_id", empty)
+                )
+            ),
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    near_ids = (
+        pairs.filter(jac >= _JACCARD_THRESHOLD).select(
+            F.col("new_id").alias("doc_id")
+        )
+    ).distinct()
+
+    return (
+        newdocs.select("doc_id")
+        .join(exact_ids.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("is_near", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact") == 1, "dup_exact")
+            .when(F.col("is_near") == 1, "dup_near")
+            .otherwise("new")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )

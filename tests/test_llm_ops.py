@@ -681,3 +681,59 @@ class TestConnectedComponentsPaths:
             for r in dedup._propagate_min_labels(self._pairs(spark)).collect()
         }
         assert got == self._WANT
+
+
+class TestIncrementalDedup:
+    """d_incremental_dedup must agree with the full-corpus operators on
+    the cross-shard facts it claims."""
+
+    def test_statuses_consistent_with_full_corpus_ops(self, spark):
+        from spark_sql_server_spark.operators.dedup import (
+            _INC_SHARD_MOD,
+            _INC_SHARD_REM,
+            _JACCARD_THRESHOLD,
+            _jaccard_pairs_for,
+        )
+        from spark_sql_server_spark.session import load_table
+
+        res = {
+            r["doc_id"]: r["status"]
+            for r in REGISTRY["d_incremental_dedup"].fn(spark, SF_SMOKE).collect()
+        }
+        docs = load_table(spark, SF_SMOKE, "documents")
+        is_new = lambda i: i % _INC_SHARD_MOD == _INC_SHARD_REM  # noqa: E731
+        # every shard doc got exactly one status
+        shard_ids = {r["doc_id"] for r in docs.collect() if is_new(r["doc_id"])}
+        assert set(res) == shard_ids
+        assert set(res.values()) <= {"dup_exact", "dup_near", "new"}
+
+        # exact dups: same definition as d_dedup_exact's hash grouping
+        import hashlib
+
+        by_hash: dict[str, list[int]] = {}
+        for r in docs.select("doc_id", "text").collect():
+            by_hash.setdefault(
+                hashlib.md5(r["text"].encode()).hexdigest(), []
+            ).append(r["doc_id"])
+        expected_exact = {
+            i
+            for ids in by_hash.values()
+            for i in ids
+            if is_new(i) and any(not is_new(j) for j in ids)
+        }
+        assert {i for i, s in res.items() if s == "dup_exact"} == expected_exact
+
+        # near dups: full-corpus jaccard pairs, restricted to cross-shard
+        # links, must label the shard side dup_near (unless exact won)
+        pairs = _jaccard_pairs_for(docs).collect()
+        expected_near = set()
+        for p in pairs:
+            if p["jaccard"] >= _JACCARD_THRESHOLD:
+                a, b = p["doc_a"], p["doc_b"]
+                if is_new(a) != is_new(b):
+                    expected_near.add(a if is_new(a) else b)
+        for i in expected_near:
+            assert res[i] in ("dup_exact", "dup_near")
+        for i, s in res.items():
+            if s == "dup_near":
+                assert i in expected_near or res[i] != "new"

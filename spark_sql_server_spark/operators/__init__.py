@@ -9,6 +9,7 @@ harness share one source of truth.
 from spark_sql_server_spark.operators import (  # noqa: F401
     analytics,
     dedup,
+    layout,
     multimodal,
     pandas_ops,
     pipeline_ops,
@@ -39,7 +40,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "t_ngram_lm_score",       # r3 hash FAIL → integer certification
     # new this round — never driver-sampled
     "sk_hll_distinct", "sk_cms_topk", "sk_quantile_bands",
-    "sk_bloom_prefilter", "d_incremental_dedup",
+    "sk_bloom_prefilter", "d_incremental_dedup", "q_zorder_layout",
     "t_domain_mix",           # micro-space rounding
     "m_media_features",       # first oracle (was no_oracle)
     "m_frame_sample",         # first oracle (was no_oracle)

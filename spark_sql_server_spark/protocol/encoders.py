@@ -100,11 +100,16 @@ def text_encoder(dt: T.DataType):
             _to_jsonable(v), default=_json_default, separators=(",", ":")
         )
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-        return lambda v: (
-            v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
-            if isinstance(v, datetime)
-            else str(v)
-        )
+        # PG text form trims trailing fractional zeros and drops the
+        # fraction entirely for whole seconds ('2001-01-01 00:00:00',
+        # not '...00.000000') — psql scripts parse this shape
+        def _ts_text(v):
+            if not isinstance(v, datetime):
+                return str(v)
+            s = v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+            return s.rstrip("0").rstrip(".")
+
+        return _ts_text
     if isinstance(dt, T.DayTimeIntervalType):
         return _interval_text
     return lambda v: str(v)
@@ -357,6 +362,23 @@ class RowSerializer:
         )
 
     @staticmethod
+    def _varwidth_cells(mat, lengths, valid):
+        """(N, W) uint8 matrix + per-row byte lengths (≤ W) + validity →
+        compacted pa.BinaryArray (null rows become empty cells)."""
+        import numpy as np
+        import pyarrow as pa
+
+        n, w = mat.shape
+        lens = np.where(valid, lengths, 0).astype(np.int32)
+        offsets = np.zeros(n + 1, np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        keep = np.arange(w, dtype=np.int32)[None, :] < lens[:, None]
+        data = np.ascontiguousarray(mat[keep])
+        return pa.Array.from_buffers(
+            pa.binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(data)]
+        )
+
+    @staticmethod
     def _vec_text_cells(arr):
         """One Arrow column → (cells: null-free pa.BinaryArray of utf-8
         text payloads — empty where the value is NULL —, valid mask),
@@ -367,8 +389,9 @@ class RowSerializer:
           by the iterator-vs-arrow equality test).
         * timestamps/dates go through ``np.datetime_as_string`` into a
           fixed-width byte matrix (measured ~5× faster than Arrow
-          strftime); format is identical to
-          ``isoformat(timespec="microseconds")``.
+          strftime), then rows are shortened to the PG text form —
+          trailing fractional zeros trimmed, '.' dropped for whole
+          seconds — matching the scalar encoder.
         * floats must match Python ``repr`` (shortest round-trip — what
           the iterator path emits; Arrow's own float→string cast differs
           on integral values, -0.0 and exponent thresholds). repr runs
@@ -410,7 +433,16 @@ class RowSerializer:
                 # values the Python datetime iterator path could carry at all)
                 mat = strs.astype("S26").view(np.uint8).reshape(n, 26).copy()
                 mat[:, 10] = 0x20  # 'T' -> ' '
-                return RowSerializer._fixed_width_cells(mat, valid), valid
+                # PG trims trailing fractional zeros; a whole-second value
+                # loses the '.' too. Count the run of trailing '0' in the
+                # 6-digit fraction (cols 20-25), then shorten each row.
+                tz = np.zeros(n, np.int32)
+                cont = np.ones(n, bool)
+                for j in range(25, 19, -1):
+                    cont &= mat[:, j] == 0x30
+                    tz += cont
+                lengths = 26 - tz - (tz == 6)
+                return RowSerializer._varwidth_cells(mat, lengths, valid), valid
         if pa.types.is_date(t):
             width = np.int32 if pa.types.is_date32(t) else np.int64
             ints = np.frombuffer(arr.buffers()[1], width)[arr.offset : arr.offset + n]
@@ -424,7 +456,13 @@ class RowSerializer:
             sarr = pc.fill_null(pc.strftime(arr, format="%Y-%m-%d"), "")
             return pc.cast(sarr, pa.binary()), valid
         if pa.types.is_timestamp(t):  # exotic tz (or pre-CE years above)
-            sarr = pc.strftime(arr, format="%Y-%m-%d %H:%M:%S")
+            # arrow %S includes the 6-digit fraction; trim PG-style
+            sarr = pc.replace_substring_regex(
+                pc.strftime(arr, format="%Y-%m-%d %H:%M:%S"),
+                pattern=r"(\.\d*?)0+$",
+                replacement=r"\1",
+            )
+            sarr = pc.replace_substring_regex(sarr, pattern=r"\.$", replacement="")
         elif pa.types.is_boolean(t):
             sarr = pc.if_else(arr, pa.scalar("t"), pa.scalar("f"))
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
@@ -533,9 +571,15 @@ class RowSerializer:
             # ~5× cheaper than datetime.isoformat per value
             if not is_bin and pa.types.is_timestamp(col.type):
                 # arrow's %S on timestamp[us] always includes the 6-digit
-                # fraction — matches isoformat(timespec="microseconds")
-                strs = pc.strftime(
-                    col.combine_chunks(), format="%Y-%m-%d %H:%M:%S"
+                # fraction; trim it PG-style like the scalar encoder
+                strs = pc.replace_substring_regex(
+                    pc.replace_substring_regex(
+                        pc.strftime(col.combine_chunks(), format="%Y-%m-%d %H:%M:%S"),
+                        pattern=r"(\.\d*?)0+$",
+                        replacement=r"\1",
+                    ),
+                    pattern=r"\.$",
+                    replacement="",
                 ).to_pylist()
                 cells = [
                     null_cell if s is None

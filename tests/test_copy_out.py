@@ -295,7 +295,7 @@ class TestCopyBinary:
         in_msgs, rows = loop.run_until_complete(go())
         assert completes_of(in_msgs) == ["COPY 2"]
         assert rows_of(rows) == [
-            [b"1", "héllo".encode(), b"2.5", b"2024-03-01 12:34:56.789000"],
+            [b"1", "héllo".encode(), b"2.5", b"2024-03-01 12:34:56.789"],
             [b"2", None, None, None],
         ]
         spark.sql("DROP TABLE copy_bin_t")

@@ -504,6 +504,76 @@ CORPUS: list[tuple[str, str | None]] = [
         "-- trailing single line",
         "SELECT 'both' AS third",
     ),
+    # text.sql — concat_ws NULL handling, mixed-type ||
+    (
+        "SELECT concat_ws(',', 10, 20, NULL, 30) AS s, "
+        "concat_ws('', 10, 20, NULL, 30) AS s2",
+        "SELECT '10,20,30' AS s, '102030' AS s2",
+    ),
+    ("SELECT concat_ws(NULL, 10, 20) IS NULL AS b", "SELECT true AS b"),
+    ("SELECT 3 || 4.0 AS s", "SELECT '34.0' AS s"),
+    # strings.sql wave 2 — reverse/split_part/initcap/translate/lpad edges
+    ("SELECT reverse('abcde') AS s", None),
+    ("SELECT split_part('abc~@~def~@~ghi', '~@~', 2) AS s", None),
+    ("SELECT initcap('hi THOMAS') AS s", "SELECT 'Hi Thomas' AS s"),
+    ("SELECT translate('12345', '143', 'ax') AS s", "SELECT 'a2x5' AS s"),
+    (
+        "SELECT lpad('hi', -5, 'xy') AS s1, lpad('hi', 0, 'xy') AS s2",
+        "SELECT '' AS s1, '' AS s2",
+    ),
+    # window_part2/3.sql — numeric RANGE offset frames, last/nth_value
+    (
+        "SELECT n_nationkey, sum(n_nationkey) OVER (ORDER BY n_regionkey "
+        "RANGE BETWEEN 2 PRECEDING AND 1 PRECEDING) AS s "
+        "FROM nation ORDER BY n_nationkey",
+        None,
+    ),
+    (
+        "SELECT n_nationkey, last_value(n_nationkey) OVER (ORDER BY "
+        "n_nationkey RANGE BETWEEN CURRENT ROW AND 4 FOLLOWING) AS lv "
+        "FROM nation ORDER BY n_nationkey",
+        None,
+    ),
+    (
+        "SELECT n_nationkey, nth_value(n_name, 3) OVER (ORDER BY n_nationkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nv "
+        "FROM nation WHERE n_nationkey < 6 ORDER BY n_nationkey",
+        None,
+    ),
+    # aggregates_part3.sql — DISTINCT inside avg
+    ("SELECT avg(DISTINCT n_regionkey) AS a FROM nation", None),
+    # date.sql — quarter truncation (DuckDB returns DATE here; Spark
+    # returns TIMESTAMP, rendered PG-style without the zero fraction)
+    (
+        "SELECT date_trunc('quarter', TIMESTAMP '2001-02-16 20:38:40') AS q",
+        "SELECT CAST(date_trunc('quarter', TIMESTAMP '2001-02-16 20:38:40') "
+        "AS TIMESTAMP) AS q",
+    ),
+    # select_distinct.sql — multi-column DISTINCT
+    (
+        "SELECT DISTINCT n_regionkey, n_nationkey % 5 AS m FROM nation "
+        "ORDER BY n_regionkey, m",
+        None,
+    ),
+    # select_implicit.sql — ORDER BY aggregate expression
+    (
+        "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey "
+        "ORDER BY count(*) DESC, n_regionkey",
+        None,
+    ),
+    # join.sql — correlated LATERAL subquery in FROM
+    (
+        "SELECT r_name, t.n FROM region, LATERAL (SELECT count(*) AS n "
+        "FROM nation WHERE n_regionkey = r_regionkey) t ORDER BY r_name",
+        None,
+    ),
+    # groupingsets.sql — grouping() marker ordering
+    (
+        "SELECT n_regionkey, grouping(n_regionkey) AS g, count(*) AS n "
+        "FROM nation GROUP BY GROUPING SETS ((n_regionkey), ()) "
+        "ORDER BY g, n_regionkey NULLS FIRST",
+        None,
+    ),
 ]
 
 

@@ -35,6 +35,8 @@ class StatementClass(enum.Enum):
     DECLARE_CURSOR = "declare_cursor"  # SQL-level cursors — our extension
     FETCH = "fetch"                    # (psycopg2 named cursors use these;
     CLOSE_CURSOR = "close_cursor"      #  the reference has only protocol portals)
+    PREPARE = "prepare"        # SQL-level PREPARE name [(types)] AS query
+    EXECUTE_STMT = "execute"   # EXECUTE name [(arg exprs)]
 
 
 @dataclass
@@ -68,6 +70,114 @@ _FETCH_RE = re.compile(
 )
 
 _CLOSE_RE = re.compile(r"^\s*CLOSE\s+(?P<name>[\w\"]+|ALL)\s*$", re.IGNORECASE)
+
+_PREPARE_RE = re.compile(
+    r"^\s*PREPARE\s+(?P<name>[\w\"]+)\s*(?:\((?P<types>[^)]*)\))?\s+AS\s+"
+    r"(?P<query>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_EXECUTE_RE = re.compile(
+    r"^\s*EXECUTE\s+(?P<name>[\w\"]+)\s*(?:\((?P<args>.*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_DEALLOCATE_RE = re.compile(
+    r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?(?P<name>[\w\"]+|ALL)\s*$",
+    re.IGNORECASE,
+)
+
+
+def split_top_level_commas(raw: str) -> list[str]:
+    """Split an EXECUTE argument list on commas outside quotes/parens."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_str = in_qid = False
+    i = 0
+    while i < len(raw):
+        ch = raw[i]
+        nxt = raw[i + 1] if i + 1 < len(raw) else ""
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if nxt == "'":
+                    buf.append(nxt)
+                    i += 1
+                else:
+                    in_str = False
+        elif in_qid:
+            buf.append(ch)
+            if ch == '"':
+                in_qid = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == '"':
+            in_qid = True
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def substitute_params(sql: str, args: list[str]) -> str:
+    """Replace ``$n`` placeholders (outside string literals / quoted
+    identifiers) with the n-th argument expression, parenthesized —
+    PG's EXECUTE evaluates argument *expressions*, so textual splice of
+    already-valid SQL fragments is the faithful move."""
+    out: list[str] = []
+    in_str = in_qid = False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        nxt = sql[i + 1] if i + 1 < len(sql) else ""
+        if in_str:
+            out.append(ch)
+            if ch == "'":
+                if nxt == "'":
+                    out.append(nxt)
+                    i += 1
+                else:
+                    in_str = False
+        elif in_qid:
+            out.append(ch)
+            if ch == '"':
+                in_qid = False
+        elif ch == "'":
+            in_str = True
+            out.append(ch)
+        elif ch == '"':
+            in_qid = True
+            out.append(ch)
+        elif ch == "$" and nxt.isdigit():
+            j = i + 1
+            while j < len(sql) and sql[j].isdigit():
+                j += 1
+            n = int(sql[i + 1 : j])
+            if n < 1 or n > len(args):
+                raise ValueError(
+                    f"there is no parameter ${n} (statement takes {len(args)})"
+                )
+            out.append(f"({args[n - 1]})")
+            i = j - 1
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 _COPY_RE = re.compile(
@@ -167,7 +277,33 @@ def classify_statement(sql: str) -> Statement:
     if word0 in ("ROLLBACK", "ABORT"):
         return Statement(StatementClass.ROLLBACK, sql, tag="ROLLBACK")
     if word0 == "DEALLOCATE":
-        return Statement(StatementClass.DEALLOCATE, sql, tag="DEALLOCATE")
+        m = _DEALLOCATE_RE.match(s)
+        name = m.group("name").strip('"') if m else "ALL"
+        return Statement(
+            StatementClass.DEALLOCATE,
+            sql,
+            cursor_name=name,  # reuse field for the statement name
+            tag="DEALLOCATE ALL" if name.upper() == "ALL" else "DEALLOCATE",
+        )
+    if word0 == "PREPARE":
+        m = _PREPARE_RE.match(s)
+        if m:
+            return Statement(
+                StatementClass.PREPARE,
+                sql,
+                cursor_name=m.group("name").strip('"'),
+                copy_query=m.group("query").strip(),
+                tag="PREPARE",
+            )
+    if word0 == "EXECUTE":
+        m = _EXECUTE_RE.match(s)
+        if m:
+            return Statement(
+                StatementClass.EXECUTE_STMT,
+                sql,
+                cursor_name=m.group("name").strip('"'),
+                copy_query=m.group("args"),  # raw arg list (may be None)
+            )
     if word0 == "DECLARE":
         m = _DECLARE_RE.match(s)
         if m:

@@ -450,7 +450,11 @@ def _rewrite_extract_dow(toks: list[Tok]) -> list[Tok]:
     users; Spark's DOW_ISO matches PG's ISODOW (Monday=1..Sunday=7)
     exactly. So: ISODOW → DOW_ISO, and DOW wraps as
     ``(EXTRACT(DAYOFWEEK FROM x) - 1)`` (DAYOFWEEK, not DOW, so the
-    rewrite is idempotent)."""
+    rewrite is idempotent).
+
+    PG's ``EXTRACT(EPOCH FROM x)`` has no Spark field at all — it maps
+    to ``(unix_micros(CAST((x) AS TIMESTAMP)) / 1000000.0)`` (session
+    TZ is UTC, matching PG's timestamp-without-tz epoch)."""
     i = 0
     while i < len(toks):
         t = toks[i]
@@ -461,7 +465,34 @@ def _rewrite_extract_dow(toks: list[Tok]) -> list[Tok]:
                 close = _find_matching_paren(toks, ni)
                 if fi < len(toks) and close != -1 and toks[fi].kind == "word":
                     field = toks[fi].text.lower()
-                    if field == "isodow":
+                    if field == "epoch":
+                        depth = 0
+                        from_i = -1
+                        for j in range(ni, close):
+                            if toks[j].text == "(":
+                                depth += 1
+                            elif toks[j].text == ")":
+                                depth -= 1
+                            elif (
+                                depth == 1
+                                and toks[j].kind == "word"
+                                and toks[j].text.upper() == "FROM"
+                            ):
+                                from_i = j
+                                break
+                        if from_i != -1:
+                            # DECIMAL(26,6): PG renders epoch as a
+                            # 6-decimal numeric ('982355920.000000')
+                            toks[i] = Tok("op", "(CAST(unix_micros(CAST((")
+                            toks[ni] = Tok("op", "")
+                            toks[fi] = Tok("op", "")
+                            toks[from_i] = Tok("op", "")
+                            toks[close] = Tok(
+                                "op",
+                                ") AS TIMESTAMP)) / 1000000.0 "
+                                "AS DECIMAL(26,6)))",
+                            )
+                    elif field == "isodow":
                         toks[fi] = Tok("word", "DOW_ISO")
                     elif field == "dow":
                         toks[fi] = Tok("word", "DAYOFWEEK")

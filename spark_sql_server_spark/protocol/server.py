@@ -40,6 +40,8 @@ from spark_sql_server_spark.dialect.commands import (
     StatementClass,
     classify_statement,
     split_statements,
+    split_top_level_commas,
+    substitute_params,
 )
 from spark_sql_server_spark.dialect.rewriter import rewrite_sql
 from spark_sql_server_spark.protocol import messages as M
@@ -201,6 +203,9 @@ class SessionState:
     reader: Any = None  # for COPY FROM STDIN sub-protocol reads
     #: SQL-level cursors (DECLARE/FETCH/CLOSE) — name → Portal
     cursors: dict[str, Portal] = field(default_factory=dict)
+    #: SQL-level PREPARE name AS ... — name → raw PG-dialect query text
+    #: ($n placeholders substituted with argument expressions at EXECUTE)
+    sql_prepared: dict[str, str] = field(default_factory=dict)
     #: fair-scheduler pool (SET spark.sql.server.pool) — applied in the
     #: worker thread that runs each statement, because Spark local
     #: properties are per-thread
@@ -580,8 +585,50 @@ class SparkPGServer:
         if stmt.cls in (StatementClass.COMMIT, StatementClass.ROLLBACK):
             raise ValueError(f"Operation not allowed: {stmt.sql.strip()}")
         if stmt.cls is StatementClass.DEALLOCATE:
-            state.statements.clear()
-            writer.write(M.command_complete("DEALLOCATE ALL"))
+            # PG: DEALLOCATE name drops one prepared statement (SQL-level
+            # or protocol-level share the namespace); ALL drops every one
+            if stmt.cursor_name is None or stmt.cursor_name.upper() == "ALL":
+                state.statements.clear()
+                state.sql_prepared.clear()
+            elif (
+                state.sql_prepared.pop(stmt.cursor_name, None) is None
+                and state.statements.pop(stmt.cursor_name, None) is None
+            ):
+                raise ValueError(
+                    f'prepared statement "{stmt.cursor_name}" does not exist'
+                )
+            writer.write(M.command_complete(stmt.tag))
+            return
+        if stmt.cls is StatementClass.PREPARE:
+            if (
+                stmt.cursor_name in state.sql_prepared
+                or stmt.cursor_name in state.statements
+            ):
+                raise ValueError(
+                    f'prepared statement "{stmt.cursor_name}" already exists'
+                )
+            state.sql_prepared[stmt.cursor_name] = stmt.copy_query
+            writer.write(M.command_complete("PREPARE"))
+            return
+        if stmt.cls is StatementClass.EXECUTE_STMT:
+            query = state.sql_prepared.get(stmt.cursor_name)
+            if query is None:
+                raise ValueError(
+                    f'prepared statement "{stmt.cursor_name}" does not exist'
+                )
+            args = (
+                split_top_level_commas(stmt.copy_query)
+                if stmt.copy_query and stmt.copy_query.strip()
+                else []
+            )
+            resolved = substitute_params(query, args)
+            df = await self._spark_sql(state, rewrite_sql(resolved))
+            if not df.schema.fields:
+                writer.write(M.command_complete(_tag_for(resolved, 0)))
+                return
+            await self._stream_result(
+                state, df, [0], writer, limit=0, tag_word=None, sql=resolved
+            )
             return
         if stmt.cls is StatementClass.SET:
             key, val = stmt.set_kv

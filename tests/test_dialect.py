@@ -164,6 +164,19 @@ class TestExtractDow:
         sql = "SELECT EXTRACT(YEAR FROM ts) FROM t"
         assert rewrite_sql(sql) == sql
 
+    def test_epoch_maps_to_unix_micros(self):
+        out = rewrite_sql("SELECT EXTRACT(EPOCH FROM ts) AS e FROM t")
+        assert "unix_micros" in out and "DECIMAL(26,6)" in out
+        assert rewrite_sql(out) == out  # idempotent
+
+    def test_epoch_live(self, spark):
+        row = spark.sql(
+            rewrite_sql(
+                "SELECT EXTRACT(EPOCH FROM TIMESTAMP '2001-02-16 20:38:40') AS e"
+            )
+        ).collect()[0]
+        assert float(row["e"]) == 982355920.0
+
     def test_idempotent_and_nested(self):
         out = rewrite_sql(
             "SELECT EXTRACT(dow FROM a + EXTRACT(dow FROM b)) FROM t"

@@ -567,6 +567,16 @@ CORPUS: list[tuple[str, str | None]] = [
         "FROM nation WHERE n_regionkey = r_regionkey) t ORDER BY r_name",
         None,
     ),
+    # date.sql/timestamp.sql — EXTRACT(EPOCH) (PG renders a 6-decimal
+    # numeric; the rewriter maps it onto unix_micros)
+    (
+        "SELECT EXTRACT(EPOCH FROM TIMESTAMP '2001-02-16 20:38:40') AS e",
+        "SELECT '982355920.000000' AS e",
+    ),
+    (
+        "SELECT EXTRACT(EPOCH FROM TIMESTAMP '1970-01-01 00:00:01.5') AS e",
+        "SELECT '1.500000' AS e",
+    ),
     # groupingsets.sql — grouping() marker ordering
     (
         "SELECT n_regionkey, grouping(n_regionkey) AS g, count(*) AS n "

@@ -1,0 +1,169 @@
+"""SQL-level PREPARE / EXECUTE / DEALLOCATE — the statement surface psql
+scripts and connection poolers use (PG PREPARE evaluates EXECUTE's
+argument *expressions*, so args are spliced as SQL fragments)."""
+
+from __future__ import annotations
+
+import asyncio
+
+import pytest
+
+from spark_sql_server_spark.dialect.commands import (
+    StatementClass,
+    classify_statement,
+    split_top_level_commas,
+    substitute_params,
+)
+from spark_sql_server_spark.protocol.server import SparkPGServer
+from spark_sql_server_spark.session import register_tables
+from tests.conftest import SF_SMOKE
+from tests.test_protocol_e2e import PgClient, completes_of, rows_of
+
+
+class TestClassify:
+    def test_prepare(self):
+        st = classify_statement(
+            "PREPARE p1 (int) AS SELECT n_name FROM nation WHERE n_nationkey = $1"
+        )
+        assert st.cls is StatementClass.PREPARE
+        assert st.cursor_name == "p1"
+        assert st.copy_query.startswith("SELECT n_name")
+
+    def test_execute_with_and_without_args(self):
+        st = classify_statement("EXECUTE p1(3)")
+        assert st.cls is StatementClass.EXECUTE_STMT
+        assert st.cursor_name == "p1" and st.copy_query == "3"
+        st = classify_statement("EXECUTE p1")
+        assert st.copy_query is None
+
+    def test_deallocate_forms(self):
+        assert classify_statement("DEALLOCATE ALL").tag == "DEALLOCATE ALL"
+        st = classify_statement("DEALLOCATE PREPARE p1")
+        assert st.tag == "DEALLOCATE" and st.cursor_name == "p1"
+
+
+class TestSubstitution:
+    def test_split_args(self):
+        assert split_top_level_commas("1, 'a,b', f(2, 3)") == [
+            "1",
+            "'a,b'",
+            "f(2, 3)",
+        ]
+
+    def test_placeholders_skip_strings(self):
+        out = substitute_params("SELECT '$1', $1, $2", ["10", "'x'"])
+        assert out == "SELECT '$1', (10), ('x')"
+
+    def test_missing_param_raises(self):
+        with pytest.raises(ValueError):
+            substitute_params("SELECT $2", ["1"])
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    loop = asyncio.new_event_loop()
+
+    async def _run():
+        srv = SparkPGServer(
+            spark, port=0, pg_catalog=False,
+            init_session=lambda s: register_tables(s, SF_SMOKE),
+        )
+        await srv.start()
+        return srv
+
+    srv = loop.run_until_complete(_run())
+    yield srv, loop
+    loop.run_until_complete(srv.stop())
+    loop.close()
+
+
+def _run(server, coro_fn):
+    srv, loop = server
+    return loop.run_until_complete(coro_fn(srv))
+
+
+class TestPrepareExecuteE2E:
+    def test_prepare_execute_reexecute(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            m1 = await c.simple(
+                "PREPARE nat (int) AS "
+                "SELECT n_name FROM nation WHERE n_nationkey = $1"
+            )
+            m2 = await c.simple("EXECUTE nat(3)")
+            m3 = await c.simple("EXECUTE nat(1 + 1)")  # expression arg
+            m4 = await c.simple("EXECUTE nat(3)")  # re-execute
+            await c.close()
+            return m1, m2, m3, m4
+
+        m1, m2, m3, m4 = _run(server, go)
+        assert completes_of(m1) == ["PREPARE"]
+        assert rows_of(m2) == [[b"NATION_3"]]
+        assert rows_of(m3) == [[b"NATION_2"]]
+        assert rows_of(m4) == [[b"NATION_3"]]
+
+    def test_string_arg_and_multiparam(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.simple(
+                "PREPARE rng (text, int) AS SELECT n_nationkey FROM nation "
+                "WHERE n_name = $1 OR n_nationkey = $2 ORDER BY 1"
+            )
+            m = await c.simple("EXECUTE rng('NATION_5', 7)")
+            await c.close()
+            return m
+
+        m = _run(server, go)
+        assert rows_of(m) == [[b"5"], [b"7"]]
+
+    def test_duplicate_prepare_errors(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.simple("PREPARE dup AS SELECT 1")
+            m = await c.simple("PREPARE dup AS SELECT 2")
+            await c.close()
+            return m
+
+        m = _run(server, go)
+        assert any(t == b"E" for t, _ in m)
+
+    def test_deallocate_named_then_execute_errors(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.simple("PREPARE gone AS SELECT 42 AS v")
+            ok = await c.simple("EXECUTE gone")
+            d = await c.simple("DEALLOCATE gone")
+            gone = await c.simple("EXECUTE gone")
+            missing = await c.simple("DEALLOCATE never_existed")
+            await c.close()
+            return ok, d, gone, missing
+
+        ok, d, gone, missing = _run(server, go)
+        assert rows_of(ok) == [[b"42"]]
+        assert completes_of(d) == ["DEALLOCATE"]
+        assert any(t == b"E" for t, _ in gone)
+        assert any(t == b"E" for t, _ in missing)
+
+    def test_deallocate_all(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.simple("PREPARE a1 AS SELECT 1")
+            await c.simple("PREPARE a2 AS SELECT 2")
+            d = await c.simple("DEALLOCATE ALL")
+            g = await c.simple("EXECUTE a1")
+            await c.close()
+            return d, g
+
+        d, g = _run(server, go)
+        assert completes_of(d) == ["DEALLOCATE ALL"]
+        assert any(t == b"E" for t, _ in g)
+
+    def test_execute_unknown_errors(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            m = await c.simple("EXECUTE no_such(1)")
+            await c.close()
+            return m
+
+        m = _run(server, go)
+        assert any(t == b"E" for t, _ in m)

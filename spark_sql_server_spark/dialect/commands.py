@@ -37,6 +37,8 @@ class StatementClass(enum.Enum):
     CLOSE_CURSOR = "close_cursor"      #  the reference has only protocol portals)
     PREPARE = "prepare"        # SQL-level PREPARE name [(types)] AS query
     EXECUTE_STMT = "execute"   # EXECUTE name [(arg exprs)]
+    SHOW_GUC = "show_guc"      # PG `SHOW <setting>` / `SHOW ALL` (Spark's
+                               # own SHOW TABLES/… passes through as QUERY)
 
 
 @dataclass
@@ -363,6 +365,29 @@ def classify_statement(sql: str) -> Statement:
                 copy_header="HEADER" in opts,
             )
         # COPY FROM etc. falls through as a query → Spark will reject it
+    if word0 == "SHOW":
+        rest = s.split(None, 1)[1].strip() if len(s.split(None, 1)) > 1 else ""
+        up = rest.upper()
+        if up == "TRANSACTION ISOLATION LEVEL":
+            return Statement(
+                StatementClass.SHOW_GUC, sql,
+                cursor_name="transaction_isolation", tag="SHOW",
+            )
+        if up == "ALL":
+            return Statement(
+                StatementClass.SHOW_GUC, sql, cursor_name="ALL", tag="SHOW",
+            )
+        # a single identifier that is NOT a Spark SHOW object keyword is
+        # a PG setting name; everything else (SHOW TABLES [IN db], SHOW
+        # FUNCTIONS LIKE …) stays a Spark query
+        if re.fullmatch(r"[A-Za-z_][\w.]*", rest) and up not in (
+            "TABLES", "DATABASES", "SCHEMAS", "NAMESPACES", "VIEWS",
+            "FUNCTIONS", "COLUMNS", "PARTITIONS", "CATALOGS",
+            "TBLPROPERTIES", "USER",
+        ):
+            return Statement(
+                StatementClass.SHOW_GUC, sql, cursor_name=rest, tag="SHOW",
+            )
     if word0 == "SET":
         m = _SET_RE.match(s)
         if m:

@@ -635,6 +635,9 @@ class SparkPGServer:
             self._apply_set(state, key, val)
             writer.write(M.command_complete("SET"))
             return
+        if stmt.cls is StatementClass.SHOW_GUC:
+            self._show_guc(state, stmt.cursor_name, writer)
+            return
         if stmt.cls is StatementClass.SHOW_SET:
             # `SET` → all conf, `SET key` → that key (Spark handles both)
             df = await self._spark_sql(state, stmt.sql)
@@ -687,6 +690,64 @@ class SparkPGServer:
             writer.write(M.command_complete(_tag_for(sql, 0)))
             return
         await self._stream_result(state, df, [0], writer, limit=0, tag_word=None, sql=sql)
+
+    def _guc_values(self, state) -> dict[str, str]:
+        """The settings PG advertises via ParameterStatus, plus the
+        session fixtures psql/JDBC ask for — keyed lowercase."""
+        try:
+            server_version = self.spark.conf.get(
+                "spark.sql.server.version", "9.6.0"
+            )
+        except Exception:  # noqa: BLE001
+            server_version = "9.6.0"
+        user = state.params.get("user", "")
+        return {
+            "server_version": server_version,
+            "server_encoding": "UTF8",
+            "client_encoding": "UTF8",
+            "application_name": state.params.get("application_name", ""),
+            "datestyle": "ISO",
+            "integer_datetimes": "on",
+            "timezone": "UTC",
+            "standard_conforming_strings": "on",
+            "transaction_isolation": "read committed",
+            "search_path": '"$user", public',
+            "is_superuser": "on",
+            "session_authorization": user,
+        }
+
+    @staticmethod
+    def _show_guc_fields(name: str) -> list[tuple[str, int, int, int]]:
+        if name.upper() == "ALL":
+            return [
+                ("name", 25, -1, 0),
+                ("setting", 25, -1, 0),
+                ("description", 25, -1, 0),
+            ]
+        return [(name.lower(), 25, -1, 0)]
+
+    def _show_guc_rows(self, state, name: str) -> list[list[bytes]]:
+        """Rows for PG ``SHOW <setting>`` / ``SHOW ALL``. SET'd session
+        conf wins over the advertised defaults, so SET x / SHOW x
+        round-trips; unknown names raise like PG."""
+        gucs = self._guc_values(state)
+        if name.upper() == "ALL":
+            return [[k.encode(), gucs[k].encode(), b""] for k in sorted(gucs)]
+        val: str | None = None
+        try:
+            val = state.session.conf.get(name)
+        except Exception:  # noqa: BLE001 — not a Spark conf key
+            val = gucs.get(name.lower())
+        if val is None:
+            raise ValueError(f'unrecognized configuration parameter "{name}"')
+        return [[str(val).encode()]]
+
+    def _show_guc(self, state, name: str, writer) -> None:
+        rows = self._show_guc_rows(state, name)
+        writer.write(M.row_description(self._show_guc_fields(name)))
+        for r in rows:
+            writer.write(M.data_row(r))
+        writer.write(M.command_complete("SHOW"))
 
     def _apply_set(self, state, key: str, val: str) -> None:
         """SET applies to the *session* conf and returns zero rows
@@ -800,6 +861,10 @@ class SparkPGServer:
             writer.write(M.parameter_description(oids))
             if ps.df is not None:
                 writer.write(self._row_description(ps.df, []))
+            elif ps.stmt.cls is StatementClass.SHOW_GUC:
+                writer.write(
+                    M.row_description(self._show_guc_fields(ps.stmt.cursor_name))
+                )
             else:
                 writer.write(M.no_data())
         else:
@@ -808,6 +873,14 @@ class SparkPGServer:
                 raise ValueError(f"unknown portal: {d.name!r}")
             if portal.df is not None:
                 writer.write(self._row_description(portal.df, portal.result_formats))
+            elif portal.statement is not None and (
+                portal.statement.stmt.cls is StatementClass.SHOW_GUC
+            ):
+                writer.write(
+                    M.row_description(
+                        self._show_guc_fields(portal.statement.stmt.cursor_name)
+                    )
+                )
             else:
                 writer.write(M.no_data())
 
@@ -834,6 +907,12 @@ class SparkPGServer:
             key, val = stmt.set_kv
             self._apply_set(state, key, val)
             writer.write(M.command_complete("SET"))
+            return
+        if stmt.cls is StatementClass.SHOW_GUC:
+            # RowDescription was Describe's job; Execute sends rows only
+            for r in self._show_guc_rows(state, stmt.cursor_name):
+                writer.write(M.data_row(r))
+            writer.write(M.command_complete("SHOW"))
             return
         if portal.df is None:
             # deferred command (DDL/INSERT/...): execute now

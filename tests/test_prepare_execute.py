@@ -167,3 +167,93 @@ class TestPrepareExecuteE2E:
 
         m = _run(server, go)
         assert any(t == b"E" for t, _ in m)
+
+
+class TestShowGuc:
+    """PG `SHOW <setting>` — psql/JDBC session bootstrap statements."""
+
+    def test_show_known_settings(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            sv = await c.simple("SHOW server_version")
+            tz = await c.simple("SHOW TimeZone")
+            iso = await c.simple("SHOW TRANSACTION ISOLATION LEVEL")
+            await c.close()
+            return sv, tz, iso
+
+        sv, tz, iso = _run(server, go)
+        assert rows_of(sv) == [[b"9.6.0"]]
+        assert completes_of(sv) == ["SHOW"]
+        assert rows_of(tz) == [[b"UTC"]]
+        assert rows_of(iso) == [[b"read committed"]]
+        # column named like the setting
+        t = next(b for tname, b in iso if tname == b"T")
+        assert b"transaction_isolation" in t
+
+    def test_set_show_roundtrip(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.simple("SET application_name TO 'myapp'")
+            m = await c.simple("SHOW application_name")
+            await c.close()
+            return m
+
+        m = _run(server, go)
+        assert rows_of(m) == [[b"myapp"]]
+
+    def test_show_all_three_columns(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            m = await c.simple("SHOW ALL")
+            await c.close()
+            return m
+
+        m = _run(server, go)
+        rows = rows_of(m)
+        assert len(rows) >= 10 and all(len(r) == 3 for r in rows)
+        names = [r[0] for r in rows]
+        assert b"server_version" in names and b"timezone" in names
+
+    def test_show_unknown_errors(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            m = await c.simple("SHOW no_such_setting_xyz")
+            await c.close()
+            return m
+
+        m = _run(server, go)
+        assert any(t == b"E" for t, _ in m)
+
+    def test_spark_show_tables_passes_through(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            m = await c.simple("SHOW TABLES")
+            await c.close()
+            return m
+
+        m = _run(server, go)
+        assert not any(t == b"E" for t, _ in m)
+        assert any(b"nation" in (c or b"") for row in rows_of(m) for c in row)
+
+    def test_show_via_extended_protocol(self, server):
+        from tests.test_protocol_e2e import SYNC, _bind, _describe, _execute, _parse
+
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.send(
+                _parse("shw", "SHOW TimeZone"),
+                _bind("", "shw", []),
+                _describe("P", ""),
+                _execute(""),
+                SYNC,
+            )
+            msgs = await c.until_ready()
+            await c.close()
+            return msgs
+
+        msgs = _run(server, go)
+        from tests.test_protocol_e2e import tags_of
+
+        tags = tags_of(msgs)
+        assert b"T" in tags  # Describe answered with a RowDescription
+        assert rows_of(msgs) == [[b"UTC"]]

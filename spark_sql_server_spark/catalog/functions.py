@@ -74,3 +74,13 @@ def init_system_functions(spark: SparkSession) -> None:
     # interaction shims, not real functions (catalog.scala:241-244)
     udf("ANY", lambda arr: arr[0] if arr else None, T.StringType())
     udf("regtype", lambda oid: _type_name(oid), T.StringType())
+    # current_setting reads the advertised defaults (per-session SET
+    # overrides live in the protocol layer's SHOW path, which this UDF
+    # cannot see — documented divergence)
+    from spark_sql_server_spark.catalog.pg_catalog import GUC_DEFAULTS
+
+    udf(
+        "current_setting",
+        lambda name: GUC_DEFAULTS.get(str(name).lower()) if name else None,
+        T.StringType(),
+    )

@@ -18,6 +18,26 @@ from spark_sql_server_spark.protocol import pgtypes as P
 
 CATALOG_DB = "pg_catalog"
 
+#: Session settings advertised via ParameterStatus / answered by
+#: ``SHOW`` — also materialized as ``pg_catalog.pg_settings`` and
+#: readable through ``current_setting()`` (psql \dconfig reads the
+#: view). The protocol layer overlays per-session values (version conf,
+#: application_name, session user) on top of these.
+GUC_DEFAULTS: dict[str, str] = {
+    "server_version": "9.6.0",
+    "server_encoding": "UTF8",
+    "client_encoding": "UTF8",
+    "application_name": "",
+    "datestyle": "ISO",
+    "integer_datetimes": "on",
+    "timezone": "UTC",
+    "standard_conforming_strings": "on",
+    "transaction_isolation": "read committed",
+    "search_path": '"$user", public',
+    "is_superuser": "on",
+    "session_authorization": "spark-user",
+}
+
 #: namespace oid/name the reference reports for Spark's default database
 DEFAULT_NAMESPACE = (2200, "spark")
 USER_ROLE_OID = 10
@@ -32,6 +52,12 @@ CATALOG_TABLE_SCHEMAS: dict[str, str] = {
     "pg_namespace": "oid INT, nspname STRING",
     "pg_roles": "oid INT, rolname STRING",
     "pg_user": "usename STRING, usesysid INT",
+    "pg_settings": (
+        "name STRING, setting STRING, unit STRING, category STRING, "
+        "short_desc STRING, context STRING, vartype STRING, source STRING, "
+        "min_val STRING, max_val STRING, enumvals ARRAY<STRING>, "
+        "boot_val STRING, reset_val STRING, pending_restart BOOLEAN"
+    ),
     "pg_attrdef": "adrelid INT, adnum SMALLINT, adbin STRING",
     "pg_constraint": (
         "oid INT, confupdtype STRING, confdeltype STRING, conname STRING, "
@@ -110,6 +136,29 @@ def init_pg_catalog(spark: SparkSession) -> None:
     spark.sql(
         f"INSERT INTO {CATALOG_DB}.pg_user VALUES ('spark-user', {USER_ROLE_OID})"
     )
+
+    settings_rows = [
+        Row(
+            name=k,
+            setting=v,
+            unit=None,
+            category="Preset Options",
+            short_desc="",
+            context="user",
+            vartype="string",
+            source="default",
+            min_val=None,
+            max_val=None,
+            enumvals=None,
+            boot_val=v,
+            reset_val=v,
+            pending_restart=False,
+        )
+        for k, v in sorted(GUC_DEFAULTS.items())
+    ]
+    spark.createDataFrame(
+        settings_rows, schema=CATALOG_TABLE_SCHEMAS["pg_settings"]
+    ).write.insertInto(f"{CATALOG_DB}.pg_settings")
 
     # pg_proc: the registered system functions, so psql \df lists them
     # (the reference leaves pg_proc empty)

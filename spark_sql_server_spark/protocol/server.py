@@ -692,29 +692,21 @@ class SparkPGServer:
         await self._stream_result(state, df, [0], writer, limit=0, tag_word=None, sql=sql)
 
     def _guc_values(self, state) -> dict[str, str]:
-        """The settings PG advertises via ParameterStatus, plus the
-        session fixtures psql/JDBC ask for — keyed lowercase."""
+        """The settings PG advertises via ParameterStatus (shared
+        defaults in ``catalog.pg_catalog.GUC_DEFAULTS``, also the
+        pg_settings view), overlaid with per-session values."""
+        from spark_sql_server_spark.catalog.pg_catalog import GUC_DEFAULTS
+
+        gucs = dict(GUC_DEFAULTS)
         try:
-            server_version = self.spark.conf.get(
-                "spark.sql.server.version", "9.6.0"
+            gucs["server_version"] = self.spark.conf.get(
+                "spark.sql.server.version", gucs["server_version"]
             )
         except Exception:  # noqa: BLE001
-            server_version = "9.6.0"
-        user = state.params.get("user", "")
-        return {
-            "server_version": server_version,
-            "server_encoding": "UTF8",
-            "client_encoding": "UTF8",
-            "application_name": state.params.get("application_name", ""),
-            "datestyle": "ISO",
-            "integer_datetimes": "on",
-            "timezone": "UTC",
-            "standard_conforming_strings": "on",
-            "transaction_isolation": "read committed",
-            "search_path": '"$user", public',
-            "is_superuser": "on",
-            "session_authorization": user,
-        }
+            pass
+        gucs["application_name"] = state.params.get("application_name", "")
+        gucs["session_authorization"] = state.params.get("user", "")
+        return gucs
 
     @staticmethod
     def _show_guc_fields(name: str) -> list[tuple[str, int, int, int]]:

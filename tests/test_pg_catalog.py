@@ -133,3 +133,23 @@ class TestJdbcMetadataShapes:
         """
         rows = spark.sql(rewrite_sql(sql)).collect()
         assert rows[0].nspname == "spark"
+
+
+class TestPgSettings:
+    def test_pg_settings_view(self, spark):
+        rows = spark.sql(
+            "SELECT setting FROM pg_catalog.pg_settings WHERE name = 'timezone'"
+        ).collect()
+        assert [r["setting"] for r in rows] == ["UTC"]
+        all_rows = spark.sql(
+            "SELECT name, setting, boot_val, vartype FROM pg_catalog.pg_settings"
+        ).collect()
+        assert len(all_rows) >= 10
+        assert all(r["vartype"] == "string" for r in all_rows)
+
+    def test_current_setting_function(self, spark):
+        row = spark.sql(
+            "SELECT current_setting('TimeZone') AS tz, "
+            "current_setting('server_encoding') AS enc"
+        ).collect()[0]
+        assert row["tz"] == "UTC" and row["enc"] == "UTF8"

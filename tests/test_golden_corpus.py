@@ -584,6 +584,62 @@ CORPUS: list[tuple[str, str | None]] = [
         "ORDER BY g, n_regionkey NULLS FIRST",
         None,
     ),
+    # window_part4.sql — forward frames over NULL-bearing values:
+    # COUNT(v) skips NULLs where COUNT(*) doesn't
+    (
+        "WITH t AS (SELECT * FROM (VALUES (1, 1), (2, NULL), (3, 3), "
+        "(4, NULL)) AS v(i, v)) "
+        "SELECT i, SUM(v) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW AND "
+        "UNBOUNDED FOLLOWING) AS s, COUNT(v) OVER (ORDER BY i ROWS BETWEEN "
+        "CURRENT ROW AND UNBOUNDED FOLLOWING) AS cv, COUNT(*) OVER (ORDER "
+        "BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ca "
+        "FROM t ORDER BY i",
+        None,
+    ),
+    # select.sql — qualified star over a derived table
+    ("SELECT foo.* FROM (SELECT 1 AS one) AS foo", None),
+    # numeric.sql — decimal scale arithmetic (addition widens, multiply
+    # adds scales; both engines print the declared scale)
+    (
+        "SELECT 4.3 + 2.1 AS s, 4.3 * 2.1 AS p, 4.3 - 2.1 AS d",
+        None,
+    ),
+    # int2.sql — smallint domain bounds
+    (
+        "SELECT (-32768)::int2 AS min2, 32767::int2 AS max2",
+        "SELECT CAST(-32768 AS SMALLINT) AS min2, "
+        "CAST(32767 AS SMALLINT) AS max2",
+    ),
+    # strings.sql wave 3 — repeat/chr/ascii/md5
+    (
+        "SELECT repeat('Pg', 4) AS r, chr(65) AS c, ascii('x') AS a",
+        "SELECT 'PgPgPgPg' AS r, 'A' AS c, 120 AS a",
+    ),
+    (
+        "SELECT md5('') = 'd41d8cd98f00b204e9800998ecf8427e' AS b",
+        "SELECT true AS b",
+    ),
+    # case.sql — NULL condition falls to ELSE (Spark's analyzer needs
+    # the NULL typed; bare `WHEN NULL` is VOID and rejected)
+    (
+        "SELECT CASE WHEN NULL::boolean THEN 1 ELSE 2 END AS c",
+        "SELECT CASE WHEN CAST(NULL AS BOOLEAN) THEN 1 ELSE 2 END AS c",
+    ),
+    # aggregates — global HAVING without GROUP BY; every()/bool_and
+    (
+        "SELECT count(*) AS n FROM nation HAVING count(*) > 1",
+        None,
+    ),
+    (
+        "SELECT every(n_nationkey >= 0) AS e FROM nation",
+        "SELECT bool_and(n_nationkey >= 0) AS e FROM nation",
+    ),
+    # timestamp.sql — interval addition renders PG-style (trimmed)
+    (
+        "SELECT TIMESTAMP '2001-01-01 00:00:00' + INTERVAL '1 day 1 hour' "
+        "AS t",
+        "SELECT TIMESTAMP '2001-01-02 01:00:00' AS t",
+    ),
 ]
 
 

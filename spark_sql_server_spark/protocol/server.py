@@ -1446,11 +1446,19 @@ _SQLSTATE_MAP = (
     # SPARK_GRAFT_NO_HIVE=1) → feature_not_supported, not internal error
     ("NOT_SUPPORTED_COMMAND_WITHOUT_HIVE_SUPPORT", "0A000"),
     ("Hive support is required", "0A000"),
+    ("TABLE_OR_VIEW_ALREADY_EXISTS", "42P07"),
+    ("unrecognized configuration parameter", "42704"),  # undefined_object
 )
 
 
 def _sqlstate_for(e: Exception) -> str:
     s = str(e)
+    # statement-level PREPARE/EXECUTE/cursor errors, PG-coded so
+    # clients can branch on them (PG appendix A)
+    if 'prepared statement "' in s:
+        return "42P05" if "already exists" in s else "26000"
+    if 'cursor "' in s and "does not exist" in s:
+        return "34000"
     for frag, code in _SQLSTATE_MAP:
         if frag in s:
             return code

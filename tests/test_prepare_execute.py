@@ -257,3 +257,27 @@ class TestShowGuc:
         tags = tags_of(msgs)
         assert b"T" in tags  # Describe answered with a RowDescription
         assert rows_of(msgs) == [[b"UTC"]]
+
+
+class TestSqlStates:
+    """PG error codes for the statement-level surface (appendix A)."""
+
+    def _err_body(self, msgs) -> bytes:
+        return next(b for t, b in msgs if t == b"E")
+
+    def test_codes(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.simple("PREPARE sc AS SELECT 1")
+            dup = await c.simple("PREPARE sc AS SELECT 2")
+            missing = await c.simple("EXECUTE sc_missing")
+            badcur = await c.simple("FETCH 1 FROM no_cursor")
+            badguc = await c.simple("SHOW not_a_setting")
+            await c.close()
+            return dup, missing, badcur, badguc
+
+        dup, missing, badcur, badguc = _run(server, go)
+        assert b"C42P05\x00" in self._err_body(dup)
+        assert b"C26000\x00" in self._err_body(missing)
+        assert b"C34000\x00" in self._err_body(badcur)
+        assert b"C42704\x00" in self._err_body(badguc)

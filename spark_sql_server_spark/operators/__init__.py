@@ -56,12 +56,15 @@ _DRIVER_SAMPLE_PRIORITY = [
     "q16_supplier_cnt", "q18_large_orders", "q21_last_shipper",
     "q13_customer_distribution", "q20_excess_suppliers",
     "q22_global_sales_opp", "q11_important_parts", "q12_priority_lines",
-    "q19_bracket_revenue", "q_salted_join", "q6_forecast_revenue",
+    "q19_bracket_revenue", "q_salted_join", "s_ann_bruteforce",
     "q_recursive_cte", "q_unpivot", "q_variant_json", "q_try_arith",
     "qds63_monthly_deviation", "qds14_cross_channel",
     "qds67_topk_rollup", "qds81_returns_above_avg",
     "q_asof_join", "q_range_join",
-    "s_ann_bruteforce", "s_ann_lsh", "s_semdedup",
+    # below the 50-sample cut: q6 is the lowest-risk plan shape (pure
+    # scan-filter-agg) and the s_* rows-only pair have dedicated pytest
+    # mirrors; anchors keep their r1-r3 driver record
+    "q6_forecast_revenue", "s_ann_lsh", "s_semdedup",
     # anchors with continuous certification history
     "pipe_curate_corpus", "q1_pricing_summary", "q3_shipping_priority",
     "t_weighted_sample",

@@ -41,6 +41,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     # new this round — never driver-sampled
     "sk_hll_distinct", "sk_cms_topk", "sk_quantile_bands",
     "sk_bloom_prefilter", "d_incremental_dedup", "q_zorder_layout",
+    "m_thumbnail",
     "t_domain_mix",           # micro-space rounding
     "m_media_features",       # first oracle (was no_oracle)
     "m_frame_sample",         # first oracle (was no_oracle)

@@ -255,3 +255,131 @@ def m_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("meta.size_bytes").alias("min_bytes"),
         F.max("meta.size_bytes").alias("max_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m_thumbnail — real downsampling math over the blob column
+# ---------------------------------------------------------------------------
+
+_THUMB_W = 16  # interpret each blob as 16-px-wide grayscale rows
+_POLY_MOD = 1_000_000_007
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("n_px", T.LongType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+        T.StructField("thumb", T.BinaryType(), False),
+    ]
+)
+
+
+def pool_thumbnails(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: 2×2 average-pool each blob viewed as a
+    ``_THUMB_W``-wide uint8 grid — REAL downsampling arithmetic (the
+    step a production pipeline runs after its codec decode; only the
+    codec is stubbed in this container). Integer floor means keep every
+    emitted byte exact, so the whole thumbnail is content-hashable
+    cross-engine via the portable polynomial hash."""
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            data = bytes(blob)
+            h2 = (len(data) // _THUMB_W) // 2
+            if h2 < 1:
+                continue
+            arr = (
+                np.frombuffer(data[: _THUMB_W * 2 * h2], np.uint8)
+                .reshape(2 * h2, _THUMB_W)
+                .astype(np.int64)
+            )
+            pooled = (
+                arr[0::2, 0::2] + arr[0::2, 1::2] + arr[1::2, 0::2] + arr[1::2, 1::2]
+            ) // 4
+            flat = pooled.flatten()
+            acc = 0
+            for v in flat.tolist():
+                acc = (acc * 31 + v) % _POLY_MOD
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "out_w": _THUMB_W // 2,
+                    "out_h": h2,
+                    "n_px": int(flat.size),
+                    "px_sum": int(flat.sum()),
+                    "phash": acc,
+                    "thumb": flat.astype(np.uint8).tobytes(),
+                }
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in THUMB_SCHEMA.fields])
+
+
+def thumbnail_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnails incl. the binary payload (pytest byte-compares this
+    against the pure-numpy mirror; the certified query drops it)."""
+    media = make_media_table(spark, sf_dir)
+    return media.filter(F.col("meta.size_bytes") >= 2 * _THUMB_W).mapInPandas(
+        pool_thumbnails, THUMB_SCHEMA
+    )
+
+
+# The pooled grid is reproducible in DuckDB from the ASCII text (char
+# codes == blob bytes — pinned by the corpus-is-ascii guard test):
+# nested list comprehension builds the same floor-mean grid, and the
+# portable polynomial hash certifies the thumbnail CONTENT, not just
+# its stats. All-integer arithmetic — no rounding rule needed.
+_THUMB_ORACLE = f"""
+    WITH b AS (
+      SELECT doc_id, [ascii(text[i]) FOR i IN range(1, len(text) + 1)] AS codes
+      FROM documents WHERE len(text) >= {2 * _THUMB_W}
+    ),
+    d AS (
+      SELECT doc_id, codes, CAST(len(codes) // {_THUMB_W} AS INT) AS h FROM b
+    ),
+    p AS (
+      SELECT doc_id,
+             CAST({_THUMB_W // 2} AS INT) AS out_w,
+             CAST(h // 2 AS INT) AS out_h,
+             flatten([[
+               (codes[(2*r-2)*{_THUMB_W} + (2*cc-1)]
+                + codes[(2*r-2)*{_THUMB_W} + 2*cc]
+                + codes[(2*r-1)*{_THUMB_W} + (2*cc-1)]
+                + codes[(2*r-1)*{_THUMB_W} + 2*cc]) // 4
+               FOR cc IN range(1, {_THUMB_W // 2} + 1)]
+               FOR r IN range(1, h//2 + 1)]) AS pool
+      FROM d WHERE h >= 2
+    )
+    SELECT doc_id, out_w, out_h,
+           CAST(len(pool) AS BIGINT) AS n_px,
+           CAST(list_sum(pool) AS BIGINT) AS px_sum,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), pool),
+                       (acc, x) -> (acc * 31 + x) % {_POLY_MOD}) AS phash
+    FROM p
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "m_thumbnail",
+    oracle=_THUMB_ORACLE,
+    covers="north-star multimodal: 2x2 average-pool thumbnail over the blob "
+    "column (Arrow-batched mapInPandas; thumbnail content certified via "
+    "portable polynomial hash)",
+)
+def m_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-blob thumbnail manifest: output dims, pixel count/sum, and a
+    content hash of the pooled bytes (the DuckDB oracle recomputes the
+    identical floor-mean grid, so the hash certifies every output
+    pixel). Map-only over Arrow batches — no shuffle at any scale; the
+    binary payload itself rides on :func:`thumbnail_full` and is
+    byte-compared against a numpy mirror in pytest."""
+    return (
+        thumbnail_full(spark, sf_dir)
+        .select("doc_id", "out_w", "out_h", "n_px", "px_sum", "phash")
+        .orderBy("doc_id")
+    )

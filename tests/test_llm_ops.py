@@ -737,3 +737,39 @@ class TestIncrementalDedup:
         for i, s in res.items():
             if s == "dup_near":
                 assert i in expected_near or res[i] != "new"
+
+
+class TestThumbnail:
+    def test_payload_matches_numpy_mirror(self, spark):
+        import numpy as np
+
+        from spark_sql_server_spark.operators.multimodal import (
+            _THUMB_W,
+            thumbnail_full,
+        )
+        from spark_sql_server_spark.session import load_table
+
+        texts = {
+            r["doc_id"]: r["text"].encode()
+            for r in load_table(spark, SF_SMOKE, "documents").collect()
+        }
+        rows = thumbnail_full(spark, SF_SMOKE).collect()
+        seen = set()
+        for r in rows:
+            data = texts[r["doc_id"]]
+            h2 = (len(data) // _THUMB_W) // 2
+            arr = (
+                np.frombuffer(data[: _THUMB_W * 2 * h2], np.uint8)
+                .reshape(2 * h2, _THUMB_W)
+                .astype(np.int64)
+            )
+            pooled = (
+                arr[0::2, 0::2] + arr[0::2, 1::2]
+                + arr[1::2, 0::2] + arr[1::2, 1::2]
+            ) // 4
+            assert bytes(r["thumb"]) == pooled.astype(np.uint8).tobytes()
+            assert (r["out_h"], r["out_w"]) == (h2, _THUMB_W // 2)
+            seen.add(r["doc_id"])
+        # every large-enough doc produced a thumbnail
+        expected = {i for i, t in texts.items() if len(t) >= 2 * _THUMB_W}
+        assert seen == expected

@@ -587,41 +587,15 @@ class SparkPGServer:
         if stmt.cls is StatementClass.DEALLOCATE:
             # PG: DEALLOCATE name drops one prepared statement (SQL-level
             # or protocol-level share the namespace); ALL drops every one
-            if stmt.cursor_name is None or stmt.cursor_name.upper() == "ALL":
-                state.statements.clear()
-                state.sql_prepared.clear()
-            elif (
-                state.sql_prepared.pop(stmt.cursor_name, None) is None
-                and state.statements.pop(stmt.cursor_name, None) is None
-            ):
-                raise ValueError(
-                    f'prepared statement "{stmt.cursor_name}" does not exist'
-                )
+            self._deallocate(state, stmt)
             writer.write(M.command_complete(stmt.tag))
             return
         if stmt.cls is StatementClass.PREPARE:
-            if (
-                stmt.cursor_name in state.sql_prepared
-                or stmt.cursor_name in state.statements
-            ):
-                raise ValueError(
-                    f'prepared statement "{stmt.cursor_name}" already exists'
-                )
-            state.sql_prepared[stmt.cursor_name] = stmt.copy_query
+            self._sql_prepare(state, stmt)
             writer.write(M.command_complete("PREPARE"))
             return
         if stmt.cls is StatementClass.EXECUTE_STMT:
-            query = state.sql_prepared.get(stmt.cursor_name)
-            if query is None:
-                raise ValueError(
-                    f'prepared statement "{stmt.cursor_name}" does not exist'
-                )
-            args = (
-                split_top_level_commas(stmt.copy_query)
-                if stmt.copy_query and stmt.copy_query.strip()
-                else []
-            )
-            resolved = substitute_params(query, args)
+            resolved = self._resolve_execute(state, stmt)
             df = await self._spark_sql(state, rewrite_sql(resolved))
             if not df.schema.fields:
                 writer.write(M.command_complete(_tag_for(resolved, 0)))
@@ -707,6 +681,46 @@ class SparkPGServer:
         gucs["application_name"] = state.params.get("application_name", "")
         gucs["session_authorization"] = state.params.get("user", "")
         return gucs
+
+    @staticmethod
+    def _sql_prepare(state, stmt) -> None:
+        """Register a SQL-level PREPARE (shared by simple + extended)."""
+        if (
+            stmt.cursor_name in state.sql_prepared
+            or stmt.cursor_name in state.statements
+        ):
+            raise ValueError(
+                f'prepared statement "{stmt.cursor_name}" already exists'
+            )
+        state.sql_prepared[stmt.cursor_name] = stmt.copy_query
+
+    @staticmethod
+    def _resolve_execute(state, stmt) -> str:
+        """EXECUTE name(args) → the stored query with argument
+        expressions spliced into its $n placeholders."""
+        query = state.sql_prepared.get(stmt.cursor_name)
+        if query is None:
+            raise ValueError(
+                f'prepared statement "{stmt.cursor_name}" does not exist'
+            )
+        args = (
+            split_top_level_commas(stmt.copy_query)
+            if stmt.copy_query and stmt.copy_query.strip()
+            else []
+        )
+        return substitute_params(query, args)
+
+    def _deallocate(self, state, stmt) -> None:
+        if stmt.cursor_name is None or stmt.cursor_name.upper() == "ALL":
+            state.statements.clear()
+            state.sql_prepared.clear()
+        elif (
+            state.sql_prepared.pop(stmt.cursor_name, None) is None
+            and state.statements.pop(stmt.cursor_name, None) is None
+        ):
+            raise ValueError(
+                f'prepared statement "{stmt.cursor_name}" does not exist'
+            )
 
     @staticmethod
     def _show_guc_fields(name: str) -> list[tuple[str, int, int, int]]:
@@ -906,6 +920,24 @@ class SparkPGServer:
                 writer.write(M.data_row(r))
             writer.write(M.command_complete("SHOW"))
             return
+        if stmt.cls is StatementClass.PREPARE:
+            self._sql_prepare(state, stmt)
+            writer.write(M.command_complete("PREPARE"))
+            return
+        if stmt.cls is StatementClass.DEALLOCATE:
+            self._deallocate(state, stmt)
+            writer.write(M.command_complete(stmt.tag))
+            return
+        if stmt.cls is StatementClass.EXECUTE_STMT and portal.df is None:
+            # SQL-level EXECUTE through the extended protocol: resolve
+            # now and stream through the portal like a deferred command
+            resolved = self._resolve_execute(state, stmt)
+            df = await self._spark_sql(state, rewrite_sql(resolved))
+            if not df.schema.fields:
+                writer.write(M.command_complete(_tag_for(resolved, 0)))
+                return
+            portal.df = df
+            portal.serializer = self._make_serializer(df, portal.result_formats)
         if portal.df is None:
             # deferred command (DDL/INSERT/...): execute now
             df = await self._spark_sql(state, ps.sql)

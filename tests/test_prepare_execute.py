@@ -281,3 +281,35 @@ class TestSqlStates:
         assert b"C26000\x00" in self._err_body(missing)
         assert b"C34000\x00" in self._err_body(badcur)
         assert b"C42704\x00" in self._err_body(badguc)
+
+
+class TestExtendedProtocolPrepare:
+    """SQL-level PREPARE/EXECUTE sent through Parse/Bind/Execute."""
+
+    def test_prepare_then_execute_extended(self, server):
+        from tests.test_protocol_e2e import SYNC, _bind, _describe, _execute, _parse
+
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.send(
+                _parse("xp", "PREPARE xps AS SELECT n_name FROM nation "
+                             "WHERE n_nationkey = $1"),
+                _bind("", "xp", []),
+                _execute(""),
+                SYNC,
+            )
+            m1 = await c.until_ready()
+            await c.send(
+                _parse("xe", "EXECUTE xps(4)"),
+                _bind("", "xe", []),
+                _describe("P", ""),
+                _execute(""),
+                SYNC,
+            )
+            m2 = await c.until_ready()
+            await c.close()
+            return m1, m2
+
+        m1, m2 = _run(server, go)
+        assert not any(t == b"E" for t, _ in m1)
+        assert rows_of(m2) == [[b"NATION_4"]]

@@ -56,6 +56,9 @@ class Statement:
     #: for DECLARE/FETCH/CLOSE: cursor name; FETCH also carries a count
     cursor_name: str | None = None
     fetch_count: int | None = None  # None → ALL
+    #: COPY WITH (DELIMITER 'x' / NULL 'marker') overrides
+    copy_delim: str | None = None
+    copy_null: str | None = None
 
 
 _DECLARE_RE = re.compile(
@@ -193,6 +196,30 @@ _COPY_IN_RE = re.compile(
     r"(?P<opts>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+_COPY_DELIM_RE = re.compile(
+    r"DELIMITER\s+(?:AS\s+)?E?'(?P<d>(?:[^']|'')+)'", re.IGNORECASE
+)
+_COPY_NULL_RE = re.compile(
+    r"NULL\s+(?:AS\s+)?'(?P<n>(?:[^']|'')*)'", re.IGNORECASE
+)
+
+
+def _copy_options(opts: str) -> tuple[str | None, str | None]:
+    """(delimiter, null marker) from a COPY options tail — PG accepts
+    both the modern ``WITH (FORMAT CSV, DELIMITER ';')`` and the legacy
+    ``WITH DELIMITER AS ';'`` spellings."""
+    delim = null = None
+    m = _COPY_DELIM_RE.search(opts)
+    if m:
+        delim = m.group("d").replace("''", "'")
+        if delim == "\\t":
+            delim = "\t"
+    m = _COPY_NULL_RE.search(opts)
+    if m:
+        null = m.group("n").replace("''", "'")
+    return delim, null
 
 
 _SET_RE = re.compile(
@@ -339,8 +366,10 @@ def classify_statement(sql: str) -> Statement:
     if word0 == "COPY":
         m = _COPY_IN_RE.match(s)
         if m:
-            opts = (m.group("opts") or "").upper()
+            raw_opts = m.group("opts") or ""
+            opts = raw_opts.upper()
             cols = m.group("cols")
+            delim, null = _copy_options(raw_opts)
             return Statement(
                 StatementClass.COPY_IN,
                 sql,
@@ -349,13 +378,17 @@ def classify_statement(sql: str) -> Statement:
                 copy_format="binary" if "BINARY" in opts
                 else "csv" if "CSV" in opts else "text",
                 copy_header="HEADER" in opts,
+                copy_delim=delim,
+                copy_null=null,
             )
         m = _COPY_RE.match(s)
         if m:
             inner = m.group("query")
             if inner is None:
                 inner = f"SELECT * FROM {m.group('src')}"
-            opts = (m.group("opts") or "").upper()
+            raw_opts = m.group("opts") or ""
+            opts = raw_opts.upper()
+            delim, null = _copy_options(raw_opts)
             return Statement(
                 StatementClass.COPY_OUT,
                 sql,
@@ -363,6 +396,8 @@ def classify_statement(sql: str) -> Statement:
                 copy_format="binary" if "BINARY" in opts
                 else "csv" if "CSV" in opts else "text",
                 copy_header="HEADER" in opts,
+                copy_delim=delim,
+                copy_null=null,
             )
         # COPY FROM etc. falls through as a query → Spark will reject it
     if word0 == "SHOW":

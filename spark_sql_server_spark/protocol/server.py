@@ -90,8 +90,33 @@ def _copy_unescape(v: str) -> str:
     return "".join(out)
 
 
-def _csv_copy_rows(text: str) -> list[list]:
-    """Parse a PG CSV COPY payload: ',' delimiter, '\"' quote doubled to
+def _split_copy_fields(line: str, sep: str) -> list[str]:
+    """Split a COPY text-format line on the delimiter, honoring
+    backslash escapes (a custom delimiter appears escaped as ``\\<sep>``
+    inside field data; the default tab is escaped as the letter ``\\t``,
+    for which this degrades to a plain split)."""
+    out: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(line)
+    while i < n:
+        c = line[i]
+        if c == "\\" and i + 1 < n:
+            buf.append(c)
+            buf.append(line[i + 1])
+            i += 2
+            continue
+        if c == sep:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    out.append("".join(buf))
+    return out
+
+
+def _csv_copy_rows(text: str, delim: str = ",") -> list[list]:
+    """Parse a PG CSV COPY payload: configurable delimiter, '\"' quote doubled to
     escape. Unlike csv.reader, keeps quoting info so an unquoted empty
     field decodes to NULL while a quoted empty string stays ''."""
     rows: list[list] = []
@@ -124,7 +149,7 @@ def _csv_copy_rows(text: str) -> list[list]:
             in_quotes = True
             was_quoted = True
             started = True
-        elif c == ",":
+        elif c == delim:
             end_field()
             started = True
         elif c in ("\n", "\r"):
@@ -1017,16 +1042,24 @@ class SparkPGServer:
 
         else:
             encs = [text_encoder(f.dataType) for f in df.schema.fields]
+            sep = stmt.copy_delim or ("," if is_csv else "\t")
+            null_mark = (
+                stmt.copy_null
+                if stmt.copy_null is not None
+                else ("" if is_csv else "\\N")
+            )
 
             def render(row) -> bytes:
                 cells = []
                 for v, enc in zip(row, encs):
                     if v is None:
-                        cells.append("" if is_csv else "\\N")
+                        cells.append(null_mark)
                         continue
                     s = enc(v)
                     if is_csv:
-                        if any(c in s for c in (",", '"', "\n", "\r")):
+                        if any(c in s for c in (sep, '"', "\n", "\r")) or (
+                            null_mark and s == null_mark
+                        ):
                             s = '"' + s.replace('"', '""') + '"'
                     else:
                         s = (
@@ -1035,8 +1068,9 @@ class SparkPGServer:
                             .replace("\n", "\\n")
                             .replace("\r", "\\r")
                         )
+                        if sep != "\t" and sep in s:
+                            s = s.replace(sep, "\\" + sep)
                     cells.append(s)
-                sep = "," if is_csv else "\t"
                 return (sep.join(cells) + "\n").encode("utf-8")
 
         writer.write(M.copy_out_response(len(df.schema.fields), binary=is_binary))
@@ -1046,7 +1080,7 @@ class SparkPGServer:
                 M.copy_data(b"PGCOPY\n\xff\r\n\x00" + struct.pack("!ii", 0, 0))
             )
         if is_csv and stmt.copy_header:
-            writer.write(M.copy_data((",".join(df.columns) + "\n").encode()))
+            writer.write(M.copy_data((sep.join(df.columns) + "\n").encode()))
 
         def start():
             sc = state.session.sparkContext
@@ -1057,9 +1091,14 @@ class SparkPGServer:
             return iter(df.collect())
 
         iterator = await asyncio.to_thread(start)
+        # the vectorized text-format assembler hardcodes tab + \N; any
+        # DELIMITER/NULL override falls back to the per-row renderer
         copy_ser = (
             RowSerializer(df.schema, [0] * len(df.schema.fields))
-            if not is_csv and not is_binary
+            if not is_csv
+            and not is_binary
+            and stmt.copy_delim in (None, "\t")
+            and stmt.copy_null in (None, "\\N")
             else None
         )
 
@@ -1165,19 +1204,25 @@ class SparkPGServer:
 
         text = buf.decode("utf-8")
         rows: list[list] = []
+        sep = stmt.copy_delim or ("," if stmt.copy_format == "csv" else "\t")
         if stmt.copy_format == "csv":
-            parsed = _csv_copy_rows(text)
+            parsed = _csv_copy_rows(text, delim=sep)
             if stmt.copy_header and parsed:
                 parsed = parsed[1:]
             rows = [r for r in parsed if r != ["\\."]]
+            if stmt.copy_null is not None:
+                rows = [
+                    [None if v == stmt.copy_null else v for v in r] for r in rows
+                ]
         else:
+            null_mark = stmt.copy_null if stmt.copy_null is not None else "\\N"
             for line in text.split("\n"):
                 if not line or line == "\\.":
                     continue
                 rows.append(
                     [
-                        None if v == "\\N" else _copy_unescape(v)
-                        for v in line.split("\t")
+                        None if v == null_mark else _copy_unescape(v)
+                        for v in _split_copy_fields(line, sep)
                     ]
                 )
 

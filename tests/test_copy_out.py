@@ -329,3 +329,77 @@ class TestCopyInParsing:
         assert _csv_copy_rows("") == []
         assert _csv_copy_rows("\n") == []
         assert _csv_copy_rows("a,b") == [["a", "b"]]  # no trailing newline
+
+
+class TestCopyOptions:
+    """DELIMITER / NULL options (modern and legacy spellings)."""
+
+    def test_classify_options(self):
+        st = classify_statement(
+            "COPY (SELECT 1) TO STDOUT WITH (FORMAT CSV, DELIMITER ';', "
+            "NULL 'NA')"
+        )
+        assert st.copy_delim == ";" and st.copy_null == "NA"
+        st = classify_statement("COPY t FROM STDIN WITH DELIMITER AS '|'")
+        assert st.copy_delim == "|" and st.copy_format == "text"
+
+    def test_out_custom_delimiter_and_null(self, server):
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            csv = await c.simple(
+                "COPY (SELECT CAST(NULL AS INT) AS a, n_nationkey AS b, "
+                "n_name AS c FROM nation WHERE n_nationkey < 2 "
+                "ORDER BY n_nationkey) TO STDOUT "
+                "WITH (FORMAT CSV, DELIMITER ';', NULL 'NA', HEADER)"
+            )
+            txt = await c.simple(
+                "COPY (SELECT CAST(NULL AS INT) AS a, 'x|y' AS s) TO STDOUT "
+                "WITH DELIMITER AS '|'"
+            )
+            await c.close()
+            return csv, txt
+
+        csv, txt = loop.run_until_complete(go())
+        lines = copy_payload(csv).decode().splitlines()
+        assert lines[0] == "a;b;c"
+        assert lines[1] == "NA;0;NATION_0"
+        assert lines[2] == "NA;1;NATION_1"
+        # text format: custom delimiter escaped inside data
+        assert copy_payload(txt).decode() == "\\N|x\\|y\n"
+
+    def test_in_custom_delimiter_roundtrip(self, server, spark, tmp_path):
+        import struct as _s
+
+        srv, loop = server
+        spark.sql("DROP TABLE IF EXISTS copy_opt_t")
+        spark.sql(
+            f"""CREATE TABLE copy_opt_t (k INT, name STRING)
+                USING parquet LOCATION '{tmp_path}/copy_opt_t'"""
+        )
+
+        def _m(tag, body=b""):
+            return tag + _s.pack("!i", len(body) + 4) + body
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            await c.send(
+                _q("COPY copy_opt_t FROM STDIN WITH (DELIMITER ';', NULL 'NA')")
+            )
+            hdr = await c.reader.readexactly(5)
+            (ln,) = _s.unpack("!i", hdr[1:])
+            await c.reader.readexactly(ln - 4)
+            assert hdr[:1] == b"G"
+            await c.send(_m(b"d", b"1;alpha\n2;NA\n"), _m(b"c"))
+            msgs = await c.until_ready()
+            rows = await c.simple(
+                "SELECT k, name FROM copy_opt_t ORDER BY k"
+            )
+            await c.close()
+            return msgs, rows
+
+        msgs, rows = loop.run_until_complete(go())
+        completes = [b.rstrip(b"\0").decode() for t, b in msgs if t == b"C"]
+        assert completes == ["COPY 2"]
+        assert rows_of(rows) == [[b"1", b"alpha"], [b"2", None]]

@@ -105,3 +105,41 @@ class TestPsqlMetaCommands:
         out = psql(psql_server, "-c", "\\df array_upper")
         assert out.returncode == 0, out.stderr
         assert "array_upper" in out.stdout
+
+
+class TestPsqlSessionStatements:
+    """The statement surface added in r4-late, driven by real psql."""
+
+    def test_show_settings(self, psql_server):
+        out = psql(psql_server, "-At", "-c", "SHOW server_version")
+        assert out.returncode == 0 and out.stdout.strip() == "9.6.0"
+        out = psql(psql_server, "-At", "-c", "SHOW TRANSACTION ISOLATION LEVEL")
+        assert out.stdout.strip() == "read committed"
+
+    def test_prepare_execute_deallocate(self, psql_server):
+        out = psql(
+            psql_server, "-At",
+            "-c", "PREPARE pq AS SELECT n_name FROM nation WHERE n_nationkey = $1",
+            "-c", "EXECUTE pq(2)",
+            "-c", "DEALLOCATE pq",
+        )
+        assert out.returncode == 0, out.stderr
+        assert "NATION_2" in out.stdout
+
+    def test_copy_custom_delimiter(self, psql_server):
+        out = psql(
+            psql_server, "-c",
+            "COPY (SELECT r_regionkey, r_name FROM region ORDER BY 1) "
+            "TO STDOUT WITH (FORMAT CSV, DELIMITER ';', HEADER)",
+        )
+        assert out.returncode == 0, out.stderr
+        lines = out.stdout.strip().splitlines()
+        assert lines[0] == "r_regionkey;r_name"
+        assert lines[1] == "0;AFRICA"
+
+    def test_pg_settings_view(self, psql_server):
+        out = psql(
+            psql_server, "-At", "-c",
+            "SELECT setting FROM pg_catalog.pg_settings WHERE name = 'timezone'",
+        )
+        assert out.returncode == 0 and out.stdout.strip() == "UTC"

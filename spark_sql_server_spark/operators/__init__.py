@@ -39,7 +39,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     # changed certification this round — must re-certify
     "t_ngram_lm_score",       # r3 hash FAIL → integer certification
     # new this round — never driver-sampled
-    "sk_hll_distinct", "sk_cms_topk", "sk_quantile_bands",
+    "sk_hll_distinct", "sk_cms_topk", "sk_quantile_bands", "sk_hll_intersect",
     "sk_bloom_prefilter", "d_incremental_dedup", "q_zorder_layout",
     "m_thumbnail",
     "t_domain_mix",           # micro-space rounding

@@ -138,3 +138,15 @@ class TestBloom:
         assert join_pos != -1 and filt_pos != -1 and filt_pos > join_pos
         # (child plans print BELOW their parent operator, so a larger
         # string offset means deeper in the tree = before the join)
+
+
+class TestHllIntersect:
+    def test_inclusion_exclusion_close_to_exact(self, spark):
+        rows = REGISTRY["sk_hll_intersect"].fn(spark, SF_CORRECT).collect()
+        assert len(rows) == 1 and rows[0]["within_bound"]
+        # and the exact side is a genuine overlap, not 0 or everything
+        exact = rows[0]["exact_both"]
+        total = spark.sql(
+            "SELECT COUNT(DISTINCT user_id) AS n FROM events"
+        ).collect()[0]["n"]
+        assert 0 < exact <= total

@@ -59,6 +59,8 @@ class Statement:
     #: COPY WITH (DELIMITER 'x' / NULL 'marker') overrides
     copy_delim: str | None = None
     copy_null: str | None = None
+    #: for PREPARE: declared parameter count (None → infer from max $n)
+    prepare_nparams: int | None = None
 
 
 _DECLARE_RE = re.compile(
@@ -76,8 +78,12 @@ _FETCH_RE = re.compile(
 
 _CLOSE_RE = re.compile(r"^\s*CLOSE\s+(?P<name>[\w\"]+|ALL)\s*$", re.IGNORECASE)
 
+#: types group tolerates one paren-nesting level so parameterized types
+#: like ``(DECIMAL(10,2), VARCHAR(20))`` parse (the types themselves are
+#: only *counted* — Spark's analyzer coerces the spliced expressions)
 _PREPARE_RE = re.compile(
-    r"^\s*PREPARE\s+(?P<name>[\w\"]+)\s*(?:\((?P<types>[^)]*)\))?\s+AS\s+"
+    r"^\s*PREPARE\s+(?P<name>[\w\"]+)\s*"
+    r"(?:\((?P<types>[^()]*(?:\([^()]*\)[^()]*)*)\))?\s+AS\s+"
     r"(?P<query>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -137,6 +143,39 @@ def split_top_level_commas(raw: str) -> list[str]:
     if tail:
         out.append(tail)
     return out
+
+
+def count_placeholders(sql: str) -> int:
+    """Highest ``$n`` referenced outside string literals / quoted
+    identifiers — PG's inferred parameter count when PREPARE declares
+    no type list."""
+    top = 0
+    in_str = in_qid = False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        nxt = sql[i + 1] if i + 1 < len(sql) else ""
+        if in_str:
+            if ch == "'":
+                if nxt == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif in_qid:
+            if ch == '"':
+                in_qid = False
+        elif ch == "'":
+            in_str = True
+        elif ch == '"':
+            in_qid = True
+        elif ch == "$" and nxt.isdigit():
+            j = i + 1
+            while j < len(sql) and sql[j].isdigit():
+                j += 1
+            top = max(top, int(sql[i + 1 : j]))
+            i = j - 1
+        i += 1
+    return top
 
 
 def substitute_params(sql: str, args: list[str]) -> str:
@@ -216,6 +255,12 @@ def _copy_options(opts: str) -> tuple[str | None, str | None]:
         delim = m.group("d").replace("''", "'")
         if delim == "\\t":
             delim = "\t"
+        if len(delim) != 1:
+            # PG rejects these up front; without this check the
+            # single-char splitters silently produce one-column rows
+            raise ValueError(
+                "COPY delimiter must be a single one-byte character"
+            )
     m = _COPY_NULL_RE.search(opts)
     if m:
         null = m.group("n").replace("''", "'")
@@ -317,12 +362,19 @@ def classify_statement(sql: str) -> Statement:
     if word0 == "PREPARE":
         m = _PREPARE_RE.match(s)
         if m:
+            types = m.group("types")
+            nparams = (
+                len([t for t in split_top_level_commas(types) if t.strip()])
+                if types is not None
+                else None
+            )
             return Statement(
                 StatementClass.PREPARE,
                 sql,
                 cursor_name=m.group("name").strip('"'),
                 copy_query=m.group("query").strip(),
                 tag="PREPARE",
+                prepare_nparams=nparams,
             )
     if word0 == "EXECUTE":
         m = _EXECUTE_RE.match(s)

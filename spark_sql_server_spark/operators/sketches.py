@@ -105,14 +105,17 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared exact-rank scaffold (identical text in both engines except the
 # default window frame, written out explicitly for Spark):
-#  * prices → integer cents (identical IEEE multiply + truncating cast)
+#  * prices → integer cents via FLOOR(x*100 + 0.5): a bare double→BIGINT
+#    cast is NOT cross-engine safe (Spark truncates toward zero, DuckDB
+#    rounds to nearest — ~5% of cents differ), so round in micro-space
+#    with identical IEEE multiply+add+floor in both engines
 #  * per-value counts, then cumulative ranks over DISTINCT values only —
 #    the window input is the aggregated (cents, cnt) table, bounded by
 #    the number of distinct prices, not the row count
 #  * value at global rank r = the row whose [lo_rank, hi_rank] spans r
 _QB_SCAFFOLD = """
     WITH t AS (
-      SELECT CAST(o_totalprice * 100 AS BIGINT) AS cents FROM orders
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
     ),
     agg AS (SELECT cents, COUNT(*) AS cnt FROM t GROUP BY cents),
     ranked AS (

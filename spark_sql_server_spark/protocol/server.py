@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from spark_sql_server_spark.dialect.commands import (
     StatementClass,
     classify_statement,
+    count_placeholders,
     split_statements,
     split_top_level_commas,
     substitute_params,
@@ -230,7 +231,8 @@ class SessionState:
     cursors: dict[str, Portal] = field(default_factory=dict)
     #: SQL-level PREPARE name AS ... — name → raw PG-dialect query text
     #: ($n placeholders substituted with argument expressions at EXECUTE)
-    sql_prepared: dict[str, str] = field(default_factory=dict)
+    #: SQL-level PREPARE name → (query text, expected parameter count)
+    sql_prepared: dict[str, tuple[str, int]] = field(default_factory=dict)
     #: fair-scheduler pool (SET spark.sql.server.pool) — applied in the
     #: worker thread that runs each statement, because Spark local
     #: properties are per-thread
@@ -717,22 +719,35 @@ class SparkPGServer:
             raise ValueError(
                 f'prepared statement "{stmt.cursor_name}" already exists'
             )
-        state.sql_prepared[stmt.cursor_name] = stmt.copy_query
+        expected = (
+            stmt.prepare_nparams
+            if stmt.prepare_nparams is not None
+            else count_placeholders(stmt.copy_query)
+        )
+        state.sql_prepared[stmt.cursor_name] = (stmt.copy_query, expected)
 
     @staticmethod
     def _resolve_execute(state, stmt) -> str:
         """EXECUTE name(args) → the stored query with argument
         expressions spliced into its $n placeholders."""
-        query = state.sql_prepared.get(stmt.cursor_name)
-        if query is None:
+        entry = state.sql_prepared.get(stmt.cursor_name)
+        if entry is None:
             raise ValueError(
                 f'prepared statement "{stmt.cursor_name}" does not exist'
             )
+        query, expected = entry
         args = (
             split_top_level_commas(stmt.copy_query)
             if stmt.copy_query and stmt.copy_query.strip()
             else []
         )
+        if len(args) != expected:
+            # PG raises 42601 for both surplus and missing args, even
+            # when the query doesn't reference every declared parameter
+            raise ValueError(
+                f"wrong number of parameters for prepared statement "
+                f'"{stmt.cursor_name}": expected {expected}, got {len(args)}'
+            )
         return substitute_params(query, args)
 
     def _deallocate(self, state, stmt) -> None:
@@ -763,7 +778,19 @@ class SparkPGServer:
         round-trips; unknown names raise like PG."""
         gucs = self._guc_values(state)
         if name.upper() == "ALL":
-            return [[k.encode(), gucs[k].encode(), b""] for k in sorted(gucs)]
+            # per-session SET overrides win here too, mirroring the
+            # single-setting path (SET x; SHOW ALL must agree with SHOW x)
+            rows = []
+            for k in sorted(gucs):
+                val = gucs[k]
+                try:
+                    sv = state.session.conf.get(k)
+                    if sv is not None:
+                        val = str(sv)
+                except Exception:  # noqa: BLE001 — not SET in this session
+                    pass
+                rows.append([k.encode(), val.encode(), b""])
+            return rows
         val: str | None = None
         try:
             val = state.session.conf.get(name)
@@ -896,6 +923,12 @@ class SparkPGServer:
                 writer.write(
                     M.row_description(self._show_guc_fields(ps.stmt.cursor_name))
                 )
+            elif ps.stmt.cls is StatementClass.EXECUTE_STMT:
+                writer.write(
+                    self._row_description(
+                        await self._describe_execute_df(state, ps), []
+                    )
+                )
             else:
                 writer.write(M.no_data())
         else:
@@ -912,8 +945,25 @@ class SparkPGServer:
                         self._show_guc_fields(portal.statement.stmt.cursor_name)
                     )
                 )
+            elif portal.statement is not None and (
+                portal.statement.stmt.cls is StatementClass.EXECUTE_STMT
+            ):
+                df = await self._describe_execute_df(state, portal.statement)
+                portal.df = df
+                portal.serializer = self._make_serializer(df, portal.result_formats)
+                writer.write(self._row_description(df, portal.result_formats))
             else:
                 writer.write(M.no_data())
+
+    async def _describe_execute_df(self, state, ps) -> DataFrame:
+        """Analyze a SQL-level EXECUTE at Describe time so Describe-first
+        clients (e.g. a JDBC driver running ``EXECUTE p`` through
+        Parse/Describe/Execute) see a RowDescription instead of NoData;
+        the DataFrame stays lazy — rows stream at Execute."""
+        if ps.df is None:
+            resolved = self._resolve_execute(state, ps.stmt)
+            ps.df = await self._spark_sql(state, rewrite_sql(resolved))
+        return ps.df
 
     def _row_description(self, df: DataFrame, result_formats: list[int]) -> bytes:
         ser = self._make_serializer(df, result_formats)
@@ -1532,6 +1582,10 @@ def _sqlstate_for(e: Exception) -> str:
     s = str(e)
     # statement-level PREPARE/EXECUTE/cursor errors, PG-coded so
     # clients can branch on them (PG appendix A)
+    if "wrong number of parameters" in s:
+        return "42601"  # before the prepared-statement rule below
+    if "COPY delimiter must be" in s:
+        return "0A000"
     if 'prepared statement "' in s:
         return "42P05" if "already exists" in s else "26000"
     if 'cursor "' in s and "does not exist" in s:

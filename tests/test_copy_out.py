@@ -408,3 +408,37 @@ class TestCopyOptions:
             # shared-session catalog: a leftover table fails the parity
             # suite's hygiene gate for every downstream test
             spark.sql("DROP TABLE IF EXISTS copy_opt_t")
+
+
+class TestCopyDelimiterValidation:
+    """PG rejects multi-character COPY delimiters up front (0A000)
+    instead of silently producing one-column garbled rows."""
+
+    def test_multichar_delimiter_classify_raises(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="single one-byte"):
+            classify_statement(
+                "COPY (SELECT 1) TO STDOUT WITH (DELIMITER 'ab')"
+            )
+
+    def test_multichar_delimiter_over_wire(self, server):
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            m = await c.simple(
+                "COPY (SELECT 1 AS a) TO STDOUT WITH (DELIMITER 'ab')"
+            )
+            await c.close()
+            return m
+
+        m = loop.run_until_complete(go())
+        err = next(b for t, b in m if t == b"E")
+        assert b"C0A000\x00" in err and b"single one-byte" in err
+
+    def test_single_char_still_fine(self):
+        st = classify_statement(
+            "COPY (SELECT 1) TO STDOUT WITH (DELIMITER ';')"
+        )
+        assert st.copy_delim == ";"

@@ -313,3 +313,150 @@ class TestExtendedProtocolPrepare:
         m1, m2 = _run(server, go)
         assert not any(t == b"E" for t, _ in m1)
         assert rows_of(m2) == [[b"NATION_4"]]
+
+
+class TestParamCountValidation:
+    """PG raises 42601 'wrong number of parameters' for surplus/missing
+    EXECUTE args, even when the query skips declared parameters."""
+
+    def test_count_placeholders_quote_aware(self):
+        from spark_sql_server_spark.dialect.commands import count_placeholders
+
+        assert count_placeholders("SELECT $1, $2") == 2
+        assert count_placeholders("SELECT '$9', $3") == 3
+        assert count_placeholders('SELECT "$7"') == 0
+        assert count_placeholders("SELECT 1") == 0
+
+    def test_parenthesized_types_parse(self):
+        st = classify_statement(
+            "PREPARE pt (DECIMAL(10,2), VARCHAR(20)) AS SELECT $1, $2"
+        )
+        assert st.cls is StatementClass.PREPARE
+        assert st.prepare_nparams == 2
+
+    def test_wrong_arg_count_errors(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.simple(
+                "PREPARE wc (int, int) AS "
+                "SELECT n_name FROM nation WHERE n_nationkey = $1"
+            )
+            too_few = await c.simple("EXECUTE wc(3)")  # declared 2
+            too_many = await c.simple("EXECUTE wc(3, 4, 5)")
+            ok = await c.simple("EXECUTE wc(3, 99)")  # $2 unused but legal
+            await c.close()
+            return too_few, too_many, ok
+
+        too_few, too_many, ok = _run(server, go)
+        err1 = next(b for t, b in too_few if t == b"E")
+        err2 = next(b for t, b in too_many if t == b"E")
+        assert b"C42601\x00" in err1 and b"C42601\x00" in err2
+        assert rows_of(ok) == [[b"NATION_3"]]
+
+    def test_inferred_count_from_placeholders(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.simple(
+                "PREPARE inf1 AS SELECT n_name FROM nation "
+                "WHERE n_nationkey = $1"
+            )
+            extra = await c.simple("EXECUTE inf1(1, 2)")
+            ok = await c.simple("EXECUTE inf1(5)")
+            await c.close()
+            return extra, ok
+
+        extra, ok = _run(server, go)
+        assert any(t == b"E" for t, _ in extra)
+        assert rows_of(ok) == [[b"NATION_5"]]
+
+    def test_decimal_type_prepare_executes(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            p = await c.simple(
+                "PREPARE pdec (DECIMAL(10,2)) AS SELECT CAST($1 AS DOUBLE) AS v"
+            )
+            m = await c.simple("EXECUTE pdec(1.5)")
+            await c.close()
+            return p, m
+
+        p, m = _run(server, go)
+        assert completes_of(p) == ["PREPARE"]
+        assert rows_of(m) == [[b"1.5"]]
+
+
+class TestDescribeExecute:
+    """Describe of a SQL-level EXECUTE resolves the prepared query and
+    answers a RowDescription (Describe-first JDBC clients need it)."""
+
+    def test_describe_portal_before_execute(self, server):
+        from tests.test_protocol_e2e import (
+            SYNC, _bind, _describe, _execute, _parse, tags_of,
+        )
+
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.simple(
+                "PREPARE dsc AS SELECT n_name FROM nation WHERE n_nationkey = 6"
+            )
+            await c.send(
+                _parse("dx", "EXECUTE dsc"),
+                _bind("", "dx", []),
+                _describe("P", ""),
+                _execute(""),
+                SYNC,
+            )
+            msgs = await c.until_ready()
+            await c.close()
+            return msgs
+
+        msgs = _run(server, go)
+        from tests.test_protocol_e2e import tags_of
+
+        tags = tags_of(msgs)
+        assert b"T" in tags  # RowDescription, not NoData
+        rowdesc = next(b for t, b in msgs if t == b"T")
+        assert b"n_name" in rowdesc
+        assert rows_of(msgs) == [[b"NATION_6"]]
+
+    def test_describe_statement_kind(self, server):
+        from tests.test_protocol_e2e import SYNC, _describe, _parse, tags_of
+
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.simple(
+                "PREPARE dss AS SELECT n_nationkey, n_name FROM nation LIMIT 1"
+            )
+            await c.send(
+                _parse("ds2", "EXECUTE dss"),
+                _describe("S", "ds2"),
+                SYNC,
+            )
+            msgs = await c.until_ready()
+            await c.close()
+            return msgs
+
+        msgs = _run(server, go)
+        from tests.test_protocol_e2e import tags_of
+
+        tags = tags_of(msgs)
+        assert b"T" in tags
+        rowdesc = next(b for t, b in msgs if t == b"T")
+        assert b"n_nationkey" in rowdesc and b"n_name" in rowdesc
+
+
+class TestShowAllOverlay:
+    """SET x then SHOW ALL must report the session value, like SHOW x."""
+
+    def test_set_reflected_in_show_all(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.simple("SET search_path TO 'myschema'")
+            single = await c.simple("SHOW search_path")
+            alls = await c.simple("SHOW ALL")
+            await c.close()
+            return single, alls
+
+        single, alls = _run(server, go)
+        assert rows_of(single) == [[b"myschema"]]
+        row = next(r for r in rows_of(alls) if r[0] == b"search_path")
+        assert row[1] == b"myschema"

@@ -36,39 +36,32 @@ from spark_sql_server_spark.operators.registry import REGISTRY, QuerySpec
 #: Everything listed after rests on its r1–r3 driver record and the
 #: local bit-exact twin (tests/test_oracle_parity.py runs ALL of them).
 _DRIVER_SAMPLE_PRIORITY = [
-    # changed certification this round — must re-certify
-    "t_ngram_lm_score",       # r3 hash FAIL → integer certification
-    # new this round — never driver-sampled
-    "sk_hll_distinct", "sk_cms_topk", "sk_quantile_bands", "sk_hll_intersect",
-    "sk_bloom_prefilter", "d_incremental_dedup", "q_zorder_layout",
-    "m_thumbnail",
-    "t_domain_mix",           # micro-space rounding
-    "m_media_features",       # first oracle (was no_oracle)
-    "m_frame_sample",         # first oracle (was no_oracle)
-    "q8_market_share", "q14_promo_revenue", "q17_small_qty_revenue",
-    "q_corr", "q_math_funcs", "p_pandas_udaf", "p_grouped_map_zscore",
-    "t_tfidf",                # micro-space rounding conversions
-    "q_bucketed_join",        # leak fix (eager checkpoint path)
-    "pipe_build_dataset",     # temp-view lifecycle fix
-    # never driver-sampled families (judge r3 coverage gap)
-    "st_sessionize_stream", "st_hourly_stream", "st_enrich_stream",
-    "st_dedup_stream", "st_running_totals", "st_stream_stream_join",
-    "q7_nation_trade", "q9_product_profit", "q10_returned_items",
-    "q16_supplier_cnt", "q18_large_orders", "q21_last_shipper",
-    "q13_customer_distribution", "q20_excess_suppliers",
-    "q22_global_sales_opp", "q11_important_parts", "q12_priority_lines",
-    "q19_bracket_revenue", "q_salted_join", "s_ann_bruteforce",
-    "q_recursive_cte", "q_unpivot", "q_variant_json", "q_try_arith",
-    "qds63_monthly_deviation", "qds14_cross_channel",
-    "qds67_topk_rollup", "qds81_returns_above_avg",
-    "q_asof_join", "q_range_join",
-    # below the 50-sample cut: q6 is the lowest-risk plan shape (pure
-    # scan-filter-agg) and the s_* rows-only pair have dedicated pytest
-    # mirrors; anchors keep their r1-r3 driver record
-    "q6_forecast_revenue", "s_ann_lsh", "s_semdedup",
-    # anchors with continuous certification history
-    "pipe_curate_corpus", "q1_pricing_summary", "q3_shipping_priority",
-    "t_weighted_sample",
+    # r5: ALL 38 registry entries that have never appeared in any
+    # round's driver sample (VERDICT r4 task 1 — cumulative driver-
+    # certified was 113/151; this one rotation closes the gap so every
+    # operator name has at least one green CORRECTNESS row r1–r5).
+    "q_asof_join", "q_range_join", "q6_forecast_revenue",
+    "s_ann_lsh", "s_semdedup",
+    "q_date_funcs", "q_order_nulls", "q_limit_offset",
+    "q_distribute_sort_by", "q_inline_values", "q_range_tvf",
+    "q_lateral_explode", "q_higher_order", "q_sample",
+    "q_events_hourly", "q_events_json", "q_events_sessionize",
+    "q_predicates", "q_array_funcs", "q_struct_map", "q_json_funcs",
+    "q_interval_arith", "q_null_funcs", "q_bitwise", "q_distinct_on",
+    "q_string_agg", "q_approx_distinct", "q_union_by_name",
+    "q_window_time_range", "q_posexplode", "q_explode_outer",
+    "q_minmax_by", "q_ordinals", "q_csv_funcs",
+    "s_ann_ivf", "s_kmeans", "s_label_centroids", "s_ann_pq",
+    # changed certification arithmetic this round — must re-certify
+    # (cents cast: FLOOR(x*100+0.5) replaces the engine-dependent
+    # double→BIGINT truncation the r4 advisor flagged)
+    "sk_quantile_bands",
+    # new operators added in r5 (never sampled by construction) are
+    # inserted here as they land; remaining slots are anchors with a
+    # continuous driver record (cheap cross-round stability signal)
+    "q1_pricing_summary", "q3_shipping_priority",
+    "pipe_curate_corpus", "pipe_build_dataset",
+    "st_sessionize_stream", "d_dedup_exact",
 ]
 _rest = [n for n in REGISTRY if n not in set(_DRIVER_SAMPLE_PRIORITY)]
 _ordered = {

@@ -1115,14 +1115,48 @@ def q_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_HOF_SQL)
 
 
+# Certified sampling summary: TABLESAMPLE's row-count contract is exact
+# in both engines even though WHICH rows land is engine-specific, and
+# the seeded-hash Bernoulli sample (multiplicative hash mod a prime —
+# the scale-correct way to take a *reproducible* sample: pure map-side
+# filter, no shuffle, stable under repartitioning) selects the IDENTICAL
+# row set in both engines, certified via count + key checksum.
+_SAMPLE_SPARK_SQL = """
+    SELECT 'hash_mod10' AS method, COUNT(*) AS n_rows,
+           CAST(SUM(l_orderkey * 8 + l_linenumber) AS BIGINT) AS key_checksum
+    FROM lineitem
+    WHERE (l_orderkey * 2654435761 + l_linenumber * 40503)
+          % 1000000007 % 10 = 0
+    UNION ALL
+    SELECT 'rows_500' AS method, COUNT(*) AS n_rows,
+           CAST(NULL AS BIGINT) AS key_checksum
+    FROM (SELECT * FROM lineitem TABLESAMPLE (500 ROWS))
+    ORDER BY method
+"""
+
+_SAMPLE_ORACLE = """
+    SELECT 'hash_mod10' AS method, COUNT(*) AS n_rows,
+           CAST(SUM(l_orderkey * 8 + l_linenumber) AS BIGINT) AS key_checksum
+    FROM lineitem
+    WHERE (l_orderkey * 2654435761 + l_linenumber * 40503)
+          % 1000000007 % 10 = 0
+    UNION ALL
+    SELECT 'rows_500' AS method, COUNT(*) AS n_rows,
+           CAST(NULL AS BIGINT) AS key_checksum
+    FROM (SELECT * FROM lineitem USING SAMPLE 500 ROWS)
+    ORDER BY method
+"""
+
+
 @query(
     "q_sample",
-    oracle=None,  # sampling is engine-specific → rows-only check
-    covers="§2.B TABLESAMPLE",
+    oracle=_SAMPLE_ORACLE,
+    covers="§2.B TABLESAMPLE (exact row-count contract) + seeded-hash "
+    "reproducible Bernoulli sample (exact membership)",
 )
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber", "l_quantity")
+    register_tables(spark, sf_dir)
+    return spark.sql(_SAMPLE_SPARK_SQL)
 
 
 # --------------------------------------------------------------------------

@@ -531,31 +531,55 @@ def s_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(assigner(C), schema=schema).orderBy("vec_id")
 
 
-_CENTROID_ORACLE = f"""
-    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-    SELECT label,
-           COUNT(*) AS n,
-           ROUND(SUM(e[1]) / COUNT(*), 6) AS c0,
-           ROUND(SUM(e[2]) / COUNT(*), 6) AS c1,
-           ROUND(SUM(e[3]) / COUNT(*), 6) AS c2
-    FROM v GROUP BY label ORDER BY label
-"""
+#: float component → integer micros: float→double is exact, then one
+#: IEEE multiply + add + floor — identical in Spark and DuckDB (a bare
+#: double→BIGINT cast is NOT: Spark truncates, DuckDB rounds)
+MICRO = "CAST(FLOOR(CAST({x} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+
+#: exact micro-space mean rendered back to DOUBLE — SUM of int64 micros
+#: is exact and associative (partial-agg order cannot change it), and
+#: FLOOR(sum/n + 0.5)/1e6 is the identical IEEE sequence in both
+#: engines (the CLAUDE.md ratio rule; CAST to DOUBLE avoids the Spark
+#: BIGINT÷DECIMAL-literal type trap)
+MICRO_MEAN = (
+    "(CAST(FLOOR(CAST({s} AS DOUBLE) / {n} + 0.5) AS DOUBLE) / 1000000.0)"
+)
+
+_CENTROID_MICRO_ORACLE = "".join(
+    [
+        "WITH v AS (SELECT label, embedding AS e FROM embeddings) ",
+        "SELECT label, COUNT(*) AS n, ",
+        ", ".join(
+            MICRO_MEAN.format(
+                s=f"SUM({MICRO.format(x=f'e[{i + 1}]')})", n="COUNT(*)"
+            )
+            + f" AS c{i}"
+            for i in range(3)
+        ),
+        " FROM v GROUP BY label ORDER BY label",
+    ]
+)
 
 
 @query(
     "s_label_centroids",
-    oracle=None,  # double sum over groups is order-dependent; verified
-    # in pytest against numpy within 1e-9
-    covers="north-star similarity: per-label centroid (IVF coarse step)",
+    oracle=_CENTROID_MICRO_ORACLE,
+    covers="north-star similarity: per-label centroid (IVF coarse step), "
+    "exact fixed-point aggregation",
 )
 def s_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroids — the coarse quantizer step of an IVF index.
 
     At scale this is one hash aggregation; the centroid table is then
-    broadcast for cluster assignment (`s_ann_ivf` pattern).
+    broadcast for cluster assignment (`s_ann_ivf` pattern). Components
+    aggregate as int64 *micros* so the sum is exact and associative —
+    any partial-agg merge order yields the same centroid, which is what
+    lets a distributed float-free mean be DuckDB-oracle-certified
+    bit-exactly (a double SUM is order-dependent and was rows-only
+    before r5).
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "label", F.col("embedding").cast("array<double>").alias("e")
+        "label", F.col("embedding").alias("e")
     )
     n = F.count("*")
     return (
@@ -563,7 +587,12 @@ def s_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             n.alias("n"),
             *[
-                F.round(F.sum(F.element_at("e", i + 1)) / n, 6).alias(f"c{i}")
+                F.expr(
+                    MICRO_MEAN.format(
+                        s=f"SUM({MICRO.format(x=f'element_at(e, {i + 1})')})",
+                        n="COUNT(*)",
+                    )
+                ).alias(f"c{i}")
                 for i in range(3)
             ],
         )

@@ -468,7 +468,10 @@ class TestCentroids:
             ref = np.mean(by_label[r.label], axis=0)
             assert r.n == len(by_label[r.label])
             for i in range(3):
-                assert abs(getattr(r, f"c{i}") - ref[i]) < 1e-6
+                # micro-space quantization (inputs floored to 1e-6, mean
+                # floored to 1e-6) can deviate up to ~1.5e-6 from the
+                # true float mean
+                assert abs(getattr(r, f"c{i}") - ref[i]) < 2e-6
 
 
 class TestApproxAggregates:

@@ -468,11 +468,147 @@ def _kmeans_fit(spark: SparkSession, emb: DataFrame, k: int, iters: int):
     return C
 
 
+_EMB_DIM = 64
+
+#: micro-space embedding expression (Spark SQL) — one HOF pass
+_EMB_MICRO_EXPR = (
+    "transform(embedding, x -> "
+    "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+)
+
+
+def _kmeans_fit_micro(spark: SparkSession, emb: DataFrame, k: int, iters: int):
+    """Fixed-point Lloyd's fit over ``emb`` (vec_id, m: array<bigint>
+    micros) → the final k×dim int64 codebook.
+
+    Same distributed shape as :func:`_kmeans_fit` (map-only corpus
+    passes, per-batch partials, tree-reduce, O(k×dim) driver collect) —
+    but every quantity is an int64: partial sums are exact and
+    ASSOCIATIVE, so any partial-agg merge order produces bit-identical
+    centroids, and the whole iterative fit becomes DuckDB-oracle
+    certifiable (`_kmeans_micro_oracle` unrolls the same rounds in
+    SQL). Centroid update is FLOOR(sum/count) — double division then
+    floor, the identical IEEE sequence in Python and SQL (sums ≤1e10
+    here, far below 2^53, so the double conversion is exact).
+    """
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    emb = emb.localCheckpoint()
+    init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    C = np.array([r.m for r in init], dtype=np.int64)
+
+    part_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("s", T.ArrayType(T.LongType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def partials(codebook):
+        bc = spark.sparkContext.broadcast(codebook)
+
+        def emit(batches):
+            import pandas as pd
+
+            Cb = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                E = np.vstack(pdf["m"].to_numpy()).astype(np.int64)
+                d2 = (E * E).sum(1)[:, None] - 2 * (E @ Cb.T) + (Cb * Cb).sum(1)[None, :]
+                a = np.argmin(d2, axis=1)  # first-min → lowest cluster id
+                cl, ns, ss = [], [], []
+                for c in np.unique(a):
+                    sel = a == c
+                    cl.append(int(c))
+                    ns.append(int(sel.sum()))
+                    ss.append(E[sel].sum(axis=0).tolist())
+                yield pd.DataFrame({"cluster": cl, "s": ss, "n": ns})
+
+        return emit
+
+    for _ in range(iters):
+        reduced = _tree_reduce_partials(
+            emb.mapInPandas(partials(C), schema=part_schema), ["cluster"]
+        ).collect()
+        nxt = C.copy()  # empty clusters keep their previous centroid
+        counts: dict[int, int] = {}
+        sums: dict[tuple[int, int], int] = {}
+        for r in reduced:
+            sums[(r.cluster, r.pos)] = int(r.sv)
+            if r.pos == 0:
+                counts[r.cluster] = int(r.cn)
+        for (c, pos), sv in sums.items():
+            # mirror of SQL CAST(FLOOR(CAST(sv AS DOUBLE)/n) AS BIGINT)
+            nxt[c, pos] = math.floor(float(sv) / float(counts[c]))
+        C = nxt
+    return C
+
+
+def _kmeans_micro_oracle(k: int, iters: int, dim: int = _EMB_DIM) -> str:
+    """Unrolled fixed-point Lloyd's in DuckDB SQL — the bit-exact twin
+    of `_kmeans_fit_micro` + final assignment. Join-based (pts×k rows
+    per round) is fine at oracle scale; the Spark side's matmul form is
+    the production path."""
+    argmin = (
+        "SELECT vec_id, cluster, d2 FROM ("
+        "SELECT vec_id, cluster, d2, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM {src}) "
+        "WHERE rn = 1"
+    )
+    parts = [
+        "WITH m AS (SELECT vec_id, list_transform(embedding, x -> "
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS e "
+        "FROM embeddings)",
+        f", dims AS (SELECT CAST(range AS INT) + 1 AS pos FROM range({dim}))",
+        ", pts AS (SELECT vec_id, pos, e[pos] AS v FROM m CROSS JOIN dims)",
+        ", c0 AS (SELECT CAST(vec_id AS INT) AS cluster, pos, v AS c "
+        f"FROM pts WHERE vec_id < {k})",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f", d{r} AS (SELECT p.vec_id, c.cluster, "
+            "CAST(SUM((p.v - c.c) * (p.v - c.c)) AS BIGINT) AS d2 "
+            f"FROM pts p JOIN c{r - 1} c ON p.pos = c.pos "
+            "GROUP BY p.vec_id, c.cluster)"
+        )
+        parts.append(f", a{r} AS ({argmin.format(src=f'd{r}')})")
+        parts.append(
+            f", s{r} AS (SELECT a.cluster, p.pos, "
+            "CAST(SUM(p.v) AS BIGINT) AS sv, COUNT(*) AS n "
+            f"FROM pts p JOIN a{r} a ON p.vec_id = a.vec_id "
+            "GROUP BY a.cluster, p.pos)"
+        )
+        parts.append(
+            f", c{r} AS (SELECT c.cluster, c.pos, "
+            "COALESCE(CAST(FLOOR(CAST(s.sv AS DOUBLE) / s.n) AS BIGINT), c.c) AS c "
+            f"FROM c{r - 1} c LEFT JOIN s{r} s "
+            "ON c.cluster = s.cluster AND c.pos = s.pos)"
+        )
+    parts.append(
+        ", dfin AS (SELECT p.vec_id, c.cluster, "
+        "CAST(SUM((p.v - c.c) * (p.v - c.c)) AS BIGINT) AS d2 "
+        f"FROM pts p JOIN c{iters} c ON p.pos = c.pos "
+        "GROUP BY p.vec_id, c.cluster)"
+    )
+    parts.append(
+        ", afin AS (" + argmin.format(src="dfin") + ")"
+        " SELECT vec_id, cluster, d2 AS dist2 FROM afin ORDER BY vec_id"
+    )
+    return "".join(parts)
+
+
 @query(
     "s_kmeans",
-    oracle=None,  # float centroid means are partial-agg-order dependent;
-    # verified in pytest against a numpy Lloyd's mirror from the same init
-    covers="north-star similarity: iterative k-means (Lloyd's) over embeddings",
+    oracle=_kmeans_micro_oracle(_KMEANS_K, _KMEANS_ITERS),
+    covers="north-star similarity: iterative k-means (Lloyd's) over "
+    "embeddings, fixed-point arithmetic so the full fit + assignment is "
+    "oracle-certified",
 )
 def s_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration Lloyd's k-means over the embedding corpus —
@@ -486,22 +622,30 @@ def s_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     never touches corpus rows, only the constant-size codebook — the
     same loop structure as ``pyspark.ml.clustering.KMeans``. No join,
     no shuffle of vectors anywhere. Deterministic init (centroids =
-    vec_id 0..k-1) and a fixed iteration count keep the result
-    reproducible; nearest-centroid ties break on the lower cluster id.
+    vec_id 0..k-1), fixed iteration count, lower-cluster-id tie-break.
+
+    r5: arithmetic is int64 *micros* end-to-end — exact associative
+    partial sums make the entire iterative fit deterministic under any
+    partition/merge order, so the full 5-round fit AND the final
+    (vec_id, cluster, dist2) assignment are DuckDB-oracle certified
+    (the oracle unrolls the same rounds in SQL). Float k-means differs
+    only by the 1e-6 input quantization; the pytest mirror pins the
+    int64 path bit-exactly.
     """
     import numpy as np
 
     from pyspark.sql import types as T
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{_EMB_MICRO_EXPR} AS m"
     )
-    C = _kmeans_fit(spark, emb, _KMEANS_K, _KMEANS_ITERS)
+    C = _kmeans_fit_micro(spark, emb, _KMEANS_K, _KMEANS_ITERS)
 
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
             T.StructField("cluster", T.IntegerType()),
+            T.StructField("dist2", T.LongType()),
         ]
     )
 
@@ -515,14 +659,16 @@ def s_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pdf in batches:
                 if pdf.empty:
                     continue
-                E = np.vstack(pdf["e"].to_numpy())
-                # squared euclidean via the expansion; argmin ties break
-                # on the lower cluster id (np.argmin is first-minimum)
+                E = np.vstack(pdf["m"].to_numpy()).astype(np.int64)
+                # exact integer squared euclidean; argmin ties break on
+                # the lower cluster id (np.argmin is first-minimum)
                 d2 = (E * E).sum(1)[:, None] - 2 * (E @ Cb.T) + (Cb * Cb).sum(1)[None, :]
+                a = np.argmin(d2, axis=1)
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"],
-                        "cluster": np.argmin(d2, axis=1).astype(np.int32),
+                        "cluster": a.astype(np.int32),
+                        "dist2": d2[np.arange(len(a)), a],
                     }
                 )
 

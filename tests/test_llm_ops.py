@@ -151,11 +151,12 @@ class TestSimHashPairs:
 
 class TestKMeans:
     def test_matches_numpy_lloyds_mirror(self, spark):
-        """s_kmeans (distributed partial-sum Lloyd's) must agree with an
-        independent numpy implementation run from the same deterministic
-        init — assignments compared directly (float partial-sum order
-        can differ only in the last ulp, which moves no assignment on
-        this well-separated corpus)."""
+        """s_kmeans (distributed fixed-point partial-sum Lloyd's) must
+        agree BIT-EXACTLY with an independent numpy int64 mirror run
+        from the same deterministic init — assignments and distances
+        are exact integers, so any disagreement is a bug, not noise."""
+        import math
+
         from spark_sql_server_spark.operators.similarity import (
             _KMEANS_ITERS,
             _KMEANS_K,
@@ -169,24 +170,33 @@ class TestKMeans:
             .collect()
         )
         ids = np.array([r.vec_id for r in emb])
-        E = np.array([r.e for r in emb], dtype=np.float64)
+        E = np.floor(
+            np.array([r.e for r in emb], dtype=np.float64) * 1_000_000.0 + 0.5
+        ).astype(np.int64)
         C = E[: _KMEANS_K].copy()
         for _ in range(_KMEANS_ITERS):
             d2 = (E * E).sum(1)[:, None] - 2 * (E @ C.T) + (C * C).sum(1)[None, :]
             a = np.argmin(d2, axis=1)
             for c in range(_KMEANS_K):
                 if (a == c).any():
-                    C[c] = E[a == c].mean(axis=0)
+                    sub = E[a == c]
+                    n = len(sub)
+                    C[c] = [
+                        math.floor(float(s) / float(n))
+                        for s in sub.sum(axis=0).tolist()
+                    ]
         d2 = (E * E).sum(1)[:, None] - 2 * (E @ C.T) + (C * C).sum(1)[None, :]
-        expect = dict(zip(ids.tolist(), np.argmin(d2, axis=1).tolist()))
+        a = np.argmin(d2, axis=1)
+        expect = {
+            int(i): (int(c), int(d))
+            for i, c, d in zip(ids, a, d2[np.arange(len(a)), a])
+        }
 
         got = {
-            r.vec_id: r.cluster
+            r.vec_id: (r.cluster, r.dist2)
             for r in REGISTRY["s_kmeans"].fn(spark, SF_SMOKE).collect()
         }
-        assert len(got) == len(expect)
-        agree = sum(1 for k, v in expect.items() if got[k] == v) / len(expect)
-        assert agree >= 0.999, f"assignment agreement {agree}"
+        assert got == expect
 
     def test_iterations_reduce_inertia(self, spark):
         """Lloyd's guarantee: final within-cluster inertia must be well

@@ -274,103 +274,161 @@ def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NPROBE = 4
 
 
+def _ivf_micro_oracle(nq: int, nprobe: int, top_k: int, dim: int) -> str:
+    """DuckDB twin of the integer-L2 IVF probe: per-label micro-mean
+    centroids, nprobe nearest clusters per query, exact re-rank within
+    probed clusters — every quantity an exact int64."""
+    argmin1 = (
+        "SELECT vec_id, cluster FROM (SELECT vec_id, cluster, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn "
+        "FROM va) WHERE rn = 1"
+    )
+    return (
+        "WITH m AS (SELECT vec_id, label, list_transform(embedding, x -> "
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS e "
+        "FROM embeddings)"
+        f", dims AS (SELECT CAST(range AS INT) + 1 AS pos FROM range({dim}))"
+        ", pts AS (SELECT vec_id, label, pos, e[pos] AS v FROM m CROSS JOIN dims)"
+        ", cent AS (SELECT label AS cluster, pos, "
+        "CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c "
+        "FROM pts GROUP BY label, pos)"
+        f", q AS (SELECT vec_id AS qid, pos, v FROM pts WHERE vec_id < {nq})"
+        ", qc AS (SELECT q.qid, c.cluster, "
+        "CAST(SUM((q.v - c.c) * (q.v - c.c)) AS BIGINT) AS d2 "
+        "FROM q JOIN cent c ON q.pos = c.pos GROUP BY q.qid, c.cluster)"
+        ", probes AS (SELECT qid, cluster FROM (SELECT qid, cluster, "
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cluster) AS rn "
+        f"FROM qc) WHERE rn <= {nprobe})"
+        ", va AS (SELECT p.vec_id, c.cluster, "
+        "CAST(SUM((p.v - c.c) * (p.v - c.c)) AS BIGINT) AS d2 "
+        "FROM pts p JOIN cent c ON p.pos = c.pos GROUP BY p.vec_id, c.cluster)"
+        f", asg AS ({argmin1})"
+        ", cand AS (SELECT pr.qid, a.vec_id FROM asg a "
+        "JOIN probes pr ON a.cluster = pr.cluster WHERE a.vec_id <> pr.qid)"
+        ", scored AS (SELECT cd.qid, cd.vec_id, "
+        "CAST(SUM((p.v - q.v) * (p.v - q.v)) AS BIGINT) AS d2 "
+        "FROM cand cd JOIN pts p ON p.vec_id = cd.vec_id "
+        "JOIN q ON q.qid = cd.qid AND q.pos = p.pos "
+        "GROUP BY cd.qid, cd.vec_id)"
+        ", ranked AS (SELECT qid, vec_id, d2, ROW_NUMBER() OVER ("
+        "PARTITION BY qid ORDER BY d2, vec_id) AS rnk FROM scored)"
+        " SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor, "
+        f"d2 AS dist2 FROM ranked WHERE rnk <= {top_k} ORDER BY qid, rnk"
+    )
+
+
 @query(
     "s_ann_ivf",
-    oracle=None,  # approximate: recall vs brute force asserted in pytest
-    covers="north-star similarity search: IVF (coarse quantize → probe clusters)",
+    oracle=_ivf_micro_oracle(_N_QUERIES, _NPROBE, _TOP_K, 64),
+    covers="north-star similarity search: IVF (coarse quantize → probe "
+    "clusters), exact integer-L2 so probe + rank are oracle-certified",
     bench=True,
 )
 def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: centroids as the coarse codebook, queries probe
     their _NPROBE nearest clusters and rank only those clusters'
-    vectors.
+    vectors — the FAISS IVF-flat L2 formulation.
 
-    Scale shape: the codebook is one elementwise-mean aggregation
+    Scale shape: the codebook is one elementwise-sum aggregation
     (posexplode + groupBy(cluster, dim)) whose output is k×dim rows —
     small at any corpus size — collected and broadcast exactly like a
     k-means model would be. The query set is likewise constant-size
     (10 vectors). Ranking is then a single map-only corpus pass: one
     numpy matmul assigns each batch to its nearest centroid, a second
     scores it against the (≤ nprobe·|Q|) queries probing that cluster.
-    The r1 shape paid 1 + k interpreted HOF cosine folds per corpus
-    vector (assignment against every centroid, then re-rank); this pays
-    two matmul rows. No join, no shuffle of vectors.
+    No join, no shuffle of vectors.
+
+    r5: distances are exact int64 micro-space squared-L2 (ties break on
+    cluster id / vec_id), and centroids are floor(sum/count) of exact
+    integer sums — deterministic under any agg order, so probe
+    selection, cluster assignment, and the final top-k are all
+    DuckDB-oracle certified. Cosine ranking lives on in
+    `s_ann_bruteforce`/`s_ann_lsh`.
     """
     import numpy as np
 
     from pyspark.sql import types as T
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "label", f"{_EMB_MICRO_EXPR} AS m"
     )
-    # codebook: per-label elementwise mean (label standing in for a
-    # k-means assignment — deterministic and cheap)
+    # codebook: per-label elementwise micro-mean (label standing in for
+    # a k-means assignment — deterministic and cheap); integer sums →
+    # exact under any partial-agg order
     centroids = (
-        emb.select("label", F.posexplode("e").alias("pos", "v"))
+        emb.select("label", F.posexplode("m").alias("pos", "v"))
         .groupBy("label", "pos")
-        .agg(F.avg("v").alias("m"))
+        .agg(
+            F.expr(
+                "CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+            ).alias("cm")
+        )
         .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cm"))).alias("pm"))
         .select(
             F.col("label").alias("cluster"),
-            F.transform("pm", lambda s: s.m).alias("c"),
+            F.transform("pm", lambda s: s.cm).alias("c"),
         )
     ).collect()
     clusters = np.array([r.cluster for r in centroids], dtype=np.int64)
-    C = np.array([r.c for r in centroids], dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    C = np.array([r.c for r in centroids], dtype=np.int64)
 
-    qrows = emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "e").collect()
+    qrows = emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "m").collect()
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    Q = np.array([r.e for r in qrows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    # per query: the _NPROBE clusters it probes (centroid cosine desc,
-    # cluster id tiebreak — same ranking keys as the r1 window)
-    qsim = Qn @ Cn.T
-    order = np.lexsort((clusters[None, :].repeat(len(qids), 0), -qsim), axis=1)
+    Q = np.array([r.m for r in qrows], dtype=np.int64)
+    # per query: the _NPROBE clusters it probes (exact integer d2 asc,
+    # cluster id tiebreak)
+    qd2 = (Q * Q).sum(1)[:, None] - 2 * (Q @ C.T) + (C * C).sum(1)[None, :]
+    order = np.lexsort((clusters[None, :].repeat(len(qids), 0), qd2), axis=1)
     probed = order[:, :_NPROBE]  # (nq, nprobe) indices into clusters
-    # query j probes cluster-index c? → (n_clusters, nq) membership mask
     probes_mask = np.zeros((len(clusters), len(qids)), dtype=bool)
     for j in range(len(qids)):
         probes_mask[probed[j], j] = True
-    bq = spark.sparkContext.broadcast((qids, Qn, clusters, Cn, probes_mask))
+    bq = spark.sparkContext.broadcast((qids, Q, clusters, C, probes_mask))
 
     schema = T.StructType(
         [
             T.StructField("qid", T.LongType()),
             T.StructField("vec_id", T.LongType()),
-            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("dist2", T.LongType()),
         ]
     )
 
     def probe(batches):
         import pandas as pd
 
-        b_qids, b_qn, b_clusters, b_cn, b_mask = bq.value
+        b_qids, b_q, b_clusters, b_c, b_mask = bq.value
         for pdf in batches:
             if pdf.empty:
                 continue
             ids = pdf["vec_id"].to_numpy()
-            E = np.vstack(pdf["e"].to_numpy())
-            En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            csim = En @ b_cn.T  # (n, k)
+            E = np.vstack(pdf["m"].to_numpy()).astype(np.int64)
+            cd2 = (E * E).sum(1)[:, None] - 2 * (E @ b_c.T) + (b_c * b_c).sum(1)[None, :]
             # nearest centroid, cluster-id tiebreak (matches the oracle
-            # window): argmax over (-csim, cluster) lexicographic
-            assign = np.lexsort((b_clusters[None, :].repeat(len(ids), 0), -csim), axis=1)[:, 0]
+            # window ORDER BY d2, cluster)
+            assign = np.lexsort(
+                (b_clusters[None, :].repeat(len(ids), 0), cd2), axis=1
+            )[:, 0]
             cand = b_mask[assign]  # (n, nq): query probes this row's cluster
             cand &= ids[:, None] != b_qids[None, :]
             i, j = np.nonzero(cand)
             if i.size == 0:
                 continue
-            cos = np.round(np.einsum("ij,ij->i", En[i], b_qn[j]), 6)
-            yield pd.DataFrame({"qid": b_qids[j], "vec_id": ids[i], "cos_sim": cos})
+            diff = E[i] - b_q[j]
+            yield pd.DataFrame(
+                {
+                    "qid": b_qids[j],
+                    "vec_id": ids[i],
+                    "dist2": np.einsum("ij,ij->i", diff, diff),
+                }
+            )
 
-    scored = emb.select("vec_id", "e").mapInPandas(probe, schema=schema)
-    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    scored = emb.select("vec_id", "m").mapInPandas(probe, schema=schema)
+    w = W.partitionBy("qid").orderBy(F.col("dist2"), F.col("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _TOP_K)
-        .select("qid", "rnk", F.col("vec_id").alias("neighbor"), "cos_sim")
+        .select("qid", "rnk", F.col("vec_id").alias("neighbor"), "dist2")
         .orderBy("qid", "rnk")
     )
 

@@ -350,31 +350,57 @@ class TestAnnLsh:
 
 
 class TestAnnIvf:
-    def test_recall_vs_bruteforce(self, spark):
-        """This corpus has weak cluster structure (max pairwise cosine
-        ~0.5), so cluster membership barely predicts neighborhoods and
-        IVF recall degrades toward nprobe/k (= 0.4 here). The bound
-        asserts IVF does no worse than that floor; the mechanism itself
-        is exactly verified in test_cosines_match_bruteforce."""
-        brute = REGISTRY["s_ann_bruteforce"].fn(spark, SF_SMOKE).collect()
-        ivf = REGISTRY["s_ann_ivf"].fn(spark, SF_SMOKE).collect()
-        top1 = {(r.qid, r.neighbor) for r in brute if r.rnk == 1}
-        found = {(r.qid, r.neighbor) for r in ivf}
-        recall = len(top1 & found) / len(top1)
-        assert recall >= 0.3, f"IVF top-1 recall {recall}"
+    @staticmethod
+    def _micro_corpus(spark):
+        from spark_sql_server_spark.session import load_table
 
-    def test_cosines_match_bruteforce(self, spark):
-        """Mechanism correctness: any pair IVF returns must carry the
-        same cosine the brute-force computed for it."""
-        brute = {
-            (r.qid, r.neighbor): r.cos_sim
-            for r in REGISTRY["s_ann_bruteforce"].fn(spark, SF_SMOKE).collect()
-        }
+        rows = (
+            load_table(spark, SF_SMOKE, "embeddings")
+            .selectExpr("vec_id", "label", "CAST(embedding AS array<double>) e")
+            .orderBy("vec_id")
+            .collect()
+        )
+        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        labels = np.array([r.label for r in rows], dtype=np.int64)
+        E = np.floor(
+            np.array([r.e for r in rows], dtype=np.float64) * 1_000_000.0 + 0.5
+        ).astype(np.int64)
+        return ids, labels, E
+
+    def test_recall_vs_l2_bruteforce(self, spark):
+        """This corpus has weak cluster structure, so cluster membership
+        barely predicts neighborhoods and IVF recall degrades toward
+        nprobe/k. The bound asserts IVF does no worse than that floor;
+        plus the exact IVF guarantee: whenever the true L2 top-1's
+        cluster IS probed, IVF must return it at rank 1."""
+        from spark_sql_server_spark.operators.similarity import _N_QUERIES
+
+        ids, labels, E = self._micro_corpus(spark)
         ivf = REGISTRY["s_ann_ivf"].fn(spark, SF_SMOKE).collect()
-        shared = [r for r in ivf if (r.qid, r.neighbor) in brute]
-        assert shared, "IVF and brute force should overlap"
-        for r in shared:
-            assert abs(r.cos_sim - brute[(r.qid, r.neighbor)]) < 1e-9
+        found = {(r.qid, r.neighbor) for r in ivf}
+        rank1 = {r.qid: r.neighbor for r in ivf if r.rnk == 1}
+
+        hits = 0
+        qsel = ids < _N_QUERIES
+        for qi, qv in zip(ids[qsel], E[qsel]):
+            d2 = ((E - qv) ** 2).sum(axis=1)
+            cand = [(int(d2[i]), int(ids[i])) for i in range(len(ids)) if ids[i] != qi]
+            top1 = min(cand)[1]
+            if (int(qi), top1) in found:
+                hits += 1
+                assert rank1[qi] == top1  # exact guarantee when probed
+        assert hits / qsel.sum() >= 0.3, f"IVF top-1 recall {hits / qsel.sum()}"
+
+    def test_distances_exact(self, spark):
+        """Mechanism correctness: every returned dist2 must equal the
+        exact integer micro-space squared L2 recomputed in numpy."""
+        ids, labels, E = self._micro_corpus(spark)
+        byid = {int(i): E[k] for k, i in enumerate(ids)}
+        ivf = REGISTRY["s_ann_ivf"].fn(spark, SF_SMOKE).collect()
+        assert ivf
+        for r in ivf:
+            diff = byid[r.qid] - byid[r.neighbor]
+            assert r.dist2 == int((diff * diff).sum())
 
     def test_returns_k_per_query(self, spark):
         ivf = REGISTRY["s_ann_ivf"].fn(spark, SF_SMOKE).collect()

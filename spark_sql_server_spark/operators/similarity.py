@@ -916,22 +916,26 @@ _PQ_SHORTLIST = 50  # ADC shortlist size per query before exact re-rank
 
 
 def _pq_fit(spark: SparkSession, emb, m: int, k: int, iters: int):
-    """Per-subspace Lloyd's fit → (m, k, subdim) numpy codebook.
+    """Per-subspace fixed-point Lloyd's fit over ``emb`` (vec_id, m:
+    array<bigint> micros) → the (m, k, subdim) int64 codebook.
 
-    Same discipline as :func:`_kmeans_fit`: every round is ONE map-only
-    corpus pass emitting per-batch partial (subspace, cluster, sum,
-    count) rows — ≤ m·k rows per batch — and the driver folds only the
-    constant-size codebook. All m subspaces train in the same pass.
+    Same discipline as :func:`_kmeans_fit_micro`: every round is ONE
+    map-only corpus pass emitting per-batch partial (subspace, cluster,
+    sum, count) rows — ≤ m·k rows per batch — and the driver folds only
+    the constant-size codebook. All m subspaces train in the same pass.
     Deterministic init (subvectors of vec_id 0..k-1), first-minimum
-    tie-break.
+    tie-break; integer sums are exact and associative so the fit is
+    bit-identical under any partition/merge order (→ oracle-able).
     """
+    import math
+
     import numpy as np
 
     from pyspark.sql import types as T
 
     emb = emb.localCheckpoint()
     init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    X0 = np.array([r.e for r in init], dtype=np.float64)
+    X0 = np.array([r.m for r in init], dtype=np.int64)
     dim = X0.shape[1]
     sd = dim // m
     C = np.stack([X0[:, j * sd : (j + 1) * sd] for j in range(m)])  # (m, k, sd)
@@ -940,7 +944,7 @@ def _pq_fit(spark: SparkSession, emb, m: int, k: int, iters: int):
         [
             T.StructField("sub", T.IntegerType()),
             T.StructField("cluster", T.IntegerType()),
-            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("s", T.ArrayType(T.LongType())),
             T.StructField("n", T.LongType()),
         ]
     )
@@ -955,7 +959,7 @@ def _pq_fit(spark: SparkSession, emb, m: int, k: int, iters: int):
             for pdf in batches:
                 if pdf.empty:
                     continue
-                E = np.vstack(pdf["e"].to_numpy())
+                E = np.vstack(pdf["m"].to_numpy()).astype(np.int64)
                 sub, cl, ss, ns = [], [], [], []
                 for j in range(m):
                     S = E[:, j * sd : (j + 1) * sd]
@@ -979,22 +983,114 @@ def _pq_fit(spark: SparkSession, emb, m: int, k: int, iters: int):
         reduced = _tree_reduce_partials(
             emb.mapInPandas(partials(C), schema=part_schema), ["sub", "cluster"]
         ).collect()
-        sums = np.zeros_like(C)
-        counts = np.zeros((m, k))
+        nxt = C.copy()  # empty cells keep their previous centroid
+        counts: dict[tuple[int, int], int] = {}
         for r in reduced:
-            sums[r.sub, r.cluster, r.pos] = r.sv
             if r.pos == 0:
-                counts[r.sub, r.cluster] = r.cn
-        nonempty = counts > 0
-        C = np.where(
-            nonempty[:, :, None], sums / np.maximum(counts, 1)[:, :, None], C
-        )
+                counts[(r.sub, r.cluster)] = int(r.cn)
+        for r in reduced:
+            # mirror of SQL CAST(FLOOR(CAST(sv AS DOUBLE)/n) AS BIGINT)
+            nxt[r.sub, r.cluster, r.pos] = math.floor(
+                float(int(r.sv)) / float(counts[(r.sub, r.cluster)])
+            )
+        C = nxt
     return C
+
+
+def _pq_micro_oracle(
+    m: int, k: int, iters: int, nq: int, shortlist: int, top_k: int,
+    dim: int = _EMB_DIM,
+) -> str:
+    """DuckDB twin of the integer PQ pipeline: per-subspace fixed-point
+    Lloyd's (unrolled), encode, integer ADC shortlist, exact re-rank."""
+    sd = dim // m
+    argmin_vs = (
+        "SELECT vec_id, sub, cluster{extra} FROM (SELECT vec_id, sub, cluster, "
+        "{extra2}ROW_NUMBER() OVER (PARTITION BY vec_id, sub "
+        "ORDER BY d2, cluster) AS rn FROM {src}) WHERE rn = 1"
+    )
+    parts = [
+        "WITH mm AS (SELECT vec_id, list_transform(embedding, x -> "
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS e "
+        "FROM embeddings)",
+        f", dims AS (SELECT CAST(range AS INT) + 1 AS pos, "
+        f"CAST(range AS INT) // {sd} AS sub FROM range({dim}))",
+        ", pts AS (SELECT vec_id, sub, pos, e[pos] AS v FROM mm CROSS JOIN dims)",
+        ", c0 AS (SELECT CAST(vec_id AS INT) AS cluster, sub, pos, v "
+        f"FROM pts WHERE vec_id < {k})",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f", d{r} AS (SELECT p.vec_id, c.sub, c.cluster, "
+            "CAST(SUM((p.v - c.v) * (p.v - c.v)) AS BIGINT) AS d2 "
+            f"FROM pts p JOIN c{r - 1} c ON p.pos = c.pos "
+            "GROUP BY p.vec_id, c.sub, c.cluster)"
+        )
+        parts.append(
+            f", a{r} AS ("
+            + argmin_vs.format(src=f"d{r}", extra="", extra2="")
+            + ")"
+        )
+        parts.append(
+            f", s{r} AS (SELECT a.sub, a.cluster, p.pos, "
+            "CAST(SUM(p.v) AS BIGINT) AS sv, COUNT(*) AS n "
+            f"FROM pts p JOIN a{r} a ON p.vec_id = a.vec_id AND p.sub = a.sub "
+            "GROUP BY a.sub, a.cluster, p.pos)"
+        )
+        parts.append(
+            f", c{r} AS (SELECT c.cluster, c.sub, c.pos, "
+            "COALESCE(CAST(FLOOR(CAST(s.sv AS DOUBLE) / s.n) AS BIGINT), c.v) AS v "
+            f"FROM c{r - 1} c LEFT JOIN s{r} s "
+            "ON c.sub = s.sub AND c.cluster = s.cluster AND c.pos = s.pos)"
+        )
+    # every c{r} carries the centroid component as `v` (c0 inherits the
+    # name from pts), so assignment CTEs uniformly read c.v
+    parts.append(
+        ", dfin AS (SELECT p.vec_id, c.sub, c.cluster, "
+        "CAST(SUM((p.v - c.v) * (p.v - c.v)) AS BIGINT) AS d2 "
+        f"FROM pts p JOIN c{iters} c ON p.pos = c.pos "
+        "GROUP BY p.vec_id, c.sub, c.cluster)"
+    )
+    parts.append(
+        ", codes AS ("
+        + argmin_vs.format(src="dfin", extra="", extra2="")
+        + ")"
+    )
+    parts.append(
+        f", adct AS (SELECT vec_id AS qid, sub, cluster, d2 FROM dfin "
+        f"WHERE vec_id < {nq})"
+    )
+    parts.append(
+        ", adc AS (SELECT t.qid, cd.vec_id, "
+        "CAST(SUM(t.d2) AS BIGINT) AS adc_d2 "
+        "FROM codes cd JOIN adct t ON cd.sub = t.sub AND cd.cluster = t.cluster "
+        "WHERE cd.vec_id <> t.qid GROUP BY t.qid, cd.vec_id)"
+    )
+    parts.append(
+        ", short AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, "
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS rn "
+        f"FROM adc) WHERE rn <= {shortlist})"
+    )
+    parts.append(
+        ", exact AS (SELECT s.qid, s.vec_id, "
+        "CAST(SUM((p.v - q.v) * (p.v - q.v)) AS BIGINT) AS d2 "
+        "FROM short s JOIN pts p ON p.vec_id = s.vec_id "
+        "JOIN pts q ON q.vec_id = s.qid AND q.pos = p.pos "
+        "GROUP BY s.qid, s.vec_id)"
+    )
+    parts.append(
+        ", ranked AS (SELECT qid, vec_id, d2, ROW_NUMBER() OVER ("
+        "PARTITION BY qid ORDER BY d2, vec_id) AS rnk FROM exact)"
+        " SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor, "
+        f"d2 AS dist2 FROM ranked WHERE rnk <= {top_k} ORDER BY qid, rnk"
+    )
+    return "".join(parts)
 
 
 def pq_encode_mirror(E, C):
     """Pure-numpy PQ encoder (the pytest mechanism mirror): codes[i, j]
-    = nearest C[j] centroid of E[i]'s j-th subvector."""
+    = nearest C[j] centroid of E[i]'s j-th subvector (int64 micros,
+    exact arithmetic, first-minimum tie-break)."""
     import numpy as np
 
     m, _, sd = C.shape
@@ -1009,93 +1105,96 @@ def pq_encode_mirror(E, C):
 
 @query(
     "s_ann_pq",
-    oracle=None,  # float k-means codebooks are partial-agg-order
-    # dependent; mechanism verified in pytest against pq_encode_mirror,
-    # recall-floored vs s_ann_bruteforce
+    oracle=_pq_micro_oracle(
+        _PQ_M, _PQ_K, _PQ_ITERS, _N_QUERIES, _PQ_SHORTLIST, _TOP_K
+    ),
     covers="north-star similarity: product-quantization ANN — 4-byte "
-    "codes, asymmetric-distance shortlist, exact re-rank",
+    "codes, integer asymmetric-distance shortlist, exact re-rank; fit + "
+    "encode + ADC + re-rank all oracle-certified",
 )
 def s_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-compressed approximate nearest neighbors.
+    """PQ-compressed approximate nearest neighbors (FAISS PQx8 L2
+    formulation).
 
     The corpus compresses to m=8 4-bit codes per vector (16× smaller
     than the float64 rows) in one map-only encode pass; each query
-    builds an (m × k) asymmetric-distance table and scores every code
-    with table GATHERS — no float reconstruction, no join. The ADC
-    shortlist (top {_PQ_SHORTLIST}/query on approximate cosine) then
-    re-ranks exactly, bounding exact-cosine work to shortlist size.
-    Scale: codebook fit is the map-only Lloyd's loop (driver folds an
-    (8×16×8) codebook); encode and scoring are embarrassingly parallel
-    scans of the compressed codes — the memory-bound regime PQ exists
-    for.
+    builds an (m × k) asymmetric-distance table (exact integer
+    micro-space squared-L2 to every subspace centroid) and scores every
+    code with table GATHERS — no reconstruction, no join. The ADC
+    shortlist (top _PQ_SHORTLIST/query on ADC distance) then re-ranks
+    exactly, bounding exact-distance work to shortlist size.
+    Scale: codebook fit is the map-only fixed-point Lloyd's loop
+    (driver folds an (8×16×8) codebook); encode and scoring are
+    embarrassingly parallel scans of the compressed codes — the
+    memory-bound regime PQ exists for.
+
+    r5: int64 micro arithmetic end-to-end makes fit, encode, ADC
+    shortlist, and the exact re-rank deterministic under any agg order
+    → the whole pipeline is DuckDB-oracle certified (the oracle unrolls
+    the per-subspace Lloyd's rounds in SQL).
     """
     import numpy as np
 
     from pyspark.sql import types as T
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{_EMB_MICRO_EXPR} AS m"
     )
     C = _pq_fit(spark, emb, _PQ_M, _PQ_K, _PQ_ITERS)
     m, k, sd = C.shape
 
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).orderBy("vec_id").collect()
-    Q = np.array([r.e for r in queries], dtype=np.float64)
+    Q = np.array([r.m for r in queries], dtype=np.int64)
     qids = np.array([r.vec_id for r in queries])
-    # ADC tables: ip_tab[q, j, c] = <Q[q]_j, C[j, c]>; centroid norms
-    # approximate the database vector norm via its reconstruction
-    ip_tab = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, sd), C)
-    cnorm2 = (C * C).sum(axis=2)  # (m, k)
-    qnorm = np.sqrt((Q * Q).sum(1))
+    # ADC tables: adc_tab[q, j, c] = exact ||Q[q]_j - C[j, c]||² (int64)
+    Qs = Q.reshape(len(Q), m, sd)
+    diff = Qs[:, :, None, :] - C[None, :, :, :]  # (nq, m, k, sd)
+    adc_tab = (diff * diff).sum(axis=3)  # (nq, m, k) int64
 
-    bc = spark.sparkContext.broadcast((C, ip_tab, cnorm2, qnorm, qids))
+    bc = spark.sparkContext.broadcast((C, adc_tab, qids))
     score_schema = T.StructType(
         [
             T.StructField("qid", T.LongType()),
             T.StructField("vec_id", T.LongType()),
-            T.StructField("approx_sim", T.DoubleType()),
+            T.StructField("adc_d2", T.LongType()),
         ]
     )
 
     def adc_score(batches):
         import pandas as pd
 
-        Cb, ipt, cn2, qn, qid_arr = bc.value
-
-        def encode(E):
-            return pq_encode_mirror(E, Cb)
+        Cb, adct, qid_arr = bc.value
 
         for pdf in batches:
             if pdf.empty:
                 continue
-            E = np.vstack(pdf["e"].to_numpy())
-            codes = encode(E)  # (n, m)
+            E = np.vstack(pdf["m"].to_numpy()).astype(np.int64)
+            codes = pq_encode_mirror(E, Cb)  # (n, m)
             rows = np.arange(m)[None, :]
-            # approx dot: gather per subspace table entries and sum
-            approx_ip = ipt[:, rows, codes].sum(axis=2)  # (n_q, n)
-            rnorm = np.sqrt(cn2[rows, codes].sum(axis=1))  # (n,) reconstruction norm
-            sim = approx_ip / (qn[:, None] * np.maximum(rnorm, 1e-12)[None, :])
+            # ADC distance: gather per-subspace table entries and sum
+            d2 = adct[:, rows, codes].sum(axis=2)  # (n_q, n) int64
             n = E.shape[0]
             vid = pdf["vec_id"].to_numpy()
-            out = {
-                "qid": np.repeat(qid_arr, n),
-                "vec_id": np.tile(vid, len(qid_arr)),
-                "approx_sim": sim.ravel(),
-            }
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qid_arr, n),
+                    "vec_id": np.tile(vid, len(qid_arr)),
+                    "adc_d2": d2.ravel(),
+                }
+            )
 
     scored = emb.mapInPandas(adc_score, schema=score_schema).filter(
         F.col("qid") != F.col("vec_id")
     )
-    wq = W.partitionBy("qid").orderBy(F.col("approx_sim").desc(), F.col("vec_id"))
+    wq = W.partitionBy("qid").orderBy(F.col("adc_d2"), F.col("vec_id"))
     shortlist = (
         scored.withColumn("srnk", F.row_number().over(wq))
         .filter(F.col("srnk") <= _PQ_SHORTLIST)
         .select("qid", "vec_id")
     )
-    # exact re-rank of the shortlist only
+    # exact integer re-rank of the shortlist only
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+        F.col("vec_id").alias("qid"), F.col("m").alias("qm")
     )
     exact = (
         shortlist.join(emb, "vec_id")
@@ -1103,13 +1202,17 @@ def s_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            F.round(cosine_sim(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+            F.aggregate(
+                F.zip_with("qm", "m", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dist2"),
         )
     )
-    wf = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    wf = W.partitionBy("qid").orderBy(F.col("dist2"), F.col("vec_id"))
     return (
         exact.withColumn("rnk", F.row_number().over(wf).cast("long"))
         .filter(F.col("rnk") <= _TOP_K)
-        .select("qid", "rnk", F.col("vec_id").alias("neighbor"), "cos_sim")
+        .select("qid", "rnk", F.col("vec_id").alias("neighbor"), "dist2")
         .orderBy("qid", "rnk")
     )

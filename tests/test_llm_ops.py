@@ -411,26 +411,43 @@ class TestAnnIvf:
 
 
 class TestAnnPq:
-    def test_recall_vs_bruteforce(self, spark):
-        """At SF_SMOKE the ADC shortlist (50) covers the whole corpus,
-        so any recall loss would be a quantization-ranking bug; at
-        sf0.01 measured recall@5 is 0.72 / top-1 0.9 on this
-        weak-structure corpus (same caveat as the LSH/IVF floors)."""
-        brute = REGISTRY["s_ann_bruteforce"].fn(spark, SF_SMOKE).collect()
+    def test_recall_vs_l2_bruteforce(self, spark):
+        """At SF_SMOKE the ADC shortlist (50) covers most of the corpus,
+        so the true L2 top-1 should usually survive quantization into
+        the shortlist and win the exact re-rank."""
+        from spark_sql_server_spark.operators.similarity import _N_QUERIES
+        from spark_sql_server_spark.session import load_table
+
+        rows = (
+            load_table(spark, SF_SMOKE, "embeddings")
+            .selectExpr("vec_id", "CAST(embedding AS array<double>) e")
+            .orderBy("vec_id")
+            .collect()
+        )
+        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        E = np.floor(
+            np.array([r.e for r in rows], dtype=np.float64) * 1_000_000.0 + 0.5
+        ).astype(np.int64)
         pq = REGISTRY["s_ann_pq"].fn(spark, SF_SMOKE).collect()
-        top1 = {(r.qid, r.neighbor) for r in brute if r.rnk == 1}
         found = {(r.qid, r.neighbor) for r in pq}
-        recall = len(top1 & found) / len(top1)
-        assert recall >= 0.9, f"PQ top-1 recall {recall} (full-corpus shortlist)"
+        hits = total = 0
+        for qi, qv in zip(ids[ids < _N_QUERIES], E[ids < _N_QUERIES]):
+            d2 = ((E - qv) ** 2).sum(axis=1)
+            cand = [(int(d2[i]), int(ids[i])) for i in range(len(ids)) if ids[i] != qi]
+            top1 = min(cand)[1]
+            total += 1
+            hits += (int(qi), top1) in found
+        assert hits / total >= 0.9, f"PQ top-1 recall {hits / total}"
 
     def test_full_numpy_mirror(self, spark):
-        """Mechanism: the whole PQ pipeline (fit → encode → ADC
+        """Mechanism: the whole integer PQ pipeline (fit → encode → ADC
         shortlist → exact re-rank) reproduced in pure numpy from the
-        same codebook must yield the same neighbors and cosines."""
+        same codebook must yield the same neighbors and distances —
+        exact equality, everything is int64."""
         import numpy as np
 
-        from pyspark.sql import functions as F
         from spark_sql_server_spark.operators.similarity import (
+            _EMB_MICRO_EXPR,
             _N_QUERIES,
             _PQ_ITERS,
             _PQ_K,
@@ -442,49 +459,40 @@ class TestAnnPq:
         )
         from spark_sql_server_spark.session import load_table
 
-        emb = load_table(spark, SF_SMOKE, "embeddings").select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        emb = load_table(spark, SF_SMOKE, "embeddings").selectExpr(
+            "vec_id", f"{_EMB_MICRO_EXPR} AS m"
         )
         C = _pq_fit(spark, emb, _PQ_M, _PQ_K, _PQ_ITERS)
         rows = sorted(emb.collect(), key=lambda r: r.vec_id)
-        E = np.array([r.e for r in rows])
+        E = np.array([r.m for r in rows], dtype=np.int64)
         vid = np.array([r.vec_id for r in rows])
         codes = pq_encode_mirror(E, C)
         m, k, sd = C.shape
-        Q = E[vid < _N_QUERIES]
-        ip_tab = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, sd), C)
-        cnorm2 = (C * C).sum(axis=2)
+        qsel = vid < _N_QUERIES
+        Q = E[qsel]
+        Qs = Q.reshape(len(Q), m, sd)
+        dtab = ((Qs[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
         rows_idx = np.arange(m)[None, :]
-        approx = ip_tab[:, rows_idx, codes].sum(axis=2)
-        rnorm = np.sqrt(cnorm2[rows_idx, codes].sum(axis=1))
-        qnorm = np.sqrt((Q * Q).sum(1))
-        sim = approx / (qnorm[:, None] * np.maximum(rnorm, 1e-12)[None, :])
+        adc = dtab[:, rows_idx, codes].sum(axis=2)  # (nq, n) int64
 
         expected = {}
         for qi in range(len(Q)):
             order = sorted(
                 (i for i in range(len(vid)) if vid[i] != qi),
-                key=lambda i: (-sim[qi, i], vid[i]),
+                key=lambda i: (int(adc[qi, i]), vid[i]),
             )[:_PQ_SHORTLIST]
             exact = sorted(
                 order,
-                key=lambda i: (
-                    -round(
-                        float(
-                            E[qi] @ E[i]
-                            / (np.linalg.norm(E[qi]) * np.linalg.norm(E[i]))
-                        ),
-                        6,
-                    ),
-                    vid[i],
-                ),
+                key=lambda i: (int(((E[qi] - E[i]) ** 2).sum()), vid[i]),
             )[:_TOP_K]
-            expected[qi] = [int(vid[i]) for i in exact]
+            expected[qi] = [
+                (int(vid[i]), int(((E[qi] - E[i]) ** 2).sum())) for i in exact
+            ]
 
         got = REGISTRY["s_ann_pq"].fn(spark, SF_SMOKE).collect()
         by_q: dict[int, list] = {}
         for r in sorted(got, key=lambda r: (r.qid, r.rnk)):
-            by_q.setdefault(r.qid, []).append(r.neighbor)
+            by_q.setdefault(r.qid, []).append((r.neighbor, r.dist2))
         assert by_q == expected
 
 

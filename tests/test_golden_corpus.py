@@ -642,6 +642,238 @@ CORPUS: list[tuple[str, str | None]] = [
     ),
 ]
 
+# --------------------------------------------------------------------------
+# wave 5 — subquery/ directory ports (NOT IN null-semantics unit tests,
+# EXISTS variants, IN with group-by/having/set-ops, scalar subqueries).
+# Reference: sql-tests/inputs/subquery/{in,exists,scalar}-subquery/*.sql,
+# runner contract SQLServerQueryTestSuite.scala:42-480. The m/s tables
+# reproduce not-in-unit-tests-single-column.sql's fixtures inline.
+# --------------------------------------------------------------------------
+
+_M_S = (
+    "WITH m AS (SELECT * FROM (VALUES (CAST(NULL AS INT), 1.0), (2, 3.0), "
+    "(4, 5.0)) AS m(a, b)), "
+    "s AS (SELECT * FROM (VALUES (CAST(NULL AS INT), 1.0), (2, 3.0), "
+    "(6, 7.0)) AS s(c, d)) "
+)
+
+CORPUS += [
+    # NOT IN case 1: empty subquery → all rows returned
+    (
+        _M_S + "SELECT a, b FROM m WHERE a NOT IN "
+        "(SELECT c FROM s WHERE d > 10.0) ORDER BY a NULLS FIRST",
+        None,
+    ),
+    # NOT IN case 2: subquery includes NULL → no rows returned
+    (_M_S + "SELECT a, b FROM m WHERE a NOT IN (SELECT c FROM s)", None),
+    # NOT IN cases 3-5: no NULL in subquery → NULL left side and matches
+    # drop, non-matches survive
+    (
+        _M_S + "SELECT a, b FROM m WHERE a NOT IN "
+        "(SELECT c FROM s WHERE c IS NOT NULL) ORDER BY a",
+        None,
+    ),
+    # correlated NOT IN: per-row subquery (empty / null / match)
+    (
+        _M_S + "SELECT a, b FROM m WHERE a NOT IN "
+        "(SELECT c FROM s WHERE d = b) ORDER BY a",
+        None,
+    ),
+    (
+        _M_S + "SELECT a, b FROM m WHERE b NOT IN "
+        "(SELECT d FROM s WHERE d > 4.0) ORDER BY b",
+        None,
+    ),
+    # correlated NOT IN reduced to empty subquery → all rows
+    (
+        _M_S + "SELECT a, b FROM m WHERE a NOT IN "
+        "(SELECT c FROM s WHERE d > b + 10.0) ORDER BY a NULLS FIRST",
+        None,
+    ),
+    # multi-column NOT IN (null tuple semantics): the (NULL, 1.0) tuple
+    # compares UNKNOWN against itself → that row drops, the others
+    # survive. DuckDB can't bind row-value IN subqueries, so the
+    # expectation is a literal.
+    (
+        _M_S + "SELECT count(*) AS n FROM m WHERE (a, b) NOT IN "
+        "(SELECT c, d FROM s WHERE d < 2.0)",
+        "SELECT 2 AS n",
+    ),
+    # IN with NULL on the left drops the row (three-valued logic)
+    (_M_S + "SELECT count(*) AS n FROM m WHERE a IN (SELECT c FROM s)", None),
+    # exists-aggregate.sql: correlated EXISTS over an aggregated subquery
+    (
+        "SELECT count(*) AS n FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "HAVING count(*) > 5)",
+        None,
+    ),
+    # exists-orderby-limit.sql: LIMIT inside correlated EXISTS
+    (
+        "SELECT count(*) AS n FROM nation n WHERE EXISTS "
+        "(SELECT r_regionkey FROM region r WHERE r.r_regionkey = n.n_regionkey "
+        "ORDER BY r_name LIMIT 1)",
+        None,
+    ),
+    # exists-within-and-or.sql: disjunction of EXISTS predicates
+    (
+        "SELECT count(*) AS n FROM supplier s WHERE EXISTS "
+        "(SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey "
+        "AND l.l_quantity > 45) OR EXISTS (SELECT 1 FROM nation n "
+        "WHERE n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_0')",
+        None,
+    ),
+    # exists-cte.sql: EXISTS probing a CTE
+    (
+        "WITH big AS (SELECT o_custkey FROM orders GROUP BY o_custkey "
+        "HAVING count(*) > 10) SELECT count(*) AS n FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)",
+        None,
+    ),
+    # NOT EXISTS anti-join
+    (
+        "SELECT count(*) AS n FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+        None,
+    ),
+    # in-group-by.sql
+    (
+        "SELECT n_regionkey, count(*) AS n FROM nation WHERE n_regionkey IN "
+        "(SELECT r_regionkey FROM region WHERE r_name <> 'ASIA') "
+        "GROUP BY n_regionkey ORDER BY n_regionkey",
+        None,
+    ),
+    # in-having.sql
+    (
+        "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey "
+        "HAVING o_custkey IN (SELECT c_custkey FROM customer "
+        "WHERE c_acctbal > 9000) ORDER BY o_custkey LIMIT 5",
+        None,
+    ),
+    # in-set-operations.sql
+    (
+        "SELECT count(*) AS n FROM nation WHERE n_nationkey IN "
+        "(SELECT r_regionkey FROM region UNION SELECT n_regionkey FROM nation)",
+        None,
+    ),
+    # in-limit.sql: LIMIT inside the IN subquery
+    (
+        "SELECT count(*) AS n FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer ORDER BY c_acctbal DESC, c_custkey "
+        "LIMIT 10)",
+        None,
+    ),
+    # in-joins.sql
+    (
+        "SELECT n.n_name FROM nation n JOIN region r "
+        "ON n.n_regionkey = r.r_regionkey WHERE n.n_nationkey IN "
+        "(SELECT s_nationkey FROM supplier) ORDER BY n.n_name LIMIT 5",
+        None,
+    ),
+    # nested IN subqueries
+    (
+        "SELECT count(*) AS n FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_nationkey IN "
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey = 0))",
+        None,
+    ),
+    # IN subquery under OR with another predicate
+    (
+        "SELECT count(*) AS n FROM nation WHERE n_regionkey IN "
+        "(SELECT r_regionkey FROM region WHERE r_name = 'ASIA') "
+        "OR n_nationkey < 3",
+        None,
+    ),
+    # scalar-subquery-select.sql: correlated scalar in the SELECT list
+    (
+        "SELECT c_custkey, (SELECT count(*) FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey) AS n FROM customer c "
+        "ORDER BY c_custkey LIMIT 5",
+        None,
+    ),
+    # scalar-subquery-predicate.sql
+    (
+        "SELECT o_orderkey FROM orders WHERE o_totalprice = "
+        "(SELECT max(o_totalprice) FROM orders)",
+        None,
+    ),
+    # scalar subquery inside CASE
+    (
+        "SELECT CASE WHEN (SELECT count(*) FROM region) = 5 "
+        "THEN 'five' ELSE 'other' END AS v",
+        None,
+    ),
+    # empty scalar subquery yields NULL, not an error
+    (
+        "SELECT (SELECT n_name FROM nation WHERE n_nationkey = -1) AS v",
+        None,
+    ),
+]
+
+# --------------------------------------------------------------------------
+# wave 5 — typeCoercion/native ports. Expected values come from the
+# reference's own golden outputs (sql-tests/results/typeCoercion/native/
+# *.sql.out); literal oracles are used where DuckDB's coercion rules
+# diverge from Spark's (that divergence is exactly what these pin).
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    # promoteStrings.sql.out q3 — the Spark 3 golden says string + int
+    # → double ('2.0'); under Spark 4's default ANSI mode the string
+    # literal coerces to the integral operand type instead, so the
+    # modern answer is integral '2'. Pinned to the engine we run on.
+    ("SELECT '1' + CAST(1 AS INT) AS v", "SELECT '2' AS v"),
+    # division.sql.out q1: integer / integer → double (Spark semantics,
+    # kept by the reference — NOT PG integer division)
+    ("SELECT CAST(1 AS TINYINT) / CAST(1 AS TINYINT) AS v", "SELECT '1.0' AS v"),
+    ("SELECT 1/2 AS a, CAST(7 AS BIGINT)/2 AS b", "SELECT '0.5' AS a, '3.5' AS b"),
+    # binaryComparison.sql.out q86: string vs int compares as int
+    ("SELECT '2' > CAST(1 AS INT) AS v", "SELECT 't' AS v"),
+    # inConversion.sql.out q25
+    ("SELECT CAST(1 AS INT) IN (CAST(1 AS TINYINT)) AS v", None),
+    # decimalPrecision.sql.out: add widens to max scale
+    ("SELECT CAST(1 AS DECIMAL(10,2)) + CAST(1 AS DECIMAL(5,3)) AS v", None),
+    # caseWhenCoercion.sql.out: branches widen to int
+    (
+        "SELECT CASE WHEN 1 = 1 THEN CAST(1 AS SMALLINT) "
+        "ELSE CAST(2 AS INT) END AS v",
+        None,
+    ),
+    # ifCoercion.sql.out: smallint vs decimal widens to decimal
+    ("SELECT if(true, CAST(1 AS SMALLINT), 2.0) AS v", "SELECT '1.0' AS v"),
+    # implicitTypeCasts.sql.out: int + string — integral under Spark 4
+    # ANSI (the Spark 3 golden's '3.0' predates ANSI-by-default)
+    ("SELECT 1 + '2' AS v", "SELECT '3' AS v"),
+    # concat.sql.out: non-string args stringify
+    ("SELECT concat('a', 1, CAST(2.5 AS DOUBLE)) AS v", "SELECT 'a12.5' AS v"),
+    # elt.sql.out
+    ("SELECT elt(2, 'scala', 'java') AS v", "SELECT 'java' AS v"),
+    # stringCastAndExpressions.sql.out: abs('-3.5') casts to double
+    ("SELECT abs('-3.5') AS v", "SELECT '3.5' AS v"),
+    # arrayJoin.sql.out
+    ("SELECT array_join(array('x', 'y'), '-') AS v", "SELECT 'x-y' AS v"),
+    # widenSetOperationTypes.sql.out: int UNION double widens
+    (
+        "SELECT v FROM (SELECT CAST(1 AS INT) AS v "
+        "UNION ALL SELECT CAST(2.5 AS DOUBLE)) t ORDER BY v",
+        "SELECT '1.0' AS v UNION ALL SELECT '2.5' AS v",
+    ),
+    # windowFrameCoercion.sql.out: numeric RANGE frame over double
+    (
+        "SELECT count(*) OVER (ORDER BY a RANGE BETWEEN CURRENT ROW "
+        "AND 1 FOLLOWING) AS n FROM (VALUES (CAST(1 AS DOUBLE)), "
+        "(CAST(1.5 AS DOUBLE)), (CAST(3 AS DOUBLE))) t(a) ORDER BY a",
+        None,
+    ),
+    # dateTimeOperations.sql.out: date + day interval stays a date
+    (
+        "SELECT CAST('2017-08-01' AS DATE) + INTERVAL '7' DAY AS d",
+        "SELECT '2017-08-08' AS d",
+    ),
+    # booleanEquality via coercion of the string literal
+    ("SELECT CAST('true' AS BOOLEAN) = true AS v", None),
+]
+
 
 @pytest.fixture(scope="module")
 def server(spark):

@@ -746,6 +746,133 @@ def _rewrite_array_literals(toks: list[Tok]) -> list[Tok]:
     return toks
 
 
+def _rewrite_subscripts(toks: list[Tok]) -> list[Tok]:
+    """PG array subscripts are 1-based and yield NULL out of bounds;
+    Spark's ``expr[i]`` is 0-based and ERRORS under ANSI mode. Rewrite
+    ``expr[i]`` → ``try_element_at(expr, i)`` (identical semantics for
+    positive indexes) and ``ARRAY[...]`` constructors → ``array(...)``.
+
+    pgjdbc's implicit bootstrap query hits this directly —
+    ``(current_schemas(false))[s.r]`` (reference catalog.scala:294-307
+    quotes it); without the rewrite the driver's first metadata query
+    dies with INVALID_ARRAY_INDEX. Slices (``a[1:2]``) are left
+    untouched. Chained subscripts resolve over repeated passes."""
+    changed = True
+    while changed:
+        changed = False
+        out: list[Tok] = []
+        i, n = 0, len(toks)
+        while i < n:
+            t = toks[i]
+            if t.text != "[":
+                out.append(t)
+                i += 1
+                continue
+            j = len(out) - 1
+            while j >= 0 and not _is_code(out[j]):
+                j -= 1
+            if j < 0:
+                out.append(t)
+                i += 1
+                continue
+            prev = out[j]
+            # matching ] (strings/comments are single tokens already)
+            depth, k = 0, i
+            while k < n:
+                if toks[k].text == "[":
+                    depth += 1
+                elif toks[k].text == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if k >= n:
+                out.append(t)
+                i += 1
+                continue
+            inner = toks[i + 1 : k]
+            if prev.kind == "word" and prev.text.upper() == "ARRAY":
+                out[j] = Tok("word", "array")
+                out.append(Tok("op", "("))
+                out.extend(inner)
+                out.append(Tok("op", ")"))
+                i = k + 1
+                changed = True
+                continue
+            if any(x.text == ":" for x in inner):  # PG slice — keep as-is
+                out.append(t)
+                i += 1
+                continue
+            base_start: int | None = None
+            if prev.text == ")":
+                pdepth = 0
+                for b in range(j, -1, -1):
+                    if out[b].text == ")":
+                        pdepth += 1
+                    elif out[b].text == "(":
+                        pdepth -= 1
+                        if pdepth == 0:
+                            base_start = b
+                            break
+                if base_start is not None:
+                    # f(x)[i]: include the function name (+ dotted chain)
+                    # — but never a keyword like SELECT/WHERE before a
+                    # plain parenthesized expression
+                    p = base_start - 1
+                    while p >= 0 and not _is_code(out[p]):
+                        p -= 1
+                    while p >= 0 and (
+                        out[p].kind == "qident"
+                        or (
+                            out[p].kind == "word"
+                            and out[p].text.upper() not in _NON_FUNCTION_KEYWORDS
+                        )
+                    ):
+                        base_start = p
+                        p -= 1
+                        while p >= 0 and not _is_code(out[p]):
+                            p -= 1
+                        if p >= 0 and out[p].text == ".":
+                            p -= 1
+                            while p >= 0 and not _is_code(out[p]):
+                                p -= 1
+                        else:
+                            break
+            elif prev.kind in ("word", "qident"):
+                base_start = j
+                p = j - 1
+                while p >= 0 and not _is_code(out[p]):
+                    p -= 1
+                while p >= 0 and out[p].text == ".":
+                    p -= 1
+                    while p >= 0 and not _is_code(out[p]):
+                        p -= 1
+                    if p >= 0 and out[p].kind in ("word", "qident"):
+                        base_start = p
+                        p -= 1
+                        while p >= 0 and not _is_code(out[p]):
+                            p -= 1
+                    else:
+                        break
+            if base_start is None:
+                out.append(t)
+                i += 1
+                continue
+            base = out[base_start:]
+            del out[base_start:]
+            out.append(Tok("word", "try_element_at"))
+            out.append(Tok("op", "("))
+            out.extend(base)
+            out.append(Tok("op", ","))
+            out.append(Tok("ws", " "))
+            out.extend(inner)
+            out.append(Tok("op", ")"))
+            i = k + 1
+            changed = True
+        toks = out
+    return toks
+
+
 def _rewrite_escape_strings(toks: list[Tok]) -> list[Tok]:
     """PG escape-string literals ``E'\\n'`` → plain ``'\\n'`` — Spark's
     default dialect already processes backslash escapes in strings."""
@@ -941,6 +1068,7 @@ def rewrite_sql(sql: str, params: bool = True) -> str:
     toks = _rewrite_array_subquery(toks)
     toks = _rewrite_eq_any(toks)
     toks = _rewrite_array_literals(toks)
+    toks = _rewrite_subscripts(toks)
     toks = _rewrite_escape_strings(toks)
     toks = _rewrite_qualified_system_functions(toks)
     toks = _rewrite_quoted_identifiers(toks)

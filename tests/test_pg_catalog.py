@@ -126,9 +126,10 @@ class TestJdbcMetadataShapes:
 
     def test_namespace_series_join(self, spark):
         """generate_series + array_upper + current_schemas combo from the
-        same driver query family."""
+        same driver query family — PG 1-based subscripts, as the driver
+        writes them (the rewriter maps them to try_element_at)."""
         sql = """
-            SELECT s.r, current_schemas(false)[s.r - 1] AS nspname
+            SELECT s.r, current_schemas(false)[s.r] AS nspname
             FROM generate_series(1, array_upper(current_schemas(false), 1)) AS s(r)
         """
         rows = spark.sql(rewrite_sql(sql)).collect()

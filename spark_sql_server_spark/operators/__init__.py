@@ -56,9 +56,11 @@ _DRIVER_SAMPLE_PRIORITY = [
     # (cents cast: FLOOR(x*100+0.5) replaces the engine-dependent
     # double→BIGINT truncation the r4 advisor flagged)
     "sk_quantile_bands",
-    # new operators added in r5 (never sampled by construction) are
-    # inserted here as they land; remaining slots are anchors with a
-    # continuous driver record (cheap cross-round stability signal)
+    # new operators added in r5 (never sampled by construction)
+    "qds11_yoy_growth", "qds23_cte_reuse", "qds95_reused_subquery",
+    "qds72_wide_dim_join",
+    # remaining slots are anchors with a continuous driver record
+    # (cheap cross-round stability signal)
     "q1_pricing_summary", "q3_shipping_priority",
     "pipe_curate_corpus", "pipe_build_dataset",
     "st_sessionize_stream", "d_dedup_exact",

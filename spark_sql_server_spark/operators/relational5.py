@@ -33,7 +33,7 @@ from pyspark.sql.window import Window as W
 
 from spark_sql_server_spark.operators.registry import query
 from spark_sql_server_spark.operators.relational import DSUM, dsum
-from spark_sql_server_spark.session import load_table
+from spark_sql_server_spark.session import load_table, register_tables
 
 # --------------------------------------------------------------------------
 # q63 shape: window function over aggregate — monthly brand sales that
@@ -387,3 +387,211 @@ def qds81_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_name", "c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q4/q11 shape: year-over-year growth — one UNION ALL CTE self-joined
+# four ways, growth ratios compared across channels.
+# --------------------------------------------------------------------------
+
+_QDS11_SQL = f"""
+    WITH year_total AS (
+      SELECT o_custkey AS customer_id,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS dyear,
+             {DSUM('l_extendedprice * (1 - l_discount)')} AS year_total,
+             's' AS sale_type
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag <> 'R'
+      GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate)
+      UNION ALL
+      SELECT o_custkey AS customer_id,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS dyear,
+             {DSUM('l_extendedprice * (1 - l_discount)')} AS year_total,
+             'r' AS sale_type
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+      GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate)
+    )
+    SELECT t_s_secyear.customer_id,
+           t_s_firstyear.year_total AS s_first,
+           t_s_secyear.year_total AS s_sec,
+           t_r_firstyear.year_total AS r_first,
+           t_r_secyear.year_total AS r_sec
+    FROM year_total t_s_firstyear, year_total t_s_secyear,
+         year_total t_r_firstyear, year_total t_r_secyear
+    WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_r_secyear.customer_id
+      AND t_s_firstyear.customer_id = t_r_firstyear.customer_id
+      AND t_s_firstyear.sale_type = 's' AND t_s_secyear.sale_type = 's'
+      AND t_r_firstyear.sale_type = 'r' AND t_r_secyear.sale_type = 'r'
+      AND t_s_firstyear.dyear = 1996 AND t_s_secyear.dyear = 1997
+      AND t_r_firstyear.dyear = 1996 AND t_r_secyear.dyear = 1997
+      AND t_s_firstyear.year_total > 0 AND t_r_firstyear.year_total > 0
+      AND t_r_secyear.year_total / t_r_firstyear.year_total
+          > t_s_secyear.year_total / t_s_firstyear.year_total
+    ORDER BY t_s_secyear.customer_id
+    LIMIT 100
+"""
+
+
+@query(
+    "qds11_yoy_growth",
+    oracle=_QDS11_SQL,
+    covers="§2.B TPC-DS q4/q11 shape: UNION ALL CTE self-joined four "
+    "ways, year-over-year growth-ratio comparison across channels",
+)
+def qds11_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose 'returns channel' revenue grew faster from 1996
+    to 1997 than their regular-sales revenue (q11's exact join/predicate
+    topology; returnflag stands in for the store/web channel split).
+
+    Determinism: each year_total is an exact DECIMAL(38,6) sum rendered
+    to DOUBLE, so the growth-ratio comparison is one IEEE division per
+    side — identical in both engines, no rounding needed. Catalyst
+    collapses the four CTE references into one aggregated subplan
+    scanned four times (or reused via exchange reuse under AQE); the
+    join graph is all-equi on customer_id so no cartesian appears
+    (plan-gated).
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS11_SQL)
+
+
+# --------------------------------------------------------------------------
+# q23 shape: multi-level CTE reuse — two expensive CTEs (frequent items,
+# best customers vs a global scalar threshold) each consumed by both
+# branches of a UNION ALL.
+# --------------------------------------------------------------------------
+
+_QDS23_SQL = f"""
+    WITH frequent_parts AS (
+      SELECT l_partkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_partkey
+      HAVING COUNT(*) > 8
+    ),
+    customer_totals AS (
+      SELECT o_custkey,
+             {DSUM('l_extendedprice * (1 - l_discount)')} AS total
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey
+    ),
+    best_customers AS (
+      SELECT o_custkey FROM customer_totals
+      WHERE total > (SELECT 0.5 * MAX(total) FROM customer_totals)
+    )
+    SELECT {DSUM('sales')} AS total_sales
+    FROM (
+      SELECT l_extendedprice * (1 - l_discount) AS sales
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+        AND l_partkey IN (SELECT l_partkey FROM frequent_parts)
+        AND o_custkey IN (SELECT o_custkey FROM best_customers)
+      UNION ALL
+      SELECT l_extendedprice * (1 - l_discount) AS sales
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '2-HIGH'
+        AND l_partkey IN (SELECT l_partkey FROM frequent_parts)
+        AND o_custkey IN (SELECT o_custkey FROM best_customers)
+    ) u
+"""
+
+
+@query(
+    "qds23_cte_reuse",
+    oracle=_QDS23_SQL,
+    covers="§2.B TPC-DS q23 shape: multi-level CTE reuse (two expensive "
+    "CTEs, one a scalar-threshold filter of the other, each consumed by "
+    "both UNION ALL branches)",
+)
+def qds23_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q23's topology: `frequent_parts` and `best_customers` (itself
+    built on `customer_totals` and a scalar subquery over the SAME CTE)
+    gate both branches of a UNION ALL. Exercises Catalyst's
+    semi-join-from-IN planning and (under AQE) subplan/exchange reuse
+    for the doubly-consumed CTEs; the scalar threshold is one
+    broadcast row. Exact decimal sums; the 0.5*MAX threshold compare is
+    one IEEE multiply+compare of exact-decimal-derived doubles.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS23_SQL)
+
+
+# --------------------------------------------------------------------------
+# q95 shape: a CTE referenced by two IN-subqueries (orders shipped by
+# more than one supplier, and among those, ones with returns).
+# --------------------------------------------------------------------------
+
+_QDS95_SQL = f"""
+    WITH multi_supp AS (
+      SELECT DISTINCT l1.l_orderkey
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+    )
+    SELECT COUNT(DISTINCT o_orderkey) AS order_count,
+           {DSUM('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderkey IN (SELECT l_orderkey FROM multi_supp)
+      AND o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        WHERE l_returnflag = 'R'
+          AND l_orderkey IN (SELECT l_orderkey FROM multi_supp)
+      )
+"""
+
+
+@query(
+    "qds95_reused_subquery",
+    oracle=_QDS95_SQL,
+    covers="§2.B TPC-DS q95 shape: one CTE consumed by two nested "
+    "IN-subqueries (semi-join stacking)",
+)
+def qds95_reused_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q95's topology: the `multi_supp` self-join CTE feeds two
+    IN-subqueries (one nested inside the other's filter), both planned
+    as left-semi joins over the same subplan. The lineitem self-join is
+    an equi-join on l_orderkey with a non-equi residual — one shuffle
+    on the natural key, no cartesian (plan-gated).
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS95_SQL)
+
+
+# --------------------------------------------------------------------------
+# q72 shape: wide dimension join — fact joined to five dimensions plus
+# a non-equi date residual; every dim must broadcast, no nested loop.
+# --------------------------------------------------------------------------
+
+_QDS72_SQL = """
+    SELECT n_name, o_orderpriority, COUNT(*) AS n_late
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+                 AND l_shipdate > o_orderdate + INTERVAL '60' DAY
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_retailprice > 1200 AND r_name <> 'ASIA'
+    GROUP BY n_name, o_orderpriority
+    ORDER BY n_name, o_orderpriority
+"""
+
+
+@query(
+    "qds72_wide_dim_join",
+    oracle=_QDS72_SQL,
+    covers="§2.B TPC-DS q72 shape: fact-to-five-dimension join with a "
+    "non-equi date residual on the fact-fact edge",
+)
+def qds72_wide_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q72's topology: the widest join fan in the DS suite — a fact
+    table joined through five dimensions with an inequality residual
+    (late shipments) riding the orders equi-join. The date inequality
+    stays a residual on the equi anchor, so no BroadcastNestedLoop or
+    cartesian appears anywhere (plan-gated); part/supplier/nation/
+    region broadcast. Output is pure counts — exact.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS72_SQL)

@@ -391,6 +391,46 @@ class TestTpcdsShapes:
         assert "CartesianProduct" not in plan
 
 
+class TestTpcdsWave2Plans:
+    def test_qds11_four_way_self_join_all_equi(self, spark):
+        plan = plan_of(spark, "qds11_yoy_growth")
+        # the year_total CTE self-joins four ways strictly on
+        # customer_id equality — any cartesian here explodes at scale
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "TakeOrderedAndProject" in plan  # LIMIT 100 is a heap
+
+    def test_qds23_semi_joins_and_scalar_broadcast(self, spark):
+        plan = plan_of(spark, "qds23_cte_reuse")
+        # both IN-filters plan as semi joins; the 0.5*MAX threshold is
+        # a one-row subquery, never a row×row join
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_qds95_semi_join_stack_no_cartesian(self, spark):
+        plan = plan_of(spark, "qds95_reused_subquery")
+        # lineitem×lineitem is an equi join on l_orderkey with the
+        # suppkey inequality as residual — NOT a nested loop
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds72_wide_dims_broadcast_no_nested_loop(self, spark):
+        plan = plan_of(spark, "qds72_wide_dim_join")
+        strategies = join_strategies(
+            REGISTRY["qds72_wide_dim_join"].fn(spark, SF_CORRECT)
+        )
+        # five joins: the date inequality rides the orders equi-join as
+        # a residual; part/supplier/nation/region broadcast
+        assert strategies.count("BroadcastHashJoin") >= 4
+        assert "CartesianProduct" not in strategies
+        assert "BroadcastNestedLoopJoin" not in strategies
+        # the retailprice filter reaches the part scan
+        assert "p_retailprice" in plan[plan.find("PushedFilters"):][:2000] or \
+            any("p_retailprice" in f for f in pushed_filters(
+                REGISTRY["qds72_wide_dim_join"].fn(spark, SF_CORRECT)))
+
+
 class TestKmeansTreeReduce:
     def test_partials_reduced_before_collect(self, spark):
         """The k-means-family codebook fold must shuffle-reduce the

@@ -315,24 +315,71 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_STRING_AGG_SQL)
 
 
+_APPROX_DISTINCT_ORACLE = """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           true AS approx_ok,
+           true AS median_rank_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 @query(
     "q_approx_distinct",
-    oracle=None,  # HLL sketch values are engine-specific; accuracy vs
-    # exact asserted in pytest (tests/test_llm_ops.py)
-    covers="§2.B approximate aggregates: approx_count_distinct / percentile_approx",
+    oracle=_APPROX_DISTINCT_ORACLE,
+    covers="§2.B approximate aggregates: approx_count_distinct / "
+    "percentile_approx, certified via exact quantities + guarantee "
+    "booleans (sk_* pattern)",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the only sane distinct-count at 100 TB
-    (HLL merges are associative; exact distinct shuffles every value)."""
+    (HLL merges are associative; exact distinct shuffles every value).
+
+    Certification follows the sketches.py pattern: the sketch values
+    themselves are engine-specific, so the driver row carries the exact
+    quantities plus booleans computed IN SPARK from the sketch outputs —
+    HLL within 3× its configured relative error, and the approx median's
+    true rank inside [0.4, 0.6] (percentile_approx guarantees rank error
+    ≤ 1/accuracy = 1e-4, so the band holds with huge slack). The raw
+    estimate accuracy is pinned tighter in pytest
+    (tests/test_llm_ops.py::TestApproxAggregates)."""
     from pyspark.sql import functions as F
 
     from spark_sql_server_spark.session import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.percentile_approx("l_quantity", 0.5).alias("approx_median"),
+    )
+    # rank of the returned median within its group — one extra pass,
+    # broadcast of the 3-row agg result back onto the fact scan
+    ranked = (
+        li.select("l_returnflag", "l_quantity")
+        .join(F.broadcast(agg), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("approx_parts").alias("approx_parts"),
+            F.first("exact_parts").alias("exact_parts"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("l_quantity") <= F.col("approx_median"), 1
+                    ).otherwise(0)
+                )
+                / F.count("*")
+            ).alias("med_frac"),
+        )
+    )
+    return ranked.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.15 * F.col("exact_parts")
+        ).alias("approx_ok"),
+        F.col("med_frac").between(0.4, 0.6).alias("median_rank_ok"),
     ).orderBy("l_returnflag")
 
 

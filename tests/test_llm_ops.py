@@ -520,11 +520,32 @@ class TestCentroids:
 
 class TestApproxAggregates:
     def test_hll_within_5pct_of_exact(self, spark):
-        rows = REGISTRY["q_approx_distinct"].fn(spark, SF_SMOKE).collect()
+        """Raw estimate accuracy, tighter than the certified 3-sigma
+        boolean (the registry op now emits the certified columns only)."""
+        from pyspark.sql import functions as F
+
+        from spark_sql_server_spark.session import load_table
+
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        rows = (
+            li.groupBy("l_returnflag")
+            .agg(
+                F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                F.countDistinct("l_partkey").alias("exact_parts"),
+                F.percentile_approx("l_quantity", 0.5).alias("approx_median"),
+            )
+            .collect()
+        )
         assert rows
         for r in rows:
             assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.05
             assert 1 <= r.approx_median <= 50
+
+    def test_certified_booleans_true(self, spark):
+        rows = REGISTRY["q_approx_distinct"].fn(spark, SF_SMOKE).collect()
+        assert rows
+        for r in rows:
+            assert r.approx_ok and r.median_rank_ok
 
 
 class TestFrameSampling:

@@ -47,7 +47,7 @@ CATALOG_TABLE_SCHEMAS: dict[str, str] = {
     "pg_type": (
         "oid INT, typname STRING, typtype STRING, typlen INT, typnotnull BOOLEAN, "
         "typelem INT, typdelim STRING, typinput STRING, typrelid INT, "
-        "typbasetype INT, typcollation INT, typnamespace INT"
+        "typbasetype INT, typtypmod INT, typcollation INT, typnamespace INT"
     ),
     "pg_namespace": "oid INT, nspname STRING",
     "pg_roles": "oid INT, rolname STRING",
@@ -111,7 +111,10 @@ def init_pg_catalog(spark: SparkSession) -> None:
     if spark.catalog.databaseExists(CATALOG_DB) and spark.catalog.tableExists(
         f"{CATALOG_DB}.pg_type"
     ):
-        return
+        cols = {f.name for f in spark.table(f"{CATALOG_DB}.pg_type").schema.fields}
+        if "typtypmod" in cols:  # current schema rev — nothing to do
+            return
+        # stale persisted catalog from an older schema rev: rebuild
     # the in-memory catalog is per-process but the warehouse dir is not:
     # clear any orphaned location from a previous process
     import shutil
@@ -207,6 +210,7 @@ def init_pg_catalog(spark: SparkSession) -> None:
             typinput="array_in" if t.name.startswith("_") else f"{t.name}in",
             typrelid=0,
             typbasetype=0,
+            typtypmod=-1,  # pgjdbc getColumns reads t.typtypmod for domains
             typcollation=0,
             typnamespace=ns_oid,
         )

@@ -166,6 +166,47 @@ class TestGetTypeInfo:
                 assert catalog_oids[t.name] == t.oid, t.name
 
 
+#: pgjdbc PgDatabaseMetaData.getColumns() — the per-table column
+#: metadata query (drives ResultSetMetaData and \d-style tooling)
+GET_COLUMNS_SQL = """SELECT * FROM (
+  SELECT n.nspname, c.relname, a.attname, a.atttypid,
+    a.attnotnull OR (t.typtype = 'd' AND t.typnotnull) AS attnotnull,
+    a.atttypmod, a.attlen, t.typtypmod,
+    row_number() OVER (PARTITION BY a.attrelid ORDER BY a.attnum) AS attnum,
+    nullif(a.attidentity, '') as attidentity,
+    pg_catalog.pg_get_expr(def.adbin, def.adrelid) AS adsrc,
+    dsc.description, t.typbasetype, t.typtype
+  FROM pg_catalog.pg_namespace n
+  JOIN pg_catalog.pg_class c ON (c.relnamespace = n.oid)
+  JOIN pg_catalog.pg_attribute a ON (a.attrelid=c.oid)
+  JOIN pg_catalog.pg_type t ON (a.atttypid = t.oid)
+  LEFT JOIN pg_catalog.pg_attrdef def ON (a.attrelid=def.adrelid AND a.attnum = def.adnum)
+  LEFT JOIN pg_catalog.pg_description dsc ON (c.oid=dsc.objoid AND a.attnum = dsc.objsubid)
+  LEFT JOIN pg_catalog.pg_class dc ON (dc.oid=dsc.classoid AND dc.relname='pg_description')
+  LEFT JOIN pg_catalog.pg_namespace dn ON (dc.relnamespace=dn.oid AND dn.nspname='pg_catalog')
+  WHERE c.relkind in ('r','p','v','f','m') and a.attnum > 0 AND NOT a.attisdropped
+) c WHERE true AND c.relname LIKE '{table}' AND attname LIKE '%'
+ORDER BY nspname, c.relname, attnum"""
+
+
+class TestGetColumns:
+    def test_nation_columns(self, server):
+        rows = _simple(server, GET_COLUMNS_SQL.format(table="nation"))
+        names = [r[2].decode() for r in rows]
+        assert names == ["n_nationkey", "n_name", "n_regionkey"]
+        # attnum is the driver-computed ordinal (row_number), 1-based
+        assert [int(r[8]) for r in rows] == [1, 2, 3]
+        # atttypid must be a real pg_type oid the wire encoder knows
+        from spark_sql_server_spark.protocol import pgtypes as P
+
+        known = {t.oid for t in P.ALL_PG_TYPES}
+        assert all(int(r[3]) in known for r in rows)
+
+    def test_unknown_table_empty(self, server):
+        rows = _simple(server, GET_COLUMNS_SQL.format(table="zzz_missing"))
+        assert rows == []
+
+
 class TestGetTables:
     def test_unknown_table_empty(self, server):
         # PgJdbcSuite.scala:184: getTables(..., "t", TABLE) → empty

@@ -872,6 +872,18 @@ CORPUS += [
     ),
     # booleanEquality via coercion of the string literal
     ("SELECT CAST('true' AS BOOLEAN) = true AS v", None),
+    # mapconcat.sql / mapZipWith.sql: maps render as compact JSON on the
+    # wire (single-key maps keep the expectation order-free)
+    ("SELECT map_concat(map('a', 1), map('b', 2))['b'] AS v", "SELECT '2' AS v"),
+    (
+        "SELECT map_zip_with(map('a', 1), map('a', 10), (k, v1, v2) -> v1 + v2) AS m",
+        "SELECT '{\"a\":11}' AS m",
+    ),
+    ("SELECT map('k', 42) AS m", "SELECT '{\"k\":42}' AS m"),
+    (
+        "SELECT named_struct('a', 1, 'b', 'x') AS s",
+        "SELECT '{\"a\":1,\"b\":\"x\"}' AS s",
+    ),
 ]
 
 
@@ -930,3 +942,54 @@ def test_corpus_over_wire(server, duck, case):
     ]
     expected = _duck_rows(duck, oracle or pg_sql)
     assert got == expected, f"{pg_sql}\n got={got[:5]}\n exp={expected[:5]}"
+
+
+# --------------------------------------------------------------------------
+# wave 5 — subquery/negative-cases ports: invalid queries must produce a
+# clean ErrorResponse (not a hang or protocol desync) and the session
+# must stay usable afterwards. Reference:
+# inputs/subquery/negative-cases/{invalid-correlation,subq-input-typecheck}.sql
+# --------------------------------------------------------------------------
+
+_TTT = (
+    "WITH t1 AS (SELECT * FROM (VALUES (1, 2, 3)) AS t1(t1a, t1b, t1c)), "
+    "t2 AS (SELECT * FROM (VALUES (1, 0, 1)) AS t2(t2a, t2b, t2c)), "
+    "t3 AS (SELECT * FROM (VALUES (3, 1, 2)) AS t3(t3a, t3b, t3c)) "
+)
+
+NEGATIVE_CORPUS: list[str] = [
+    # invalid-correlation TC 01.01: outer reference two levels deep in a
+    # non-aggregated select position
+    _TTT + "SELECT t1a, t2b FROM t1, t2 WHERE t1b = t2c AND t2b = "
+    "(SELECT max(avg) FROM (SELECT t2b, avg(t2b) avg FROM t2 "
+    "WHERE t2a = t1.t1b))",
+    # invalid-correlation TC 01.02: correlated HAVING referencing a
+    # grand-outer column
+    _TTT + "SELECT * FROM t1 WHERE t1a IN (SELECT min(t2a) FROM t2 "
+    "GROUP BY t2c HAVING t2c IN (SELECT max(t3c) FROM t3 GROUP BY t3b "
+    "HAVING t3b > t2b))",
+    # subq-input-typecheck TC 01.01: scalar subquery returning 2 columns
+    _TTT + "SELECT (SELECT max(t2b), min(t2b) FROM t2 WHERE t2.t2b > 0 "
+    "GROUP BY t2.t2b) FROM t1",
+    # IN subquery column-count mismatch
+    "SELECT 1 FROM nation WHERE n_nationkey IN "
+    "(SELECT r_regionkey, r_name FROM region)",
+]
+
+
+@pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))
+def test_negative_corpus_errors_cleanly(server, case):
+    sql = NEGATIVE_CORPUS[case]
+    srv, loop = server
+
+    async def go():
+        c = await PgClient.connect(srv.port)
+        bad = await c.simple(sql)
+        ok = await c.simple("SELECT 41 + 1 AS v")  # session still usable
+        await c.close()
+        return bad, ok
+
+    bad, ok = loop.run_until_complete(go())
+    assert any(t == b"E" for t, _ in bad), f"expected error for: {sql}"
+    assert bad[-1][0] == b"Z"  # ReadyForQuery after the error
+    assert rows_of(ok) == [[b"42"]]

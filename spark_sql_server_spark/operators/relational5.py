@@ -573,7 +573,7 @@ _QDS72_SQL = """
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
-    WHERE p_retailprice > 1200 AND r_name <> 'ASIA'
+    WHERE p_retailprice > 950 AND r_name <> 'ASIA'
     GROUP BY n_name, o_orderpriority
     ORDER BY n_name, o_orderpriority
 """

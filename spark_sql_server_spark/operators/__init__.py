@@ -58,7 +58,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "sk_quantile_bands",
     # new operators added in r5 (never sampled by construction)
     "qds11_yoy_growth", "qds23_cte_reuse", "qds95_reused_subquery",
-    "qds72_wide_dim_join",
+    "qds72_wide_dim_join", "qds88_multi_scalar",
     # remaining slots are anchors with a continuous driver record
     # (cheap cross-round stability signal)
     "q1_pricing_summary", "q3_shipping_priority",

@@ -595,3 +595,44 @@ def qds72_wide_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir)
     return spark.sql(_QDS72_SQL)
+
+
+# --------------------------------------------------------------------------
+# q88 shape: one result row assembled from many independent scalar
+# count subqueries (the "dashboard row" plan family).
+# --------------------------------------------------------------------------
+
+_QDS88_BANDS = [
+    (1, 10, "1-URGENT"), (11, 20, "1-URGENT"),
+    (1, 10, "2-HIGH"), (11, 20, "2-HIGH"),
+    (21, 35, "3-MEDIUM"), (36, 50, "3-MEDIUM"),
+]
+
+_QDS88_SQL = "SELECT " + ", ".join(
+    "(SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    f"WHERE l_quantity BETWEEN {lo} AND {hi} "
+    f"AND o_orderpriority = '{pri}') AS h{i + 1}"
+    for i, (lo, hi, pri) in enumerate(_QDS88_BANDS)
+)
+
+
+@query(
+    "qds88_multi_scalar",
+    oracle=_QDS88_SQL,
+    covers="§2.B TPC-DS q88 shape: one row assembled from N independent "
+    "scalar count subqueries (each with its own pushed-down band filter)",
+)
+def qds88_multi_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q88's topology: six uncorrelated scalar COUNT subqueries over
+    disjoint (quantity band × priority) slices, concatenated into one
+    row — the plan family where every scalar is its own
+    scan-filter-agg job with the band predicate pushed to the parquet
+    scan, and the subquery results broadcast into a single-row project
+    (no join between the scalars, plan-gated). At 100 TB you would
+    usually fold this into ONE conditional aggregation pass
+    (SUM(CASE WHEN ...)) — q12_priority_lines covers that shape — but
+    dashboards and BI tools emit exactly this multi-scalar form, so the
+    planner path itself needs coverage.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS88_SQL)

@@ -415,6 +415,15 @@ class TestTpcdsWave2Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_qds88_scalars_no_join_between_slices(self, spark):
+        plan = plan_of(spark, "qds88_multi_scalar")
+        # six independent scalar subqueries — each band filter reaches
+        # its own scan; the scalars must never join against each other
+        assert "CartesianProduct" not in plan
+        assert "Subquery" in plan or "scalar-subquery" in plan
+        df = REGISTRY["qds88_multi_scalar"].fn(spark, SF_CORRECT)
+        assert any("l_quantity" in f for f in pushed_filters(df))
+
     def test_qds72_wide_dims_broadcast_no_nested_loop(self, spark):
         plan = plan_of(spark, "qds72_wide_dim_join")
         strategies = join_strategies(

@@ -884,6 +884,39 @@ CORPUS += [
         "SELECT named_struct('a', 1, 'b', 'x') AS s",
         "SELECT '{\"a\":1,\"b\":\"x\"}' AS s",
     ),
+    # wave 5b — more postgreSQL regression ports (strings.sql,
+    # numeric.sql, int8.sql, float8.sql, date.sql, window.sql)
+    ("SELECT position('ing' IN 'string') AS p", "SELECT 4 AS p"),
+    (
+        "SELECT overlay('Txxxxas' placing 'hom' from 2 for 4) AS v",
+        "SELECT 'Thomas' AS v",
+    ),
+    ("SELECT initcap('hi THOMAS') AS v", "SELECT 'Hi Thomas' AS v"),
+    ("SELECT lpad('hi', 5, 'xy') AS l, rpad('hi', 5, 'xy') AS r", None),
+    ("SELECT trim(both 'x' from 'xxhixx') AS v", "SELECT 'hi' AS v"),
+    ("SELECT left('hello', 2) AS l, right('hello', 2) AS r", None),
+    ("SELECT 10 % 3 AS m, abs(-17.4) AS a", None),
+    ("SELECT round(2.5) AS r1, round(-2.5) AS r2", None),
+    ("SELECT ceil(1.5) AS c, floor(1.5) AS f", None),
+    ("SELECT 4567890123456789::int8 * 2 AS v", "SELECT 9135780246913578 AS v"),
+    # float8.sql: IEEE addition is engine-identical, shortest-repr too
+    ("SELECT 0.1::float8 + 0.2::float8 AS v", "SELECT '0.30000000000000004' AS v"),
+    ("SELECT date_part('hour', TIMESTAMP '2001-02-16 20:38:40') AS h",
+     "SELECT '20' AS h"),
+    (
+        "SELECT n_nationkey, ntile(4) OVER (ORDER BY n_nationkey) AS q "
+        "FROM nation ORDER BY n_nationkey LIMIT 8",
+        None,
+    ),
+    (
+        "SELECT n_nationkey, percent_rank() OVER (ORDER BY n_nationkey) AS pr "
+        "FROM nation ORDER BY 1 LIMIT 5",
+        None,
+    ),
+    # PG array constructor + 1-based subscript + {..} wire rendering
+    ("SELECT ARRAY[1, 2, 3] AS a", "SELECT '{1,2,3}' AS a"),
+    ("SELECT (ARRAY['x', 'y'])[1] AS first", "SELECT 'x' AS first"),
+    ("SELECT min(n_name) AS lo, max(n_name) AS hi FROM nation", None),
 ]
 
 

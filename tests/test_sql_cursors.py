@@ -130,3 +130,58 @@ class TestSqlCursors:
         msgs = loop.run_until_complete(go())
         assert completes_of(msgs) == ["BEGIN", "DECLARE CURSOR", "FETCH 2"]
         assert len(rows_of(msgs)) == 2
+
+
+class TestFetchSizeIncrementalMatrix:
+    """Twin of the reference's fetchSize × incrementalCollect cursor
+    matrix (PgJdbcSuite.scala:1144-1200): a portal walked with repeated
+    Execute(max_rows) must deliver the exact row sequence across
+    PortalSuspended boundaries under every combination of fetch size
+    and collect mode."""
+
+    @pytest.mark.parametrize("incremental", [True, False])
+    @pytest.mark.parametrize("fetch_size", [1, 2, 1000])
+    def test_exact_row_walk(self, spark, incremental, fetch_size):
+        from tests.test_protocol_e2e import SYNC, _bind, _execute, _parse
+
+        loop = asyncio.new_event_loop()
+
+        async def go():
+            srv = SparkPGServer(
+                spark, port=0, pg_catalog=False,
+                incremental_collect=incremental,
+                init_session=lambda s: register_tables(s, SF_SMOKE),
+            )
+            await srv.start()
+            try:
+                c = await PgClient.connect(srv.port)
+                await c.send(
+                    _parse("w", "SELECT id FROM range(6) ORDER BY id"),
+                    _bind("", "w", []),
+                    SYNC,
+                )
+                await c.until_ready()
+                rows: list[bytes] = []
+                suspensions = 0
+                for _ in range(20):  # 6 rows / fetch_size bounded
+                    await c.send(_execute("", max_rows=fetch_size), SYNC)
+                    msgs = await c.until_ready()
+                    rows += [r[0] for r in rows_of(msgs)]
+                    if any(t == b"s" for t, _ in msgs):
+                        suspensions += 1
+                        continue
+                    break
+                await c.close()
+                return rows, suspensions
+            finally:
+                await srv.stop()
+
+        rows, suspensions = loop.run_until_complete(go())
+        loop.run_until_complete(asyncio.sleep(0.05))  # drain close callbacks
+        loop.close()
+        assert rows == [str(i).encode() for i in range(6)]
+        if fetch_size == 1000:
+            assert suspensions == 0  # one Execute drains the portal
+        else:
+            # 6 rows at fetch_size per round: every full batch suspends
+            assert suspensions == 6 // fetch_size

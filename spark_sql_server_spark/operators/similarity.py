@@ -92,6 +92,15 @@ def _hyperplane(seed: int, dim: int) -> list[float]:
     return vals
 
 
+def _hyperplane_micro(seed: int, dim: int) -> list[int]:
+    """Hyperplane components quantized to int64 micros — exact integer
+    constants shared verbatim by the Spark operator and the DuckDB
+    oracle, so sign-of-dot bucket bits are bit-identical everywhere."""
+    import math
+
+    return [int(math.floor(v * 1e6 + 0.5)) for v in _hyperplane(seed, dim)]
+
+
 def _lsh_bucket(e: Column, planes: list[list[float]]) -> Column:
     """Sign-of-dot-product bit signature → integer bucket id."""
     bits = []
@@ -180,10 +189,80 @@ def _lsh_table_buckets(e: Column, tables: list[list[list[float]]]) -> Column:
     )
 
 
+def _lsh_micro_tables(dim: int) -> list[list[list[int]]]:
+    """The L×k hyperplanes of `s_ann_lsh`, quantized to int64 micros —
+    the single source of truth for the operator AND its oracle."""
+    return [
+        [
+            _hyperplane_micro(t * _PLANES_PER_TABLE + j + 1, dim)
+            for j in range(_PLANES_PER_TABLE)
+        ]
+        for t in range(_N_TABLES)
+    ]
+
+
+def _lsh_micro_oracle(dim: int = 64) -> str:
+    """DuckDB twin of the fixed-point LSH probe.
+
+    Bucket bits are signs of EXACT int64 dot products (micro-quantized
+    embeddings × micro-quantized plane literals; |term| ≤ 5.8e11, 64-dim
+    sums ≤ 3.8e13 ≪ 2^63), so bucket membership — the approximate part
+    of ANN-LSH — is bit-identical across engines under any evaluation
+    order. Candidate scoring then mirrors `_BRUTE_ORACLE`: raw cosine,
+    ROUND 6, vec_id tiebreak. The plane constants are inlined by
+    `_lsh_micro_tables`, which the Spark operator shares verbatim.
+    """
+    rows = []
+    for t, planes in enumerate(_lsh_micro_tables(dim)):
+        for j, p in enumerate(planes):
+            lit = "[" + ", ".join(str(v) for v in p) + "]"
+            rows.append(f"({t}, {1 << j}, CAST({lit} AS BIGINT[]))")
+    values = ", ".join(rows)
+    return f"""
+    WITH m AS (SELECT vec_id,
+                      list_transform(embedding, x ->
+                        CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS mv,
+                      CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+         dims AS (SELECT CAST(range AS INT) + 1 AS pos FROM range({dim})),
+         pts AS (SELECT vec_id, pos, mv[pos] AS v FROM m CROSS JOIN dims),
+         planes AS (SELECT * FROM (VALUES {values}) AS t(tbl, wj, p)),
+         pw AS (SELECT tbl, wj, pos, p[pos] AS w FROM planes CROSS JOIN dims),
+         dots AS (SELECT pts.vec_id, pw.tbl, pw.wj,
+                         CAST(SUM(pts.v * pw.w) AS BIGINT) AS dot
+                  FROM pts JOIN pw ON pts.pos = pw.pos
+                  GROUP BY pts.vec_id, pw.tbl, pw.wj),
+         buckets AS (SELECT vec_id, tbl,
+                            SUM(CASE WHEN dot >= 0 THEN wj ELSE 0 END) AS bucket
+                     FROM dots GROUP BY vec_id, tbl),
+         qb AS (SELECT vec_id AS qid, tbl, bucket FROM buckets
+                WHERE vec_id < {_N_QUERIES}),
+         cand AS (SELECT DISTINCT qb.qid, b.vec_id
+                  FROM buckets b JOIN qb
+                    ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+                   AND b.vec_id <> qb.qid),
+         scored AS (SELECT c.qid, c.vec_id,
+                           list_cosine_similarity(mq.e, mv_.e) AS raw_sim
+                    FROM cand c
+                    JOIN m mq ON mq.vec_id = c.qid
+                    JOIN m mv_ ON mv_.vec_id = c.vec_id),
+         ranked AS (SELECT qid, vec_id, raw_sim,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY ROUND(raw_sim, 6) DESC, vec_id) AS rnk
+                    FROM scored)
+    SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor,
+           ROUND(raw_sim, 6) AS cos_sim
+    FROM ranked WHERE rnk <= {_TOP_K}
+    ORDER BY qid, rnk
+    """
+
+
 @query(
     "s_ann_lsh",
-    oracle=None,  # approximate: recall vs brute force asserted in pytest
-    covers="north-star similarity search: random-hyperplane LSH buckets",
+    oracle=_lsh_micro_oracle(64),
+    covers="north-star similarity search: random-hyperplane LSH buckets, "
+    "fixed-point bucket signs so candidate selection + ranking are "
+    "oracle-certified",
     bench=True,
 )
 def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,29 +282,38 @@ def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted Catalyst folds per candidate. For *large* query sets the
     bucket-join form is the right plan — `d_embedding_neardup` keeps
     that pattern (applyInPandas over (tbl, bucket) groups).
+
+    r5: bucket bits are signs of EXACT int64 micro dot products (the
+    `s_kmeans`/`s_ann_ivf` fixed-point pattern), so the candidate set —
+    the genuinely approximate part of LSH — is deterministic across
+    engines and partitionings, and the whole probe is DuckDB-oracle
+    certified (`_lsh_micro_oracle` inlines the same plane constants).
+    Cosine ranking stays on the float path (ROUND 6 + vec_id tiebreak,
+    exactly `s_ann_bruteforce`'s certified formulation).
     """
     import numpy as np
 
     from pyspark.sql import types as T
 
     dim = 64
-    tables = [
-        [_hyperplane(t * _PLANES_PER_TABLE + j + 1, dim) for j in range(_PLANES_PER_TABLE)]
-        for t in range(_N_TABLES)
-    ]
-    planes = np.array([p for table in tables for p in table], dtype=np.float64)
+    planes = np.array(
+        [p for table in _lsh_micro_tables(dim) for p in table], dtype=np.int64
+    )  # (L*k, dim) micro-quantized
     n_tables, k = _N_TABLES, _PLANES_PER_TABLE
     weights = (2 ** np.arange(k, dtype=np.int64))[None, None, :]
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "CAST(embedding AS array<double>) AS e",
+        f"{_EMB_MICRO_EXPR} AS m",
     )
     # constant-size query side: vec_id < N pushes down to the parquet
     # scan, and the 10×dim matrix rides to executors as a broadcast
     qrows = emb.filter(F.col("vec_id") < _N_QUERIES).collect()
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     Q = np.array([r.e for r in qrows], dtype=np.float64)
-    qbits = (Q @ planes.T >= 0).reshape(len(qids), n_tables, k)
+    QM = np.array([r.m for r in qrows], dtype=np.int64)
+    qbits = (QM @ planes.T >= 0).reshape(len(qids), n_tables, k)
     qbuckets = (qbits * weights).sum(axis=2)  # (nq, L)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     bq = spark.sparkContext.broadcast((qids, Qn, qbuckets))
@@ -247,7 +335,8 @@ def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             ids = pdf["vec_id"].to_numpy()
             E = np.vstack(pdf["e"].to_numpy())
-            bits = (E @ planes.T >= 0).reshape(len(ids), n_tables, k)
+            M = np.vstack(pdf["m"].to_numpy()).astype(np.int64)
+            bits = (M @ planes.T >= 0).reshape(len(ids), n_tables, k)
             buckets = (bits * weights).sum(axis=2)  # (n, L)
             # OR over tables: candidate iff any table's bucket matches
             coll = (buckets[:, None, :] == b_qbuckets[None, :, :]).any(axis=2)
@@ -454,78 +543,6 @@ def _tree_reduce_partials(parts: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
-def _kmeans_fit(spark: SparkSession, emb: DataFrame, k: int, iters: int):
-    """Lloyd's k-means fit over ``emb`` (vec_id, e: array<double>) →
-    the final k×dim numpy codebook.
-
-    Each round is ONE map-only corpus pass: broadcast the codebook,
-    assign each Arrow batch with one matmul, and emit per-batch
-    *partial* (cluster, sum-vector, count) rows — the manual map-side
-    combine, ≤k rows per batch regardless of corpus size. The driver
-    folds partials into the next codebook; it never touches corpus
-    rows. Deterministic init (centroids = vec_id 0..k-1), fixed
-    iteration count, first-minimum tie-break.
-    """
-    import numpy as np
-
-    from pyspark.sql import types as T
-
-    # materialize once: the fit loop runs iters+1 jobs over emb; without
-    # this every round re-reads and re-decodes the source
-    emb = emb.localCheckpoint()
-    init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    C = np.array([r.e for r in init], dtype=np.float64)
-
-    part_schema = T.StructType(
-        [
-            T.StructField("cluster", T.IntegerType()),
-            T.StructField("s", T.ArrayType(T.DoubleType())),
-            T.StructField("n", T.LongType()),
-        ]
-    )
-
-    def partials(codebook):
-        bc = spark.sparkContext.broadcast(codebook)
-
-        def emit(batches):
-            import pandas as pd
-
-            Cb = bc.value
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                E = np.vstack(pdf["e"].to_numpy())
-                d2 = (E * E).sum(1)[:, None] - 2 * (E @ Cb.T) + (Cb * Cb).sum(1)[None, :]
-                a = np.argmin(d2, axis=1)
-                cl, ns, ss = [], [], []
-                for c in np.unique(a):
-                    sel = a == c
-                    cl.append(int(c))
-                    ns.append(int(sel.sum()))
-                    ss.append(E[sel].sum(axis=0).tolist())
-                yield pd.DataFrame({"cluster": cl, "s": ss, "n": ns})
-
-        return emit
-
-    for _ in range(iters):
-        # tree-reduce the per-batch partials BEFORE the driver collect:
-        # the collect is O(k×dim) rows regardless of partition count —
-        # at 100k+ partitions the raw P×k partial rows would be 100s of
-        # MB on the driver; the reduced codebook is a few KB
-        reduced = _tree_reduce_partials(
-            emb.mapInPandas(partials(C), schema=part_schema), ["cluster"]
-        ).collect()
-        sums = np.zeros_like(C)
-        counts = np.zeros(len(C))
-        for r in reduced:
-            sums[r.cluster, r.pos] = r.sv
-            if r.pos == 0:
-                counts[r.cluster] = r.cn
-        nonempty = counts > 0  # empty clusters keep their previous centroid
-        C = np.where(nonempty[:, None], sums / np.maximum(counts, 1)[:, None], C)
-    return C
-
-
 _EMB_DIM = 64
 
 #: micro-space embedding expression (Spark SQL) — one HOF pass
@@ -539,7 +556,7 @@ def _kmeans_fit_micro(spark: SparkSession, emb: DataFrame, k: int, iters: int):
     """Fixed-point Lloyd's fit over ``emb`` (vec_id, m: array<bigint>
     micros) → the final k×dim int64 codebook.
 
-    Same distributed shape as :func:`_kmeans_fit` (map-only corpus
+    Distributed shape: map-only corpus
     passes, per-batch partials, tree-reduce, O(k×dim) driver collect) —
     but every quantity is an int64: partial sums are exact and
     ASSOCIATIVE, so any partial-agg merge order produces bit-identical
@@ -608,11 +625,12 @@ def _kmeans_fit_micro(spark: SparkSession, emb: DataFrame, k: int, iters: int):
     return C
 
 
-def _kmeans_micro_oracle(k: int, iters: int, dim: int = _EMB_DIM) -> str:
-    """Unrolled fixed-point Lloyd's in DuckDB SQL — the bit-exact twin
-    of `_kmeans_fit_micro` + final assignment. Join-based (pts×k rows
-    per round) is fine at oracle scale; the Spark side's matmul form is
-    the production path."""
+def _kmeans_micro_parts(k: int, iters: int, dim: int = _EMB_DIM) -> str:
+    """CTE prefix shared by the k-means and SemDeDup oracles: unrolled
+    fixed-point Lloyd's rounds ending at ``afin`` (vec_id, cluster, d2),
+    the bit-exact twin of `_kmeans_fit_micro` + final assignment.
+    Join-based (pts×k rows per round) is fine at oracle scale; the
+    Spark side's matmul form is the production path."""
     argmin = (
         "SELECT vec_id, cluster, d2 FROM ("
         "SELECT vec_id, cluster, d2, ROW_NUMBER() OVER ("
@@ -654,11 +672,15 @@ def _kmeans_micro_oracle(k: int, iters: int, dim: int = _EMB_DIM) -> str:
         f"FROM pts p JOIN c{iters} c ON p.pos = c.pos "
         "GROUP BY p.vec_id, c.cluster)"
     )
-    parts.append(
-        ", afin AS (" + argmin.format(src="dfin") + ")"
-        " SELECT vec_id, cluster, d2 AS dist2 FROM afin ORDER BY vec_id"
-    )
+    parts.append(", afin AS (" + argmin.format(src="dfin") + ")")
     return "".join(parts)
+
+
+def _kmeans_micro_oracle(k: int, iters: int, dim: int = _EMB_DIM) -> str:
+    return (
+        _kmeans_micro_parts(k, iters, dim)
+        + " SELECT vec_id, cluster, d2 AS dist2 FROM afin ORDER BY vec_id"
+    )
 
 
 @query(
@@ -810,15 +832,52 @@ def s_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _SEMDEDUP_K = 32
-_SEMDEDUP_TAU = 0.4
+_SEMDEDUP_TAU = 0.4  # cos ≥ 0.4 ⇔ dot > 0 AND 25·dot² ≥ 4·|x|²·|y|²
+
+#: milli-space embedding expression — the τ-threshold test quantization.
+#: Milli (not micro) keeps every threshold quantity int64-safe:
+#: |dot| ≤ 64·580² ≈ 2.2e7, 25·dot² ≤ 1.2e16, 4·n2·n2 ≤ 1.9e15 ≪ 2^63.
+_EMB_MILLI_EXPR = (
+    "transform(embedding, x -> "
+    "CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+)
+
+
+def _semdedup_micro_oracle(k: int, iters: int, dim: int = _EMB_DIM) -> str:
+    """DuckDB twin of the fixed-point SemDeDup: the unrolled micro
+    k-means rounds (shared with `s_kmeans`'s oracle) ending at the
+    final assignment ``afin``, then within-cluster pair dots in exact
+    int64 milli-space — cos ≥ τ (τ=0.4) becomes the pure-integer
+    inequality 25·dot² ≥ 4·n2_i·n2_j with dot > 0, so keep/drop flags
+    are bit-identical across engines (kept integer end-to-end: 25·dot²
+    can reach 1.2e16 > 2^53, so a double route would NOT be exact)."""
+    return (
+        _kmeans_micro_parts(k, iters, dim)
+        + ", tm AS (SELECT vec_id, list_transform(embedding, x -> "
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS t "
+        "FROM embeddings)"
+        ", tpts AS (SELECT vec_id, pos, t[pos] AS tv FROM tm CROSS JOIN dims)"
+        ", n2 AS (SELECT vec_id, CAST(SUM(tv * tv) AS BIGINT) AS n2 "
+        "FROM tpts GROUP BY vec_id)"
+        ", prs AS (SELECT a.vec_id AS i, b.vec_id AS j FROM afin a "
+        "JOIN afin b ON a.cluster = b.cluster AND b.vec_id < a.vec_id)"
+        ", pdots AS (SELECT p.i, p.j, CAST(SUM(ti.tv * tj.tv) AS BIGINT) AS dot "
+        "FROM prs p JOIN tpts ti ON ti.vec_id = p.i "
+        "JOIN tpts tj ON tj.vec_id = p.j AND tj.pos = ti.pos GROUP BY p.i, p.j)"
+        ", dups AS (SELECT DISTINCT pdots.i AS vec_id FROM pdots "
+        "JOIN n2 ni ON ni.vec_id = pdots.i JOIN n2 nj ON nj.vec_id = pdots.j "
+        "WHERE pdots.dot > 0 AND 25 * pdots.dot * pdots.dot >= 4 * ni.n2 * nj.n2)"
+        " SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS keep "
+        "FROM afin a LEFT JOIN dups d ON a.vec_id = d.vec_id ORDER BY a.vec_id"
+    )
 
 
 @query(
     "s_semdedup",
-    oracle=None,  # k-means codebook is not SQL-expressible; verified in
-    # pytest against a full numpy mirror (fit + assign + dedup)
+    oracle=_semdedup_micro_oracle(_SEMDEDUP_K, _KMEANS_ITERS),
     covers="north-star dedup: SemDeDup semantic near-dup removal "
-    "(k-means partition + within-cluster cosine)",
+    "(k-means partition + within-cluster cosine), fixed-point fit and "
+    "integer τ-threshold so keep/drop flags are oracle-certified",
     bench=True,
 )
 def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,27 +889,36 @@ def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales — k is chosen ∝ corpus_size / target_cluster_size so the
     per-cluster pair matrix stays bounded (they used k=50k for LAION
     at web scale; k=32 here keeps sf-sized clusters comparable).
-    The fit is `_kmeans_fit` (map-only passes, ≤k rows per batch to
-    the driver); assignment tags each Arrow batch with one matmul;
+    The fit is `_kmeans_fit_micro` (map-only passes, ≤k rows per batch
+    to the driver); assignment tags each Arrow batch with one matmul;
     the only shuffle is the groupBy(cluster) co-locating each cluster
     for its vectorized gram-matrix pass. Ties and keep-priority are
     deterministic: lower vec_id always wins.
+
+    r5: the fit is the fixed-point int64 micro k-means (bit-identical
+    under any partition/merge order), and the τ test compares exact
+    int64 milli-space quantities (cos ≥ 0.4 ⇔ dot > 0 AND 25·dot² ≥
+    4·|x|²·|y|²) — so cluster ids AND keep/drop flags are deterministic
+    and the whole operator is DuckDB-oracle certified
+    (`_semdedup_micro_oracle` unrolls the same rounds in SQL).
     """
     import numpy as np
 
     from pyspark.sql import types as T
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        f"{_EMB_MICRO_EXPR} AS m",
+        f"{_EMB_MILLI_EXPR} AS t",
     )
-    C = _kmeans_fit(spark, emb, _SEMDEDUP_K, _KMEANS_ITERS)
+    C = _kmeans_fit_micro(spark, emb, _SEMDEDUP_K, _KMEANS_ITERS)
     bc = spark.sparkContext.broadcast(C)
 
     tagged_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
             T.StructField("cluster", T.IntegerType()),
-            T.StructField("e", T.ArrayType(T.DoubleType())),
+            T.StructField("t", T.ArrayType(T.LongType())),
         ]
     )
 
@@ -861,13 +929,15 @@ def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            E = np.vstack(pdf["e"].to_numpy())
-            d2 = (E * E).sum(1)[:, None] - 2 * (E @ Cb.T) + (Cb * Cb).sum(1)[None, :]
+            M = np.vstack(pdf["m"].to_numpy()).astype(np.int64)
+            d2 = (M * M).sum(1)[:, None] - 2 * (M @ Cb.T) + (Cb * Cb).sum(1)[None, :]
+            # exact integer argmin; first-min = lowest cluster id,
+            # matching the oracle window ORDER BY d2, cluster
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "cluster": np.argmin(d2, axis=1).astype(np.int32),
-                    "e": pdf["e"],
+                    "t": pdf["t"],
                 }
             )
 
@@ -883,12 +953,18 @@ def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        X = np.vstack(pdf["e"].to_numpy())
-        nrm = np.linalg.norm(X, axis=1)
-        Xn = X / np.maximum(nrm, 1e-12)[:, None]
-        G = Xn @ Xn.T
+        X = np.vstack(pdf["t"].to_numpy()).astype(np.int64)
+        # float64 matmul of int matrices is EXACT here (every partial
+        # sum ≤ 2.2e7 ≪ 2^53) and ~100× faster than int64 matmul; the
+        # threshold comparison then runs in pure int64 (25·dot² reaches
+        # 1.2e16 > 2^53, so it must NOT be computed in doubles)
+        G = (X.astype(np.float64) @ X.astype(np.float64).T).astype(np.int64)
+        n2 = np.diag(G).copy()
+        lhs = 25 * G * G
+        rhs = 4 * n2[:, None] * n2[None, :]
+        cond = (G > 0) & (lhs >= rhs)
         # dup[i] ⇔ ∃ j < i (sorted by vec_id) with cos(i,j) ≥ τ
-        dup = np.triu(G >= _SEMDEDUP_TAU, 1).any(axis=0)
+        dup = np.triu(cond, 1).any(axis=0)
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"],
@@ -978,7 +1054,7 @@ def _pq_fit(spark: SparkSession, emb, m: int, k: int, iters: int):
 
     for _ in range(iters):
         # tree-reduce before the collect (same rationale as
-        # _kmeans_fit): the driver receives O(m×k×sub_dim) reduced
+        # _kmeans_fit_micro): the driver receives O(m×k×sub_dim) reduced
         # rows, never O(P×m×k) raw partials
         reduced = _tree_reduce_partials(
             emb.mapInPandas(partials(C), schema=part_schema), ["sub", "cluster"]

@@ -239,13 +239,16 @@ class TestKMeans:
 class TestSemDedup:
     @staticmethod
     def _numpy_mirror():
-        """Full numpy replication of s_semdedup: Lloyd's fit from the
-        same deterministic init, nearest-centroid assignment, then
-        within-cluster lower-vec_id-wins cosine dedup."""
+        """Full numpy replication of s_semdedup's fixed-point path:
+        micro Lloyd's fit from the same deterministic init (exact int64
+        throughout, floor(sum/count) centroid update), nearest-centroid
+        assignment, then within-cluster lower-vec_id-wins dedup via the
+        exact milli-space τ inequality 25·dot² ≥ 4·n2_i·n2_j."""
+        import math
+
         from spark_sql_server_spark.operators.similarity import (
             _KMEANS_ITERS,
             _SEMDEDUP_K,
-            _SEMDEDUP_TAU,
         )
         from spark_sql_server_spark.session import build_session, load_table
 
@@ -258,72 +261,78 @@ class TestSemDedup:
         )
         ids = np.array([r.vec_id for r in emb])
         E = np.array([r.e for r in emb], dtype=np.float64)
-        C = E[:_SEMDEDUP_K].copy()
+        M = np.floor(E * 1e6 + 0.5).astype(np.int64)
+        T = np.floor(E * 1e3 + 0.5).astype(np.int64)
+        C = M[:_SEMDEDUP_K].copy()
         for _ in range(_KMEANS_ITERS):
-            d2 = (E * E).sum(1)[:, None] - 2 * (E @ C.T) + (C * C).sum(1)[None, :]
+            d2 = (M * M).sum(1)[:, None] - 2 * (M @ C.T) + (C * C).sum(1)[None, :]
             a = np.argmin(d2, axis=1)
             for c in range(_SEMDEDUP_K):
                 if (a == c).any():
-                    C[c] = E[a == c].mean(axis=0)
-        d2 = (E * E).sum(1)[:, None] - 2 * (E @ C.T) + (C * C).sum(1)[None, :]
+                    s = M[a == c].sum(axis=0)
+                    n = int((a == c).sum())
+                    C[c] = [math.floor(float(v) / float(n)) for v in s]
+        d2 = (M * M).sum(1)[:, None] - 2 * (M @ C.T) + (C * C).sum(1)[None, :]
         assign = np.argmin(d2, axis=1)
-        Xn = E / np.maximum(np.linalg.norm(E, axis=1), 1e-12)[:, None]
         keep = {}
         for c in np.unique(assign):
             sel = np.where(assign == c)[0]
             order = sel[np.argsort(ids[sel])]
-            G = Xn[order] @ Xn[order].T
-            dup = np.triu(G >= _SEMDEDUP_TAU, 1).any(axis=0)
+            G = T[order] @ T[order].T
+            n2 = np.diag(G).copy()
+            cond = (G > 0) & (25 * G * G >= 4 * n2[:, None] * n2[None, :])
+            dup = np.triu(cond, 1).any(axis=0)
             for i, d in zip(order, dup):
                 keep[int(ids[i])] = not bool(d)
         return keep, dict(zip(ids.tolist(), assign.tolist()))
 
     def test_matches_numpy_mirror(self, spark):
-        """Keep/drop flags must agree with the independent numpy
-        replication (same tolerance rationale as the k-means test:
-        partial-sum float order can move assignments only at exact
-        boundary ties, absent in this corpus)."""
+        """Keep/drop flags and cluster ids must agree EXACTLY with the
+        independent numpy replication — the fixed-point path has no
+        float order-dependence left (int64 sums are associative, the τ
+        test is a pure integer inequality)."""
         expect_keep, expect_assign = self._numpy_mirror()
         rows = REGISTRY["s_semdedup"].fn(spark, SF_SMOKE).collect()
         assert len(rows) == len(expect_keep)
-        agree = sum(
-            1 for r in rows if expect_keep[r.vec_id] == r.keep
-        ) / len(rows)
-        assert agree >= 0.999, f"keep-flag agreement {agree}"
-        cl_agree = sum(
-            1 for r in rows if expect_assign[r.vec_id] == r.cluster
-        ) / len(rows)
-        assert cl_agree >= 0.999, f"cluster agreement {cl_agree}"
+        for r in rows:
+            assert expect_keep[r.vec_id] == r.keep, f"keep mismatch at {r.vec_id}"
+            assert expect_assign[r.vec_id] == r.cluster, (
+                f"cluster mismatch at {r.vec_id}"
+            )
 
     def test_dropped_have_lower_neighbor(self, spark):
         """Every dropped vector must have a lower-vec_id neighbor with
-        cosine ≥ τ in its own cluster (the lower-id-wins rule), and the
-        cluster minimum is always kept — a group never vanishes."""
-        from spark_sql_server_spark.operators.similarity import _SEMDEDUP_TAU
+        cos ≥ τ (exact milli-space inequality) in its own cluster (the
+        lower-id-wins rule), and the cluster minimum is always kept —
+        a group never vanishes."""
         from spark_sql_server_spark.session import load_table
 
         rows = REGISTRY["s_semdedup"].fn(spark, SF_SMOKE).collect()
         dropped = [r for r in rows if not r.keep]
         assert dropped, "corpus should contain semantic near-dups"
-        emb = {
-            r.vec_id: np.array(r.e)
+        milli = {
+            r.vec_id: np.array(r.t, dtype=np.int64)
             for r in load_table(spark, SF_SMOKE, "embeddings")
-            .selectExpr("vec_id", "CAST(embedding AS array<double>) e")
+            .selectExpr(
+                "vec_id",
+                "transform(embedding, x -> "
+                "CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) t",
+            )
             .collect()
         }
         by_cluster: dict[int, list] = {}
         for r in rows:
             by_cluster.setdefault(r.cluster, []).append(r)
         for d in dropped:
-            e_d = emb[d.vec_id]
-            e_d = e_d / np.linalg.norm(e_d)
+            t_d = milli[d.vec_id]
+            n2_d = int(t_d @ t_d)
             found = False
             for other in by_cluster[d.cluster]:
                 if other.vec_id >= d.vec_id:
                     continue
-                e_o = emb[other.vec_id]
-                cos = float(e_d @ (e_o / np.linalg.norm(e_o)))
-                if cos >= _SEMDEDUP_TAU:
+                t_o = milli[other.vec_id]
+                dot = int(t_d @ t_o)
+                if dot > 0 and 25 * dot * dot >= 4 * n2_d * int(t_o @ t_o):
                     found = True
                     break
             assert found, f"vec {d.vec_id} dropped without a ≥τ lower neighbor"

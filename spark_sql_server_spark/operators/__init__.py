@@ -59,6 +59,8 @@ _DRIVER_SAMPLE_PRIORITY = [
     # new operators added in r5 (never sampled by construction)
     "qds11_yoy_growth", "qds23_cte_reuse", "qds95_reused_subquery",
     "qds72_wide_dim_join", "qds88_multi_scalar",
+    "qds51_cumulative_windows", "qds34_frequent_buyers",
+    "qds93_returns_adjustment", "qds36_hierarchy_rank",
     # remaining slots are anchors with a continuous driver record
     # (cheap cross-round stability signal)
     "q1_pricing_summary", "q3_shipping_priority",

@@ -636,3 +636,216 @@ def qds88_multi_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir)
     return spark.sql(_QDS88_SQL)
+
+
+# --------------------------------------------------------------------------
+# q51 shape: two cumulative-window series FULL OUTER JOINed on their
+# (key, period) grain — the web-vs-store running-total comparison.
+# --------------------------------------------------------------------------
+
+_QDS51_SQL = """
+    WITH web AS (
+      SELECT o_custkey AS k,
+             CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS period,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS amt
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND EXTRACT(YEAR FROM o_orderdate) = 1996
+      GROUP BY o_custkey, EXTRACT(MONTH FROM o_orderdate)
+    ),
+    store AS (
+      SELECT o_custkey AS k,
+             CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS period,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS amt
+      FROM orders
+      WHERE o_orderpriority IN ('3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+        AND EXTRACT(YEAR FROM o_orderdate) = 1996
+      GROUP BY o_custkey, EXTRACT(MONTH FROM o_orderdate)
+    ),
+    web_c AS (
+      SELECT k, period,
+             SUM(amt) OVER (PARTITION BY k ORDER BY period
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+      FROM web
+    ),
+    store_c AS (
+      SELECT k, period,
+             SUM(amt) OVER (PARTITION BY k ORDER BY period
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+      FROM store
+    )
+    SELECT COALESCE(w.k, s.k) AS custkey,
+           COALESCE(w.period, s.period) AS period,
+           CAST(w.cume AS DOUBLE) AS web_cume,
+           CAST(s.cume AS DOUBLE) AS store_cume
+    FROM web_c w FULL OUTER JOIN store_c s
+      ON w.k = s.k AND w.period = s.period
+    WHERE COALESCE(w.cume, 0) > COALESCE(s.cume, 0)
+    ORDER BY custkey, period
+"""
+
+
+@query(
+    "qds51_cumulative_windows",
+    oracle=_QDS51_SQL,
+    covers="§2.B TPC-DS q51 shape: two per-key cumulative window series "
+    "FULL OUTER JOINed on their (key, period) grain",
+)
+def qds51_cumulative_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q51's topology: disjoint channel slices each aggregated to
+    (key, period) grain, a running-total window on each side, then a
+    FULL OUTER JOIN of the two series with COALESCEd keys — the only
+    DS family where a window output feeds both sides of an outer join.
+    Both window partitionings and the join share the (k, period) keys,
+    so AQE can reuse one exchange; no cartesian (plan-gated).
+
+    Determinism: cumulative sums stay exact DECIMAL(38,6) through the
+    window; the > comparison runs on the exact decimals (COALESCE 0)
+    and only the output casts to DOUBLE. (custkey, period) is unique
+    per side, so the final ORDER BY is a total order.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS51_SQL)
+
+
+# --------------------------------------------------------------------------
+# q34/q73 shape: per-(customer, year) order counts banded by HAVING,
+# then joined back to the customer dimension for display columns.
+# --------------------------------------------------------------------------
+
+_QDS34_SQL = """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+             COUNT(*) AS cnt
+      FROM orders
+      WHERE o_orderpriority <> '5-LOW'
+      GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate)
+      HAVING COUNT(*) BETWEEN 3 AND 5
+    )
+    SELECT c_name, o_custkey AS custkey, yr, cnt
+    FROM per_cust JOIN customer ON o_custkey = c_custkey
+    ORDER BY c_name, custkey, yr
+"""
+
+
+@query(
+    "qds34_frequent_buyers",
+    oracle=_QDS34_SQL,
+    covers="§2.B TPC-DS q34/q73 shape: banded HAVING on a per-group "
+    "count, joined back to the dimension for display columns",
+)
+def qds34_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q34's topology: aggregate the fact to (customer, period) grain,
+    keep only groups whose count lands in a band (the 'party size'
+    HAVING), then join the surviving small set back to the customer
+    dimension. The band filter runs on the aggregate BEFORE the
+    dimension join, so the join input is tiny and the dimension
+    broadcasts (plan-gated — aggregating after the join would shuffle
+    the full fact against customer for nothing). Counts are exact;
+    (c_name, custkey, yr) is a total order.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS34_SQL)
+
+
+# --------------------------------------------------------------------------
+# q93 shape: fact LEFT JOINed to its returns subset on the line grain,
+# per-line CASE adjustment, then re-aggregated per customer.
+# --------------------------------------------------------------------------
+
+_QDS93_SQL = f"""
+    WITH ret AS (
+      SELECT l_orderkey AS r_orderkey, l_partkey AS r_partkey,
+             l_suppkey AS r_suppkey
+      FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT o_custkey AS custkey,
+           {DSUM("CASE WHEN r_orderkey IS NOT NULL "
+                 "THEN l_extendedprice * (1 - l_discount) * 0.5 "
+                 "ELSE l_extendedprice * (1 - l_discount) END")} AS act_sales
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    LEFT JOIN ret ON l_orderkey = r_orderkey
+                 AND l_partkey = r_partkey
+                 AND l_suppkey = r_suppkey
+    GROUP BY o_custkey
+    ORDER BY act_sales, custkey
+    LIMIT 100
+"""
+
+
+@query(
+    "qds93_returns_adjustment",
+    oracle=_QDS93_SQL,
+    covers="§2.B TPC-DS q93 shape: fact LEFT JOIN its returns subset on "
+    "the line grain, CASE-adjusted revenue re-aggregated per customer",
+)
+def qds93_returns_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q93's topology: every sale line LEFT JOINs its (possibly absent)
+    return line on the full line grain and the revenue expression
+    CASE-branches on match presence — the "adjust, don't filter"
+    returns pattern (q93 subtracts refunded quantity; halved revenue
+    stands in). (l_orderkey, l_partkey, l_suppkey) is unique in this
+    corpus, so the LEFT JOIN cannot fan out rows. The join is pure equi
+    on the natural shuffle key; no cartesian (plan-gated). Sums are
+    exact decimals; ORDER BY (act_sales, custkey) + LIMIT is a bounded
+    heap with a unique tiebreak.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS93_SQL)
+
+
+# --------------------------------------------------------------------------
+# q36 shape: rank within ROLLUP hierarchy level — the window PARTITION BY
+# is built from GROUPING() outputs of the rollup itself.
+# --------------------------------------------------------------------------
+
+_QDS36_SQL = f"""
+    WITH agg AS (
+      SELECT n_name, o_orderpriority AS pri,
+             CAST(GROUPING(n_name) + GROUPING(o_orderpriority) AS BIGINT)
+               AS lochierarchy,
+             CAST(GROUPING(o_orderpriority) AS BIGINT) AS gp,
+             {DSUM('l_extendedprice * (1 - l_discount)')} AS rev
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY ROLLUP(n_name, o_orderpriority)
+    )
+    SELECT lochierarchy, n_name, pri, rev,
+           CAST(RANK() OVER (
+             PARTITION BY lochierarchy,
+                          CASE WHEN gp = 0 THEN n_name END
+             ORDER BY rev DESC, pri ASC NULLS FIRST, n_name ASC NULLS FIRST
+           ) AS BIGINT) AS rank_within_parent
+    FROM agg
+    ORDER BY lochierarchy DESC,
+             n_name ASC NULLS FIRST,
+             pri ASC NULLS FIRST
+"""
+
+
+@query(
+    "qds36_hierarchy_rank",
+    oracle=_QDS36_SQL,
+    covers="§2.B TPC-DS q36 shape: RANK within ROLLUP hierarchy level — "
+    "window PARTITION BY built from GROUPING() of the rollup itself",
+)
+def qds36_hierarchy_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q36's topology: a two-level ROLLUP whose GROUPING() flags become
+    both the hierarchy-level column and the window's PARTITION BY (rank
+    of each priority within its nation, of each nation among nations,
+    one grand-total row) — the only family where grouping metadata
+    feeds a window key. Plan: map-side Expand into one hash aggregate,
+    rank window over the ~150 subtotal rows only (plan-gated).
+
+    Determinism: revenues are exact decimal sums rendered to DOUBLE, so
+    RANK ties happen only on true equality and the window ORDER BY adds
+    unique tiebreaks; every null-producing ROLLUP column pins NULLS
+    FIRST in both window and final sort (Spark and DuckDB default
+    opposite null orders — the qds67 lesson).
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS36_SQL)

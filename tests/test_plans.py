@@ -440,6 +440,44 @@ class TestTpcdsWave2Plans:
                 REGISTRY["qds72_wide_dim_join"].fn(spark, SF_CORRECT)))
 
 
+class TestTpcdsWave3Plans:
+    def test_qds51_full_outer_of_windows_no_cartesian(self, spark):
+        plan = plan_of(spark, "qds51_cumulative_windows")
+        # two cumulative windows feed a FULL OUTER join strictly on
+        # (k, period) equality — never a nested loop
+        assert "Window" in plan
+        assert "FullOuter" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds34_band_filter_before_dim_join(self, spark):
+        plan = plan_of(spark, "qds34_frequent_buyers")
+        # the banded HAVING shrinks the aggregate before the customer
+        # join, so the join is a broadcast, not a fact-sized shuffle
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        # count band applied on the aggregate (a Filter over the agg,
+        # not a post-join filter): the agg side carries the HAVING
+        assert "count(1)" in plan or "count(*)" in plan
+
+    def test_qds93_left_join_equi_heap_limit(self, spark):
+        plan = plan_of(spark, "qds93_returns_adjustment")
+        # returns attach via a pure equi LEFT JOIN on the line grain;
+        # the LIMIT is a bounded heap
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_qds36_rollup_expand_then_rank_window(self, spark):
+        plan = plan_of(spark, "qds36_hierarchy_rank")
+        # ROLLUP = one Expand + hash aggregate; the rank window runs
+        # over the subtotal rows only (after the aggregate, its input
+        # is k rows — no second pass over the fact)
+        assert "Expand" in plan
+        assert "Window" in plan
+        assert "CartesianProduct" not in plan
+
+
 class TestKmeansTreeReduce:
     def test_partials_reduced_before_collect(self, spark):
         """The k-means-family codebook fold must shuffle-reduce the

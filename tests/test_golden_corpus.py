@@ -920,6 +920,202 @@ CORPUS += [
 ]
 
 
+# --------------------------------------------------------------------------
+# wave 6 — count/null-propagation/operators/predicate-functions/
+# sql-compatibility-functions/join-empty-relation ports plus PG
+# boolean/int8/select_having/select_implicit/aggregates regression
+# statements. References: inputs/count.sql, null-propagation.sql,
+# operators.sql, predicate-functions.sql, sql-compatibility-functions.sql,
+# join-empty-relation.sql, postgreSQL/{boolean,int8,select_having,
+# select_implicit,aggregates_part1}.sql (runner contract
+# SQLServerQueryTestSuite.scala:42-480). Literal oracles pin behaviors
+# where DuckDB's semantics diverge from Spark's.
+# --------------------------------------------------------------------------
+
+_TD = (
+    "WITH testData AS (SELECT * FROM (VALUES (1, 1), (1, 2), (2, 1), "
+    "(1, 1), (CAST(NULL AS INT), 2), (1, CAST(NULL AS INT)), "
+    "(CAST(NULL AS INT), CAST(NULL AS INT))) AS testData(a, b)) "
+)
+
+CORPUS += [
+    # count.sql — single-expression counts over nulls
+    (
+        _TD + "SELECT count(*) AS c1, count(1) AS c2, count(null) AS c3, "
+        "count(a) AS c4, count(b) AS c5, count(a + b) AS c6 FROM testData",
+        _TD + "SELECT count(*) AS c1, count(1) AS c2, count(null) AS c3, "
+        "count(a) AS c4, count(b) AS c5, count(a + b) AS c6 FROM testData",
+    ),
+    # count.sql — distinct counts (multi-arg DISTINCT counts non-null tuples)
+    (
+        _TD + "SELECT count(DISTINCT 1) AS c1, count(DISTINCT null) AS c2, "
+        "count(DISTINCT a) AS c3, count(DISTINCT (a + b)) AS c4 FROM testData",
+        None,
+    ),
+    (
+        _TD + "SELECT count(DISTINCT a, b) AS c FROM testData",
+        "SELECT CAST(3 AS BIGINT) AS c",
+    ),
+    # null-propagation.sql — COUNT(NULL) is 0, plain and windowed
+    (
+        "SELECT COUNT(NULL) AS c, COUNT(1 + NULL) AS d FROM (VALUES 1, 2, 3)",
+        "SELECT CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS d",
+    ),
+    (
+        "SELECT COUNT(NULL) OVER () AS c FROM (VALUES 1, 2, 3)",
+        "SELECT CAST(0 AS BIGINT) AS c FROM (VALUES (1), (2), (3))",
+    ),
+    # sql-compatibility-functions.sql — RuntimeReplaceable aliases
+    (
+        "SELECT ifnull(null, 'x') AS a, ifnull('y', 'x') AS b, "
+        "nullif('x', 'x') AS c, nullif('x', 'y') AS d",
+        "SELECT 'x' AS a, 'y' AS b, CAST(NULL AS VARCHAR) AS c, 'x' AS d",
+    ),
+    (
+        "SELECT nvl(null, 'x') AS a, nvl('y', 'x') AS b, "
+        "nvl2(null, 'x', 'y') AS c, nvl2('n', 'x', 'y') AS d",
+        "SELECT 'x' AS a, 'y' AS b, 'y' AS c, 'x' AS d",
+    ),
+    (
+        "SELECT ifnull(1, 2.1) AS a, ifnull(null, 2.1) AS b, "
+        "nvl(1, 2.1) AS c, nvl2(null, 1, 2.1) AS d",
+        "SELECT CAST(1.0 AS DECIMAL(11,1)) AS a, CAST(2.1 AS DECIMAL(11,1)) AS b, "
+        "CAST(1.0 AS DECIMAL(11,1)) AS c, CAST(2.1 AS DECIMAL(11,1)) AS d",
+    ),
+    # cast alias functions (Hive compatibility)
+    (
+        "SELECT boolean(1) AS a, tinyint(1) AS b, smallint(1) AS c, "
+        "int(1) AS d, bigint(1) AS e",
+        "SELECT true AS a, CAST(1 AS TINYINT) AS b, CAST(1 AS SMALLINT) AS c, "
+        "CAST(1 AS INT) AS d, CAST(1 AS BIGINT) AS e",
+    ),
+    (
+        "SELECT float(1) AS a, double(1) AS b, decimal(1) AS c",
+        "SELECT CAST(1 AS FLOAT) AS a, CAST(1 AS DOUBLE) AS b, "
+        "CAST(1 AS DECIMAL(10,0)) AS c",
+    ),
+    # predicate-functions.sql — string/numeric comparison coercions
+    (
+        "SELECT 1 = '1' AS a, 1.0 = '1' AS b, 1.5 = '1.51' AS c",
+        "SELECT true AS a, true AS b, false AS c",
+    ),
+    (
+        "SELECT 1 > '1' AS a, 2.0 > '1.0' AS b, 2.0 > '2.0' AS c, "
+        "'1.5' > 0.5 AS d",
+        "SELECT false AS a, true AS b, false AS c, true AS d",
+    ),
+    (
+        "SELECT 2.0 >= '1.0' AS a, 2.0 >= '2.2' AS b, 0.5 < '1.5' AS c, "
+        "2.0 < '2.2' AS d",
+        "SELECT true AS a, false AS b, true AS c, true AS d",
+    ),
+    (
+        "SELECT to_date('2017-03-01') = to_timestamp('2017-03-01 00:00:00') AS a, "
+        "to_timestamp('2017-03-01 00:00:01') > to_date('2017-03-01') AS b",
+        "SELECT true AS a, true AS b",
+    ),
+    # operators.sql — unary sign stacking, arithmetic, pmod
+    (
+        "SELECT -100 AS a, +230 AS b, - (-10) AS c, - - 3 AS d, "
+        "- + 20 AS e, + + 100 AS f",
+        "SELECT -100 AS a, 230 AS b, 10 AS c, 3 AS d, -20 AS e, 100 AS f",
+    ),
+    (
+        "SELECT 5 / 2 AS a, 5 / null AS b, null / 5 AS c",
+        "SELECT 2.5 AS a, CAST(NULL AS DOUBLE) AS b, CAST(NULL AS DOUBLE) AS c",
+    ),
+    (
+        "SELECT 1 + 2 AS a, 1 - 2 AS b, 2 * 5 AS c, 5 % 3 AS d, "
+        "pmod(-7, 3) AS e",
+        "SELECT 1 + 2 AS a, 1 - 2 AS b, 2 * 5 AS c, 5 % 3 AS d, 2 AS e",
+    ),
+    # operators.sql — div operator: integral division
+    (
+        "SELECT 5 div 2 AS a, -5 div 2 AS b, 5 div NULL AS c",
+        "SELECT CAST(2 AS BIGINT) AS a, CAST(-2 AS BIGINT) AS b, "
+        "CAST(NULL AS BIGINT) AS c",
+    ),
+    # join-empty-relation.sql — joins against a provably-empty side
+    (
+        "WITH t1 AS (SELECT 1 AS a), e AS (SELECT 1 AS a WHERE false) "
+        "SELECT * FROM t1 CROSS JOIN e",
+        None,
+    ),
+    (
+        "WITH t1 AS (SELECT 1 AS a), e AS (SELECT 1 AS a WHERE false) "
+        "SELECT t1.a, e.a AS ea FROM t1 LEFT OUTER JOIN e ON t1.a = e.a",
+        "SELECT 1 AS a, CAST(NULL AS INT) AS ea",
+    ),
+    (
+        "WITH t1 AS (SELECT 1 AS a), e AS (SELECT 1 AS a WHERE false) "
+        "SELECT t1.a, e.a AS ea FROM t1 RIGHT OUTER JOIN e ON t1.a = e.a",
+        "SELECT 1 AS a, 1 AS ea WHERE false",
+    ),
+    (
+        "WITH t1 AS (SELECT 1 AS a), e AS (SELECT 1 AS a WHERE false) "
+        "SELECT t1.a, e.a AS ea FROM t1 FULL OUTER JOIN e ON t1.a = e.a",
+        "SELECT 1 AS a, CAST(NULL AS INT) AS ea",
+    ),
+    (
+        "WITH t1 AS (SELECT 1 AS a), e AS (SELECT 1 AS a WHERE false) "
+        "SELECT * FROM t1 LEFT SEMI JOIN e ON t1.a = e.a",
+        "SELECT 1 AS a WHERE false",
+    ),
+    (
+        "WITH t1 AS (SELECT 1 AS a), e AS (SELECT 1 AS a WHERE false) "
+        "SELECT * FROM t1 LEFT ANTI JOIN e ON t1.a = e.a",
+        "SELECT 1 AS a",
+    ),
+    # postgreSQL/boolean.sql — three-valued logic
+    (
+        "SELECT (true AND NULL) IS NULL AS a, (false AND NULL) = false AS b, "
+        "(true OR NULL) = true AS c, (false OR NULL) IS NULL AS d, "
+        "(NOT CAST(NULL AS BOOLEAN)) IS NULL AS e",
+        "SELECT true AS a, true AS b, true AS c, true AS d, true AS e",
+    ),
+    (
+        "SELECT CAST('t' AS BOOLEAN) AS a, CAST('f' AS BOOLEAN) AS b, "
+        "CAST('true' AS BOOLEAN) AS c, CAST('FALSE' AS BOOLEAN) AS d",
+        "SELECT true AS a, false AS b, true AS c, false AS d",
+    ),
+    # postgreSQL/int8.sql — bigint edges (in-range arithmetic)
+    (
+        "SELECT 9223372036854775807 AS mx, "
+        "CAST(4567890123456789 AS BIGINT) * 2 AS dbl, "
+        "CAST(10 AS BIGINT) % 3 AS md",
+        "SELECT CAST(9223372036854775807 AS BIGINT) AS mx, "
+        "CAST(9135780246913578 AS BIGINT) AS dbl, CAST(1 AS BIGINT) AS md",
+    ),
+    # postgreSQL/select_having.sql — HAVING without GROUP BY
+    (
+        "SELECT MIN(x) AS m FROM (VALUES 1, 2) AS t(x) HAVING MIN(x) > 0",
+        "SELECT MIN(x) AS m FROM (VALUES (1), (2)) AS t(x) HAVING MIN(x) > 0",
+    ),
+    (
+        "SELECT MIN(x) AS m FROM (VALUES 1, 2) AS t(x) HAVING MIN(x) > 5",
+        "SELECT MIN(x) AS m FROM (VALUES (1), (2)) AS t(x) HAVING MIN(x) > 5",
+    ),
+    # postgreSQL/select_implicit.sql — GROUP BY a column not projected
+    (
+        _TD + "SELECT count(*) AS c FROM testData GROUP BY b "
+        "ORDER BY b NULLS FIRST",
+        None,
+    ),
+    # postgreSQL/aggregates_part1.sql — bool aggregates / empty-set aggs
+    (
+        _TD + "SELECT bool_and(a = 1) AS ba, bool_or(a = 2) AS bo, "
+        "every(b IS NOT NULL) AS ev FROM testData WHERE a IS NOT NULL",
+        _TD + "SELECT bool_and(a = 1) AS ba, bool_or(a = 2) AS bo, "
+        "bool_and(b IS NOT NULL) AS ev FROM testData WHERE a IS NOT NULL",
+    ),
+    (
+        "SELECT avg(x) AS a, sum(x) AS s, max(x) AS mx, count(x) AS c "
+        "FROM (VALUES (1), (2)) AS t(x) WHERE false",
+        "SELECT CAST(NULL AS DOUBLE) AS a, CAST(NULL AS BIGINT) AS s, "
+        "CAST(NULL AS INT) AS mx, CAST(0 AS BIGINT) AS c",
+    ),
+]
+
 @pytest.fixture(scope="module")
 def server(spark):
     loop = asyncio.new_event_loop()
@@ -1007,6 +1203,13 @@ NEGATIVE_CORPUS: list[str] = [
     # IN subquery column-count mismatch
     "SELECT 1 FROM nation WHERE n_nationkey IN "
     "(SELECT r_regionkey, r_name FROM region)",
+    # Spark 4 ANSI divergences from the Spark 3 goldens, pinned as clean
+    # errors: int-vs-string comparison casts the string to the INT side
+    # (operators.sql golden said 2 > '2.2' is true via double); div by
+    # zero and bigint overflow raise instead of returning NULL
+    "SELECT 2 > '2.2'",
+    "SELECT 5 div 0",
+    "SELECT 9223372036854775807 + 1",
 ]
 
 

@@ -1116,6 +1116,125 @@ CORPUS += [
     ),
 ]
 
+
+# --------------------------------------------------------------------------
+# wave 7 — misc-functions/comparator/group-by/literals/date_part ports.
+# References: inputs/misc-functions.sql (typeof), comparator.sql (binary
+# ordering, trim-string-to-numeric), group-by.sql (alias/ordinal/complex
+# grouping keys), literals.sql (typed literal suffixes, beyond-int64
+# decimals), date_part.sql. Literal oracles pin Spark type names and
+# behaviors DuckDB spells differently.
+# --------------------------------------------------------------------------
+
+_TD2 = (
+    "WITH testData AS (SELECT * FROM (VALUES (1, 1), (1, 2), (2, 1), "
+    "(2, 2), (3, 1), (3, 2), (CAST(NULL AS INT), 1), (3, CAST(NULL AS INT)), "
+    "(CAST(NULL AS INT), CAST(NULL AS INT))) AS testData(a, b)) "
+)
+
+CORPUS += [
+    # misc-functions.sql — typeof over every literal family
+    (
+        "SELECT typeof(null) AS a, typeof(true) AS b",
+        "SELECT 'void' AS a, 'boolean' AS b",
+    ),
+    (
+        "SELECT typeof(1Y) AS a, typeof(1S) AS b, typeof(1) AS c, "
+        "typeof(1L) AS d",
+        "SELECT 'tinyint' AS a, 'smallint' AS b, 'int' AS c, 'bigint' AS d",
+    ),
+    (
+        "SELECT typeof(cast(1.0 as float)) AS a, typeof(1.0D) AS b, "
+        "typeof(1.2) AS c",
+        "SELECT 'float' AS a, 'double' AS b, 'decimal(2,1)' AS c",
+    ),
+    (
+        "SELECT typeof(date '1986-05-23') AS a, "
+        "typeof(timestamp '1986-05-23') AS b, typeof('SPARK') AS c",
+        "SELECT 'date' AS a, 'timestamp' AS b, 'string' AS c",
+    ),
+    (
+        "SELECT typeof(array(1, 2)) AS a, typeof(map(1, 2)) AS b, "
+        "typeof(named_struct('a', 1)) AS c",
+        "SELECT 'array<int>' AS a, 'map<int,int>' AS b, "
+        "'struct<a:int>' AS c",
+    ),
+    # comparator.sql — binary type ordering; trim-string-to-numeric
+    (
+        "SELECT x'00' < x'0f' AS a, x'00' < x'ff' AS b",
+        "SELECT true AS a, true AS b",
+    ),
+    (
+        "SELECT '1 ' = 1 AS a, ' 1' = 1L AS b, ' 1.0 ' = 1.0D AS c",
+        "SELECT true AS a, true AS b, true AS c",
+    ),
+    # group-by.sql — grouping by alias, ordinal-of-literal, complex key
+    (
+        _TD2 + "SELECT a, COUNT(b) AS c FROM testData GROUP BY a "
+        "ORDER BY a NULLS FIRST",
+        None,
+    ),
+    (
+        _TD2 + "SELECT 'foo' AS f, COUNT(a) AS c FROM testData GROUP BY 1",
+        None,
+    ),
+    (
+        _TD2 + "SELECT a + b AS ab, COUNT(b) AS c FROM testData "
+        "GROUP BY a + b ORDER BY ab NULLS FIRST",
+        None,
+    ),
+    (
+        _TD2 + "SELECT a AS k, COUNT(b) AS c FROM testData GROUP BY k "
+        "HAVING k > 1 ORDER BY k",
+        None,
+    ),
+    (
+        "SELECT COUNT(DISTINCT b) AS c1, COUNT(DISTINCT b, c) AS c2 "
+        "FROM (SELECT 1 AS a, 2 AS b, 3 AS c) GROUP BY a",
+        "SELECT CAST(1 AS BIGINT) AS c1, CAST(1 AS BIGINT) AS c2",
+    ),
+    # literals.sql — typed suffixes and integral boundaries
+    (
+        "SELECT 1Y AS a, 127Y AS b, -128Y AS c, 1S AS d, 32767S AS e",
+        "SELECT CAST(1 AS TINYINT) AS a, CAST(127 AS TINYINT) AS b, "
+        "CAST(-128 AS TINYINT) AS c, CAST(1 AS SMALLINT) AS d, "
+        "CAST(32767 AS SMALLINT) AS e",
+    ),
+    (
+        "SELECT 1L AS a, 2147483648L AS b, 2147483647 AS c, "
+        "-2147483648 AS d",
+        "SELECT CAST(1 AS BIGINT) AS a, CAST(2147483648 AS BIGINT) AS b, "
+        "2147483647 AS c, -2147483648 AS d",
+    ),
+    # beyond-int64 integral literals parse as exact decimals
+    (
+        "SELECT 9223372036854775808 AS v, -9223372036854775809 AS w",
+        "SELECT CAST('9223372036854775808' AS DECIMAL(19,0)) AS v, "
+        "CAST('-9223372036854775809' AS DECIMAL(19,0)) AS w",
+    ),
+    (
+        "SELECT 0.3 AS a, -0.8 AS b, .5 AS c, -.18 AS d, 0.1111 AS e",
+        "SELECT CAST(0.3 AS DECIMAL(1,1)) AS a, "
+        "CAST(-0.8 AS DECIMAL(1,1)) AS b, CAST(0.5 AS DECIMAL(1,1)) AS c, "
+        "CAST(-0.18 AS DECIMAL(2,2)) AS d, CAST(0.1111 AS DECIMAL(4,4)) AS e",
+    ),
+    # adjacent string literals concatenate (Spark/Hive lexer behavior)
+    (
+        "SELECT 'hello' 'world' AS s",
+        "SELECT 'helloworld' AS s",
+    ),
+    # date arithmetic + date_part synonyms
+    (
+        "SELECT DATE '2001-09-28' + 7 AS d",
+        "SELECT DATE '2001-10-05' AS d",
+    ),
+    (
+        "SELECT date_part('doy', DATE '1970-03-20') AS doy, "
+        "date_part('week', DATE '1970-03-20') AS wk",
+        "SELECT CAST(79 AS INT) AS doy, CAST(12 AS INT) AS wk",
+    ),
+]
+
 @pytest.fixture(scope="module")
 def server(spark):
     loop = asyncio.new_event_loop()

@@ -849,3 +849,56 @@ def qds36_hierarchy_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir)
     return spark.sql(_QDS36_SQL)
+
+
+# --------------------------------------------------------------------------
+# q17 shape: three instances of the same fact joined in sequence
+# (sale → later return → later re-purchase), then aggregated per brand.
+# --------------------------------------------------------------------------
+
+_QDS17_SQL = f"""
+    WITH s AS (
+      SELECT o_custkey AS ck, l_partkey AS pk, o_orderdate AS d,
+             l_quantity AS q
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'N'
+    ),
+    r AS (
+      SELECT o_custkey AS ck, l_partkey AS pk, o_orderdate AS d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+    ),
+    trips AS (
+      SELECT s.pk, s.q AS s_qty, c.q AS c_qty
+      FROM s
+      JOIN r ON s.ck = r.ck AND s.pk = r.pk AND r.d > s.d
+      JOIN s c ON c.ck = r.ck AND c.d > r.d
+    )
+    SELECT p_brand, COUNT(*) AS n_trips,
+           {DSUM('s_qty')} AS sale_qty,
+           {DSUM('c_qty')} AS repurchase_qty
+    FROM trips JOIN part ON pk = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+
+@query(
+    "qds17_sale_return_repurchase",
+    oracle=_QDS17_SQL,
+    covers="§2.B TPC-DS q17 shape: three instances of one fact joined in "
+    "sequence (sale, later return, later re-purchase), brand aggregate",
+)
+def qds17_sale_return_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17's topology: the same fact participates three times — a sale
+    line, a matching later return by the same (customer, part), and any
+    later re-purchase by that customer — chained through two equi joins
+    whose date predicates ride as residuals (store_sales →
+    store_returns → catalog_sales in the original). The three legs
+    shuffle on their natural keys ((ck, pk) then ck); no cartesian or
+    nested loop anywhere (plan-gated), and the part dimension broadcasts
+    onto the tiny trips set. Quantities aggregate as exact decimals;
+    COUNT is exact; p_brand is a total order.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS17_SQL)

@@ -468,6 +468,15 @@ class TestTpcdsWave3Plans:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "TakeOrderedAndProject" in plan
 
+    def test_qds17_three_fact_legs_all_equi(self, spark):
+        plan = plan_of(spark, "qds17_sale_return_repurchase")
+        # sale→return→re-purchase: both fact-fact joins are equi with
+        # the date predicate as residual; part broadcasts onto the
+        # tiny trips set
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
     def test_qds36_rollup_expand_then_rank_window(self, spark):
         plan = plan_of(spark, "qds36_hierarchy_rank")
         # ROLLUP = one Expand + hash aggregate; the rank window runs

@@ -1235,6 +1235,122 @@ CORPUS += [
     ),
 ]
 
+
+# --------------------------------------------------------------------------
+# wave 8 — datetime/string-functions/higher-order-functions and
+# INTERSECT ALL / EXCEPT ALL ports. References: inputs/datetime.sql,
+# string-functions.sql, higher-order-functions.sql, intersect-all.sql,
+# except-all.sql. Array results use the PG wire rendering ({..});
+# Spark-only functions pin literal oracles.
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    # datetime.sql
+    (
+        "SELECT to_date(null) AS a, to_date('2016-12-31') AS b, "
+        "to_date('2016-12-31', 'yyyy-MM-dd') AS c",
+        "SELECT CAST(NULL AS DATE) AS a, DATE '2016-12-31' AS b, "
+        "DATE '2016-12-31' AS c",
+    ),
+    (
+        "SELECT dayofweek('2007-02-03') AS a, dayofweek('2009-07-30') AS b, "
+        "dayofweek(null) AS c",
+        "SELECT 7 AS a, 5 AS b, CAST(NULL AS INT) AS c",
+    ),
+    (
+        "SELECT weekday('2007-02-03') AS a, weekday('2009-07-30') AS b",
+        "SELECT 5 AS a, 3 AS b",
+    ),
+    (
+        "SELECT year('1500-01-01') AS y, month('1500-01-01') AS m, "
+        "dayofyear('1500-01-01') AS d",
+        "SELECT 1500 AS y, 1 AS m, 1 AS d",
+    ),
+    (
+        "SELECT timestamp'2011-11-11 11:11:11' + interval '2' day AS a, "
+        "timestamp'2011-11-11 11:11:11' - interval '2' day AS b",
+        "SELECT TIMESTAMP '2011-11-13 11:11:11' AS a, "
+        "TIMESTAMP '2011-11-09 11:11:11' AS b",
+    ),
+    (
+        "SELECT date'2011-11-11' - interval '2' second AS a",
+        "SELECT TIMESTAMP '2011-11-10 23:59:58' AS a",
+    ),
+    # string-functions.sql
+    (
+        "SELECT left('Spark SQL', 3) AS l, right('Spark SQL', 3) AS r",
+        "SELECT 'Spa' AS l, 'SQL' AS r",
+    ),
+    (
+        "SELECT lpad('hi', 5, 'ab') AS l, rpad('hi', 5, 'ab') AS r",
+        "SELECT 'abahi' AS l, 'hiaba' AS r",
+    ),
+    (
+        "SELECT position('bar' IN 'foobarbar') AS p, "
+        "instr('foobarbar', 'bar') AS i",
+        "SELECT 4 AS p, 4 AS i",
+    ),
+    (
+        "SELECT substring_index('www.apache.org', '.', 2) AS a, "
+        "substring_index('www.apache.org', '.', -1) AS b",
+        "SELECT 'www.apache' AS a, 'org' AS b",
+    ),
+    (
+        "SELECT elt(2, 'a', 'b', 'c') AS e, char(65) AS c",
+        "SELECT 'b' AS e, 'A' AS c",
+    ),
+    (
+        "SELECT initcap('sPark sql') AS i, soundex('Miller') AS s",
+        "SELECT 'Spark Sql' AS i, 'M460' AS s",
+    ),
+    (
+        "SELECT levenshtein('kitten', 'sitting') AS l, "
+        "format_number(12332.123456, 4) AS f",
+        "SELECT 3 AS l, '12,332.1235' AS f",
+    ),
+    # higher-order-functions.sql (single-row forms; {..} wire rendering)
+    (
+        "SELECT transform(array(1, 2, 3), x -> x * x) AS v",
+        "SELECT '{1,4,9}' AS v",
+    ),
+    (
+        "SELECT transform(array(10, 20), (y, i) -> y + i) AS v",
+        "SELECT '{10,21}' AS v",
+    ),
+    (
+        "SELECT filter(array(1, 35, 60), y -> y > 30) AS v",
+        "SELECT '{35,60}' AS v",
+    ),
+    (
+        "SELECT aggregate(array(1, 2, 3), 0, (a, y) -> a + y) AS v",
+        "SELECT 6 AS v",
+    ),
+    (
+        "SELECT exists(array(1, 2, 3), x -> x = 2) AS v, "
+        "forall(array(1, 2, 3), x -> x > 0) AS w",
+        "SELECT true AS v, true AS w",
+    ),
+    (
+        "SELECT zip_with(array(1, 2), array(10, 20), (x, y) -> x + y) AS v",
+        "SELECT '{11,22}' AS v",
+    ),
+    (
+        "SELECT transform(cast(null as array<int>), x -> x + 1) AS v",
+        "SELECT CAST(NULL AS VARCHAR) AS v",
+    ),
+    # intersect-all.sql / except-all.sql — multiset semantics
+    (
+        "SELECT a FROM (VALUES (1), (1), (2)) t(a) INTERSECT ALL "
+        "SELECT a FROM (VALUES (1), (1), (3)) s(a) ORDER BY a",
+        None,
+    ),
+    (
+        "SELECT a FROM (VALUES (1), (1), (2)) t(a) EXCEPT ALL "
+        "SELECT a FROM (VALUES (1), (3)) s(a) ORDER BY a",
+        None,
+    ),
+]
+
 @pytest.fixture(scope="module")
 def server(spark):
     loop = asyncio.new_event_loop()

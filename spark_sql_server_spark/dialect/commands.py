@@ -39,6 +39,9 @@ class StatementClass(enum.Enum):
     EXECUTE_STMT = "execute"   # EXECUTE name [(arg exprs)]
     SHOW_GUC = "show_guc"      # PG `SHOW <setting>` / `SHOW ALL` (Spark's
                                # own SHOW TABLES/… passes through as QUERY)
+    RESET = "reset"            # PG `RESET <setting>` / `RESET ALL` — undo SET
+    DISCARD = "discard"        # PG `DISCARD ALL|PLANS|SEQUENCES|TEMP` —
+                               # pgbouncer sends DISCARD ALL between clients
 
 
 @dataclass
@@ -474,6 +477,23 @@ def classify_statement(sql: str) -> Statement:
         ):
             return Statement(
                 StatementClass.SHOW_GUC, sql, cursor_name=rest, tag="SHOW",
+            )
+    if word0 == "RESET":
+        # PG RESET <name> / RESET ALL (Spark's bare `RESET` — reset every
+        # conf — has no name and passes through as a query)
+        rest = s.split(None, 1)[1].strip() if len(s.split(None, 1)) > 1 else ""
+        if re.fullmatch(r"[A-Za-z_][\w.]*", rest):
+            return Statement(
+                StatementClass.RESET, sql, cursor_name=rest, tag="RESET"
+            )
+    if word0 == "DISCARD":
+        rest = (s.split(None, 1)[1].strip().upper()
+                if len(s.split(None, 1)) > 1 else "")
+        if rest in ("ALL", "PLANS", "SEQUENCES", "TEMP", "TEMPORARY"):
+            target = "TEMP" if rest == "TEMPORARY" else rest
+            return Statement(
+                StatementClass.DISCARD, sql, cursor_name=target,
+                tag=f"DISCARD {target}",
             )
     if word0 == "SET":
         m = _SET_RE.match(s)

@@ -233,6 +233,9 @@ class SessionState:
     #: ($n placeholders substituted with argument expressions at EXECUTE)
     #: SQL-level PREPARE name → (query text, expected parameter count)
     sql_prepared: dict[str, tuple[str, int]] = field(default_factory=dict)
+    #: every key this session SET (including the pool/incremental
+    #: specials) — what RESET ALL / DISCARD ALL undo
+    set_overrides: set[str] = field(default_factory=set)
     #: fair-scheduler pool (SET spark.sql.server.pool) — applied in the
     #: worker thread that runs each statement, because Spark local
     #: properties are per-thread
@@ -639,6 +642,14 @@ class SparkPGServer:
         if stmt.cls is StatementClass.SHOW_GUC:
             self._show_guc(state, stmt.cursor_name, writer)
             return
+        if stmt.cls is StatementClass.RESET:
+            self._reset_guc(state, stmt.cursor_name)
+            writer.write(M.command_complete(stmt.tag))
+            return
+        if stmt.cls is StatementClass.DISCARD:
+            self._discard(state, stmt.cursor_name)
+            writer.write(M.command_complete(stmt.tag))
+            return
         if stmt.cls is StatementClass.SHOW_SET:
             # `SET` → all conf, `SET key` → that key (Spark handles both)
             df = await self._spark_sql(state, stmt.sql)
@@ -811,6 +822,7 @@ class SparkPGServer:
         """SET applies to the *session* conf and returns zero rows
         (protocol.scala:626-638). The fair-scheduler pool key maps to
         the sparkContext local property, like ExecutorImpl.scala:139-145."""
+        state.set_overrides.add(key)
         if key in ("spark.sql.server.pool", "spark.scheduler.pool"):
             # can't set the local property here: this runs on the event
             # loop thread, but the JVM-local property must be set on the
@@ -823,6 +835,47 @@ class SparkPGServer:
             state.incremental_collect = val.lower() in ("true", "1", "on", "yes")
             return
         state.session.conf.set(key, val)
+
+    def _reset_guc(self, state, name: str) -> None:
+        """PG RESET <name> / RESET ALL: undo per-session SET overrides.
+        Lenient on names that were never SET (pooled clients RESET
+        defensively); Spark confs revert via conf.unset (restores the
+        default), the pool/incremental specials revert to None."""
+        if name.upper() == "ALL":
+            for k in list(state.set_overrides):
+                self._reset_one(state, k)
+            state.set_overrides.clear()
+            return
+        self._reset_one(state, name)
+        state.set_overrides.discard(name)
+
+    def _reset_one(self, state, key: str) -> None:
+        if key in ("spark.sql.server.pool", "spark.scheduler.pool"):
+            state.scheduler_pool = None
+            return
+        if key == "spark.sql.server.incrementalCollect.enabled":
+            state.incremental_collect = None
+            return
+        try:
+            state.session.conf.unset(key)
+        except Exception:  # noqa: BLE001 — non-modifiable/unknown key
+            pass
+
+    def _discard(self, state, target: str) -> None:
+        """PG DISCARD: ALL = RESET ALL + DEALLOCATE ALL + close every
+        cursor and portal — the sequence pgbouncer issues between pooled
+        clients. PLANS/SEQUENCES have no analogue here (prepared plans
+        ARE the statements, no sequence state) and TEMP is a no-op:
+        temp views live in the per-client Spark session, which is torn
+        down with the connection (single-session mode shares them
+        deliberately, so dropping would nuke other clients)."""
+        if target != "ALL":
+            return
+        self._reset_guc(state, "ALL")
+        state.sql_prepared.clear()
+        state.statements.clear()
+        state.portals.clear()
+        state.cursors.clear()
 
     # ------------------------------------------------------------------ #
     # extended query protocol
@@ -1001,6 +1054,14 @@ class SparkPGServer:
             return
         if stmt.cls is StatementClass.DEALLOCATE:
             self._deallocate(state, stmt)
+            writer.write(M.command_complete(stmt.tag))
+            return
+        if stmt.cls is StatementClass.RESET:
+            self._reset_guc(state, stmt.cursor_name)
+            writer.write(M.command_complete(stmt.tag))
+            return
+        if stmt.cls is StatementClass.DISCARD:
+            self._discard(state, stmt.cursor_name)
             writer.write(M.command_complete(stmt.tag))
             return
         if stmt.cls is StatementClass.EXECUTE_STMT and portal.df is None:

@@ -1,0 +1,146 @@
+"""PG RESET / DISCARD — the session-reset surface connection poolers
+use (pgbouncer issues ``DISCARD ALL`` between pooled clients; drivers
+``RESET`` individual settings). Beyond-reference: the reference has no
+session-reset statement at all, but any pooled deployment needs it.
+"""
+
+from __future__ import annotations
+
+import asyncio
+
+import pytest
+
+from spark_sql_server_spark.dialect.commands import (
+    StatementClass,
+    classify_statement,
+)
+from spark_sql_server_spark.protocol.server import SparkPGServer
+from spark_sql_server_spark.session import register_tables
+from tests.conftest import SF_SMOKE
+from tests.test_protocol_e2e import PgClient, completes_of, rows_of
+
+
+class TestClassify:
+    def test_reset_forms(self):
+        st = classify_statement("RESET application_name")
+        assert st.cls is StatementClass.RESET
+        assert st.cursor_name == "application_name" and st.tag == "RESET"
+        st = classify_statement("RESET ALL")
+        assert st.cls is StatementClass.RESET and st.cursor_name == "ALL"
+        # Spark's bare RESET (reset every conf) stays a passthrough query
+        assert classify_statement("RESET").cls is StatementClass.QUERY
+
+    def test_discard_forms(self):
+        assert classify_statement("DISCARD ALL").tag == "DISCARD ALL"
+        assert classify_statement("discard temporary").tag == "DISCARD TEMP"
+        assert classify_statement("DISCARD PLANS").tag == "DISCARD PLANS"
+        assert classify_statement("DISCARD SEQUENCES").tag == "DISCARD SEQUENCES"
+        # unknown target falls through (Spark rejects it as a query)
+        assert classify_statement("DISCARD NONSENSE").cls is StatementClass.QUERY
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    loop = asyncio.new_event_loop()
+
+    async def _run():
+        srv = SparkPGServer(
+            spark, port=0, pg_catalog=False,
+            init_session=lambda s: register_tables(s, SF_SMOKE),
+        )
+        await srv.start()
+        return srv
+
+    srv = loop.run_until_complete(_run())
+    yield srv, loop
+    loop.run_until_complete(srv.stop())
+    loop.close()
+
+
+def _run(server, coro_fn):
+    srv, loop = server
+    return loop.run_until_complete(coro_fn(srv))
+
+
+class TestResetE2E:
+    def test_reset_restores_default(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            before = await c.simple("SHOW application_name")
+            await c.simple("SET application_name = 'pooler-test'")
+            after_set = await c.simple("SHOW application_name")
+            reset = await c.simple("RESET application_name")
+            after_reset = await c.simple("SHOW application_name")
+            await c.close()
+            return before, after_set, reset, after_reset
+
+        before, after_set, reset, after_reset = _run(server, go)
+        assert rows_of(after_set) == [[b"pooler-test"]]
+        assert completes_of(reset) == ["RESET"]
+        assert rows_of(after_reset) == rows_of(before)
+
+    def test_reset_of_never_set_key_is_lenient(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            m = await c.simple("RESET statement_timeout")
+            ok = await c.simple("SELECT 1 AS v")
+            await c.close()
+            return m, ok
+
+        m, ok = _run(server, go)
+        assert completes_of(m) == ["RESET"]
+        assert rows_of(ok) == [[b"1"]]
+
+
+class TestDiscardE2E:
+    def test_discard_all_pgbouncer_sequence(self, server):
+        """The exact shape pgbouncer runs between pooled clients: the
+        next client must see default GUCs and no prepared statements or
+        cursors from the previous one."""
+
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            default_app = await c.simple("SHOW application_name")
+            await c.simple("SET application_name = 'client-a'")
+            await c.simple(
+                "PREPARE leftover AS SELECT n_name FROM nation "
+                "WHERE n_nationkey = 0"
+            )
+            await c.simple(
+                "DECLARE cur_leftover CURSOR FOR SELECT r_name FROM region"
+            )
+            discard = await c.simple("DISCARD ALL")
+            app = await c.simple("SHOW application_name")
+            exec_gone = await c.simple("EXECUTE leftover")
+            ok_after_err = await c.simple("SELECT 2 AS v")
+            fetch_gone = await c.simple("FETCH ALL FROM cur_leftover")
+            ok2 = await c.simple("SELECT 3 AS v")
+            await c.close()
+            return (default_app, discard, app, exec_gone, ok_after_err,
+                    fetch_gone, ok2)
+
+        (default_app, discard, app, exec_gone, ok_after_err,
+         fetch_gone, ok2) = _run(server, go)
+        assert completes_of(discard) == ["DISCARD ALL"]
+        assert rows_of(app) == rows_of(default_app)
+        # prepared statement and cursor are gone → clean errors
+        assert any(t == b"E" for t, _ in exec_gone)
+        assert rows_of(ok_after_err) == [[b"2"]]
+        assert any(t == b"E" for t, _ in fetch_gone)
+        assert rows_of(ok2) == [[b"3"]]
+
+    def test_discard_noop_variants(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            m1 = await c.simple("DISCARD PLANS")
+            m2 = await c.simple("DISCARD SEQUENCES")
+            m3 = await c.simple("DISCARD TEMP")
+            ok = await c.simple("SELECT 4 AS v")
+            await c.close()
+            return m1, m2, m3, ok
+
+        m1, m2, m3, ok = _run(server, go)
+        assert completes_of(m1) == ["DISCARD PLANS"]
+        assert completes_of(m2) == ["DISCARD SEQUENCES"]
+        assert completes_of(m3) == ["DISCARD TEMP"]
+        assert rows_of(ok) == [[b"4"]]

@@ -499,6 +499,12 @@ def classify_statement(sql: str) -> Statement:
         m = _SET_RE.match(s)
         if m:
             val = m.group("val").strip()
+            if val.upper() == "DEFAULT":
+                # PG: `SET x TO DEFAULT` ≡ `RESET x`
+                return Statement(
+                    StatementClass.RESET, sql,
+                    cursor_name=m.group("key"), tag="SET",
+                )
             if len(val) >= 2 and val[0] == "'" and val[-1] == "'":
                 val = val[1:-1].replace("''", "'")
             return Statement(

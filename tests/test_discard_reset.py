@@ -79,6 +79,23 @@ class TestResetE2E:
         assert completes_of(reset) == ["RESET"]
         assert rows_of(after_reset) == rows_of(before)
 
+    def test_set_to_default_is_reset(self, server):
+        """PG: `SET x TO DEFAULT` is equivalent to `RESET x` (and must
+        NOT store the literal string DEFAULT)."""
+
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            before = await c.simple("SHOW application_name")
+            await c.simple("SET application_name = 'temp-name'")
+            m = await c.simple("SET application_name TO DEFAULT")
+            after = await c.simple("SHOW application_name")
+            await c.close()
+            return before, m, after
+
+        before, m, after = _run(server, go)
+        assert completes_of(m) == ["SET"]
+        assert rows_of(after) == rows_of(before)
+
     def test_reset_of_never_set_key_is_lenient(self, server):
         async def go(srv):
             c = await PgClient.connect(srv.port)

@@ -36,6 +36,7 @@ GUC_DEFAULTS: dict[str, str] = {
     "search_path": '"$user", public',
     "is_superuser": "on",
     "session_authorization": "spark-user",
+    "statement_timeout": "0",
 }
 
 #: namespace oid/name the reference reports for Spark's default database
@@ -112,8 +113,12 @@ def init_pg_catalog(spark: SparkSession) -> None:
         f"{CATALOG_DB}.pg_type"
     ):
         cols = {f.name for f in spark.table(f"{CATALOG_DB}.pg_type").schema.fields}
-        if "typtypmod" in cols:  # current schema rev — nothing to do
-            return
+        has_timeout_row = spark.sql(
+            f"SELECT 1 FROM {CATALOG_DB}.pg_settings "
+            "WHERE name = 'statement_timeout' LIMIT 1"
+        ).count() == 1
+        if "typtypmod" in cols and has_timeout_row:
+            return  # current schema+content rev — nothing to do
         # stale persisted catalog from an older schema rev: rebuild
     # the in-memory catalog is per-process but the warehouse dir is not:
     # clear any orphaned location from a previous process

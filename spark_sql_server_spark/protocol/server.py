@@ -29,6 +29,7 @@ from __future__ import annotations
 import asyncio
 import itertools
 import logging
+import re
 import secrets
 import struct
 from dataclasses import dataclass, field
@@ -236,6 +237,9 @@ class SessionState:
     #: every key this session SET (including the pool/incremental
     #: specials) — what RESET ALL / DISCARD ALL undo
     set_overrides: set[str] = field(default_factory=set)
+    #: PG statement_timeout in ms (0 = disabled) — enforced around every
+    #: blocking Spark phase via cancelJobGroup
+    statement_timeout_ms: int = 0
     #: fair-scheduler pool (SET spark.sql.server.pool) — applied in the
     #: worker thread that runs each statement, because Spark local
     #: properties are per-thread
@@ -823,6 +827,10 @@ class SparkPGServer:
         (protocol.scala:626-638). The fair-scheduler pool key maps to
         the sparkContext local property, like ExecutorImpl.scala:139-145."""
         state.set_overrides.add(key)
+        if key.lower() == "statement_timeout":
+            state.statement_timeout_ms = _parse_timeout_ms(val)
+            state.session.conf.set("statement_timeout", val)  # SHOW/RESET flow
+            return
         if key in ("spark.sql.server.pool", "spark.scheduler.pool"):
             # can't set the local property here: this runs on the event
             # loop thread, but the JVM-local property must be set on the
@@ -850,6 +858,8 @@ class SparkPGServer:
         state.set_overrides.discard(name)
 
     def _reset_one(self, state, key: str) -> None:
+        if key.lower() == "statement_timeout":
+            state.statement_timeout_ms = 0
         if key in ("spark.sql.server.pool", "spark.scheduler.pool"):
             state.scheduler_pool = None
             return
@@ -1435,7 +1445,34 @@ class SparkPGServer:
             sc.setLocalProperty("spark.scheduler.pool", state.scheduler_pool)
             return state.session.sql(sql, args=args) if args else state.session.sql(sql)
 
-        return await asyncio.to_thread(run)
+        return await self._to_thread_with_timeout(state, run)
+
+    async def _to_thread_with_timeout(self, state, fn):
+        """Run a blocking Spark phase in a worker thread, enforcing the
+        session's PG ``statement_timeout``. On expiry the session's job
+        group is cancelled (interruptOnCancel, same path as an
+        out-of-band CancelRequest), the thread is awaited so it unwinds
+        cleanly, and the PG-standard 57014 error surfaces. PG's timeout
+        covers the whole statement; here each blocking phase (analyze /
+        execute / fetch) gets the full budget — the practical difference
+        is invisible to clients because the data-producing phase
+        dominates."""
+        task = asyncio.ensure_future(asyncio.to_thread(fn))
+        timeout_ms = state.statement_timeout_ms
+        if not timeout_ms:
+            return await task
+        try:
+            return await asyncio.wait_for(asyncio.shield(task), timeout_ms / 1000.0)
+        except asyncio.TimeoutError:
+            try:
+                state.session.sparkContext.cancelJobGroup(state.job_group)
+            except Exception:  # noqa: BLE001 — context already stopped
+                pass
+            try:
+                await task  # let the worker thread unwind (cancelled job)
+            except Exception:  # noqa: BLE001 — expected: job was killed
+                pass
+            raise ValueError("canceling statement due to statement timeout")
 
     async def _stream_result(
         self,
@@ -1481,7 +1518,7 @@ class SparkPGServer:
 
             if portal is None:
                 writer.write(self._row_description(df, result_formats))
-            sent, blob = await asyncio.to_thread(arrow_all)
+            sent, blob = await self._to_thread_with_timeout(state, arrow_all)
             writer.write(blob)
             await writer.drain()
             self.metrics.rows_sent += sent
@@ -1503,7 +1540,7 @@ class SparkPGServer:
                     return df.toLocalIterator(prefetchPartitions=True)
                 return iter(df.collect())
 
-            iterator = await asyncio.to_thread(start)
+            iterator = await self._to_thread_with_timeout(state, start)
             serializer = (
                 portal.serializer if portal is not None and portal.serializer is not None
                 else self._make_serializer(df, result_formats)
@@ -1600,6 +1637,25 @@ def _parse_copy_binary(data: bytes, dtypes) -> list[list]:
     return rows
 
 
+_TIMEOUT_RE = re.compile(r"^\s*(\d+)\s*(us|ms|s|min|h|d)?\s*$", re.IGNORECASE)
+_TIMEOUT_UNIT_MS = {
+    None: 1.0, "us": 0.001, "ms": 1.0, "s": 1000.0,
+    "min": 60000.0, "h": 3600000.0, "d": 86400000.0,
+}
+
+
+def _parse_timeout_ms(val: str) -> int:
+    """PG statement_timeout value: bare integer = milliseconds, or an
+    integer with a PG time unit suffix."""
+    m = _TIMEOUT_RE.match(val)
+    if not m:
+        raise ValueError(
+            f'invalid value for parameter "statement_timeout": "{val}"'
+        )
+    unit = m.group(2).lower() if m.group(2) else None
+    return int(int(m.group(1)) * _TIMEOUT_UNIT_MS[unit])
+
+
 def _is_command(sql: str) -> bool:
     head = sql.lstrip().split(None, 1)
     return bool(head) and head[0].upper() in _COMMAND_KEYWORDS
@@ -1636,6 +1692,8 @@ _SQLSTATE_MAP = (
     ("Hive support is required", "0A000"),
     ("TABLE_OR_VIEW_ALREADY_EXISTS", "42P07"),
     ("unrecognized configuration parameter", "42704"),  # undefined_object
+    ("statement timeout", "57014"),  # query_canceled
+    ("invalid value for parameter", "22023"),
 )
 
 

@@ -109,6 +109,74 @@ class TestResetE2E:
         assert rows_of(ok) == [[b"1"]]
 
 
+class TestStatementTimeoutE2E:
+    def test_timeout_cancels_and_session_survives(self, server):
+        """A statement that exceeds statement_timeout must fail with a
+        clean 57014-class error and the session must stay usable; after
+        RESET the same query runs to completion."""
+
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.simple("SET statement_timeout = '5ms'")
+            shown = await c.simple("SHOW statement_timeout")
+            slow = await c.simple(
+                "SELECT count(*) AS n FROM lineitem l1 "
+                "JOIN lineitem l2 ON l1.l_quantity = l2.l_quantity"
+            )
+            reset = await c.simple("RESET statement_timeout")
+            fast = await c.simple("SELECT count(*) AS n FROM region")
+            await c.close()
+            return shown, slow, reset, fast
+
+        shown, slow, reset, fast = _run(server, go)
+        assert rows_of(shown) == [[b"5ms"]]
+        errs = [f for t, f in slow if t == b"E"]
+        assert errs, "expected a timeout error"
+        blob = b"".join(errs)
+        assert b"57014" in blob and b"statement timeout" in blob
+        # commands (RESET) bypass Spark, so they work even under a tiny
+        # timeout — and afterwards queries run to completion again
+        assert completes_of(reset) == ["RESET"]
+        assert rows_of(fast) == [[b"5"]]
+
+    def test_zero_and_units_parse(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            m0 = await c.simple("SET statement_timeout = 0")
+            q0 = await c.simple("SELECT count(*) AS n FROM nation")
+            m1 = await c.simple("SET statement_timeout = '30s'")
+            q1 = await c.simple("SELECT count(*) AS n FROM nation")
+            bad = await c.simple("SET statement_timeout = 'abc'")
+            ok = await c.simple("SELECT 8 AS v")
+            await c.simple("RESET statement_timeout")
+            await c.close()
+            return m0, q0, m1, q1, bad, ok
+
+        m0, q0, m1, q1, bad, ok = _run(server, go)
+        assert completes_of(m0) == ["SET"] and rows_of(q0) == [[b"25"]]
+        assert completes_of(m1) == ["SET"] and rows_of(q1) == [[b"25"]]
+        errs = [f for t, f in bad if t == b"E"]
+        assert errs and b"22023" in b"".join(errs)
+        assert rows_of(ok) == [[b"8"]]
+
+    def test_discard_all_clears_timeout(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.simple("SET statement_timeout = '5ms'")
+            await c.simple("DISCARD ALL")
+            # would have timed out under 5ms — must succeed now
+            big = await c.simple(
+                "SELECT count(*) AS n FROM lineitem l1 "
+                "JOIN lineitem l2 ON l1.l_quantity = l2.l_quantity"
+            )
+            await c.close()
+            return big
+
+        big = _run(server, go)
+        assert not any(t == b"E" for t, _ in big)
+        assert len(rows_of(big)) == 1
+
+
 class TestDiscardE2E:
     def test_discard_all_pgbouncer_sequence(self, server):
         """The exact shape pgbouncer runs between pooled clients: the

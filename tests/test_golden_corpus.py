@@ -1351,6 +1351,114 @@ CORPUS += [
     ),
 ]
 
+
+# --------------------------------------------------------------------------
+# wave 9 — cast.sql + null-handling.sql ports. cast.sql's Spark 3
+# goldens rely on non-ANSI NULL-on-invalid casts; under Spark 4 ANSI the
+# equivalent NULL behavior is TRY_CAST (the erroring CAST forms are
+# pinned in NEGATIVE_CORPUS). null-handling.sql's t1 is inlined.
+# --------------------------------------------------------------------------
+
+_T1 = (
+    "WITH t1 AS (SELECT * FROM (VALUES (1, 0, 0), (2, 0, 1), (3, 1, 0), "
+    "(4, 1, 1), (5, CAST(NULL AS INT), 0), (6, CAST(NULL AS INT), 1), "
+    "(7, CAST(NULL AS INT), CAST(NULL AS INT))) AS t1(a, b, c)) "
+)
+
+CORPUS += [
+    # cast.sql — TRY_CAST gives the golden's NULL-on-invalid semantics
+    (
+        "SELECT TRY_CAST('1.23' AS int) AS a, TRY_CAST('abc' AS int) AS b, "
+        "TRY_CAST('' AS int) AS c, TRY_CAST('123.a' AS long) AS d",
+        "SELECT CAST(NULL AS INT) AS a, CAST(NULL AS INT) AS b, "
+        "CAST(NULL AS INT) AS c, CAST(NULL AS BIGINT) AS d",
+    ),
+    (
+        "SELECT TRY_CAST('1234567890123' AS int) AS a, "
+        "TRY_CAST('2147483648' AS int) AS b, "
+        "TRY_CAST('-2147483649' AS int) AS c, "
+        "TRY_CAST('9223372036854775808' AS long) AS d",
+        "SELECT CAST(NULL AS INT) AS a, CAST(NULL AS INT) AS b, "
+        "CAST(NULL AS INT) AS c, CAST(NULL AS BIGINT) AS d",
+    ),
+    (
+        "SELECT CAST('-2147483648' AS int) AS a, CAST('2147483647' AS int) AS b, "
+        "CAST('-9223372036854775808' AS long) AS c, "
+        "CAST('9223372036854775807' AS long) AS d, CAST('  42  ' AS int) AS e",
+        "SELECT CAST(-2147483648 AS INT) AS a, CAST(2147483647 AS INT) AS b, "
+        "CAST(-9223372036854775808 AS BIGINT) AS c, "
+        "CAST(9223372036854775807 AS BIGINT) AS d, CAST(42 AS INT) AS e",
+    ),
+    (
+        "SELECT HEX(CAST('Az' AS binary)) AS v",
+        "SELECT '417A' AS v",
+    ),
+    # null-handling.sql — null propagation through arithmetic
+    (
+        _T1 + "SELECT a, b + c AS bc, b * 0 AS b0 FROM t1 ORDER BY a",
+        None,
+    ),
+    # nulls are NOT distinct in SELECT DISTINCT / UNION
+    (
+        _T1 + "SELECT DISTINCT b FROM t1 ORDER BY b NULLS FIRST",
+        None,
+    ),
+    (
+        _T1 + "SELECT b FROM t1 UNION SELECT b FROM t1 ORDER BY b NULLS FIRST",
+        None,
+    ),
+    # CASE over null comparisons (simple CASE null never matches)
+    (
+        _T1 + "SELECT a + 20 AS a2, CASE b WHEN c THEN 1 ELSE 0 END AS m "
+        "FROM t1 ORDER BY a2",
+        None,
+    ),
+    (
+        _T1 + "SELECT a + 40 AS a4, CASE WHEN b <> 0 THEN 1 ELSE 0 END AS m "
+        "FROM t1 ORDER BY a4",
+        None,
+    ),
+    # "not (null AND false)" is true; "null OR true" is true
+    (
+        _T1 + "SELECT a + 70 AS a7, "
+        "CASE WHEN NOT (b <> 0 AND c <> 0) THEN 1 ELSE 0 END AS m "
+        "FROM t1 ORDER BY a7",
+        None,
+    ),
+    (
+        _T1 + "SELECT a + 80 AS a8, "
+        "CASE WHEN b <> 0 OR c <> 0 THEN 1 ELSE 0 END AS m "
+        "FROM t1 ORDER BY a8",
+        None,
+    ),
+    # null-skipping aggregates over a partly-null column
+    (
+        _T1 + "SELECT count(*) AS c0, count(b) AS cb, sum(b) AS sb, "
+        "avg(b) AS ab, min(b) AS mnb, max(b) AS mxb FROM t1",
+        _T1 + "SELECT count(*) AS c0, count(b) AS cb, "
+        "CAST(sum(b) AS BIGINT) AS sb, avg(b) AS ab, min(b) AS mnb, "
+        "max(b) AS mxb FROM t1",
+    ),
+    # NULL in WHERE: rows with null b never qualify, even negated
+    (
+        _T1 + "SELECT a + 100 AS v FROM t1 WHERE b < 10 ORDER BY v",
+        None,
+    ),
+    (
+        _T1 + "SELECT a + 110 AS v FROM t1 WHERE NOT b > 10 ORDER BY v",
+        None,
+    ),
+    (
+        _T1 + "SELECT a + 130 AS v FROM t1 WHERE b < 10 AND c = 1 ORDER BY v",
+        None,
+    ),
+    (
+        _T1 + "SELECT a + 140 AS v FROM t1 WHERE NOT (b < 10 AND c = 1) "
+        "ORDER BY v",
+        None,
+    ),
+]
+
 @pytest.fixture(scope="module")
 def server(spark):
     loop = asyncio.new_event_loop()
@@ -1445,6 +1553,12 @@ NEGATIVE_CORPUS: list[str] = [
     "SELECT 2 > '2.2'",
     "SELECT 5 div 0",
     "SELECT 9223372036854775807 + 1",
+    # cast.sql goldens returned NULL for these (non-ANSI Spark 3); ANSI
+    # CAST raises — TRY_CAST carries the NULL behavior (wave 9)
+    "SELECT CAST('1.23' AS int)",
+    "SELECT CAST('abc' AS long)",
+    "SELECT CAST('' AS int)",
+    "SELECT CAST('2147483648' AS int)",
 ]
 
 

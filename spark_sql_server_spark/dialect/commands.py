@@ -40,6 +40,8 @@ class StatementClass(enum.Enum):
     SHOW_GUC = "show_guc"      # PG `SHOW <setting>` / `SHOW ALL` (Spark's
                                # own SHOW TABLES/… passes through as QUERY)
     RESET = "reset"            # PG `RESET <setting>` / `RESET ALL` — undo SET
+    BACKEND_CTL = "backend_ctl"  # SELECT pg_cancel_backend(pid) /
+                                 # pg_terminate_backend(pid) — admin surface
     DISCARD = "discard"        # PG `DISCARD ALL|PLANS|SEQUENCES|TEMP` —
                                # pgbouncer sends DISCARD ALL between clients
 
@@ -270,6 +272,12 @@ def _copy_options(opts: str) -> tuple[str | None, str | None]:
     return delim, null
 
 
+_BACKEND_RE = re.compile(
+    r"^\s*SELECT\s+pg_(?P<kind>cancel|terminate)_backend\s*"
+    r"\(\s*(?P<pid>\d+)\s*\)\s*$",
+    re.IGNORECASE,
+)
+
 _SET_RE = re.compile(
     r"^\s*SET\s+(?:SESSION\s+|LOCAL\s+)?(?P<key>[A-Za-z_][\w.]*)\s*"
     r"(?:=|\s+TO\s+)\s*(?P<val>.+?)\s*;?\s*$",
@@ -477,6 +485,17 @@ def classify_statement(sql: str) -> Statement:
         ):
             return Statement(
                 StatementClass.SHOW_GUC, sql, cursor_name=rest, tag="SHOW",
+            )
+    if word0 == "SELECT":
+        m = _BACKEND_RE.match(s)
+        if m:
+            # monitoring tools issue these verbatim; the pid is a server
+            # session pid (pg_stat_activity.pid), handled server-side
+            return Statement(
+                StatementClass.BACKEND_CTL, sql,
+                cursor_name=m.group("pid"),
+                copy_query=m.group("kind").lower(),
+                tag="SELECT 1",
             )
     if word0 == "RESET":
         # PG RESET <name> / RESET ALL (Spark's bare `RESET` — reset every

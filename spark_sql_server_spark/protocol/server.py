@@ -654,6 +654,11 @@ class SparkPGServer:
             self._discard(state, stmt.cursor_name)
             writer.write(M.command_complete(stmt.tag))
             return
+        if stmt.cls is StatementClass.BACKEND_CTL:
+            writer.write(M.row_description(self._backend_ctl_fields(stmt.copy_query)))
+            writer.write(M.data_row(self._backend_ctl(state, stmt)))
+            writer.write(M.command_complete("SELECT 1"))
+            return
         if stmt.cls is StatementClass.SHOW_SET:
             # `SET` → all conf, `SET key` → that key (Spark handles both)
             df = await self._spark_sql(state, stmt.sql)
@@ -822,6 +827,32 @@ class SparkPGServer:
             writer.write(M.data_row(r))
         writer.write(M.command_complete("SHOW"))
 
+    @staticmethod
+    def _backend_ctl_fields(kind: str) -> list[tuple[str, int, int, int]]:
+        return [(f"pg_{kind}_backend", 16, 1, 0)]  # boolean
+
+    def _backend_ctl(self, state, stmt) -> list[bytes | None]:
+        """SELECT pg_cancel_backend(pid) / pg_terminate_backend(pid):
+        cancel the target session's running jobs (the CancelRequest
+        path, no secret needed server-side — PG allows same-user
+        cancels); terminate additionally closes its connection. Returns
+        the PG boolean cell: 't' if the pid exists, 'f' otherwise."""
+        pid = int(stmt.cursor_name)
+        target = self._sessions.get(pid)
+        if target is None:
+            return [b"f"]
+        self.metrics.cancels += 1
+        try:
+            self.spark.sparkContext.cancelJobGroup(target.job_group)
+        except Exception:  # noqa: BLE001 — context already stopped
+            pass
+        if stmt.copy_query == "terminate" and target.writer is not None:
+            try:
+                target.writer.close()
+            except Exception:  # noqa: BLE001 — already closing
+                pass
+        return [b"t"]
+
     def _apply_set(self, state, key: str, val: str) -> None:
         """SET applies to the *session* conf and returns zero rows
         (protocol.scala:626-638). The fair-scheduler pool key maps to
@@ -986,6 +1017,10 @@ class SparkPGServer:
                 writer.write(
                     M.row_description(self._show_guc_fields(ps.stmt.cursor_name))
                 )
+            elif ps.stmt.cls is StatementClass.BACKEND_CTL:
+                writer.write(
+                    M.row_description(self._backend_ctl_fields(ps.stmt.copy_query))
+                )
             elif ps.stmt.cls is StatementClass.EXECUTE_STMT:
                 writer.write(
                     self._row_description(
@@ -1006,6 +1041,14 @@ class SparkPGServer:
                 writer.write(
                     M.row_description(
                         self._show_guc_fields(portal.statement.stmt.cursor_name)
+                    )
+                )
+            elif portal.statement is not None and (
+                portal.statement.stmt.cls is StatementClass.BACKEND_CTL
+            ):
+                writer.write(
+                    M.row_description(
+                        self._backend_ctl_fields(portal.statement.stmt.copy_query)
                     )
                 )
             elif portal.statement is not None and (
@@ -1073,6 +1116,10 @@ class SparkPGServer:
         if stmt.cls is StatementClass.DISCARD:
             self._discard(state, stmt.cursor_name)
             writer.write(M.command_complete(stmt.tag))
+            return
+        if stmt.cls is StatementClass.BACKEND_CTL:
+            writer.write(M.data_row(self._backend_ctl(state, stmt)))
+            writer.write(M.command_complete("SELECT 1"))
             return
         if stmt.cls is StatementClass.EXECUTE_STMT and portal.df is None:
             # SQL-level EXECUTE through the extended protocol: resolve

@@ -229,3 +229,63 @@ class TestDiscardE2E:
         assert completes_of(m2) == ["DISCARD SEQUENCES"]
         assert completes_of(m3) == ["DISCARD TEMP"]
         assert rows_of(ok) == [[b"4"]]
+
+
+class TestBackendCtlE2E:
+    def test_cancel_backend_boolean_results(self, server):
+        """pg_cancel_backend: 't' for a live pid (cancels its job
+        group), 'f' for an unknown pid — the shapes monitoring tools
+        issue verbatim against pg_stat_activity."""
+
+        async def go(srv):
+            a = await PgClient.connect(srv.port)
+            b = await PgClient.connect(srv.port)
+            b_pid = b.backend_key[0]
+            ok = await a.simple(f"SELECT pg_cancel_backend({b_pid})")
+            missing = await a.simple("SELECT pg_cancel_backend(999999)")
+            # the cancelled session had no running job — still usable
+            alive = await b.simple("SELECT 11 AS v")
+            await a.close()
+            await b.close()
+            return ok, missing, alive
+
+        ok, missing, alive = _run(server, go)
+        assert rows_of(ok) == [[b"t"]] and completes_of(ok) == ["SELECT 1"]
+        assert rows_of(missing) == [[b"f"]]
+        assert rows_of(alive) == [[b"11"]]
+
+    def test_terminate_backend_closes_connection(self, server):
+        async def go(srv):
+            a = await PgClient.connect(srv.port)
+            b = await PgClient.connect(srv.port)
+            b_pid = b.backend_key[0]
+            term = await a.simple(f"SELECT pg_terminate_backend({b_pid})")
+            # b's socket is closed by the server
+            try:
+                await asyncio.wait_for(b.simple("SELECT 1 AS v"), 5)
+                b_dead = False
+            except (asyncio.IncompleteReadError, ConnectionError,
+                    asyncio.TimeoutError):
+                b_dead = True
+            a_ok = await a.simple("SELECT 12 AS v")
+            await a.close()
+            return term, b_dead, a_ok
+
+        term, b_dead, a_ok = _run(server, go)
+        assert rows_of(term) == [[b"t"]]
+        assert b_dead
+        assert rows_of(a_ok) == [[b"12"]]
+
+    def test_pid_matches_pg_stat_activity(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            pid = c.backend_key[0]
+            rows = await c.simple(
+                "SELECT pid FROM pg_stat_activity ORDER BY pid"
+            )
+            await c.close()
+            return pid, rows
+
+        pid, rows = _run(server, go)
+        pids = [int(r[0]) for r in rows_of(rows)]
+        assert pid in pids

@@ -1459,6 +1459,128 @@ CORPUS += [
     ),
 ]
 
+
+# --------------------------------------------------------------------------
+# wave 10 — struct.sql / table-valued-functions.sql / array.sql /
+# window extras / cte.sql / inline-table.sql ports. Struct cells render
+# as JSON on the wire; array cells as PG {..}.
+# --------------------------------------------------------------------------
+
+_TBLX = (
+    "WITH tbl_x AS (SELECT * FROM (VALUES "
+    "(1, NAMED_STRUCT('C', 'gamma', 'D', 'delta')), "
+    "(2, NAMED_STRUCT('C', 'epsilon', 'D', 'eta'))) AS t(id, st)) "
+)
+
+CORPUS += [
+    # struct.sql — construction, aliasing, star expansion, field access
+    (
+        "SELECT STRUCT('alpha' AS a, 'beta' AS b) AS st",
+        "SELECT '{\"a\":\"alpha\",\"b\":\"beta\"}' AS st",
+    ),
+    (
+        _TBLX + "SELECT id, STRUCT(st.*, CAST(id AS STRING) AS e) AS nst "
+        "FROM tbl_x ORDER BY id",
+        "SELECT 1 AS id, '{\"C\":\"gamma\",\"D\":\"delta\",\"e\":\"1\"}' AS nst "
+        "UNION ALL SELECT 2, '{\"C\":\"epsilon\",\"D\":\"eta\",\"e\":\"2\"}' "
+        "ORDER BY id",
+    ),
+    (
+        _TBLX + "SELECT id, STRUCT(st.C AS stc, st.D AS std).std AS v "
+        "FROM tbl_x ORDER BY id",
+        "SELECT 1 AS id, 'delta' AS v UNION ALL SELECT 2, 'eta' ORDER BY id",
+    ),
+    # table-valued-functions.sql — range TVF forms
+    (
+        "SELECT id FROM range(6 + cos(3)) ORDER BY id",
+        "SELECT CAST(r AS BIGINT) AS id FROM generate_series(0, 4) t(r) "
+        "ORDER BY id",
+    ),
+    (
+        "SELECT id FROM range(5, 10) ORDER BY id",
+        "SELECT CAST(r AS BIGINT) AS id FROM generate_series(5, 9) t(r) "
+        "ORDER BY id",
+    ),
+    (
+        "SELECT id FROM range(0, 10, 2) ORDER BY id",
+        "SELECT CAST(r AS BIGINT) AS id FROM generate_series(0, 8, 2) t(r) "
+        "ORDER BY id",
+    ),
+    (
+        "SELECT id FROM RaNgE(2) ORDER BY id",
+        "SELECT CAST(0 AS BIGINT) AS id UNION ALL SELECT 1 ORDER BY id",
+    ),
+    # window extras — lag with default, IGNORE NULLS, ntile
+    (
+        "SELECT v, lag(v, 2, -1) OVER (ORDER BY v) AS l "
+        "FROM (VALUES (1), (2), (3), (4)) t(v) ORDER BY v",
+        "SELECT v, lag(v, 2, -1) OVER (ORDER BY v) AS l "
+        "FROM (VALUES (1), (2), (3), (4)) t(v) ORDER BY v",
+    ),
+    (
+        "SELECT k, first_value(v) IGNORE NULLS OVER "
+        "(ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f "
+        "FROM (VALUES (1, CAST(NULL AS INT)), (2, 20), (3, 30)) t(k, v) "
+        "ORDER BY k",
+        # DuckDB spells IGNORE NULLS inside the call parens
+        "SELECT k, first_value(v IGNORE NULLS) OVER "
+        "(ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f "
+        "FROM (VALUES (1, CAST(NULL AS INT)), (2, 20), (3, 30)) t(k, v) "
+        "ORDER BY k",
+    ),
+    (
+        "SELECT v, ntile(2) OVER (ORDER BY v) AS n "
+        "FROM (VALUES (1), (2), (3), (4)) t(v) ORDER BY v",
+        None,
+    ),
+    # array.sql — membership, slicing, set algebra, sequences
+    (
+        "SELECT array_contains(array(1, 2, 3), 2) AS c, "
+        "size(array(1, 2, 3)) AS s, sort_array(array(3, 1, 2)) AS a",
+        "SELECT true AS c, 3 AS s, '{1,2,3}' AS a",
+    ),
+    (
+        "SELECT slice(array(1, 2, 3, 4), 2, 2) AS s, "
+        "array_position(array('a', 'b'), 'b') AS p, "
+        "element_at(array(10, 20), 2) AS e",
+        "SELECT '{2,3}' AS s, CAST(2 AS BIGINT) AS p, 20 AS e",
+    ),
+    (
+        "SELECT flatten(array(array(1, 2), array(3))) AS f, "
+        "array_distinct(array(1, 1, 2)) AS d",
+        "SELECT '{1,2,3}' AS f, '{1,2}' AS d",
+    ),
+    (
+        "SELECT array_union(array(1, 2), array(2, 3)) AS u, "
+        "array_intersect(array(1, 2), array(2, 3)) AS i, "
+        "array_except(array(1, 2), array(2)) AS e",
+        "SELECT '{1,2,3}' AS u, '{2}' AS i, '{1}' AS e",
+    ),
+    (
+        "SELECT sequence(1, 5, 2) AS s, sequence(3, 1) AS r",
+        "SELECT '{1,3,5}' AS s, '{3,2,1}' AS r",
+    ),
+    # cte.sql — column-aliased and nested CTEs
+    (
+        "WITH t(x) AS (SELECT 1) SELECT x + 1 AS v FROM t",
+        "SELECT 2 AS v",
+    ),
+    (
+        "SELECT * FROM (WITH v AS (SELECT 1 AS c) SELECT c + 41 AS v FROM v)",
+        "SELECT 42 AS v",
+    ),
+    # inline-table.sql — bare VALUES as a relation
+    (
+        "SELECT * FROM VALUES ('one', 1), ('two', 2) AS data(a, b) "
+        "ORDER BY b",
+        "SELECT * FROM (VALUES ('one', 1), ('two', 2)) data(a, b) ORDER BY b",
+    ),
+    (
+        "SELECT a, b FROM VALUES (CAST(NULL AS STRING), 1) AS data(a, b)",
+        "SELECT CAST(NULL AS VARCHAR) AS a, 1 AS b",
+    ),
+]
+
 @pytest.fixture(scope="module")
 def server(spark):
     loop = asyncio.new_event_loop()

@@ -1581,6 +1581,115 @@ CORPUS += [
     ),
 ]
 
+
+# --------------------------------------------------------------------------
+# wave 11 — decimalArithmeticOperations.sql / pivot.sql /
+# group-analytics.sql / join-form ports. Pivot output columns take the
+# pivoted values as names; DuckDB grouping-set syntax differs and is
+# spelled per-engine.
+# --------------------------------------------------------------------------
+
+_COURSES = (
+    "WITH courseSales AS (SELECT * FROM (VALUES "
+    "('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), "
+    "('dotNET', 2013, 48000), ('Java', 2013, 30000)) "
+    "AS courseSales(course, year, earnings)) "
+)
+
+CORPUS += [
+    # decimalArithmeticOperations.sql — exact decimal constant math
+    # (result scale = s1 + s2 in both engines, trailing zeros kept)
+    (
+        "SELECT 10.3 * 3.0 AS a, 10.3000 * 3.0 AS b, 10.30000 * 30.0 AS c",
+        "SELECT CAST('30.90' AS DECIMAL(6,2)) AS a, "
+        "CAST('30.90000' AS DECIMAL(9,5)) AS b, "
+        "CAST('309.000000' AS DECIMAL(11,6)) AS c",
+    ),
+    (
+        # (38,18)+(38,18) needs precision 39 → Spark caps at 38 by
+        # REDUCING scale to 17 (SQLConf decimal precision-loss rule);
+        # pinned: 17 fractional digits, not 18
+        "SELECT CAST(100.0 AS DECIMAL(38,18)) + CAST(999.0 AS DECIMAL(38,18)) AS s, "
+        "CAST(12345.123 AS DECIMAL(20,6)) - CAST(12345.123 AS DECIMAL(20,6)) AS d",
+        "SELECT CAST('1099.00000000000000000' AS DECIMAL(38,17)) AS s, "
+        "CAST('0.000000' AS DECIMAL(20,6)) AS d",
+    ),
+    # pivot.sql — PIVOT over the wire (value columns named by the
+    # pivoted literals)
+    (
+        _COURSES + "SELECT * FROM (SELECT year, course, earnings "
+        "FROM courseSales) PIVOT (sum(earnings) FOR course IN "
+        "('dotNET', 'Java')) ORDER BY year",
+        "SELECT 2012 AS year, 15000 AS \"dotNET\", 20000 AS \"Java\" "
+        "UNION ALL SELECT 2013, 48000, 30000 ORDER BY year",
+    ),
+    (
+        _COURSES + "SELECT * FROM courseSales PIVOT (sum(earnings) "
+        "FOR year IN (2012, 2013)) ORDER BY course",
+        "SELECT 'Java' AS course, 20000 AS \"2012\", 30000 AS \"2013\" "
+        "UNION ALL SELECT 'dotNET', 15000, 48000 ORDER BY course",
+    ),
+    # group-analytics.sql — ROLLUP/CUBE/GROUPING SETS (NULLS FIRST
+    # pinned everywhere a subtotal null can appear)
+    (
+        _COURSES + "SELECT course, year, SUM(earnings) AS s FROM courseSales "
+        "GROUP BY ROLLUP(course, year) "
+        "ORDER BY course NULLS FIRST, year NULLS FIRST",
+        None,
+    ),
+    (
+        _COURSES + "SELECT course, year, SUM(earnings) AS s FROM courseSales "
+        "GROUP BY CUBE(course, year) "
+        "ORDER BY course NULLS FIRST, year NULLS FIRST",
+        None,
+    ),
+    # Spark's GROUP BY cols GROUPING SETS(...) shorthand vs the portable
+    # GROUP BY GROUPING SETS spelling
+    (
+        _COURSES + "SELECT course, year, SUM(earnings) AS s FROM courseSales "
+        "GROUP BY course, year GROUPING SETS(course) "
+        "ORDER BY course NULLS FIRST, year NULLS FIRST",
+        _COURSES + "SELECT course, CAST(NULL AS INT) AS year, "
+        "SUM(earnings) AS s FROM courseSales GROUP BY course "
+        "ORDER BY course NULLS FIRST, year NULLS FIRST",
+    ),
+    # WITH CUBE suffix syntax
+    (
+        "WITH td AS (SELECT * FROM (VALUES (1, 1), (1, 2), (2, 1), (2, 2)) "
+        "AS td(a, b)) SELECT a, b, SUM(b) AS s FROM td GROUP BY a, b "
+        "WITH CUBE ORDER BY a NULLS FIRST, b NULLS FIRST",
+        "WITH td AS (SELECT * FROM (VALUES (1, 1), (1, 2), (2, 1), (2, 2)) "
+        "AS td(a, b)) SELECT a, b, SUM(b) AS s FROM td "
+        "GROUP BY CUBE(a, b) ORDER BY a NULLS FIRST, b NULLS FIRST",
+    ),
+    # GROUPING_ID over a cube (DuckDB spells it GROUPING(...))
+    (
+        _COURSES + "SELECT course, year, "
+        "CAST(GROUPING_ID(course, year) AS BIGINT) AS gid FROM courseSales "
+        "GROUP BY CUBE(course, year) "
+        "ORDER BY gid, course NULLS FIRST, year NULLS FIRST",
+        _COURSES + "SELECT course, year, "
+        "CAST(GROUPING(course, year) AS BIGINT) AS gid FROM courseSales "
+        "GROUP BY CUBE(course, year) "
+        "ORDER BY gid, course NULLS FIRST, year NULLS FIRST",
+    ),
+    # join forms over the wire
+    (
+        "WITH x AS (SELECT 1 AS k, 'a' AS v), y AS (SELECT 1 AS k, 'b' AS w) "
+        "SELECT * FROM x NATURAL JOIN y",
+        None,
+    ),
+    (
+        "WITH x AS (SELECT 1 AS k, 'a' AS v), y AS (SELECT 1 AS k, 'b' AS w) "
+        "SELECT k, v, w FROM x JOIN y USING (k)",
+        None,
+    ),
+    (
+        "SELECT count(*) AS n FROM nation CROSS JOIN region",
+        None,
+    ),
+]
+
 @pytest.fixture(scope="module")
 def server(spark):
     loop = asyncio.new_event_loop()
@@ -1681,6 +1790,10 @@ NEGATIVE_CORPUS: list[str] = [
     "SELECT CAST('abc' AS long)",
     "SELECT CAST('' AS int)",
     "SELECT CAST('2147483648' AS int)",
+    # decimalArithmeticOperations.sql golden: a/b with b=0.0 returned
+    # NULL (non-ANSI); ANSI raises DIVIDE_BY_ZERO
+    "SELECT 1.0 / 0.0",
+    "SELECT 1.0 % 0.0",
 ]
 
 

@@ -42,6 +42,9 @@ class StatementClass(enum.Enum):
     RESET = "reset"            # PG `RESET <setting>` / `RESET ALL` — undo SET
     BACKEND_CTL = "backend_ctl"  # SELECT pg_cancel_backend(pid) /
                                  # pg_terminate_backend(pid) — admin surface
+    LISTEN = "listen"      # PG LISTEN channel
+    UNLISTEN = "unlisten"  # PG UNLISTEN channel | *
+    NOTIFY = "notify"      # PG NOTIFY channel [, 'payload']
     DISCARD = "discard"        # PG `DISCARD ALL|PLANS|SEQUENCES|TEMP` —
                                # pgbouncer sends DISCARD ALL between clients
 
@@ -272,6 +275,15 @@ def _copy_options(opts: str) -> tuple[str | None, str | None]:
     return delim, null
 
 
+_LISTEN_RE = re.compile(r"^\s*LISTEN\s+(?P<ch>[\w\"]+)\s*$", re.IGNORECASE)
+_UNLISTEN_RE = re.compile(
+    r"^\s*UNLISTEN\s+(?P<ch>[\w\"]+|\*)\s*$", re.IGNORECASE
+)
+_NOTIFY_RE = re.compile(
+    r"^\s*NOTIFY\s+(?P<ch>[\w\"]+)\s*(?:,\s*'(?P<payload>(?:[^']|'')*)')?\s*$",
+    re.IGNORECASE,
+)
+
 _BACKEND_RE = re.compile(
     r"^\s*SELECT\s+pg_(?P<kind>cancel|terminate)_backend\s*"
     r"\(\s*(?P<pid>\d+)\s*\)\s*$",
@@ -496,6 +508,29 @@ def classify_statement(sql: str) -> Statement:
                 cursor_name=m.group("pid"),
                 copy_query=m.group("kind").lower(),
                 tag="SELECT 1",
+            )
+    if word0 == "LISTEN":
+        m = _LISTEN_RE.match(s)
+        if m:
+            return Statement(
+                StatementClass.LISTEN, sql,
+                cursor_name=m.group("ch").strip('"'), tag="LISTEN",
+            )
+    if word0 == "UNLISTEN":
+        m = _UNLISTEN_RE.match(s)
+        if m:
+            return Statement(
+                StatementClass.UNLISTEN, sql,
+                cursor_name=m.group("ch").strip('"'), tag="UNLISTEN",
+            )
+    if word0 == "NOTIFY":
+        m = _NOTIFY_RE.match(s)
+        if m:
+            payload = (m.group("payload") or "").replace("''", "'")
+            return Statement(
+                StatementClass.NOTIFY, sql,
+                cursor_name=m.group("ch").strip('"'),
+                copy_query=payload, tag="NOTIFY",
             )
     if word0 == "RESET":
         # PG RESET <name> / RESET ALL (Spark's bare `RESET` — reset every

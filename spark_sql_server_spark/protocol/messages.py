@@ -103,6 +103,16 @@ def data_row(cells: list[bytes | None]) -> bytes:
     return _msg(b"D", b"".join(parts))
 
 
+def notification_response(pid: int, channel: str, payload: str) -> bytes:
+    """'A' — asynchronous NOTIFY delivery to a LISTENing session."""
+    body = (
+        struct.pack("!i", pid)
+        + channel.encode("utf-8") + b"\x00"
+        + payload.encode("utf-8") + b"\x00"
+    )
+    return _msg(b"A", body)
+
+
 def copy_in_response(ncols: int, binary: bool = False) -> bytes:
     fmt = 1 if binary else 0
     body = struct.pack("!bh", fmt, ncols) + struct.pack("!h", fmt) * ncols

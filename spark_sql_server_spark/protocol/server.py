@@ -240,6 +240,8 @@ class SessionState:
     #: PG statement_timeout in ms (0 = disabled) — enforced around every
     #: blocking Spark phase via cancelJobGroup
     statement_timeout_ms: int = 0
+    #: channels this session LISTENs on (NOTIFY fan-out targets)
+    listen_channels: set[str] = field(default_factory=set)
     #: fair-scheduler pool (SET spark.sql.server.pool) — applied in the
     #: worker thread that runs each statement, because Spark local
     #: properties are per-thread
@@ -659,6 +661,21 @@ class SparkPGServer:
             writer.write(M.data_row(self._backend_ctl(state, stmt)))
             writer.write(M.command_complete("SELECT 1"))
             return
+        if stmt.cls is StatementClass.LISTEN:
+            state.listen_channels.add(stmt.cursor_name)
+            writer.write(M.command_complete("LISTEN"))
+            return
+        if stmt.cls is StatementClass.UNLISTEN:
+            if stmt.cursor_name == "*":
+                state.listen_channels.clear()
+            else:
+                state.listen_channels.discard(stmt.cursor_name)
+            writer.write(M.command_complete("UNLISTEN"))
+            return
+        if stmt.cls is StatementClass.NOTIFY:
+            self._notify(state, stmt.cursor_name, stmt.copy_query or "")
+            writer.write(M.command_complete("NOTIFY"))
+            return
         if stmt.cls is StatementClass.SHOW_SET:
             # `SET` → all conf, `SET key` → that key (Spark handles both)
             df = await self._spark_sql(state, stmt.sql)
@@ -917,6 +934,22 @@ class SparkPGServer:
         state.statements.clear()
         state.portals.clear()
         state.cursors.clear()
+        state.listen_channels.clear()  # PG: DISCARD ALL runs UNLISTEN *
+
+    def _notify(self, state, channel: str, payload: str) -> None:
+        """NOTIFY fan-out: write an 'A' NotificationResponse to every
+        session LISTENing on the channel (including the notifier, as PG
+        does). Writes queue on each listener's transport and flush from
+        the event loop — a PG client sees the notification with its
+        next protocol read (psycopg2's poll()/notifies pattern)."""
+        for s in self._sessions.values():
+            if channel in s.listen_channels and s.writer is not None:
+                try:
+                    s.writer.write(
+                        M.notification_response(state.pid, channel, payload)
+                    )
+                except Exception:  # noqa: BLE001 — listener disconnecting
+                    pass
 
     # ------------------------------------------------------------------ #
     # extended query protocol

@@ -7,6 +7,7 @@ session-reset statement at all, but any pooled deployment needs it.
 from __future__ import annotations
 
 import asyncio
+import struct
 
 import pytest
 
@@ -289,3 +290,64 @@ class TestBackendCtlE2E:
         pid, rows = _run(server, go)
         pids = [int(r[0]) for r in rows_of(rows)]
         assert pid in pids
+
+NOTIFY_SQL = "NOTIFY events, 'hello ''world'''"
+
+
+class TestListenNotifyE2E:
+    def test_notify_reaches_listener_with_payload(self, server):
+        """psycopg2-style pub/sub: LISTEN on one session, NOTIFY from
+        another — the 'A' NotificationResponse carries the notifier's
+        pid, the channel, and the payload."""
+
+        async def go(srv):
+            sub = await PgClient.connect(srv.port)
+            pub = await PgClient.connect(srv.port)
+            await sub.simple("LISTEN events")
+            await pub.simple(NOTIFY_SQL)
+            # the listener sees the notification with its next read
+            msgs = await sub.simple("SELECT 1 AS v")
+            await sub.close()
+            await pub.close()
+            return pub.backend_key[0], msgs
+
+        pub_pid, msgs = _run(server, go)
+        notes = [b for t, b in msgs if t == b"A"]
+        assert len(notes) == 1
+        pid = struct.unpack("!i", notes[0][:4])[0]
+        channel, payload, _ = notes[0][4:].split(b"\x00")
+        assert pid == pub_pid
+        assert channel == b"events" and payload == b"hello 'world'"
+
+    def test_self_notification_and_unlisten(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.simple("LISTEN chan_a")
+            first = await c.simple("NOTIFY chan_a")
+            await c.simple("UNLISTEN chan_a")
+            second = await c.simple("NOTIFY chan_a")
+            probe = await c.simple("SELECT 1 AS v")
+            await c.close()
+            return first, second, probe
+
+        first, second, probe = _run(server, go)
+        # PG delivers self-notifications
+        assert any(t == b"A" for t, _ in first)
+        # after UNLISTEN nothing more arrives
+        assert not any(t == b"A" for t, _ in second)
+        assert not any(t == b"A" for t, _ in probe)
+
+    def test_discard_all_unlistens(self, server):
+        async def go(srv):
+            sub = await PgClient.connect(srv.port)
+            pub = await PgClient.connect(srv.port)
+            await sub.simple("LISTEN chan_b")
+            await sub.simple("DISCARD ALL")
+            await pub.simple("NOTIFY chan_b")
+            probe = await sub.simple("SELECT 1 AS v")
+            await sub.close()
+            await pub.close()
+            return probe
+
+        probe = _run(server, go)
+        assert not any(t == b"A" for t, _ in probe)

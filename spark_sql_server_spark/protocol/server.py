@@ -1154,6 +1154,21 @@ class SparkPGServer:
             writer.write(M.data_row(self._backend_ctl(state, stmt)))
             writer.write(M.command_complete("SELECT 1"))
             return
+        if stmt.cls is StatementClass.LISTEN:
+            state.listen_channels.add(stmt.cursor_name)
+            writer.write(M.command_complete("LISTEN"))
+            return
+        if stmt.cls is StatementClass.UNLISTEN:
+            if stmt.cursor_name == "*":
+                state.listen_channels.clear()
+            else:
+                state.listen_channels.discard(stmt.cursor_name)
+            writer.write(M.command_complete("UNLISTEN"))
+            return
+        if stmt.cls is StatementClass.NOTIFY:
+            self._notify(state, stmt.cursor_name, stmt.copy_query or "")
+            writer.write(M.command_complete("NOTIFY"))
+            return
         if stmt.cls is StatementClass.EXECUTE_STMT and portal.df is None:
             # SQL-level EXECUTE through the extended protocol: resolve
             # now and stream through the portal like a deferred command

@@ -1538,7 +1538,8 @@ class SparkPGServer:
             sc = state.session.sparkContext
             sc.setJobGroup(state.job_group, sql[:200], interruptOnCancel=True)
             sc.setLocalProperty("spark.scheduler.pool", state.scheduler_pool)
-            return state.session.sql(sql, args=args) if args else state.session.sql(sql)
+            df = state.session.sql(sql, args=args) if args else state.session.sql(sql)
+            return _wire_safe(df)
 
         return await self._to_thread_with_timeout(state, run)
 
@@ -1749,6 +1750,52 @@ def _parse_timeout_ms(val: str) -> int:
         )
     unit = m.group(2).lower() if m.group(2) else None
     return int(int(m.group(1)) * _TIMEOUT_UNIT_MS[unit])
+
+
+def _ym_interval_pg_text(col: str) -> str:
+    """PG-style rendering of a year-month interval ('1 year 2 mons',
+    sign-aware, '00:00:00' for zero — PG's canonical forms)."""
+    # cast through YEAR TO MONTH first: a YEAR-only interval casts to
+    # YEARS as an int, a YTM interval to months — normalize to months
+    m = f"CAST(CAST(`{col}` AS INTERVAL YEAR TO MONTH) AS INT)"
+    y = f"(CASE WHEN {m} >= 0 THEN {m} div 12 ELSE -((-{m}) div 12) END)"
+    mo = f"({m} - 12 * {y})"
+    return (
+        f"CASE WHEN {m} IS NULL THEN CAST(NULL AS STRING) "
+        f"WHEN {m} = 0 THEN '00:00:00' "
+        f"ELSE concat_ws(' ', "
+        f"CASE WHEN {y} <> 0 THEN concat({y}, "
+        # PG pluralizes everything except exactly 1 (so '-1 years')
+        f"CASE WHEN {y} = 1 THEN ' year' ELSE ' years' END) END, "
+        f"CASE WHEN {mo} <> 0 THEN concat({mo}, "
+        f"CASE WHEN {mo} = 1 THEN ' mon' ELSE ' mons' END) END) END"
+    )
+
+
+def _wire_safe(df: DataFrame):
+    """Rewrite result columns PySpark cannot even collect
+    (YearMonthIntervalType / CalendarIntervalType raise NOT_IMPLEMENTED
+    in fromInternal) into text: year-month intervals render PG-style,
+    calendar intervals via Spark's string cast. Day-time intervals
+    collect fine and keep their typed PG rendering in encoders.py."""
+    from pyspark.sql import types as T
+
+    fields = df.schema.fields
+    if not any(
+        isinstance(f.dataType, (T.YearMonthIntervalType, T.CalendarIntervalType))
+        for f in fields
+    ):
+        return df
+    exprs = []
+    for f in fields:
+        quoted = f.name.replace("`", "``")
+        if isinstance(f.dataType, T.YearMonthIntervalType):
+            exprs.append(f"{_ym_interval_pg_text(quoted)} AS `{quoted}`")
+        elif isinstance(f.dataType, T.CalendarIntervalType):
+            exprs.append(f"CAST(`{quoted}` AS STRING) AS `{quoted}`")
+        else:
+            exprs.append(f"`{quoted}`")
+    return df.selectExpr(*exprs)
 
 
 def _is_command(sql: str) -> bool:

@@ -1690,6 +1690,37 @@ CORPUS += [
     ),
 ]
 
+
+# --------------------------------------------------------------------------
+# wave 11b — interval rendering over the wire (interval.sql /
+# interval-display.sql): day-time intervals keep PG's typed rendering;
+# year-month and calendar intervals (which PySpark cannot collect —
+# fromInternal NOT_IMPLEMENTED) are rewritten to text server-side.
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    (
+        "SELECT INTERVAL '3' DAY + INTERVAL '2' HOUR AS v",
+        "SELECT '3 days 02:00:00' AS v",
+    ),
+    (
+        "SELECT timestamp'2011-11-13 10:00:00' - "
+        "timestamp'2011-11-11 08:30:00' AS v",
+        "SELECT '2 days 01:30:00' AS v",
+    ),
+    (
+        "SELECT INTERVAL '1-2' YEAR TO MONTH AS v, "
+        "INTERVAL '-1-2' YEAR TO MONTH AS w, "
+        "INTERVAL '2' YEAR AS y, INTERVAL '1' MONTH AS o",
+        "SELECT '1 year 2 mons' AS v, '-1 years -2 mons' AS w, "
+        "'2 years' AS y, '1 mon' AS o",
+    ),
+    (
+        "SELECT INTERVAL '0' MONTH AS z",
+        "SELECT '00:00:00' AS z",
+    ),
+]
+
 @pytest.fixture(scope="module")
 def server(spark):
     loop = asyncio.new_event_loop()

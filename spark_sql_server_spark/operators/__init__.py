@@ -61,7 +61,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "qds72_wide_dim_join", "qds88_multi_scalar",
     "qds51_cumulative_windows", "qds34_frequent_buyers",
     "qds93_returns_adjustment", "qds36_hierarchy_rank",
-    "qds17_sale_return_repurchase",
+    "qds17_sale_return_repurchase", "qds49_channel_return_ranks",
     # remaining slots are anchors with a continuous driver record
     # (cheap cross-round stability signal)
     "q1_pricing_summary", "q3_shipping_priority",

@@ -902,3 +902,71 @@ def qds17_sale_return_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir)
     return spark.sql(_QDS17_SQL)
+
+
+# --------------------------------------------------------------------------
+# q49 shape: per-channel "worst return ratios" — a window ranking inside
+# each channel slice of one fact pass, band-filtered on two ranks.
+# --------------------------------------------------------------------------
+
+_QDS49_SQL = """
+    WITH flags AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'web'
+                  WHEN o_orderpriority = '2-HIGH' THEN 'catalog'
+                  ELSE 'store' END AS channel,
+             l_partkey AS item,
+             l_quantity AS qty,
+             CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END AS ret_qty,
+             l_extendedprice AS amt,
+             CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END AS ret_amt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    per AS (
+      SELECT channel, item,
+             CAST(SUM(CAST(ret_qty AS DECIMAL(38,6))) AS DOUBLE) AS rq,
+             CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS DOUBLE) AS tq,
+             CAST(SUM(CAST(ret_amt AS DECIMAL(38,6))) AS DOUBLE) AS ra,
+             CAST(SUM(CAST(amt AS DECIMAL(38,6))) AS DOUBLE) AS ta
+      FROM flags GROUP BY channel, item
+    ),
+    ranked AS (
+      SELECT channel, item,
+             (CAST(FLOOR((rq / tq) * 1000000 + 0.5) AS DOUBLE) / 1000000.0)
+               AS return_ratio,
+             RANK() OVER (PARTITION BY channel
+                          ORDER BY rq / tq DESC, item) AS qty_rank,
+             RANK() OVER (PARTITION BY channel
+                          ORDER BY ra / ta DESC, item) AS amt_rank
+      FROM per
+    )
+    SELECT channel, item, return_ratio,
+           CAST(qty_rank AS BIGINT) AS qty_rank,
+           CAST(amt_rank AS BIGINT) AS amt_rank
+    FROM ranked WHERE qty_rank <= 10 OR amt_rank <= 10
+    ORDER BY channel, item
+"""
+
+
+@query(
+    "qds49_channel_return_ranks",
+    oracle=_QDS49_SQL,
+    covers="§2.B TPC-DS q49 shape: per-channel return-ratio double "
+    "ranking, band-filtered on both ranks",
+)
+def qds49_channel_return_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q49's topology: one fact pass splits into channels via CASE (no
+    three scans), per-(channel, item) return ratios aggregate as exact
+    decimals, and TWO rank windows over the same partitioning grade
+    each item by quantity- and amount-return ratio — the union-of-
+    channel-rankings family (the CASE split plans one Expand-free
+    aggregation; both windows share one sort).
+
+    Determinism: ratio ranking keys are single IEEE divisions of
+    exact-decimal-derived doubles (identical in both engines; item
+    tiebreak), and the output ratio uses the ROUND6 micro-space form
+    (FLOOR(x*1e6+0.5)/1e6 — bit-identical cross-engine regardless of
+    boundary proximity, unlike ROUND of a quotient). qty can't be zero
+    (l_quantity >= 1), so no division guard is needed.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS49_SQL)

@@ -477,6 +477,15 @@ class TestTpcdsWave3Plans:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BroadcastHashJoin" in plan
 
+    def test_qds49_single_pass_two_windows(self, spark):
+        plan = plan_of(spark, "qds49_channel_return_ranks")
+        # channels split via CASE in ONE aggregation pass (no per-channel
+        # rescan, no union of three scans); both rank windows share the
+        # (channel) partitioning
+        assert plan.count("Scan parquet") <= 2  # lineitem + orders once
+        assert "Window" in plan
+        assert "CartesianProduct" not in plan
+
     def test_qds36_rollup_expand_then_rank_window(self, spark):
         plan = plan_of(spark, "qds36_hierarchy_rank")
         # ROLLUP = one Expand + hash aggregate; the rank window runs

@@ -970,3 +970,60 @@ def qds49_channel_return_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir)
     return spark.sql(_QDS49_SQL)
+
+
+# --------------------------------------------------------------------------
+# q39 shape: volatility screen — per-(supplier, month) quantity stats,
+# a coefficient-of-variation filter, self-joined on consecutive months.
+# --------------------------------------------------------------------------
+
+_QDS39_SQL = """
+    WITH inv AS (
+      SELECT l_suppkey AS supp,
+             CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mon,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+    ),
+    stats AS (
+      SELECT supp, mon, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s,
+             CAST(SUM(q * q) AS BIGINT) AS s2
+      FROM inv GROUP BY supp, mon HAVING COUNT(*) > 1
+    ),
+    volatile AS (
+      SELECT supp, mon, n, s, s2 FROM stats
+      WHERE 4 * n * (n * s2 - s * s) > (n - 1) * s * s
+    )
+    SELECT a.supp, a.mon AS mon1, b.mon AS mon2,
+           a.n AS n1, a.s AS sum1, a.s2 AS sumsq1,
+           b.n AS n2, b.s AS sum2, b.s2 AS sumsq2
+    FROM volatile a JOIN volatile b
+      ON a.supp = b.supp AND b.mon = a.mon + 1
+    ORDER BY a.supp, a.mon
+"""
+
+
+@query(
+    "qds39_volatile_supply",
+    oracle=_QDS39_SQL,
+    covers="§2.B TPC-DS q39 shape: per-period stddev/mean volatility "
+    "screen self-joined on consecutive periods, exact-integer CoV test",
+)
+def qds39_volatile_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q39's topology (inventory volatility): per-(supplier, month)
+    quantity statistics, keep periods whose coefficient of variation
+    exceeds a threshold, then self-join consecutive months to find
+    sustained volatility — the aggregate → filter → offset-self-join
+    family.
+
+    Determinism: STDDEV of doubles is partial-agg-order dependent, so
+    the CoV test is algebraized to exact int64 — sample stdev/mean >
+    1/2 ⇔ 4·n·(n·Σq² − (Σq)²) > (n−1)·(Σq)² (quantities ≤ 50, n ≤ ~60
+    per group → every term ≪ 2^63). The certified columns are the raw
+    exact quantities (n, Σq, Σq²) per matched month pair; the self-join
+    is equi on (supp, mon+1) — one shuffle, no window needed. At scale
+    the month offset join beats LAG-over-window when the period key is
+    sparse per group (no sort of the whole stats table).
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS39_SQL)

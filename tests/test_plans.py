@@ -486,6 +486,13 @@ class TestTpcdsWave3Plans:
         assert "Window" in plan
         assert "CartesianProduct" not in plan
 
+    def test_qds39_agg_filter_offset_self_join(self, spark):
+        plan = plan_of(spark, "qds39_volatile_supply")
+        # the CoV filter shrinks the stats table BEFORE the
+        # consecutive-month self-join; the join is pure equi
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_qds36_rollup_expand_then_rank_window(self, spark):
         plan = plan_of(spark, "qds36_hierarchy_rank")
         # ROLLUP = one Expand + hash aggregate; the rank window runs

@@ -62,7 +62,8 @@ _DRIVER_SAMPLE_PRIORITY = [
     "qds51_cumulative_windows", "qds34_frequent_buyers",
     "qds93_returns_adjustment", "qds36_hierarchy_rank",
     "qds17_sale_return_repurchase", "qds49_channel_return_ranks",
-    "qds39_volatile_supply",
+    "qds39_volatile_supply", "qds35_multi_channel_exists",
+    "qds54_cohort_spend_bands",
     # remaining slots are anchors with a continuous driver record
     # (cheap cross-round stability signal)
     "q1_pricing_summary", "q3_shipping_priority",

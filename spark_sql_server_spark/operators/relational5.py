@@ -1027,3 +1027,94 @@ def qds39_volatile_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir)
     return spark.sql(_QDS39_SQL)
+
+
+# --------------------------------------------------------------------------
+# q35/q10 shape: EXISTS under OR — Catalyst plans the disjunctive
+# branches as ExistenceJoin (boolean-column semi-join), a planner path
+# nothing else in the registry exercises.
+# --------------------------------------------------------------------------
+
+_QDS35_SQL = """
+    SELECT c_mktsegment, COUNT(*) AS cnt
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+      AND (EXISTS (SELECT 1 FROM orders
+                   WHERE o_custkey = c_custkey
+                     AND o_orderpriority = '2-HIGH')
+           OR EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '5-LOW'))
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+@query(
+    "qds35_multi_channel_exists",
+    oracle=_QDS35_SQL,
+    covers="§2.B TPC-DS q35/q10 shape: conjunctive EXISTS plus a "
+    "disjunction of EXISTS — planned as ExistenceJoin",
+)
+def qds35_multi_channel_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q35's topology: customers active in one channel AND in at least
+    one of two others. The AND-side EXISTS plans as a plain LeftSemi,
+    but EXISTS under OR cannot (a row must survive even when one branch
+    fails), so Catalyst emits ExistenceJoin — a semi-join variant that
+    APPENDS a boolean 'exists' column instead of filtering, evaluated
+    later in the disjunction. Plan-gated: both join flavors present,
+    no cartesian. Counts are exact; segment is a total order.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS35_SQL)
+
+
+# --------------------------------------------------------------------------
+# q54 shape: build a customer cohort, total their spend, histogram the
+# cohort by spend band — the "count of customers per revenue bucket"
+# family (aggregate of an aggregate).
+# --------------------------------------------------------------------------
+
+_QDS54_SQL = """
+    WITH cohort AS (
+      SELECT DISTINCT o_custkey AS ck
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderpriority = '1-URGENT'
+    ),
+    spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+      FROM orders JOIN cohort ON o_custkey = ck
+      GROUP BY o_custkey
+    )
+    SELECT CAST(FLOOR(CAST(CAST(FLOOR(rev * 100) AS BIGINT) AS DOUBLE)
+                      / 5000000.0) AS BIGINT) AS band,
+           COUNT(*) AS cnt
+    FROM spend GROUP BY 1 ORDER BY band
+"""
+
+
+@query(
+    "qds54_cohort_spend_bands",
+    oracle=_QDS54_SQL,
+    covers="§2.B TPC-DS q54 shape: cohort semi-join, per-customer spend, "
+    "histogram of the aggregate by band",
+)
+def qds54_cohort_spend_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q54's topology: a DISTINCT cohort (customers who bought the
+    target segment/priority combination), their TOTAL spend across all
+    orders, then a second aggregation histogramming customers into
+    $50k revenue bands — the aggregate-of-an-aggregate family where
+    the first groupBy's output is the second's input.
+
+    Determinism: rev is an exact decimal sum of 2dp prices, so rev*100
+    is integral and FLOOR+BIGINT cast is exact in both engines (a bare
+    DECIMAL→BIGINT cast truncates in Spark but rounds in DuckDB — only
+    safe here because the value is integral; FLOOR makes it explicit).
+    The band division runs in doubles on integers ≪ 2^53 — identical
+    IEEE ops. Cohort join is equi on the natural key; the cohort side
+    is DISTINCT-shrunk before joining (plan-gated no cartesian).
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS54_SQL)

@@ -493,6 +493,22 @@ class TestTpcdsWave3Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_qds35_existence_join_for_or_exists(self, spark):
+        plan = plan_of(spark, "qds35_multi_channel_exists")
+        # the AND-side EXISTS is a plain semi join; EXISTS under OR
+        # must plan as ExistenceJoin (boolean-appending semi variant)
+        assert "ExistenceJoin" in plan
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_qds54_cohort_distinct_before_join(self, spark):
+        plan = plan_of(spark, "qds54_cohort_spend_bands")
+        # two aggregation levels (per-customer spend, then band
+        # histogram) and an equi cohort join — no cartesian
+        assert plan.count("HashAggregate") >= 4  # 2 aggs x partial/final
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_qds36_rollup_expand_then_rank_window(self, spark):
         plan = plan_of(spark, "qds36_hierarchy_rank")
         # ROLLUP = one Expand + hash aggregate; the rank window runs

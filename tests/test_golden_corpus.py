@@ -1721,6 +1721,88 @@ CORPUS += [
     ),
 ]
 
+
+# --------------------------------------------------------------------------
+# wave 12 — union.sql / limit.sql / outer-join.sql / columnresolution
+# ports: type-coerced unions (incl. the SPARK-18622 aggregate-in-union
+# and map columns), foldable/ALL limits, the SPARK-17099 right-join
+# HAVING shape, qualified-name resolution.
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    # union.sql — type-coerced union (int+string vs decimal+int)
+    # (int column unions with decimal → decimal; Spark 4 ANSI coerces a
+    # string branch toward the numeric side, so the Spark 3 golden's
+    # string-vs-int union is now a negative case)
+    (
+        "SELECT c1, c2 FROM (SELECT 1 AS c1, 'a' AS c2 UNION ALL "
+        "SELECT CAST(2.0 AS DECIMAL(2,1)), 'b') u ORDER BY c1, c2",
+        "SELECT CAST('1.0' AS DECIMAL(11,1)) AS c1, 'a' AS c2 "
+        "UNION ALL SELECT CAST('2.0' AS DECIMAL(11,1)), 'b' ORDER BY c1, c2",
+    ),
+    # SPARK-18622: aggregate inside one union branch
+    (
+        "SELECT a FROM (SELECT 0 a, 0 b UNION ALL "
+        "SELECT SUM(1) a, CAST(0 AS BIGINT) b UNION ALL SELECT 0, 0) T "
+        "ORDER BY a",
+        "SELECT CAST(0 AS BIGINT) AS a UNION ALL SELECT 0 UNION ALL "
+        "SELECT 1 ORDER BY a",
+    ),
+    # SPARK-24012: union of map columns (JSON wire rendering)
+    (
+        "SELECT m, s FROM (SELECT map(1, 2) AS m, 'str' AS s UNION ALL "
+        "SELECT map(1, 3), 'other') u ORDER BY s",
+        "SELECT '{\"1\":3}' AS m, 'other' AS s UNION ALL "
+        "SELECT '{\"1\":2}', 'str' ORDER BY s",
+    ),
+    # limit.sql — limit in a subquery, foldable expression, LIMIT ALL
+    (
+        "SELECT id FROM (SELECT id FROM range(10) LIMIT 5) WHERE id > 3",
+        "SELECT CAST(4 AS BIGINT) AS id",
+    ),
+    (
+        "SELECT x FROM (VALUES (1), (2), (3), (4)) t(x) ORDER BY x "
+        "LIMIT 2 + 1",
+        "SELECT x FROM (VALUES (1), (2), (3), (4)) t(x) ORDER BY x LIMIT 3",
+    ),
+    (
+        "SELECT x FROM (VALUES (1), (2)) t(x) ORDER BY x LIMIT ALL",
+        "SELECT x FROM (VALUES (1), (2)) t(x) ORDER BY x",
+    ),
+    # outer-join.sql — SPARK-17099: RIGHT JOIN + COALESCE grouping keys
+    # + HAVING over the coalesced sum
+    (
+        "WITH t1 AS (SELECT * FROM (VALUES (-234), (145), (367), (975), "
+        "(298)) AS t1(int_col1)), "
+        "t2 AS (SELECT * FROM (VALUES (-769, -244), (-800, -409), "
+        "(940, 86), (-507, 304), (-367, 158)) AS t2(int_col0, int_col1)) "
+        "SELECT SUM(COALESCE(t1.int_col1, t2.int_col0)) AS s, "
+        "COALESCE(t1.int_col1, t2.int_col0) * 2 AS d "
+        "FROM t1 RIGHT JOIN t2 ON t2.int_col0 = t1.int_col1 "
+        "GROUP BY GREATEST(COALESCE(t2.int_col1, 109), "
+        "COALESCE(t1.int_col1, -449)), COALESCE(t1.int_col1, t2.int_col0) "
+        "HAVING SUM(COALESCE(t1.int_col1, t2.int_col0)) > 0 ORDER BY s, d",
+        "SELECT CAST(940 AS BIGINT) AS s, 1880 AS d",
+    ),
+    # FULL OUTER over disjoint keys — both null-padded sides survive
+    (
+        "SELECT COALESCE(a.k, b.k) AS k, a.v, b.w FROM "
+        "(VALUES (1, 'x')) a(k, v) FULL JOIN (VALUES (2, 'y')) b(k, w) "
+        "ON a.k = b.k ORDER BY k",
+        "SELECT 1 AS k, 'x' AS v, CAST(NULL AS VARCHAR) AS w "
+        "UNION ALL SELECT 2, NULL, 'y' ORDER BY k",
+    ),
+    # columnresolution.sql — qualified and case-insensitive names
+    (
+        "SELECT nation.n_name FROM nation WHERE nation.n_nationkey = 1",
+        None,
+    ),
+    (
+        "SELECT N.n_name FROM nation N WHERE n.N_NATIONKEY = 2",
+        "SELECT n_name FROM nation WHERE n_nationkey = 2",
+    ),
+]
+
 @pytest.fixture(scope="module")
 def server(spark):
     loop = asyncio.new_event_loop()
@@ -1825,6 +1907,13 @@ NEGATIVE_CORPUS: list[str] = [
     # NULL (non-ANSI); ANSI raises DIVIDE_BY_ZERO
     "SELECT 1.0 / 0.0",
     "SELECT 1.0 % 0.0",
+    # limit.sql: limit must be a non-negative foldable integer
+    "SELECT 1 LIMIT -1",
+    "SELECT 1 LIMIT CAST(NULL AS INT)",
+    "SELECT 1 LIMIT 'a'",
+    # union.sql: string-vs-int UNION coerced to string in the Spark 3
+    # golden; ANSI coerces 'a' toward BIGINT and errors
+    "SELECT c FROM (SELECT 'a' AS c UNION ALL SELECT 4) u",
 ]
 
 

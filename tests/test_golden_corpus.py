@@ -1803,6 +1803,29 @@ CORPUS += [
     ),
 ]
 
+
+# --------------------------------------------------------------------------
+# wave 12b — describe-query.sql ports: DESCRIBE of a SELECT over the
+# wire (Spark's col_name/data_type/comment rows, literal oracles).
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    (
+        "DESCRIBE SELECT l_orderkey, l_quantity FROM lineitem",
+        "SELECT 'l_orderkey' AS col_name, 'bigint' AS data_type, "
+        "CAST(NULL AS VARCHAR) AS comment "
+        "UNION ALL SELECT 'l_quantity', 'double', NULL",
+    ),
+    (
+        "DESC SELECT CAST(1 AS DECIMAL(10,2)) AS d, 'x' AS s, "
+        "DATE '2020-01-01' AS dt",
+        "SELECT 'd' AS col_name, 'decimal(10,2)' AS data_type, "
+        "CAST(NULL AS VARCHAR) AS comment "
+        "UNION ALL SELECT 's', 'string', NULL "
+        "UNION ALL SELECT 'dt', 'date', NULL",
+    ),
+]
+
 @pytest.fixture(scope="module")
 def server(spark):
     loop = asyncio.new_event_loop()

@@ -63,6 +63,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "qds93_returns_adjustment", "qds36_hierarchy_rank",
     "qds17_sale_return_repurchase", "qds49_channel_return_ranks",
     "qds39_volatile_supply", "qds35_multi_channel_exists",
+    "qds31_quarterly_acceleration",
     "qds54_cohort_spend_bands",
     # remaining slots are anchors with a continuous driver record
     # (cheap cross-round stability signal)

@@ -1118,3 +1118,67 @@ def qds54_cohort_spend_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir)
     return spark.sql(_QDS54_SQL)
+
+
+# --------------------------------------------------------------------------
+# q31 shape: quarter-over-quarter acceleration — one quarterly CTE
+# self-joined SIX ways (two channels × three quarters per nation) with
+# ratio-of-ratio comparison predicates.
+# --------------------------------------------------------------------------
+
+_QDS31_SQL = """
+    WITH qs AS (
+      SELECT n_name,
+             CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS q,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'web' ELSE 'store' END AS chan,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+      GROUP BY n_name, EXTRACT(QUARTER FROM o_orderdate),
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'web' ELSE 'store' END
+    )
+    SELECT ws1.n_name,
+           ws2.rev / ws1.rev AS web_q1_q2_increase,
+           ss2.rev / ss1.rev AS store_q1_q2_increase,
+           ws3.rev / ws2.rev AS web_q2_q3_increase,
+           ss3.rev / ss2.rev AS store_q2_q3_increase
+    FROM qs ws1
+    JOIN qs ws2 ON ws1.n_name = ws2.n_name AND ws2.chan = 'web' AND ws2.q = 2
+    JOIN qs ws3 ON ws1.n_name = ws3.n_name AND ws3.chan = 'web' AND ws3.q = 3
+    JOIN qs ss1 ON ws1.n_name = ss1.n_name AND ss1.chan = 'store' AND ss1.q = 1
+    JOIN qs ss2 ON ws1.n_name = ss2.n_name AND ss2.chan = 'store' AND ss2.q = 2
+    JOIN qs ss3 ON ws1.n_name = ss3.n_name AND ss3.chan = 'store' AND ss3.q = 3
+    WHERE ws1.chan = 'web' AND ws1.q = 1
+      AND ws2.rev / ws1.rev > ss2.rev / ss1.rev
+    ORDER BY ws1.n_name
+"""
+
+
+@query(
+    "qds31_quarterly_acceleration",
+    oracle=_QDS31_SQL,
+    covers="§2.B TPC-DS q31 shape: one quarterly CTE self-joined six "
+    "ways, ratio-of-ratio growth comparison across channels",
+)
+def qds31_quarterly_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q31's topology: nations whose web revenue grew faster than their
+    store revenue from Q1 to Q2 of the same year — the same quarterly
+    aggregate referenced SIX times (two channels × three quarters),
+    all equi-joined on the nation key with constant channel/quarter
+    residuals. The widest CTE self-join fan in the suite (qds11 is
+    four-way); Catalyst prunes each reference down to its (chan, q)
+    slice before the joins, so no reference scans more than its own
+    quarter at scale.
+
+    Determinism: each growth ratio is ONE IEEE division of
+    exact-decimal-derived doubles — identical in both engines both for
+    the comparison predicate and the output columns (no rounding
+    needed); n_name is unique per row (one row per qualifying nation),
+    so the ORDER BY is total.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS31_SQL)

@@ -509,6 +509,13 @@ class TestTpcdsWave3Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_qds31_six_way_self_join_all_equi(self, spark):
+        plan = plan_of(spark, "qds31_quarterly_acceleration")
+        # six references to the quarterly CTE join strictly on n_name
+        # equality with constant chan/q residuals — never a cartesian
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_qds36_rollup_expand_then_rank_window(self, spark):
         plan = plan_of(spark, "qds36_hierarchy_rank")
         # ROLLUP = one Expand + hash aggregate; the rank window runs

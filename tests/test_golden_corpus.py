@@ -1826,6 +1826,50 @@ CORPUS += [
     ),
 ]
 
+
+# --------------------------------------------------------------------------
+# wave 13 — extract.sql ports: field-name synonym matrix, PG dow/isodow
+# via the dialect rewrite (Spark DOW is 1-based — silent off-by-one
+# without it), fractional seconds; unsupported PG fields error cleanly.
+# --------------------------------------------------------------------------
+
+_EXT_TS = "TIMESTAMP '2011-05-06 07:08:09.123456'"
+
+CORPUS += [
+    (
+        f"SELECT extract(year FROM {_EXT_TS}) AS a, "
+        f"extract(y FROM {_EXT_TS}) AS b, extract(yrs FROM {_EXT_TS}) AS c",
+        "SELECT 2011 AS a, 2011 AS b, 2011 AS c",
+    ),
+    (
+        f"SELECT extract(quarter FROM {_EXT_TS}) AS a, "
+        f"extract(qtr FROM {_EXT_TS}) AS b, extract(mon FROM {_EXT_TS}) AS c, "
+        f"extract(week FROM {_EXT_TS}) AS d, extract(w FROM {_EXT_TS}) AS e",
+        "SELECT 2 AS a, 2 AS b, 5 AS c, 18 AS d, 18 AS e",
+    ),
+    (
+        f"SELECT extract(d FROM {_EXT_TS}) AS a, "
+        f"extract(doy FROM {_EXT_TS}) AS b, extract(h FROM {_EXT_TS}) AS c, "
+        f"extract(min FROM {_EXT_TS}) AS d",
+        "SELECT 6 AS a, 126 AS b, 7 AS c, 8 AS d",
+    ),
+    (
+        f"SELECT extract(second FROM {_EXT_TS}) AS s, "
+        f"extract(sec FROM {_EXT_TS}) AS s2",
+        "SELECT CAST('9.123456' AS DECIMAL(8,6)) AS s, "
+        "CAST('9.123456' AS DECIMAL(8,6)) AS s2",
+    ),
+    # PG dow (0=Sunday) and isodow (7=Sunday) — the dialect rewrite;
+    # 2011-05-06 is a Friday, 2011-05-08 a Sunday
+    (
+        "SELECT extract(dow FROM DATE '2011-05-06') AS f, "
+        "extract(dow FROM DATE '2011-05-08') AS su, "
+        "extract(isodow FROM DATE '2011-05-06') AS fi, "
+        "extract(isodow FROM DATE '2011-05-08') AS si",
+        "SELECT 5 AS f, 0 AS su, 5 AS fi, 7 AS si",
+    ),
+]
+
 @pytest.fixture(scope="module")
 def server(spark):
     loop = asyncio.new_event_loop()
@@ -1937,6 +1981,10 @@ NEGATIVE_CORPUS: list[str] = [
     # union.sql: string-vs-int UNION coerced to string in the Spark 3
     # golden; ANSI coerces 'a' toward BIGINT and errors
     "SELECT c FROM (SELECT 'a' AS c UNION ALL SELECT 4) u",
+    # extract.sql: PG fields Spark has no equivalent for error cleanly
+    "SELECT extract(millennium FROM TIMESTAMP '2011-05-06 07:08:09')",
+    "SELECT extract(decade FROM TIMESTAMP '2011-05-06 07:08:09')",
+    "SELECT extract(isoyear FROM TIMESTAMP '2011-05-06 07:08:09')",
 ]
 
 

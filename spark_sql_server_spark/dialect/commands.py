@@ -284,6 +284,14 @@ _NOTIFY_RE = re.compile(
     re.IGNORECASE,
 )
 
+def _fold_channel(raw: str) -> str:
+    """PG folds unquoted identifiers to lowercase — ``LISTEN Foo`` +
+    ``NOTIFY foo`` must deliver. Double-quoted names stay verbatim."""
+    if len(raw) >= 2 and raw.startswith('"') and raw.endswith('"'):
+        return raw[1:-1].replace('""', '"')
+    return raw.lower()
+
+
 _BACKEND_RE = re.compile(
     r"^\s*SELECT\s+pg_(?P<kind>cancel|terminate)_backend\s*"
     r"\(\s*(?P<pid>\d+)\s*\)\s*$",
@@ -514,14 +522,16 @@ def classify_statement(sql: str) -> Statement:
         if m:
             return Statement(
                 StatementClass.LISTEN, sql,
-                cursor_name=m.group("ch").strip('"'), tag="LISTEN",
+                cursor_name=_fold_channel(m.group("ch")), tag="LISTEN",
             )
     if word0 == "UNLISTEN":
         m = _UNLISTEN_RE.match(s)
         if m:
+            ch = m.group("ch")
             return Statement(
                 StatementClass.UNLISTEN, sql,
-                cursor_name=m.group("ch").strip('"'), tag="UNLISTEN",
+                cursor_name=ch if ch == "*" else _fold_channel(ch),
+                tag="UNLISTEN",
             )
     if word0 == "NOTIFY":
         m = _NOTIFY_RE.match(s)
@@ -529,7 +539,7 @@ def classify_statement(sql: str) -> Statement:
             payload = (m.group("payload") or "").replace("''", "'")
             return Statement(
                 StatementClass.NOTIFY, sql,
-                cursor_name=m.group("ch").strip('"'),
+                cursor_name=_fold_channel(m.group("ch")),
                 copy_query=payload, tag="NOTIFY",
             )
     if word0 == "RESET":

@@ -179,6 +179,19 @@ def _rewrite_casts(toks: list[Tok]) -> list[Tok]:
                 close = _find_matching_paren(toks, nni)
                 if close != -1:
                     type_end = close
+            # PG array-type suffix: ::int[] / ::text[][] — consume the
+            # (empty) bracket pairs and wrap the Spark type in ARRAY<>
+            args_end = type_end
+            arr_dims = 0
+            probe = _next_code(toks, type_end)
+            while probe < len(toks) and toks[probe].text == "[":
+                nb = _next_code(toks, probe)
+                if nb < len(toks) and toks[nb].text == "]":
+                    arr_dims += 1
+                    type_end = nb
+                    probe = _next_code(toks, nb)
+                else:
+                    break
             # locate operand start
             pi = _prev_code(toks, i)
             if pi < 0:
@@ -232,9 +245,20 @@ def _rewrite_casts(toks: list[Tok]) -> list[Tok]:
             elif type_l in _IDENTITY_CASTS:
                 # identity pseudo-cast: drop the ::type entirely
                 new = operand
+            elif (
+                arr_dims == 1
+                and start == pi
+                and toks[start].kind == "string"
+                and _PG_INT_ARRAY_LITERAL.match(toks[start].text)
+            ):
+                # '{1,2}'::int[] — PG parses the literal into an array
+                # value; a CAST of the raw string would fail under ANSI
+                m = _PG_INT_ARRAY_LITERAL.match(toks[start].text)
+                inner = (m.group(1) or "").strip()
+                new = [Tok("word", f"array({inner})" if inner else "array()")]
             else:
-                if type_end > ni:
-                    spark_type_toks = toks[ni : type_end + 1]
+                if args_end > ni:
+                    spark_type_toks = toks[ni : args_end + 1]
                     spark_type = "".join(x.text for x in spark_type_toks)
                     low = spark_type.lower()
                     if low.startswith("varchar") or low.startswith("bpchar"):
@@ -243,6 +267,8 @@ def _rewrite_casts(toks: list[Tok]) -> list[Tok]:
                         spark_type = "DECIMAL" + spark_type[len("numeric"):]
                 else:
                     spark_type = PG_TYPE_MAP.get(type_l, type_word)
+                for _ in range(arr_dims):
+                    spark_type = f"ARRAY<{spark_type}>"
                 new = (
                     [Tok("word", "CAST"), Tok("op", "(")]
                     + operand
@@ -295,6 +321,23 @@ def _rewrite_cast_type_names(toks: list[Tok]) -> list[Tok]:
             toks[ti] = Tok("word", "DECIMAL")
         elif low in PG_TYPE_MAP and not has_args:
             toks[ti] = Tok("word", PG_TYPE_MAP[low])
+        # PG array-type suffix: CAST(x AS int[]) → ARRAY<INT>
+        if not has_args:
+            dims = 0
+            bi = _next_code(toks, ti)
+            while bi < len(toks) and toks[bi].text == "[":
+                nb = _next_code(toks, bi)
+                if nb < len(toks) and toks[nb].text == "]":
+                    dims += 1
+                    del toks[bi : nb + 1]
+                    bi = _next_code(toks, ti)
+                else:
+                    break
+            if dims:
+                base = toks[ti].text
+                for _ in range(dims):
+                    base = f"ARRAY<{base}>"
+                toks[ti] = Tok("word", base)
     return toks
 
 
@@ -800,6 +843,14 @@ def _rewrite_subscripts(toks: list[Tok]) -> list[Tok]:
                 changed = True
                 continue
             if any(x.text == ":" for x in inner):  # PG slice — keep as-is
+                out.append(t)
+                i += 1
+                continue
+            if not any(_is_code(x) for x in inner):
+                # empty brackets: PG array-TYPE syntax ('{1,2}'::int[],
+                # CAST(x AS int[])), not a subscript — rewriting would
+                # emit try_element_at(expr, ) with a hole; leave it for
+                # the cast rewrites / a clean parse error instead
                 out.append(t)
                 i += 1
                 continue

@@ -180,6 +180,11 @@ class PreparedStatement:
     param_oids: list[int]
     stmt: Any  # classified Statement
     df: DataFrame | None = None  # analyzed (schema) when SELECT-ish & param-free
+    #: resolved SQL the cached df was analyzed from — a SQL-level
+    #: EXECUTE's target can be DEALLOCATEd and re-PREPAREd with
+    #: different SQL between Describe and Execute, so the cache must
+    #: key on the resolution, not just the statement identity
+    df_resolved_sql: str | None = None
 
 
 @dataclass
@@ -1099,9 +1104,10 @@ class SparkPGServer:
         clients (e.g. a JDBC driver running ``EXECUTE p`` through
         Parse/Describe/Execute) see a RowDescription instead of NoData;
         the DataFrame stays lazy — rows stream at Execute."""
-        if ps.df is None:
-            resolved = self._resolve_execute(state, ps.stmt)
+        resolved = self._resolve_execute(state, ps.stmt)
+        if ps.df is None or ps.df_resolved_sql != resolved:
             ps.df = await self._spark_sql(state, rewrite_sql(resolved))
+            ps.df_resolved_sql = resolved
         return ps.df
 
     def _row_description(self, df: DataFrame, result_formats: list[int]) -> bytes:
@@ -1565,9 +1571,16 @@ class SparkPGServer:
             except Exception:  # noqa: BLE001 — context already stopped
                 pass
             try:
-                await task  # let the worker thread unwind (cancelled job)
-            except Exception:  # noqa: BLE001 — expected: job was killed
-                pass
+                # bounded unwind: cancelJobGroup only interrupts RUNNING
+                # Spark jobs — a phase stuck in parse/analysis (no job
+                # yet) never unwinds, and an unbounded await would wedge
+                # the session and delay the 57014 indefinitely. Give the
+                # worker a short grace period, then surface the error
+                # anyway (the orphaned thread finishes or dies on its
+                # own; the job group stays cancelled either way).
+                await asyncio.wait_for(asyncio.shield(task), 5.0)
+            except Exception:  # noqa: BLE001
+                pass  # expected: job was killed / still unwinding
             raise ValueError("canceling statement due to statement timeout")
 
     async def _stream_result(
@@ -1772,19 +1785,35 @@ def _ym_interval_pg_text(col: str) -> str:
     )
 
 
+def _has_uncollectable(dt) -> bool:
+    """True when a YearMonthInterval/CalendarInterval hides anywhere in
+    the type tree — PySpark's fromInternal raises NOT_IMPLEMENTED for
+    them even nested inside array/struct/map elements."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.YearMonthIntervalType, T.CalendarIntervalType)):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_uncollectable(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_uncollectable(dt.keyType) or _has_uncollectable(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return any(_has_uncollectable(f.dataType) for f in dt.fields)
+    return False
+
+
 def _wire_safe(df: DataFrame):
     """Rewrite result columns PySpark cannot even collect
     (YearMonthIntervalType / CalendarIntervalType raise NOT_IMPLEMENTED
-    in fromInternal) into text: year-month intervals render PG-style,
-    calendar intervals via Spark's string cast. Day-time intervals
-    collect fine and keep their typed PG rendering in encoders.py."""
+    in fromInternal) into text: top-level year-month intervals render
+    PG-style, calendar intervals via Spark's string cast, and a column
+    with an interval nested in an array/struct/map is cast to string
+    wholesale. Day-time intervals collect fine and keep their typed PG
+    rendering in encoders.py."""
     from pyspark.sql import types as T
 
     fields = df.schema.fields
-    if not any(
-        isinstance(f.dataType, (T.YearMonthIntervalType, T.CalendarIntervalType))
-        for f in fields
-    ):
+    if not any(_has_uncollectable(f.dataType) for f in fields):
         return df
     exprs = []
     for f in fields:
@@ -1792,6 +1821,8 @@ def _wire_safe(df: DataFrame):
         if isinstance(f.dataType, T.YearMonthIntervalType):
             exprs.append(f"{_ym_interval_pg_text(quoted)} AS `{quoted}`")
         elif isinstance(f.dataType, T.CalendarIntervalType):
+            exprs.append(f"CAST(`{quoted}` AS STRING) AS `{quoted}`")
+        elif _has_uncollectable(f.dataType):
             exprs.append(f"CAST(`{quoted}` AS STRING) AS `{quoted}`")
         else:
             exprs.append(f"`{quoted}`")

@@ -66,6 +66,30 @@ class TestCasts:
         sql = "SELECT CAST(a AS INT) FROM t"
         assert rewrite_sql(sql) == sql
 
+    def test_array_type_casts(self):
+        # PG array-type syntax (r5 ADVICE: previously the subscript
+        # rewrite turned the empty [] into try_element_at(expr, ))
+        assert rewrite_sql("SELECT '{1,2}'::int[]") == "SELECT array(1,2)"
+        assert rewrite_sql("SELECT '{}'::int[]") == "SELECT array()"
+        assert (
+            rewrite_sql("SELECT x::text[] FROM t")
+            == "SELECT CAST(x AS ARRAY<STRING>) FROM t"
+        )
+        assert (
+            rewrite_sql("SELECT CAST(x AS int8[]) FROM t")
+            == "SELECT CAST(x AS ARRAY<BIGINT>) FROM t"
+        )
+        assert (
+            rewrite_sql("SELECT CAST(x AS text[][]) FROM t")
+            == "SELECT CAST(x AS ARRAY<ARRAY<STRING>>) FROM t"
+        )
+
+    def test_subscript_of_cast_array_literal(self):
+        assert (
+            rewrite_sql("SELECT ('{10,20}'::int[])[2]")
+            == "SELECT try_element_at((array(10,20)), 2)"
+        )
+
 
 class TestTilde:
     def test_tilde_to_rlike(self):

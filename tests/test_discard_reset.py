@@ -337,6 +337,26 @@ class TestListenNotifyE2E:
         assert not any(t == b"A" for t, _ in second)
         assert not any(t == b"A" for t, _ in probe)
 
+    def test_unquoted_channel_names_fold_to_lowercase(self, server):
+        """PG folds unquoted identifiers: LISTEN Foo + NOTIFY foo
+        delivers; quoted names stay case-sensitive (r5 ADVICE)."""
+
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.simple("LISTEN Foo")
+            folded = await c.simple("NOTIFY foo")
+            await c.simple('LISTEN "Exact"')
+            miss = await c.simple("NOTIFY exact")  # folds to 'exact' ≠ 'Exact'
+            hit = await c.simple('NOTIFY "Exact"')
+            await c.close()
+            return folded, miss, hit
+
+        folded, miss, hit = _run(server, go)
+        assert any(t == b"A" for t, _ in folded)
+        assert not any(t == b"A" for t, _ in miss)
+        notes = [b for t, b in hit if t == b"A"]
+        assert len(notes) == 1 and notes[0][4:].split(b"\x00")[0] == b"Exact"
+
     def test_discard_all_unlistens(self, server):
         async def go(srv):
             sub = await PgClient.connect(srv.port)

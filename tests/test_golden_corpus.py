@@ -1870,6 +1870,40 @@ CORPUS += [
     ),
 ]
 
+
+# --------------------------------------------------------------------------
+# wave 14a — r5 ADVICE fixes pinned over the wire: PG array-TYPE casts
+# ('{..}'::int[], CAST(x AS int[])) no longer break the subscript
+# rewrite, and intervals nested inside array/struct/map render as text
+# instead of crashing PySpark's collect (fromInternal NOT_IMPLEMENTED).
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    (
+        "SELECT '{1,2,3}'::int[] AS a",
+        "SELECT '{1,2,3}' AS a",
+    ),
+    (
+        "SELECT ('{10,20}'::int[])[2] AS v",
+        "SELECT 20 AS v",
+    ),
+    (
+        "SELECT CAST(NULL AS int[]) IS NULL AS isn",
+        "SELECT TRUE AS isn",
+    ),
+    # nested year-month interval: whole column renders as Spark's
+    # string cast (previously: row-path crash)
+    (
+        "SELECT array(INTERVAL '1' YEAR) AS a",
+        "SELECT '[INTERVAL ''1'' YEAR]' AS a",
+    ),
+    (
+        "SELECT named_struct('x', INTERVAL '1-2' YEAR TO MONTH) AS s",
+        "SELECT '{INTERVAL ''1-2'' YEAR TO MONTH}' AS s",
+    ),
+]
+
+
 @pytest.fixture(scope="module")
 def server(spark):
     loop = asyncio.new_event_loop()

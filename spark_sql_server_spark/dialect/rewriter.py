@@ -249,13 +249,19 @@ def _rewrite_casts(toks: list[Tok]) -> list[Tok]:
                 arr_dims == 1
                 and start == pi
                 and toks[start].kind == "string"
-                and _PG_INT_ARRAY_LITERAL.match(toks[start].text)
+                and (
+                    _arr_lit := _array_literal_expr(type_l, toks[start].text)
+                )
+                is not None
             ):
-                # '{1,2}'::int[] — PG parses the literal into an array
-                # value; a CAST of the raw string would fail under ANSI
-                m = _PG_INT_ARRAY_LITERAL.match(toks[start].text)
-                inner = (m.group(1) or "").strip()
-                new = [Tok("word", f"array({inner})" if inner else "array()")]
+                # '{1,2}'::int[] / '{a,b}'::text[] — PG parses the
+                # literal into an array value; a CAST of the raw string
+                # would fail under ANSI. Element rendering follows the
+                # DECLARED type (r6 ADVICE: '{1,2}'::text[] must yield
+                # STRING elements, not INT). Unknown element types fall
+                # through to the plain CAST (clean error, like PG on an
+                # unparseable literal).
+                new = [Tok("word", _arr_lit)]
             else:
                 if args_end > ni:
                     spark_type_toks = toks[ni : args_end + 1]
@@ -321,23 +327,35 @@ def _rewrite_cast_type_names(toks: list[Tok]) -> list[Tok]:
             toks[ti] = Tok("word", "DECIMAL")
         elif low in PG_TYPE_MAP and not has_args:
             toks[ti] = Tok("word", PG_TYPE_MAP[low])
-        # PG array-type suffix: CAST(x AS int[]) → ARRAY<INT>
-        if not has_args:
-            dims = 0
-            bi = _next_code(toks, ti)
-            while bi < len(toks) and toks[bi].text == "[":
-                nb = _next_code(toks, bi)
-                if nb < len(toks) and toks[nb].text == "]":
-                    dims += 1
-                    del toks[bi : nb + 1]
-                    bi = _next_code(toks, ti)
-                else:
-                    break
-            if dims:
-                base = toks[ti].text
-                for _ in range(dims):
-                    base = f"ARRAY<{base}>"
-                toks[ti] = Tok("word", base)
+        # PG array-type suffix: CAST(x AS int[]) → ARRAY<INT>, incl.
+        # parenthesized types: CAST(x AS numeric(10,2)[]) →
+        # ARRAY<DECIMAL(10,2)> (r6 ADVICE: the bracket consumption was
+        # gated on `not has_args`, leaving raw `[` `]` tokens that
+        # Spark can't parse). Recompute arg presence — the varchar
+        # branch above deletes its args.
+        type_end = ti
+        aci = _next_code(toks, ti)
+        if aci < len(toks) and toks[aci].text == "(":
+            argc = _find_matching_paren(toks, aci)
+            if argc != -1:
+                type_end = argc
+        dims = 0
+        bi = _next_code(toks, type_end)
+        while bi < len(toks) and toks[bi].text == "[":
+            nb = _next_code(toks, bi)
+            if nb < len(toks) and toks[nb].text == "]":
+                dims += 1
+                del toks[bi : nb + 1]
+                bi = _next_code(toks, type_end)
+            else:
+                break
+        if dims:
+            base = "".join(
+                x.text for x in toks[ti : type_end + 1] if x.kind != "ws"
+            )
+            for _ in range(dims):
+                base = f"ARRAY<{base}>"
+            toks[ti : type_end + 1] = [Tok("word", base)]
     return toks
 
 
@@ -765,6 +783,61 @@ def _rewrite_eq_any(toks: list[Tok]) -> list[Tok]:
 
 
 _PG_INT_ARRAY_LITERAL = re.compile(r"^'\{\s*(-?\d+(\s*,\s*-?\d+)*)?\s*\}'$")
+
+#: numeric array literal (integers or decimals) for float element types
+_PG_NUM_ARRAY_LITERAL = re.compile(
+    r"^'\{\s*(-?\d+(\.\d+)?(\s*,\s*-?\d+(\.\d+)?)*)?\s*\}'$"
+)
+#: unquoted-item literal for string element types ('{a, b}'::text[]);
+#: items may not contain braces/quotes/commas — quoted-item PG literals
+#: fall through to the plain CAST
+_PG_STR_ARRAY_LITERAL = re.compile(r"^'\{\s*([^{}'\"]*?)\s*\}'$")
+
+#: declared element type → (quote_items, Spark element type to CAST to;
+#: None = leave the natural array() type). Types absent here fall
+#: through to a plain CAST of the raw string (clean ANSI error).
+_ARRAY_LITERAL_ELEMS: dict[str, tuple[bool, str | None]] = {
+    "int": (False, None),
+    "int2": (False, "SMALLINT"),
+    "int4": (False, None),
+    "int8": (False, "BIGINT"),
+    "smallint": (False, "SMALLINT"),
+    "integer": (False, None),
+    "bigint": (False, "BIGINT"),
+    "float4": (False, "FLOAT"),
+    "real": (False, "FLOAT"),
+    "float8": (False, "DOUBLE"),
+    "text": (True, None),
+    "varchar": (True, None),
+    "bpchar": (True, None),
+    "name": (True, None),
+}
+
+
+def _array_literal_expr(type_l: str, lit: str) -> str | None:
+    """Render ``'{...}'::T[]`` as a Spark array expression honoring the
+    DECLARED element type, or ``None`` to fall through to a plain CAST
+    (r6 ADVICE: the old branch rendered any all-integer literal as INT
+    elements even for ``text[]``/``float8[]``, breaking ANSI
+    comparisons and the reported RowDescription type)."""
+    entry = _ARRAY_LITERAL_ELEMS.get(type_l)
+    if entry is None:
+        return None
+    quote, elem_type = entry
+    rx = _PG_STR_ARRAY_LITERAL if quote else _PG_NUM_ARRAY_LITERAL
+    m = rx.match(lit)
+    if not m:
+        return None
+    inner = (m.group(1) or "").strip()
+    items = [s.strip() for s in inner.split(",")] if inner else []
+    if quote:
+        items = ["'" + s.replace("'", "''") + "'" for s in items]
+    arr = f"array({', '.join(items)})" if items else "array()"
+    if elem_type is not None:
+        arr = f"CAST({arr} AS ARRAY<{elem_type}>)"
+    elif quote and not items:
+        arr = "CAST(array() AS ARRAY<STRING>)"
+    return arr
 
 
 def _rewrite_array_literals(toks: list[Tok]) -> list[Tok]:

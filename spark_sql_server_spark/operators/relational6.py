@@ -1,0 +1,545 @@
+"""TPC-DS-shaped plan families, fourth wave (r7): q47/q57, q64, q78.
+
+The reference validates 103 TPC-DS queries
+(``examples/tpcds/src/main/scala/.../TPCDSQueryBenchmark.scala:215-227``);
+these three close the families promised in r6:
+
+* q47/q57 shape (``examples/tpcds/src/main/resources/tpcds/queries/q47.sql``,
+  ``q57.sql``) — monthly series per (brand, dimension) with a
+  same-partition mean AND the previous/next month's sales on each row.
+  The reference SQL self-joins the aggregated CTE **three times** on
+  ``rn = rn±1``; the Spark-first re-expression is LAG/LEAD over one
+  window — identical semantics, one exchange instead of three joins.
+* q64 shape (``q64.sql``) — the largest multi-join in the suite: a
+  returns-vs-sales HAVING CTE gates a ~9-relation star (two aliases of
+  the same dimension with an inequality, like q64's cd1 <> cd2), whose
+  grouped result is self-joined across two consecutive years
+  ("two-cycle" sales). The grouped base is ``localCheckpoint``-ed so
+  the 9-relation join runs ONCE, not once per self-join side.
+* q78 shape (``q78.sql``) — per-channel sales with returned lines
+  removed by a LEFT JOIN ... IS NULL anti pattern, three channels
+  LEFT-JOINed back on (year, item, ...) and null-filtered. The Spark
+  impl removes returns with a genuine left-anti join and folds the
+  three-channel LEFT JOIN into ONE CASE-split aggregation over the
+  channel column (single fact scan + single shuffle — the qds49
+  pattern); the oracle keeps the faithful three-CTE LEFT JOIN spelling.
+
+Adapted to the test schema: order priorities stand in for TPC-DS
+channels, supplier nation for the store dimension, ``l_returnflag='R'``
+rows for the returns tables.
+
+Determinism: money sums stay DECIMAL(38,6) until a final DOUBLE cast;
+every mean is window-SUM(decimal)/COUNT (a single IEEE division of
+exact values); ratio predicates compare engine-identical doubles, so no
+rounding is needed anywhere; every LIMIT has a unique ORDER BY
+tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from spark_sql_server_spark.operators.registry import query
+from spark_sql_server_spark.session import load_table
+
+# --------------------------------------------------------------------------
+# q47/q57 shape: rank + lag/lead moving frame over partitioned monthly
+# series (reference examples/tpcds/queries/q47.sql, q57.sql).
+# --------------------------------------------------------------------------
+
+_QDS47_SQL = """
+    WITH v1 AS (
+      SELECT p_brand, n_name,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS d_year,
+             CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS d_moy,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+               AS sales_dec
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1995-12-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-02-01 00:00:00'
+      GROUP BY 1, 2, 3, 4
+    ),
+    v2 AS (
+      SELECT p_brand, n_name, d_year, d_moy,
+             CAST(sales_dec AS DOUBLE) AS sum_sales,
+             CAST(SUM(sales_dec) OVER (PARTITION BY p_brand, n_name, d_year)
+                  AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY p_brand, n_name, d_year)
+               AS avg_monthly_sales,
+             CAST(LAG(sales_dec) OVER (PARTITION BY p_brand, n_name
+                                       ORDER BY d_year, d_moy) AS DOUBLE)
+               AS psum,
+             CAST(LEAD(sales_dec) OVER (PARTITION BY p_brand, n_name
+                                        ORDER BY d_year, d_moy) AS DOUBLE)
+               AS nsum,
+             CAST(RANK() OVER (PARTITION BY p_brand, n_name
+                               ORDER BY d_year, d_moy) AS BIGINT) AS rn
+      FROM v1
+    )
+    SELECT p_brand, n_name, d_year, d_moy, sum_sales, avg_monthly_sales,
+           psum, nsum, rn
+    FROM v2
+    WHERE d_year = 1996
+      AND avg_monthly_sales > 0
+      AND ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+      AND psum IS NOT NULL AND nsum IS NOT NULL
+    ORDER BY sum_sales - avg_monthly_sales, p_brand, n_name, d_moy
+    LIMIT 100
+"""
+
+
+@query(
+    "qds47_moving_avg_rank",
+    oracle=_QDS47_SQL,
+    covers="§2.B TPC-DS q47/q57 shape: rank + lag/lead moving average "
+    "over partitioned monthly series (brand × supplier nation)",
+)
+def qds47_moving_avg_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly (brand, supplier-nation) revenue rows of 1996 deviating
+    >10% from their year mean, each carrying the adjacent months' sales.
+
+    Scale: one hash aggregation on (brand, nation, year, month) —
+    bounded by 25 brands × 25 nations × 14 months — then ONE window
+    exchange serves rank, lag, lead, and the year mean (the reference
+    SQL self-joins the aggregated CTE three times on rn=rn±1; lag/lead
+    over the same sort order is the one-shuffle Spark plan). The date
+    fringe (Dec-1995 / Jan-1997) is pushed to the scan; nation (25
+    rows) broadcasts. The mean is window-SUM(DECIMAL)/COUNT — one IEEE
+    division of exact values, engine-identical, so the >0.1 deviation
+    predicate and the ORDER BY difference key need no rounding.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-12-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    v1 = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "p_brand",
+            "n_name",
+            F.year("o_orderdate").cast("long").alias("d_year"),
+            F.month("o_orderdate").cast("long").alias("d_moy"),
+        )
+        .agg(F.sum(rev).alias("sales_dec"))
+    )
+    wy = W.partitionBy("p_brand", "n_name", "d_year")
+    ws = W.partitionBy("p_brand", "n_name").orderBy("d_year", "d_moy")
+    v2 = v1.select(
+        "p_brand",
+        "n_name",
+        "d_year",
+        "d_moy",
+        F.col("sales_dec").cast("double").alias("sum_sales"),
+        (
+            F.sum("sales_dec").over(wy).cast("double")
+            / F.count(F.lit(1)).over(wy)
+        ).alias("avg_monthly_sales"),
+        F.lag("sales_dec").over(ws).cast("double").alias("psum"),
+        F.lead("sales_dec").over(ws).cast("double").alias("nsum"),
+        F.rank().over(ws).cast("long").alias("rn"),
+    )
+    return (
+        v2.filter(
+            (F.col("d_year") == 1996)
+            & (F.col("avg_monthly_sales") > 0)
+            & (
+                F.abs(F.col("sum_sales") - F.col("avg_monthly_sales"))
+                / F.col("avg_monthly_sales")
+                > 0.1
+            )
+            & F.col("psum").isNotNull()
+            & F.col("nsum").isNotNull()
+        )
+        .orderBy(
+            F.col("sum_sales") - F.col("avg_monthly_sales"),
+            "p_brand",
+            "n_name",
+            "d_moy",
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q64 shape: two-cycle sales — a HAVING-gated returns CTE feeding a
+# 9-relation star whose grouped result self-joins across years
+# (reference examples/tpcds/queries/q64.sql).
+# --------------------------------------------------------------------------
+
+_QDS64_SQL = """
+    WITH cs_ui AS (
+      SELECT l_partkey AS pk
+      FROM lineitem
+      GROUP BY l_partkey
+      HAVING SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+             > 2 * SUM(CAST(CASE WHEN l_returnflag = 'R'
+                                 THEN l_extendedprice ELSE 0 END
+                            AS DECIMAL(38,6)))
+    ),
+    cross_sales AS (
+      SELECT p_name AS product_name,
+             p_partkey AS item_sk,
+             s_name AS store_name,
+             cn.n_name AS cust_nation,
+             sn.n_name AS supp_nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS syear,
+             COUNT(*) AS cnt,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS s1_dec,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS s2_dec,
+             SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+               AS s3_dec
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN region ON sn.n_regionkey = r_regionkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN cs_ui ON l_partkey = cs_ui.pk
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT cs1.product_name, cs1.store_name, cs1.cust_nation,
+           cs1.supp_nation, cs1.item_sk,
+           cs1.cnt AS cnt1,
+           CAST(cs1.s1_dec AS DOUBLE) AS qty1,
+           CAST(cs1.s2_dec AS DOUBLE) AS price1,
+           CAST(cs1.s3_dec AS DOUBLE) AS disc1,
+           cs2.cnt AS cnt2,
+           CAST(cs2.s1_dec AS DOUBLE) AS qty2,
+           CAST(cs2.s2_dec AS DOUBLE) AS price2,
+           CAST(cs2.s3_dec AS DOUBLE) AS disc2
+    FROM cross_sales cs1
+    JOIN cross_sales cs2
+      ON cs1.item_sk = cs2.item_sk
+     AND cs1.store_name = cs2.store_name
+     AND cs1.cust_nation = cs2.cust_nation
+     AND cs1.supp_nation = cs2.supp_nation
+    WHERE cs1.syear = 1996 AND cs2.syear = 1997 AND cs2.cnt <= cs1.cnt
+    ORDER BY cs1.product_name, cs1.store_name, cs2.cnt,
+             cs1.item_sk, cs1.cust_nation, cs1.supp_nation
+    LIMIT 100
+"""
+
+
+@query(
+    "qds64_two_cycle_sales",
+    oracle=_QDS64_SQL,
+    covers="§2.B TPC-DS q64 shape: HAVING-gated returns CTE + 9-relation "
+    "star (same-dim alias inequality) self-joined across two years",
+)
+def qds64_two_cycle_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-border part sales grouped per (part, supplier, customer
+    nation, supplier nation, year), paired 1996→1997 where the second
+    cycle sold no more than the first (reference q64's two-cycle join).
+
+    Scale: cs_ui is one map-side-combinable aggregation over the fact
+    (HAVING compares two exact decimal sums — no ratio, no rounding)
+    and enters the star as a left-semi join; nation/region broadcast;
+    the same nation table is joined twice under different aliases with
+    an inequality between them (q64's cd1 <> cd2 shape). The grouped
+    ``cross_sales`` base is ``localCheckpoint``-ed before the
+    two-cycle self-join so the 9-relation plan executes ONCE — without
+    it Spark recomputes the whole star for each side, the exact
+    double-work a 100× scale-up cannot afford. The self-join keys are
+    the full group key minus year, so it shuffles on small aggregated
+    data only.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    cs_ui = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(dec(F.col("l_extendedprice"))).alias("sale_dec"),
+            F.sum(
+                dec(
+                    F.when(
+                        F.col("l_returnflag") == "R", F.col("l_extendedprice")
+                    ).otherwise(F.lit(0))
+                )
+            ).alias("refund_dec"),
+        )
+        .filter(F.col("sale_dec") > 2 * F.col("refund_dec"))
+        .select(F.col("l_partkey").alias("pk"))
+    )
+    cn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    sn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+            "n_regionkey",
+        )
+    )
+    cross_sales = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(cs_ui, F.col("l_partkey") == F.col("pk"), "left_semi")
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            F.col("p_name").alias("product_name"),
+            F.col("p_partkey").alias("item_sk"),
+            F.col("s_name").alias("store_name"),
+            "cust_nation",
+            "supp_nation",
+            F.year("o_orderdate").cast("long").alias("syear"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec(F.col("l_quantity"))).alias("s1_dec"),
+            F.sum(dec(F.col("l_extendedprice"))).alias("s2_dec"),
+            F.sum(dec(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "s3_dec"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cs1 = cross_sales.filter(F.col("syear") == 1996)
+    cs2 = cross_sales.filter(F.col("syear") == 1997).select(
+        F.col("item_sk").alias("item_sk2"),
+        F.col("store_name").alias("store_name2"),
+        F.col("cust_nation").alias("cust_nation2"),
+        F.col("supp_nation").alias("supp_nation2"),
+        F.col("cnt").alias("cnt2"),
+        F.col("s1_dec").alias("s1_dec2"),
+        F.col("s2_dec").alias("s2_dec2"),
+        F.col("s3_dec").alias("s3_dec2"),
+    )
+    return (
+        cs1.join(
+            cs2,
+            (F.col("item_sk") == F.col("item_sk2"))
+            & (F.col("store_name") == F.col("store_name2"))
+            & (F.col("cust_nation") == F.col("cust_nation2"))
+            & (F.col("supp_nation") == F.col("supp_nation2")),
+        )
+        .filter(F.col("cnt2") <= F.col("cnt"))
+        .select(
+            "product_name",
+            "store_name",
+            "cust_nation",
+            "supp_nation",
+            "item_sk",
+            F.col("cnt").alias("cnt1"),
+            F.col("s1_dec").cast("double").alias("qty1"),
+            F.col("s2_dec").cast("double").alias("price1"),
+            F.col("s3_dec").cast("double").alias("disc1"),
+            "cnt2",
+            F.col("s1_dec2").cast("double").alias("qty2"),
+            F.col("s2_dec2").cast("double").alias("price2"),
+            F.col("s3_dec2").cast("double").alias("disc2"),
+        )
+        .orderBy(
+            "product_name",
+            "store_name",
+            "cnt2",
+            "item_sk",
+            "cust_nation",
+            "supp_nation",
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q78 shape: three-channel rollup with returns removed by an anti
+# pattern (reference examples/tpcds/queries/q78.sql).
+# --------------------------------------------------------------------------
+
+_QDS78_CHANNELS = ("3-MEDIUM", "1-URGENT", "2-HIGH")  # ss, ws, cs
+
+_QDS78_SQL = f"""
+    WITH ret AS (
+      SELECT l_orderkey AS r_orderkey, l_linenumber AS r_linenumber
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    chan AS (
+      SELECT o_orderpriority,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS sold_year,
+             l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty_dec,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS wc_dec,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+               AS sp_dec
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      LEFT JOIN ret ON l_orderkey = r_orderkey
+                   AND l_linenumber = r_linenumber
+      WHERE r_orderkey IS NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT ss.l_partkey AS partkey,
+           CAST(ss.qty_dec AS DOUBLE)
+             / CAST(ws.qty_dec + cs.qty_dec AS DOUBLE) AS ratio,
+           CAST(ss.qty_dec AS DOUBLE) AS store_qty,
+           CAST(ss.wc_dec AS DOUBLE) AS store_wholesale_cost,
+           CAST(ss.sp_dec AS DOUBLE) AS store_sales_price,
+           CAST(ws.qty_dec + cs.qty_dec AS DOUBLE) AS other_chan_qty,
+           CAST(ws.wc_dec + cs.wc_dec AS DOUBLE)
+             AS other_chan_wholesale_cost,
+           CAST(ws.sp_dec + cs.sp_dec AS DOUBLE) AS other_chan_sales_price
+    FROM (SELECT * FROM chan
+          WHERE o_orderpriority = '{_QDS78_CHANNELS[0]}') ss
+    LEFT JOIN (SELECT * FROM chan
+               WHERE o_orderpriority = '{_QDS78_CHANNELS[1]}') ws
+      ON ss.sold_year = ws.sold_year AND ss.l_partkey = ws.l_partkey
+    LEFT JOIN (SELECT * FROM chan
+               WHERE o_orderpriority = '{_QDS78_CHANNELS[2]}') cs
+      ON ss.sold_year = cs.sold_year AND ss.l_partkey = cs.l_partkey
+    WHERE COALESCE(CAST(ws.qty_dec AS DOUBLE), 0) > 0
+      AND COALESCE(CAST(cs.qty_dec AS DOUBLE), 0) > 0
+      AND ss.sold_year = 1996
+    ORDER BY ratio, store_qty DESC, store_wholesale_cost DESC,
+             store_sales_price DESC, other_chan_qty,
+             other_chan_wholesale_cost, other_chan_sales_price, partkey
+    LIMIT 100
+"""
+
+
+@query(
+    "qds78_channel_rollup",
+    oracle=_QDS78_SQL,
+    covers="§2.B TPC-DS q78 shape: returns removed by LEFT-JOIN-IS-NULL "
+    "anti pattern, three channels LEFT-JOINed and null-filtered",
+)
+def qds78_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part 1996 quantity ratio of the MEDIUM channel vs the URGENT
+    + HIGH channels, counting only never-returned lines (q78's
+    cross-channel customer loyalty shape).
+
+    Scale: returned lines are removed with a genuine ``left_anti`` join
+    against the derived returns relation (the reference spells it LEFT
+    JOIN ... IS NULL; Spark's anti join is the same plan without the
+    null-scan). The three-channel LEFT JOIN re-reads the fact once per
+    channel in the reference; here the channel column is CASE-split
+    inside ONE aggregation over (year, partkey) — single fact scan,
+    single shuffle (the qds49 pattern; the oracle keeps the faithful
+    three-CTE LEFT JOIN spelling, proving equivalence). The null
+    filters on ws/cs quantities reproduce the LEFT-JOIN null-filter
+    semantics exactly: a conditional sum is NULL precisely when the
+    channel had no rows. The ratio is one IEEE division of exact
+    decimal sums — no rounding (the reference's round(...,2) of a
+    quotient is the exact cross-engine trap CLAUDE.md documents).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ret = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_linenumber").alias("r_linenumber"),
+    )
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    kept = li.join(
+        ret,
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_linenumber") == F.col("r_linenumber")),
+        "left_anti",
+    )
+    ss_ch, ws_ch, cs_ch = _QDS78_CHANNELS
+
+    def chan_sum(ch: str, col, alias: str):
+        return F.sum(
+            F.when(F.col("o_orderpriority") == ch, dec(col))
+        ).alias(alias)
+
+    agg = (
+        kept.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("sold_year"),
+            "l_partkey",
+        )
+        .agg(
+            chan_sum(ss_ch, F.col("l_quantity"), "ss_qty"),
+            chan_sum(ss_ch, F.col("l_extendedprice"), "ss_wc"),
+            chan_sum(
+                ss_ch,
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "ss_sp",
+            ),
+            chan_sum(ws_ch, F.col("l_quantity"), "ws_qty"),
+            chan_sum(ws_ch, F.col("l_extendedprice"), "ws_wc"),
+            chan_sum(
+                ws_ch,
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "ws_sp",
+            ),
+            chan_sum(cs_ch, F.col("l_quantity"), "cs_qty"),
+            chan_sum(cs_ch, F.col("l_extendedprice"), "cs_wc"),
+            chan_sum(
+                cs_ch,
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "cs_sp",
+            ),
+        )
+    )
+    return (
+        agg.filter(
+            (F.col("sold_year") == 1996)
+            & F.col("ss_qty").isNotNull()
+            & (F.coalesce(F.col("ws_qty").cast("double"), F.lit(0.0)) > 0)
+            & (F.coalesce(F.col("cs_qty").cast("double"), F.lit(0.0)) > 0)
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (
+                F.col("ss_qty").cast("double")
+                / (F.col("ws_qty") + F.col("cs_qty")).cast("double")
+            ).alias("ratio"),
+            F.col("ss_qty").cast("double").alias("store_qty"),
+            F.col("ss_wc").cast("double").alias("store_wholesale_cost"),
+            F.col("ss_sp").cast("double").alias("store_sales_price"),
+            (F.col("ws_qty") + F.col("cs_qty"))
+            .cast("double")
+            .alias("other_chan_qty"),
+            (F.col("ws_wc") + F.col("cs_wc"))
+            .cast("double")
+            .alias("other_chan_wholesale_cost"),
+            (F.col("ws_sp") + F.col("cs_sp"))
+            .cast("double")
+            .alias("other_chan_sales_price"),
+        )
+        .orderBy(
+            "ratio",
+            F.col("store_qty").desc(),
+            F.col("store_wholesale_cost").desc(),
+            F.col("store_sales_price").desc(),
+            "other_chan_qty",
+            "other_chan_wholesale_cost",
+            "other_chan_sales_price",
+            "partkey",
+        )
+        .limit(100)
+    )

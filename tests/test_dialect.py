@@ -69,7 +69,7 @@ class TestCasts:
     def test_array_type_casts(self):
         # PG array-type syntax (r5 ADVICE: previously the subscript
         # rewrite turned the empty [] into try_element_at(expr, ))
-        assert rewrite_sql("SELECT '{1,2}'::int[]") == "SELECT array(1,2)"
+        assert rewrite_sql("SELECT '{1,2}'::int[]") == "SELECT array(1, 2)"
         assert rewrite_sql("SELECT '{}'::int[]") == "SELECT array()"
         assert (
             rewrite_sql("SELECT x::text[] FROM t")
@@ -84,10 +84,55 @@ class TestCasts:
             == "SELECT CAST(x AS ARRAY<ARRAY<STRING>>) FROM t"
         )
 
+    def test_array_literal_declared_type(self):
+        # r6 ADVICE: element rendering must honor the DECLARED type —
+        # '{1,2}'::text[] yields STRING elements, float8[] DOUBLEs
+        assert (
+            rewrite_sql("SELECT '{1,2}'::text[]")
+            == "SELECT array('1', '2')"
+        )
+        assert (
+            rewrite_sql("SELECT '{a, b}'::text[]")
+            == "SELECT array('a', 'b')"
+        )
+        assert (
+            rewrite_sql("SELECT '{}'::text[]")
+            == "SELECT CAST(array() AS ARRAY<STRING>)"
+        )
+        assert (
+            rewrite_sql("SELECT '{1.5,2}'::float8[]")
+            == "SELECT CAST(array(1.5, 2) AS ARRAY<DOUBLE>)"
+        )
+        assert (
+            rewrite_sql("SELECT '{1,2}'::bigint[]")
+            == "SELECT CAST(array(1, 2) AS ARRAY<BIGINT>)"
+        )
+        # unknown element type falls through to a plain CAST (clean
+        # ANSI error, like PG on an unparseable literal)
+        assert (
+            rewrite_sql("SELECT '{1,2}'::bool[]")
+            == "SELECT CAST('{1,2}' AS ARRAY<BOOLEAN>)"
+        )
+
+    def test_parenthesized_array_type_casts(self):
+        # r6 ADVICE: bracket consumption must survive precision args
+        assert (
+            rewrite_sql("SELECT CAST(x AS numeric(10,2)[]) FROM t")
+            == "SELECT CAST(x AS ARRAY<DECIMAL(10,2)>) FROM t"
+        )
+        assert (
+            rewrite_sql("SELECT x::numeric(10,2)[] FROM t")
+            == "SELECT CAST(x AS ARRAY<DECIMAL(10,2)>) FROM t"
+        )
+        assert (
+            rewrite_sql("SELECT CAST(x AS varchar(10)[]) FROM t")
+            == "SELECT CAST(x AS ARRAY<STRING>) FROM t"
+        )
+
     def test_subscript_of_cast_array_literal(self):
         assert (
             rewrite_sql("SELECT ('{10,20}'::int[])[2]")
-            == "SELECT try_element_at((array(10,20)), 2)"
+            == "SELECT try_element_at((array(10, 20)), 2)"
         )
 
 

@@ -525,6 +525,37 @@ class TestTpcdsWave3Plans:
         assert "Window" in plan
         assert "CartesianProduct" not in plan
 
+    def test_qds47_single_window_exchange(self, spark):
+        plan = plan_of(spark, "qds47_moving_avg_rank")
+        # lag/lead/rank + the year mean all ride window passes over the
+        # aggregated rows — never a self-join back to the fact (the
+        # reference SQL self-joins its CTE three times on rn=rn±1)
+        assert "Window" in plan
+        assert "HashAggregate" in plan  # windows ride the aggregated rows
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds64_checkpointed_base_single_star(self, spark):
+        df = REGISTRY["qds64_two_cycle_sales"].fn(spark, SF_CORRECT)
+        plan = executed_plan(df)
+        # the 9-relation star is localCheckpoint-ed: the two-cycle
+        # self-join reads the materialized RDD twice (Scan
+        # ExistingRDD), never re-running the star per side
+        assert plan.count("Scan ExistingRDD") == 2
+        assert "Scan parquet" not in plan  # star already materialized
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds78_single_fact_pass_with_anti_join(self, spark):
+        plan = plan_of(spark, "qds78_channel_rollup")
+        # returns removed via a genuine anti join; the three-channel
+        # rollup is CASE-split inside ONE aggregation (qds49 pattern) —
+        # lineitem is scanned twice (fact + returns side), orders once
+        assert "LeftAnti" in plan
+        assert plan.count("Scan parquet") <= 3
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 class TestKmeansTreeReduce:
     def test_partials_reduced_before_collect(self, spark):

@@ -45,6 +45,10 @@ def main() -> None:
                         "127.0.0.1 — the endpoint is unauthenticated and "
                         "shows live SQL text, so it never inherits --host; "
                         "widen explicitly at your own risk)")
+    p.add_argument("--copy-in-batch-bytes", type=int, default=32 << 20,
+                   help="COPY FROM STDIN spills complete-row batches to a "
+                        "parquet staging dir past this driver-buffer bound "
+                        "(default 32 MiB)")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args()
 
@@ -70,6 +74,7 @@ def main() -> None:
         binary_transfer=False if args.no_binary_transfer else None,
         metrics_port=args.metrics_port,
         metrics_host=args.metrics_host,
+        copy_in_batch_bytes=args.copy_in_batch_bytes,
     )
 
     async def run() -> None:

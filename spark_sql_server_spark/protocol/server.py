@@ -283,11 +283,19 @@ class SparkPGServer:
         binary_transfer: bool | None = None,
         metrics_port: int | None = None,
         metrics_host: str | None = None,
+        copy_in_batch_bytes: int = 32 << 20,
     ):
         self.spark = spark
         self.host = host
         self.port = port
         self.incremental_collect = incremental_collect
+        # COPY FROM STDIN spills to a parquet staging dir once the
+        # driver-side row buffer exceeds this bound (bulk loads must
+        # not scale driver RSS with payload size)
+        self.copy_in_batch_bytes = copy_in_batch_bytes
+        # peak COPY-IN buffer observed (bytes) — bounded-memory gauge
+        # for tests and the /metrics endpoint
+        self.last_copy_in_peak_buffer = 0
         # reference confs (SQLServerConf.scala:69-72,165): constructor
         # args win, else the shared session's conf, else the defaults
         # (multi-session isolation, binary transfer allowed)
@@ -1355,14 +1363,26 @@ class SparkPGServer:
         return self.incremental_collect
 
     async def _copy_in(self, state, stmt, writer) -> None:
-        """COPY table [(cols)] FROM STDIN [WITH (FORMAT CSV [, HEADER])].
+        """COPY table [(cols)] FROM STDIN [WITH (FORMAT {TEXT|CSV|BINARY} …)].
 
-        Ingest extension (the reference rejects all COPY): stream
-        CopyData until CopyDone, parse text/CSV rows, cast to the target
-        table's column types and append via insertInto. The payload is
-        buffered before parsing — chunked ingestion is a noted future
-        step; the write itself is a normal distributed insert.
+        Ingest extension (the reference rejects all COPY,
+        ``protocol.scala:679-701``). Chunked: CopyData accumulates in a
+        bounded driver buffer; once it exceeds ``copy_in_batch_bytes``
+        the complete-row prefix is parsed and spilled to a parquet
+        staging directory (pyarrow string batches for text/CSV, a typed
+        Spark append for binary), so driver RSS is bounded by the batch
+        size — never by the payload. CopyDone triggers ONE distributed
+        read + ``insertInto`` over the staging dir; payloads that fit a
+        single batch keep the zero-temp-IO direct path. Row boundaries
+        at batch edges: text format — raw ``\\n`` is always a row end
+        (in-value newlines arrive escaped); CSV — cut at the last
+        newline with even quote parity (doubled quotes toggle twice);
+        binary — tuples are length-framed, parse resumes exactly.
         """
+        import os
+        import shutil
+        import tempfile
+
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -1374,70 +1394,46 @@ class SparkPGServer:
             else list(target.columns)
         )
         is_binary = stmt.copy_format == "binary"
+        is_csv = stmt.copy_format == "csv"
         writer.write(M.copy_in_response(len(cols), binary=is_binary))
         await writer.drain()
 
-        reader = state.reader
-        buf = bytearray()
-        failed = False
-        while True:
-            hdr = await reader.readexactly(5)
-            tag = hdr[:1]
-            (length,) = struct.unpack("!i", hdr[1:5])
-            body = await reader.readexactly(length - 4) if length > 4 else b""
-            if tag == b"d":
-                buf += body
-            elif tag == b"c":
-                break
-            elif tag == b"f":
-                failed = True
-                break
-            # 'H'/'S' flushes during COPY are ignored
-        if failed:
-            raise ValueError("COPY FROM STDIN aborted by client (CopyFail)")
-
         target_types = {f.name: f.dataType for f in target.schema.fields}
+        sep = stmt.copy_delim or ("," if is_csv else "\t")
+        null_mark = stmt.copy_null if stmt.copy_null is not None else "\\N"
+        decs: list = []
+        typed_schema = None
         if is_binary:
-            rows = _parse_copy_binary(bytes(buf), [target_types[c] for c in cols])
-            n = len(rows)
-            if n:
-                typed_schema = T.StructType(
-                    [T.StructField(c, target_types[c]) for c in cols]
-                )
+            from spark_sql_server_spark.protocol.encoders import binary_decoder
 
-                def ingest_binary():
-                    sdf = state.session.createDataFrame(rows, schema=typed_schema)
-                    full = sdf.select(
-                        *[
-                            F.col(c) if c in cols
-                            else F.lit(None).cast(target_types[c]).alias(c)
-                            for c in target.columns
-                        ]
+            for c in cols:
+                d = binary_decoder(target_types[c])
+                if d is None:
+                    raise ValueError(
+                        "COPY BINARY does not support type "
+                        f"{target_types[c].simpleString()}"
                     )
-                    sc = state.session.sparkContext
-                    sc.setJobGroup(state.job_group, stmt.sql[:200], interruptOnCancel=True)
-                    sc.setLocalProperty("spark.scheduler.pool", state.scheduler_pool)
-                    full.write.insertInto(table)
+                decs.append(d)
+            typed_schema = T.StructType(
+                [T.StructField(c, target_types[c]) for c in cols]
+            )
+        header_pending = bool(is_csv and stmt.copy_header)
 
-                await asyncio.to_thread(ingest_binary)
-            writer.write(M.command_complete(f"COPY {n}"))
-            await writer.drain()
-            return
-
-        text = buf.decode("utf-8")
-        rows: list[list] = []
-        sep = stmt.copy_delim or ("," if stmt.copy_format == "csv" else "\t")
-        if stmt.copy_format == "csv":
-            parsed = _csv_copy_rows(text, delim=sep)
-            if stmt.copy_header and parsed:
-                parsed = parsed[1:]
-            rows = [r for r in parsed if r != ["\\."]]
-            if stmt.copy_null is not None:
-                rows = [
-                    [None if v == stmt.copy_null else v for v in r] for r in rows
-                ]
-        else:
-            null_mark = stmt.copy_null if stmt.copy_null is not None else "\\N"
+        def parse_text_batch(text: str) -> list[list]:
+            nonlocal header_pending
+            if is_csv:
+                parsed = _csv_copy_rows(text, delim=sep)
+                if header_pending and parsed:
+                    parsed = parsed[1:]
+                    header_pending = False
+                rows = [r for r in parsed if r != ["\\."]]
+                if stmt.copy_null is not None:
+                    rows = [
+                        [None if v == stmt.copy_null else v for v in r]
+                        for r in rows
+                    ]
+                return rows
+            rows = []
             for line in text.split("\n"):
                 if not line or line == "\\.":
                     continue
@@ -1447,35 +1443,221 @@ class SparkPGServer:
                         for v in _split_copy_fields(line, sep)
                     ]
                 )
+            return rows
 
-        n = len(rows)
-        if n:
-            str_schema = T.StructType(
-                [T.StructField(c, T.StringType()) for c in cols]
+        staging: str | None = None
+        spill_seq = 0
+        spilled_rows = 0
+
+        def spill_strings(rows: list[list]) -> None:
+            nonlocal staging, spill_seq, spilled_rows
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            if staging is None:
+                staging = tempfile.mkdtemp(prefix="pgcopy_in_")
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array([r[i] for r in rows], type=pa.string())
+                    for i in range(len(cols))
+                ],
+                names=list(cols),
             )
+            pq.write_table(
+                tbl, os.path.join(staging, f"part-{spill_seq:05d}.parquet")
+            )
+            spill_seq += 1
+            spilled_rows += len(rows)
 
-            def ingest():
-                sdf = state.session.createDataFrame(rows, schema=str_schema)
-                casted = sdf.select(
-                    *[F.col(c).cast(target_types[c]).alias(c) for c in cols]
+        def spill_typed(rows: list[list]) -> None:
+            nonlocal staging, spill_seq, spilled_rows
+            if staging is None:
+                staging = tempfile.mkdtemp(prefix="pgcopy_in_")
+            state.session.createDataFrame(rows, schema=typed_schema).write.mode(
+                "append"
+            ).parquet(staging)
+            spill_seq += 1
+            spilled_rows += len(rows)
+
+        def carve() -> bytes:
+            """Detach the longest complete-row prefix of ``buf``.
+
+            The buffer always starts at a row boundary, so CSV quote
+            parity counted from 0 is authoritative."""
+            idx = buf.rfind(b"\n")
+            if is_csv:
+                while idx >= 0 and buf.count(b'"', 0, idx) % 2:
+                    idx = buf.rfind(b"\n", 0, idx)
+            if idx < 0:
+                return b""
+            prefix = bytes(buf[: idx + 1])
+            del buf[: idx + 1]
+            return prefix
+
+        _BIN_SIG = b"PGCOPY\n\xff\r\n\x00"
+        reader = state.reader
+        buf = bytearray()
+        peak = 0
+        failed = False
+        bin_header_done = False
+        bin_done = False
+        pending_rows: list[list] = []  # binary: parsed but unspilled
+        bin_bytes_pending = 0
+        batch_bytes = max(1, int(self.copy_in_batch_bytes))
+        try:
+            while True:
+                hdr = await reader.readexactly(5)
+                tag = hdr[:1]
+                (length,) = struct.unpack("!i", hdr[1:5])
+                body = (
+                    await reader.readexactly(length - 4) if length > 4 else b""
                 )
+                if tag == b"c":
+                    break
+                if tag == b"f":
+                    failed = True
+                    break
+                if tag != b"d":
+                    continue  # 'H'/'S' flushes during COPY are ignored
+                buf += body
+                peak = max(peak, len(buf) + bin_bytes_pending)
+                if is_binary:
+                    if not bin_header_done and len(buf) >= len(_BIN_SIG) + 8:
+                        if not buf.startswith(_BIN_SIG):
+                            raise ValueError("invalid COPY BINARY signature")
+                        _flags, extlen = struct.unpack_from(
+                            "!ii", buf, len(_BIN_SIG)
+                        )
+                        if len(buf) >= len(_BIN_SIG) + 8 + extlen:
+                            del buf[: len(_BIN_SIG) + 8 + extlen]
+                            bin_header_done = True
+                    if bin_header_done and not bin_done:
+                        rows_b, consumed, bin_done = _parse_copy_binary_tuples(
+                            buf, 0, decs
+                        )
+                        if consumed:
+                            bin_bytes_pending += consumed
+                            del buf[:consumed]
+                        pending_rows.extend(rows_b)
+                        if pending_rows and bin_bytes_pending >= batch_bytes:
+                            await asyncio.to_thread(spill_typed, pending_rows)
+                            pending_rows = []
+                            bin_bytes_pending = 0
+                elif len(buf) > batch_bytes:
+                    prefix = carve()
+                    if prefix:
+                        rows_t = parse_text_batch(prefix.decode("utf-8"))
+                        if rows_t:
+                            await asyncio.to_thread(spill_strings, rows_t)
+            self.last_copy_in_peak_buffer = peak
+            if failed:
+                raise ValueError(
+                    "COPY FROM STDIN aborted by client (CopyFail)"
+                )
+
+            def _aligned(casted):
                 # align to the full table schema; unlisted columns → NULL
-                full = casted.select(
+                return casted.select(
                     *[
                         F.col(c) if c in cols
                         else F.lit(None).cast(target_types[c]).alias(c)
                         for c in target.columns
                     ]
                 )
-                sc = state.session.sparkContext
-                sc.setJobGroup(state.job_group, stmt.sql[:200], interruptOnCancel=True)
-                sc.setLocalProperty("spark.scheduler.pool", state.scheduler_pool)
-                full.write.insertInto(table)
 
-            await asyncio.to_thread(ingest)
-        self.metrics.rows_sent += 0  # ingest: rows flow inward
-        writer.write(M.command_complete(f"COPY {n}"))
-        await writer.drain()
+            def _run_insert(df):
+                sc = state.session.sparkContext
+                sc.setJobGroup(
+                    state.job_group, stmt.sql[:200], interruptOnCancel=True
+                )
+                sc.setLocalProperty(
+                    "spark.scheduler.pool", state.scheduler_pool
+                )
+                df.write.insertInto(table)
+
+            if is_binary:
+                if bin_header_done:
+                    rows_b, consumed, bin_done = _parse_copy_binary_tuples(
+                        buf, 0, decs
+                    )
+                    pending_rows.extend(rows_b)
+                elif buf:
+                    # payload smaller than header+8: legacy whole parse
+                    pending_rows = _parse_copy_binary(
+                        bytes(buf), [target_types[c] for c in cols]
+                    )
+                if staging is None:
+                    n = len(pending_rows)
+                    if n:
+
+                        def ingest_binary():
+                            sdf = state.session.createDataFrame(
+                                pending_rows, schema=typed_schema
+                            )
+                            _run_insert(_aligned(sdf))
+
+                        await asyncio.to_thread(ingest_binary)
+                else:
+                    if pending_rows:
+                        await asyncio.to_thread(spill_typed, pending_rows)
+                    n = spilled_rows
+
+                    def ingest_staged_binary():
+                        sdf = state.session.read.schema(typed_schema).parquet(
+                            staging
+                        )
+                        _run_insert(_aligned(sdf))
+
+                    await asyncio.to_thread(ingest_staged_binary)
+                writer.write(M.command_complete(f"COPY {n}"))
+                await writer.drain()
+                return
+
+            tail_rows = parse_text_batch(buf.decode("utf-8")) if buf else []
+            str_schema = T.StructType(
+                [T.StructField(c, T.StringType()) for c in cols]
+            )
+            if staging is None:
+                n = len(tail_rows)
+                if n:
+
+                    def ingest():
+                        sdf = state.session.createDataFrame(
+                            tail_rows, schema=str_schema
+                        )
+                        casted = sdf.select(
+                            *[
+                                F.col(c).cast(target_types[c]).alias(c)
+                                for c in cols
+                            ]
+                        )
+                        _run_insert(_aligned(casted))
+
+                    await asyncio.to_thread(ingest)
+            else:
+                if tail_rows:
+                    await asyncio.to_thread(spill_strings, tail_rows)
+                n = spilled_rows
+
+                def ingest_staged():
+                    sdf = state.session.read.schema(str_schema).parquet(
+                        staging
+                    )
+                    casted = sdf.select(
+                        *[
+                            F.col(c).cast(target_types[c]).alias(c)
+                            for c in cols
+                        ]
+                    )
+                    _run_insert(_aligned(casted))
+
+                await asyncio.to_thread(ingest_staged)
+            self.metrics.rows_sent += 0  # ingest: rows flow inward
+            writer.write(M.command_complete(f"COPY {n}"))
+            await writer.drain()
+        finally:
+            if staging is not None:
+                shutil.rmtree(staging, ignore_errors=True)
 
     def _refresh_stat_views(self, state) -> None:
         """Register live monitoring views in this session (the PySpark
@@ -1581,6 +1763,17 @@ class SparkPGServer:
                 await asyncio.wait_for(asyncio.shield(task), 5.0)
             except Exception:  # noqa: BLE001
                 pass  # expected: job was killed / still unwinding
+            if not task.done():
+                # abandoning the shielded task: retrieve its eventual
+                # exception so asyncio never logs "Task exception was
+                # never retrieved". Known concurrency window — until
+                # the orphaned thread's Spark phase actually unwinds it
+                # may overlap the session's next statement (its job
+                # group stays cancelled, so any Spark job it launches
+                # dies immediately).
+                task.add_done_callback(
+                    lambda t: t.exception() if not t.cancelled() else None
+                )
             raise ValueError("canceling statement due to statement timeout")
 
     async def _stream_result(
@@ -1727,23 +1920,47 @@ def _parse_copy_binary(data: bytes, dtypes) -> list[list]:
     pos = len(sig)
     _flags, extlen = struct.unpack_from("!ii", data, pos)
     pos += 8 + extlen
+    rows, _, _ = _parse_copy_binary_tuples(data, pos, decs)
+    return rows
+
+
+def _parse_copy_binary_tuples(
+    buf, pos: int, decs
+) -> tuple[list[list], int, bool]:
+    """Parse as many COMPLETE PGCOPY tuples as ``buf`` holds from
+    ``pos`` (int16 field count, int32-length-prefixed cells, int16 -1
+    trailer). Returns ``(rows, consumed_pos, trailer_seen)`` — a tuple
+    cut off mid-stream is left unconsumed so a chunked caller can
+    resume after appending more bytes."""
     rows: list[list] = []
-    while pos < len(data):
-        (nfield,) = struct.unpack_from("!h", data, pos)
-        pos += 2
+    n = len(buf)
+    while True:
+        if pos + 2 > n:
+            return rows, pos, False
+        (nfield,) = struct.unpack_from("!h", buf, pos)
         if nfield == -1:
-            break
-        vals = []
+            return rows, pos + 2, True
+        p = pos + 2
+        vals: list = []
+        complete = True
         for i in range(nfield):
-            (ln,) = struct.unpack_from("!i", data, pos)
-            pos += 4
+            if p + 4 > n:
+                complete = False
+                break
+            (ln,) = struct.unpack_from("!i", buf, p)
+            p += 4
             if ln == -1:
                 vals.append(None)
             else:
-                vals.append(decs[i](data[pos : pos + ln]))
-                pos += ln
+                if p + ln > n:
+                    complete = False
+                    break
+                vals.append(decs[i](bytes(buf[p : p + ln])))
+                p += ln
+        if not complete:
+            return rows, pos, False
         rows.append(vals)
-    return rows
+        pos = p
 
 
 _TIMEOUT_RE = re.compile(r"^\s*(\d+)\s*(us|ms|s|min|h|d)?\s*$", re.IGNORECASE)

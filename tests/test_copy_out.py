@@ -442,3 +442,248 @@ class TestCopyDelimiterValidation:
             "COPY (SELECT 1) TO STDOUT WITH (DELIMITER ';')"
         )
         assert st.copy_delim == ";"
+
+
+class TestCopyInChunked:
+    """Chunked COPY FROM STDIN: payloads larger than
+    ``copy_in_batch_bytes`` spill complete-row batches to a parquet
+    staging dir, so driver buffering is bounded by the batch size —
+    never by the payload (the 100-TB bulk-load contract)."""
+
+    BATCH = 4096  # tiny bound so a ~100 KiB payload spills many times
+
+    @pytest.fixture(scope="class")
+    def small_server(self, spark):
+        loop = asyncio.new_event_loop()
+
+        async def _run():
+            srv = SparkPGServer(
+                spark,
+                port=0,
+                init_session=lambda s: register_tables(s, SF_SMOKE),
+                copy_in_batch_bytes=self.BATCH,
+            )
+            await srv.start()
+            return srv
+
+        srv = loop.run_until_complete(_run())
+        yield srv, loop
+        loop.run_until_complete(srv.stop())
+        loop.close()
+
+    @staticmethod
+    def _m(tag, body=b""):
+        return tag + struct.pack("!i", len(body) + 4) + body
+
+    async def _start_copy_in(self, c, sql):
+        await c.send(_q(sql))
+        hdr = await c.reader.readexactly(5)
+        (ln,) = struct.unpack("!i", hdr[1:])
+        await c.reader.readexactly(ln - 4)
+        assert hdr[:1] == b"G"
+
+    def _drive(self, srv, loop, copy_sql, payload: bytes, msg_bytes=1000,
+               readback=None):
+        async def go():
+            c = await PgClient.connect(srv.port)
+            await self._start_copy_in(c, copy_sql)
+            # deliberately misaligned chunks: row/quote boundaries land
+            # mid-message so every carve path is exercised
+            msgs = [
+                self._m(b"d", payload[i : i + msg_bytes])
+                for i in range(0, len(payload), msg_bytes)
+            ]
+            await c.send(*msgs, self._m(b"c"))
+            done = await c.until_ready()
+            rows = await c.simple(readback) if readback else None
+            await c.close()
+            return done, rows
+
+        return loop.run_until_complete(go())
+
+    def test_csv_large_payload_bounded_buffer(self, small_server, spark,
+                                              tmp_path):
+        srv, loop = small_server
+        spark.sql("DROP TABLE IF EXISTS copy_chunk_csv")
+        spark.sql(
+            f"""CREATE TABLE copy_chunk_csv (k INT, body STRING, v DOUBLE)
+                USING parquet LOCATION '{tmp_path}/copy_chunk_csv'"""
+        )
+        try:
+            n_rows = 3000
+            lines = []
+            for i in range(n_rows):
+                if i % 7 == 0:
+                    # quoted field with embedded newline + doubled quote —
+                    # must never be split across a spill batch
+                    lines.append(f'{i},"multi\nline ""{i}"" text",{i}.5')
+                else:
+                    lines.append(f"{i},plain_{i},{i}.5")
+            payload = ("\n".join(lines) + "\n").encode()
+            assert len(payload) > 10 * self.BATCH
+            done, rows = self._drive(
+                srv, loop,
+                "COPY copy_chunk_csv FROM STDIN WITH (FORMAT CSV)",
+                payload,
+                readback="SELECT COUNT(*) AS n, SUM(k) AS sk, "
+                "SUM(CASE WHEN body LIKE '%' || CHR(10) || '%' THEN 1 "
+                "ELSE 0 END) AS nl FROM copy_chunk_csv",
+            )
+            assert completes_of(done) == [f"COPY {n_rows}"]
+            exp_sum = n_rows * (n_rows - 1) // 2
+            exp_nl = sum(1 for i in range(n_rows) if i % 7 == 0)
+            assert rows_of(rows) == [
+                [str(n_rows).encode(), str(exp_sum).encode(),
+                 str(exp_nl).encode()]
+            ]
+            # bounded driver buffer: batch bound + in-flight message slack
+            assert srv.last_copy_in_peak_buffer <= self.BATCH + 2 * 1000
+            # a quoted-newline row survives intact across chunk edges
+            got = loop.run_until_complete(
+                self._read_one(srv, loop,
+                               "SELECT body FROM copy_chunk_csv "
+                               "WHERE k = 7")
+            )
+            assert got == 'multi\nline "7" text'
+        finally:
+            spark.sql("DROP TABLE IF EXISTS copy_chunk_csv")
+
+    async def _read_one(self, srv, loop, sql):
+        c = await PgClient.connect(srv.port)
+        rows = await c.simple(sql)
+        await c.close()
+        return rows_of(rows)[0][0].decode()
+
+    def test_text_format_chunked(self, small_server, spark, tmp_path):
+        srv, loop = small_server
+        spark.sql("DROP TABLE IF EXISTS copy_chunk_txt")
+        spark.sql(
+            f"""CREATE TABLE copy_chunk_txt (k INT, body STRING)
+                USING parquet LOCATION '{tmp_path}/copy_chunk_txt'"""
+        )
+        try:
+            n_rows = 2000
+            # text format escapes in-value newlines/tabs — raw \n is
+            # always a row boundary, so carving is exact
+            payload = "".join(
+                f"{i}\tv\\t{i}\\nx\n" for i in range(n_rows)
+            ).encode()
+            assert len(payload) > 5 * self.BATCH
+            done, rows = self._drive(
+                srv, loop,
+                "COPY copy_chunk_txt FROM STDIN",
+                payload, msg_bytes=777,
+                readback="SELECT COUNT(*) AS n, SUM(k) AS sk "
+                "FROM copy_chunk_txt WHERE body = 'v' || CHR(9) || "
+                "CAST(k AS STRING) || CHR(10) || 'x'",
+            )
+            assert completes_of(done) == [f"COPY {n_rows}"]
+            assert rows_of(rows) == [
+                [str(n_rows).encode(),
+                 str(n_rows * (n_rows - 1) // 2).encode()]
+            ]
+            assert srv.last_copy_in_peak_buffer <= self.BATCH + 2 * 777
+        finally:
+            spark.sql("DROP TABLE IF EXISTS copy_chunk_txt")
+
+    def test_csv_header_dropped_once(self, small_server, spark, tmp_path):
+        srv, loop = small_server
+        spark.sql("DROP TABLE IF EXISTS copy_chunk_hdr")
+        spark.sql(
+            f"""CREATE TABLE copy_chunk_hdr (k INT, name STRING)
+                USING parquet LOCATION '{tmp_path}/copy_chunk_hdr'"""
+        )
+        try:
+            n_rows = 1500
+            payload = (
+                "k,name\n"
+                + "".join(f"{i},name_{i}\n" for i in range(n_rows))
+            ).encode()
+            assert len(payload) > 3 * self.BATCH
+            done, rows = self._drive(
+                srv, loop,
+                "COPY copy_chunk_hdr FROM STDIN WITH (FORMAT CSV, HEADER)",
+                payload,
+                readback="SELECT COUNT(*) AS n FROM copy_chunk_hdr",
+            )
+            assert completes_of(done) == [f"COPY {n_rows}"]
+            assert rows_of(rows) == [[str(n_rows).encode()]]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS copy_chunk_hdr")
+
+    def test_binary_chunked(self, small_server, spark, tmp_path):
+        srv, loop = small_server
+        spark.sql("DROP TABLE IF EXISTS copy_chunk_bin")
+        spark.sql(
+            f"""CREATE TABLE copy_chunk_bin (k INT, name STRING)
+                USING parquet LOCATION '{tmp_path}/copy_chunk_bin'"""
+        )
+        try:
+            n_rows = 2000
+            body = bytearray(b"PGCOPY\n\xff\r\n\x00" + struct.pack("!ii", 0, 0))
+            for i in range(n_rows):
+                name = f"bin_name_{i}".encode()
+                body += struct.pack("!h", 2)
+                body += struct.pack("!i", 4) + struct.pack("!i", i)
+                body += struct.pack("!i", len(name)) + name
+            body += struct.pack("!h", -1)
+            payload = bytes(body)
+            assert len(payload) > 5 * self.BATCH
+            done, rows = self._drive(
+                srv, loop,
+                "COPY copy_chunk_bin FROM STDIN WITH (FORMAT BINARY)",
+                payload, msg_bytes=513,
+                readback="SELECT COUNT(*) AS n, SUM(k) AS sk "
+                "FROM copy_chunk_bin WHERE name = 'bin_name_' || "
+                "CAST(k AS STRING)",
+            )
+            assert completes_of(done) == [f"COPY {n_rows}"]
+            assert rows_of(rows) == [
+                [str(n_rows).encode(),
+                 str(n_rows * (n_rows - 1) // 2).encode()]
+            ]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS copy_chunk_bin")
+
+    def test_copyfail_cleans_staging(self, small_server, spark, tmp_path):
+        import glob
+        import os
+        import tempfile
+
+        srv, loop = small_server
+        spark.sql("DROP TABLE IF EXISTS copy_chunk_fail")
+        spark.sql(
+            f"""CREATE TABLE copy_chunk_fail (k INT, name STRING)
+                USING parquet LOCATION '{tmp_path}/copy_chunk_fail'"""
+        )
+        try:
+            payload = "".join(
+                f"{i},name_{i}\n" for i in range(3000)
+            ).encode()
+
+            async def go():
+                c = await PgClient.connect(srv.port)
+                await self._start_copy_in(
+                    c, "COPY copy_chunk_fail FROM STDIN WITH (FORMAT CSV)"
+                )
+                # enough data to force at least one spill, then abort
+                await c.send(
+                    self._m(b"d", payload[: 6 * self.BATCH]),
+                    self._m(b"f", b"client abort\x00"),
+                )
+                msgs = await c.until_ready()
+                rows = await c.simple(
+                    "SELECT COUNT(*) AS n FROM copy_chunk_fail"
+                )
+                await c.close()
+                return msgs, rows
+
+            msgs, rows = loop.run_until_complete(go())
+            assert any(t == b"E" for t, _ in msgs)  # CopyFail surfaces
+            assert rows_of(rows) == [[b"0"]]  # nothing inserted
+            leftovers = glob.glob(
+                os.path.join(tempfile.gettempdir(), "pgcopy_in_*")
+            )
+            assert leftovers == []  # staging dir removed
+        finally:
+            spark.sql("DROP TABLE IF EXISTS copy_chunk_fail")

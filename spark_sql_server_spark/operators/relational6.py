@@ -24,6 +24,14 @@ these three close the families promised in r6:
   channel column (single fact scan + single shuffle — the qds49
   pattern); the oracle keeps the faithful three-CTE LEFT JOIN spelling.
 
+Wave 2 (same round): q75 (per-channel net sales with returns netted,
+UNION-deduped, year-over-year declining groups — ``q75.sql``), q97
+(distinct customer-item pairs per channel, FULL OUTER overlap census —
+``q97.sql``), q21 (before/after quantity balance around a pivot date,
+ratio-banded via pure-integer cross-multiplication — ``q21.sql``), q16
+(COUNT DISTINCT + sums under EXISTS different-supplier AND NOT EXISTS
+returns, re-expressed as semi/anti joins — ``q16.sql``).
+
 Adapted to the test schema: order priorities stand in for TPC-DS
 channels, supplier nation for the store dimension, ``l_returnflag='R'``
 rows for the returns tables.
@@ -542,4 +550,415 @@ def qds78_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "partkey",
         )
         .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q75 shape: per-channel net sales (returns netted via LEFT JOIN +
+# COALESCE), UNION-deduped across channels, year-over-year self-join on
+# declining groups (reference examples/tpcds/queries/q75.sql).
+# --------------------------------------------------------------------------
+
+_QDS75_SQL = """
+    WITH ret AS (
+      SELECT l_orderkey AS r_ok, l_partkey AS r_pk,
+             SUM(CAST(l_quantity AS BIGINT)) AS r_qty
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2
+    ),
+    leg_expedite AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS d_year,
+             p_brand, p_type,
+             CAST(l_quantity AS BIGINT) - COALESCE(r_qty, 0) AS net_qty
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      LEFT JOIN ret ON l_orderkey = r_ok AND l_partkey = r_pk
+      WHERE l_returnflag <> 'R'
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ),
+    leg_standard AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS d_year,
+             p_brand, p_type,
+             CAST(l_quantity AS BIGINT) - COALESCE(r_qty, 0) AS net_qty
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      LEFT JOIN ret ON l_orderkey = r_ok AND l_partkey = r_pk
+      WHERE l_returnflag <> 'R'
+        AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    ),
+    all_sales AS (
+      SELECT d_year, p_brand, p_type, CAST(SUM(net_qty) AS BIGINT) AS cnt
+      FROM (SELECT * FROM leg_expedite UNION SELECT * FROM leg_standard) u
+      GROUP BY 1, 2, 3
+    )
+    SELECT prev.p_brand AS p_brand, prev.p_type AS p_type,
+           prev.cnt AS prev_cnt, curr.cnt AS curr_cnt,
+           curr.cnt - prev.cnt AS cnt_diff
+    FROM all_sales curr
+    JOIN all_sales prev
+      ON curr.p_brand = prev.p_brand AND curr.p_type = prev.p_type
+     AND curr.d_year = 1997 AND prev.d_year = 1996
+    WHERE curr.cnt < prev.cnt
+    ORDER BY cnt_diff, p_brand, p_type
+    LIMIT 100
+"""
+
+
+@query(
+    "qds75_yoy_channel_decline",
+    oracle=_QDS75_SQL,
+    covers="§2.B TPC-DS q75 shape: per-channel net sales (returns "
+    "netted via LEFT JOIN + COALESCE), UNION-deduped, year-over-year "
+    "declining groups",
+)
+def qds75_yoy_channel_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(brand, type) groups whose 1997 net sold quantity fell below
+    1996, with returns netted out per order+part before aggregation.
+
+    Scale: the reference UNION-dedups two channel legs that differ only
+    in a disjoint priority predicate; since every line belongs to
+    exactly one leg and the channel column is dropped before the UNION,
+    the two-leg UNION is exactly DISTINCT over ONE combined scan — so
+    the Spark plan reads the fact once, not once per channel (the
+    oracle keeps the faithful two-leg spelling, proving equivalence).
+    Returns pre-aggregate per (orderkey, partkey) before the LEFT JOIN
+    — line-grain equi join, no fan-out blowup. The year self-join runs
+    over the tiny (year, brand, type) aggregate, localCheckpoint-ed so
+    neither side re-runs the fact star. Net quantities are
+    exact BIGINTs end-to-end (l_quantity is integral in this corpus),
+    so the decline predicate and ORDER BY need no rounding; (brand,
+    type) is the join key, making the LIMIT tiebreak unique.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(
+            F.col("l_orderkey").alias("r_ok"),
+            F.col("l_partkey").alias("r_pk"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("r_qty"))
+    )
+    base = (
+        li.filter(F.col("l_returnflag") != "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ret,
+            (F.col("l_orderkey") == F.col("r_ok"))
+            & (F.col("l_partkey") == F.col("r_pk")),
+            "left",
+        )
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("d_year"),
+            "p_brand",
+            "p_type",
+            (
+                F.col("l_quantity").cast("bigint")
+                - F.coalesce(F.col("r_qty"), F.lit(0))
+            ).alias("net_qty"),
+        )
+        .distinct()  # == the reference's two-leg UNION (legs disjoint)
+    )
+    # the year self-join would otherwise re-run the whole fact star per
+    # side (the qds64 trap); the (year, brand, type) aggregate is a few
+    # hundred rows — materialize it once
+    all_sales = (
+        base.groupBy("d_year", "p_brand", "p_type")
+        .agg(F.sum("net_qty").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    curr = all_sales.filter(F.col("d_year") == 1997).select(
+        "p_brand", "p_type", F.col("cnt").alias("curr_cnt")
+    )
+    prev = all_sales.filter(F.col("d_year") == 1996).select(
+        F.col("p_brand").alias("pb"),
+        F.col("p_type").alias("pt"),
+        F.col("cnt").alias("prev_cnt"),
+    )
+    return (
+        curr.join(
+            prev,
+            (F.col("p_brand") == F.col("pb")) & (F.col("p_type") == F.col("pt")),
+        )
+        .filter(F.col("curr_cnt") < F.col("prev_cnt"))
+        .select(
+            "p_brand",
+            "p_type",
+            "prev_cnt",
+            "curr_cnt",
+            (F.col("curr_cnt") - F.col("prev_cnt")).alias("cnt_diff"),
+        )
+        .orderBy("cnt_diff", "p_brand", "p_type")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q97 shape: distinct (customer, item) pairs per channel, FULL OUTER
+# JOIN overlap counts (reference examples/tpcds/queries/q97.sql).
+# --------------------------------------------------------------------------
+
+_QDS97_SQL = """
+    WITH expedite AS (
+      SELECT o_custkey AS ck, l_partkey AS pk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_custkey, l_partkey
+    ),
+    standard AS (
+      SELECT o_custkey AS ck, l_partkey AS pk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_custkey, l_partkey
+    )
+    SELECT
+      CAST(SUM(CASE WHEN expedite.ck IS NOT NULL AND standard.ck IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS expedite_only,
+      CAST(SUM(CASE WHEN expedite.ck IS NULL AND standard.ck IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS standard_only,
+      CAST(SUM(CASE WHEN expedite.ck IS NOT NULL AND standard.ck IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS both_channels
+    FROM expedite
+    FULL OUTER JOIN standard
+      ON expedite.ck = standard.ck AND expedite.pk = standard.pk
+"""
+
+
+@query(
+    "qds97_channel_overlap",
+    oracle=_QDS97_SQL,
+    covers="§2.B TPC-DS q97 shape: distinct (customer, item) pairs per "
+    "channel, FULL OUTER JOIN three-way overlap counts",
+)
+def qds97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many (customer, part) pairs bought only expedited, only
+    standard, or through both priority channels (q97's store/catalog
+    overlap census).
+
+    Scale: each channel leg is a distinct-pair aggregation (map-side
+    partial dedup, one shuffle on the pair key); the FULL OUTER JOIN
+    then reuses the same (ck, pk) hash key, so AQE plans it without an
+    extra exchange on either side. The final count is a single scalar
+    aggregation — three exact BIGINTs, trivially deterministic. No
+    driver-side state at any point; at 100 TB the distinct-pair legs
+    shrink the join inputs by the pair multiplicity before any wide
+    exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    expedite = (
+        joined.filter(hi)
+        .groupBy(F.col("o_custkey").alias("eck"), F.col("l_partkey").alias("epk"))
+        .agg(F.lit(1).alias("e1"))
+    )
+    standard = (
+        joined.filter(~hi)
+        .groupBy(F.col("o_custkey").alias("sck"), F.col("l_partkey").alias("spk"))
+        .agg(F.lit(1).alias("s1"))
+    )
+    full = expedite.join(
+        standard,
+        (F.col("eck") == F.col("sck")) & (F.col("epk") == F.col("spk")),
+        "full_outer",
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return full.agg(
+        flag(F.col("eck").isNotNull() & F.col("sck").isNull()).alias(
+            "expedite_only"
+        ),
+        flag(F.col("eck").isNull() & F.col("sck").isNotNull()).alias(
+            "standard_only"
+        ),
+        flag(F.col("eck").isNotNull() & F.col("sck").isNotNull()).alias(
+            "both_channels"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 shape: before/after quantity balance around a pivot date per
+# (warehouse, item), ratio-banded (reference examples/tpcds/queries/q21.sql).
+# --------------------------------------------------------------------------
+
+_QDS21_SQL = """
+    SELECT n_name, p_brand, inv_before, inv_after
+    FROM (
+      SELECT n_name, p_brand,
+             CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+                 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS inv_before,
+             CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+                 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS inv_after
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_retailprice BETWEEN 905 AND 915
+        AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                           AND TIMESTAMP '1997-12-31 00:00:00'
+      GROUP BY n_name, p_brand
+    ) x
+    WHERE inv_before > 0
+      AND 3 * inv_after >= 2 * inv_before
+      AND 2 * inv_after <= 3 * inv_before
+    ORDER BY n_name, p_brand
+    LIMIT 100
+"""
+
+
+@query(
+    "qds21_shipflow_balance",
+    oracle=_QDS21_SQL,
+    covers="§2.B TPC-DS q21 shape: before/after quantity balance around "
+    "a pivot date per (warehouse, item), ratio-banded in [2/3, 3/2]",
+)
+def qds21_shipflow_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(supplier nation, brand) groups whose shipped quantity stayed
+    within [2/3, 3/2] across the 1997-07-01 pivot (q21's warehouse
+    inventory-balance screen; supplier nation stands in for the
+    warehouse, brand for the item).
+
+    Scale: date fringe and price band reach the parquet scan as pushed
+    filters; the conditional split is map-side (one CASE per row, no
+    second scan); one hash aggregation on a bounded (25 nations × 25
+    brands) key; nation and the price-banded part dimension broadcast.
+    The reference's ``inv_after / inv_before BETWEEN 2.0/3.0 AND
+    3.0/2.0`` divides doubles — here the band is the pure-integer
+    cross-multiplication ``3·after ≥ 2·before AND 2·after ≤ 3·before``
+    (quantities are integral, sums ≪ 2^53), so both engines evaluate
+    identical integer arithmetic and the screen is exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").between(905, 915)
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pivot = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    qty = F.col("l_quantity").cast("bigint")
+    agg = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") < pivot, qty).otherwise(0)).alias(
+                "inv_before"
+            ),
+            F.sum(F.when(F.col("l_shipdate") >= pivot, qty).otherwise(0)).alias(
+                "inv_after"
+            ),
+        )
+    )
+    return (
+        agg.filter(
+            (F.col("inv_before") > 0)
+            & (3 * F.col("inv_after") >= 2 * F.col("inv_before"))
+            & (2 * F.col("inv_after") <= 3 * F.col("inv_before"))
+        )
+        .orderBy("n_name", "p_brand")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 shape: COUNT(DISTINCT) + sums under EXISTS (same order, different
+# supplier) AND NOT EXISTS (order has returns)
+# (reference examples/tpcds/queries/q16.sql).
+# --------------------------------------------------------------------------
+
+_QDS16_SQL = """
+    SELECT CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS order_count,
+           CAST(SUM(CAST(l1.l_extendedprice * (1 + l1.l_tax)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS total_charge
+    FROM lineitem l1
+    JOIN orders ON l1.l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1996-12-31 00:00:00'
+      AND n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7',
+                     'NATION_9', 'NATION_11', 'NATION_13', 'NATION_15')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_suppkey <> l2.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l1.l_orderkey = l3.l_orderkey
+                        AND l3.l_returnflag = 'R')
+"""
+
+
+@query(
+    "qds16_multi_supplier_clean",
+    oracle=_QDS16_SQL,
+    covers="§2.B TPC-DS q16 shape: COUNT(DISTINCT) + sums under "
+    "correlated EXISTS (different supplier, same order) and NOT EXISTS "
+    "(order has returns)",
+)
+def qds16_multi_supplier_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 1996 orders (and their total charge) from selected
+    customer nations that were supplied by MORE than one supplier and
+    had NO returned line (q16's multi-warehouse no-returns ship
+    screen).
+
+    Scale: the correlated ``EXISTS l2 (same order, different
+    supplier)`` holds for a line iff its order has ≥2 distinct
+    suppliers, so the Spark plan replaces the correlated probe with a
+    pre-aggregated multi-supplier orderkey set and a ``left_semi``
+    join; ``NOT EXISTS returns`` becomes a ``left_anti`` join against
+    the R-flagged orderkeys — every probe is an equi join on the
+    natural shuffle key, never a per-row subquery (the oracle keeps the
+    faithful EXISTS/NOT EXISTS spelling, proving equivalence). Customer
+    and nation broadcast. COUNT(DISTINCT orderkey) is exact; the charge
+    sums through DECIMAL(38,6) to one final DOUBLE cast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31 00:00:00").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_1", "NATION_3", "NATION_5", "NATION_7",
+            "NATION_9", "NATION_11", "NATION_13", "NATION_15",
+        )
+    )
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select(F.col("l_orderkey").alias("m_orderkey"))
+    )
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("x_orderkey"))
+        .distinct()
+    )
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            multi_supp, F.col("l_orderkey") == F.col("m_orderkey"), "left_semi"
+        )
+        .join(
+            returned, F.col("l_orderkey") == F.col("x_orderkey"), "left_anti"
+        )
+    )
+    charge = (F.col("l_extendedprice") * (1 + F.col("l_tax"))).cast(
+        "decimal(38,6)"
+    )
+    return base.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("order_count"),
+        F.sum(charge).cast("double").alias("total_charge"),
     )

@@ -556,6 +556,50 @@ class TestTpcdsWave3Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_qds75_checkpointed_aggregate_self_join(self, spark):
+        df = REGISTRY["qds75_yoy_channel_decline"].fn(spark, SF_CORRECT)
+        plan = executed_plan(df)
+        # the year self-join reads the localCheckpoint-ed (year, brand,
+        # type) aggregate twice — never re-running the fact star per
+        # side; the UNION-as-DISTINCT rewrite keeps the star itself to
+        # one pass over each relation (lineitem twice: fact + returns)
+        assert plan.count("Scan ExistingRDD") == 2
+        assert "Scan parquet" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds97_full_outer_on_prededuped_pairs(self, spark):
+        plan = plan_of(spark, "qds97_channel_overlap")
+        # each channel leg dedups (customer, part) pairs BEFORE the
+        # full outer join, so the wide join sees shrunken inputs; the
+        # join itself is pure equi on the pair key
+        assert "FullOuter" in plan
+        assert plan.count("Scan parquet") <= 4
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds21_single_aggregate_pushed_filters(self, spark):
+        plan = plan_of(spark, "qds21_shipflow_balance")
+        # one CASE-split hash aggregation (partial + final), dims
+        # broadcast, and both the date fringe and the price band reach
+        # the parquet scans as pushed filters
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Scan parquet") <= 4
+        assert "PushedFilters: [" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds16_exists_as_semi_and_anti_joins(self, spark):
+        plan = plan_of(spark, "qds16_multi_supplier_clean")
+        # the correlated EXISTS probes are pre-aggregated orderkey sets
+        # joined semi/anti on the natural shuffle key — never a per-row
+        # subquery or nested loop
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 class TestKmeansTreeReduce:
     def test_partials_reduced_before_collect(self, spark):

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from spark_sql_server_spark.operators.registry import query
-from spark_sql_server_spark.session import load_table
+from spark_sql_server_spark.session import load_table, register_tables
 
 # --------------------------------------------------------------------------
 # q47/q57 shape: rank + lag/lead moving frame over partitioned monthly
@@ -962,3 +962,332 @@ def qds16_multi_supplier_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_orderkey").cast("bigint").alias("order_count"),
         F.sum(charge).cast("double").alias("total_charge"),
     )
+
+
+# --------------------------------------------------------------------------
+# q66 shape: 12-month CASE pivot into wide columns per (warehouse,
+# year), carriers UNION ALL then re-summed
+# (reference examples/tpcds/queries/q66.sql).
+# --------------------------------------------------------------------------
+
+_MONTHS = (
+    "jan", "feb", "mar", "apr", "may", "jun",
+    "jul", "aug", "sep", "oct", "nov", "dec",
+)
+
+_QDS66_MONTH_COLS = ",\n             ".join(
+    f"CAST(SUM(CASE WHEN EXTRACT(MONTH FROM l_shipdate) = {i + 1} "
+    f"THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) "
+    f"ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS {m}_sales,\n             "
+    f"CAST(SUM(CASE WHEN EXTRACT(MONTH FROM l_shipdate) = {i + 1} "
+    f"THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS {m}_qty"
+    for i, m in enumerate(_MONTHS)
+)
+
+_QDS66_OUTER_COLS = ",\n           ".join(
+    f"CAST(SUM(CAST({m}_sales AS DECIMAL(38,6))) AS DOUBLE) AS {m}_sales,\n           "
+    f"CAST(SUM({m}_qty) AS BIGINT) AS {m}_qty"
+    for m in _MONTHS
+)
+
+_QDS66_SQL = f"""
+    WITH leg AS (
+      SELECT n_name, carrier, {_QDS66_MONTH_COLS}
+      FROM (
+        SELECT n_name,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'EXPEDITE' ELSE 'STANDARD' END AS carrier,
+               l_shipdate, l_extendedprice, l_discount, l_quantity
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 00:00:00'
+      ) src
+      GROUP BY n_name, carrier
+    )
+    SELECT n_name, {_QDS66_OUTER_COLS}
+    FROM leg
+    GROUP BY n_name
+    ORDER BY n_name
+    LIMIT 100
+"""
+
+
+@query(
+    "qds66_monthly_pivot",
+    oracle=_QDS66_SQL,
+    covers="§2.B TPC-DS q66 shape: 12-month CASE pivot into 24 wide "
+    "columns per warehouse, carrier legs re-summed",
+)
+def qds66_monthly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1997 monthly sales and quantity, pivoted into 24 wide columns
+    per supplier nation (q66's warehouse × carrier monthly report; the
+    carrier legs come from order-priority groups).
+
+    Scale: the whole pivot is map-side CASE arithmetic — 24 conditional
+    aggregates computed in ONE pass over the date-pruned fact, one hash
+    aggregation keyed by (nation, carrier), then a second tiny
+    aggregation folds the carrier legs (the reference spells the legs
+    as a UNION ALL of two channel scans; priorities are disjoint so one
+    CASE-tagged scan is the same relation). No per-month re-scan, no
+    join wider than the broadcast dims. Sales columns are exact decimal
+    sums cast to DOUBLE once; quantity columns are exact BIGINTs —
+    every one of the 24 value columns is deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    src = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                F.lit("EXPEDITE"),
+            )
+            .otherwise(F.lit("STANDARD"))
+            .alias("carrier"),
+            F.month("l_shipdate").alias("moy"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(38,6)")
+            .alias("rev"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+    )
+    month_aggs = []
+    for i, m in enumerate(_MONTHS):
+        hit = F.col("moy") == i + 1
+        month_aggs.append(
+            F.sum(
+                F.when(hit, F.col("rev")).otherwise(
+                    F.lit(0).cast("decimal(38,6)")
+                )
+            ).alias(f"{m}_sales_dec")
+        )
+        month_aggs.append(
+            F.sum(F.when(hit, F.col("qty")).otherwise(0)).alias(f"{m}_qty")
+        )
+    leg = src.groupBy("n_name", "carrier").agg(*month_aggs)
+    outer_aggs = []
+    for m in _MONTHS:
+        outer_aggs.append(
+            F.sum(F.col(f"{m}_sales_dec"))
+            .cast("double")
+            .alias(f"{m}_sales")
+        )
+        outer_aggs.append(
+            F.sum(F.col(f"{m}_qty")).cast("bigint").alias(f"{m}_qty")
+        )
+    cols = ["n_name"]
+    for m in _MONTHS:
+        cols += [f"{m}_sales", f"{m}_qty"]
+    return (
+        leg.groupBy("n_name")
+        .agg(*outer_aggs)
+        .select(*cols)
+        .orderBy("n_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q98 shape: revenue ratio-to-report within class via window SUM over
+# the aggregate (reference examples/tpcds/queries/q98.sql).
+# --------------------------------------------------------------------------
+
+_QDS98_SQL = """
+    WITH agg AS (
+      SELECT p_type, p_brand,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+               AS rev_dec
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_type IN ('ECONOMY', 'STANDARD', 'PROMO')
+        AND l_shipdate BETWEEN TIMESTAMP '1997-03-01 00:00:00'
+                           AND TIMESTAMP '1997-03-31 00:00:00'
+      GROUP BY p_type, p_brand
+    )
+    SELECT p_type, p_brand,
+           CAST(rev_dec AS DOUBLE) AS itemrevenue,
+           CAST(rev_dec AS DOUBLE) * 100
+             / CAST(SUM(rev_dec) OVER (PARTITION BY p_type) AS DOUBLE)
+             AS revenueratio
+    FROM agg
+    ORDER BY p_type, p_brand
+    LIMIT 100
+"""
+
+
+@query(
+    "qds98_class_revenue_ratio",
+    oracle=_QDS98_SQL,
+    covers="§2.B TPC-DS q98 shape: per-item revenue with its "
+    "ratio-to-report share of the class total via window SUM over the "
+    "aggregate",
+)
+def qds98_class_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """March-1997 revenue per (type, brand) with each brand's percent
+    share of its type's total (q98's ratio-to-report within class).
+
+    Scale: one date+type-pruned fact pass into a hash aggregation on
+    (type, brand); the class total is a window SUM over the aggregated
+    rows — a second pass over ~150 rows, not the fact (the naive
+    spelling joins the aggregate back to a per-class total; the window
+    is the one-exchange plan). Determinism: revenues are exact decimal
+    sums; the ratio is ``CAST(rev AS DOUBLE) * 100 / CAST(total AS
+    DOUBLE)`` — a multiply and one IEEE division of engine-identical
+    doubles, so no rounding is needed; ORDER BY (type, brand) is the
+    group key, a unique tiebreak.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-03-31 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").isin("ECONOMY", "STANDARD", "PROMO")
+    )
+    agg = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("rev_dec")
+        )
+    )
+    w = W.partitionBy("p_type")
+    return (
+        agg.select(
+            "p_type",
+            "p_brand",
+            F.col("rev_dec").cast("double").alias("itemrevenue"),
+            (
+                F.col("rev_dec").cast("double")
+                * 100
+                / F.sum("rev_dec").over(w).cast("double")
+            ).alias("revenueratio"),
+        )
+        .orderBy("p_type", "p_brand")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q9 shape: scalar-subquery CASE buckets — five quantity bands, each
+# picking between two global aggregates by a count threshold
+# (reference examples/tpcds/queries/q9.sql).
+# --------------------------------------------------------------------------
+
+_QDS9_BANDS = ((1, 10), (11, 20), (21, 30), (31, 40), (41, 50))
+#: alternating thresholds keep BOTH branches exercised at every SF
+#: (a single literal would flip branches as counts scale with SF)
+_QDS9_THRESHOLDS = (0, 10**15, 0, 10**15, 0)
+
+_QDS9_SQL = "SELECT " + ",\n       ".join(
+    f"CASE WHEN (SELECT COUNT(*) FROM lineitem "
+    f"WHERE l_quantity BETWEEN {lo} AND {hi}) > {thr} "
+    f"THEN (SELECT CAST(SUM(CAST(l_extendedprice * l_discount "
+    f"AS DECIMAL(38,6))) AS DOUBLE) FROM lineitem "
+    f"WHERE l_quantity BETWEEN {lo} AND {hi}) "
+    f"ELSE (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) "
+    f"AS DOUBLE) FROM lineitem "
+    f"WHERE l_quantity BETWEEN {lo} AND {hi}) END AS bucket{i + 1}"
+    for i, ((lo, hi), thr) in enumerate(zip(_QDS9_BANDS, _QDS9_THRESHOLDS))
+)
+
+
+@query(
+    "qds9_quantity_buckets",
+    oracle=_QDS9_SQL,
+    covers="§2.B TPC-DS q9 shape: CASE over scalar subqueries — five "
+    "quantity bands each choosing between two global aggregates by a "
+    "count threshold",
+)
+def qds9_quantity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row of five bucket values, each a CASE over three scalar
+    subqueries (count threshold picks discount volume vs gross price)
+    — q9's scalar-subquery stress shape: fifteen independent global
+    aggregates in a single projection.
+
+    Scale: Spark plans every scalar subquery as its own reusable
+    subquery stage over the quantity-band-pruned scan, then the final
+    projection is a single driver-side row assembly — there is no join,
+    no shuffle wider than each band's partial aggregation, and AQE
+    dedups the identical count/sum subtrees per band. Determinism: the
+    chosen branch per bucket is fixed by alternating literal
+    thresholds (0 vs 10^15) so both branches run at every SF, and every
+    value is an exact decimal sum cast to DOUBLE once.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS9_SQL)
+
+
+# --------------------------------------------------------------------------
+# q33 shape: three channel legs aggregated by manufacturer over an
+# IN-subquery item filter, UNION ALL, re-aggregated
+# (reference examples/tpcds/queries/q33.sql).
+# --------------------------------------------------------------------------
+
+_QDS33_LEG = """
+      SELECT p_brand,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+               AS sales_dec
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_type IN (SELECT p_type FROM part WHERE p_size < 25)
+        AND EXTRACT(YEAR FROM o_orderdate) = 1997
+        AND EXTRACT(MONTH FROM o_orderdate) = 5
+        AND {pred}
+      GROUP BY p_brand
+"""
+
+_QDS33_SQL = f"""
+    WITH leg1 AS ({_QDS33_LEG.format(pred="o_orderpriority = '1-URGENT'")}),
+    leg2 AS ({_QDS33_LEG.format(
+        pred="o_orderpriority IN ('2-HIGH', '3-MEDIUM')")}),
+    leg3 AS ({_QDS33_LEG.format(
+        pred="o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')")})
+    SELECT p_brand,
+           CAST(SUM(CAST(sales_dec AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_sales
+    FROM (SELECT * FROM leg1 UNION ALL SELECT * FROM leg2
+          UNION ALL SELECT * FROM leg3) u
+    GROUP BY p_brand
+    ORDER BY p_brand
+    LIMIT 100
+"""
+
+
+@query(
+    "qds33_union_leg_reagg",
+    oracle=_QDS33_SQL,
+    covers="§2.B TPC-DS q33 shape: three channel legs aggregated by "
+    "manufacturer over an IN-subquery item filter, UNION ALL, "
+    "re-aggregated",
+)
+def qds33_union_leg_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """May-1997 brand sales summed across three priority channels, each
+    leg restricted to item types picked by an IN subquery (q33's
+    three-channel manufacturer census).
+
+    Scale: the IN subquery over the part dimension becomes a broadcast
+    semi join (never a per-row probe); each leg is a pruned fact pass
+    into a (brand) hash aggregation, and the UNION ALL re-aggregation
+    is map-side over ~75 leg rows. The three legs differ only in a
+    disjoint priority predicate — Spark still scans per leg like the
+    reference (the legs are the faithful shape here; qds66 demonstrates
+    the folded variant). Exact decimal sums; ORDER BY brand is unique.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS33_SQL)

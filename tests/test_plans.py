@@ -600,6 +600,44 @@ class TestTpcdsWave3Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_qds66_single_pass_pivot(self, spark):
+        plan = plan_of(spark, "qds66_monthly_pivot")
+        # all 24 monthly columns are CASE arms inside ONE aggregation
+        # chain — each relation is scanned once; no per-month re-scan,
+        # no window, no self-join
+        assert plan.count("Scan parquet") <= 4
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds98_window_over_aggregate_not_join_back(self, spark):
+        plan = plan_of(spark, "qds98_class_revenue_ratio")
+        # the class total is a window SUM over the aggregated rows —
+        # never a join of the aggregate back to a per-class total
+        assert "Window" in plan
+        assert plan.count("Scan parquet") <= 2
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds9_scalar_subqueries_no_joins(self, spark):
+        plan = plan_of(spark, "qds9_quantity_buckets")
+        # fifteen scalar subqueries, zero joins: every bucket value is
+        # an independent band-pruned global aggregate
+        assert "Subquery" in plan
+        assert "Join" not in plan
+        assert plan.count("Scan parquet") <= 15
+        assert "CartesianProduct" not in plan
+
+    def test_qds33_in_subquery_as_semi_join(self, spark):
+        plan = plan_of(spark, "qds33_union_leg_reagg")
+        # the IN-subquery item filter plans as a (broadcast) semi join
+        # per leg; the three legs union and re-aggregate — no nested
+        # loop anywhere
+        assert "LeftSemi" in plan
+        assert "Union" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 class TestKmeansTreeReduce:
     def test_partials_reduced_before_collect(self, spark):

@@ -37,10 +37,17 @@ from spark_sql_server_spark.operators.registry import REGISTRY, QuerySpec
 #: Everything listed after rests on its r1–r3 driver record and the
 #: local bit-exact twin (tests/test_oracle_parity.py runs ALL of them).
 _DRIVER_SAMPLE_PRIORITY = [
-    # new operators added in r7 (never sampled by construction) — the
-    # three TPC-DS families r6 reserved slots for (relational6.py)
+    # ALL 11 operators added in r7 (never sampled by construction; the
+    # ONLY registry names without a green driver row r1–r6): the three
+    # TPC-DS families r6 reserved slots for, plus waves 2–3
+    # (relational6.py). Rotation FROZEN here mid-session — any
+    # later-r7 addition goes below the cut and becomes r8 priority.
     "qds47_moving_avg_rank", "qds64_two_cycle_sales",
     "qds78_channel_rollup",
+    "qds75_yoy_channel_decline", "qds97_channel_overlap",
+    "qds21_shipflow_balance", "qds16_multi_supplier_clean",
+    "qds66_monthly_pivot", "qds98_class_revenue_ratio",
+    "qds9_quantity_buckets", "qds33_union_leg_reagg",
     # r6-certified continuity (green r6 driver rows)
     "qds31_quarterly_acceleration", "qds35_multi_channel_exists",
     "qds39_volatile_supply", "qds54_cohort_spend_bands",

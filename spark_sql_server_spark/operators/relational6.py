@@ -1291,3 +1291,1040 @@ def qds33_union_leg_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir)
     return spark.sql(_QDS33_SQL)
+
+
+# --------------------------------------------------------------------------
+# wave 4 (late r7, below the frozen driver-sample cut — r8 rotation
+# priority): q1, q59, q65, q99 shapes.
+# --------------------------------------------------------------------------
+
+# q1 shape: per-customer return totals screened against 1.2× the
+# per-store average via a correlated scalar subquery
+# (reference examples/tpcds/queries/q1.sql).
+
+_QDS1_SQL = """
+    WITH ctr AS (
+      SELECT o_custkey AS ctr_customer, n_name AS ctr_store,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS ret_dec
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    )
+    SELECT c_name, ctr_store AS store,
+           CAST(ret_dec AS DOUBLE) AS total_return
+    FROM ctr ctr1
+    JOIN customer ON ctr_customer = c_custkey
+    WHERE CAST(ret_dec AS DOUBLE) >
+      (SELECT 1.2 * (CAST(SUM(ctr2.ret_dec) AS DOUBLE) / COUNT(*))
+       FROM ctr ctr2 WHERE ctr2.ctr_store = ctr1.ctr_store)
+    ORDER BY c_name, store
+    LIMIT 100
+"""
+
+
+@query(
+    "qds1_returns_above_avg",
+    oracle=_QDS1_SQL,
+    covers="§2.B TPC-DS q1 shape: correlated scalar AVG subquery over a "
+    "grouped CTE (customers returning >1.2x their store's average)",
+)
+def qds1_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose 1996 returned value exceeds 1.2× the average
+    return total of their supplier nation (q1's store-average screen;
+    supplier nation stands in for the store).
+
+    Scale: the oracle's correlated scalar subquery re-aggregates the
+    CTE per outer row; the Spark plan computes the same per-store mean
+    as ONE window over the already-aggregated (customer, store) rows —
+    a single extra exchange on a ~25-key partition column instead of a
+    correlated re-scan. The returns filter and 1996 date fringe reach
+    the fact scan pushed; nation broadcasts. Determinism: the mean is
+    window-SUM(DECIMAL)/COUNT (one IEEE division of exact values), the
+    1.2× screen is one multiply of engine-identical doubles, and
+    (c_name, store) is a unique ORDER BY for the LIMIT.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    ctr = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("o_custkey").alias("ctr_customer"),
+            F.col("n_name").alias("store"),
+        )
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("ret_dec"))
+    )
+    ws = W.partitionBy("store")
+    screened = ctr.withColumn(
+        "store_avg",
+        F.lit(1.2)
+        * (
+            F.sum("ret_dec").over(ws).cast("double")
+            / F.count(F.lit(1)).over(ws)
+        ),
+    ).filter(F.col("ret_dec").cast("double") > F.col("store_avg"))
+    return (
+        screened.join(customer, F.col("ctr_customer") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "store",
+            F.col("ret_dec").cast("double").alias("total_return"),
+        )
+        .orderBy("c_name", "store")
+        .limit(100)
+    )
+
+
+# q59 shape: weekly per-store sales split by day-of-week, self-joined
+# 52 weeks apart, per-weekday ratios
+# (reference examples/tpcds/queries/q59.sql).
+
+#: Monday anchor strictly before the data's first order date, so the
+#: day index dd = datediff(anchor, o_orderdate) is always >= 0 and
+#: dd % 7 == 0 means Monday in both engines (no negative-modulo split)
+_QDS59_ANCHOR = "1994-12-26 00:00:00"
+
+_QDS59_DAYS = ("mon", "tue", "wed", "thu", "fri", "sat", "sun")
+
+_QDS59_SQL = (
+    """
+    WITH wss AS (
+      SELECT CAST(FLOOR(DATEDIFF('day', TIMESTAMP '"""
+    + _QDS59_ANCHOR
+    + """',
+                                 o_orderdate) / 7.0) AS BIGINT) AS wk,
+             n_name AS store,
+"""
+    + ",\n".join(
+        f"             SUM(CASE WHEN DATEDIFF('day', TIMESTAMP "
+        f"'{_QDS59_ANCHOR}', o_orderdate) % 7 = {i} THEN "
+        f"CAST(l_extendedprice AS DECIMAL(38,6)) ELSE NULL END) "
+        f"AS {d}_dec"
+        for i, d in enumerate(_QDS59_DAYS)
+    )
+    + """
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT y1.store, y1.wk AS wk1,
+"""
+    + ",\n".join(
+        f"           CAST(y1.{d}_dec AS DOUBLE) / CAST(y2.{d}_dec AS DOUBLE)"
+        f" AS {d}_ratio"
+        for d in _QDS59_DAYS
+    )
+    + """
+    FROM wss y1
+    JOIN wss y2 ON y1.store = y2.store AND y2.wk = y1.wk + 52
+    ORDER BY y1.store, y1.wk
+    LIMIT 100
+"""
+)
+
+
+@query(
+    "qds59_weekday_ratio",
+    oracle=_QDS59_SQL,
+    covers="§2.B TPC-DS q59 shape: weekly sales pivoted by day-of-week, "
+    "self-joined 52 weeks apart, per-weekday year-over-year ratios",
+)
+def qds59_weekday_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (supplier nation, week) revenue split across the seven
+    weekdays, each week ratioed against the week 52 weeks later (q59's
+    week-over-week store census; supplier nation stands in for the
+    store).
+
+    Scale: ONE fact pass builds the weekly CASE-split aggregate (the
+    weekday pivot is map-side CASE arms, not seven scans), then the
+    52-week offset is an equi self-join on (store, wk) — with ~25
+    stores × ~350 weeks the aggregate is tiny and AQE broadcasts it.
+    The week index is pure integer arithmetic off a Monday anchor
+    (portable across engines — no ISO-week or day-name locale
+    semantics), weekday sums stay DECIMAL(38,6) until a final DOUBLE
+    cast, and each ratio is one IEEE division of engine-identical
+    doubles (NULL when either week lacks that weekday). (store, wk) is
+    a unique ORDER BY for the LIMIT.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    dd = F.datediff(
+        F.col("o_orderdate"), F.lit(_QDS59_ANCHOR).cast("timestamp")
+    )
+    price_dec = F.col("l_extendedprice").cast("decimal(38,6)")
+    wss = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.floor(dd / F.lit(7.0)).cast("long").alias("wk"),
+            F.col("n_name").alias("store"),
+        )
+        .agg(
+            *[
+                F.sum(F.when(dd % 7 == i, price_dec)).alias(f"{d}_dec")
+                for i, d in enumerate(_QDS59_DAYS)
+            ]
+        )
+    )
+    y1, y2 = wss.alias("y1"), wss.alias("y2")
+    return (
+        y1.join(
+            y2,
+            (F.col("y1.store") == F.col("y2.store"))
+            & (F.col("y2.wk") == F.col("y1.wk") + 52),
+        )
+        .select(
+            F.col("y1.store").alias("store"),
+            F.col("y1.wk").alias("wk1"),
+            *[
+                (
+                    F.col(f"y1.{d}_dec").cast("double")
+                    / F.col(f"y2.{d}_dec").cast("double")
+                ).alias(f"{d}_ratio")
+                for d in _QDS59_DAYS
+            ],
+        )
+        .orderBy("store", "wk1")
+        .limit(100)
+    )
+
+
+# q65 shape: stores' lowest-revenue items — per-(store, item) revenue
+# joined against the store's average item revenue, kept when <= 10%
+# of it (reference examples/tpcds/queries/q65.sql).
+
+_QDS65_SQL = """
+    WITH sa AS (
+      SELECT n_name AS store, l_partkey AS pk,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) * 1000
+                  AS BIGINT) AS rev_millis
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    sb AS (
+      SELECT store, SUM(rev_millis) AS tot_millis, COUNT(*) AS n_items
+      FROM sa GROUP BY 1
+    )
+    SELECT sa.store, p_name, sa.pk AS item_sk,
+           CAST(sa.rev_millis AS DOUBLE) / 1000.0 AS revenue,
+           p_retailprice, p_brand
+    FROM sa
+    JOIN sb ON sa.store = sb.store
+    JOIN part ON sa.pk = p_partkey
+    WHERE 10 * sa.rev_millis * sb.n_items <= sb.tot_millis
+    ORDER BY sa.store, p_name, sa.pk
+    LIMIT 100
+"""
+
+
+@query(
+    "qds65_store_min_avg",
+    oracle=_QDS65_SQL,
+    covers="§2.B TPC-DS q65 shape: aggregate-of-aggregate join-back — "
+    "per-(store, item) revenue <= 10% of the store's average item "
+    "revenue",
+)
+def qds65_store_min_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each supplier nation's weakest parts: (store, part) revenue at
+    or below 10% of that store's mean per-part revenue (q65's
+    low-revenue item scan; supplier nation stands in for the store).
+
+    Scale: the reference runs the inner (store, item) aggregation
+    TWICE (once raw, once under the avg subquery); here the aggregate
+    is built once and the per-store totals fold over it as a WINDOW on
+    the ~25-key store column — one extra exchange over already-reduced
+    rows, and the fact table is scanned exactly once (a join-back
+    against a re-grouped copy would re-run the whole fact join tree on
+    both sides). Determinism: revenue is held as exact
+    integer millis (prices have 2 decimals, so the ×1000 decimal is
+    integral and the BIGINT cast is truncation-safe in both engines),
+    and the 10%-of-average screen is the pure-integer
+    cross-multiplication ``10·rev·n <= tot`` — no division anywhere
+    (bounded: rev_millis ≤ ~1e10 at sf0.1 × 10 × ~32k items ≪ 2^63).
+    The displayed revenue divides the exact millis by 1000.0 once.
+    p_name is NOT unique in this data (64 distinct names over 20k
+    parts), so the part key itself rides along as item_sk to uniquify
+    the ORDER BY.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    sa = (
+        li.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("store"), F.col("l_partkey").alias("pk"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(38,6)")) * 1000)
+            .cast("bigint")
+            .alias("rev_millis")
+        )
+    )
+    ws = W.partitionBy("store")
+    screened = (
+        sa.withColumn("tot_millis", F.sum("rev_millis").over(ws))
+        .withColumn("n_items", F.count(F.lit(1)).over(ws))
+        .filter(
+            10 * F.col("rev_millis") * F.col("n_items") <= F.col("tot_millis")
+        )
+    )
+    return (
+        screened
+        .join(part, F.col("pk") == F.col("p_partkey"))
+        .select(
+            "store",
+            "p_name",
+            F.col("pk").alias("item_sk"),
+            (F.col("rev_millis").cast("double") / 1000.0).alias("revenue"),
+            "p_retailprice",
+            "p_brand",
+        )
+        .orderBy("store", "p_name", "pk")
+        .limit(100)
+    )
+
+
+# q99 shape: ship-lag bucket matrix — exact counts of order→ship day
+# lags per (warehouse, ship mode, call center)
+# (reference examples/tpcds/queries/q99.sql).
+
+_QDS99_BUCKETS = (
+    ("lag_le_neg365", "lag <= -365"),
+    ("lag_neg365_0", "lag > -365 AND lag <= 0"),
+    ("lag_0_365", "lag > 0 AND lag <= 365"),
+    ("lag_365_730", "lag > 365 AND lag <= 730"),
+    ("lag_gt_730", "lag > 730"),
+)
+
+_QDS99_SQL = (
+    """
+    SELECT n_name AS warehouse, o_orderpriority AS ship_mode,
+           c_mktsegment AS call_center,
+"""
+    + ",\n".join(
+        f"           CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS {name}"
+        for name, cond in _QDS99_BUCKETS
+    )
+    + """
+    FROM (
+      SELECT n_name, o_orderpriority, c_mktsegment,
+             DATEDIFF('day', o_orderdate, l_shipdate) AS lag
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    ) x
+    GROUP BY 1, 2, 3
+    ORDER BY warehouse, ship_mode, call_center
+    LIMIT 100
+"""
+)
+
+
+@query(
+    "qds99_ship_lag_buckets",
+    oracle=_QDS99_SQL,
+    covers="§2.B TPC-DS q99 shape: day-lag bucket matrix — exact "
+    "counts per (warehouse, ship mode, call center) across five "
+    "order-to-ship lag bands",
+)
+def qds99_ship_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts of lineitems per (supplier nation, order priority,
+    market segment) across five order→ship day-lag bands (q99's
+    days-to-ship census; nation/priority/segment stand in for
+    warehouse/ship-mode/call-center; this data's synthetic lags span
+    negative to multi-year, so the bands are ±365/730 rather than the
+    reference's 30-day steps — every band is populated at every SF).
+
+    Scale: the lag is computed map-side and the five bands are CASE
+    arms inside ONE hash aggregation on a bounded 25×5×5 key — one
+    fact pass, no per-band re-scan; nation broadcasts and the
+    customer/supplier joins ride the natural fact shuffle.
+    Determinism: every output is an exact BIGINT count and the day
+    difference is pure date arithmetic, identical in both engines;
+    the 3-part group key is a unique ORDER BY.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    conds = (
+        lag <= -365,
+        (lag > -365) & (lag <= 0),
+        (lag > 0) & (lag <= 365),
+        (lag > 365) & (lag <= 730),
+        lag > 730,
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("warehouse"),
+            F.col("o_orderpriority").alias("ship_mode"),
+            F.col("c_mktsegment").alias("call_center"),
+        )
+        .agg(
+            *[
+                F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+                for (name, _), cond in zip(_QDS99_BUCKETS, conds)
+            ]
+        )
+        .orderBy("warehouse", "ship_mode", "call_center")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# wave 5 (late r7, below the frozen driver-sample cut — r8 rotation
+# priority): q38/q87, q13, q90, q32 shapes.
+# --------------------------------------------------------------------------
+
+# q38 shape: customers active in ALL THREE channels the same year —
+# three DISTINCT channel sets INTERSECTed, counted
+# (reference examples/tpcds/queries/q38.sql; q87 is the EXCEPT dual).
+
+_QDS38_CHANNELS = ("1-URGENT", "2-HIGH", "3-MEDIUM")
+
+_QDS38_SQL = (
+    """
+    SELECT COUNT(*) AS hot_custs FROM (
+"""
+    + "\n      INTERSECT\n".join(
+        f"""      SELECT DISTINCT c_name,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderpriority = '{p}'"""
+        for p in _QDS38_CHANNELS
+    )
+    + """
+    ) hot_cust
+"""
+)
+
+
+@query(
+    "qds38_channel_intersect",
+    oracle=_QDS38_SQL,
+    covers="§2.B TPC-DS q38/q87 shape: three DISTINCT channel sets "
+    "INTERSECTed and counted (customers active in all three channels "
+    "the same year)",
+)
+def qds38_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many (customer, year) pairs ordered through all three of the
+    URGENT/HIGH/MEDIUM priority channels that year (q38's hot-customer
+    census; order priorities stand in for the store/catalog/web
+    channels).
+
+    Scale: the oracle INTERSECTs three DISTINCT subqueries — three fact
+    scans and two intersect shuffles. The Spark plan folds the channel
+    membership into ONE aggregation: group (customer, year) once and
+    keep rows where a MAX(CASE) flag fired for every channel — a single
+    fact scan and a single shuffle, identical semantics because
+    INTERSECT-of-DISTINCT is exactly "present in all three sets".
+    Determinism: the only output is an exact BIGINT count.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(*_QDS38_CHANNELS)
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    flags = [
+        F.max(
+            F.when(F.col("o_orderpriority") == p, F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"ch{i}")
+        for i, p in enumerate(_QDS38_CHANNELS)
+    ]
+    hot = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(*flags)
+        .filter(
+            (F.col("ch0") == 1) & (F.col("ch1") == 1) & (F.col("ch2") == 1)
+        )
+    )
+    return hot.agg(F.count(F.lit(1)).alias("hot_custs"))
+
+
+# q13 shape: OR-of-AND disjunct bands across two dimension groups,
+# single-pass averages (reference examples/tpcds/queries/q13.sql).
+
+#: (segment, total-price band, quantity band) — the marital/education/
+#: sales-price disjuncts of q13
+_QDS13_BAND_A = (
+    "((c_mktsegment = 'BUILDING' AND o_totalprice BETWEEN 1000 AND 150000"
+    " AND l_quantity BETWEEN 1 AND 15) OR "
+    "(c_mktsegment = 'AUTOMOBILE' AND o_totalprice BETWEEN 50000 AND 300000"
+    " AND l_quantity BETWEEN 16 AND 35) OR "
+    "(c_mktsegment = 'MACHINERY' AND o_totalprice BETWEEN 100000 AND 450000"
+    " AND l_quantity BETWEEN 36 AND 50))"
+)
+#: (nation set, discount band) — the state/net-profit disjuncts of q13
+#: (this testdata's nations are the synthetic NATION_0..NATION_24)
+_QDS13_BAND_B = (
+    "((n_name IN ('NATION_0', 'NATION_3', 'NATION_7', 'NATION_11')"
+    " AND l_discount BETWEEN 0.00 AND 0.04) OR "
+    "(n_name IN ('NATION_1', 'NATION_8', 'NATION_14', 'NATION_20')"
+    " AND l_discount BETWEEN 0.03 AND 0.07) OR "
+    "(n_name IN ('NATION_2', 'NATION_5', 'NATION_17', 'NATION_23')"
+    " AND l_discount BETWEEN 0.05 AND 0.10))"
+)
+
+_QDS13_SQL = f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(FLOOR(CAST(SUM(CAST(l_quantity AS BIGINT)) * 1000000
+                           AS DOUBLE) / COUNT(*) + 0.5) AS DOUBLE)
+             / 1000000.0 AS avg_qty,
+           CAST(FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                    AS BIGINT)) * 10000
+                           AS DOUBLE) / COUNT(*) + 0.5) AS DOUBLE)
+             / 1000000.0 AS avg_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE {_QDS13_BAND_A}
+      AND {_QDS13_BAND_B}
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+@query(
+    "qds13_disjunct_bands",
+    oracle=_QDS13_SQL,
+    covers="§2.B TPC-DS q13 shape: OR-of-AND disjunct bands across two "
+    "dimension groups, averaged in a single fact pass",
+)
+def qds13_disjunct_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag line counts, average quantity/price and revenue
+    over lines matching BOTH of two OR-of-AND disjunct groups — one on
+    (market segment, order value, quantity), one on (supplier nation,
+    discount band) — q13's demographic disjunct screen.
+
+    Scale: the disjuncts are one residual predicate evaluated on the
+    joined row — ONE fact pass, no per-branch union; the 25-row nation
+    dim broadcasts. Catalyst cannot push the OR bands below the joins
+    (they straddle tables) but the per-table conjunct fringe it CAN
+    derive (quantity/discount/segment hulls) still prunes. Determinism:
+    quantity is integral (BIGINT sum exact), price has 2 decimals
+    (cents-space BIGINT sum exact), and each mean is the CLAUDE-rule
+    micro-space FLOOR(sum_micros / count + 0.5) / 1e6 — identical IEEE
+    ops in both engines; revenue sums DECIMAL(38,6) then casts DOUBLE
+    once.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS13_SQL)
+
+
+# q90 shape: am/pm activity ratio — two disjoint time-window counts
+# from ONE pass, ratioed (reference examples/tpcds/queries/q90.sql).
+
+_QDS90_SQL = """
+    SELECT event_type,
+           amc, pmc,
+           CASE WHEN pmc > 0
+                THEN CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE)
+           END AS am_pm_ratio
+    FROM (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN EXTRACT(HOUR FROM ts) BETWEEN 8 AND 9
+                           THEN 1 ELSE 0 END) AS BIGINT) AS amc,
+             CAST(SUM(CASE WHEN EXTRACT(HOUR FROM ts) BETWEEN 19 AND 20
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pmc
+      FROM events
+      WHERE value BETWEEN 10 AND 400
+      GROUP BY 1
+    ) x
+    ORDER BY event_type
+"""
+
+
+@query(
+    "qds90_ampm_ratio",
+    oracle=_QDS90_SQL,
+    covers="§2.B TPC-DS q90 shape: ratio of two disjoint time-window "
+    "counts (am vs pm activity) computed in one fact pass",
+)
+def qds90_ampm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ratio of morning (08-09h) to evening (19-20h)
+    event counts among mid-value events (q90's am/pm web census over
+    the events stream table).
+
+    Scale: the reference runs TWO whole-fact subqueries and cross-joins
+    their single-row results; here both window counts are CASE arms in
+    ONE hash aggregation — a single fact pass and a 5-key shuffle. The
+    events table is loaded through the nanos-safe session path.
+    Determinism: both counts are exact BIGINTs and the ratio is one
+    IEEE division (NULL when the pm window is empty); event_type is a
+    unique ORDER BY.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS90_SQL)
+
+
+# q32 shape: excess-discount screen — lines whose discount amount
+# exceeds 1.3x their part's 90-day average
+# (reference examples/tpcds/queries/q32.sql; q92 is the web dual).
+
+_QDS32_FILTER = """
+      p_brand = 'Brand#13'
+      AND l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-08-30 00:00:00'
+"""
+
+_QDS32_SQL = f"""
+    SELECT CAST(SUM(amt) AS DOUBLE) AS excess_discount,
+           CAST(COUNT(*) AS BIGINT) AS n_excess
+    FROM (
+      SELECT CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(4,2)) AS amt,
+             l_partkey AS pk
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE {_QDS32_FILTER}
+    ) x
+    WHERE CAST(amt AS DOUBLE) > (
+      SELECT 1.3 * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(l_discount AS DECIMAL(4,2)))
+                         AS DOUBLE) / COUNT(*))
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE {_QDS32_FILTER} AND l_partkey = x.pk
+    )
+"""
+
+
+@query(
+    "qds32_excess_discount",
+    oracle=_QDS32_SQL,
+    covers="§2.B TPC-DS q32/q92 shape: correlated 1.3x-average scalar "
+    "subquery per item over a bounded date window (excess discount "
+    "amount)",
+)
+def qds32_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total discount amount on Brand#13 lines shipped in a 90-day
+    window whose discount exceeds 1.3x the same part's window average
+    (q32's excess-discount audit).
+
+    Scale: the oracle's correlated scalar subquery re-scans the window
+    per outer row; the Spark plan computes each part's mean ONCE as a
+    window aggregate over the already-filtered rows — the brand/date
+    fringe reaches the parquet scan pushed and the fact is read once.
+    Determinism: the discount amount is an exact DECIMAL product of
+    2-decimal quantities (identical in both engines), the mean is
+    CAST(SUM(decimal) AS DOUBLE)/COUNT (one IEEE division), the 1.3x
+    screen multiplies engine-identical doubles, and the final total
+    sums the exact DECIMAL amounts (order-free) before ONE cast to
+    DOUBLE; the companion count is an exact BIGINT.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-08-30 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    )
+    amt = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(4,2)")
+    rows = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).select(
+        amt.alias("amt"), F.col("l_partkey").alias("pk")
+    )
+    wp = W.partitionBy("pk")
+    screened = (
+        rows.withColumn("sum_amt", F.sum("amt").over(wp))
+        .withColumn("n_amt", F.count(F.lit(1)).over(wp))
+        .filter(
+            F.col("amt").cast("double")
+            > F.lit(1.3)
+            * (F.col("sum_amt").cast("double") / F.col("n_amt"))
+        )
+    )
+    return screened.agg(
+        F.sum("amt").cast("double").alias("excess_discount"),
+        F.count(F.lit(1)).alias("n_excess"),
+    )
+
+
+# --------------------------------------------------------------------------
+# wave 6 (late r7, below the frozen driver-sample cut — r8 rotation
+# priority): q28, q44, q58, q61 shapes.
+# --------------------------------------------------------------------------
+
+# q28 shape: six disjoint quantity-band censuses, each with its own OR
+# residual — the reference cross-joins six whole-fact subqueries
+# (reference examples/tpcds/queries/q28.sql).
+
+#: (band id, quantity lo, quantity hi, OR-residual) — q28's six bands
+_QDS28_BANDS = (
+    (1, 1, 8, "(l_extendedprice BETWEEN 1000 AND 40000"
+     " OR l_discount BETWEEN 0.00 AND 0.02 OR l_tax BETWEEN 0.00 AND 0.02)"),
+    (2, 9, 16, "(l_extendedprice BETWEEN 20000 AND 60000"
+     " OR l_discount BETWEEN 0.02 AND 0.04 OR l_tax BETWEEN 0.01 AND 0.03)"),
+    (3, 17, 24, "(l_extendedprice BETWEEN 30000 AND 70000"
+     " OR l_discount BETWEEN 0.04 AND 0.06 OR l_tax BETWEEN 0.02 AND 0.04)"),
+    (4, 25, 32, "(l_extendedprice BETWEEN 40000 AND 80000"
+     " OR l_discount BETWEEN 0.05 AND 0.07 OR l_tax BETWEEN 0.03 AND 0.05)"),
+    (5, 33, 40, "(l_extendedprice BETWEEN 50000 AND 90000"
+     " OR l_discount BETWEEN 0.06 AND 0.08 OR l_tax BETWEEN 0.04 AND 0.06)"),
+    (6, 41, 50, "(l_extendedprice BETWEEN 60000 AND 100000"
+     " OR l_discount BETWEEN 0.08 AND 0.10 OR l_tax BETWEEN 0.05 AND 0.08)"),
+)
+
+#: shared per-band aggregate list (cents micro-mean + exact counts)
+_QDS28_AGGS = """
+           CAST(FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                    AS BIGINT)) * 10000
+                           AS DOUBLE) / COUNT(*) + 0.5) AS DOUBLE)
+             / 1000000.0 AS avg_lp,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS cntd
+"""
+
+_QDS28_SQL = (
+    "\n    UNION ALL\n".join(
+        f"""    SELECT {b} AS band, {_QDS28_AGGS}
+    FROM lineitem
+    WHERE l_quantity BETWEEN {lo} AND {hi} AND {resid}"""
+        for b, lo, hi, resid in _QDS28_BANDS
+    )
+    + "\n    ORDER BY band\n"
+)
+
+
+@query(
+    "qds28_quantity_band_census",
+    oracle=_QDS28_SQL,
+    covers="§2.B TPC-DS q28 shape: six disjoint quantity-band censuses "
+    "(avg / count / count-distinct price per band), folded into one "
+    "fact pass",
+)
+def qds28_quantity_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average price, line count and distinct-price count for six
+    disjoint quantity bands, each with its own price/discount/tax OR
+    residual (q28's list-price band census).
+
+    Scale: the reference runs SIX whole-fact subqueries and cross-joins
+    their single-row results — six scans; here the disjoint quantity
+    bands become ONE derived band key (a CASE whose arms carry each
+    band's residual), so one fact pass and one 6-key aggregation
+    produce all six rows. COUNT(DISTINCT) per band rides the same
+    shuffle. Determinism: prices have 2 decimals so the cents-space sum
+    is an exact BIGINT, the mean is the micro-space FLOOR rule, and
+    both counts are exact BIGINTs.
+    """
+    register_tables(spark, sf_dir)
+    case_arms = " ".join(
+        f"WHEN l_quantity BETWEEN {lo} AND {hi} AND {resid} THEN {b}"
+        for b, lo, hi, resid in _QDS28_BANDS
+    )
+    return spark.sql(
+        f"""
+        SELECT band, {_QDS28_AGGS}
+        FROM (SELECT CASE {case_arms} END AS band, l_extendedprice
+              FROM lineitem) x
+        WHERE band IS NOT NULL
+        GROUP BY band
+        ORDER BY band
+        """
+    )
+
+
+# q44 shape: best/worst performing items — two opposite rankings of
+# the same per-item aggregate joined on rank position
+# (reference examples/tpcds/queries/q44.sql).
+
+_QDS44_STORE = "NATION_12"  # present at every SF (sf0.001 has 10 suppliers)
+
+_QDS44_SQL = f"""
+    WITH sa AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS rank_col
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = '{_QDS44_STORE}'
+      GROUP BY 1
+    ),
+    base AS (
+      SELECT CAST(SUM(rank_col) AS DOUBLE) / COUNT(*) AS store_avg
+      FROM sa
+    ),
+    ranked AS (
+      SELECT pk, rank_col,
+             ROW_NUMBER() OVER (ORDER BY rank_col ASC, pk ASC) AS rnk_asc,
+             ROW_NUMBER() OVER (ORDER BY rank_col DESC, pk DESC) AS rnk_desc
+      FROM sa, base
+      WHERE rank_col > 0.9 * store_avg
+    )
+    SELECT a.rnk_asc AS rnk,
+           a.pk AS best_pk, p1.p_name AS best_performing,
+           d.pk AS worst_pk, p2.p_name AS worst_performing
+    FROM (SELECT * FROM ranked WHERE rnk_asc < 11) a
+    JOIN (SELECT * FROM ranked WHERE rnk_desc < 11) d
+      ON a.rnk_asc = d.rnk_desc
+    JOIN part p1 ON a.pk = p1.p_partkey
+    JOIN part p2 ON d.pk = p2.p_partkey
+    ORDER BY rnk
+"""
+
+
+@query(
+    "qds44_best_worst_rank_join",
+    oracle=_QDS44_SQL,
+    covers="§2.B TPC-DS q44 shape: opposite ASC/DESC rankings of one "
+    "per-item aggregate joined on rank position (best vs worst "
+    "performers)",
+)
+def qds44_best_worst_rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 best and worst performing parts at one store paired by
+    rank position — rank 1 pairs the best with the worst, rank 2 the
+    runner-ups (q44's best/worst product board; supplier nation stands
+    in for the store).
+
+    Scale: the reference aggregates the fact TWICE (once per ranking
+    direction) plus twice more for the 0.9x baseline subqueries; here
+    the per-part aggregate is computed ONCE (localCheckpoint-ed so the
+    three consumers don't re-run the fact join), the store baseline is
+    a single-row broadcast, and each top-10 head is a DISTRIBUTED
+    top-K (orderBy + limit → TakeOrderedAndProject, per-partition
+    heaps + one 10-row merge — never a global single-partition sort of
+    all parts, which an unpartitioned ROW_NUMBER window would force).
+    The 10-row heads then take their rank by a trivial window and the
+    pairing join and part-name lookups all broadcast. Determinism: the
+    rank column is an exact-decimal sum divided once (engine-identical
+    doubles) and every ordering carries a pk tiebreak, so both
+    orderings are total; rnk is a unique ORDER BY.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == _QDS44_STORE
+    )
+    part = load_table(spark, sf_dir, "part")
+    sa = (
+        li.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            (
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("rank_col")
+        )
+    )
+    sa = sa.localCheckpoint(eager=True)  # 3 consumers; don't re-run the fact join
+    base = sa.agg(
+        (F.sum("rank_col").cast("double") / F.count(F.lit(1))).alias(
+            "store_avg"
+        )
+    )
+    screened = sa.join(F.broadcast(base)).filter(
+        F.col("rank_col") > 0.9 * F.col("store_avg")
+    )
+    best10 = screened.orderBy(F.col("rank_col").asc(), F.col("pk").asc()).limit(10)
+    worst10 = screened.orderBy(F.col("rank_col").desc(), F.col("pk").desc()).limit(10)
+    best = best10.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.col("rank_col").asc(), F.col("pk").asc())),
+    ).select("rnk", F.col("pk").alias("best_pk"))
+    worst = worst10.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.orderBy(F.col("rank_col").desc(), F.col("pk").desc())
+        ),
+    ).select("rnk", F.col("pk").alias("worst_pk"))
+    p1 = part.select(
+        F.col("p_partkey").alias("bp"), F.col("p_name").alias("best_performing")
+    )
+    p2 = part.select(
+        F.col("p_partkey").alias("wp"), F.col("p_name").alias("worst_performing")
+    )
+    return (
+        best.join(worst, "rnk")
+        .join(F.broadcast(p1), F.col("best_pk") == F.col("bp"))
+        .join(F.broadcast(p2), F.col("worst_pk") == F.col("wp"))
+        .select("rnk", "best_pk", "best_performing", "worst_pk",
+                "worst_performing")
+        .orderBy("rnk")
+    )
+
+
+# q58 shape: items selling in equal shares across all three channels —
+# three per-channel revenue CTEs joined with ±30% balance bands
+# (reference examples/tpcds/queries/q58.sql).
+
+_QDS58_SQL = """
+    WITH c1 AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS r1_dec
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    ),
+    c2 AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS r2_dec
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '2-HIGH' GROUP BY 1
+    ),
+    c3 AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS r3_dec
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '3-MEDIUM' GROUP BY 1
+    )
+    SELECT c1.pk AS item_sk,
+           CAST(r1_dec AS DOUBLE) AS urgent_rev,
+           CAST(r2_dec AS DOUBLE) AS high_rev,
+           CAST(r3_dec AS DOUBLE) AS medium_rev
+    FROM c1 JOIN c2 ON c1.pk = c2.pk JOIN c3 ON c1.pk = c3.pk
+    WHERE CAST(r1_dec AS DOUBLE) >= 0.7 * ((CAST(r1_dec AS DOUBLE)
+            + CAST(r2_dec AS DOUBLE) + CAST(r3_dec AS DOUBLE)) / 3)
+      AND CAST(r1_dec AS DOUBLE) <= 1.3 * ((CAST(r1_dec AS DOUBLE)
+            + CAST(r2_dec AS DOUBLE) + CAST(r3_dec AS DOUBLE)) / 3)
+      AND CAST(r2_dec AS DOUBLE) >= 0.7 * ((CAST(r1_dec AS DOUBLE)
+            + CAST(r2_dec AS DOUBLE) + CAST(r3_dec AS DOUBLE)) / 3)
+      AND CAST(r2_dec AS DOUBLE) <= 1.3 * ((CAST(r1_dec AS DOUBLE)
+            + CAST(r2_dec AS DOUBLE) + CAST(r3_dec AS DOUBLE)) / 3)
+      AND CAST(r3_dec AS DOUBLE) >= 0.7 * ((CAST(r1_dec AS DOUBLE)
+            + CAST(r2_dec AS DOUBLE) + CAST(r3_dec AS DOUBLE)) / 3)
+      AND CAST(r3_dec AS DOUBLE) <= 1.3 * ((CAST(r1_dec AS DOUBLE)
+            + CAST(r2_dec AS DOUBLE) + CAST(r3_dec AS DOUBLE)) / 3)
+    ORDER BY item_sk
+"""
+
+
+@query(
+    "qds58_channel_balance",
+    oracle=_QDS58_SQL,
+    covers="§2.B TPC-DS q58 shape: per-item revenue across three "
+    "channels kept when every channel is within ±30% of the "
+    "three-channel average",
+)
+def qds58_channel_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue splits near-evenly across the URGENT / HIGH
+    / MEDIUM channels — every channel within ±30% of the three-channel
+    mean (q58's equal-share item screen; order priorities stand in for
+    the store/catalog/web channels).
+
+    Scale: the oracle joins three per-channel CTEs — three fact scans
+    and two joins; the Spark plan CASE-splits the channel inside ONE
+    per-part aggregation (single fact pass, single shuffle). A part
+    absent from a channel sums to 0 there, fails the >=0.7x-mean band
+    exactly like the oracle's inner join drops it (prices are strictly
+    positive, so the mean is positive whenever any channel sold), and
+    parts with no rows in ANY of the three channels are filtered out
+    before aggregation. Determinism: per-channel sums stay
+    DECIMAL(38,6) until one DOUBLE cast and the band screen is
+    engine-identical IEEE arithmetic; item_sk is a unique ORDER BY.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")
+    )
+    price_dec = F.col("l_extendedprice").cast("decimal(38,6)")
+    chans = (("urgent_rev", "1-URGENT"), ("high_rev", "2-HIGH"),
+             ("medium_rev", "3-MEDIUM"))
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_partkey").alias("item_sk"))
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("o_orderpriority") == p, price_dec).otherwise(
+                        F.lit(0).cast("decimal(38,6)")
+                    )
+                )
+                .cast("double")
+                .alias(name)
+                for name, p in chans
+            ]
+        )
+    )
+    mean = (
+        F.col("urgent_rev") + F.col("high_rev") + F.col("medium_rev")
+    ) / 3
+    cond = None
+    for name, _ in chans:
+        c = (F.col(name) >= 0.7 * mean) & (F.col(name) <= 1.3 * mean)
+        cond = c if cond is None else (cond & c)
+    return agg.filter(cond).orderBy("item_sk")
+
+
+# q61 shape: promotional-channel share of total revenue — two
+# differently-filtered whole-fact sums ratioed
+# (reference examples/tpcds/queries/q61.sql).
+
+_QDS61_SQL = """
+    SELECT CAST(promo_dec AS DOUBLE) AS promotions,
+           CAST(total_dec AS DOUBLE) AS total,
+           CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) * 100
+             AS promo_pct
+    FROM (
+      SELECT SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN CAST(l_extendedprice AS DECIMAL(38,6)) END)
+               AS promo_dec,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS total_dec
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND EXTRACT(YEAR FROM o_orderdate) = 1997
+    ) x
+"""
+
+
+@query(
+    "qds61_promo_share",
+    oracle=_QDS61_SQL,
+    covers="§2.B TPC-DS q61 shape: promotional-channel revenue as a "
+    "percentage of total revenue over the same dimension screen, "
+    "computed in one fact pass",
+)
+def qds61_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URGENT-channel share of 1997 BUILDING-segment revenue (q61's
+    promotional-sales percentage; the URGENT priority stands in for
+    the promotion-flagged channel).
+
+    Scale: the reference computes the promotional and total sums as
+    TWO whole-fact subqueries cross-joined; here the promotional sum
+    is a CASE arm inside the same single aggregation — one fact pass,
+    and the shared segment/year screen is pushed to both scans.
+    Determinism: both sums are exact DECIMAL(38,6) until one DOUBLE
+    cast each; the percentage is one IEEE division and one multiply of
+    engine-identical doubles.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS61_SQL)

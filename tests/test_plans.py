@@ -638,6 +638,126 @@ class TestTpcdsWave3Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_qds1_window_not_correlated_rescan(self, spark):
+        plan = plan_of(spark, "qds1_returns_above_avg")
+        # the oracle's correlated AVG subquery re-aggregates the CTE
+        # per outer row; the Spark plan is ONE window over the grouped
+        # rows — the fact table is scanned exactly once and there is
+        # no subquery re-scan
+        assert "Window" in plan
+        assert plan.count("Scan parquet") <= 5
+        assert "Subquery" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds59_single_fact_pass_weekday_pivot(self, spark):
+        plan = plan_of(spark, "qds59_weekday_ratio")
+        # the weekday pivot is CASE arms inside one aggregation — the
+        # fact join tree is evaluated once per self-join side at most,
+        # never seven times; the 52-week offset join is pure equi
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # two sides of the self-join → each base relation at most twice
+        assert plan.count("Scan parquet") <= 8
+
+    def test_qds65_fact_scanned_once(self, spark):
+        plan = plan_of(spark, "qds65_store_min_avg")
+        # the reference aggregates (store, item) twice; this plan
+        # builds it once and folds the store mean over it — four base
+        # relations (lineitem, supplier, nation, part) and at most four
+        # scans means the fact table is read exactly once
+        assert plan.count("Scan parquet") <= 4
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds99_single_aggregation_bucket_matrix(self, spark):
+        plan = plan_of(spark, "qds99_ship_lag_buckets")
+        # five lag bands are CASE arms in ONE hash aggregation — one
+        # fact pass; no window, no per-band re-scan
+        assert plan.count("Scan parquet") <= 5
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds38_one_pass_channel_membership(self, spark):
+        plan = plan_of(spark, "qds38_channel_intersect")
+        # the oracle INTERSECTs three DISTINCT subqueries (three fact
+        # scans + two intersect shuffles); the Spark plan is MAX(CASE)
+        # channel flags in ONE aggregation — one orders scan, one
+        # customer scan, no set operator anywhere
+        assert plan.count("Scan parquet") <= 2
+        assert "Intersect" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds13_single_pass_disjunct_residual(self, spark):
+        plan = plan_of(spark, "qds13_disjunct_bands")
+        # both OR-of-AND disjunct groups evaluate as residual predicates
+        # on the joined row — one scan per base relation, no per-branch
+        # union of fact scans
+        assert plan.count("Scan parquet") <= 5
+        assert "Union" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds90_one_pass_ampm(self, spark):
+        plan = plan_of(spark, "qds90_ampm_ratio")
+        # the reference cross-joins two single-row whole-fact
+        # subqueries; here both time-window counts are CASE arms in ONE
+        # aggregation — a single events scan and no join at all
+        assert plan.count("Scan parquet") == 1
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_qds28_one_pass_band_census(self, spark):
+        plan = plan_of(spark, "qds28_quantity_band_census")
+        # the reference cross-joins six whole-fact subqueries; here the
+        # disjoint bands are ONE derived CASE key — a single lineitem
+        # scan, no Union of per-band scans, no join at all
+        assert plan.count("Scan parquet") == 1
+        assert "Union" not in plan
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_qds44_distributed_topk_single_fact_pass(self, spark):
+        plan = plan_of(spark, "qds44_best_worst_rank_join")
+        # the per-part aggregate is localCheckpoint-ed (shows as an
+        # ExistingRDD scan), so the fact join tree is gone from this
+        # plan; both rank heads are TakeOrderedAndProject (distributed
+        # top-K), never a global single-partition sort of all parts
+        assert "Scan ExistingRDD" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("Scan parquet") <= 2  # the two part lookups
+        assert "CartesianProduct" not in plan
+
+    def test_qds58_one_pass_channel_split(self, spark):
+        plan = plan_of(spark, "qds58_channel_balance")
+        # the oracle joins three per-channel CTEs (three fact scans);
+        # the Spark plan CASE-splits the channel inside ONE aggregation
+        # — one lineitem scan, one orders scan, no CTE self-join
+        assert plan.count("Scan parquet") <= 2
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds61_one_pass_promo_share(self, spark):
+        plan = plan_of(spark, "qds61_promo_share")
+        # promotional and total sums are CASE arms of the same
+        # aggregation — one pass, no two-subquery cross join
+        assert plan.count("Scan parquet") <= 3
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds32_window_not_correlated_rescan(self, spark):
+        plan = plan_of(spark, "qds32_excess_discount")
+        # the per-part 1.3x-average screen is a window over the
+        # filtered rows, not the oracle's correlated per-row re-scan —
+        # the fact is read once and the brand/date fringe is pushed
+        assert "Window" in plan
+        assert plan.count("Scan parquet") <= 2
+        assert "PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,Brand#13)" in plan or "p_brand" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 class TestKmeansTreeReduce:
     def test_partials_reduced_before_collect(self, spark):

@@ -51,6 +51,7 @@ PG_TYPE_MAP = {
     "json": "STRING",
     "jsonb": "STRING",  # JSON carried as text; extract via -> / ->> rewrites
     "uuid": "STRING",
+    "timestamptz": "TIMESTAMP",  # also TIMESTAMP WITH TIME ZONE (merged)
 }
 
 # Pseudo-casts: `x::regclass` is identity, `x::regtype`/`::regproc` are
@@ -1177,10 +1178,70 @@ def _rewrite_distinct_on(sql: str) -> str:
     return out
 
 
+def _merge_multiword_types(toks: list[Tok]) -> list[Tok]:
+    """Fold PG's multi-word type spellings into the single-word aliases
+    the cast rewrites already map: ``DOUBLE PRECISION`` → ``float8``,
+    ``CHARACTER VARYING`` → ``varchar``, ``TIMESTAMP WITH TIME ZONE`` →
+    ``timestamptz``, ``TIMESTAMP WITHOUT TIME ZONE`` → ``timestamp``.
+    Word-sequence driven, so it applies in both ``::`` and ``CAST(x AS
+    ...)`` positions (found via a real-psql drive: ``CAST(x AS DOUBLE
+    PRECISION)`` — PG's canonical float8 spelling — hit Spark's parser
+    unmapped)."""
+    out: list[Tok] = []
+    i = 0
+    n = len(toks)
+
+    def _word_seq(start: int, words: tuple[str, ...]) -> int:
+        """Return the index just past the sequence, or -1."""
+        j = start
+        for w in words:
+            while j < n and toks[j].kind == "ws":
+                j += 1
+            if j >= n or toks[j].kind != "word" or toks[j].text.lower() != w:
+                return -1
+            j += 1
+        return j
+
+    while i < n:
+        t = toks[i]
+        if t.kind == "word":
+            low = t.text.lower()
+            if low == "double":
+                end = _word_seq(i, ("double", "precision"))
+                if end != -1:
+                    out.append(Tok("word", "float8"))
+                    i = end
+                    continue
+            elif low == "character":
+                end = _word_seq(i, ("character", "varying"))
+                if end != -1:
+                    out.append(Tok("word", "varchar"))
+                    i = end
+                    continue
+            elif low == "timestamp":
+                for tail, alias in (
+                    (("timestamp", "with", "time", "zone"), "timestamptz"),
+                    (("timestamp", "without", "time", "zone"), "timestamp"),
+                ):
+                    end = _word_seq(i, tail)
+                    if end != -1:
+                        out.append(Tok("word", alias))
+                        i = end
+                        break
+                else:
+                    out.append(t)
+                    i += 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def rewrite_sql(sql: str, params: bool = True) -> str:
     """Apply every PG→Spark dialect rewrite to one SQL statement."""
     sql = _rewrite_distinct_on(sql)
     toks = _lex(sql)
+    toks = _merge_multiword_types(toks)
     toks = _rewrite_casts(toks)
     toks = _rewrite_cast_type_names(toks)
     toks = _rewrite_json_ops(toks)

@@ -84,6 +84,39 @@ class TestCasts:
             == "SELECT CAST(x AS ARRAY<ARRAY<STRING>>) FROM t"
         )
 
+    def test_multiword_type_names(self):
+        # PG's canonical multi-word spellings (found via a real-psql
+        # drive: CAST(x AS DOUBLE PRECISION) hit Spark's parser raw)
+        assert (
+            rewrite_sql("SELECT CAST(x AS DOUBLE PRECISION) FROM t")
+            == "SELECT CAST(x AS DOUBLE) FROM t"
+        )
+        assert (
+            rewrite_sql("SELECT x::double precision FROM t")
+            == "SELECT CAST(x AS DOUBLE) FROM t"
+        )
+        assert (
+            rewrite_sql("SELECT CAST(x AS character varying(24)) FROM t")
+            == "SELECT CAST(x AS STRING) FROM t"
+        )
+        assert (
+            rewrite_sql("SELECT CAST(a AS double precision[]) FROM t")
+            == "SELECT CAST(a AS ARRAY<DOUBLE>) FROM t"
+        )
+        assert (
+            rewrite_sql("SELECT CAST(ts AS timestamp with time zone) FROM t")
+            == "SELECT CAST(ts AS TIMESTAMP) FROM t"
+        )
+        # typed literals and ordinary identifiers must survive
+        assert (
+            rewrite_sql("SELECT timestamp '2020-01-01 00:00:00'")
+            == "SELECT timestamp '2020-01-01 00:00:00'"
+        )
+        assert (
+            rewrite_sql("SELECT double_col, characters FROM t")
+            == "SELECT double_col, characters FROM t"
+        )
+
     def test_array_literal_declared_type(self):
         # r6 ADVICE: element rendering must honor the DECLARED type —
         # '{1,2}'::text[] yields STRING elements, float8[] DOUBLEs

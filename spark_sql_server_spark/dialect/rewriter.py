@@ -1178,6 +1178,72 @@ def _rewrite_distinct_on(sql: str) -> str:
     return out
 
 
+#: PG two-arg trim family → TRIM specifier (PG argument order is
+#: (string, characters); Spark's two-arg ltrim/rtrim is the REVERSE, so
+#: passing them through silently trims the wrong operand)
+_TRIM_SPECIFIERS = {"ltrim": "LEADING", "rtrim": "TRAILING", "btrim": "BOTH"}
+
+
+def _rewrite_trim_set(toks: list[Tok]) -> list[Tok]:
+    """``ltrim(s, chars)`` → ``TRIM(LEADING chars FROM s)`` (and
+    rtrim/btrim likewise; one-arg ``btrim(s)`` → ``trim(s)``). Found via
+    a corpus port of PG strings.sql: Spark's two-parameter ltrim takes
+    (trimStr, srcStr) — the reverse of PG — so PG's spelling returned
+    the wrong operand's trim. The TRIM syntax is unambiguous in Spark
+    and unaffected by the deprecated two-parameter signature."""
+    changed = True
+    while changed:
+        changed = False
+        for i, t in enumerate(toks):
+            if t.kind != "word" or t.text.lower() not in _TRIM_SPECIFIERS:
+                continue
+            pi = _prev_code(toks, i)
+            if pi >= 0 and toks[pi].text == ".":
+                continue  # qualified (pg_catalog.ltrim) — handled later
+            oi = _next_code(toks, i)
+            if oi >= len(toks) or toks[oi].text != "(":
+                continue
+            close = _find_matching_paren(toks, oi)
+            if close == -1:
+                continue
+            # split the args at the single top-level comma
+            depth = 0
+            comma = -1
+            for j in range(oi + 1, close):
+                if toks[j].text == "(":
+                    depth += 1
+                elif toks[j].text == ")":
+                    depth -= 1
+                elif depth == 0 and toks[j].text == ",":
+                    if comma != -1:
+                        comma = -2  # >2 args: leave alone
+                        break
+                    comma = j
+            if comma == -2:
+                continue
+            low = t.text.lower()
+            if comma == -1:
+                if low == "btrim":  # btrim(s) → trim(s)
+                    toks[i] = Tok("word", "trim")
+                    changed = True
+                    break
+                continue
+            src = toks[oi + 1 : comma]
+            chars = toks[comma + 1 : close]
+            new = (
+                [Tok("word", "TRIM"), Tok("op", "(")]
+                + [Tok("word", _TRIM_SPECIFIERS[low]), Tok("ws", " ")]
+                + chars
+                + [Tok("ws", " "), Tok("word", "FROM"), Tok("ws", " ")]
+                + src
+                + [Tok("op", ")")]
+            )
+            toks = toks[:i] + new + toks[close + 1 :]
+            changed = True
+            break
+    return toks
+
+
 def _merge_multiword_types(toks: list[Tok]) -> list[Tok]:
     """Fold PG's multi-word type spellings into the single-word aliases
     the cast rewrites already map: ``DOUBLE PRECISION`` → ``float8``,
@@ -1242,6 +1308,7 @@ def rewrite_sql(sql: str, params: bool = True) -> str:
     sql = _rewrite_distinct_on(sql)
     toks = _lex(sql)
     toks = _merge_multiword_types(toks)
+    toks = _rewrite_trim_set(toks)
     toks = _rewrite_casts(toks)
     toks = _rewrite_cast_type_names(toks)
     toks = _rewrite_json_ops(toks)

@@ -84,6 +84,31 @@ class TestCasts:
             == "SELECT CAST(x AS ARRAY<ARRAY<STRING>>) FROM t"
         )
 
+    def test_trim_set_argument_order(self):
+        # PG two-arg trim family is (string, characters); Spark's is
+        # the reverse, so the rewriter emits the unambiguous TRIM
+        # syntax instead of passing the call through
+        assert (
+            rewrite_sql("SELECT ltrim('zzzytrim', 'xyz')")
+            == "SELECT TRIM(LEADING  'xyz' FROM 'zzzytrim')"
+        )
+        assert (
+            rewrite_sql("SELECT rtrim(a, b) FROM t")
+            == "SELECT TRIM(TRAILING  b FROM a) FROM t"
+        )
+        assert (
+            rewrite_sql("SELECT btrim(a, b) FROM t")
+            == "SELECT TRIM(BOTH  b FROM a) FROM t"
+        )
+        # one-arg btrim maps to trim; one-arg ltrim/rtrim untouched
+        assert rewrite_sql("SELECT btrim(a) FROM t") == "SELECT trim(a) FROM t"
+        assert rewrite_sql("SELECT ltrim(a) FROM t") == "SELECT ltrim(a) FROM t"
+        # nested calls in either argument survive
+        assert (
+            rewrite_sql("SELECT ltrim(upper(c1), chr(32)) FROM t")
+            == "SELECT TRIM(LEADING  chr(32) FROM upper(c1)) FROM t"
+        )
+
     def test_multiword_type_names(self):
         # PG's canonical multi-word spellings (found via a real-psql
         # drive: CAST(x AS DOUBLE PRECISION) hit Spark's parser raw)

@@ -1904,6 +1904,937 @@ CORPUS += [
 ]
 
 
+# --------------------------------------------------------------------------
+# wave 15 — postgreSQL/aggregates_part1-3.sql ports (reference
+# inputs/postgreSQL/aggregates_part{1,2,3}.sql; runner
+# SQLServerQueryTestSuite.scala:42-480). Variance/stddev inputs are
+# chosen so every intermediate (mean, deviations, M2) is exactly
+# representable — then naive and Welford accumulation agree bitwise
+# across engines and the doubles render identically via repr.
+# --------------------------------------------------------------------------
+
+#: PG regression aggtest data (a int, b float)
+_AGGT = (
+    "WITH aggtest AS (SELECT * FROM (VALUES "
+    "(56, CAST(7.8 AS DOUBLE)), (100, CAST(99.097 AS DOUBLE)), "
+    "(0, CAST(0.09561 AS DOUBLE)), (42, CAST(324.78 AS DOUBLE))) "
+    "AS aggtest(a, b)) "
+)
+#: exact-variance fixture: mean/M2/var all exactly representable
+_VART = (
+    "WITH vart AS (SELECT CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y "
+    "FROM (VALUES (1, 2), (2, 4), (3, 6), (4, 8), (5, 10)) AS v(x, y)) "
+)
+_BITT = (
+    "WITH bitwise_test AS (SELECT * FROM (VALUES "
+    "(1, 1, 1, CAST(1 AS BIGINT)), (3, 3, 3, CAST(NULL AS BIGINT)), "
+    "(7, 7, 7, CAST(3 AS BIGINT))) AS bitwise_test(b1, b2, b3, b4)) "
+)
+_BOOLT = (
+    "WITH bool_test AS (SELECT * FROM (VALUES "
+    "(TRUE, CAST(NULL AS BOOLEAN), FALSE, CAST(NULL AS BOOLEAN)), "
+    "(FALSE, TRUE, CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)), "
+    "(CAST(NULL AS BOOLEAN), TRUE, FALSE, CAST(NULL AS BOOLEAN))) "
+    "AS bool_test(b1, b2, b3, b4)) "
+)
+
+CORPUS += [
+    # aggregates_part1: avg/sum/max with the regression aliases
+    (
+        _AGGT + "SELECT avg(a) AS avg_49_5 FROM aggtest",
+        "SELECT '49.5' AS avg_49_5",
+    ),
+    (
+        _AGGT + "SELECT avg(a) AS avg_32 FROM aggtest WHERE a < 100",
+        "SELECT CAST('32.666666666666664' AS VARCHAR) AS avg_32",
+    ),
+    (
+        _AGGT + "SELECT CAST(avg(b) AS DECIMAL(10,3)) AS avg_107_943 "
+        "FROM aggtest",
+        "SELECT CAST(107.943 AS DECIMAL(10,3)) AS avg_107_943",
+    ),
+    (
+        _AGGT + "SELECT sum(a) AS sum_198 FROM aggtest",
+        "SELECT CAST(198 AS BIGINT) AS sum_198",
+    ),
+    (
+        _AGGT + "SELECT CAST(sum(b) AS DECIMAL(10,3)) AS sum_431_773 "
+        "FROM aggtest",
+        "SELECT CAST(431.773 AS DECIMAL(10,3)) AS sum_431_773",
+    ),
+    (
+        _AGGT + "SELECT max(a) AS max_100, max(aggtest.b) AS max_324_78 "
+        "FROM aggtest",
+        "SELECT 100 AS max_100, '324.78' AS max_324_78",
+    ),
+    (
+        _AGGT + "SELECT min(a) AS min_0, min(b) AS min_009561 FROM aggtest",
+        "SELECT 0 AS min_0, '0.09561' AS min_009561",
+    ),
+    # exact-intermediate variance family (values chosen so naive and
+    # Welford accumulation are both exact)
+    (
+        _VART + "SELECT var_pop(x) AS vp, var_samp(x) AS vs, "
+        "stddev_pop(x) AS sp, stddev_samp(x) AS ss FROM vart",
+        _VART + "SELECT var_pop(x) AS vp, var_samp(x) AS vs, "
+        "stddev_pop(x) AS sp, stddev_samp(x) AS ss FROM vart",
+    ),
+    (
+        _VART + "SELECT covar_pop(y, x) AS cp, covar_samp(y, x) AS cs, "
+        "corr(y, x) AS r FROM vart",
+        "SELECT '4.0' AS cp, '5.0' AS cs, '1.0' AS r",
+    ),
+    # population variance defined for a single tuple, sample is not
+    (
+        "SELECT var_pop(CAST(1.0 AS DOUBLE)) AS vp, "
+        "var_samp(CAST(2.0 AS DOUBLE)) AS vs",
+        "SELECT '0.0' AS vp, CAST(NULL AS VARCHAR) AS vs",
+    ),
+    # null and NaN inputs
+    (
+        "SELECT sum(CAST(null AS int)) AS si, avg(CAST(null AS int)) AS ai "
+        "FROM range(1, 4)",
+        "SELECT CAST(NULL AS BIGINT) AS si, CAST(NULL AS DOUBLE) AS ai",
+    ),
+    (
+        "SELECT sum(CAST('NaN' AS DOUBLE)) AS s, avg(CAST('NaN' AS DOUBLE)) "
+        "AS a FROM range(1, 4)",
+        "SELECT 'NaN' AS s, 'NaN' AS a",
+    ),
+    # infinity handling
+    (
+        "SELECT avg(CAST(x AS DOUBLE)) AS a, var_pop(CAST(x AS DOUBLE)) AS v "
+        "FROM (VALUES ('1'), ('infinity')) v(x)",
+        "SELECT 'Infinity' AS a, 'NaN' AS v",
+    ),
+    (
+        "SELECT avg(CAST(x AS DOUBLE)) AS a "
+        "FROM (VALUES ('-infinity'), ('infinity')) v(x)",
+        "SELECT 'NaN' AS a",
+    ),
+    # large-offset accuracy (the part1 regression case — exact in both)
+    (
+        "SELECT avg(CAST(x AS DOUBLE)) AS a, var_pop(CAST(x AS DOUBLE)) AS v "
+        "FROM (VALUES (7000000000005), (7000000000007)) v(x)",
+        "SELECT '7000000000006.0' AS a, '1.0' AS v",
+    ),
+    # count/distinct family
+    (
+        _AGGT + "SELECT count(four) AS cnt_4 FROM "
+        "(SELECT a AS four FROM aggtest) t",
+        "SELECT CAST(4 AS BIGINT) AS cnt_4",
+    ),
+    (
+        "SELECT count(DISTINCT four) AS cnt_4 FROM "
+        "(VALUES (0),(1),(2),(3),(0),(1),(2),(3)) v(four)",
+        "SELECT CAST(4 AS BIGINT) AS cnt_4",
+    ),
+    # aggregates_part2: BIT_AND/BIT_OR over ints, empty and null groups
+    (
+        _BITT + "SELECT BIT_AND(b1) AS n1, BIT_OR(b2) AS n2 "
+        "FROM bitwise_test WHERE 1 = 0",
+        "SELECT CAST(NULL AS INT) AS n1, CAST(NULL AS INT) AS n2",
+    ),
+    (
+        _BITT + "SELECT BIT_AND(b4) AS n1, BIT_OR(b4) AS n2 "
+        "FROM bitwise_test WHERE b4 IS NULL",
+        "SELECT CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2",
+    ),
+    (
+        _BITT + "SELECT BIT_AND(b3) AS c1, BIT_AND(b4) AS d1, "
+        "BIT_OR(b3) AS g7, BIT_OR(b4) AS h3 FROM bitwise_test",
+        "SELECT 1 AS c1, CAST(1 AS BIGINT) AS d1, 7 AS g7, "
+        "CAST(3 AS BIGINT) AS h3",
+    ),
+    (
+        _BITT + "SELECT b1, bit_and(b2) AS ba, bit_or(b4) AS bo "
+        "FROM bitwise_test GROUP BY b1 ORDER BY b1",
+        None,
+    ),
+    (
+        _BITT + "SELECT b1, bit_and(b2) AS ba FROM bitwise_test "
+        "GROUP BY b1 HAVING bit_and(b2) < 7 ORDER BY b1",
+        None,
+    ),
+    # boolean strictness transitions (part2)
+    (
+        "SELECT (NULL AND NULL) IS NULL AS t1, (TRUE AND NULL) IS NULL AS "
+        "t2, (FALSE AND NULL) IS NULL AS t3, (TRUE AND TRUE) AS t4, "
+        "NOT (TRUE AND FALSE) AS t5",
+        "SELECT TRUE AS t1, TRUE AS t2, FALSE AS t3, TRUE AS t4, TRUE AS t5",
+    ),
+    (
+        "SELECT (NULL OR NULL) IS NULL AS t1, (TRUE OR NULL) IS NULL AS t2, "
+        "(FALSE OR NULL) IS NULL AS t3, (TRUE OR FALSE) AS t4, "
+        "NOT (FALSE OR FALSE) AS t5",
+        "SELECT TRUE AS t1, FALSE AS t2, TRUE AS t3, TRUE AS t4, TRUE AS t5",
+    ),
+    # BOOL_AND/BOOL_OR (part2)
+    (
+        _BOOLT + "SELECT BOOL_AND(b1) AS n1, BOOL_OR(b3) AS n2 "
+        "FROM bool_test WHERE 1 = 0",
+        "SELECT CAST(NULL AS BOOLEAN) AS n1, CAST(NULL AS BOOLEAN) AS n2",
+    ),
+    (
+        _BOOLT + "SELECT BOOL_AND(b1) AS f1, BOOL_AND(b2) AS t2, "
+        "BOOL_OR(b1) AS t3, BOOL_OR(b3) AS f4 FROM bool_test",
+        "SELECT FALSE AS f1, TRUE AS t2, TRUE AS t3, FALSE AS f4",
+    ),
+    # PG's boolean aggregates are every/bool_and/bool_or — bare ANY(col)
+    # is NOT a PG aggregate (ANY is the subquery/array comparator), and
+    # the reference-mirroring ANY() helper UDF (catalog.scala:223-245)
+    # shadows Spark's nonstandard alias, so the PG spelling is the one
+    # that must work over this wire.
+    (
+        _BOOLT + "SELECT EVERY(b1) AS f1, BOOL_OR(b2) AS t2 FROM bool_test",
+        "SELECT FALSE AS f1, TRUE AS t2",
+    ),
+    # aggregates_part3: nested agg in a subquery; scalar-agg subquery
+    (
+        "SELECT max(mn) AS mx FROM (SELECT four, min(unique1) AS mn FROM "
+        "(VALUES (0, 0), (1, 1), (2, 2), (3, 3), (0, 4), (1, 5)) "
+        "t(four, unique1) GROUP BY four) s",
+        "SELECT 3 AS mx",
+    ),
+    (
+        "SELECT (SELECT count(*) FROM (VALUES (1)) t0(inner_c)) AS c "
+        "FROM (VALUES (2), (3)) t1(outer_c)",
+        "SELECT CAST(1 AS BIGINT) AS c FROM (VALUES (2), (3)) t1(outer_c)",
+    ),
+    # FILTER clause over aggregates (PG aggregates family)
+    (
+        "SELECT count(*) FILTER (WHERE x > 2) AS c, "
+        "sum(x) FILTER (WHERE x % 2 = 0) AS s "
+        "FROM (VALUES (1), (2), (3), (4), (5)) v(x)",
+        "SELECT CAST(3 AS BIGINT) AS c, CAST(6 AS BIGINT) AS s",
+    ),
+    # ORDER BY inside the group (min/max insensitive) + HAVING on agg
+    (
+        _AGGT + "SELECT a < 50 AS small, count(*) AS n FROM aggtest "
+        "GROUP BY a < 50 HAVING count(*) > 1 ORDER BY small",
+        None,
+    ),
+]
+
+
+# --------------------------------------------------------------------------
+# wave 16 — postgreSQL/window_part1-4.sql ports over a deterministic
+# 10-row tenk analogue (reference inputs/postgreSQL/window_part{1..4}.sql).
+# All sums are integer-exact; float window outputs (percent_rank,
+# cume_dist) land on exactly-representable fractions so repr matches.
+# --------------------------------------------------------------------------
+
+_TENK = (
+    "WITH tenk AS (SELECT * FROM (VALUES "
+    "(0, 9, 0, 0, 0, 0), (1, 8, 1, 1, 1, 10), (2, 7, 2, 2, 0, 20), "
+    "(3, 6, 3, 3, 1, 30), (4, 5, 0, 4, 0, 40), (5, 4, 1, 5, 1, 50), "
+    "(6, 3, 2, 6, 0, 60), (7, 2, 3, 7, 1, 70), (8, 1, 0, 8, 0, 80), "
+    "(9, 0, 1, 9, 1, 90)"
+    ") AS tenk(unique1, unique2, four, ten, two, hundred)) "
+)
+
+CORPUS += [
+    # window over aggregate: SUM(SUM(four)) OVER (PARTITION BY four)
+    (
+        _TENK + "SELECT four, ten, SUM(SUM(four)) OVER "
+        "(PARTITION BY four) AS s FROM tenk "
+        "GROUP BY four, ten ORDER BY four, ten",
+        None,
+    ),
+    # empty OVER ()
+    (
+        _TENK + "SELECT count(*) OVER () AS c FROM tenk WHERE unique2 < 3",
+        None,
+    ),
+    # named WINDOW clause
+    (
+        _TENK + "SELECT count(*) OVER w AS c FROM tenk "
+        "WHERE unique2 < 3 WINDOW w AS ()",
+        None,
+    ),
+    # window over empty relation
+    (
+        _TENK + "SELECT four FROM tenk WHERE FALSE",
+        None,
+    ),
+    (
+        _TENK + "SELECT sum(four) OVER (PARTITION BY ten ORDER BY unique2) "
+        "AS sum_1, ten, four FROM tenk WHERE unique2 < 4 ORDER BY ten",
+        None,
+    ),
+    # ranking family
+    (
+        _TENK + "SELECT row_number() OVER (ORDER BY unique2) AS rn, unique2 "
+        "FROM tenk WHERE unique2 < 5 ORDER BY unique2",
+        None,
+    ),
+    (
+        _TENK + "SELECT rank() OVER (PARTITION BY four ORDER BY ten) AS "
+        "rank_1, ten, four FROM tenk ORDER BY four, ten",
+        None,
+    ),
+    (
+        _TENK + "SELECT dense_rank() OVER (PARTITION BY two ORDER BY four) "
+        "AS dr, four, two FROM tenk ORDER BY two, four, dr",
+        None,
+    ),
+    (
+        _TENK + "SELECT percent_rank() OVER (ORDER BY unique1) AS pr, "
+        "unique1 FROM tenk WHERE unique1 < 5 ORDER BY unique1",
+        None,
+    ),
+    (
+        _TENK + "SELECT cume_dist() OVER (ORDER BY unique1) AS cd, unique1 "
+        "FROM tenk WHERE unique1 < 5 ORDER BY unique1",
+        None,
+    ),
+    (
+        _TENK + "SELECT ntile(3) OVER (ORDER BY ten, four) AS nt, ten "
+        "FROM tenk ORDER BY ten",
+        None,
+    ),
+    # lag/lead with offsets and defaults
+    (
+        _TENK + "SELECT lag(ten) OVER (PARTITION BY four ORDER BY ten) AS "
+        "l, ten, four FROM tenk ORDER BY four, ten",
+        None,
+    ),
+    (
+        _TENK + "SELECT lead(ten * 2, 1) OVER (PARTITION BY four ORDER BY "
+        "ten) AS l, ten, four FROM tenk ORDER BY four, ten",
+        None,
+    ),
+    (
+        _TENK + "SELECT lead(ten * 2, 1, -1) OVER (PARTITION BY four ORDER "
+        "BY ten) AS l, ten, four FROM tenk ORDER BY four, ten",
+        None,
+    ),
+    # first_value/last_value with the PG default frame
+    (
+        _TENK + "SELECT first_value(ten) OVER (PARTITION BY four ORDER BY "
+        "ten) AS fv, ten, four FROM tenk ORDER BY four, ten",
+        None,
+    ),
+    (
+        _TENK + "SELECT last_value(four) OVER (ORDER BY ten) AS lv, ten, "
+        "four FROM tenk WHERE unique2 < 5 ORDER BY ten",
+        None,
+    ),
+    # grouped window: gsum vs running wsum
+    (
+        _TENK + "SELECT ten, two, sum(hundred) AS gsum, sum(sum(hundred)) "
+        "OVER (PARTITION BY two ORDER BY ten) AS wsum FROM tenk "
+        "GROUP BY ten, two ORDER BY ten, two",
+        None,
+    ),
+    # two different partitionings in one select — consistency identity
+    (
+        _TENK + "SELECT count(*) AS n FROM (SELECT count(*) OVER "
+        "(PARTITION BY four ORDER BY ten) + sum(hundred) OVER "
+        "(PARTITION BY two ORDER BY ten) AS total, count(*) OVER "
+        "(PARTITION BY four ORDER BY ten) AS fourcount, sum(hundred) OVER "
+        "(PARTITION BY two ORDER BY ten) AS twosum FROM tenk) sub "
+        "WHERE total <> fourcount + twosum",
+        "SELECT CAST(0 AS BIGINT) AS n",
+    ),
+    # named window reused by two functions
+    (
+        _TENK + "SELECT ten, two, sum(hundred) AS gsum, sum(sum(hundred)) "
+        "OVER win AS wsum FROM tenk GROUP BY ten, two "
+        "WINDOW win AS (PARTITION BY two ORDER BY ten) ORDER BY ten",
+        None,
+    ),
+    # scalar agg of count over empty input
+    (
+        "SELECT SUM(COUNT(f1)) OVER () AS s FROM "
+        "(VALUES (0), (123456)) v(f1) WHERE f1 = 42",
+        "SELECT CAST(0 AS BIGINT) AS s",
+    ),
+    # rank over grouped sums
+    (
+        _TENK + "SELECT ten, sum(unique1) + sum(unique2) AS res, "
+        "rank() OVER (ORDER BY sum(unique1) + sum(unique2)) AS rnk "
+        "FROM tenk GROUP BY ten ORDER BY ten",
+        None,
+    ),
+    # ROWS/RANGE frame matrix (window_part1/2)
+    (
+        _TENK + "SELECT sum(unique1) OVER (ORDER BY four RANGE BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS s, unique1, four "
+        "FROM tenk WHERE unique1 < 5 ORDER BY four, unique1",
+        None,
+    ),
+    (
+        _TENK + "SELECT sum(unique1) OVER (ROWS BETWEEN CURRENT ROW AND "
+        "UNBOUNDED FOLLOWING) AS s, unique1 FROM tenk WHERE unique1 < 5 "
+        "ORDER BY unique1",
+        "SELECT s, unique1 FROM (VALUES (10, 0), (10, 1), (9, 2), (7, 3), "
+        "(4, 4)) v(s, unique1) ORDER BY unique1",
+    ),
+    (
+        _TENK + "SELECT sum(unique1) OVER (ORDER BY unique1 ROWS BETWEEN "
+        "2 PRECEDING AND 2 FOLLOWING) AS s, unique1 FROM tenk "
+        "WHERE unique1 < 5 ORDER BY unique1",
+        None,
+    ),
+    (
+        _TENK + "SELECT sum(unique1) OVER (ORDER BY unique1 ROWS BETWEEN "
+        "2 PRECEDING AND 1 PRECEDING) AS s, unique1 FROM tenk "
+        "WHERE unique1 < 5 ORDER BY unique1",
+        None,
+    ),
+    (
+        _TENK + "SELECT sum(unique1) OVER (ORDER BY unique1 ROWS BETWEEN "
+        "1 FOLLOWING AND 3 FOLLOWING) AS s, unique1 FROM tenk "
+        "WHERE unique1 < 5 ORDER BY unique1",
+        None,
+    ),
+    (
+        _TENK + "SELECT sum(unique1) OVER (ORDER BY unique1 ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND 1 FOLLOWING) AS s, unique1 FROM tenk "
+        "WHERE unique1 < 5 ORDER BY unique1",
+        None,
+    ),
+    # RANGE with numeric offsets over duplicates (window_part2)
+    (
+        "SELECT x, sum(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING AND "
+        "1 FOLLOWING) AS s FROM (VALUES (1), (2), (2), (3), (5)) v(x) "
+        "ORDER BY x, s",
+        None,
+    ),
+    # exclude-ties analogue: frame arithmetic over ties via RANGE
+    (
+        "SELECT x, sum(x) OVER (ORDER BY x RANGE BETWEEN CURRENT ROW AND "
+        "CURRENT ROW) AS peer_sum FROM (VALUES (1), (2), (2), (3)) v(x) "
+        "ORDER BY x, peer_sum",
+        None,
+    ),
+    # window_part3: window over join, qualified refs
+    (
+        _TENK + "SELECT t1.four, sum(t2.ten) OVER (PARTITION BY t1.four) "
+        "AS s FROM tenk t1 JOIN tenk t2 ON t1.unique1 = t2.unique2 "
+        "ORDER BY t1.four, s",
+        None,
+    ),
+    # window_part4: nth_value
+    (
+        _TENK + "SELECT nth_value(ten, 2) OVER (PARTITION BY four ORDER BY "
+        "ten ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS "
+        "nv, ten, four FROM tenk ORDER BY four, ten",
+        None,
+    ),
+    # window in an expression with CASE
+    (
+        _TENK + "SELECT CASE WHEN rank() OVER (ORDER BY unique1) <= 3 "
+        "THEN 'top' ELSE 'rest' END AS band, unique1 FROM tenk "
+        "WHERE unique1 < 6 ORDER BY unique1",
+        None,
+    ),
+    # windows + DISTINCT subquery input
+    (
+        _TENK + "SELECT four, ten, sum(ten) OVER (PARTITION BY four ORDER "
+        "BY ten) AS s, last_value(ten) OVER (PARTITION BY four ORDER BY "
+        "ten) AS lv FROM (SELECT DISTINCT ten, four FROM tenk) ss "
+        "ORDER BY four, ten",
+        None,
+    ),
+]
+
+
+# --------------------------------------------------------------------------
+# wave 17 — postgreSQL/join.sql ports over the J1_TBL/J2_TBL regression
+# data (reference inputs/postgreSQL/join.sql:20-400). Column lists are
+# explicit (USING/NATURAL SELECT * column order is engine-specific) and
+# every statement carries a deterministic ORDER BY with pinned null
+# placement (PG/DuckDB default NULLS LAST on ASC, Spark NULLS FIRST).
+# --------------------------------------------------------------------------
+
+_J12 = (
+    "WITH J1_TBL AS (SELECT * FROM (VALUES "
+    "(1, 4, 'one'), (2, 3, 'two'), (3, 2, 'three'), (4, 1, 'four'), "
+    "(5, 0, 'five'), (6, 6, 'six'), (7, 7, 'seven'), (8, 8, 'eight'), "
+    "(0, CAST(NULL AS INT), 'zero'), "
+    "(CAST(NULL AS INT), CAST(NULL AS INT), 'null'), "
+    "(CAST(NULL AS INT), 0, 'zero')) AS J1_TBL(i, j, t)), "
+    "J2_TBL AS (SELECT * FROM (VALUES "
+    "(1, -1), (2, 2), (3, -3), (2, 4), (5, -5), (5, -5), "
+    "(0, CAST(NULL AS INT)), (CAST(NULL AS INT), CAST(NULL AS INT)), "
+    "(CAST(NULL AS INT), 0)) AS J2_TBL(i, k)) "
+)
+
+CORPUS += [
+    # qualified alias scans with column renames
+    (
+        _J12 + "SELECT a, b, c FROM J1_TBL t1 (a, b, c) "
+        "ORDER BY a NULLS LAST, c",
+        None,
+    ),
+    # cross join cardinality
+    (
+        _J12 + "SELECT count(*) AS n FROM J1_TBL CROSS JOIN J2_TBL",
+        "SELECT CAST(99 AS BIGINT) AS n",
+    ),
+    (
+        _J12 + "SELECT t1.i AS i1, k, t FROM J1_TBL t1 CROSS JOIN J2_TBL t2 "
+        "WHERE t1.i = 1 AND k IS NOT NULL ORDER BY k",
+        None,
+    ),
+    # INNER JOIN USING
+    (
+        _J12 + "SELECT i, j, t, k FROM J1_TBL INNER JOIN J2_TBL USING (i) "
+        "ORDER BY i, k NULLS LAST",
+        None,
+    ),
+    # USING with renamed columns
+    (
+        _J12 + "SELECT a, b, c, d FROM J1_TBL t1 (a, b, c) "
+        "JOIN J2_TBL t2 (a, d) USING (a) ORDER BY a, d NULLS LAST",
+        None,
+    ),
+    # NATURAL JOIN (common column i)
+    (
+        _J12 + "SELECT i, j, t, k FROM J1_TBL NATURAL JOIN J2_TBL "
+        "ORDER BY i, k NULLS LAST",
+        None,
+    ),
+    # ON equi join, both key spellings
+    (
+        _J12 + "SELECT J1_TBL.i AS i1, j, t, J2_TBL.i AS i2, k "
+        "FROM J1_TBL JOIN J2_TBL ON (J1_TBL.i = J2_TBL.i) "
+        "ORDER BY i1, k NULLS LAST",
+        None,
+    ),
+    (
+        _J12 + "SELECT J1_TBL.i AS i1, j, t, k FROM J1_TBL JOIN J2_TBL "
+        "ON (J1_TBL.i = J2_TBL.k) ORDER BY i1, k",
+        None,
+    ),
+    # non-equi theta join
+    (
+        _J12 + "SELECT count(*) AS n FROM J1_TBL JOIN J2_TBL "
+        "ON (J1_TBL.i <= J2_TBL.k)",
+        None,
+    ),
+    # LEFT OUTER JOIN USING
+    (
+        _J12 + "SELECT i, j, t, k FROM J1_TBL LEFT OUTER JOIN J2_TBL "
+        "USING (i) ORDER BY i NULLS LAST, j NULLS LAST, t, k NULLS LAST",
+        None,
+    ),
+    # RIGHT OUTER JOIN USING
+    (
+        _J12 + "SELECT i, j, t, k FROM J1_TBL RIGHT OUTER JOIN J2_TBL "
+        "USING (i) ORDER BY i NULLS LAST, k NULLS LAST, t NULLS LAST",
+        None,
+    ),
+    # FULL OUTER JOIN USING
+    (
+        _J12 + "SELECT i, j, t, k FROM J1_TBL FULL OUTER JOIN J2_TBL "
+        "USING (i) ORDER BY i NULLS LAST, j NULLS LAST, "
+        "t NULLS LAST, k NULLS LAST",
+        None,
+    ),
+    # outer join with constant-false ON clause (keeps all left rows);
+    # the select list qualifies i since both sides expose one (Spark
+    # AND PG call a bare i ambiguous here)
+    (
+        _J12 + "SELECT t1.i AS i1, j, t, k FROM J1_TBL t1 LEFT JOIN "
+        "J2_TBL t2 ON (t1.i = t2.i AND FALSE) "
+        "ORDER BY i1 NULLS LAST, j NULLS LAST, t",
+        None,
+    ),
+    # ON-clause filter vs WHERE filter on an outer join
+    (
+        _J12 + "SELECT t1.i AS i1, j, t2.k FROM J1_TBL t1 LEFT JOIN J2_TBL "
+        "t2 ON t1.i = t2.i AND t2.k > 0 "
+        "ORDER BY i1 NULLS LAST, j NULLS LAST, k NULLS LAST",
+        None,
+    ),
+    (
+        _J12 + "SELECT t1.i AS i1, j, t2.k FROM J1_TBL t1 LEFT JOIN J2_TBL "
+        "t2 ON t1.i = t2.i WHERE t2.k > 0 ORDER BY i1, j, k",
+        None,
+    ),
+    # join against an aggregated derived table
+    (
+        _J12 + "SELECT t1.i AS i1, n FROM J1_TBL t1 JOIN (SELECT i, "
+        "count(*) AS n FROM J2_TBL GROUP BY i) g ON t1.i = g.i "
+        "ORDER BY i1",
+        None,
+    ),
+    # semi/anti via IN / NOT EXISTS over the join tables
+    (
+        _J12 + "SELECT i, t FROM J1_TBL WHERE i IN (SELECT i FROM J2_TBL "
+        "WHERE i IS NOT NULL) ORDER BY i",
+        None,
+    ),
+    (
+        _J12 + "SELECT count(*) AS n FROM J1_TBL a WHERE NOT EXISTS "
+        "(SELECT 1 FROM J2_TBL b WHERE a.i = b.i)",
+        "SELECT CAST(6 AS BIGINT) AS n",
+    ),
+    # three-way join chain
+    (
+        _J12 + "SELECT a.i AS ai, b.k AS bk, c.t AS ct FROM J2_TBL a "
+        "JOIN J1_TBL c ON a.i = c.i JOIN J2_TBL b ON c.i = b.i "
+        "WHERE a.k IS NOT NULL ORDER BY ai, bk NULLS LAST, ct",
+        None,
+    ),
+    # join.sql INT4/INT8/TEXT cross-type joins
+    (
+        "WITH INT4_TBL AS (SELECT * FROM (VALUES (0), (123456), (-123456), "
+        "(2147483647), (-2147483647)) v(f1)), "
+        "INT8_TBL AS (SELECT * FROM (VALUES (CAST(123 AS BIGINT), "
+        "CAST(456 AS BIGINT)), (123, 4567890123456789), "
+        "(4567890123456789, 123), (4567890123456789, 4567890123456789), "
+        "(4567890123456789, -4567890123456789)) v(q1, q2)) "
+        "SELECT i4.f1, i8.q1, i8.q2 FROM INT4_TBL i4 JOIN INT8_TBL i8 "
+        "ON i4.f1 = i8.q2 ORDER BY q1",
+        None,
+    ),
+    # FULL JOIN with COALESCE projection (the PG regression classic)
+    (
+        _J12 + "SELECT coalesce(J1_TBL.i, J2_TBL.i) AS ci, j, t, k "
+        "FROM J1_TBL FULL JOIN J2_TBL ON J1_TBL.i = J2_TBL.i "
+        "ORDER BY ci NULLS LAST, j NULLS LAST, t NULLS LAST, k NULLS LAST",
+        None,
+    ),
+    # nested outer joins (left join of a left join); output columns are
+    # aliased because DuckDB's binder calls a bare ORDER BY j ambiguous
+    # (x.j and z.j) where PG and Spark resolve it to the select alias
+    (
+        _J12 + "SELECT x.i AS xi, x.j AS xj, y.k AS yk, z.t AS zt "
+        "FROM J1_TBL x LEFT JOIN "
+        "(J2_TBL y LEFT JOIN J1_TBL z ON y.i = z.i) ON x.i = y.i "
+        "WHERE x.i < 3 ORDER BY xi, xj NULLS LAST, yk NULLS LAST, "
+        "zt NULLS LAST",
+        None,
+    ),
+    # join on boolean expression of two columns
+    (
+        _J12 + "SELECT count(*) AS n FROM J1_TBL t1 JOIN J2_TBL t2 "
+        "ON (t1.i + t2.i) = 4",
+        None,
+    ),
+    # self join with inequality (pairs)
+    (
+        _J12 + "SELECT a.i AS ia, b.i AS ib FROM J2_TBL a JOIN J2_TBL b "
+        "ON a.i < b.i ORDER BY ia, ib",
+        None,
+    ),
+    # USING column is unqualified in the select list
+    (
+        _J12 + "SELECT i FROM J1_TBL JOIN J2_TBL USING (i) "
+        "WHERE i = 1 ORDER BY i",
+        None,
+    ),
+]
+
+
+# --------------------------------------------------------------------------
+# wave 18 — postgreSQL/strings.sql + text.sql remainder ports
+# (reference inputs/postgreSQL/{strings,text}.sql). format_string and
+# `||` coercions are pinned with literal oracles where DuckDB has no
+# equivalent spelling.
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    # text.sql: || coercion of numbers
+    ("SELECT 'four: ' || (2 + 2) AS v", "SELECT 'four: 4' AS v"),
+    ("SELECT 3 || 4.0 AS v", "SELECT '34.0' AS v"),
+    # concat / concat_ws families
+    ("SELECT concat('one') AS v", "SELECT 'one' AS v"),
+    (
+        "SELECT concat_ws('#', 'one') AS v",
+        "SELECT 'one' AS v",
+    ),
+    (
+        "SELECT concat_ws(',', 10, 20, null, 30) AS v",
+        "SELECT '10,20,30' AS v",
+    ),
+    (
+        "SELECT concat_ws('', 10, 20, null, 30) AS v",
+        "SELECT '102030' AS v",
+    ),
+    (
+        "SELECT concat_ws(NULL, 10, 20, null, 30) IS NULL AS v",
+        "SELECT TRUE AS v",
+    ),
+    ("SELECT reverse('abcde') AS v", "SELECT 'edcba' AS v"),
+    # left/right across the sign range (strings.sql port)
+    (
+        "SELECT i, left('ahoj', i) AS l, right('ahoj', i) AS r FROM "
+        "range(1, 6) t(i) ORDER BY i",
+        "SELECT i, substr('ahoj', 1, CAST(i AS INT)) AS l, "
+        "CASE WHEN i >= 4 THEN 'ahoj' ELSE substr('ahoj', "
+        "CAST(5 - i AS INT)) END AS r FROM range(1, 6) t(i) ORDER BY i",
+    ),
+    # format_string (Spark-side printf; no DuckDB twin — literal pins)
+    ("SELECT format_string('Hello') AS v", "SELECT 'Hello' AS v"),
+    (
+        "SELECT format_string('Hello %s', 'World') AS v",
+        "SELECT 'Hello World' AS v",
+    ),
+    ("SELECT format_string('Hello %%') AS v", "SELECT 'Hello %' AS v"),
+    (
+        "SELECT format_string('%1$s %3$s', 1, 2, 3) AS v",
+        "SELECT '1 3' AS v",
+    ),
+    (
+        "SELECT format_string('Hello %s %1$s %s', 'World', 'Hello again') "
+        "AS v",
+        "SELECT 'Hello World World Hello again' AS v",
+    ),
+    # strings.sql LIKE wildcard matrix
+    (
+        "SELECT 'foo' LIKE '_%' AS t1, 'f' LIKE '_%' AS t2, "
+        "'' LIKE '_%' AS f1",
+        "SELECT TRUE AS t1, TRUE AS t2, FALSE AS f1",
+    ),
+    (
+        "SELECT 'foo' LIKE '__%' AS t1, 'foo' LIKE '___%' AS t2, "
+        "'foo' LIKE '____%' AS f1",
+        "SELECT TRUE AS t1, TRUE AS t2, FALSE AS f1",
+    ),
+    ("SELECT 'jack' LIKE '%____%' AS t", "SELECT TRUE AS t"),
+    ("SELECT 'indio' NOT LIKE 'in_o' AS t", "SELECT TRUE AS t"),
+    # position/replace/length remainder
+    (
+        "SELECT length('abcdef') AS length_6, replace('abcdef', 'de', '45') "
+        "AS abc45f",
+        "SELECT 6 AS length_6, 'abc45f' AS abc45f",
+    ),
+    (
+        "SELECT replace('yabadabadoo', 'ba', '123') AS v1, "
+        "replace('yabadoo', 'bad', '') AS v2",
+        "SELECT 'ya123da123doo' AS v1, 'yaoo' AS v2",
+    ),
+    # md5 (strings.sql checks against the RFC vectors)
+    (
+        "SELECT md5('') = 'd41d8cd98f00b204e9800998ecf8427e' AS t1, "
+        "md5('abc') = '900150983cd24fb0d6963f7d28e17f72' AS t2, "
+        "md5('message digest') = 'f96b697d7cb7938d525a2f31aaf161d0' AS t3",
+        "SELECT TRUE AS t1, TRUE AS t2, TRUE AS t3",
+    ),
+    # lpad/rpad edge forms
+    (
+        "SELECT lpad('hi', 5) AS l, rpad('hi', 5) AS r",
+        "SELECT '   hi' AS l, 'hi   ' AS r",
+    ),
+    (
+        "SELECT lpad('hello', 2) AS l, rpad('hello', 2) AS r",
+        "SELECT 'he' AS l, 'he' AS r",
+    ),
+    (
+        "SELECT lpad('hi', -5, 'xy') AS l, rpad('hi', -5, 'xy') AS r",
+        "SELECT '' AS l, '' AS r",
+    ),
+    # ltrim with a trim-set + translate edges
+    (
+        "SELECT ltrim('zzzytrim', 'xyz') AS v",
+        "SELECT 'trim' AS v",
+    ),
+    (
+        "SELECT translate('', '14', 'ax') AS v1, "
+        "translate('12345', '14', 'ax') AS v2",
+        "SELECT '' AS v1, 'a23x5' AS v2",
+    ),
+    # ascii/chr/repeat edges
+    (
+        "SELECT ascii('x') AS a, ascii('') AS z",
+        "SELECT 120 AS a, 0 AS z",
+    ),
+    ("SELECT chr(65) AS v", "SELECT 'A' AS v"),
+    (
+        "SELECT repeat('Pg', 4) AS v1, repeat('Pg', -4) AS v2",
+        "SELECT 'PgPgPgPg' AS v1, '' AS v2",
+    ),
+    # length of a non-string (text.sql: select length(42))
+    ("SELECT length(42) AS l", "SELECT 2 AS l"),
+]
+
+# --------------------------------------------------------------------------
+# wave 19 — postgreSQL/{boolean,case,select_having,select_implicit,
+# select_distinct}.sql ports. aggregates_part4.sql has ZERO live
+# statements in the reference (every ordered-set/hypothetical-set
+# aggregate is commented out pending SPARK-27980/28661) — nothing to
+# port from it. Boolean casts and CASE results are pinned with literal
+# oracles (DuckDB's accepted boolean spellings differ from Spark's).
+# --------------------------------------------------------------------------
+
+#: select_having.sql regression table as an inline CTE
+_HAVT = (
+    "WITH test_having AS (SELECT * FROM (VALUES "
+    "(0, 1, 'XXXX', 'A'), (1, 2, 'AAAA', 'b'), (2, 2, 'AAAA', 'c'), "
+    "(3, 3, 'BBBB', 'D'), (4, 3, 'BBBB', 'e'), (5, 3, 'bbbb', 'F'), "
+    "(6, 4, 'cccc', 'g'), (7, 4, 'cccc', 'h'), (8, 4, 'CCCC', 'I'), "
+    "(9, 4, 'CCCC', 'j')) AS test_having(a, b, c, d)) "
+)
+#: case.sql regression tables as inline CTEs
+_CASET = (
+    "WITH case_tbl AS (SELECT * FROM (VALUES "
+    "(1, CAST(10.1 AS DOUBLE)), (2, CAST(20.2 AS DOUBLE)), "
+    "(3, CAST(-30.3 AS DOUBLE)), (4, CAST(NULL AS DOUBLE))) "
+    "AS case_tbl(i, f)), "
+    "case2_tbl AS (SELECT * FROM (VALUES "
+    "(1, -1), (2, -2), (3, -3), (2, -4), (1, CAST(NULL AS INT)), "
+    "(CAST(NULL AS INT), -6)) AS case2_tbl(i, j)) "
+)
+
+CORPUS += [
+    # boolean.sql: literal + string-cast acceptance (common
+    # Spark/PG-accepted spellings; 'on'/'off' are PG-only and Spark
+    # rejects them — see NEGATIVE_CORPUS)
+    ("SELECT true AS t, false AS f", "SELECT TRUE AS t, FALSE AS f"),
+    ("SELECT boolean('t') AS t", "SELECT TRUE AS t"),
+    ("SELECT boolean('true') AS t", "SELECT TRUE AS t"),
+    ("SELECT boolean('false') AS f", "SELECT FALSE AS f"),
+    ("SELECT boolean('y') AS t, boolean('n') AS f",
+     "SELECT TRUE AS t, FALSE AS f"),
+    ("SELECT boolean('yes') AS t, boolean('no') AS f",
+     "SELECT TRUE AS t, FALSE AS f"),
+    ("SELECT boolean('1') AS t, boolean('0') AS f",
+     "SELECT TRUE AS t, FALSE AS f"),
+    ("SELECT boolean('t') or boolean('f') AS t", "SELECT TRUE AS t"),
+    ("SELECT boolean('t') and boolean('f') AS f", "SELECT FALSE AS f"),
+    ("SELECT not boolean('f') AS t", "SELECT TRUE AS t"),
+    ("SELECT boolean('t') = boolean('f') AS f, "
+     "boolean('t') <> boolean('f') AS t",
+     "SELECT FALSE AS f, TRUE AS t"),
+    # boolean ordering (PG: false < true)
+    ("SELECT boolean('t') > boolean('f') AS t, "
+     "boolean('f') < boolean('t') AS t2",
+     "SELECT TRUE AS t, TRUE AS t2"),
+    ("SELECT boolean('t') >= boolean('f') AS t, "
+     "boolean('f') <= boolean('t') AS t2",
+     "SELECT TRUE AS t, TRUE AS t2"),
+    # whitespace-trimmed string casts + round-trip to string
+    ("SELECT boolean('    true   ') AS t, boolean('     FALSE') AS f",
+     "SELECT TRUE AS t, FALSE AS f"),
+    ("SELECT string(boolean(true)) AS t, string(boolean(false)) AS f",
+     "SELECT 'true' AS t, 'false' AS f"),
+    # IS/IS NOT distinctions over a boolean relation
+    ("SELECT f1 FROM (VALUES (true), (false), (CAST(NULL AS BOOLEAN))) "
+     "b(f1) WHERE f1 IS TRUE ORDER BY f1",
+     "SELECT TRUE AS f1"),
+    ("SELECT count(*) AS n FROM (VALUES (true), (false), "
+     "(CAST(NULL AS BOOLEAN))) b(f1) WHERE f1 IS NOT TRUE",
+     "SELECT CAST(2 AS BIGINT) AS n"),
+    ("SELECT count(*) AS n FROM (VALUES (true), (false), "
+     "(CAST(NULL AS BOOLEAN))) b(f1) WHERE f1 IS UNKNOWN",
+     "SELECT CAST(1 AS BIGINT) AS n"),
+    # case.sql: simple WHEN forms
+    ("SELECT CASE WHEN 1 < 2 THEN 3 END AS v", "SELECT 3 AS v"),
+    ("SELECT CASE WHEN 1 > 2 THEN 3 END AS v",
+     "SELECT CAST(NULL AS INT) AS v"),
+    ("SELECT CASE WHEN 1 < 2 THEN 3 ELSE 4 END AS v", "SELECT 3 AS v"),
+    ("SELECT CASE WHEN 1 > 2 THEN 3 ELSE 4 END AS v", "SELECT 4 AS v"),
+    ("SELECT CASE WHEN 1 > 2 THEN 3 WHEN 4 < 5 THEN 6 ELSE 7 END AS v",
+     "SELECT 6 AS v"),
+    # lazy evaluation: the untaken 1/0 branches must NOT raise (ANSI
+    # division-by-zero only fires when evaluated); Spark int/int
+    # division is double, so the CASE result is double-typed ('1.0')
+    ("SELECT CASE WHEN 1=0 THEN 1/0 WHEN 1=1 THEN 1 ELSE 2/0 END AS v",
+     "SELECT CAST(1 AS DOUBLE) AS v"),
+    ("SELECT CASE 1 WHEN 0 THEN 1/0 WHEN 1 THEN 1 ELSE 2/0 END AS v",
+     "SELECT CAST(1 AS DOUBLE) AS v"),
+    (_CASET + "SELECT CASE WHEN i > 100 THEN 1/0 ELSE 0 END AS v "
+     "FROM case_tbl ORDER BY i",
+     "SELECT CAST(0 AS DOUBLE) AS v FROM range(4)"),
+    ("SELECT CASE 'a' WHEN 'a' THEN 1 ELSE 2 END AS v", "SELECT 1 AS v"),
+    # case.sql over the regression tables
+    (_CASET + "SELECT CASE WHEN i >= 3 THEN i END AS v FROM case_tbl "
+     "ORDER BY i",
+     "SELECT * FROM (VALUES (CAST(NULL AS INT)), (NULL), (3), (4)) "
+     "t(v)"),
+    (_CASET + "SELECT CASE WHEN i >= 3 THEN (i + i) ELSE i END AS v "
+     "FROM case_tbl ORDER BY v",
+     "SELECT * FROM (VALUES (1), (2), (6), (8)) t(v)"),
+    (_CASET + "SELECT i, CASE WHEN i >= 3 THEN -i ELSE i END AS v "
+     "FROM case2_tbl ORDER BY i NULLS FIRST, v",
+     "SELECT * FROM (VALUES (CAST(NULL AS INT), CAST(NULL AS INT)), "
+     "(1, 1), (1, 1), (2, 2), (2, 2), (3, -3)) t(i, v)"),
+    # NULLIF / COALESCE families (case.sql end section)
+    (_CASET + "SELECT COALESCE(a.f, b.i, b.j) AS v "
+     "FROM case_tbl a, case2_tbl b ORDER BY v NULLS FIRST LIMIT 5",
+     "SELECT * FROM (VALUES (CAST(-30.3 AS DOUBLE)), (-30.3), (-30.3), "
+     "(-30.3), (-30.3)) t(v)"),
+    (_CASET + "SELECT NULLIF(a.i, b.i) AS v FROM case_tbl a, case2_tbl b "
+     "WHERE a.i = 1 ORDER BY v NULLS FIRST",
+     "SELECT * FROM (VALUES (CAST(NULL AS INT)), (NULL), (1), (1), (1), "
+     "(1)) t(v)"),
+    # select_having.sql
+    (_HAVT + "SELECT b, c FROM test_having GROUP BY b, c "
+     "HAVING count(*) = 1 ORDER BY b, c",
+     "SELECT * FROM (VALUES (1, 'XXXX'), (3, 'bbbb')) t(b, c)"),
+    (_HAVT + "SELECT b, c FROM test_having GROUP BY b, c HAVING b = 3 "
+     "ORDER BY b, c",
+     "SELECT * FROM (VALUES (3, 'BBBB'), (3, 'bbbb')) t(b, c)"),
+    (_HAVT + "SELECT c, max(a) AS ma FROM test_having GROUP BY c "
+     "HAVING count(*) > 2 OR min(a) = max(a) ORDER BY c",
+     "SELECT * FROM (VALUES ('XXXX', 0), ('bbbb', 5)) t(c, ma)"),
+    (_HAVT + "SELECT min(a) AS mn, max(a) AS mx FROM test_having "
+     "HAVING min(a) = max(a)",
+     "SELECT 1 AS mn, 1 AS mx WHERE FALSE"),
+    (_HAVT + "SELECT min(a) AS mn, max(a) AS mx FROM test_having "
+     "HAVING min(a) < max(a)",
+     "SELECT 0 AS mn, 9 AS mx"),
+    # constant HAVING over a grand aggregate: true keeps the row,
+    # false removes it
+    (_HAVT + "SELECT 1 AS one FROM test_having HAVING 1 < 2",
+     "SELECT 1 AS one"),
+    (_HAVT + "SELECT 1 AS one FROM test_having HAVING 1 > 2",
+     "SELECT 1 AS one WHERE FALSE"),
+    # select_implicit.sql: GROUP BY a column not in the select list
+    (_HAVT + "SELECT count(*) AS n FROM test_having GROUP BY b "
+     "ORDER BY b",
+     "SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (2), (3), (4)) t(n)"),
+    (_HAVT + "SELECT c, count(*) AS n FROM test_having GROUP BY c, b "
+     "ORDER BY c, b",
+     "SELECT * FROM (VALUES ('AAAA', CAST(2 AS BIGINT)), ('BBBB', 2), "
+     "('CCCC', 2), ('XXXX', 1), ('bbbb', 1), ('cccc', 2)) t(c, n)"),
+    # select_distinct.sql over the same fixture
+    (_HAVT + "SELECT DISTINCT b FROM test_having ORDER BY b",
+     "SELECT * FROM (VALUES (1), (2), (3), (4)) t(b)"),
+    (_HAVT + "SELECT DISTINCT b, c FROM test_having WHERE b > 2 "
+     "ORDER BY b, c",
+     "SELECT * FROM (VALUES (3, 'BBBB'), (3, 'bbbb'), (4, 'CCCC'), "
+     "(4, 'cccc')) t(b, c)"),
+    (_HAVT + "SELECT COUNT(DISTINCT b) AS db, COUNT(DISTINCT c) AS dc "
+     "FROM test_having",
+     "SELECT CAST(4 AS BIGINT) AS db, CAST(6 AS BIGINT) AS dc"),
+]
+
+
+# --------------------------------------------------------------------------
+# wave 19b — dialect fixes found by live psql/corpus drives this round:
+# PG's two-arg trim family takes (string, characters) — Spark's takes
+# the REVERSE — and PG's multi-word type spellings (DOUBLE PRECISION,
+# CHARACTER VARYING, TIMESTAMP WITH TIME ZONE).
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    ("SELECT ltrim('zzzytrim', 'xyz') AS v", "SELECT 'trim' AS v"),
+    ("SELECT rtrim('trimxxxx', 'x') AS v", "SELECT 'trim' AS v"),
+    ("SELECT btrim('xyxtrimyyx', 'xy') AS v", "SELECT 'trim' AS v"),
+    ("SELECT btrim('  trim  ') AS v", "SELECT 'trim' AS v"),
+    # nested expressions on both sides of the rewritten TRIM
+    ("SELECT ltrim(upper('zzab'), 'Z') AS v", "SELECT 'AB' AS v"),
+    # one-arg forms unchanged
+    ("SELECT ltrim('  x') AS l, rtrim('x  ') AS r",
+     "SELECT 'x' AS l, 'x' AS r"),
+    # multi-word type names in both CAST positions
+    ("SELECT CAST(12 AS DOUBLE PRECISION) / 8 AS v",
+     "SELECT CAST(1.5 AS DOUBLE) AS v"),
+    ("SELECT 3::double precision AS v", "SELECT CAST(3 AS DOUBLE) AS v"),
+    ("SELECT CAST(42 AS character varying(10)) AS v",
+     "SELECT '42' AS v"),
+    ("SELECT CAST('2020-01-01 00:00:00' AS timestamp without time zone)"
+     " AS v",
+     "SELECT TIMESTAMP '2020-01-01 00:00:00' AS v"),
+]
+
+
 @pytest.fixture(scope="module")
 def server(spark):
     loop = asyncio.new_event_loop()
@@ -2019,6 +2950,17 @@ NEGATIVE_CORPUS: list[str] = [
     "SELECT extract(millennium FROM TIMESTAMP '2011-05-06 07:08:09')",
     "SELECT extract(decade FROM TIMESTAMP '2011-05-06 07:08:09')",
     "SELECT extract(isoyear FROM TIMESTAMP '2011-05-06 07:08:09')",
+    # boolean.sql: Spark's ANSI boolean cast rejects PG's extra
+    # spellings ('on'/'off') and the garbage inputs PG also rejects
+    "SELECT boolean('test')",
+    "SELECT boolean('yeah')",
+    "SELECT boolean('on')",
+    "SELECT boolean('off')",
+    # select_having.sql: ungrouped column under HAVING errors in both
+    "WITH test_having AS (SELECT * FROM (VALUES (0, 1)) "
+    "t(a, b)) SELECT a FROM test_having HAVING min(a) < max(a)",
+    "WITH test_having AS (SELECT * FROM (VALUES (0, 1)) "
+    "t(a, b)) SELECT 1 AS one FROM test_having HAVING a > 1",
 ]
 
 

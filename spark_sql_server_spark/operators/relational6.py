@@ -2328,3 +2328,340 @@ def qds61_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir)
     return spark.sql(_QDS61_SQL)
+
+
+# --------------------------------------------------------------------------
+# wave 7 (late r7, below the frozen driver-sample cut — r8 rotation
+# priority): q70, q77, q7, q87 shapes.
+# --------------------------------------------------------------------------
+
+# q70 shape: revenue ROLLUP over a geography hierarchy, restricted to
+# the top-ranked upper level, with RANK within each grouping level
+# (reference examples/tpcds/queries/q70.sql).
+
+_QDS70_SQL = """
+    WITH rn AS (
+      SELECT r_name AS region, n_name AS nation,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(38,6))) AS rev_dec
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(SUM(rev_dec) AS DOUBLE) AS total_rev,
+           region, nation,
+           CAST(GROUPING(region) + GROUPING(nation) AS BIGINT)
+             AS lochierarchy,
+           RANK() OVER (
+             PARTITION BY GROUPING(region) + GROUPING(nation),
+                          CASE WHEN GROUPING(nation) = 0
+                               THEN region END
+             ORDER BY SUM(rev_dec) DESC, nation ASC NULLS FIRST,
+                      region ASC NULLS FIRST
+           ) AS rank_within_parent
+    FROM rn
+    WHERE region IN (
+      SELECT region FROM (
+        SELECT region,
+               RANK() OVER (ORDER BY SUM(rev_dec) DESC, region ASC)
+                 AS rr
+        FROM rn GROUP BY region
+      ) t WHERE rr <= 3
+    )
+    GROUP BY ROLLUP(region, nation)
+    ORDER BY lochierarchy DESC, region ASC NULLS FIRST,
+             rank_within_parent ASC, nation ASC NULLS FIRST
+"""
+
+
+@query(
+    "qds70_hierarchy_rank_rollup",
+    oracle=_QDS70_SQL,
+    covers="§2.B TPC-DS q70 shape: ROLLUP over a geography hierarchy "
+    "restricted to top-ranked regions (window-in-filter subquery), "
+    "RANK within each grouping level",
+)
+def qds70_hierarchy_rank_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rolled up over (region, nation) for the top-3 regions by
+    total revenue, each row ranked within its grouping level (q70's
+    state/county profit hierarchy; supplier geography stands in for
+    the store's).
+
+    Scale: both the top-3 screen and the ROLLUP are computed from ONE
+    (region, nation) fact aggregation, localCheckpoint-ed because it
+    has two consumers — inlining the CTE as shared SQL re-ran the
+    whole fact join per reference (16 parquet scans); now the region
+    ranking is a window over the ~125 already-reduced rows, the top-3
+    set broadcasts into a semi join, and the ROLLUP re-aggregates the
+    same tiny frame (sums are additive). Determinism: revenue stays
+    DECIMAL(38,6) until one final DOUBLE cast, both RANKs order by the
+    exact decimal with name tiebreaks, and the grouping-level sort
+    pins NULLS FIRST explicitly (Spark and DuckDB default opposite
+    null orders).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rn = (
+        li.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("rev_dec")
+        )
+        .localCheckpoint(eager=True)  # 2 consumers; don't re-run the fact join
+    )
+    top_regions = (
+        rn.groupBy("region")
+        .agg(F.sum("rev_dec").alias("region_rev"))
+        .withColumn(
+            "rr",
+            F.rank().over(
+                W.orderBy(F.col("region_rev").desc(), F.col("region").asc())
+            ),
+        )
+        .filter(F.col("rr") <= 3)
+        .select("region")
+    )
+    filtered = rn.join(F.broadcast(top_regions), "region", "left_semi")
+    rolled = filtered.rollup("region", "nation").agg(
+        F.sum("rev_dec").alias("rev_sum"),
+        (F.grouping("region") + F.grouping("nation"))
+        .cast("long")
+        .alias("lochierarchy"),
+        F.when(F.grouping("nation") == 0, F.col("region")).alias("parent_key"),
+    )
+    wr = W.partitionBy("lochierarchy", "parent_key").orderBy(
+        F.col("rev_sum").desc(),
+        F.col("nation").asc_nulls_first(),
+        F.col("region").asc_nulls_first(),
+    )
+    return (
+        rolled.withColumn("rank_within_parent", F.rank().over(wr))
+        .select(
+            F.col("rev_sum").cast("double").alias("total_rev"),
+            "region",
+            "nation",
+            "lochierarchy",
+            "rank_within_parent",
+        )
+        .orderBy(
+            F.col("lochierarchy").desc(),
+            F.col("region").asc_nulls_first(),
+            F.col("rank_within_parent").asc(),
+            F.col("nation").asc_nulls_first(),
+        )
+    )
+
+
+# q77 shape: per-channel sales/returns/profit report with a ROLLUP
+# grand total over UNION ALL channel legs
+# (reference examples/tpcds/queries/q77.sql; q5/q80 are variants).
+
+_QDS77_CHANNELS = ("1-URGENT", "2-HIGH", "3-MEDIUM")
+
+_QDS77_SQL = (
+    """
+    SELECT channel,
+           CAST(SUM(sales_dec) AS DOUBLE) AS sales,
+           CAST(SUM(returns_dec) AS DOUBLE) AS returns_amt,
+           CAST(SUM(sales_dec - returns_dec) AS DOUBLE) AS profit
+    FROM (
+"""
+    + "\n      UNION ALL\n".join(
+        f"""      SELECT '{p}' AS channel,
+             SUM(CASE WHEN l_returnflag <> 'R'
+                      THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6))
+                      ELSE CAST(0 AS DECIMAL(38,6)) END) AS sales_dec,
+             SUM(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6))
+                      ELSE CAST(0 AS DECIMAL(38,6)) END) AS returns_dec
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '{p}'"""
+        for p in _QDS77_CHANNELS
+    )
+    + """
+    ) legs
+    GROUP BY ROLLUP(channel)
+    ORDER BY channel ASC NULLS LAST
+"""
+)
+
+
+@query(
+    "qds77_channel_profit_rollup",
+    oracle=_QDS77_SQL,
+    covers="§2.B TPC-DS q77/q5/q80 shape: per-channel sales vs returns "
+    "profit report, ROLLUP grand total over UNION ALL channel legs",
+)
+def qds77_channel_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sales, returned value and net profit per priority channel with a
+    ROLLUP grand-total row (q77's channel P&L; order priorities stand
+    in for the store/catalog/web channels, returned lines for the
+    returns tables).
+
+    Scale: the oracle UNION-ALLs three whole-fact channel legs — three
+    scans; the Spark plan CASE-splits both the channel and the
+    sales-vs-returns arm inside ONE aggregation (single fact pass,
+    3-key shuffle) and ROLLUPs the three pre-aggregated rows (sums are
+    additive, so re-aggregating the tiny frame is exact and free).
+    Determinism: every money sum stays DECIMAL(38,6) until one final
+    DOUBLE cast; profit subtracts exact decimals before the cast;
+    channel ORDER BY pins NULLS LAST for the total row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(*_QDS77_CHANNELS)
+    )
+    rev_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    legs = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderpriority").alias("channel"))
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") != "R", rev_dec).otherwise(zero)
+            ).alias("sales_dec"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", rev_dec).otherwise(zero)
+            ).alias("returns_dec"),
+        )
+    )
+    return (
+        legs.rollup("channel")
+        .agg(
+            F.sum("sales_dec").cast("double").alias("sales"),
+            F.sum("returns_dec").cast("double").alias("returns_amt"),
+            F.sum(F.col("sales_dec") - F.col("returns_dec"))
+            .cast("double")
+            .alias("profit"),
+        )
+        .orderBy(F.col("channel").asc_nulls_last())
+    )
+
+
+# q7 shape: multi-dimension average report — four averages per item
+# class under a stacked dimension screen
+# (reference examples/tpcds/queries/q7.sql; q26/q27 are variants).
+
+_QDS7_SQL = """
+    SELECT p_type,
+           CAST(FLOOR(CAST(SUM(CAST(l_quantity AS BIGINT)) * 1000000
+                           AS DOUBLE) / COUNT(*) + 0.5) AS DOUBLE)
+             / 1000000.0 AS avg_qty,
+           CAST(FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                    AS BIGINT)) * 10000
+                           AS DOUBLE) / COUNT(*) + 0.5) AS DOUBLE)
+             / 1000000.0 AS avg_price,
+           CAST(FLOOR(CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5)
+                                    AS BIGINT)) * 10000
+                           AS DOUBLE) / COUNT(*) + 0.5) AS DOUBLE)
+             / 1000000.0 AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+      AND EXTRACT(YEAR FROM o_orderdate) = 1996
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+@query(
+    "qds7_dimension_avg_report",
+    oracle=_QDS7_SQL,
+    covers="§2.B TPC-DS q7/q26/q27 shape: multi-dimension average "
+    "report (four averages per item class under a stacked dimension "
+    "screen)",
+)
+def qds7_dimension_avg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average quantity, price and discount per part type for 1996
+    low-priority BUILDING-segment lines (q7's demographic average
+    report; segment/priority/year stand in for the demographic and
+    promo screens).
+
+    Scale: one fact pass through three dimension joins with every
+    screen pushed to its dimension scan; the 6-key aggregation is
+    map-side partial. Determinism: quantity is integral, price and
+    discount have 2 decimals (cents-space BIGINT sums are exact), and
+    every mean is the micro-space FLOOR rule — identical IEEE ops in
+    both engines; p_type is a unique ORDER BY.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS7_SQL)
+
+
+# q87 shape: customers in the first channel but NOT the other two —
+# the EXCEPT dual of q38 (reference examples/tpcds/queries/q87.sql).
+
+_QDS87_SQL = (
+    """
+    SELECT COUNT(*) AS urgent_only FROM (
+"""
+    + "\n      EXCEPT\n".join(
+        f"""      SELECT DISTINCT c_name,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderpriority = '{p}'"""
+        for p in _QDS38_CHANNELS
+    )
+    + """
+    ) cool_cust
+"""
+)
+
+
+@query(
+    "qds87_channel_except",
+    oracle=_QDS87_SQL,
+    covers="§2.B TPC-DS q87 shape: chained EXCEPT of three DISTINCT "
+    "channel sets (customers exclusive to the first channel that year)",
+)
+def qds87_channel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many (customer, year) pairs ordered through the URGENT
+    channel but NEITHER of the HIGH/MEDIUM channels that year (q87's
+    store-only customer census — the EXCEPT dual of qds38).
+
+    Scale: the oracle chains two EXCEPTs over three DISTINCT fact
+    subqueries; the Spark plan is the same ONE MAX(CASE)-flag
+    aggregation as qds38 with the membership test flipped (in channel
+    0, absent from 1 and 2) — a single fact scan and shuffle instead
+    of three scans and two except shuffles. Determinism: the only
+    output is an exact BIGINT count.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(*_QDS38_CHANNELS)
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    flags = [
+        F.max(
+            F.when(F.col("o_orderpriority") == p, F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"ch{i}")
+        for i, p in enumerate(_QDS38_CHANNELS)
+    ]
+    only = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(*flags)
+        .filter(
+            (F.col("ch0") == 1) & (F.col("ch1") == 0) & (F.col("ch2") == 0)
+        )
+    )
+    return only.agg(F.count(F.lit(1)).alias("urgent_only"))

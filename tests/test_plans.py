@@ -747,6 +747,42 @@ class TestTpcdsWave3Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_qds70_checkpointed_single_aggregation(self, spark):
+        plan = plan_of(spark, "qds70_hierarchy_rank_rollup")
+        # the (region, nation) aggregate is localCheckpoint-ed (shows
+        # as ExistingRDD) — the shared-SQL CTE spelling re-ran the
+        # whole fact join per reference (16 parquet scans)
+        assert "Scan ExistingRDD" in plan
+        assert plan.count("Scan parquet") == 0
+        assert "Expand" in plan  # the ROLLUP
+        assert "CartesianProduct" not in plan
+
+    def test_qds77_one_pass_channel_rollup(self, spark):
+        plan = plan_of(spark, "qds77_channel_profit_rollup")
+        # the oracle UNION-ALLs three whole-fact channel legs; the
+        # Spark plan CASE-splits inside ONE aggregation then ROLLUPs
+        # the 3-row pre-aggregate — one lineitem scan, one orders scan
+        assert plan.count("Scan parquet") <= 2
+        assert "Union" not in plan
+        assert "Expand" in plan  # the ROLLUP
+        assert "CartesianProduct" not in plan
+
+    def test_qds7_pushed_dimension_screens(self, spark):
+        plan = plan_of(spark, "qds7_dimension_avg_report")
+        # every dimension screen reaches its scan pushed
+        assert "c_mktsegment" in plan and "BUILDING" in plan
+        assert plan.count("Scan parquet") <= 4
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds87_one_pass_except_flags(self, spark):
+        plan = plan_of(spark, "qds87_channel_except")
+        # the EXCEPT chain is MAX(CASE) membership flags in ONE
+        # aggregation — no set operator, two scans (orders, customer)
+        assert plan.count("Scan parquet") <= 2
+        assert "Except" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_qds32_window_not_correlated_rescan(self, spark):
         plan = plan_of(spark, "qds32_excess_discount")
         # the per-part 1.3x-average screen is a window over the

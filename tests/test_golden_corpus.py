@@ -2835,6 +2835,89 @@ CORPUS += [
 ]
 
 
+# --------------------------------------------------------------------------
+# wave 20 — postgreSQL/timestamp.sql screens over the classic
+# TIMESTAMP_TBL fixture, float8.sql special-value arithmetic, and the
+# aggregates_part4 ordered-set aggregates (percentile_cont/disc, mode).
+# --------------------------------------------------------------------------
+
+#: PG regression TIMESTAMP_TBL (the reproducible subset of its rows)
+_TST = (
+    "WITH TIMESTAMP_TBL AS (SELECT * FROM (VALUES "
+    "(TIMESTAMP '1970-01-01 00:00:00'), "
+    "(TIMESTAMP '1997-01-02 00:00:00'), "
+    "(TIMESTAMP '1997-01-02 03:04:05'), "
+    "(TIMESTAMP '1997-02-10 17:32:01'), "
+    "(TIMESTAMP '2001-09-22 18:19:20'), "
+    "(TIMESTAMP '2004-02-29 15:44:17.71393')) AS TIMESTAMP_TBL(d1)) "
+)
+
+CORPUS += [
+    # timestamp.sql comparison screens
+    (_TST + "SELECT count(*) AS n FROM TIMESTAMP_TBL "
+     "WHERE d1 > timestamp '1997-01-02'",
+     "SELECT CAST(4 AS BIGINT) AS n"),
+    (_TST + "SELECT count(*) AS n FROM TIMESTAMP_TBL "
+     "WHERE d1 = timestamp '1997-01-02'",
+     "SELECT CAST(1 AS BIGINT) AS n"),
+    (_TST + "SELECT d1 FROM TIMESTAMP_TBL WHERE d1 BETWEEN "
+     "timestamp '1997-01-01' AND timestamp '1997-12-31' ORDER BY d1",
+     "SELECT * FROM (VALUES (TIMESTAMP '1997-01-02 00:00:00'), "
+     "(TIMESTAMP '1997-01-02 03:04:05'), "
+     "(TIMESTAMP '1997-02-10 17:32:01')) t(d1)"),
+    # date_trunc week (the PG regression classic)
+    ("SELECT date_trunc('week', timestamp '2004-02-29 15:44:17.71393') "
+     "AS week_trunc",
+     "SELECT TIMESTAMP '2004-02-23 00:00:00' AS week_trunc"),
+    # timestamp subtraction renders a PG-style day-time interval
+    (_TST + "SELECT d1 - timestamp '1997-01-02' AS diff "
+     "FROM TIMESTAMP_TBL WHERE d1 BETWEEN timestamp '1997-01-02' AND "
+     "timestamp '1997-03-01' ORDER BY d1",
+     "SELECT * FROM (VALUES ('00:00:00'), ('03:04:05'), "
+     "('39 days 17:32:01')) t(diff)"),
+    # EXTRACT field matrix over the fixture
+    (_TST + "SELECT EXTRACT(YEAR FROM d1) AS y, EXTRACT(MONTH FROM d1) "
+     "AS mo, EXTRACT(DAY FROM d1) AS d, EXTRACT(HOUR FROM d1) AS h "
+     "FROM TIMESTAMP_TBL WHERE d1 > timestamp '2001-01-01' ORDER BY d1",
+     "SELECT * FROM (VALUES (2001, 9, 22, 18), (2004, 2, 29, 15)) "
+     "t(y, mo, d, h)"),
+    # float8.sql special values
+    ("SELECT CAST('NaN' AS float8) AS n, CAST('infinity' AS float8) "
+     "AS i, CAST('-INFINITY' AS float8) AS ni",
+     "SELECT 'NaN' AS n, 'Infinity' AS i, '-Infinity' AS ni"),
+    ("SELECT CAST('Infinity' AS float8) + 100.0 AS v",
+     "SELECT 'Infinity' AS v"),
+    ("SELECT CAST('Infinity' AS float8) / CAST('Infinity' AS float8) "
+     "AS v, CAST('NaN' AS float8) / CAST('NaN' AS float8) AS w",
+     "SELECT 'NaN' AS v, 'NaN' AS w"),
+    # NaN sorts/compares HIGH and equal to itself in both engines
+    ("SELECT CAST('NaN' AS float8) = CAST('NaN' AS float8) AS eq, "
+     "CAST('NaN' AS float8) > CAST('Infinity' AS float8) AS gt",
+     "SELECT TRUE AS eq, TRUE AS gt"),
+    # float8 vs string-literal comparison coercion (float8.sql screens)
+    ("SELECT f1 FROM (VALUES (CAST(0 AS float8)), (1004.3), (-34.84)) "
+     "f(f1) WHERE f1 <> '1004.3' ORDER BY f1",
+     "SELECT * FROM (VALUES (CAST(-34.84 AS DOUBLE)), (0.0)) t(f1)"),
+    ("SELECT f1 * '-10' AS x FROM (VALUES (CAST(1004.3 AS float8))) "
+     "f(f1)",
+     "SELECT CAST(-10043 AS DOUBLE) AS x"),
+    # aggregates_part4: ordered-set aggregates (exact midpoints only —
+    # interpolation of exactly-representable values is engine-identical)
+    ("SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY x) AS p "
+     "FROM (VALUES (1), (2), (3), (4)) t(x)",
+     "SELECT CAST(2.5 AS DOUBLE) AS p"),
+    ("SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS p "
+     "FROM (VALUES (1), (2), (3), (4)) t(x)",
+     "SELECT CAST(2 AS DOUBLE) AS p"),
+    ("SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY x) AS p "
+     "FROM (VALUES (0.0), (1.0), (2.0), (3.0)) t(x)",
+     "SELECT CAST(0.75 AS DOUBLE) AS p"),
+    ("SELECT mode() WITHIN GROUP (ORDER BY x) AS m "
+     "FROM (VALUES (1), (2), (2), (3)) t(x)",
+     "SELECT 2 AS m"),
+]
+
+
 @pytest.fixture(scope="module")
 def server(spark):
     loop = asyncio.new_event_loop()

@@ -2665,3 +2665,240 @@ def qds87_channel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return only.agg(F.count(F.lit(1)).alias("urgent_only"))
+
+
+# --------------------------------------------------------------------------
+# wave 8 (late r7, below the frozen driver-sample cut — r8 rotation
+# priority): q89, q18, q46, q6 shapes.
+# --------------------------------------------------------------------------
+
+# q89 shape: monthly sales vs the partition's monthly average — keep
+# rows deviating more than 10% (reference examples/tpcds/queries/
+# q89.sql).
+
+_QDS89_SQL = """
+    SELECT p_type, store, moy,
+           CAST(sum_dec AS DOUBLE) AS sum_sales,
+           CAST(tot_dec AS DOUBLE) / n_months AS avg_monthly_sales
+    FROM (
+      SELECT p_type, store, moy, sum_dec,
+             SUM(sum_dec) OVER (PARTITION BY p_type, store) AS tot_dec,
+             COUNT(*) OVER (PARTITION BY p_type, store) AS n_months
+      FROM (
+        SELECT p_type, n_name AS store,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS moy,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(38,6))) AS sum_dec
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+        GROUP BY 1, 2, 3
+      ) m
+    ) w
+    WHERE ABS(CAST(sum_dec AS DOUBLE) - CAST(tot_dec AS DOUBLE) / n_months)
+          > 0.1 * (CAST(tot_dec AS DOUBLE) / n_months)
+    ORDER BY p_type, store, moy
+    LIMIT 100
+"""
+
+
+@query(
+    "qds89_monthly_deviation",
+    oracle=_QDS89_SQL,
+    covers="§2.B TPC-DS q89 shape: monthly sales screened against the "
+    "partition's monthly average (>10% deviation) via a window over "
+    "the grouped rows",
+)
+def qds89_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1997 months where a (part type, supplier nation) pair's revenue
+    deviates more than 10% from that pair's monthly average (q89's
+    off-trend month screen; part type and supplier nation stand in for
+    the item/store dimensions).
+
+    Scale: one fact pass builds the (type, store, month) aggregate and
+    the partition average is a window over those ~25x6x12 reduced rows
+    — no re-scan, no self-join. Determinism: monthly sums stay
+    DECIMAL(38,6); the average is one IEEE division of exact values;
+    the 10% screen compares engine-identical doubles (ABS of their
+    difference is also engine-identical); (p_type, store, moy) is a
+    unique ORDER BY, deliberately replacing the reference's
+    float-keyed ORDER BY deviation.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS89_SQL)
+
+
+# q18 shape: demographic averages at every ROLLUP level
+# (reference examples/tpcds/queries/q18.sql).
+
+#: the inner select renames n_name up front — GROUPING(store) cannot
+#: reference a select-list alias of the same query in Spark
+#: (GROUPING_COLUMN_MISMATCH)
+_QDS18_SQL = """
+    SELECT c_mktsegment, store,
+           CAST(GROUPING(c_mktsegment) + GROUPING(store) AS BIGINT)
+             AS lochierarchy,
+           CAST(FLOOR(CAST(SUM(qty) * 1000000 AS DOUBLE) / COUNT(*)
+                      + 0.5) AS DOUBLE) / 1000000.0 AS avg_qty,
+           CAST(FLOOR(CAST(SUM(price_cents) * 10000 AS DOUBLE)
+                      / COUNT(*) + 0.5) AS DOUBLE)
+             / 1000000.0 AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM (
+      SELECT c_mktsegment, n_name AS store,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS price_cents
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+    ) x
+    GROUP BY ROLLUP(c_mktsegment, store)
+    ORDER BY lochierarchy DESC, c_mktsegment ASC NULLS FIRST,
+             store ASC NULLS FIRST
+    LIMIT 100
+"""
+
+
+@query(
+    "qds18_rollup_avg_report",
+    oracle=_QDS18_SQL,
+    covers="§2.B TPC-DS q18 shape: averages computed at every ROLLUP "
+    "level of a demographic hierarchy (micro-space means stay exact "
+    "because sums and counts are additive across grouping levels)",
+)
+def qds18_rollup_avg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average quantity and price at every (market segment, supplier
+    nation) ROLLUP level for 1996 (q18's demographic average pyramid).
+
+    Scale: ONE fact pass; the ROLLUP's Expand doubles rows only after
+    aggregation keys are attached, and the 25-row nation dim
+    broadcasts. Determinism: the micro-space FLOOR means stay exact at
+    EVERY grouping level because the cents/quantity sums and counts
+    are additive; grouping-level sort pins NULLS FIRST explicitly.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS18_SQL)
+
+
+# q46 shape: order-grain aggregate joined back to the customer with a
+# home-vs-supplier geography mismatch residual
+# (reference examples/tpcds/queries/q46.sql; q68/q79 are variants).
+
+_QDS46_SQL = """
+    SELECT c_name, o_orderkey,
+           CAST(foreign_dec AS DOUBLE) AS foreign_rev,
+           CAST(total_dec AS DOUBLE) AS total_rev,
+           n_foreign
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             SUM(CASE WHEN s_nationkey <> c_nationkey
+                      THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6))
+                      ELSE CAST(0 AS DECIMAL(38,6)) END) AS foreign_dec,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(38,6))) AS total_dec,
+             CAST(SUM(CASE WHEN s_nationkey <> c_nationkey THEN 1
+                           ELSE 0 END) AS BIGINT) AS n_foreign
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      GROUP BY 1, 2
+    ) per_order
+    JOIN customer ON o_custkey = c_custkey
+    WHERE n_foreign > 0 AND foreign_dec * 2 > total_dec
+    ORDER BY c_name, o_orderkey
+    LIMIT 100
+"""
+
+
+@query(
+    "qds46_order_geo_mismatch",
+    oracle=_QDS46_SQL,
+    covers="§2.B TPC-DS q46/q68/q79 shape: order-grain aggregate "
+    "joined back to the customer dimension with a geography-mismatch "
+    "residual (foreign-supplied revenue dominating the order)",
+)
+def qds46_order_geo_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders from BUILDING/AUTOMOBILE customers where lines supplied
+    from OUTSIDE the customer's nation carry more than half the order
+    value (q46's bought-city <> home-city screen; supplier-vs-customer
+    nation keys stand in for the address city pair).
+
+    Scale: the mismatch flag is evaluated on the joined row (map-side
+    CASE), the order-grain aggregation rides the natural l_orderkey
+    shuffle, and the customer name join-back hits a dimension —
+    exactly q46's shape. Determinism: both money sums stay
+    DECIMAL(38,6); the dominance screen doubles one side in integer
+    decimal space (foreign*2 > total is exact decimal arithmetic —
+    no division); (c_name, o_orderkey) is a unique ORDER BY.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS46_SQL)
+
+
+# q6 shape: count customers per geography buying items priced over
+# 1.2x their category average, one anchored month
+# (reference examples/tpcds/queries/q6.sql).
+
+_QDS6_SQL = """
+    SELECT n_name AS state, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN (
+      SELECT p_partkey
+      FROM (
+        SELECT p_partkey, p_retailprice,
+               SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY p_type) AS type_tot,
+               COUNT(*) OVER (PARTITION BY p_type) AS type_n
+        FROM part
+      ) p
+      WHERE CAST(p_retailprice AS DOUBLE) >
+            1.01 * (CAST(type_tot AS DOUBLE) / type_n)
+    ) pricey ON l_partkey = p_partkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    HAVING COUNT(*) >= 5
+    ORDER BY cnt, state
+"""
+
+
+@query(
+    "qds6_pricey_item_states",
+    oracle=_QDS6_SQL,
+    covers="§2.B TPC-DS q6 shape: customer-geography census of "
+    "purchases of items priced over their category average "
+    "(dimension-side window screen), anchored date window, HAVING "
+    "floor",
+)
+def qds6_pricey_item_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer nations with at least 5 purchases (1995-1997) of parts
+    priced over 1.01x their type's average retail price (q6's
+    high-price shopper census; customer nation stands in for the
+    address state — retail prices here sit in a narrow 900-1000 band,
+    so the reference's 1.2x multiplier selects nothing at any SF and
+    1.01x keeps the same correlated-average shape with real rows).
+
+    Scale: the reference's correlated per-category AVG subquery is a
+    window over the PART DIMENSION only (never the fact), the pricey
+    part list joins the fact as a broadcast, and the date fringe
+    is pushed to the orders scan. Determinism: retail prices have 2
+    decimals so the per-type DECIMAL window sum is exact, the 1.2x
+    screen is one IEEE multiply/divide of engine-identical doubles,
+    and the output is an exact BIGINT count with a (cnt, state)
+    unique ORDER BY.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS6_SQL)

@@ -783,6 +783,40 @@ class TestTpcdsWave3Plans:
         assert "Except" not in plan
         assert "CartesianProduct" not in plan
 
+    def test_qds89_window_over_grouped_rows(self, spark):
+        plan = plan_of(spark, "qds89_monthly_deviation")
+        # the partition average is a window over the grouped rows —
+        # one pass through the five-relation join, no self-join
+        assert "Window" in plan
+        assert plan.count("Scan parquet") <= 5
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds18_single_pass_rollup(self, spark):
+        plan = plan_of(spark, "qds18_rollup_avg_report")
+        assert "Expand" in plan  # the ROLLUP
+        assert plan.count("Scan parquet") <= 5
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds46_order_grain_aggregate(self, spark):
+        plan = plan_of(spark, "qds46_order_geo_mismatch")
+        # the mismatch flag is a map-side CASE on the joined row; the
+        # customer join-back adds one extra customer scan (5 total)
+        assert plan.count("Scan parquet") <= 5
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds6_dimension_side_window(self, spark):
+        plan = plan_of(spark, "qds6_pricey_item_states")
+        # the per-type average screens the PART DIMENSION via a window
+        # before joining the fact — the fact is never re-scanned for
+        # the correlated average
+        assert "Window" in plan
+        assert plan.count("Scan parquet") <= 5
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_qds32_window_not_correlated_rescan(self, spark):
         plan = plan_of(spark, "qds32_excess_discount")
         # the per-part 1.3x-average screen is a window over the

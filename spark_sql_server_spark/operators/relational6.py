@@ -2902,3 +2902,99 @@ def qds6_pricey_item_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir)
     return spark.sql(_QDS6_SQL)
+
+
+# --------------------------------------------------------------------------
+# wave 9 (late r7, below the frozen driver-sample cut — r8 rotation
+# priority): q41, q15 shapes.
+# --------------------------------------------------------------------------
+
+# q41 shape: dimension-only correlated EXISTS — product names having a
+# qualifying sibling in the same dimension table
+# (reference examples/tpcds/queries/q41.sql).
+
+_QDS41_SQL = """
+    SELECT DISTINCT p_name
+    FROM part p1
+    WHERE p_retailprice BETWEEN 900 AND 1000
+      AND EXISTS (
+        SELECT 1 FROM part p2
+        WHERE p2.p_brand = p1.p_brand
+          AND p2.p_partkey <> p1.p_partkey
+          AND p2.p_retailprice BETWEEN p1.p_retailprice - 5
+                                   AND p1.p_retailprice + 5
+      )
+    ORDER BY p_name
+    LIMIT 100
+"""
+
+
+@query(
+    "qds41_sibling_exists",
+    oracle=_QDS41_SQL,
+    covers="§2.B TPC-DS q41 shape: dimension-only correlated EXISTS "
+    "(product names with a same-brand sibling in a price band) — the "
+    "fact table is never touched",
+)
+def qds41_sibling_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part names having at least one same-brand sibling
+    priced within ±5 (q41's manufacturer-variant screen — a query that
+    runs entirely on the dimension table).
+
+    Scale: a dimension-only self semi-join on p_brand with the price
+    band as residual — Spark plans the correlated EXISTS as a LeftSemi
+    hash join on the ~25-value brand key; the fact table is never
+    scanned, which is the point of the q41 family. Determinism: the
+    band compare is exact-decimal-class arithmetic on 2-decimal prices
+    rendered as engine-identical doubles, and the DISTINCT name set
+    has a unique ORDER BY.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS41_SQL)
+
+
+# q15 shape: census with an OR spanning dimension AND fact columns —
+# the disjunct defeats single-table pushdown by construction
+# (reference examples/tpcds/queries/q15.sql).
+
+_QDS15_SQL = """
+    SELECT n_name AS state,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE (c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+           OR c_acctbal > 9000
+           OR l_quantity > 45)
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+@query(
+    "qds15_cross_table_disjunct",
+    oracle=_QDS15_SQL,
+    covers="§2.B TPC-DS q15 shape: census whose OR-disjunct spans "
+    "dimension and fact columns (zip-prefix OR state OR sale-floor), "
+    "evaluated as a post-join residual",
+)
+def qds15_cross_table_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation line counts and revenue for 1996-H1 where the
+    customer segment, the customer balance, OR the line quantity
+    qualifies (q15's zip/state/sale-floor disjunct; the OR spans the
+    customer dimension and the fact, so no single scan can absorb it).
+
+    Scale: the cross-table OR is one residual on the joined row — the
+    date fringe still pushes to the orders scan and the conjunct-free
+    dimensions stream through the natural fact shuffle; nation
+    broadcasts. Determinism: the count is exact, revenue sums
+    DECIMAL(38,6) before one DOUBLE cast, and state is a unique
+    ORDER BY.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS15_SQL)

@@ -817,6 +817,24 @@ class TestTpcdsWave3Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_qds41_dimension_only_semi_join(self, spark):
+        plan = plan_of(spark, "qds41_sibling_exists")
+        # the correlated EXISTS is a LeftSemi self-join on the part
+        # DIMENSION only — two part scans, the fact never appears
+        assert "LeftSemi" in plan
+        assert plan.count("Scan parquet") == 2
+        assert "lineitem" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_qds15_residual_disjunct_date_pushed(self, spark):
+        plan = plan_of(spark, "qds15_cross_table_disjunct")
+        # the OR spans customer and fact columns (post-join residual),
+        # but the date fringe must still reach the orders scan pushed
+        assert "o_orderdate" in plan
+        assert plan.count("Scan parquet") <= 4
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_qds32_window_not_correlated_rescan(self, spark):
         plan = plan_of(spark, "qds32_excess_discount")
         # the per-part 1.3x-average screen is a window over the

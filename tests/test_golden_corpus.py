@@ -2918,6 +2918,44 @@ CORPUS += [
 ]
 
 
+# --------------------------------------------------------------------------
+# wave 21 — postgreSQL/int2-int8.sql + numeric.sql math-edge ports:
+# signed modulo, the min-bigint % -1 overflow trap, decimal rounding,
+# ceil/floor on negatives, factorial / width_bucket / greatest-least.
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    # modulo takes the dividend's sign in PG, Spark and DuckDB
+    ("SELECT mod(-38, 5) AS m, (-37) % 4 AS m2",
+     "SELECT -3 AS m, -1 AS m2"),
+    # the classic overflow trap: min-bigint % -1 is 0, not an error
+    ("SELECT CAST(-9223372036854775808 AS int8) % -1 AS z",
+     "SELECT CAST(0 AS BIGINT) AS z"),
+    # int literal extremes survive the parser
+    ("SELECT 9223372036854775807 AS mx, -9223372036854775808 AS mn",
+     "SELECT CAST(9223372036854775807 AS BIGINT) AS mx, "
+     "CAST(-9223372036854775808 AS BIGINT) AS mn"),
+    ("SELECT CAST(32767 AS int2) AS mx2, CAST(-32768 AS int2) AS mn2",
+     "SELECT CAST(32767 AS SMALLINT) AS mx2, "
+     "CAST(-32768 AS SMALLINT) AS mn2"),
+    # numeric.sql: decimal ROUND is half-away-from-zero in both engines
+    ("SELECT round(CAST(42.4382 AS numeric(10,4)), 2) AS r, "
+     "round(CAST(-42.4382 AS numeric(10,4)), 2) AS nr",
+     "SELECT '42.44' AS r, '-42.44' AS nr"),
+    # ceil/floor on negative decimals (integral rendering, no scale)
+    ("SELECT ceil(CAST(-42.8 AS numeric(10,1))) AS c, "
+     "floor(CAST(-42.8 AS numeric(10,1))) AS f",
+     "SELECT '-42' AS c, '-43' AS f"),
+    ("SELECT sign(-8.4) AS s, abs(-17) AS a",
+     "SELECT CAST(-1 AS DOUBLE) AS s, 17 AS a"),
+    ("SELECT factorial(5) AS f", "SELECT CAST(120 AS BIGINT) AS f"),
+    ("SELECT width_bucket(5.35, 0.024, 10.06, 5) AS wb",
+     "SELECT CAST(3 AS BIGINT) AS wb"),
+    ("SELECT greatest(1, 5, 3) AS g, least(1, 5, 3) AS l",
+     "SELECT 5 AS g, 1 AS l"),
+]
+
+
 @pytest.fixture(scope="module")
 def server(spark):
     loop = asyncio.new_event_loop()

@@ -3082,6 +3082,12 @@ NEGATIVE_CORPUS: list[str] = [
     "t(a, b)) SELECT a FROM test_having HAVING min(a) < max(a)",
     "WITH test_having AS (SELECT * FROM (VALUES (0, 1)) "
     "t(a, b)) SELECT 1 AS one FROM test_having HAVING a > 1",
+    # int2.sql: ANSI overflow on an out-of-range smallint cast (PG also
+    # errors: smallint out of range)
+    "SELECT CAST(32768 AS int2)",
+    # three-argument trim is not a thing in either dialect; the
+    # two-arg TRIM rewrite must leave it alone so it errors cleanly
+    "SELECT ltrim('a', 'b', 'c')",
 ]
 
 

@@ -84,3 +84,14 @@ def init_system_functions(spark: SparkSession) -> None:
         lambda name: GUC_DEFAULTS.get(str(name).lower()) if name else None,
         T.StringType(),
     )
+    # PG-style version(): ORMs parse "PostgreSQL X.Y" out of it
+    # (SQLAlchemy's postgresql dialect does SELECT version() on connect).
+    # This shadows Spark's built-in version() for the session — the
+    # Spark build string rides along in parentheses.
+    import pyspark
+
+    ver = (
+        f"PostgreSQL {GUC_DEFAULTS.get('server_version', '9.6.0')} "
+        f"(Apache Spark {pyspark.__version__}) 64-bit"
+    )
+    udf("version", lambda: ver, T.StringType())

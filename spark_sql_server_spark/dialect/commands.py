@@ -47,6 +47,13 @@ class StatementClass(enum.Enum):
     NOTIFY = "notify"      # PG NOTIFY channel [, 'payload']
     DISCARD = "discard"        # PG `DISCARD ALL|PLANS|SEQUENCES|TEMP` —
                                # pgbouncer sends DISCARD ALL between clients
+    MAINT = "maint"            # PG maintenance statements with nothing to do
+                               # on Spark (no dead tuples, no PG indexes):
+                               # VACUUM / CHECKPOINT / REINDEX / bare ANALYZE
+                               # complete as no-ops with their PG tags so
+                               # maintenance scripts and ORMs don't error
+                               # (Spark's own ANALYZE TABLE/TABLES still
+                               # passes through and runs for real)
 
 
 @dataclass
@@ -379,6 +386,14 @@ def classify_statement(sql: str) -> Statement:
         return Statement(StatementClass.BEGIN, sql, tag="BEGIN")
     if word0 in ("COMMIT", "END"):
         return Statement(StatementClass.COMMIT, sql, tag="COMMIT")
+    if word0 in ("VACUUM", "CHECKPOINT", "REINDEX"):
+        return Statement(StatementClass.MAINT, sql, tag=word0)
+    if word0 in ("ANALYZE", "ANALYSE"):
+        words = s.split(None, 2)
+        if len(words) == 1 or words[1].upper() not in ("TABLE", "TABLES"):
+            # PG `ANALYZE [table [(cols)]]` — Spark's ANALYZE TABLE(S)
+            # statements fall through and execute for real
+            return Statement(StatementClass.MAINT, sql, tag="ANALYZE")
     if word0 in ("ROLLBACK", "ABORT"):
         return Statement(StatementClass.ROLLBACK, sql, tag="ROLLBACK")
     if word0 == "DEALLOCATE":

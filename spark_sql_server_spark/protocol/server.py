@@ -631,6 +631,9 @@ class SparkPGServer:
         if stmt.cls is StatementClass.BEGIN:
             writer.write(M.command_complete("BEGIN"))
             return
+        if stmt.cls is StatementClass.MAINT:
+            writer.write(M.command_complete(stmt.tag))
+            return
         if stmt.cls in (StatementClass.COMMIT, StatementClass.ROLLBACK):
             raise ValueError(f"Operation not allowed: {stmt.sql.strip()}")
         if stmt.cls is StatementClass.DEALLOCATE:
@@ -1134,6 +1137,9 @@ class SparkPGServer:
         stmt = ps.stmt
         if stmt.cls is StatementClass.BEGIN:
             writer.write(M.command_complete("BEGIN"))
+            return
+        if stmt.cls is StatementClass.MAINT:
+            writer.write(M.command_complete(stmt.tag))
             return
         if stmt.cls in (StatementClass.COMMIT, StatementClass.ROLLBACK):
             raise ValueError(f"Operation not allowed: {ps.raw_sql.strip()}")

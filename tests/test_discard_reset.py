@@ -371,3 +371,58 @@ class TestListenNotifyE2E:
 
         probe = _run(server, go)
         assert not any(t == b"A" for t, _ in probe)
+
+
+class TestMaintenanceNoops:
+    """PG maintenance statements (VACUUM / bare ANALYZE / CHECKPOINT /
+    REINDEX) have nothing to do on Spark — they must complete as no-ops
+    with their PG command tags (maintenance scripts and ORMs issue
+    them), while Spark's own ANALYZE TABLE/TABLES still passes through
+    and executes for real."""
+
+    def test_classify_maint_forms(self):
+        for sql, tag in (
+            ("VACUUM", "VACUUM"),
+            ("VACUUM lineitem", "VACUUM"),
+            ("VACUUM (FULL, ANALYZE) lineitem", "VACUUM"),
+            ("vacuum analyze lineitem", "VACUUM"),
+            ("ANALYZE", "ANALYZE"),
+            ("ANALYZE lineitem", "ANALYZE"),
+            ("ANALYSE lineitem", "ANALYZE"),
+            ("CHECKPOINT", "CHECKPOINT"),
+            ("REINDEX TABLE lineitem", "REINDEX"),
+        ):
+            st = classify_statement(sql)
+            assert st.cls is StatementClass.MAINT, sql
+            assert st.tag == tag, sql
+        # Spark's real statistics statements are NOT intercepted
+        assert (
+            classify_statement("ANALYZE TABLE t COMPUTE STATISTICS").cls
+            is StatementClass.QUERY
+        )
+        assert (
+            classify_statement("ANALYZE TABLES COMPUTE STATISTICS").cls
+            is StatementClass.QUERY
+        )
+
+    def test_maint_noops_over_wire(self, server):
+        async def go(srv):
+            c = await PgClient.connect(srv.port)
+            out = {}
+            for sql in ("VACUUM lineitem", "ANALYZE lineitem",
+                        "CHECKPOINT", "REINDEX TABLE lineitem"):
+                msgs = await c.simple(sql)
+                assert not any(t == b"E" for t, _ in msgs), sql
+                out[sql] = completes_of(msgs)
+            # the session still works afterwards
+            msgs = await c.simple("SELECT count(*) AS n FROM lineitem")
+            rows = rows_of(msgs)
+            await c.close()
+            return out, rows
+
+        out, rows = _run(server, go)
+        assert out["VACUUM lineitem"] == ["VACUUM"]
+        assert out["ANALYZE lineitem"] == ["ANALYZE"]
+        assert out["CHECKPOINT"] == ["CHECKPOINT"]
+        assert out["REINDEX TABLE lineitem"] == ["REINDEX"]
+        assert len(rows) == 1

@@ -20,6 +20,16 @@ def catalog(spark):
     yield
 
 
+class TestVersionFunction:
+    def test_version_is_pg_style(self, spark):
+        # ORMs regex "PostgreSQL X.Y" out of version() on connect
+        # (SQLAlchemy's postgresql dialect does SELECT version());
+        # the registered UDF shadows Spark's build-string version()
+        v = spark.sql("SELECT version() AS v").collect()[0].v
+        assert v.startswith("PostgreSQL 9.6.0")
+        assert "Apache Spark" in v
+
+
 class TestCatalogTables:
     def test_all_tables_exist(self, spark):
         from spark_sql_server_spark.catalog.pg_catalog import CATALOG_TABLE_SCHEMAS

@@ -19,6 +19,7 @@ from spark_sql_server_spark.operators import (  # noqa: F401
     relational4,
     relational5,
     relational6,
+    relational7,
     sampling,
     similarity,
     sketches,
@@ -37,27 +38,42 @@ from spark_sql_server_spark.operators.registry import REGISTRY, QuerySpec
 #: Everything listed after rests on its r1–r3 driver record and the
 #: local bit-exact twin (tests/test_oracle_parity.py runs ALL of them).
 _DRIVER_SAMPLE_PRIORITY = [
-    # ALL 11 operators added in r7 (never sampled by construction; the
-    # ONLY registry names without a green driver row r1–r6): the three
-    # TPC-DS families r6 reserved slots for, plus waves 2–3
-    # (relational6.py). Rotation FROZEN here mid-session — any
-    # later-r7 addition goes below the cut and becomes r8 priority.
-    "qds47_moving_avg_rank", "qds64_two_cycle_sales",
-    "qds78_channel_rollup",
-    "qds75_yoy_channel_decline", "qds97_channel_overlap",
-    "qds21_shipflow_balance", "qds16_multi_supplier_clean",
-    "qds66_monthly_pivot", "qds98_class_revenue_ratio",
-    "qds9_quantity_buckets", "qds33_union_leg_reagg",
-    # r6-certified continuity (green r6 driver rows)
-    "qds31_quarterly_acceleration", "qds35_multi_channel_exists",
-    "qds39_volatile_supply", "qds54_cohort_spend_bands",
+    # r8 priority #1 (VERDICT r7 task 1): the 22 wave-4-9 TPC-DS ops
+    # that landed after the r7 rotation froze — the ONLY registry names
+    # without a green driver CORRECTNESS row (judge twin-verified 22/22
+    # but the bar is a driver row per operator).
+    "qds1_returns_above_avg", "qds59_weekday_ratio",
+    "qds65_store_min_avg", "qds99_ship_lag_buckets",
+    "qds38_channel_intersect", "qds13_disjunct_bands",
+    "qds90_ampm_ratio", "qds32_excess_discount",
+    "qds28_quantity_band_census", "qds44_best_worst_rank_join",
+    "qds58_channel_balance", "qds61_promo_share",
+    "qds70_hierarchy_rank_rollup", "qds77_channel_profit_rollup",
+    "qds7_dimension_avg_report", "qds87_channel_except",
+    "qds89_monthly_deviation", "qds18_rollup_avg_report",
+    "qds46_order_geo_mismatch", "qds6_pricey_item_states",
+    "qds41_sibling_exists", "qds15_cross_table_disjunct",
+    # new r8 operators (wave 10: three-fact chains, inventory windows,
+    # q24 CTE-reuse, star reports, channel unions — relational7.py)
+    "qds25_profit_chain", "qds29_quantity_chain",
+    "qds37_inventory_window", "qds82_inventory_store_window",
+    "qds24_netpaid_threshold", "qds42_category_report",
+    "qds52_brand_report", "qds55_manager_brand_head",
+    "qds96_selectivity_count", "qds56_brandset_union",
+    "qds60_category_union",
     # anchors with a continuous driver record (cheap cross-round
     # stability signal)
     "q1_pricing_summary", "q3_shipping_priority",
     "pipe_curate_corpus", "pipe_build_dataset",
     "st_sessionize_stream", "d_dedup_exact",
-    # r5-certified families re-sampled for continuity (all have green
-    # r5 rows; keeps the sample representative across modules)
+    # r7-certified continuity (green r7 driver rows; keeps the sample
+    # representative across modules)
+    "qds47_moving_avg_rank", "qds64_two_cycle_sales",
+    "qds78_channel_rollup", "qds75_yoy_channel_decline",
+    "qds97_channel_overlap", "qds21_shipflow_balance",
+    "qds16_multi_supplier_clean", "qds66_monthly_pivot",
+    "qds98_class_revenue_ratio", "qds9_quantity_buckets",
+    "qds33_union_leg_reagg",
     "s_ann_lsh", "s_semdedup", "s_ann_ivf", "s_kmeans", "s_ann_pq",
     "q_asof_join", "q_range_join", "q6_forecast_revenue",
     "q_date_funcs", "q_order_nulls", "q_limit_offset",

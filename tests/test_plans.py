@@ -847,6 +847,95 @@ class TestTpcdsWave3Plans:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestTpcdsWave10Plans:
+    """r8 wave 10: three-fact chains, inventory windows, q24
+    CTE-reuse checkpoint, star reports, one-pass channel unions."""
+
+    def test_qds25_chain_no_cartesian(self, spark):
+        plan = plan_of(spark, "qds25_profit_chain")
+        # three instances of the fact chain on (custkey, partkey) equi
+        # keys; dims broadcast; never a nested loop
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_qds29_chain_no_cartesian(self, spark):
+        plan = plan_of(spark, "qds29_quantity_chain")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds37_semi_join_and_pushed_screens(self, spark):
+        plan = plan_of(spark, "qds37_inventory_window")
+        # the sales-channel existence leg is a genuine semi join (no
+        # row explosion before the dedup), and the item/inventory
+        # screens reach their scans
+        assert "LeftSemi" in plan
+        assert "p_retailprice" in plan
+        assert "l_shipdate" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds82_semi_join_shape(self, spark):
+        plan = plan_of(spark, "qds82_inventory_store_window")
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds24_checkpointed_ssales(self, spark):
+        plan = plan_of(spark, "qds24_netpaid_threshold")
+        # the ssales aggregate is localCheckpoint-ed (ExistingRDD), so
+        # the five-relation star is NOT re-run per consumer — the
+        # CTE-referenced-twice inline trap (qds70/qds64 class)
+        assert "Scan ExistingRDD" in plan
+        assert plan.count("Scan parquet") == 0
+        assert "CartesianProduct" not in plan
+
+    def test_qds42_star_report_topk(self, spark):
+        plan = plan_of(spark, "qds42_category_report")
+        # single-star report: ≤3 scans, distributed top-K head
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("Scan parquet") <= 3
+        assert "CartesianProduct" not in plan
+
+    def test_qds52_star_report_topk(self, spark):
+        plan = plan_of(spark, "qds52_brand_report")
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("Scan parquet") <= 3
+        assert "CartesianProduct" not in plan
+
+    def test_qds55_star_report_topk(self, spark):
+        plan = plan_of(spark, "qds55_manager_brand_head")
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("Scan parquet") <= 3
+        assert "CartesianProduct" not in plan
+
+    def test_qds96_broadcast_count(self, spark):
+        plan = plan_of(spark, "qds96_selectivity_count")
+        # pure selectivity count: every dimension screen is a
+        # broadcast hash join; the fact never widens
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("Scan parquet") <= 4
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds56_one_pass_union_fold(self, spark):
+        plan = plan_of(spark, "qds56_brandset_union")
+        # the oracle UNION-ALLs three per-priority legs (three fact
+        # scans); the Spark plan folds the disjoint legs into ONE
+        # aggregation — a single lineitem scan, no Union, and the
+        # brand-set IN subquery is a broadcast semi join
+        assert "Union" not in plan
+        assert "LeftSemi" in plan
+        assert plan.count("Scan parquet") <= 5
+        assert "CartesianProduct" not in plan
+
+    def test_qds60_one_pass_union_fold(self, spark):
+        plan = plan_of(spark, "qds60_category_union")
+        assert "Union" not in plan
+        assert plan.count("Scan parquet") <= 5
+        assert "CartesianProduct" not in plan
+
+
 class TestKmeansTreeReduce:
     def test_partials_reduced_before_collect(self, spark):
         """The k-means-family codebook fold must shuffle-reduce the

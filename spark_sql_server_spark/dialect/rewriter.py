@@ -785,9 +785,11 @@ def _rewrite_eq_any(toks: list[Tok]) -> list[Tok]:
 
 _PG_INT_ARRAY_LITERAL = re.compile(r"^'\{\s*(-?\d+(\s*,\s*-?\d+)*)?\s*\}'$")
 
-#: numeric array literal (integers or decimals) for float element types
+#: numeric array literal (integers, decimals, or bare NULL items — PG
+#: treats an unquoted case-insensitive NULL item as a NULL element)
 _PG_NUM_ARRAY_LITERAL = re.compile(
-    r"^'\{\s*(-?\d+(\.\d+)?(\s*,\s*-?\d+(\.\d+)?)*)?\s*\}'$"
+    r"^'\{\s*((-?\d+(\.\d+)?|[Nn][Uu][Ll][Ll])"
+    r"(\s*,\s*(-?\d+(\.\d+)?|[Nn][Uu][Ll][Ll]))*)?\s*\}'$"
 )
 #: unquoted-item literal for string element types ('{a, b}'::text[]);
 #: items may not contain braces/quotes/commas — quoted-item PG literals
@@ -830,10 +832,25 @@ def _array_literal_expr(type_l: str, lit: str) -> str | None:
     if not m:
         return None
     inner = (m.group(1) or "").strip()
-    items = [s.strip() for s in inner.split(",")] if inner else []
-    if quote:
-        items = ["'" + s.replace("'", "''") + "'" for s in items]
+    raw_items = [s.strip() for s in inner.split(",")] if inner else []
+    # an unquoted case-insensitive NULL item is a NULL element in PG
+    # (a literal string "NULL" would be double-quoted, which the string
+    # regex rejects → plain-CAST fallthrough), r7 ADVICE
+    items = [
+        "NULL"
+        if s.upper() == "NULL"
+        else ("'" + s.replace("'", "''") + "'" if quote else s)
+        for s in raw_items
+    ]
     arr = f"array({', '.join(items)})" if items else "array()"
+    if (
+        elem_type is None
+        and items
+        and all(s.upper() == "NULL" for s in raw_items)
+    ):
+        # pin the declared element type so an all-NULL literal doesn't
+        # come out as ARRAY<VOID> (mixed literals resolve naturally)
+        elem_type = "STRING" if quote else "INT"
     if elem_type is not None:
         arr = f"CAST({arr} AS ARRAY<{elem_type}>)"
     elif quote and not items:
@@ -1178,6 +1195,148 @@ def _rewrite_distinct_on(sql: str) -> str:
     return out
 
 
+#: DDL column types: PG spelling → Spark spelling (no-argument forms).
+#: varchar(n)/char(n) are valid Spark DDL and keep their lengths;
+#: numeric(p,s) only needs the keyword renamed.
+_DDL_TYPE_MAP = {
+    "text": "STRING",
+    "int2": "SMALLINT",
+    "int4": "INT",
+    "int8": "BIGINT",
+    "serial": "INT",
+    "bigserial": "BIGINT",
+    "float4": "FLOAT",
+    "float8": "DOUBLE",
+    "bool": "BOOLEAN",
+    "bytea": "BINARY",
+    "numeric": "DECIMAL(38,18)",
+    "bpchar": "STRING",
+    "name": "STRING",
+    "json": "STRING",
+    "jsonb": "STRING",
+    "uuid": "STRING",
+    "timestamptz": "TIMESTAMP",
+}
+_DDL_KEEP_PARENS = {"varchar", "char", "character"}
+
+
+def _rewrite_ddl_column_types(toks: list[Tok]) -> list[Tok]:
+    """Map PG type spellings in CREATE TABLE column lists — ``CREATE
+    TABLE t (body text, n int8)`` must become ``STRING``/``BIGINT``
+    before Spark's parser sees it (found replaying postgreSQL/
+    insert.sql over the wire: ``text`` — PG's everyday string type — is
+    UNSUPPORTED_DATATYPE in Spark DDL; the cast rewrites only cover
+    expression positions). Each depth-1 comma segment of the first
+    paren group after the table name is a column definition whose
+    second code token is the type; ``numeric(p,s)`` keeps its
+    arguments (keyword renamed), ``T[]`` becomes ``ARRAY<T>``."""
+    words = [
+        (i, t.text.lower()) for i, t in enumerate(toks) if t.kind == "word"
+    ]
+    if len(words) < 2 or words[0][1] != "create":
+        return toks
+    if not any(w == "table" for _, w in words[:4]):
+        return toks
+    # the column list is the first top-level paren group; a CTAS has
+    # none before AS/USING — stop the scan there
+    oi = -1
+    for i, t in enumerate(toks):
+        if t.kind == "word" and t.text.lower() in ("as", "using"):
+            break
+        if t.text == "(":
+            oi = i
+            break
+    if oi == -1:
+        return toks
+    close = _find_matching_paren(toks, oi)
+    if close == -1:
+        return toks
+    # segment starts at depth 1
+    depth = 0
+    seg_start = oi + 1
+    segments = []
+    for j in range(oi + 1, close + 1):
+        if toks[j].text == "(":
+            depth += 1
+        elif toks[j].text == ")":
+            if depth == 0:
+                segments.append((seg_start, j))
+                break
+            depth -= 1
+        elif depth == 0 and toks[j].text == ",":
+            segments.append((seg_start, j))
+            seg_start = j + 1
+    for lo, hi in segments:
+        name_i = -1
+        for j in range(lo, hi):
+            if _is_code(toks[j]):
+                name_i = j
+                break
+        if name_i == -1 or toks[name_i].kind not in ("word", "qident"):
+            continue
+        type_i = _next_code(toks, name_i)
+        if type_i >= hi or toks[type_i].kind != "word":
+            continue
+        low = toks[type_i].text.lower()
+        after = _next_code(toks, type_i)
+        has_parens = after < hi and toks[after].text == "("
+        if has_parens:
+            if low == "numeric":
+                toks[type_i] = Tok("word", "DECIMAL")
+            continue  # varchar(n)/char(n)/decimal(p,s) are valid DDL
+        mapped = _DDL_TYPE_MAP.get(low)
+        if low in ("varchar", "character"):
+            mapped = "STRING"  # bare varchar: unbounded → STRING
+        if mapped is None:
+            continue
+        # one level of PG array syntax: `T[]` → ARRAY<T>
+        if (
+            after < hi
+            and toks[after].text == "["
+            and _next_code(toks, after) < hi
+            and toks[_next_code(toks, after)].text == "]"
+        ):
+            toks[_next_code(toks, after)] = Tok("ws", "")
+            toks[after] = Tok("ws", "")
+            mapped = f"ARRAY<{mapped}>"
+        toks[type_i] = Tok("word", mapped)
+    return toks
+
+
+def _rewrite_single_arg_log(toks: list[Tok]) -> list[Tok]:
+    """PG ``log(x)`` is base-10; Spark's single-arg ``log(x)`` is the
+    NATURAL log — a silent-wrong-result divergence (found porting
+    postgreSQL/numeric.sql: ``log(590489.45)`` returned 13.29 instead
+    of 5.77). Rewrite one-argument ``log(x)`` → ``log10(x)``; the
+    two-argument base form agrees between the dialects and is left
+    alone. Runs after the pg_catalog. strip (same ordering rule as the
+    trim pass)."""
+    for i, t in enumerate(toks):
+        if t.kind != "word" or t.text.lower() != "log":
+            continue
+        pi = _prev_code(toks, i)
+        if pi >= 0 and toks[pi].text == ".":
+            continue  # user-schema qualified — leave alone
+        oi = _next_code(toks, i)
+        if oi >= len(toks) or toks[oi].text != "(":
+            continue
+        close = _find_matching_paren(toks, oi)
+        if close == -1:
+            continue
+        depth = 0
+        commas = 0
+        for j in range(oi + 1, close):
+            if toks[j].text == "(":
+                depth += 1
+            elif toks[j].text == ")":
+                depth -= 1
+            elif depth == 0 and toks[j].text == ",":
+                commas += 1
+        if commas == 0 and close > oi + 1:  # exactly one argument
+            toks[i] = Tok("word", "log10")
+    return toks
+
+
 #: PG two-arg trim family → TRIM specifier (PG argument order is
 #: (string, characters); Spark's two-arg ltrim/rtrim is the REVERSE, so
 #: passing them through silently trims the wrong operand)
@@ -1199,7 +1358,10 @@ def _rewrite_trim_set(toks: list[Tok]) -> list[Tok]:
                 continue
             pi = _prev_code(toks, i)
             if pi >= 0 and toks[pi].text == ".":
-                continue  # qualified (pg_catalog.ltrim) — handled later
+                # still qualified: this pass runs after the pg_catalog.
+                # strip, so any remaining dot-prefix is a genuine
+                # user-schema function — leave it alone
+                continue
             oi = _next_code(toks, i)
             if oi >= len(toks) or toks[oi].text != "(":
                 continue
@@ -1303,12 +1465,27 @@ def _merge_multiword_types(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+def _rewrite_timestamptz_literals(toks: list[Tok]) -> list[Tok]:
+    """``timestamptz '...'`` (incl. the folded spelling of ``TIMESTAMP
+    WITH TIME ZONE '...'``) → ``TIMESTAMP '...'`` — Spark has no
+    timestamptz keyword, and its TIMESTAMP is LTZ, which matches PG
+    timestamptz semantics (r7 ADVICE: the multiword fold produced a
+    typed literal Spark could not parse)."""
+    for i, t in enumerate(toks):
+        if t.kind == "word" and t.text.lower() == "timestamptz":
+            ni = _next_code(toks, i)
+            if ni < len(toks) and toks[ni].kind == "string":
+                toks[i] = Tok("word", "TIMESTAMP")
+    return toks
+
+
 def rewrite_sql(sql: str, params: bool = True) -> str:
     """Apply every PG→Spark dialect rewrite to one SQL statement."""
     sql = _rewrite_distinct_on(sql)
     toks = _lex(sql)
     toks = _merge_multiword_types(toks)
-    toks = _rewrite_trim_set(toks)
+    toks = _rewrite_timestamptz_literals(toks)
+    toks = _rewrite_ddl_column_types(toks)
     toks = _rewrite_casts(toks)
     toks = _rewrite_cast_type_names(toks)
     toks = _rewrite_json_ops(toks)
@@ -1323,6 +1500,11 @@ def rewrite_sql(sql: str, params: bool = True) -> str:
     toks = _rewrite_subscripts(toks)
     toks = _rewrite_escape_strings(toks)
     toks = _rewrite_qualified_system_functions(toks)
+    # AFTER the pg_catalog. strip so pg_catalog.ltrim(s, chars) gets its
+    # argument order fixed too (r7 ADVICE: running this pass first let
+    # the dotted spelling reach Spark's reversed two-arg ltrim)
+    toks = _rewrite_trim_set(toks)
+    toks = _rewrite_single_arg_log(toks)
     toks = _rewrite_quoted_identifiers(toks)
     if params:
         toks = _rewrite_params(toks)

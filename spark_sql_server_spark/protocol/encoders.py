@@ -110,6 +110,12 @@ def text_encoder(dt: T.DataType):
             return s.rstrip("0").rstrip(".")
 
         return _ts_text
+    if isinstance(dt, T.DecimalType):
+        # PG numeric text NEVER uses scientific notation; Python's
+        # str(Decimal) does for small-magnitude values (str(Decimal
+        # ('0E-10')) == '0E-10' where PG prints '0.0000000000').
+        # format(..., 'f') renders fixed-point, preserving the scale.
+        return lambda v: format(v, "f") if isinstance(v, Decimal) else str(v)
     if isinstance(dt, T.DayTimeIntervalType):
         return _interval_text
     return lambda v: str(v)

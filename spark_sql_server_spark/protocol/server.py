@@ -650,7 +650,7 @@ class SparkPGServer:
             resolved = self._resolve_execute(state, stmt)
             df = await self._spark_sql(state, rewrite_sql(resolved))
             if not df.schema.fields:
-                writer.write(M.command_complete(_tag_for(resolved, 0)))
+                writer.write(M.command_complete(_tag_for(resolved, df=df)))
                 return
             await self._stream_result(
                 state, df, [0], writer, limit=0, tag_word=None, sql=resolved
@@ -741,7 +741,7 @@ class SparkPGServer:
             return
         df = await self._spark_sql(state, rewrite_sql(sql))
         if not df.schema.fields:
-            writer.write(M.command_complete(_tag_for(sql, 0)))
+            writer.write(M.command_complete(_tag_for(sql, df=df)))
             return
         await self._stream_result(state, df, [0], writer, limit=0, tag_word=None, sql=sql)
 
@@ -1195,7 +1195,7 @@ class SparkPGServer:
             resolved = self._resolve_execute(state, stmt)
             df = await self._spark_sql(state, rewrite_sql(resolved))
             if not df.schema.fields:
-                writer.write(M.command_complete(_tag_for(resolved, 0)))
+                writer.write(M.command_complete(_tag_for(resolved, df=df)))
                 return
             portal.df = df
             portal.serializer = self._make_serializer(df, portal.result_formats)
@@ -1206,7 +1206,7 @@ class SparkPGServer:
                 portal.df = df
                 portal.serializer = self._make_serializer(df, portal.result_formats)
             else:
-                writer.write(M.command_complete(_tag_for(ps.raw_sql, 0)))
+                writer.write(M.command_complete(_tag_for(ps.raw_sql, df=df)))
                 return
         await self._stream_result(
             state,
@@ -1583,10 +1583,23 @@ class SparkPGServer:
 
             if is_binary:
                 if bin_header_done:
-                    rows_b, consumed, bin_done = _parse_copy_binary_tuples(
-                        buf, 0, decs
-                    )
-                    pending_rows.extend(rows_b)
+                    if bin_done:
+                        # stream already hit the -1 end-of-data trailer;
+                        # any residual bytes are junk, not tuples (PG:
+                        # "received copy data after EOF marker")
+                        if buf:
+                            raise ValueError(
+                                "received copy data after EOF marker"
+                            )
+                    else:
+                        rows_b, consumed, bin_done = (
+                            _parse_copy_binary_tuples(buf, 0, decs)
+                        )
+                        pending_rows.extend(rows_b)
+                        if bin_done and consumed < len(buf):
+                            raise ValueError(
+                                "received copy data after EOF marker"
+                            )
                 elif buf:
                     # payload smaller than header+8: legacy whole parse
                     pending_rows = _parse_copy_binary(
@@ -2057,10 +2070,30 @@ def _is_command(sql: str) -> bool:
     return bool(head) and head[0].upper() in _COMMAND_KEYWORDS
 
 
-def _tag_for(sql: str, rows: int) -> str:
+def _dml_rowcount(df: DataFrame) -> int:
+    """Best-effort written-row count for the PG command tag: Spark's
+    write commands expose it as the ``numOutputRows`` metric on the
+    executed command plan (``INSERT 0 0`` regardless of rows written —
+    found driving postgreSQL/insert.sql through real psql — misleads
+    clients that parse the tag for cursor.rowcount)."""
+    try:
+        cmd = df._jdf.queryExecution().executedPlan().commandPhysicalPlan()
+        it = cmd.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if str(kv._1()) == "numOutputRows":
+                return int(kv._2().value())
+    except Exception:  # noqa: BLE001 — tag cosmetics never fail a query
+        pass
+    return 0
+
+
+def _tag_for(sql: str, rows: int = 0, df: DataFrame | None = None) -> str:
     head = sql.lstrip().split(None, 1)
     word = head[0].upper() if head else "OK"
     if word == "INSERT":
+        if df is not None:
+            rows = _dml_rowcount(df)
         return f"INSERT 0 {rows}"
     return word
 

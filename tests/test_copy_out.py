@@ -645,6 +645,52 @@ class TestCopyInChunked:
         finally:
             spark.sql("DROP TABLE IF EXISTS copy_chunk_bin")
 
+    def test_binary_data_after_eof_rejected(self, small_server, spark,
+                                            tmp_path):
+        # r7 ADVICE: bytes after the -1 end-of-data trailer must be
+        # rejected (PG: "received copy data after EOF marker"), not
+        # parsed as tuples and inserted as junk rows
+        srv, loop = small_server
+        spark.sql("DROP TABLE IF EXISTS copy_bin_eof")
+        spark.sql(
+            f"""CREATE TABLE copy_bin_eof (k INT, name STRING)
+                USING parquet LOCATION '{tmp_path}/copy_bin_eof'"""
+        )
+        try:
+            body = bytearray(
+                b"PGCOPY\n\xff\r\n\x00" + struct.pack("!ii", 0, 0)
+            )
+            for i in range(3):
+                name = f"n_{i}".encode()
+                body += struct.pack("!h", 2)
+                body += struct.pack("!i", 4) + struct.pack("!i", i)
+                body += struct.pack("!i", len(name)) + name
+            body += struct.pack("!h", -1)
+            # junk "tuple" after the trailer — a well-formed 2-field row
+            junk = struct.pack("!h", 2)
+            junk += struct.pack("!i", 4) + struct.pack("!i", 99)
+            junk += struct.pack("!i", 4) + b"junk"
+            payload = bytes(body) + junk
+
+            async def go():
+                c = await PgClient.connect(srv.port)
+                await self._start_copy_in(
+                    c, "COPY copy_bin_eof FROM STDIN WITH (FORMAT BINARY)"
+                )
+                await c.send(self._m(b"d", payload), self._m(b"c"))
+                msgs = await c.until_ready()
+                rows = await c.simple(
+                    "SELECT COUNT(*) AS n FROM copy_bin_eof"
+                )
+                await c.close()
+                return msgs, rows
+
+            msgs, rows = loop.run_until_complete(go())
+            assert any(t == b"E" for t, _ in msgs)
+            assert rows_of(rows) == [[b"0"]]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS copy_bin_eof")
+
     def test_copyfail_cleans_staging(self, small_server, spark, tmp_path):
         import glob
         import os

@@ -108,6 +108,86 @@ class TestCasts:
             rewrite_sql("SELECT ltrim(upper(c1), chr(32)) FROM t")
             == "SELECT TRIM(LEADING  chr(32) FROM upper(c1)) FROM t"
         )
+        # r7 ADVICE (medium): the qualified spelling must get the same
+        # argument-order fix — the trim pass now runs AFTER the
+        # pg_catalog. strip, so this no longer reaches Spark's
+        # reversed two-arg ltrim
+        assert (
+            rewrite_sql("SELECT pg_catalog.ltrim('xxabc', 'x')")
+            == "SELECT TRIM(LEADING  'x' FROM 'xxabc')"
+        )
+        assert (
+            rewrite_sql("SELECT pg_catalog.btrim(a, b) FROM t")
+            == "SELECT TRIM(BOTH  b FROM a) FROM t"
+        )
+        # a genuine user-schema qualification stays untouched
+        assert (
+            rewrite_sql("SELECT myschema.ltrim(a, b) FROM t")
+            == "SELECT myschema.ltrim(a, b) FROM t"
+        )
+
+    def test_ddl_column_types(self):
+        # PG type spellings in CREATE TABLE column lists (found
+        # replaying postgreSQL/insert.sql: `text` is
+        # UNSUPPORTED_DATATYPE in Spark DDL)
+        assert (
+            rewrite_sql("CREATE TABLE t (col1 int, col3 text) USING parquet")
+            == "CREATE TABLE t (col1 int, col3 STRING) USING parquet"
+        )
+        assert (
+            rewrite_sql(
+                "CREATE TABLE t (a int8, b float8, c numeric(10,2), "
+                "d varchar(20), e varchar, f bytea, g serial)"
+            )
+            == "CREATE TABLE t (a BIGINT, b DOUBLE, c DECIMAL(10,2), "
+            "d varchar(20), e STRING, f BINARY, g INT)"
+        )
+        assert (
+            rewrite_sql("CREATE TABLE t (tags text[], k int2)")
+            == "CREATE TABLE t (tags ARRAY<STRING>, k SMALLINT)"
+        )
+        # multi-word spellings fold first, then map as DDL types
+        assert (
+            rewrite_sql("CREATE TABLE t (x double precision, y "
+                        "timestamp with time zone)")
+            == "CREATE TABLE t (x DOUBLE, y TIMESTAMP)"
+        )
+        # CTAS has no column list — the SELECT body is untouched
+        assert (
+            rewrite_sql(
+                "CREATE TABLE t USING parquet AS SELECT 'x' AS text"
+            )
+            == "CREATE TABLE t USING parquet AS SELECT 'x' AS text"
+        )
+        # non-DDL statements never touched ('text' as identifier)
+        assert (
+            rewrite_sql("SELECT text FROM t WHERE text = 'a'")
+            == "SELECT text FROM t WHERE text = 'a'"
+        )
+
+    def test_single_arg_log_is_base10(self):
+        # PG log(x) is base-10; Spark's single-arg log(x) is the
+        # NATURAL log (silent wrong results — found porting
+        # postgreSQL/numeric.sql)
+        assert (
+            rewrite_sql("SELECT log(100) AS l")
+            == "SELECT log10(100) AS l"
+        )
+        assert (
+            rewrite_sql("SELECT pg_catalog.log(nullif(x, 0)) FROM t")
+            == "SELECT log10(nullif(x, 0)) FROM t"
+        )
+        # the two-arg base form agrees between dialects — untouched
+        assert (
+            rewrite_sql("SELECT log(2, 64) AS l")
+            == "SELECT log(2, 64) AS l"
+        )
+        # user-schema qualification and non-call uses stay untouched
+        assert (
+            rewrite_sql("SELECT myschema.log(x) FROM t")
+            == "SELECT myschema.log(x) FROM t"
+        )
+        assert rewrite_sql("SELECT log FROM t") == "SELECT log FROM t"
 
     def test_multiword_type_names(self):
         # PG's canonical multi-word spellings (found via a real-psql
@@ -136,6 +216,25 @@ class TestCasts:
         assert (
             rewrite_sql("SELECT timestamp '2020-01-01 00:00:00'")
             == "SELECT timestamp '2020-01-01 00:00:00'"
+        )
+        # r7 ADVICE: a PG typed literal TIMESTAMP WITH TIME ZONE '...'
+        # (and the bare timestamptz spelling) must become Spark's
+        # TIMESTAMP literal (LTZ — matching PG timestamptz semantics),
+        # not an unparseable timestamptz keyword
+        assert (
+            rewrite_sql(
+                "SELECT TIMESTAMP WITH TIME ZONE '2020-01-01 00:00:00+00'"
+            )
+            == "SELECT TIMESTAMP '2020-01-01 00:00:00+00'"
+        )
+        assert (
+            rewrite_sql("SELECT timestamptz '2020-01-01 00:00:00+00'")
+            == "SELECT TIMESTAMP '2020-01-01 00:00:00+00'"
+        )
+        # cast positions keep the PG_TYPE_MAP path
+        assert (
+            rewrite_sql("SELECT x::timestamptz FROM t")
+            == "SELECT CAST(x AS TIMESTAMP) FROM t"
         )
         assert (
             rewrite_sql("SELECT double_col, characters FROM t")
@@ -170,6 +269,29 @@ class TestCasts:
         assert (
             rewrite_sql("SELECT '{1,2}'::bool[]")
             == "SELECT CAST('{1,2}' AS ARRAY<BOOLEAN>)"
+        )
+        # r7 ADVICE: a bare unquoted NULL item is a NULL element in PG,
+        # not the string 'NULL' — and numeric literals containing NULL
+        # must not fall through to an ANSI-error CAST
+        assert (
+            rewrite_sql("SELECT '{NULL}'::text[]")
+            == "SELECT CAST(array(NULL) AS ARRAY<STRING>)"
+        )
+        assert (
+            rewrite_sql("SELECT '{a, null, b}'::text[]")
+            == "SELECT array('a', NULL, 'b')"
+        )
+        assert (
+            rewrite_sql("SELECT '{1, NULL, 3}'::int[]")
+            == "SELECT array(1, NULL, 3)"
+        )
+        assert (
+            rewrite_sql("SELECT '{NULL,2.5}'::float8[]")
+            == "SELECT CAST(array(NULL, 2.5) AS ARRAY<DOUBLE>)"
+        )
+        assert (
+            rewrite_sql("SELECT '{NULL}'::int[]")
+            == "SELECT CAST(array(NULL) AS ARRAY<INT>)"
         )
 
     def test_parenthesized_array_type_casts(self):

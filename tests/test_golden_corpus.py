@@ -2956,6 +2956,350 @@ CORPUS += [
 ]
 
 
+# --------------------------------------------------------------------------
+# wave 22 (r8) — postgreSQL/numeric.sql core: the num_data fixture's
+# full-pair arithmetic sweeps, big-decimal div/mod, exp/ln/log literal
+# ports, ceil/floor/round on DECIMAL(38,18), NaN/Infinity decimal
+# casts, and aggregates_part4's ordered-set re-expressions.
+# Determinism lessons encoded here:
+# * decimal→double casts are cross-engine safe ONLY when the unscaled
+#   integer fits in 2^53 — DuckDB converts int128→double then divides
+#   by 10^scale (two roundings) where Spark's BigDecimal.doubleValue
+#   rounds once; a scale-10 fixture value diverged in the last ulp, so
+#   every double conversion below goes through DECIMAL(24,6) first.
+# * PG numeric text is ALWAYS fixed-point — the encoder renders
+#   Decimal('0E-10') as '0.0000000000' (str(Decimal) is scientific).
+# * JVM StrictMath exp() differs from C libm in the last ulp — exp
+#   results are pinned literals, ln/log10 agree on this box.
+# * PG's single-arg log() is base-10; Spark's is ln — rewritten.
+# --------------------------------------------------------------------------
+
+_ND = (
+    "WITH num_data(id, val) AS (SELECT id, CAST(v AS DECIMAL(28,10)) FROM "
+    "(VALUES (0, '0'), (1, '0'), (2, '-34338492.215397047'), (3, '4.31'), "
+    "(4, '7799461.4119'), (5, '16397.038491'), (6, '93901.57763026'), "
+    "(7, '-83028485'), (8, '74881'), (9, '-24926804.045047420')) t(id, v)) "
+)
+
+CORPUS += [
+    # full-pair addition sweep (100 pairs, exact decimals; operands at
+    # (28,10) so neither engine hits the precision cap)
+    (_ND + "SELECT t1.id AS id1, t2.id AS id2, t1.val + t2.val AS s "
+     "FROM num_data t1, num_data t2 ORDER BY 1, 2", None),
+    (_ND + "SELECT t1.id AS id1, t2.id AS id2, t1.val - t2.val AS d "
+     "FROM num_data t1, num_data t2 ORDER BY 1, 2", None),
+    (_ND + "SELECT t1.id AS id1, t2.id AS id2, "
+     "CAST(t1.val AS DECIMAL(18,10)) * CAST(t2.val AS DECIMAL(18,10)) AS p "
+     "FROM num_data t1, num_data t2 WHERE abs(t1.val) < 100000 AND abs(t2.val) < 100000 "
+     "ORDER BY 1, 2", None),
+    # division through DOUBLE (one IEEE division of exact values)
+    (_ND + "SELECT t1.id AS id1, t2.id AS id2, "
+     "CAST(CAST(t1.val AS DECIMAL(24,6)) AS DOUBLE) / CAST(CAST(t2.val AS DECIMAL(24,6)) AS DOUBLE) AS q "
+     "FROM num_data t1, num_data t2 WHERE t2.val <> 0 ORDER BY 1, 2", None),
+    (_ND + "SELECT id, sqrt(abs(CAST(CAST(val AS DECIMAL(24,6)) AS DOUBLE))) AS r FROM num_data ORDER BY id",
+     None),
+    (_ND + "SELECT id, ln(abs(CAST(CAST(val AS DECIMAL(24,6)) AS DOUBLE))) AS l FROM num_data WHERE val <> 0 ORDER BY id",
+     None),
+    (_ND + "SELECT id, log10(abs(CAST(CAST(val AS DECIMAL(24,6)) AS DOUBLE))) AS l FROM num_data WHERE val <> 0 ORDER BY id",
+     None),
+    (_ND + "SELECT AVG(CAST(CAST(val AS DECIMAL(24,6)) AS DOUBLE)) AS a FROM num_data", None),
+    # big-decimal div/mod family (pinned Spark results; PG keeps more
+    # quotient digits — Spark's decimal division scale caps at 6)
+    ("select cast(999999999999999999999 as decimal(38, 0)) / 1000000000000000000000 AS q",
+     "SELECT '1.000000' AS q"),
+    ("select div(cast(999999999999999999999 as decimal(38, 0)), 1000000000000000000000) AS q",
+     "SELECT CAST(0 AS BIGINT) AS q"),
+    ("select mod(cast(999999999999999999999 as decimal(38, 0)), 1000000000000000000000) AS m",
+     "SELECT '999999999999999999999' AS m"),
+    ("select div(cast(-9999999999999999999999 as decimal(38, 0)), 1000000000000000000000) AS q",
+     "SELECT CAST(-9 AS BIGINT) AS q"),
+    ("select mod(cast(-9999999999999999999999 as decimal(38, 0)), 1000000000000000000000) AS m",
+     "SELECT '-999999999999999999999' AS m"),
+    ("select div(cast(-9999999999999999999999 as decimal(38, 0)), 1000000000000000000000) "
+     "* 1000000000000000000000 + mod(cast(-9999999999999999999999 as decimal(38, 0)), "
+     "1000000000000000000000) AS v",
+     "SELECT '-9999999999999999999999' AS v"),
+    ("select mod(70.0, 70) AS m", "SELECT '0.0' AS m"),
+    ("select div(70.0, 70) AS d", "SELECT CAST(1 AS BIGINT) AS d"),
+    ("select 70.0 / 70 AS q", "SELECT '1.000000' AS q"),
+    ("select 12345678901234567890 % 123 AS m", "SELECT '78' AS m"),
+    # exp ports: JVM StrictMath differs from C libm in the last ulp, so
+    # the Spark values are pinned as literals
+    ("select exp(0.0) AS e", "SELECT CAST('1' AS DOUBLE) AS e"),
+    ("select exp(1.0) AS e",
+     "SELECT CAST('2.7182818284590455' AS DOUBLE) AS e"),
+    ("select exp(32.999) AS e",
+     "SELECT CAST('214429043492155.56' AS DOUBLE) AS e"),
+    ("select exp(-32.999) AS e",
+     "SELECT CAST('4.663547361468238e-15' AS DOUBLE) AS e"),
+    ("select exp(123.456) AS e",
+     "SELECT CAST('4.132944352778106e+53' AS DOUBLE) AS e"),
+    ("select exp(-123.456) AS e",
+     "SELECT CAST('2.4195825412645934e-54' AS DOUBLE) AS e"),
+    # overflow saturates to +Infinity (PG numeric errors instead)
+    ("select exp(1234.5678) AS e", "SELECT 'Infinity' AS e"),
+    # ln literal ports (libm-identical on this box, direct compare)
+    ("select ln(1.2345678e-28) AS l", None),
+    ("select ln(0.0456789) AS l", None),
+    ("select ln(0.99949452) AS l", None),
+    ("select ln(1.00049687395) AS l", None),
+    ("select ln(1234.567890123456789) AS l", None),
+    ("select ln(5.80397490724e5) AS l", None),
+    ("select ln(9.342536355e34) AS l", None),
+    # PG's single-arg log() is base-10 — the rewriter maps it to log10
+    # (Spark's bare log() is the NATURAL log: silent wrong results)
+    ("select log(590489.45235237) AS l",
+     "select log10(590489.45235237) AS l"),
+    ("select log(3.4634998359873254962349856073435545) AS l",
+     "select log10(3.4634998359873254962349856073435545) AS l"),
+    ("select log(9.999999999999999999) AS l",
+     "select log10(9.999999999999999999) AS l"),
+    ("select log(10.00000000000000000) AS l",
+     "select log10(10.00000000000000000) AS l"),
+    # two-arg log agrees between the dialects (log base b) — must NOT
+    # be rewritten
+    ("select log(2.0, 64.0) AS l", "SELECT CAST(6 AS DOUBLE) AS l"),
+    # SUM over a 100k range
+    ("SELECT SUM(CAST(9999 AS DECIMAL(10,0))) AS s FROM range(1, 100001)",
+     "SELECT '999900000' AS s"),
+    ("SELECT SUM(CAST(-9999 AS DECIMAL(10,0))) AS s FROM range(1, 100001)",
+     "SELECT '-999900000' AS s"),
+    # ceil/floor/round on decimal(38,18) (PG ceil_floor_round table)
+    ("WITH cfr(a) AS (SELECT CAST(v AS DECIMAL(38,18)) FROM (VALUES "
+     "('-5.5'), ('-5.499999'), ('9.5'), ('9.4999999'), ('0.0'), ('5.49'), "
+     "('5.5')) t(v)) "
+     "SELECT a, ceil(a) AS c, ceiling(a) AS c2, floor(a) AS f, round(a) AS r "
+     "FROM cfr ORDER BY a", None),
+    # NaN/Infinity → decimal is NULL in Spark (double-source casts
+    # never raise; only string casts are ANSI-strict) — PG errors here
+    ("SELECT CAST(double('NaN') AS DECIMAL(10,2)) AS v",
+     "SELECT CAST(NULL AS VARCHAR) AS v"),
+    ("SELECT CAST(double('Infinity') AS DECIMAL(10,2)) AS v",
+     "SELECT CAST(NULL AS VARCHAR) AS v"),
+    ("SELECT CAST(float('-Infinity') AS DECIMAL(10,2)) AS v",
+     "SELECT CAST(NULL AS VARCHAR) AS v"),
+    # the decimal-zero wire regression pin: PG numeric text is always
+    # fixed-point, never scientific
+    ("SELECT CAST(0 AS DECIMAL(38,10)) AS z", "SELECT '0.0000000000' AS z"),
+    ("SELECT CAST('0.000' AS DECIMAL(10,3)) AS z", "SELECT '0.000' AS z"),
+    # PG's percentile_cont(array[...]) works in Spark 4 (the reference
+    # skipped it as SPARK-27980)
+    ("SELECT percentile_cont(array(0.25, 0.5)) WITHIN GROUP (ORDER BY x) "
+     "AS p FROM (VALUES (1), (2)) v(x)",
+     "SELECT '{1.25,1.5}' AS p"),
+]
+
+NEGATIVE_WAVE22 = [
+    # aggregates_part4: non-foldable percentile fraction
+    "SELECT p, percentile_cont(p) WITHIN GROUP (ORDER BY x) FROM "
+    "(VALUES (0.5, 1), (0.5, 2)) v(p, x) GROUP BY p",
+    # hypothetical-set aggregates are not supported in Spark
+    "SELECT rank(3) WITHIN GROUP (ORDER BY x) FROM (VALUES (1), (2)) v(x)",
+    "SELECT cume_dist(3) WITHIN GROUP (ORDER BY x) FROM (VALUES (1), (2)) v(x)",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 23 (r8) — typeCoercion/native deep ports beyond the r5 picks:
+# dateTimeOperations (datetime ± interval across source types, with the
+# Spark 4 numeric/boolean/binary+interval errors pinned), mapZipWith /
+# mapconcat key coercion, binaryComparison cross-type matrix,
+# promoteStrings (string+tinyint is BIGINT in Spark 4, not tinyint),
+# inConversion, implicitTypeCasts, decimalPrecision result-type pins
+# (typeof), windowFrameCoercion RANGE bounds, elt/concat/
+# stringCastAndExpressions. Spark 4 ANSI divergences from the Spark 3
+# goldens (1+'2.5', elt(0,..), boolean=tinyint) are negative pins.
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    # dateTimeOperations.sql: datetime +/- interval across source types
+    ("select cast('2017-12-11 09:30:00.0' as timestamp) + interval 2 day AS v",
+     "SELECT '2017-12-13 09:30:00' AS v"),
+    ("select interval 2 day + cast('2017-12-11 09:30:00.0' as timestamp) AS v",
+     "SELECT '2017-12-13 09:30:00' AS v"),
+    ("select cast('2017-12-11 09:30:00.0' as timestamp) - interval 2 day AS v",
+     "SELECT '2017-12-09 09:30:00' AS v"),
+    ("select cast('2017-12-11' as date) + interval 2 day AS v",
+     "SELECT '2017-12-13' AS v"),
+    ("select cast('2017-12-11' as date) - interval 2 day AS v",
+     "SELECT '2017-12-09' AS v"),
+    ("select cast('2017-12-11 09:30:00' as string) + interval 2 day AS v",
+     "SELECT '2017-12-13 09:30:00' AS v"),
+    ("select cast('2017-12-11' as date) + interval '2-3' year to month AS v",
+     "SELECT '2020-03-11' AS v"),
+    # mapZipWith.sql: key coercion int/smallint, values into structs
+    ("SELECT map_zip_with(map(2, 1), map(2, 3), (k, v1, v2) -> (v1 + v2)) AS m",
+     "SELECT '{\"2\":4}' AS m"),
+    ("SELECT map_zip_with(map(1, 'a'), map(1, 'b'), (k, v1, v2) -> concat(v1, v2)) AS m",
+     "SELECT '{\"1\":\"ab\"}' AS m"),
+    ("SELECT map_zip_with(map(cast(2 as smallint), 1), map(2, 3), "
+     "(k, v1, v2) -> coalesce(v1, 0) + coalesce(v2, 0)) AS m",
+     "SELECT '{\"2\":4}' AS m"),
+    # mapconcat.sql
+    ("SELECT map_concat(map(1, 'a'), map(2, 'b')) AS m",
+     "SELECT '{\"1\":\"a\",\"2\":\"b\"}' AS m"),
+    ("SELECT map_concat(map(1, 'a'), map(cast(2 as smallint), 'b')) AS m",
+     "SELECT '{\"1\":\"a\",\"2\":\"b\"}' AS m"),
+    ("SELECT map_concat() AS m", "SELECT '{}' AS m"),
+    # binaryComparison.sql: numeric-type cross compares
+    ("SELECT cast(1 as tinyint) = cast(1 as decimal(10, 0)) AS a, "
+     "cast(1 as smallint) < cast(2 as double) AS b, "
+     "cast(3 as bigint) > cast(2.5 as float) AS c",
+     "SELECT TRUE AS a, TRUE AS b, TRUE AS c"),
+    ("SELECT cast('1' as binary) = cast('1' as binary) AS a, "
+     "cast('2' as binary) > cast('1' as binary) AS b",
+     "SELECT TRUE AS a, TRUE AS b"),
+    ("SELECT cast(1 as boolean) = cast(1 as boolean) AS a, "
+     "true > false AS b",
+     "SELECT TRUE AS a, TRUE AS b"),
+    # promoteStrings.sql: string arithmetic promotes to the numeric side
+    ("SELECT '1' + cast(1 as tinyint) AS v, typeof('1' + cast(1 as tinyint)) AS t",
+     "SELECT '2' AS v, 'bigint' AS t"),
+    ("SELECT '1' + cast(1 as bigint) AS v", "SELECT '2' AS v"),
+    ("SELECT '2' * cast(2 as double) AS v", "SELECT CAST(4 AS DOUBLE) AS v"),
+    ("SELECT '2017-12-11' = cast('2017-12-11' as date) AS v",
+     "SELECT TRUE AS v"),
+    ("SELECT '2017-12-11 09:30:00' = cast('2017-12-11 09:30:00' as timestamp) AS v",
+     "SELECT TRUE AS v"),
+    # inConversion.sql: IN list widens across numerics
+    ("SELECT cast(1 as tinyint) IN (cast(1 as bigint), cast(2 as decimal(10,0))) AS v",
+     "SELECT TRUE AS v"),
+    ("SELECT cast(1.5 as double) IN (1.5, 2.5) AS v", "SELECT TRUE AS v"),
+    ("SELECT 1 IN ('1', 2) AS v", "SELECT TRUE AS v"),
+    # implicitTypeCasts.sql
+    ("SELECT '4' / 2 AS v", "SELECT CAST(2 AS DOUBLE) AS v"),
+    ("SELECT substr('hello', '2', 3) AS v", "SELECT 'ell' AS v"),
+    # decimalPrecision.sql: arithmetic result types pinned via typeof
+    ("SELECT typeof(cast(1 as decimal(10,2)) + cast(1 as decimal(5,3))) AS t",
+     "SELECT 'decimal(12,3)' AS t"),
+    ("SELECT typeof(cast(1 as decimal(10,2)) * cast(1 as decimal(5,3))) AS t",
+     "SELECT 'decimal(16,5)' AS t"),
+    ("SELECT typeof(cast(1 as decimal(10,2)) / cast(1 as decimal(5,3))) AS t",
+     "SELECT 'decimal(19,8)' AS t"),
+    ("SELECT typeof(cast(1 as tinyint) + cast(1 as decimal(5,3))) AS t",
+     "SELECT 'decimal(7,3)' AS t"),
+    # windowFrameCoercion.sql: numeric RANGE frame bound coerces to the
+    # ORDER BY column's type
+    ("SELECT x, sum(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING AND "
+     "CURRENT ROW) AS s FROM (VALUES (cast(1 as decimal(10,2))), (2.0), "
+     "(3.5)) t(x) ORDER BY x",
+     "SELECT * FROM (VALUES ('1.00', '1.00'), ('2.00', '3.00'), "
+     "('3.50', '3.50')) t(x, s)"),
+    # elt.sql
+    ("SELECT elt(2, '1', 2) AS v", "SELECT '2' AS v"),
+    # concat.sql: mixed array concat widens element types
+    ("SELECT concat(array(1, 2), array(cast(3 as bigint))) AS a",
+     "SELECT '{1,2,3}' AS a"),
+    ("SELECT concat('ab', 3, 4.5) AS s", "SELECT 'ab34.5' AS s"),
+    # stringCastAndExpressions.sql
+    ("SELECT abs('-3.5') AS v", "SELECT CAST(3.5 AS DOUBLE) AS v"),
+    ("SELECT upper(5) AS v, lower(true) AS w",
+     "SELECT '5' AS v, 'true' AS w"),
+]
+
+NEGATIVE_WAVE23 = [
+    # ANSI pins: the Spark 3 goldens coerced these; Spark 4 errors
+    "SELECT 1 + '2.5'",
+    "SELECT elt(0, 'a', 'b')",
+    "SELECT true = cast(1 as tinyint)",
+    # dateTimeOperations: numeric/boolean/binary + interval error under
+    # Spark 4 (the Spark 3 goldens coerced some of these)
+    "select cast(1 as int) + interval 2 day",
+    "select cast(1 as boolean) + interval 2 day",
+    "select cast('1' as binary) + interval 2 day",
+    # mapZipWith: incompatible key types
+    "SELECT map_zip_with(map(1, 1), map('a', 2), (k, v1, v2) -> v1)",
+    # mapconcat: incompatible key types
+    "SELECT map_concat(map(1, 'a'), map('x', 'b'))",
+    # windowFrameCoercion: RANGE frame over a non-numeric key with a
+    # numeric bound
+    "SELECT x, count(*) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING AND "
+    "CURRENT ROW) FROM (VALUES ('a'), ('b')) t(x)",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 24 (r8) — postgreSQL/select.sql + select_distinct.sql ports,
+# re-expressed on TPC-H tables / VALUES (never the onek data):
+# qualified-star selects, the ASC/DESC multi-key sort matrix, subquery
+# star over literal projections, the trimmed-cast INT8_TBL fixture,
+# DISTINCT tuple census, and the full IS [NOT] DISTINCT FROM battery
+# (NULLS FIRST pinned — Spark and PG/DuckDB default opposite orders).
+# --------------------------------------------------------------------------
+
+_I8 = (
+    "WITH INT8_TBL(q1, q2) AS (SELECT * FROM (VALUES "
+    "(cast(trim('  123   ') as bigint), cast(trim('  456') as bigint)), "
+    "(cast(trim('123   ') as bigint), cast('4567890123456789' as bigint)), "
+    "(cast('4567890123456789' as bigint), cast('123' as bigint)), "
+    "(cast(+4567890123456789 as bigint), cast('4567890123456789' as bigint)), "
+    "(cast('+4567890123456789' as bigint), cast('-4567890123456789' as bigint))"
+    ") t(q1, q2)) "
+)
+_DT = (
+    "WITH disttable(f1) AS (SELECT * FROM (VALUES (1), (2), (3), "
+    "(CAST(NULL AS INT))) v(f1)) "
+)
+
+CORPUS += [
+    # select.sql: qualified star + qualified column screens
+    ("SELECT part.* FROM part WHERE part.p_partkey < 5 ORDER BY part.p_partkey",
+     "SELECT * FROM part WHERE p_partkey < 5 ORDER BY p_partkey"),
+    ("SELECT part.p_partkey, part.p_brand FROM part "
+     "WHERE part.p_partkey < 10 ORDER BY p_partkey DESC",
+     "SELECT p_partkey, p_brand FROM part WHERE p_partkey < 10 "
+     "ORDER BY p_partkey DESC"),
+    # multi-key mixed-direction sorts (the select.sql ASC/DESC matrix)
+    ("SELECT p_partkey, p_brand FROM part WHERE p_partkey > 190 "
+     "ORDER BY p_brand ASC, p_partkey DESC",
+     None),
+    ("SELECT p_partkey, p_brand FROM part WHERE p_partkey > 190 "
+     "ORDER BY p_brand DESC, p_partkey ASC",
+     None),
+    ("SELECT p_partkey, p_type FROM part WHERE p_partkey < 20 "
+     "ORDER BY p_partkey ASC, p_type DESC",
+     None),
+    # subquery star over literal projections
+    ("select foo.* from (select 1) as foo", "SELECT 1"),
+    ("select foo.* from (select null) as foo",
+     "SELECT CAST(NULL AS VARCHAR)"),
+    ("select foo.* from (select 'xyzzy', 1, null) as foo",
+     "SELECT 'xyzzy', 1, CAST(NULL AS VARCHAR)"),
+    # INT8_TBL trimmed-cast fixture (select.sql builds it exactly so)
+    (_I8 + "SELECT * FROM INT8_TBL ORDER BY q1, q2",
+     _I8 + "SELECT * FROM INT8_TBL ORDER BY q1, q2"),
+    (_I8 + "SELECT q1 FROM INT8_TBL WHERE q2 = 456",
+     "SELECT CAST(123 AS BIGINT) AS q1"),
+    (_I8 + "SELECT count(*) AS n FROM INT8_TBL WHERE q1 = q2",
+     "SELECT CAST(1 AS BIGINT) AS n"),
+    # select_distinct.sql over the TPC-H analogues
+    ("SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1", None),
+    ("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem "
+     "ORDER BY l_returnflag ASC, l_linestatus ASC",
+     None),
+    ("SELECT count(*) AS n FROM "
+     "(SELECT DISTINCT l_returnflag, l_linestatus, l_returnflag FROM lineitem) ss",
+     None),
+    # IS DISTINCT FROM battery (select_distinct_on / disttable)
+    (_DT + "SELECT f1, f1 IS DISTINCT FROM 2 AS not_2 FROM disttable ORDER BY f1 NULLS FIRST",
+     _DT + "SELECT f1, f1 IS DISTINCT FROM 2 AS not_2 FROM disttable ORDER BY f1 NULLS FIRST"),
+    (_DT + "SELECT f1, f1 IS DISTINCT FROM NULL AS not_null FROM disttable ORDER BY f1 NULLS FIRST",
+     _DT + "SELECT f1, f1 IS DISTINCT FROM NULL AS not_null FROM disttable ORDER BY f1 NULLS FIRST"),
+    (_DT + "SELECT f1, f1 IS DISTINCT FROM f1 AS false_col FROM disttable ORDER BY f1 NULLS FIRST",
+     _DT + "SELECT f1, f1 IS DISTINCT FROM f1 AS false_col FROM disttable ORDER BY f1 NULLS FIRST"),
+    (_DT + "SELECT f1, f1 IS DISTINCT FROM f1+1 AS not_null FROM disttable ORDER BY f1 NULLS FIRST",
+     _DT + "SELECT f1, f1 IS DISTINCT FROM f1+1 AS not_null FROM disttable ORDER BY f1 NULLS FIRST"),
+    ("SELECT 1 IS DISTINCT FROM 2 AS yes", "SELECT TRUE AS yes"),
+    ("SELECT 2 IS DISTINCT FROM 2 AS no", "SELECT FALSE AS no"),
+    ("SELECT 2 IS DISTINCT FROM null AS yes", "SELECT TRUE AS yes"),
+    ("SELECT null IS DISTINCT FROM null AS no", "SELECT FALSE AS no"),
+    ("SELECT 1 IS NOT DISTINCT FROM 2 AS no", "SELECT FALSE AS no"),
+    ("SELECT 2 IS NOT DISTINCT FROM 2 AS yes", "SELECT TRUE AS yes"),
+    ("SELECT 2 IS NOT DISTINCT FROM null AS no", "SELECT FALSE AS no"),
+    ("SELECT null IS NOT DISTINCT FROM null AS yes", "SELECT TRUE AS yes"),
+]
+
+
 @pytest.fixture(scope="module")
 def server(spark):
     loop = asyncio.new_event_loop()
@@ -2974,6 +3318,8 @@ def server(spark):
 
 
 def _duck_rows(duck, sql: str) -> list[list[str]]:
+    from decimal import Decimal
+
     res = duck.execute(sql)
     out = []
     for row in res.fetchall():
@@ -2985,6 +3331,11 @@ def _duck_rows(duck, sql: str) -> list[list[str]]:
                 cells.append("t" if v else "f")
             elif isinstance(v, float):
                 cells.append(repr(v))
+            elif isinstance(v, Decimal):
+                # PG numeric text is always fixed-point (str(Decimal
+                # ('0E-10')) is scientific; the wire prints
+                # '0.0000000000') — mirror the server's rendering
+                cells.append(format(v, "f"))
             else:
                 cells.append(str(v))
         out.append(cells)
@@ -3089,6 +3440,10 @@ NEGATIVE_CORPUS: list[str] = [
     # two-arg TRIM rewrite must leave it alone so it errors cleanly
     "SELECT ltrim('a', 'b', 'c')",
 ]
+
+
+NEGATIVE_CORPUS += NEGATIVE_WAVE22
+NEGATIVE_CORPUS += NEGATIVE_WAVE23
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))

@@ -299,6 +299,99 @@ class TestSimpleQuery:
         assert v2 != b"7"
 
 
+class TestPgRegressionDDLReplays:
+    """PG-dialect DDL sequences replayed over the socket — wire ports
+    of the reference's postgreSQL/insert.sql and create_view.sql inputs
+    (reference sql-tests/inputs/postgreSQL/; the table/view lifecycles
+    the corpus runner can't express as single row-compare statements)."""
+
+    def test_insert_sql_replay(self, server):
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            out = []
+            try:
+                out.append(await c.simple(
+                    "CREATE TABLE inserttest_w (col1 int, col2 int, "
+                    "col3 text) USING parquet"
+                ))
+                for stmt in (
+                    "insert into inserttest_w values (NULL, 3, 'testing')",
+                    "insert into inserttest_w values (NULL, 5, 'testing')",
+                    "insert into inserttest_w values (NULL, 5, 'test')",
+                    "insert into inserttest_w values (NULL, 7, 'testing')",
+                ):
+                    out.append(await c.simple(stmt))
+                sel = await c.simple(
+                    "select col2, col3 from inserttest_w "
+                    "order by col2, col3"
+                )
+                # the long-value row (PG uses repeat('x', 10000))
+                await c.simple(
+                    "insert into inserttest_w values "
+                    "(30, 50, repeat('x', 100))"
+                )
+                lens = await c.simple(
+                    "select col1, col2, char_length(col3) AS len "
+                    "from inserttest_w where col2 = 50"
+                )
+            finally:
+                drop = await c.simple("DROP TABLE IF EXISTS inserttest_w")
+                await c.close()
+            return out, sel, lens, drop
+
+        out, sel, lens, drop = run(loop, go())
+        for msgs in out:
+            assert not any(t == b"E" for t, _ in msgs)
+        # PG command tags carry the real written-row count
+        for msgs in out[1:]:
+            assert completes_of(msgs) == ["INSERT 0 1"]
+        assert rows_of(sel) == [
+            [b"3", b"testing"],
+            [b"5", b"test"],
+            [b"5", b"testing"],
+            [b"7", b"testing"],
+        ]
+        assert rows_of(lens) == [[b"30", b"50", b"100"]]
+        assert not any(t == b"E" for t, _ in drop)
+
+    def test_create_view_sql_replay(self, server):
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            try:
+                mk = await c.simple(
+                    "CREATE TABLE emp_w (name varchar(20), age int, "
+                    "salary int, manager varchar(20)) USING parquet"
+                )
+                vw = await c.simple(
+                    "CREATE VIEW toyemp_w AS SELECT name, age, "
+                    "12*salary AS annualsal FROM emp_w"
+                )
+                await c.simple(
+                    "insert into emp_w values ('sam', 30, 2000, 'bill'), "
+                    "('claire', 25, 3000, 'bill')"
+                )
+                sel = await c.simple(
+                    "SELECT name, annualsal FROM toyemp_w ORDER BY name"
+                )
+            finally:
+                d1 = await c.simple("DROP VIEW IF EXISTS toyemp_w")
+                d2 = await c.simple("DROP TABLE IF EXISTS emp_w")
+                await c.close()
+            return mk, vw, sel, d1, d2
+
+        mk, vw, sel, d1, d2 = run(loop, go())
+        for msgs in (mk, vw, d1, d2):
+            assert not any(t == b"E" for t, _ in msgs)
+        assert rows_of(sel) == [
+            [b"claire", b"36000"],
+            [b"sam", b"24000"],
+        ]
+
+
 class TestExtendedProtocol:
     def test_parse_bind_execute_with_param(self, server):
         srv, loop = server

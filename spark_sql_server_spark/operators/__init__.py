@@ -61,6 +61,8 @@ _DRIVER_SAMPLE_PRIORITY = [
     "qds52_brand_report", "qds55_manager_brand_head",
     "qds96_selectivity_count", "qds56_brandset_union",
     "qds60_category_union",
+    "qds74_yoy_channel_growth", "qds76_channel_census",
+    "qds83_return_channel_devs", "qds91_callcenter_losses",
     # anchors with a continuous driver record (cheap cross-round
     # stability signal)
     "q1_pricing_summary", "q3_shipping_priority",

@@ -698,3 +698,370 @@ def qds60_category_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         1998, 9, "MACHINERY",
         (F.col("p_name"), F.col("total_sales")),
     )
+
+
+# --------------------------------------------------------------------------
+# wave 10b: q74 (year_total CTE consumed four ways), q76 (channel union
+# census), q83 (three return channels joined on item), q91 (multi-dim
+# star with a disjunctive demographic residual).
+# --------------------------------------------------------------------------
+
+_QDS74_SQL = """
+    WITH yt AS (
+      SELECT c_name AS cid,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS total, 's' AS st
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+      UNION ALL
+      SELECT c_name,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT),
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 'w'
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        AND EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    )
+    SELECT s2.cid AS customer_id,
+           CAST(s2.total AS DOUBLE) AS store_secyear_total,
+           CAST(w2.total AS DOUBLE) AS web_secyear_total
+    FROM yt s1
+    JOIN yt s2 ON s1.cid = s2.cid
+    JOIN yt w1 ON s1.cid = w1.cid
+    JOIN yt w2 ON s1.cid = w2.cid
+    WHERE s1.st = 's' AND s2.st = 's' AND w1.st = 'w' AND w2.st = 'w'
+      AND s1.yr = 1996 AND s2.yr = 1997
+      AND w1.yr = 1996 AND w2.yr = 1997
+      AND s1.total > 0 AND w1.total > 0
+      AND CAST(w2.total AS DECIMAL(24,6)) * CAST(s1.total AS DECIMAL(24,6))
+          > CAST(s2.total AS DECIMAL(24,6)) * CAST(w1.total AS DECIMAL(24,6))
+    ORDER BY customer_id
+    LIMIT 100
+"""
+
+
+@query(
+    "qds74_yoy_channel_growth",
+    oracle=_QDS74_SQL,
+    covers="§2.B TPC-DS q74 shape: two-channel year-total CTE consumed "
+    "by a four-way self-join, web-vs-store growth comparison",
+)
+def qds74_yoy_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q74's topology (the simpler q11 sibling): a UNION of per-channel
+    per-year customer totals is self-joined FOUR ways (store/web ×
+    first/second year) and customers whose web sales grew faster than
+    their store sales survive.
+
+    Scale: the CTE-referenced-four-times inline trap (qds70/qds64/qds24
+    class) — shared SQL re-runs the two-channel union per self-join
+    side (8 fact scans); the Spark side computes the year totals in ONE
+    CASE-split pass (the channels partition the order priorities) and
+    ``localCheckpoint``-s the ~4-row-per-customer aggregate, so the
+    four joins read an ExistingRDD (plan-gated: 0 parquet scans).
+    Determinism: the growth comparison is a cross-multiplication of
+    exact DECIMAL(24,6) totals — (37,12) products, no rounding, no
+    division — engine-identical regardless of how close the two growth
+    ratios are.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    yt = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_name").alias("cid"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "s"
+            ).otherwise("w").alias("st"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias(
+                "total"
+            )
+        )
+        .localCheckpoint()
+    )
+
+    def leg(st: str, yr: int, alias: str) -> DataFrame:
+        return (
+            yt.filter((F.col("st") == st) & (F.col("yr") == yr))
+            .select(
+                F.col("cid").alias(f"{alias}_cid"),
+                F.col("total").alias(f"{alias}_total"),
+            )
+        )
+
+    s1, s2 = leg("s", 1996, "s1"), leg("s", 1997, "s2")
+    w1, w2 = leg("w", 1996, "w1"), leg("w", 1997, "w2")
+    d18 = lambda c: F.col(c).cast("decimal(24,6)")  # noqa: E731
+    return (
+        s1.join(s2, F.col("s1_cid") == F.col("s2_cid"))
+        .join(w1, F.col("s1_cid") == F.col("w1_cid"))
+        .join(w2, F.col("s1_cid") == F.col("w2_cid"))
+        .filter(
+            (F.col("s1_total") > 0)
+            & (F.col("w1_total") > 0)
+            & (d18("w2_total") * d18("s1_total")
+               > d18("s2_total") * d18("w1_total"))
+        )
+        .select(
+            F.col("s2_cid").alias("customer_id"),
+            F.col("s2_total").cast("double").alias("store_secyear_total"),
+            F.col("w2_total").cast("double").alias("web_secyear_total"),
+        )
+        .orderBy("customer_id")
+        .limit(100)
+    )
+
+
+_QDS76_LEG = """
+      SELECT '{channel}' AS channel,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS d_year,
+             CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS d_qoy,
+             p_type,
+             l_extendedprice AS ext_sales_price
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_suppkey % 7 = 0 AND {pred}
+"""
+
+_QDS76_SQL = (
+    "SELECT channel, d_year, d_qoy, p_type, COUNT(*) AS sales_cnt, "
+    "CAST(SUM(CAST(ext_sales_price AS DECIMAL(38,6))) AS DOUBLE) "
+    "AS sales_amt FROM ("
+    + _QDS76_LEG.format(channel="store", pred="o_orderpriority = '1-URGENT'")
+    + " UNION ALL "
+    + _QDS76_LEG.format(
+        channel="web", pred="o_orderpriority IN ('2-HIGH', '3-MEDIUM')"
+    )
+    + " UNION ALL "
+    + _QDS76_LEG.format(
+        channel="catalog",
+        pred="o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')",
+    )
+    + ") foo GROUP BY channel, d_year, d_qoy, p_type "
+    "ORDER BY channel, d_year, d_qoy, p_type LIMIT 100"
+)
+
+
+@query(
+    "qds76_channel_census",
+    oracle=_QDS76_SQL,
+    covers="§2.B TPC-DS q76 shape: three-channel UNION ALL census "
+    "(COUNT + SUM per channel/quarter/category)",
+)
+def qds76_channel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q76's topology: three channel projections of the fact (the
+    original screens each channel's normally-never-null key for NULL;
+    ``l_suppkey % 7 = 0`` stands in for that slice) UNION ALL'd and
+    re-aggregated by channel/year/quarter/category with COUNT + SUM.
+
+    Scale: the channels partition the fact by order priority, so the
+    Spark plan derives the channel as a CASE column in ONE pass — a
+    single lineitem scan and one hash aggregation (plan-gated: no
+    Union) where the oracle's faithful spelling scans the fact three
+    times. Counts are exact; sums exact decimals cast once.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey") % 7 == 0
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    channel = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "store")
+        .when(F.col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"), "web")
+        .otherwise("catalog")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            channel.alias("channel"),
+            F.year("o_orderdate").cast("long").alias("d_year"),
+            F.quarter("o_orderdate").cast("long").alias("d_qoy"),
+            "p_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("sales_cnt"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sales_amt"),
+        )
+        .orderBy("channel", "d_year", "d_qoy", "p_type")
+        .limit(100)
+    )
+
+
+_QDS83_SQL = """
+    WITH r AS (
+      SELECT l_partkey AS pk, p_name, o_orderpriority AS pri,
+             l_quantity AS q
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'R'
+        AND weekofyear(o_orderdate) IN
+            (SELECT weekofyear(dd) FROM (VALUES
+               (TIMESTAMP '1996-06-30'), (TIMESTAMP '1996-09-27'),
+               (TIMESTAMP '1996-11-17'), (TIMESTAMP '1996-02-10'),
+               (TIMESTAMP '1996-03-15'), (TIMESTAMP '1996-04-20'),
+               (TIMESTAMP '1996-05-25'), (TIMESTAMP '1996-08-01'),
+               (TIMESTAMP '1996-10-05'), (TIMESTAMP '1996-12-20')) t(dd))
+    ),
+    sr_items AS (
+      SELECT p_name AS item_id,
+             CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) AS sr_item_qty
+      FROM r WHERE pri = '1-URGENT' GROUP BY 1
+    ),
+    cr_items AS (
+      SELECT p_name AS item_id,
+             CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) AS cr_item_qty
+      FROM r WHERE pri IN ('2-HIGH', '3-MEDIUM') GROUP BY 1
+    ),
+    wr_items AS (
+      SELECT p_name AS item_id,
+             CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) AS wr_item_qty
+      FROM r WHERE pri IN ('4-NOT SPECIFIED', '5-LOW') GROUP BY 1
+    )
+    SELECT sr_items.item_id, sr_item_qty,
+           sr_item_qty / (sr_item_qty + cr_item_qty + wr_item_qty)
+             / 3.0 * 100 AS sr_dev,
+           cr_item_qty,
+           cr_item_qty / (sr_item_qty + cr_item_qty + wr_item_qty)
+             / 3.0 * 100 AS cr_dev,
+           wr_item_qty,
+           wr_item_qty / (sr_item_qty + cr_item_qty + wr_item_qty)
+             / 3.0 * 100 AS wr_dev,
+           (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 AS average
+    FROM sr_items
+    JOIN cr_items ON sr_items.item_id = cr_items.item_id
+    JOIN wr_items ON sr_items.item_id = wr_items.item_id
+    ORDER BY sr_items.item_id, sr_item_qty
+    LIMIT 100
+"""
+
+
+@query(
+    "qds83_return_channel_devs",
+    oracle=_QDS83_SQL,
+    covers="§2.B TPC-DS q83 shape: three return channels joined on "
+    "item over a nested week-of-anchor-dates subquery, deviation "
+    "percentages",
+)
+def qds83_return_channel_devs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q83's topology: per-channel returned quantities for the weeks
+    containing ten anchor dates (the reference's nested ``d_week_seq``
+    IN-subquery), inner-joined on item, each channel's share-of-average
+    deviation computed.
+
+    Scale: the oracle's three CTE legs are disjoint priority slices of
+    ONE week-screened returns pass, so the Spark plan folds them into a
+    single CASE-split aggregation and the inner join becomes "all
+    three sums non-NULL" — one fact scan, no join at all (plan-gated).
+    Determinism: sums are exact decimals; the deviation chains are
+    fixed sequences of IEEE div/mul on engine-identical doubles, and
+    weekofyear is ISO-week in both engines (probed).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    anchor_weeks = [26, 39, 46, 6, 11, 16, 21, 31, 40, 51]
+    dq = F.col("l_quantity").cast("decimal(38,6)")
+    pri = F.col("o_orderpriority")
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.weekofyear("o_orderdate").isin(anchor_weeks))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_name").alias("item_id"))
+        .agg(
+            F.sum(F.when(pri == "1-URGENT", dq)).cast("double")
+            .alias("sr_item_qty"),
+            F.sum(F.when(pri.isin("2-HIGH", "3-MEDIUM"), dq)).cast("double")
+            .alias("cr_item_qty"),
+            F.sum(F.when(pri.isin("4-NOT SPECIFIED", "5-LOW"), dq))
+            .cast("double")
+            .alias("wr_item_qty"),
+        )
+        .filter(
+            F.col("sr_item_qty").isNotNull()
+            & F.col("cr_item_qty").isNotNull()
+            & F.col("wr_item_qty").isNotNull()
+        )
+    )
+    tot = F.col("sr_item_qty") + F.col("cr_item_qty") + F.col("wr_item_qty")
+    return (
+        agg.select(
+            "item_id",
+            "sr_item_qty",
+            (F.col("sr_item_qty") / tot / 3.0 * 100).alias("sr_dev"),
+            "cr_item_qty",
+            (F.col("cr_item_qty") / tot / 3.0 * 100).alias("cr_dev"),
+            "wr_item_qty",
+            (F.col("wr_item_qty") / tot / 3.0 * 100).alias("wr_dev"),
+            (tot / 3.0).alias("average"),
+        )
+        .orderBy("item_id", "sr_item_qty")
+        .limit(100)
+    )
+
+
+# weekofyear of the ten anchor dates above — asserted equal in both
+# engines by tests/test_oracle_parity.py running the shared SQL; the
+# literal list in the DataFrame side must track the VALUES in the
+# oracle (1996-06-30→26, 09-27→39, 11-17→46, 02-10→6, 03-15→11,
+# 04-20→16, 05-25→21, 08-01→31, 10-05→40, 12-20→51).
+
+
+_QDS91_SQL = """
+    SELECT s_name AS call_center, n_name AS cc_nation,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS returns_loss
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE l_returnflag = 'R'
+      AND EXTRACT(YEAR FROM o_orderdate) = 1998
+      AND ((c_mktsegment = 'BUILDING' AND c_acctbal > 1000)
+           OR (c_mktsegment = 'MACHINERY' AND c_acctbal < 5000))
+      AND r_name IN ('ASIA', 'EUROPE', 'AMERICA')
+    GROUP BY s_name, n_name
+    ORDER BY returns_loss DESC, s_name
+"""
+
+
+@query(
+    "qds91_callcenter_losses",
+    oracle=_QDS91_SQL,
+    covers="§2.B TPC-DS q91 shape: multi-dimension returns star with a "
+    "disjunctive demographic residual, loss-descending report",
+)
+def qds91_callcenter_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q91's topology: returned-line losses through a six-relation star
+    (call center → supplier, demographics → customer segment/balance,
+    address offset → region band) where the demographic screen is a
+    DISJUNCTION of conjunctions — it cannot push to one column, so it
+    rides the customer scan as a single-dim residual.
+
+    Scale: every dimension broadcasts; the OR screen stays on the
+    customer side (never a post-join residual over the fact); the
+    returns + year screens prune the fact scan. Exact decimal sum; the
+    DESC sort carries the s_name tiebreak.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS91_SQL)

@@ -935,6 +935,40 @@ class TestTpcdsWave10Plans:
         assert plan.count("Scan parquet") <= 5
         assert "CartesianProduct" not in plan
 
+    def test_qds74_checkpointed_year_totals(self, spark):
+        plan = plan_of(spark, "qds74_yoy_channel_growth")
+        # the year_total CTE is consumed FOUR ways — shared SQL would
+        # re-run the two-channel union per side (8 fact scans); the
+        # one-pass CASE-split aggregate is localCheckpoint-ed
+        assert "Scan ExistingRDD" in plan
+        assert plan.count("Scan parquet") == 0
+        assert "CartesianProduct" not in plan
+
+    def test_qds76_one_pass_channel_census(self, spark):
+        plan = plan_of(spark, "qds76_channel_census")
+        # channel is a derived CASE column: one lineitem scan, no Union
+        assert "Union" not in plan
+        assert plan.count("Scan parquet") <= 3
+        assert "CartesianProduct" not in plan
+
+    def test_qds83_one_pass_return_channels(self, spark):
+        plan = plan_of(spark, "qds83_return_channel_devs")
+        # the three return-channel CTEs are disjoint priority slices of
+        # one week-screened pass — CASE-split aggregation, no join of
+        # channel legs (the only joins are the fact→orders/part star)
+        assert "Union" not in plan
+        assert plan.count("Scan parquet") <= 3
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds91_pushed_disjunctive_residual(self, spark):
+        plan = plan_of(spark, "qds91_callcenter_losses")
+        # the OR-of-ANDs demographic screen rides the customer scan
+        # (single-dim residual), never a post-join filter over the fact
+        assert "c_mktsegment" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 class TestKmeansTreeReduce:
     def test_partials_reduced_before_collect(self, spark):

@@ -247,6 +247,10 @@ class SessionState:
     statement_timeout_ms: int = 0
     #: channels this session LISTENs on (NOTIFY fan-out targets)
     listen_channels: set[str] = field(default_factory=set)
+    #: temp views present after session init (registered tables +
+    #: pg_stat_* live views) — DISCARD ALL/TEMP drops only views
+    #: created after this snapshot
+    boot_temp_views: set[str] = field(default_factory=set)
     #: fair-scheduler pool (SET spark.sql.server.pool) — applied in the
     #: worker thread that runs each statement, because Spark local
     #: properties are per-thread
@@ -517,6 +521,16 @@ class SparkPGServer:
                     log.debug("runtime catalog refresh failed", exc_info=True)
 
         await asyncio.to_thread(_init, state.session)
+        # snapshot the boot-time temp views (registered tables, pg_stat_*
+        # live views) so DISCARD ALL/TEMP only drops client-created ones
+        try:
+            state.boot_temp_views = {
+                t.name
+                for t in state.session.catalog.listTables()
+                if t.tableType == "TEMPORARY" and t.namespace == []
+            }
+        except Exception:  # noqa: BLE001
+            state.boot_temp_views = set()
         import time
 
         state.backend_start = time.time()
@@ -939,10 +953,17 @@ class SparkPGServer:
         """PG DISCARD: ALL = RESET ALL + DEALLOCATE ALL + close every
         cursor and portal — the sequence pgbouncer issues between pooled
         clients. PLANS/SEQUENCES have no analogue here (prepared plans
-        ARE the statements, no sequence state) and TEMP is a no-op:
-        temp views live in the per-client Spark session, which is torn
-        down with the connection (single-session mode shares them
-        deliberately, so dropping would nuke other clients)."""
+        ARE the statements, no sequence state). TEMP drops the
+        connection's temporary views in multi-session mode (pgbouncer
+        keeps ONE wire connection and multiplexes clients over it, so
+        per-connection temp state genuinely leaks between pooled
+        clients without this — caught by the between-clients scenario
+        trace); single-session mode shares one Spark session across
+        connections, so dropping there would nuke other clients and
+        stays a documented no-op."""
+        if target == "TEMP":
+            self._discard_temp(state)
+            return
         if target != "ALL":
             return
         self._reset_guc(state, "ALL")
@@ -951,6 +972,32 @@ class SparkPGServer:
         state.portals.clear()
         state.cursors.clear()
         state.listen_channels.clear()  # PG: DISCARD ALL runs UNLISTEN *
+        self._discard_temp(state)
+
+    #: temp views every session starts with (base tables + live stat
+    #: views) — never dropped by DISCARD
+    _BOOT_VIEWS = None
+
+    def _discard_temp(self, state) -> None:
+        """Drop client-created temporary views (PG DISCARD TEMP) —
+        multi-session mode only; the boot-time views (registered tables
+        + pg_stat_* live views) are recreated state, not client temp."""
+        if self.execution_mode == "single-session":
+            return
+        boot = state.boot_temp_views
+        try:
+            current = {
+                t.name
+                for t in state.session.catalog.listTables()
+                if t.tableType == "TEMPORARY" and t.namespace == []
+            }
+        except Exception:  # noqa: BLE001 — catalog listing best-effort
+            return
+        for name in current - boot:
+            try:
+                state.session.catalog.dropTempView(name)
+            except Exception:  # noqa: BLE001
+                pass
 
     def _notify(self, state, channel: str, payload: str) -> None:
         """NOTIFY fan-out: write an 'A' NotificationResponse to every

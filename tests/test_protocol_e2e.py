@@ -392,6 +392,99 @@ class TestPgRegressionDDLReplays:
         ]
 
 
+class TestOrmStartupScenarios:
+    """Realistic client connect-time pipelines replayed verbatim —
+    broader golden traces than the reference's
+    PgV3ProtocolScenarioSuite.scala:25-92 (r7 VERDICT task 8): the
+    SQLAlchemy postgres dialect's startup probes, an ORM-style
+    multi-statement extended-protocol pipeline with a single Sync, and
+    the pgbouncer between-clients reset sequence."""
+
+    def test_sqlalchemy_startup_sequence(self, server):
+        # the queries SQLAlchemy's postgresql dialect issues on connect
+        srv, loop = server
+        seq = [
+            "show standard_conforming_strings",
+            "select pg_catalog.version()",
+            "select current_schema()",
+            "SELECT CAST('test plain returns' AS VARCHAR(60)) AS anon_1",
+            "SELECT CAST('test unicode returns' AS VARCHAR(60)) AS anon_1",
+            "show transaction isolation level",
+        ]
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            out = [await c.simple(q) for q in seq]
+            await c.close()
+            return out
+
+        out = run(loop, go())
+        for q, msgs in zip(seq, out):
+            assert not any(t == b"E" for t, _ in msgs), f"error for: {q}"
+        # version() satisfies ORM connect-time regexes
+        assert rows_of(out[1])[0][0].startswith(b"PostgreSQL ")
+        assert rows_of(out[3]) == [[b"test plain returns"]]
+
+    def test_extended_pipeline_single_sync(self, server):
+        # ORM startup as ONE pipeline: several Parse/Bind/Execute
+        # rounds queued before a single Sync — the server must answer
+        # each in order and emit exactly one ReadyForQuery at the end
+        srv, loop = server
+        stmts = [
+            "SET application_name = 'orm_pipeline'",
+            "SELECT version()",
+            "SELECT count(*) FROM pg_catalog.pg_namespace",
+            "SELECT 1",
+        ]
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            chunks = []
+            for i, q in enumerate(stmts):
+                name = f"p{i}"
+                chunks += [_parse(name, q), _bind("", name), _execute("")]
+            chunks.append(SYNC)
+            await c.send(*chunks)
+            msgs = await c.until_ready()
+            await c.close()
+            return msgs
+
+        msgs = run(loop, go())
+        tags = tags_of(msgs)
+        assert tags.count(b"Z") == 1 and tags[-1] == b"Z"
+        assert tags.count(b"1") == len(stmts)  # ParseComplete each
+        assert tags.count(b"2") == len(stmts)  # BindComplete each
+        completes = completes_of(msgs)
+        assert len(completes) == len(stmts)
+        assert completes[0] == "SET"
+        rows = rows_of(msgs)
+        assert rows[0][0].startswith(b"PostgreSQL ")
+        assert rows[-1] == [b"1"]
+
+    def test_pgbouncer_between_clients_reset(self, server):
+        # pgbouncer's server_reset_query sequence between clients:
+        # session state set by client A must not leak to "client B"
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            await c.simple("SET statement_timeout = '5s'")
+            await c.simple(
+                "CREATE OR REPLACE TEMPORARY VIEW bouncer_tmp AS SELECT 1 AS x"
+            )
+            before = await c.simple("SHOW statement_timeout")
+            await c.simple("DISCARD ALL")
+            after = await c.simple("SHOW statement_timeout")
+            gone = await c.simple("SELECT * FROM bouncer_tmp")
+            await c.close()
+            return before, after, gone
+
+        before, after, gone = run(loop, go())
+        assert rows_of(before) == [[b"5s"]]
+        assert rows_of(after) != [[b"5s"]]  # reset to the default
+        assert any(t == b"E" for t, _ in gone)  # temp view dropped
+
+
 class TestExtendedProtocol:
     def test_parse_bind_execute_with_param(self, server):
         srv, loop = server

@@ -20,6 +20,7 @@ from spark_sql_server_spark.operators import (  # noqa: F401
     relational5,
     relational6,
     relational7,
+    relational8,
     sampling,
     similarity,
     sketches,
@@ -63,6 +64,9 @@ _DRIVER_SAMPLE_PRIORITY = [
     "qds60_category_union",
     "qds74_yoy_channel_growth", "qds76_channel_census",
     "qds83_return_channel_devs", "qds91_callcenter_losses",
+    "qds4_triple_channel_growth", "qds2_weekly_yoy_ratios",
+    "qds50_return_lag_bands", "qds45_geo_or_itemset",
+    "qds85_banded_return_reasons",
     # anchors with a continuous driver record (cheap cross-round
     # stability signal)
     "q1_pricing_summary", "q3_shipping_priority",

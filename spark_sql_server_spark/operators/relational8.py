@@ -1,0 +1,477 @@
+"""TPC-DS-shaped plan families, wave 11 (r8): q4, q2, q50, q45, q85.
+
+Reference queries: ``examples/tpcds/src/main/resources/tpcds/queries/
+q4.sql``, ``q2.sql``, ``q50.sql``, ``q45.sql``, ``q85.sql`` (the
+reference validates all of them through TPCDSQueryBenchmark.scala).
+
+* q4 — the full three-channel version of q74's year-total CTE: six
+  self-joins (store/catalog/web × first/second period) and TWO growth
+  comparisons (catalog grew faster than store AND than web). Same
+  CTE-inline trap, twice as wide.
+* q2 — week-over-week census: a two-channel union pivots into one row
+  per week with seven day-of-week sums, then the CTE self-joins one
+  year apart on the ISO week and emits per-day ratios.
+* q50 — two facts (sale line, matching later return) joined on
+  (customer, part), the return lag bucketed into five day bands per
+  store — a fact×fact join feeding a band census.
+* q45 — a disjunction spanning TWO dimensions, one leg of which is an
+  IN-subquery: (customer-name suffix IN list) OR (item in a
+  primes-keyed item set). The subquery leg under OR must plan as an
+  ExistenceJoin (boolean-appending semi join), like qds35/qds41.
+* q85 — returns star whose residual is an OR of three conjunctions,
+  each pairing demographic equalities with a DIFFERENT price band;
+  averages per order status.
+
+Adapted to the test schema as in relational6/7: priority buckets are
+the channels, supplier is the store, ``l_returnflag = 'R'`` lines are
+the returns. Determinism: all money stays DECIMAL(38,6) until a final
+DOUBLE cast; growth comparisons cross-multiply DECIMAL(24,6) (int128
+in DuckDB, exact — never a division); week ratios round in hundredth
+space (FLOOR(x*100+0.5)/100 — identical IEEE ops both engines, the
+ROUND6 lesson at 2dp); averages are one IEEE division of exact values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_sql_server_spark.operators.registry import query
+from spark_sql_server_spark.session import load_table, register_tables
+
+# --------------------------------------------------------------------------
+# q4: three-channel year totals, six-way self-join, double growth screen.
+# --------------------------------------------------------------------------
+
+_QDS4_CHANNEL = (
+    "CASE WHEN o_orderpriority = '1-URGENT' THEN 's' "
+    "WHEN o_orderpriority IN ('2-HIGH', '3-MEDIUM') THEN 'c' "
+    "ELSE 'w' END"
+)
+
+_QDS4_SQL = f"""
+    WITH yt AS (
+      SELECT c_name AS cid,
+             CASE WHEN EXTRACT(YEAR FROM o_orderdate) <= 1996
+                  THEN 1 ELSE 2 END AS per,
+             {_QDS4_CHANNEL} AS st,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS total
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) BETWEEN 1995 AND 1998
+      GROUP BY 1, 2, 3
+    )
+    SELECT s2.cid AS customer_id,
+           CAST(c2.total AS DOUBLE) AS catalog_secperiod_total
+    FROM yt s1
+    JOIN yt s2 ON s1.cid = s2.cid
+    JOIN yt c1 ON s1.cid = c1.cid
+    JOIN yt c2 ON s1.cid = c2.cid
+    JOIN yt w1 ON s1.cid = w1.cid
+    JOIN yt w2 ON s1.cid = w2.cid
+    WHERE s1.st = 's' AND s2.st = 's' AND c1.st = 'c' AND c2.st = 'c'
+      AND w1.st = 'w' AND w2.st = 'w'
+      AND s1.per = 1 AND s2.per = 2 AND c1.per = 1 AND c2.per = 2
+      AND w1.per = 1 AND w2.per = 2
+      AND s1.total > 0 AND c1.total > 0 AND w1.total > 0
+      AND CAST(c2.total AS DECIMAL(24,6)) * CAST(s1.total AS DECIMAL(24,6))
+          > CAST(s2.total AS DECIMAL(24,6)) * CAST(c1.total AS DECIMAL(24,6))
+      AND CAST(c2.total AS DECIMAL(24,6)) * CAST(w1.total AS DECIMAL(24,6))
+          > CAST(w2.total AS DECIMAL(24,6)) * CAST(c1.total AS DECIMAL(24,6))
+    ORDER BY customer_id
+    LIMIT 100
+"""
+
+
+@query(
+    "qds4_triple_channel_growth",
+    oracle=_QDS4_SQL,
+    covers="§2.B TPC-DS q4 shape: three-channel period totals consumed "
+    "by a six-way self-join, catalog-grew-fastest double screen",
+)
+def qds4_triple_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4's topology — the widest of the year-total family: per-
+    (customer, period, channel) totals consumed by SIX self-join arms,
+    keeping customers whose catalog spend grew faster than BOTH their
+    store and web spend.
+
+    Scale: one CASE-split pass computes all three channels' totals
+    (the qds74 plan, one more channel), ``localCheckpoint``-ed so the
+    six arms read an ExistingRDD (plan-gated: 0 parquet scans — the
+    shared-SQL spelling would re-run the star six times). Both growth
+    comparisons are exact DECIMAL(24,6) cross-multiplications: no
+    division, no rounding, int128-backed in DuckDB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").between(1995, 1998)
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    yt = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_name").alias("cid"),
+            F.when(F.year("o_orderdate") <= 1996, 1).otherwise(2)
+            .alias("per"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", "s")
+            .when(F.col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"), "c")
+            .otherwise("w")
+            .alias("st"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias(
+                "total"
+            )
+        )
+        .localCheckpoint()
+    )
+
+    def arm(st: str, per: int, alias: str) -> DataFrame:
+        return yt.filter((F.col("st") == st) & (F.col("per") == per)).select(
+            F.col("cid").alias(f"{alias}_cid"),
+            F.col("total").alias(f"{alias}_total"),
+        )
+
+    s1, s2 = arm("s", 1, "s1"), arm("s", 2, "s2")
+    c1, c2 = arm("c", 1, "c1"), arm("c", 2, "c2")
+    w1, w2 = arm("w", 1, "w1"), arm("w", 2, "w2")
+    d24 = lambda c: F.col(c).cast("decimal(24,6)")  # noqa: E731
+    return (
+        s1.join(s2, F.col("s1_cid") == F.col("s2_cid"))
+        .join(c1, F.col("s1_cid") == F.col("c1_cid"))
+        .join(c2, F.col("s1_cid") == F.col("c2_cid"))
+        .join(w1, F.col("s1_cid") == F.col("w1_cid"))
+        .join(w2, F.col("s1_cid") == F.col("w2_cid"))
+        .filter(
+            (F.col("s1_total") > 0)
+            & (F.col("c1_total") > 0)
+            & (F.col("w1_total") > 0)
+            & (d24("c2_total") * d24("s1_total")
+               > d24("s2_total") * d24("c1_total"))
+            & (d24("c2_total") * d24("w1_total")
+               > d24("w2_total") * d24("c1_total"))
+        )
+        .select(
+            F.col("s2_cid").alias("customer_id"),
+            F.col("c2_total").cast("double")
+            .alias("catalog_secperiod_total"),
+        )
+        .orderBy("customer_id")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q2: weekly day-of-week census, self-joined one year apart on ISO week.
+# --------------------------------------------------------------------------
+
+_QDS2_DAYS = ("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+
+# DuckDB's dayofweek is 0-based (Sunday = 0); Spark's is 1-based
+# (Sunday = 1) — the oracle shifts by one to line up with the
+# DataFrame side's F.dayofweek
+_QDS2_PIVOT = ",\n             ".join(
+    f"SUM(CASE WHEN dayofweek(o_orderdate) + 1 = {i + 1} THEN "
+    f"CAST(l_extendedprice AS DECIMAL(38,6)) END) AS {d}_sales"
+    for i, d in enumerate(_QDS2_DAYS)
+)
+
+_QDS2_RATIOS = ",\n           ".join(
+    f"CAST(FLOOR(CAST(a.{d}_sales AS DOUBLE) / CAST(b.{d}_sales AS DOUBLE)"
+    f" * 100 + 0.5) AS DOUBLE) / 100 AS {d}_ratio"
+    for d in _QDS2_DAYS
+)
+
+_QDS2_SQL = f"""
+    WITH wswscs AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(weekofyear(o_orderdate) AS BIGINT) AS wk,
+             {_QDS2_PIVOT}
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority <> '1-URGENT'
+      GROUP BY 1, 2
+    )
+    SELECT a.wk AS week_seq,
+           {_QDS2_RATIOS}
+    FROM wswscs a
+    JOIN wswscs b ON a.wk = b.wk AND b.yr = a.yr + 1
+    WHERE a.yr = 1996
+    ORDER BY a.wk
+"""
+
+
+@query(
+    "qds2_weekly_yoy_ratios",
+    oracle=_QDS2_SQL,
+    covers="§2.B TPC-DS q2 shape: day-of-week pivot per week, CTE "
+    "self-joined one year apart, per-day ratios",
+)
+def qds2_weekly_yoy_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2's topology: the two non-store channels union into one stream
+    (a priority filter here — the union legs are disjoint), each week
+    pivots into seven day-of-week sums via CASE, and the weekly CTE
+    self-joins one year apart on the ISO week to emit per-day ratios.
+
+    Scale: the CTE-referenced-twice trap again — the weekly pivot is
+    ``localCheckpoint``-ed (≈53 rows per year) so the fact join runs
+    once (plan-gated). Determinism: day sums are exact decimals; a
+    missing day is NULL (propagates through the ratio identically in
+    both engines); the 2dp ratio rounds in hundredth space —
+    ``FLOOR(q*100+0.5)/100`` is the same IEEE sequence in both engines
+    where ``ROUND(q, 2)`` of a quotient is not (the ROUND6 lesson).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    pivot = [
+        F.sum(
+            F.when(
+                F.dayofweek("o_orderdate") == i + 1,
+                F.col("l_extendedprice").cast("decimal(38,6)"),
+            )
+        ).alias(f"{d}_sales")
+        for i, d in enumerate(_QDS2_DAYS)
+    ]
+    wswscs = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.weekofyear("o_orderdate").cast("long").alias("wk"),
+        )
+        .agg(*pivot)
+        .localCheckpoint()
+    )
+    a = wswscs.filter(F.col("yr") == 1996).alias("a")
+    b = wswscs.filter(F.col("yr") == 1997).alias("b")
+
+    def ratio(d: str):
+        q = (
+            F.col(f"a.{d}_sales").cast("double")
+            / F.col(f"b.{d}_sales").cast("double")
+        )
+        return (
+            (F.floor(q * 100 + F.lit(0.5)).cast("double") / 100)
+            .alias(f"{d}_ratio")
+        )
+
+    return (
+        a.join(b, F.col("a.wk") == F.col("b.wk"))
+        .select(F.col("a.wk").alias("week_seq"),
+                *[ratio(d) for d in _QDS2_DAYS])
+        .orderBy("week_seq")
+    )
+
+
+# --------------------------------------------------------------------------
+# q50: sale→return lag, five day-bands per store.
+# --------------------------------------------------------------------------
+
+_QDS50_BANDS = (
+    ("d30", "lag <= 30"),
+    ("d60", "lag > 30 AND lag <= 60"),
+    ("d90", "lag > 60 AND lag <= 90"),
+    ("d120", "lag > 90 AND lag <= 120"),
+    ("dmore", "lag > 120"),
+)
+
+_QDS50_SQL = f"""
+    WITH s AS (
+      SELECT o_custkey AS ck, l_partkey AS pk, l_suppkey AS sk,
+             o_orderdate AS d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'N'
+    ),
+    r AS (
+      SELECT o_custkey AS ck, l_partkey AS pk, o_orderdate AS d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+    ),
+    lags AS (
+      SELECT s.sk, datediff('day', s.d, r.d) AS lag
+      FROM s JOIN r ON s.ck = r.ck AND s.pk = r.pk AND r.d >= s.d
+    )
+    SELECT s_name AS store_name,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)"
+               f" AS {name}"
+               for name, pred in _QDS50_BANDS)}
+    FROM lags JOIN supplier ON sk = s_suppkey
+    GROUP BY s_name
+    ORDER BY s_name
+"""
+
+
+@query(
+    "qds50_return_lag_bands",
+    oracle=_QDS50_SQL,
+    covers="§2.B TPC-DS q50 shape: sale×return fact join, return lag "
+    "bucketed into five day bands per store",
+)
+def qds50_return_lag_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q50's topology: the sale fact joins its matching later return
+    on (customer, part) — a genuine fact×fact equi join with a date
+    residual — and the days-to-return bucket into five bands counted
+    per store.
+
+    Scale: the two legs shuffle on (custkey, partkey); the return-year
+    screen prunes the return leg's scan; the supplier dim broadcasts
+    onto the tiny lag set; the five bands are CASE arms of ONE
+    aggregation (the reference's five sum columns — never five
+    passes). Counts are exact integers; datediff of date-truncated
+    timestamps is exact in both engines (Spark spells it
+    ``datediff(end, start)``, DuckDB ``datediff('day', start, end)``).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    s = (
+        li.filter(F.col("l_returnflag") == "N")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("l_partkey").alias("pk"),
+            F.col("l_suppkey").alias("sk"),
+            F.col("o_orderdate").alias("sd"),
+        )
+    )
+    r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(F.year("o_orderdate").isin(1996, 1997)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("rck"),
+            F.col("l_partkey").alias("rpk"),
+            F.col("o_orderdate").alias("rd"),
+        )
+    )
+    lag = F.datediff(F.col("rd"), F.col("sd"))
+    bands = [
+        F.sum(F.when(lag <= 30, 1).otherwise(0)).alias("d30"),
+        F.sum(F.when((lag > 30) & (lag <= 60), 1).otherwise(0)).alias("d60"),
+        F.sum(F.when((lag > 60) & (lag <= 90), 1).otherwise(0)).alias("d90"),
+        F.sum(F.when((lag > 90) & (lag <= 120), 1).otherwise(0)).alias(
+            "d120"
+        ),
+        F.sum(F.when(lag > 120, 1).otherwise(0)).alias("dmore"),
+    ]
+    return (
+        s.join(
+            r,
+            (F.col("ck") == F.col("rck"))
+            & (F.col("pk") == F.col("rpk"))
+            & (F.col("rd") >= F.col("sd")),
+        )
+        .join(F.broadcast(supplier), F.col("sk") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("store_name"))
+        .agg(*bands)
+        .orderBy("store_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q45: disjunction across two dimensions with an IN-subquery leg.
+# --------------------------------------------------------------------------
+
+_QDS45_SQL = """
+    SELECT c_mktsegment, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sales
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE (substr(c_name, length(c_name) - 1, 2)
+             IN ('01', '13', '25', '37', '49')
+           OR p_name IN (SELECT p_name FROM part
+                         WHERE p_partkey IN (2, 3, 5, 7, 11, 13, 17, 19,
+                                             23, 29)))
+      AND EXTRACT(QUARTER FROM o_orderdate) = 2
+      AND EXTRACT(YEAR FROM o_orderdate) = 1997
+    GROUP BY c_mktsegment, n_name
+    ORDER BY c_mktsegment, n_name
+    LIMIT 100
+"""
+
+
+@query(
+    "qds45_geo_or_itemset",
+    oracle=_QDS45_SQL,
+    covers="§2.B TPC-DS q45 shape: disjunction spanning two dimensions "
+    "with an IN-subquery leg (ExistenceJoin under OR)",
+)
+def qds45_geo_or_itemset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q45's topology: keep a fact row if the customer's zip prefix is
+    in a literal list (name suffix stands in) OR its item belongs to a
+    primes-keyed item set — a disjunction that spans two different
+    dimensions, one leg of which is an IN subquery.
+
+    Scale: the subquery leg under OR cannot become a plain semi join
+    (rows failing it may still pass the other leg) — Spark plans an
+    ExistenceJoin that appends a boolean column (plan-gated), the same
+    class as qds35/qds41; the literal leg stays a residual. The
+    quarter/year fringe is pushed to the orders scan; dims broadcast.
+    Exact decimal sums; group keys are a total order.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS45_SQL)
+
+
+# --------------------------------------------------------------------------
+# q85: returns star with an OR of demographic+price-band conjunctions.
+# --------------------------------------------------------------------------
+
+_QDS85_SQL = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_returns,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*) AS avg_quantity,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*) AS avg_refund,
+           CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) / COUNT(*) AS avg_fee
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE l_returnflag = 'R'
+      AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      AND ((c_mktsegment = 'BUILDING' AND s_acctbal > 0
+            AND l_extendedprice BETWEEN 10000 AND 50000)
+           OR (c_mktsegment = 'MACHINERY' AND s_acctbal > 1000
+               AND l_extendedprice BETWEEN 20000 AND 60000)
+           OR (c_mktsegment = 'HOUSEHOLD' AND s_acctbal > 2000
+               AND l_extendedprice BETWEEN 30000 AND 70000))
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "qds85_banded_return_reasons",
+    oracle=_QDS85_SQL,
+    covers="§2.B TPC-DS q85 shape: returns star with an OR of three "
+    "demographic+price-band conjunctions, per-reason averages",
+)
+def qds85_banded_return_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q85's topology: returned lines through a multi-dimension star
+    where the residual is an OR of three conjunctions, each pairing a
+    demographic equality (marital/education in the original; market
+    segment and store balance here) with a DIFFERENT price band — the
+    screen spans the fact AND two dimensions, so it can only apply
+    post-join.
+
+    Scale: each dimension broadcasts; the band disjunction applies
+    once on the joined row (never re-derived per output column); the
+    three averages are single IEEE divisions of exact decimal sums by
+    the exact count (never AVG over doubles — the qds63 lesson).
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS85_SQL)

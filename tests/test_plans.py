@@ -961,6 +961,42 @@ class TestTpcdsWave10Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_qds4_checkpointed_six_arms(self, spark):
+        plan = plan_of(spark, "qds4_triple_channel_growth")
+        # the three-channel period totals are consumed by SIX arms —
+        # one CASE-split pass, checkpointed (shared SQL would run the
+        # star six times)
+        assert "Scan ExistingRDD" in plan
+        assert plan.count("Scan parquet") == 0
+        assert "CartesianProduct" not in plan
+
+    def test_qds2_checkpointed_week_pivot(self, spark):
+        plan = plan_of(spark, "qds2_weekly_yoy_ratios")
+        assert "Scan ExistingRDD" in plan
+        assert plan.count("Scan parquet") == 0
+        assert "CartesianProduct" not in plan
+
+    def test_qds50_fact_fact_band_census(self, spark):
+        plan = plan_of(spark, "qds50_return_lag_bands")
+        # sale×return equi join on (ck, pk) with the date residual —
+        # never a nested loop; the five bands are ONE aggregation
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan  # supplier dim
+
+    def test_qds45_existence_join_under_or(self, spark):
+        plan = plan_of(spark, "qds45_geo_or_itemset")
+        # the IN-subquery leg of the two-dimension OR must plan as an
+        # ExistenceJoin (a plain semi join would drop rows that pass
+        # only the literal leg)
+        assert "ExistenceJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_qds85_single_band_residual(self, spark):
+        plan = plan_of(spark, "qds85_banded_return_reasons")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_qds91_pushed_disjunctive_residual(self, spark):
         plan = plan_of(spark, "qds91_callcenter_losses")
         # the OR-of-ANDs demographic screen rides the customer scan

@@ -66,7 +66,8 @@ _DRIVER_SAMPLE_PRIORITY = [
     "qds83_return_channel_devs", "qds91_callcenter_losses",
     "qds4_triple_channel_growth", "qds2_weekly_yoy_ratios",
     "qds50_return_lag_bands", "qds45_geo_or_itemset",
-    "qds85_banded_return_reasons",
+    "qds85_banded_return_reasons", "qds5_channel_sales_returns",
+    "qds8_zip_prefix_semi", "qds22_inventory_hierarchy_avg",
     # anchors with a continuous driver record (cheap cross-round
     # stability signal)
     "q1_pricing_summary", "q3_shipping_priority",

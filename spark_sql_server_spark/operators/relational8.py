@@ -475,3 +475,223 @@ def qds85_banded_return_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir)
     return spark.sql(_QDS85_SQL)
+
+
+# --------------------------------------------------------------------------
+# wave 11b: q5 (sales+returns per-channel UNION → ROLLUP), q8
+# (substring-key INTERSECT semi join), q22 (item-hierarchy ROLLUP avg).
+# --------------------------------------------------------------------------
+
+_QDS5_LEG = """
+      SELECT '{channel}' AS channel,
+             CONCAT('{prefix}', s_name) AS id,
+             SUM(CASE WHEN l_returnflag <> 'R'
+                 THEN CAST(l_extendedprice AS DECIMAL(38,6))
+                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS sales_dec,
+             SUM(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(l_extendedprice AS DECIMAL(38,6))
+                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS returns_dec,
+             SUM(CASE WHEN l_returnflag <> 'R'
+                 THEN CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,6))
+                 ELSE CAST(-l_extendedprice * l_discount
+                           AS DECIMAL(38,6)) END) AS profit_dec
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE o_orderdate BETWEEN TIMESTAMP '1996-08-23 00:00:00'
+                            AND TIMESTAMP '1996-09-06 00:00:00'
+        AND {pred}
+      GROUP BY 1, 2
+"""
+
+_QDS5_SQL = f"""
+    WITH ssr AS ({_QDS5_LEG.format(
+        channel="store channel", prefix="store",
+        pred="o_orderpriority = '1-URGENT'")}),
+    csr AS ({_QDS5_LEG.format(
+        channel="catalog channel", prefix="catalog_page",
+        pred="o_orderpriority IN ('2-HIGH', '3-MEDIUM')")}),
+    wsr AS ({_QDS5_LEG.format(
+        channel="web channel", prefix="web_site",
+        pred="o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')")})
+    SELECT channel, id,
+           CAST(SUM(sales_dec) AS DOUBLE) AS sales,
+           CAST(SUM(returns_dec) AS DOUBLE) AS returns,
+           CAST(SUM(profit_dec) AS DOUBLE) AS profit
+    FROM (SELECT * FROM ssr UNION ALL SELECT * FROM csr
+          UNION ALL SELECT * FROM wsr) x
+    GROUP BY ROLLUP (channel, id)
+    ORDER BY channel ASC NULLS FIRST, id ASC NULLS FIRST
+    LIMIT 100
+"""
+
+
+@query(
+    "qds5_channel_sales_returns",
+    oracle=_QDS5_SQL,
+    covers="§2.B TPC-DS q5 shape: per-channel sales+returns union "
+    "(zero-padded money columns), re-agg under ROLLUP(channel, id)",
+)
+def qds5_channel_sales_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q5's topology: each channel unions its sales rows (returns
+    columns zero) with its returns rows (sales columns zero) over a
+    14-day window, aggregates per channel entity, and a final
+    ROLLUP(channel, id) produces per-entity, per-channel, and grand
+    totals.
+
+    Scale: the sales/returns union within a channel is a CASE split of
+    one fact pass (the rows differ only in ``l_returnflag``), and the
+    three channels partition order priorities — so the whole body is
+    ONE aggregation feeding a ROLLUP Expand over ~30 rows (plan-gated:
+    single lineitem scan, no Union). ROLLUP null keys pin NULLS FIRST
+    in both engines (the qds67 lesson). Exact decimal money
+    throughout; profit folds the discount sign into the CASE so each
+    leg stays a single decimal sum.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-08-23 00:00:00").cast("timestamp"),
+            F.lit("1996-09-06 00:00:00").cast("timestamp"),
+        )
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(38,6)")
+    is_ret = F.col("l_returnflag") == "R"
+    channel = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "store channel")
+        .when(F.col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"),
+              "catalog channel")
+        .otherwise("web channel")
+    )
+    prefix = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "store")
+        .when(F.col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"),
+              "catalog_page")
+        .otherwise("web_site")
+    )
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            channel.alias("channel"),
+            F.concat(prefix, F.col("s_name")).alias("id"),
+            F.when(~is_ret, dec(F.col("l_extendedprice")))
+            .otherwise(zero).alias("sales_dec"),
+            F.when(is_ret, dec(F.col("l_extendedprice")))
+            .otherwise(zero).alias("returns_dec"),
+            F.when(
+                ~is_ret,
+                dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            )
+            .otherwise(dec(-F.col("l_extendedprice") * F.col("l_discount")))
+            .alias("profit_dec"),
+        )
+    )
+    return (
+        base.rollup("channel", "id")
+        .agg(
+            F.sum("sales_dec").cast("double").alias("sales"),
+            F.sum("returns_dec").cast("double").alias("returns"),
+            F.sum("profit_dec").cast("double").alias("profit"),
+        )
+        .orderBy(
+            F.col("channel").asc_nulls_first(),
+            F.col("id").asc_nulls_first(),
+        )
+        .limit(100)
+    )
+
+
+_QDS8_ZIPS = (
+    "('01'),('07'),('13'),('19'),('25'),('31'),('37'),('43'),('49'),"
+    "('55'),('61'),('67'),('73'),('79'),('85'),('91'),('97')"
+)
+
+_QDS8_SQL = f"""
+    WITH zip_list(z) AS (SELECT * FROM (VALUES {_QDS8_ZIPS}) t(z)),
+    preferred AS (
+      SELECT substr(c_name, length(c_name) - 1, 2) AS z
+      FROM customer WHERE c_acctbal > 2000
+      GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    allowed AS (SELECT z FROM zip_list INTERSECT SELECT z FROM preferred)
+    SELECT n_name AS store_nation,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS net_profit
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE substr(c_name, length(c_name) - 1, 2) IN (SELECT z FROM allowed)
+      AND EXTRACT(YEAR FROM o_orderdate) = 1997
+    GROUP BY n_name
+    ORDER BY n_name
+"""
+
+
+@query(
+    "qds8_zip_prefix_semi",
+    oracle=_QDS8_SQL,
+    covers="§2.B TPC-DS q8 shape: INTERSECT of a literal zip-prefix "
+    "list with an aggregated preferred-customer set, semi-joined on a "
+    "derived substring key",
+)
+def qds8_zip_prefix_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8's topology: a literal list of zip prefixes (customer-name
+    suffixes here) INTERSECTs the prefixes that have ≥2 preferred
+    customers, and store profit is summed only where the buyer's
+    prefix survives — a semi join on a DERIVED substring key fed by a
+    set intersection.
+
+    Scale: both sides of the INTERSECT are tiny (≤100 prefixes) — the
+    IN-subquery becomes a broadcast LEFT SEMI join on the computed
+    substring (never a per-row probe, plan-gated); the year screen
+    prunes orders; dims broadcast. Exact decimal sum; nation name is a
+    total order.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS8_SQL)
+
+
+_QDS22_SQL = """
+    SELECT p_name, p_brand, p_type,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*) AS qoh
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1996-12-31 00:00:00'
+    GROUP BY ROLLUP (p_name, p_brand, p_type)
+    ORDER BY qoh,
+             p_name ASC NULLS FIRST,
+             p_brand ASC NULLS FIRST,
+             p_type ASC NULLS FIRST
+    LIMIT 100
+"""
+
+
+@query(
+    "qds22_inventory_hierarchy_avg",
+    oracle=_QDS22_SQL,
+    covers="§2.B TPC-DS q22 shape: average quantity-on-hand under an "
+    "item-hierarchy ROLLUP, quantity-ordered head",
+)
+def qds22_inventory_hierarchy_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q22's topology: a year of inventory positions (ship-window
+    lineitem quantities stand in) averaged under a ROLLUP of the item
+    hierarchy — every prefix level plus the grand total — with the
+    head ordered by the average itself.
+
+    Scale: one fact pass into the ROLLUP Expand (levels are computed
+    map-side, one exchange); the item dim broadcasts; the head is
+    TakeOrderedAndProject. Determinism: qoh is SUM(decimal)/COUNT —
+    one IEEE division of exact values (never AVG over doubles); the
+    qoh sort carries the full hierarchy as tiebreaks with NULLS FIRST
+    pinned on every rollup-nullable key.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS22_SQL)

@@ -997,6 +997,30 @@ class TestTpcdsWave10Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_qds5_one_pass_rollup(self, spark):
+        plan = plan_of(spark, "qds5_channel_sales_returns")
+        # sales/returns union and the three channels are all CASE
+        # splits of ONE fact pass feeding the ROLLUP Expand
+        assert "Union" not in plan
+        assert plan.count("Scan parquet") <= 3
+        assert "Expand" in plan  # the ROLLUP
+        assert "CartesianProduct" not in plan
+
+    def test_qds8_broadcast_semi_on_derived_key(self, spark):
+        plan = plan_of(spark, "qds8_zip_prefix_semi")
+        # the INTERSECT-fed prefix set semi-joins on the computed
+        # substring — a broadcast, never a per-row probe
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds22_rollup_topk(self, spark):
+        plan = plan_of(spark, "qds22_inventory_hierarchy_avg")
+        assert "Expand" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("Scan parquet") <= 2
+        assert "CartesianProduct" not in plan
+
     def test_qds91_pushed_disjunctive_residual(self, spark):
         plan = plan_of(spark, "qds91_callcenter_losses")
         # the OR-of-ANDs demographic screen rides the customer scan

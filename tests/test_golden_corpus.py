@@ -3300,6 +3300,61 @@ CORPUS += [
 ]
 
 
+# --------------------------------------------------------------------------
+# wave 25 (r8) — postgreSQL/comments.sql (every comment placement incl.
+# PG's NESTED block comments), limit.sql LIMIT/OFFSET shapes, int4.sql
+# boundary arithmetic (overflows pinned as ANSI negatives alongside
+# PG's own errors; volatile LIMIT rejected).
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    # comments.sql: every comment placement must parse over the wire
+    ("SELECT 'trailing' AS first -- trailing single line", "SELECT 'trailing' AS first"),
+    ("SELECT /* embedded single line */ 'embedded' AS second",
+     "SELECT 'embedded' AS second"),
+    ("SELECT /* both embedded and trailing single line */ 'both' AS third "
+     "-- trailing single line",
+     "SELECT 'both' AS third"),
+    ("/* block comment before */ SELECT 'after multi-line' AS fifth",
+     "SELECT 'after multi-line' AS fifth"),
+    ("SELECT /* multi\nline\ncomment */ 'sixth' AS c", "SELECT 'sixth' AS c"),
+    ("SELECT /* nested /* block */ comment */ 'nested' AS c",
+     "SELECT 'nested' AS c"),
+    # limit.sql shapes over TPC-H
+    ("SELECT p_partkey FROM part WHERE p_partkey > 50 "
+     "ORDER BY p_partkey LIMIT 2",
+     None),
+    ("SELECT p_partkey FROM part WHERE p_partkey > 60 AND p_partkey < 63 "
+     "ORDER BY p_partkey LIMIT 5",
+     None),
+    ("SELECT p_partkey FROM part ORDER BY p_partkey LIMIT 3 OFFSET 2",
+     None),
+    ("SELECT p_partkey FROM part ORDER BY p_partkey OFFSET 195",
+     None),
+    ("SELECT count(*) AS n FROM (SELECT l_orderkey FROM lineitem "
+     "ORDER BY l_orderkey LIMIT 100 OFFSET 50) t",
+     None),
+    # int4.sql remainder: boundary arithmetic that does NOT overflow
+    ("SELECT int('1000') * int('1000') AS v", "SELECT 1000000 AS v"),
+    ("SELECT 2 + 2 AS a, 2 - 2 AS b, 2 * 2 AS c, 2 / 2 AS d",
+     "SELECT 4 AS a, 0 AS b, 4 AS c, CAST(1.0 AS DOUBLE) AS d"),
+    ("SELECT CAST(2147483647 AS int) AS mx, CAST(-2147483648 AS int) AS mn",
+     "SELECT 2147483647 AS mx, -2147483648 AS mn"),
+    ("SELECT abs(CAST(-2147483647 AS int)) AS v", "SELECT 2147483647 AS v"),
+    # gcd/lcm (PG 13 additions Spark 4 lacks are negatives below);
+    # factorial works in both
+    ("SELECT factorial(10) AS f", "SELECT CAST(3628800 AS BIGINT) AS f"),
+]
+
+NEGATIVE_WAVE25 = [
+    # int4.sql: int overflow raises in both PG and ANSI Spark
+    "SELECT CAST(2147483647 AS int) + CAST(1 AS int)",
+    "SELECT int('2147483647') * int('2')",
+    # limit.sql: non-foldable / volatile LIMIT is rejected by Spark
+    "SELECT 1 LIMIT (CASE WHEN random() < 0.5 THEN 1 END)",
+]
+
+
 @pytest.fixture(scope="module")
 def server(spark):
     loop = asyncio.new_event_loop()
@@ -3444,6 +3499,7 @@ NEGATIVE_CORPUS: list[str] = [
 
 NEGATIVE_CORPUS += NEGATIVE_WAVE22
 NEGATIVE_CORPUS += NEGATIVE_WAVE23
+NEGATIVE_CORPUS += NEGATIVE_WAVE25
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))

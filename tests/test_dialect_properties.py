@@ -22,7 +22,13 @@ from hypothesis import strategies as st
 
 from spark_sql_server_spark.dialect.rewriter import rewrite_sql
 
-_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True)
+#: function names the rewriter transforms in call position — a random
+#: identifier landing before '(' must not be one of them, or the
+#: plain-SQL-identity property would legitimately fail
+_REWRITTEN_FNS = {"log", "ltrim", "rtrim", "btrim", "timestamptz"}
+_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True).filter(
+    lambda s: s.lower() not in _REWRITTEN_FNS
+)
 # literal contents: anything printable except the quote itself (escaped
 # quotes are a separate lexer concern covered by unit tests)
 _lit = st.text(
@@ -44,6 +50,14 @@ _pgisms = st.sampled_from(
         "ARRAY[1,2]",
         "a ->> 'k'",
         "$1",
+        # r8 passes: base-10 log, trim argument order, typed
+        # timestamptz literals, NULL array items
+        "log(x)",
+        "ltrim(s, 'ab')",
+        "pg_catalog.btrim(s, 'ab')",
+        "timestamptz '2020-01-01 00:00:00'",
+        "'{1, NULL}'::int[]",
+        "CAST(x AS DOUBLE PRECISION)",
     ]
 )
 
@@ -95,3 +109,51 @@ class TestRewriterProperties:
         lits_in = re.findall(r"'[^']*'", sql)
         lits_out = re.findall(r"'[^']*'", rewrite_sql(sql, params=False))
         assert lits_in == lits_out
+
+    @settings(max_examples=200, deadline=None, derandomize=True)
+    @given(
+        st.lists(
+            st.tuples(
+                _ident,
+                st.sampled_from(
+                    ["int", "text", "int8", "float8", "varchar(12)",
+                     "numeric(10,2)", "bigint", "bytea"]
+                ),
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_ddl_types_idempotent_and_spark_parsable(self, cols):
+        # the r8 DDL-type pass: every PG column type maps to a
+        # Spark-DDL-valid spelling, and the rewrite is idempotent
+        # (valid-type check is a static allowlist — this file runs
+        # without a SparkSession by design)
+        valid = {
+            "INT", "BIGINT", "SMALLINT", "TINYINT", "STRING", "DOUBLE",
+            "FLOAT", "BOOLEAN", "BINARY", "DATE", "TIMESTAMP", "DECIMAL",
+            "VARCHAR", "CHAR",
+        }
+        body = ", ".join(f"{n} {t}" for n, t in cols)
+        sql = f"CREATE TABLE t ({body}) USING parquet"
+        once = rewrite_sql(sql, params=False)
+        assert rewrite_sql(once, params=False) == once
+        inner = once.split("(", 1)[1].rsplit(")", 1)[0]
+        for part in _split_cols(inner):
+            typ = part.strip().split(None, 1)[1]
+            head = typ.split("(", 1)[0].strip().upper()
+            assert head in valid, f"unmapped DDL type: {typ!r}"
+
+
+def _split_cols(s: str) -> list[str]:
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return out

@@ -68,6 +68,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     "qds50_return_lag_bands", "qds45_geo_or_itemset",
     "qds85_banded_return_reasons", "qds5_channel_sales_returns",
     "qds8_zip_prefix_semi", "qds22_inventory_hierarchy_avg",
+    "qds43_store_weekday_pivot", "qds80_promo_screened_rollup",
     # anchors with a continuous driver record (cheap cross-round
     # stability signal)
     "q1_pricing_summary", "q3_shipping_priority",

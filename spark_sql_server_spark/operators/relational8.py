@@ -695,3 +695,171 @@ def qds22_inventory_hierarchy_avg(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     register_tables(spark, sf_dir)
     return spark.sql(_QDS22_SQL)
+
+
+# --------------------------------------------------------------------------
+# wave 11c: q43 (weekday pivot per store), q80 (promo-screened netted
+# channel rollup) — the two strongest of the remaining sibling numbers,
+# promoted to their own plan-gated entries.
+# --------------------------------------------------------------------------
+
+_QDS43_PIVOT_ORACLE = ",\n           ".join(
+    f"CAST(SUM(CASE WHEN dayofweek(o_orderdate) + 1 = {i + 1} THEN "
+    f"CAST(l_extendedprice AS DECIMAL(38,6)) END) AS DOUBLE) AS {d}_sales"
+    for i, d in enumerate(_QDS2_DAYS)
+)
+
+_QDS43_SQL = f"""
+    SELECT s_name AS store_name,
+           {_QDS43_PIVOT_ORACLE}
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+    GROUP BY s_name
+    ORDER BY s_name
+"""
+
+
+@query(
+    "qds43_store_weekday_pivot",
+    oracle=_QDS43_SQL,
+    covers="§2.B TPC-DS q43 shape: per-store day-of-week sales pivot "
+    "(seven CASE sums, one fact pass)",
+)
+def qds43_store_weekday_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q43's topology: one year of sales pivoted into seven day-of-week
+    columns per store — the plain weekday report (qds2 builds the same
+    pivot per week and self-joins it; qds59 compares weekday ratios
+    across half-years; this is the base shape both derive from).
+
+    Scale: a single fact pass — the seven days are CASE arms of ONE
+    hash aggregation on the store key (plan-gated: no Union, one
+    lineitem scan); the year screen prunes orders, the store dim
+    broadcasts. Exact decimal day sums cast to DOUBLE once; DuckDB's
+    0-based dayofweek is shifted in the oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1996
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    pivot = [
+        F.sum(
+            F.when(
+                F.dayofweek("o_orderdate") == i + 1,
+                F.col("l_extendedprice").cast("decimal(38,6)"),
+            )
+        ).cast("double").alias(f"{d}_sales")
+        for i, d in enumerate(_QDS2_DAYS)
+    ]
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("store_name"))
+        .agg(*pivot)
+        .orderBy("store_name")
+    )
+
+
+_QDS80_SQL = """
+    SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'store channel'
+                WHEN o_orderpriority IN ('2-HIGH', '3-MEDIUM')
+                THEN 'catalog channel'
+                ELSE 'web channel' END AS channel,
+           s_name AS id,
+           CAST(SUM(CASE WHEN l_returnflag <> 'R'
+                    THEN CAST(l_extendedprice AS DECIMAL(38,6))
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             AS sales,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_extendedprice AS DECIMAL(38,6))
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             AS returns,
+           CAST(SUM(CASE WHEN l_returnflag <> 'R'
+                    THEN CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,6))
+                    ELSE CAST(-l_extendedprice AS DECIMAL(38,6)) END)
+                AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-08-23 00:00:00'
+                          AND TIMESTAMP '1996-09-22 00:00:00'
+      AND (l_returnflag = 'R' OR p_type <> 'PROMO')
+    GROUP BY ROLLUP (1, 2)
+    ORDER BY channel ASC NULLS FIRST, id ASC NULLS FIRST
+    LIMIT 100
+"""
+
+
+@query(
+    "qds80_promo_screened_rollup",
+    oracle=_QDS80_SQL,
+    covers="§2.B TPC-DS q80 shape: three-channel sales/returns/"
+    "netted-profit rollup where the promo screen applies to sales rows "
+    "only (row-conditional predicate)",
+)
+def qds80_promo_screened_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q80's topology: per-channel sales, returns, and returns-netted
+    profit over a 30-day window under a promotion screen that applies
+    to SALES rows only (returns pass unscreened — the reference joins
+    promotion on the sales legs alone), rolled up over
+    (channel, store).
+
+    Scale: the row-conditional screen is a single disjunctive
+    predicate on the joined row, so the whole report stays ONE fact
+    pass into the ROLLUP Expand (plan-gated: no Union, one lineitem
+    scan); the qds5 fold with a per-row screen. Exact decimal money;
+    NULLS FIRST pinned on the rollup keys.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-08-23 00:00:00").cast("timestamp"),
+            F.lit("1996-09-22 00:00:00").cast("timestamp"),
+        )
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(38,6)")
+    is_ret = F.col("l_returnflag") == "R"
+    channel = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "store channel")
+        .when(F.col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"),
+              "catalog channel")
+        .otherwise("web channel")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(is_ret | (F.col("p_type") != "PROMO"))
+        .select(
+            channel.alias("channel"),
+            F.col("s_name").alias("id"),
+            F.when(~is_ret, dec(F.col("l_extendedprice")))
+            .otherwise(zero).alias("sales_dec"),
+            F.when(is_ret, dec(F.col("l_extendedprice")))
+            .otherwise(zero).alias("returns_dec"),
+            F.when(
+                ~is_ret,
+                dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            )
+            .otherwise(dec(-F.col("l_extendedprice")))
+            .alias("profit_dec"),
+        )
+        .rollup("channel", "id")
+        .agg(
+            F.sum("sales_dec").cast("double").alias("sales"),
+            F.sum("returns_dec").cast("double").alias("returns"),
+            F.sum("profit_dec").cast("double").alias("profit"),
+        )
+        .orderBy(
+            F.col("channel").asc_nulls_first(),
+            F.col("id").asc_nulls_first(),
+        )
+        .limit(100)
+    )

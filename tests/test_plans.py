@@ -1021,6 +1021,22 @@ class TestTpcdsWave10Plans:
         assert plan.count("Scan parquet") <= 2
         assert "CartesianProduct" not in plan
 
+    def test_qds43_one_pass_weekday_pivot(self, spark):
+        plan = plan_of(spark, "qds43_store_weekday_pivot")
+        # seven day columns are CASE arms of ONE aggregation
+        assert "Union" not in plan
+        assert plan.count("Scan parquet") <= 3
+        assert "CartesianProduct" not in plan
+
+    def test_qds80_one_pass_screened_rollup(self, spark):
+        plan = plan_of(spark, "qds80_promo_screened_rollup")
+        # the promo screen is a row-level disjunction — the report is
+        # still one fact pass into the ROLLUP Expand
+        assert "Union" not in plan
+        assert "Expand" in plan
+        assert plan.count("Scan parquet") <= 4
+        assert "CartesianProduct" not in plan
+
     def test_qds91_pushed_disjunctive_residual(self, spark):
         plan = plan_of(spark, "qds91_callcenter_losses")
         # the OR-of-ANDs demographic screen rides the customer scan

@@ -1220,38 +1220,57 @@ _DDL_TYPE_MAP = {
 _DDL_KEEP_PARENS = {"varchar", "char", "character"}
 
 
-def _rewrite_ddl_column_types(toks: list[Tok]) -> list[Tok]:
-    """Map PG type spellings in CREATE TABLE column lists — ``CREATE
-    TABLE t (body text, n int8)`` must become ``STRING``/``BIGINT``
-    before Spark's parser sees it (found replaying postgreSQL/
-    insert.sql over the wire: ``text`` — PG's everyday string type — is
-    UNSUPPORTED_DATATYPE in Spark DDL; the cast rewrites only cover
-    expression positions). Each depth-1 comma segment of the first
-    paren group after the table name is a column definition whose
-    second code token is the type; ``numeric(p,s)`` keeps its
-    arguments (keyword renamed), ``T[]`` becomes ``ARRAY<T>``."""
-    words = [
-        (i, t.text.lower()) for i, t in enumerate(toks) if t.kind == "word"
-    ]
-    if len(words) < 2 or words[0][1] != "create":
-        return toks
-    if not any(w == "table" for _, w in words[:4]):
-        return toks
-    # the column list is the first top-level paren group; a CTAS has
-    # none before AS/USING — stop the scan there
-    oi = -1
-    for i, t in enumerate(toks):
-        if t.kind == "word" and t.text.lower() in ("as", "using"):
-            break
-        if t.text == "(":
-            oi = i
-            break
-    if oi == -1:
-        return toks
+def _map_ddl_type_at(toks: list[Tok], type_i: int, hi: int) -> None:
+    """Map one PG type spelling starting at ``type_i`` (bounded by
+    ``hi``) in place: keyword rename (``numeric(p,s)`` → DECIMAL),
+    bare ``char`` → CHAR(1) (the PG default length), and one level of
+    array syntax — both ``T[]`` and the parenthesized ``T(n)[]``
+    spelling — to ``ARRAY<T>``."""
+    if toks[type_i].kind != "word":
+        return
+    low = toks[type_i].text.lower()
+    end_i = type_i  # last token of the base type (before any [])
+    after = _next_code(toks, type_i)
+    if after < hi and toks[after].text == "(":
+        close = _find_matching_paren(toks, after)
+        if close == -1 or close >= hi:
+            return
+        if low == "numeric":
+            toks[type_i] = Tok("word", "DECIMAL")
+        elif low not in _DDL_KEEP_PARENS and low != "decimal":
+            return  # unknown parenthesized type — leave for Spark
+        end_i = close
+        base = "".join(
+            t.text for t in toks[type_i:close + 1] if t.kind != "comment"
+        ).strip()
+    else:
+        base = _DDL_TYPE_MAP.get(low)
+        if low in ("varchar", "character"):
+            base = "STRING"  # bare varchar: unbounded → STRING
+        elif low == "char":
+            base = "CHAR(1)"  # PG bare char ≡ char(1)
+        if base is None:
+            return
+    # one level of PG array syntax after the base type
+    ai = _next_code(toks, end_i)
+    ci = _next_code(toks, ai) if ai < hi else hi
+    if ai < hi and toks[ai].text == "[" and ci < hi and toks[ci].text == "]":
+        base = f"ARRAY<{base}>"
+        toks[ai] = Tok("ws", "")
+        toks[ci] = Tok("ws", "")
+    for j in range(type_i + 1, end_i + 1):
+        toks[j] = Tok("ws", "")
+    toks[type_i] = Tok("word", base)
+
+
+def _map_ddl_group_types(toks: list[Tok], oi: int) -> None:
+    """Map types in one parenthesized column-definition list opening at
+    ``oi``: each depth-1 comma segment is ``name type ...``; a segment
+    with no second code token (a bare column reference, as in Spark's
+    PARTITIONED BY (col)) is left alone."""
     close = _find_matching_paren(toks, oi)
     if close == -1:
-        return toks
-    # segment starts at depth 1
+        return
     depth = 0
     seg_start = oi + 1
     segments = []
@@ -1275,31 +1294,49 @@ def _rewrite_ddl_column_types(toks: list[Tok]) -> list[Tok]:
         if name_i == -1 or toks[name_i].kind not in ("word", "qident"):
             continue
         type_i = _next_code(toks, name_i)
-        if type_i >= hi or toks[type_i].kind != "word":
+        if type_i >= hi:
             continue
-        low = toks[type_i].text.lower()
-        after = _next_code(toks, type_i)
-        has_parens = after < hi and toks[after].text == "("
-        if has_parens:
-            if low == "numeric":
-                toks[type_i] = Tok("word", "DECIMAL")
-            continue  # varchar(n)/char(n)/decimal(p,s) are valid DDL
-        mapped = _DDL_TYPE_MAP.get(low)
-        if low in ("varchar", "character"):
-            mapped = "STRING"  # bare varchar: unbounded → STRING
-        if mapped is None:
+        _map_ddl_type_at(toks, type_i, hi)
+
+
+def _rewrite_ddl_column_types(toks: list[Tok]) -> list[Tok]:
+    """Map PG type spellings in CREATE TABLE column lists — ``CREATE
+    TABLE t (body text, n int8)`` must become ``STRING``/``BIGINT``
+    before Spark's parser sees it (found replaying postgreSQL/
+    insert.sql over the wire: ``text`` — PG's everyday string type — is
+    UNSUPPORTED_DATATYPE in Spark DDL; the cast rewrites only cover
+    expression positions). Covers the main column list AND any
+    PARTITIONED BY (...) definition list; ``numeric(p,s)`` keeps its
+    arguments (keyword renamed), ``T[]``/``T(n)[]`` become
+    ``ARRAY<T>``, bare ``char`` maps to CHAR(1)."""
+    words = [
+        (i, t.text.lower()) for i, t in enumerate(toks) if t.kind == "word"
+    ]
+    if len(words) < 2 or words[0][1] != "create":
+        return toks
+    if not any(w == "table" for _, w in words[:4]):
+        return toks
+    # the column list is the first top-level paren group; a CTAS has
+    # none before AS/USING — stop the scan there
+    oi = -1
+    for i, t in enumerate(toks):
+        if t.kind == "word" and t.text.lower() in ("as", "using"):
+            break
+        if t.text == "(":
+            oi = i
+            break
+    if oi != -1:
+        _map_ddl_group_types(toks, oi)
+    # PARTITIONED BY (name type, ...) — PG types appear here too
+    for i, low in words:
+        if low != "partitioned":
             continue
-        # one level of PG array syntax: `T[]` → ARRAY<T>
-        if (
-            after < hi
-            and toks[after].text == "["
-            and _next_code(toks, after) < hi
-            and toks[_next_code(toks, after)].text == "]"
-        ):
-            toks[_next_code(toks, after)] = Tok("ws", "")
-            toks[after] = Tok("ws", "")
-            mapped = f"ARRAY<{mapped}>"
-        toks[type_i] = Tok("word", mapped)
+        bi = _next_code(toks, i)
+        if bi >= len(toks) or toks[bi].text.lower() != "by":
+            continue
+        pi = _next_code(toks, bi)
+        if pi < len(toks) and toks[pi].text == "(":
+            _map_ddl_group_types(toks, pi)
     return toks
 
 
@@ -1390,8 +1427,16 @@ def _rewrite_trim_set(toks: list[Tok]) -> list[Tok]:
                     changed = True
                     break
                 continue
-            src = toks[oi + 1 : comma]
-            chars = toks[comma + 1 : close]
+            def _strip_ws(seg: list[Tok]) -> list[Tok]:
+                lo, hi = 0, len(seg)
+                while lo < hi and seg[lo].kind == "ws":
+                    lo += 1
+                while hi > lo and seg[hi - 1].kind == "ws":
+                    hi -= 1
+                return seg[lo:hi]
+
+            src = _strip_ws(toks[oi + 1 : comma])
+            chars = _strip_ws(toks[comma + 1 : close])
             new = (
                 [Tok("word", "TRIM"), Tok("op", "(")]
                 + [Tok("word", _TRIM_SPECIFIERS[low]), Tok("ws", " ")]

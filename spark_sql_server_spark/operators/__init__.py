@@ -21,6 +21,7 @@ from spark_sql_server_spark.operators import (  # noqa: F401
     relational6,
     relational7,
     relational8,
+    relational9,
     sampling,
     similarity,
     sketches,
@@ -39,61 +40,45 @@ from spark_sql_server_spark.operators.registry import REGISTRY, QuerySpec
 #: Everything listed after rests on its r1–r3 driver record and the
 #: local bit-exact twin (tests/test_oracle_parity.py runs ALL of them).
 _DRIVER_SAMPLE_PRIORITY = [
-    # r8 priority #1 (VERDICT r7 task 1): the 22 wave-4-9 TPC-DS ops
-    # that landed after the r7 rotation froze — the ONLY registry names
-    # without a green driver CORRECTNESS row (judge twin-verified 22/22
-    # but the bar is a driver row per operator).
-    "qds1_returns_above_avg", "qds59_weekday_ratio",
-    "qds65_store_min_avg", "qds99_ship_lag_buckets",
-    "qds38_channel_intersect", "qds13_disjunct_bands",
-    "qds90_ampm_ratio", "qds32_excess_discount",
-    "qds28_quantity_band_census", "qds44_best_worst_rank_join",
-    "qds58_channel_balance", "qds61_promo_share",
-    "qds70_hierarchy_rank_rollup", "qds77_channel_profit_rollup",
-    "qds7_dimension_avg_report", "qds87_channel_except",
-    "qds89_monthly_deviation", "qds18_rollup_avg_report",
-    "qds46_order_geo_mismatch", "qds6_pricey_item_states",
-    "qds41_sibling_exists", "qds15_cross_table_disjunct",
-    # new r8 operators (wave 10: three-fact chains, inventory windows,
-    # q24 CTE-reuse, star reports, channel unions — relational7.py)
-    "qds25_profit_chain", "qds29_quantity_chain",
-    "qds37_inventory_window", "qds82_inventory_store_window",
-    "qds24_netpaid_threshold", "qds42_category_report",
-    "qds52_brand_report", "qds55_manager_brand_head",
-    "qds96_selectivity_count", "qds56_brandset_union",
-    "qds60_category_union",
-    "qds74_yoy_channel_growth", "qds76_channel_census",
-    "qds83_return_channel_devs", "qds91_callcenter_losses",
-    "qds4_triple_channel_growth", "qds2_weekly_yoy_ratios",
-    "qds50_return_lag_bands", "qds45_geo_or_itemset",
-    "qds85_banded_return_reasons", "qds5_channel_sales_returns",
-    "qds8_zip_prefix_semi", "qds22_inventory_hierarchy_avg",
-    "qds43_store_weekday_pivot", "qds80_promo_screened_rollup",
+    # r9 rotation (VERDICT r8 task 1): every registry op now has a
+    # driver row, so FRESHNESS is the invariant — new r9 ops first,
+    # then the operators whose LATEST green driver row is oldest
+    # (r1-certified, then r2, then r3): the rewriter/encoders/session
+    # code under them has changed over six rounds while their
+    # certification is 6+ rounds stale.
+    # --- new this round (wave 12: q10/q40/q84 promotions) ---
+    "qds10_demographic_census", "qds40_price_change_netting",
+    "qds84_chained_dim_lookup",
+    # --- latest driver row is r1 (17 ops) ---
+    "q_using_join", "q_natural_join", "q_cross_join",
+    "q_window_rank", "q_window_running", "q_window_range",
+    "q_intersect", "q_except", "q_union", "q_intersect_all",
+    "q_scalar_subquery", "q_correlated_scalar", "q_in_subquery",
+    "q_cte", "q_case_expr", "q_string_funcs", "q_regex",
+    # --- latest driver row is r2 (4 ops) ---
+    "q_outer_joins", "q_full_outer", "q_anti_join", "q_theta_join",
+    # --- latest driver row is r3 (26 of 37; the 11 deferred to r10
+    # below are same-file siblings of a sampled op or Expand shapes
+    # covered by a sampled sibling) ---
+    "q_funnel", "q_cohort_retention", "d_dup_groups",
+    "d_ngram_jaccard", "d_dedup_apply", "d_embedding_neardup",
+    "p_python_udtf", "q_agg_distinct", "q_rollup", "q_grouping_sets",
+    "q_pivot", "q_stats_agg", "q2_order_priority",
+    "q5_region_revenue", "d_substring_dups", "d_minhash_lsh",
+    "d_simhash", "d_jaccard_histogram", "m_media_meta",
+    "t_decontaminate", "t_stratified_sample", "t_text_stats",
+    "t_lang_id", "t_quality_score", "t_fingerprint", "t_pii_scrub",
+    # ---- 50-slot cut falls here ----
+    # r10 rotation priority: the 11 deferred r3-certified ops
+    "d_dup_clusters", "d_simhash_pairs", "d_editdist_dups",
+    "d_minhash_est", "t_lang_predict", "t_pack_contexts",
+    "t_chunk_documents", "t_repetition_filter", "t_weighted_sample",
+    "q_cube", "q_having",
     # anchors with a continuous driver record (cheap cross-round
-    # stability signal)
+    # stability signal if the sample ever widens)
     "q1_pricing_summary", "q3_shipping_priority",
     "pipe_curate_corpus", "pipe_build_dataset",
     "st_sessionize_stream", "d_dedup_exact",
-    # r7-certified continuity (green r7 driver rows; keeps the sample
-    # representative across modules)
-    "qds47_moving_avg_rank", "qds64_two_cycle_sales",
-    "qds78_channel_rollup", "qds75_yoy_channel_decline",
-    "qds97_channel_overlap", "qds21_shipflow_balance",
-    "qds16_multi_supplier_clean", "qds66_monthly_pivot",
-    "qds98_class_revenue_ratio", "qds9_quantity_buckets",
-    "qds33_union_leg_reagg",
-    "s_ann_lsh", "s_semdedup", "s_ann_ivf", "s_kmeans", "s_ann_pq",
-    "q_asof_join", "q_range_join", "q6_forecast_revenue",
-    "q_date_funcs", "q_order_nulls", "q_limit_offset",
-    "q_distribute_sort_by", "q_inline_values", "q_range_tvf",
-    "q_lateral_explode", "q_higher_order", "q_sample",
-    "q_events_hourly", "q_events_json", "q_events_sessionize",
-    "q_predicates", "q_array_funcs", "q_struct_map", "q_json_funcs",
-    "q_interval_arith", "q_null_funcs", "q_bitwise", "q_distinct_on",
-    "q_string_agg", "q_approx_distinct", "q_union_by_name",
-    "q_window_time_range", "q_posexplode", "q_explode_outer",
-    "q_minmax_by", "q_ordinals", "q_csv_funcs",
-    "sk_quantile_bands", "s_label_centroids",
 ]
 # every priority name MUST resolve — a reserved name with no
 # implementation silently shrank the r6 sample (judge r6 "What's

@@ -974,10 +974,6 @@ class SparkPGServer:
         state.listen_channels.clear()  # PG: DISCARD ALL runs UNLISTEN *
         self._discard_temp(state)
 
-    #: temp views every session starts with (base tables + live stat
-    #: views) — never dropped by DISCARD
-    _BOOT_VIEWS = None
-
     def _discard_temp(self, state) -> None:
         """Drop client-created temporary views (PG DISCARD TEMP) —
         multi-session mode only; the boot-time views (registered tables
@@ -996,8 +992,10 @@ class SparkPGServer:
         for name in current - boot:
             try:
                 state.session.catalog.dropTempView(name)
-            except Exception:  # noqa: BLE001
-                pass
+            except Exception:  # noqa: BLE001 — best-effort, but leave a
+                # trace so a pooled-client temp-view leak is diagnosable
+                log.debug("DISCARD: failed to drop temp view %r", name,
+                          exc_info=True)
 
     def _notify(self, state, channel: str, payload: str) -> None:
         """NOTIFY fan-out: write an 'A' NotificationResponse to every
@@ -1572,6 +1570,11 @@ class SparkPGServer:
                     break
                 if tag != b"d":
                     continue  # 'H'/'S' flushes during COPY are ignored
+                if bin_done and body:
+                    # PG rejects at receipt, not at CopyDone — otherwise
+                    # a client streaming junk after the -1 EOF trailer
+                    # grows buf unboundedly until CopyDone
+                    raise ValueError("received copy data after EOF marker")
                 buf += body
                 peak = max(peak, len(buf) + bin_bytes_pending)
                 if is_binary:
@@ -2130,8 +2133,11 @@ def _dml_rowcount(df: DataFrame) -> int:
             kv = it.next()
             if str(kv._1()) == "numOutputRows":
                 return int(kv._2().value())
-    except Exception:  # noqa: BLE001 — tag cosmetics never fail a query
-        pass
+    except Exception:  # noqa: BLE001 — tag cosmetics never fail a query,
+        # but a Spark upgrade breaking the py4j reach-through would
+        # silently degrade tags to 'INSERT 0 0'; keep it observable
+        log.debug("rowcount metric unavailable; tag falls back to 0",
+                  exc_info=True)
     return 0
 
 

@@ -90,15 +90,15 @@ class TestCasts:
         # syntax instead of passing the call through
         assert (
             rewrite_sql("SELECT ltrim('zzzytrim', 'xyz')")
-            == "SELECT TRIM(LEADING  'xyz' FROM 'zzzytrim')"
+            == "SELECT TRIM(LEADING 'xyz' FROM 'zzzytrim')"
         )
         assert (
             rewrite_sql("SELECT rtrim(a, b) FROM t")
-            == "SELECT TRIM(TRAILING  b FROM a) FROM t"
+            == "SELECT TRIM(TRAILING b FROM a) FROM t"
         )
         assert (
             rewrite_sql("SELECT btrim(a, b) FROM t")
-            == "SELECT TRIM(BOTH  b FROM a) FROM t"
+            == "SELECT TRIM(BOTH b FROM a) FROM t"
         )
         # one-arg btrim maps to trim; one-arg ltrim/rtrim untouched
         assert rewrite_sql("SELECT btrim(a) FROM t") == "SELECT trim(a) FROM t"
@@ -106,7 +106,7 @@ class TestCasts:
         # nested calls in either argument survive
         assert (
             rewrite_sql("SELECT ltrim(upper(c1), chr(32)) FROM t")
-            == "SELECT TRIM(LEADING  chr(32) FROM upper(c1)) FROM t"
+            == "SELECT TRIM(LEADING chr(32) FROM upper(c1)) FROM t"
         )
         # r7 ADVICE (medium): the qualified spelling must get the same
         # argument-order fix — the trim pass now runs AFTER the
@@ -114,11 +114,11 @@ class TestCasts:
         # reversed two-arg ltrim
         assert (
             rewrite_sql("SELECT pg_catalog.ltrim('xxabc', 'x')")
-            == "SELECT TRIM(LEADING  'x' FROM 'xxabc')"
+            == "SELECT TRIM(LEADING 'x' FROM 'xxabc')"
         )
         assert (
             rewrite_sql("SELECT pg_catalog.btrim(a, b) FROM t")
-            == "SELECT TRIM(BOTH  b FROM a) FROM t"
+            == "SELECT TRIM(BOTH b FROM a) FROM t"
         )
         # a genuine user-schema qualification stays untouched
         assert (

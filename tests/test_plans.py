@@ -1045,6 +1045,40 @@ class TestTpcdsWave10Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    # --- r9 wave 12 (q10/q40/q84 promotions) ---
+
+    def test_qds10_both_semi_flavors(self, spark):
+        plan = plan_of(spark, "qds10_demographic_census")
+        # the AND-side EXISTS (subquery contains its own join) plans
+        # as a plain LeftSemi; the EXISTS-under-OR pair must plan as
+        # ExistenceJoin — both semi flavors in one query
+        assert "ExistenceJoin" in plan
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_qds40_netting_join_shape(self, spark):
+        plan = plan_of(spark, "qds40_price_change_netting")
+        # returns pre-aggregate per (order, item) BEFORE the outer
+        # join; all three dims broadcast; the 60-day date screen
+        # reaches the orders scan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert any(
+            "o_orderdate" in f for f in
+            [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        )
+
+    def test_qds84_broadcast_chain_topk(self, spark):
+        plan = plan_of(spark, "qds84_chained_dim_lookup")
+        # the dimension chain broadcasts; the LIMIT head is a
+        # TakeOrderedAndProject (per-partition heaps, no global sort)
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 class TestKmeansTreeReduce:
     def test_partials_reduced_before_collect(self, spark):

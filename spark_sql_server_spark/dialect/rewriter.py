@@ -562,7 +562,336 @@ def _rewrite_extract_dow(toks: list[Tok]) -> list[Tok]:
                         toks.insert(i, Tok("op", "("))
                         i += 1  # past the inserted paren; inner tokens
                         # (nested EXTRACTs included) still get scanned
+                    elif field in ("century", "millennium", "decade"):
+                        # PG coarse year fields (date.sql port): Spark
+                        # has no such EXTRACT fields (INVALID_EXTRACT_
+                        # FIELD). For AD years: century = ceil(y/100) =
+                        # (y+99) div 100, millennium likewise, decade =
+                        # y div 10 (BC/era arithmetic out of scope —
+                        # the test catalog has no BC dates).
+                        depth = 0
+                        from_i = -1
+                        for j in range(ni, close):
+                            if toks[j].text == "(":
+                                depth += 1
+                            elif toks[j].text == ")":
+                                depth -= 1
+                            elif (
+                                depth == 1
+                                and toks[j].kind == "word"
+                                and toks[j].text.upper() == "FROM"
+                            ):
+                                from_i = j
+                                break
+                        if from_i != -1:
+                            head, tail = {
+                                "century": (
+                                    "(CAST((YEAR(",
+                                    ") + 99) DIV 100 AS BIGINT))",
+                                ),
+                                "millennium": (
+                                    "(CAST((YEAR(",
+                                    ") + 999) DIV 1000 AS BIGINT))",
+                                ),
+                                "decade": (
+                                    "(CAST(YEAR(",
+                                    ") DIV 10 AS BIGINT))",
+                                ),
+                            }[field]
+                            toks[i] = Tok("op", head)
+                            toks[ni] = Tok("op", "")
+                            toks[fi] = Tok("op", "")
+                            toks[from_i] = Tok("op", "")
+                            toks[close] = Tok("op", tail)
         i += 1
+    return toks
+
+
+#: PG date_trunc fields coarser than Spark's YEAR: first year of the
+#: bucket, as (year-adjust) integer arithmetic (PG: 2004→2001 century,
+#: 1993→1990 decade, 1970→1001 millennium)
+_TRUNC_COARSE = {
+    "century": "(((YEAR({x}) - 1) DIV 100) * 100 + 1)",
+    "millennium": "(((YEAR({x}) - 1) DIV 1000) * 1000 + 1)",
+    "decade": "((YEAR({x}) DIV 10) * 10)",
+}
+
+
+def _rewrite_date_trunc_coarse(toks: list[Tok]) -> list[Tok]:
+    """PG ``date_trunc('century'|'decade'|'millennium', x)`` → a
+    ``make_date`` expression. Spark's date_trunc does not know these
+    fields and returns NULL (silently — not even an error), so a psql
+    user gets a wrong answer without this. PG returns a timestamp
+    (``date_trunc(text, date)`` included), so the result is CAST to
+    TIMESTAMP. The argument expression is duplicated once inside
+    YEAR() — fine for the column/literal arguments this fires on."""
+    changed = True
+    while changed:
+        changed = False
+        for i, t in enumerate(toks):
+            if t.kind != "word" or t.text.lower() != "date_trunc":
+                continue
+            oi = _next_code(toks, i)
+            if oi >= len(toks) or toks[oi].text != "(":
+                continue
+            li = _next_code(toks, oi)
+            if li >= len(toks) or toks[li].kind != "string":
+                continue
+            field = toks[li].text.strip("'").lower()
+            if field not in _TRUNC_COARSE:
+                continue
+            ci = _next_code(toks, li)
+            if ci >= len(toks) or toks[ci].text != ",":
+                continue
+            close = _find_matching_paren(toks, oi)
+            if close == -1:
+                continue
+            arg = "".join(
+                tk.text for tk in toks[ci + 1:close] if tk.kind != "comment"
+            ).strip()
+            year_expr = _TRUNC_COARSE[field].format(x=f"({arg})")
+            new_text = (
+                f"CAST(MAKE_DATE({year_expr}, 1, 1) AS TIMESTAMP)"
+            )
+            toks = toks[:i] + [Tok("op", new_text)] + toks[close + 1:]
+            changed = True
+            break
+    return toks
+
+
+_MON3 = {
+    "jan": 1, "feb": 2, "mar": 3, "apr": 4, "may": 5, "jun": 6,
+    "jul": 7, "aug": 8, "sep": 9, "oct": 10, "nov": 11, "dec": 12,
+}
+
+
+def _normalize_pg_date(s: str) -> str | None:
+    """Normalize the year-first PG date spellings Spark's DATE literal
+    parser rejects — '1999 Jan 08', '1999 08 Jan', '1999 01 08' — to
+    ISO 'yyyy-mm-dd'. Returns None when the string is not one of these
+    forms (ISO dates, special values like 'today', and anything
+    ambiguous pass through untouched)."""
+    parts = s.strip().split()
+    if len(parts) != 3 or not (parts[0].isdigit() and len(parts[0]) == 4):
+        return None
+    y, a, b = parts
+
+    def mon(w: str) -> int | None:
+        return _MON3.get(w.lower()[:3]) if w.isalpha() else None
+
+    if a.isdigit() and b.isdigit():
+        m, d = int(a), int(b)
+    elif mon(a) and b.isdigit():
+        m, d = mon(a), int(b)
+    elif a.isdigit() and mon(b):
+        m, d = mon(b), int(a)  # '1999 08 Jan': digit is the DAY
+    else:
+        return None
+    if not (1 <= m <= 12 and 1 <= d <= 31):
+        return None
+    return f"{y}-{m:02d}-{d:02d}"
+
+
+def _rewrite_pg_date_literals(toks: list[Tok]) -> list[Tok]:
+    """``DATE '1999 Jan 08'`` (PG datestyle-ymd spellings) → ``DATE
+    '1999-01-08'`` — Spark's typed DATE literal only accepts ISO
+    (INVALID_TYPED_LITERAL otherwise; found porting postgreSQL/
+    date.sql). Only the unambiguous year-first forms are mapped."""
+    for i, t in enumerate(toks):
+        if t.kind != "word" or t.text.lower() != "date":
+            continue
+        si = _next_code(toks, i)
+        if si >= len(toks) or toks[si].kind != "string":
+            continue
+        norm = _normalize_pg_date(toks[si].text[1:-1])
+        if norm:
+            toks[si] = Tok("string", f"'{norm}'")
+    return toks
+
+
+_USECS_PER_DAY = 86400 * 10**6
+_IVL_UNIT_MONTHS = {
+    "year": 12, "years": 12, "yr": 12, "yrs": 12, "y": 12,
+    "month": 1, "months": 1, "mon": 1, "mons": 1,
+}
+_IVL_UNIT_DAYS = {"week": 7, "weeks": 7, "w": 7, "day": 1, "days": 1,
+                  "d": 1}
+_IVL_UNIT_USECS = {
+    "hour": 3600 * 10**6, "hours": 3600 * 10**6, "hr": 3600 * 10**6,
+    "hrs": 3600 * 10**6, "h": 3600 * 10**6,
+    "minute": 60 * 10**6, "minutes": 60 * 10**6, "min": 60 * 10**6,
+    "mins": 60 * 10**6, "m": 60 * 10**6,
+    "second": 10**6, "seconds": 10**6, "sec": 10**6, "secs": 10**6,
+    "s": 10**6,
+    "millisecond": 10**3, "milliseconds": 10**3, "ms": 10**3,
+    "microsecond": 1, "microseconds": 1, "us": 1,
+}
+_TIME_RE = re.compile(
+    r"^([+-]?)(\d+):(\d{1,2})(?::(\d{1,2})(?:\.(\d{1,6}))?)?$"
+)
+
+
+def _parse_pg_interval(s: str) -> tuple[int, int, int] | None:
+    """Parse a PG interval string ('6 mons 3 days 52:03:02', '@ 1
+    minute', '14 seconds ago') into (months, days, micros). Returns
+    None on anything it does not fully understand."""
+    s = s.strip()
+    if s.startswith("@"):
+        s = s[1:].strip()
+    neg_all = False
+    if s.lower().endswith(" ago"):
+        neg_all = True
+        s = s[:-4].strip()
+    months = days = micros = 0
+    parts = s.split()
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        tm = _TIME_RE.match(p)
+        if tm:
+            sign = -1 if tm.group(1) == "-" else 1
+            h, mi = int(tm.group(2)), int(tm.group(3))
+            sec = int(tm.group(4) or 0)
+            frac = (tm.group(5) or "").ljust(6, "0")
+            micros += sign * (
+                (h * 3600 + mi * 60 + sec) * 10**6 + int(frac or 0)
+            )
+            i += 1
+            continue
+        try:
+            qty = int(p)
+        except ValueError:
+            return None
+        if i + 1 >= len(parts):
+            return None
+        unit = parts[i + 1].lower()
+        if unit in _IVL_UNIT_MONTHS:
+            months += qty * _IVL_UNIT_MONTHS[unit]
+        elif unit in _IVL_UNIT_DAYS:
+            days += qty * _IVL_UNIT_DAYS[unit]
+        elif unit in _IVL_UNIT_USECS:
+            micros += qty * _IVL_UNIT_USECS[unit]
+        else:
+            return None
+        i += 2
+    if neg_all:
+        months, days, micros = -months, -days, -micros
+    return months, days, micros
+
+
+def _justify(months: int, days: int, micros: int,
+             mode: str) -> tuple[int, int, int]:
+    """PG's interval justification (timestamp.c interval_justify_*):
+    'hours' rolls whole days out of the time part, 'days' rolls whole
+    30-day months out of the day part, 'interval' does both then
+    aligns component signs the way PG does."""
+    if mode in ("hours", "interval"):
+        whole = int(micros / _USECS_PER_DAY)  # trunc toward zero, as C
+        days += whole
+        micros -= whole * _USECS_PER_DAY
+    if mode in ("days", "interval"):
+        whole = int(days / 30)
+        months += whole
+        days -= whole * 30
+    if mode == "interval":
+        if months > 0 and (days < 0 or (days == 0 and micros < 0)):
+            days += 30
+            months -= 1
+        elif months < 0 and (days > 0 or (days == 0 and micros > 0)):
+            days -= 30
+            months += 1
+        if days > 0 and micros < 0:
+            micros += _USECS_PER_DAY
+            days -= 1
+        elif days < 0 and micros > 0:
+            micros -= _USECS_PER_DAY
+            days += 1
+    return months, days, micros
+
+
+def _interval_literal(months: int, days: int, micros: int) -> str:
+    """Render (months, days, micros) as the narrowest Spark interval
+    literal: pure year-month → YEAR TO MONTH (wire renders PG-style
+    '1 year 2 mons'), pure day-time → DAY TO SECOND (wire renders PG
+    style 'D HH:MM:SS'), mixed → a multi-unit literal
+    (CalendarIntervalType; Spark-style text, matching the reference's
+    golden rendering)."""
+    if days == 0 and micros == 0:
+        sign = "-" if months < 0 else ""
+        y, m = divmod(abs(months), 12)
+        return f"INTERVAL '{sign}{y}-{m}' YEAR TO MONTH"
+    if months == 0:
+        total = days * _USECS_PER_DAY + micros
+        sign = "-" if total < 0 else ""
+        total = abs(total)
+        d, rem = divmod(total, _USECS_PER_DAY)
+        h, rem = divmod(rem, 3600 * 10**6)
+        mi, rem = divmod(rem, 60 * 10**6)
+        s, frac = divmod(rem, 10**6)
+        frac_txt = f".{frac:06d}" if frac else ""
+        return (
+            f"INTERVAL '{sign}{d} {h:02d}:{mi:02d}:{s:02d}{frac_txt}' "
+            "DAY TO SECOND"
+        )
+    # mixed year-month + day-time: Spark 4 rejects a mixed-unit
+    # literal outright, but make_interval constructs the
+    # CalendarIntervalType value (wire renders Spark-style text, the
+    # same rendering the reference's interval.sql golden shows)
+    h, rem = divmod(abs(micros), 3600 * 10**6)
+    mi, rem = divmod(rem, 60 * 10**6)
+    s, frac = divmod(rem, 10**6)
+    t = -1 if micros < 0 else 1
+    secs = f"{t * s}.{frac:06d}" if frac else str(t * s)
+    return (
+        f"make_interval(0, {months}, 0, {days}, {t * h}, {t * mi}, {secs})"
+    )
+
+
+_JUSTIFY_MODES = {
+    "justify_hours": "hours",
+    "justify_days": "days",
+    "justify_interval": "interval",
+}
+
+
+def _rewrite_justify(toks: list[Tok]) -> list[Tok]:
+    """PG ``justify_hours/justify_days/justify_interval`` over an
+    INTERVAL *literal* → the justified interval literal, computed here
+    (Spark has no justify functions; the reference fork patches them
+    into its parser — interval.sql golden). Literal arguments cover
+    the PG regression corpus and every psql use against this catalog
+    (no interval columns exist); non-literal arguments are left alone
+    and fail with Spark's clean UNRESOLVED_ROUTINE."""
+    changed = True
+    while changed:
+        changed = False
+        for i, t in enumerate(toks):
+            if t.kind != "word" or t.text.lower() not in _JUSTIFY_MODES:
+                continue
+            oi = _next_code(toks, i)
+            if oi >= len(toks) or toks[oi].text != "(":
+                continue
+            ki = _next_code(toks, oi)
+            if ki >= len(toks) or toks[ki].kind != "word" \
+                    or toks[ki].text.lower() != "interval":
+                continue
+            si = _next_code(toks, ki)
+            if si >= len(toks) or toks[si].kind != "string":
+                continue
+            close = _find_matching_paren(toks, oi)
+            if close == -1 or _next_code(toks, si) != close:
+                continue  # not a bare literal argument
+            parsed = _parse_pg_interval(toks[si].text[1:-1])
+            if parsed is None:
+                continue
+            m, d, us = _justify(*parsed, _JUSTIFY_MODES[t.text.lower()])
+            toks = (
+                toks[:i]
+                + [Tok("op", _interval_literal(m, d, us))]
+                + toks[close + 1:]
+            )
+            changed = True
+            break
     return toks
 
 
@@ -1537,6 +1866,9 @@ def rewrite_sql(sql: str, params: bool = True) -> str:
     toks = _rewrite_tilde(toks)
     toks = _rewrite_substring_from_for(toks)
     toks = _rewrite_extract_dow(toks)
+    toks = _rewrite_date_trunc_coarse(toks)
+    toks = _rewrite_pg_date_literals(toks)
+    toks = _rewrite_justify(toks)
     toks = _rewrite_generate_series(toks)
     toks = _rewrite_pg_namespace(toks)
     toks = _rewrite_array_subquery(toks)

@@ -117,28 +117,41 @@ def text_encoder(dt: T.DataType):
         # format(..., 'f') renders fixed-point, preserving the scale.
         return lambda v: format(v, "f") if isinstance(v, Decimal) else str(v)
     if isinstance(dt, T.DayTimeIntervalType):
-        return _interval_text
+        # PG never rolls hours into days: an HOUR-or-finer interval
+        # ('999' hour) prints '999:00:00'. Only split a day component
+        # out when the interval type itself has a DAY field.
+        with_days = dt.startField == T.DayTimeIntervalType.DAY
+        return lambda v: _interval_text(v, with_days)
     return lambda v: str(v)
 
 
-def _interval_text(v) -> str:
-    """PG-style interval rendering: '3 days 02:03:04.500000'."""
+def _interval_text(v, with_days: bool = True) -> str:
+    """PG-style interval rendering: '3 days 02:03:04.500000'. PG signs
+    EVERY printed component of a negative interval ('-1 days
+    -02:03:04') and pluralizes on the signed value ('-1 days' but
+    '1 day'); hour-or-finer interval types print unbounded hours
+    ('999:00:00') because PG never justifies hours into days."""
     if not isinstance(v, timedelta):
         return str(v)
     total = v.days * 86400 + v.seconds
     sign = "-" if total < 0 or (total == 0 and v.microseconds < 0) else ""
-    days, rem = divmod(abs(total), 86400)
+    rem = abs(total)
+    days = 0
+    if with_days:
+        days, rem = divmod(rem, 86400)
     h, rem = divmod(rem, 3600)
     m, s = divmod(rem, 60)
     out = []
     if days:
-        out.append(f"{sign}{days} day" + ("s" if days != 1 else ""))
+        # plural unless the signed value is exactly +1 (PG interval.c)
+        plural = "s" if (days != 1 or sign == "-") else ""
+        out.append(f"{sign}{days} day{plural}")
     us = abs(v.microseconds)
     if h or m or s or us or not days:
         t = f"{h:02d}:{m:02d}:{s:02d}"
         if us:
             t += f".{us:06d}"
-        out.append((sign if not days else "") + t)
+        out.append(sign + t)
     return " ".join(out)
 
 

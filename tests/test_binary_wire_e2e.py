@@ -202,6 +202,52 @@ class TestBinaryResults:
         assert field_formats_of(msgs) == [0]
         assert rows_of(msgs) == [[b"t"]]
 
+    def test_decimal_fixed_point_text_over_binary_request(self, server):
+        # numeric is text-only (converters.scala:446): a binary request
+        # downgrades to text, and the r8 encoder rule applies — the
+        # text is ALWAYS fixed-point, never scientific (PG prints
+        # '0.0000000000' where str(Decimal('0E-10')) is '0E-10')
+        msgs = extended(
+            server,
+            "SELECT CAST(0 AS DECIMAL(20,10)) AS z, "
+            "CAST(-1.5 AS DECIMAL(10,4)) AS n",
+            result_formats=[1],
+        )
+        assert field_formats_of(msgs) == [0, 0]
+        assert rows_of(msgs) == [[b"0.0000000000", b"-1.5000"]]
+
+    def test_ddl_created_pg_column_types_over_socket(self, server):
+        # r8/r9 DDL-type map end-to-end: PG type spellings in CREATE
+        # TABLE (text, bare char, int8, T(n)[]) produce columns whose
+        # wire formats and bytes match the mapped Spark types
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            try:
+                await c.simple(
+                    "CREATE TABLE bw_ddl_t (a text, b char, c int8, "
+                    "d varchar(5)[], e numeric(6,2)) USING parquet"
+                )
+                await c.simple(
+                    "INSERT INTO bw_ddl_t VALUES "
+                    "('x', 'y', 9, ARRAY['p','q'], 12.25)"
+                )
+                msgs = await c.simple(
+                    "SELECT a, b, c, d, e FROM bw_ddl_t"
+                )
+            finally:
+                # never leak the table into the shared session (a leak
+                # fails parity hygiene for every downstream test)
+                await c.simple("DROP TABLE IF EXISTS bw_ddl_t")
+                await c.close()
+            return msgs
+
+        msgs = run(loop, go())
+        assert rows_of(msgs) == [[
+            b"x", b"y", b"9", b'{"p","q"}', b"12.25",
+        ]]
+
     def test_single_format_code_broadcasts(self, server):
         # PG Bind: one format code applies to ALL result columns
         msgs = extended(

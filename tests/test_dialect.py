@@ -557,6 +557,99 @@ class TestCommands:
         assert len(out) == 2
 
 
+class TestExtractCoarseFields:
+    def test_century(self):
+        out = rewrite_sql("SELECT EXTRACT(CENTURY FROM d) FROM t")
+        assert "YEAR" in out and "DIV 100" in out and "EXTRACT" not in out
+
+    def test_millennium_and_decade(self):
+        assert "DIV 1000" in rewrite_sql("SELECT EXTRACT(MILLENNIUM FROM d)")
+        assert "DIV 10 " in rewrite_sql("SELECT EXTRACT(DECADE FROM d)")
+
+    def test_values(self, spark):
+        rows = spark.sql(rewrite_sql(
+            "SELECT EXTRACT(CENTURY FROM DATE '2001-01-01'), "
+            "EXTRACT(CENTURY FROM DATE '2000-12-31'), "
+            "EXTRACT(MILLENNIUM FROM DATE '1001-01-01'), "
+            "EXTRACT(DECADE FROM DATE '1994-12-25')"
+        )).collect()[0]
+        assert tuple(rows) == (21, 20, 2, 199)
+
+    def test_normal_fields_untouched(self):
+        sql = "SELECT EXTRACT(YEAR FROM d) FROM t"
+        assert rewrite_sql(sql) == sql
+
+
+class TestDateTruncCoarse:
+    def test_century_rewrites(self):
+        out = rewrite_sql("SELECT DATE_TRUNC('CENTURY', d) FROM t")
+        assert "MAKE_DATE" in out and "date_trunc" not in out.lower()
+
+    def test_supported_fields_untouched(self):
+        sql = "SELECT date_trunc('year', d) FROM t"
+        assert rewrite_sql(sql) == sql
+
+    def test_values(self, spark):
+        rows = spark.sql(rewrite_sql(
+            "SELECT DATE_TRUNC('CENTURY', DATE '2004-08-10'), "
+            "DATE_TRUNC('DECADE', DATE '1993-12-25'), "
+            "DATE_TRUNC('MILLENNIUM', TIMESTAMP '1970-03-20 04:30:00')"
+        )).collect()[0]
+        assert str(rows[0]) == "2001-01-01 00:00:00"
+        assert str(rows[1]) == "1990-01-01 00:00:00"
+        assert str(rows[2]) == "1001-01-01 00:00:00"
+
+
+class TestPgDateLiterals:
+    @pytest.mark.parametrize(
+        "lit,iso",
+        [
+            ("1999 Jan 08", "1999-01-08"),
+            ("1999 08 Jan", "1999-01-08"),
+            ("1999 01 08", "1999-01-08"),
+            ("1999 08 01", "1999-08-01"),
+        ],
+    )
+    def test_year_first_forms(self, lit, iso):
+        assert rewrite_sql(f"SELECT date '{lit}'") == f"SELECT date '{iso}'"
+
+    def test_iso_and_specials_untouched(self):
+        for lit in ("1999-01-08", "today", "epoch"):
+            sql = f"SELECT date '{lit}'"
+            assert rewrite_sql(sql) == sql
+
+    def test_ambiguous_untouched(self):
+        sql = "SELECT date '08 01 1999'"  # not year-first — leave alone
+        assert rewrite_sql(sql) == sql
+
+
+class TestJustifyRewrites:
+    def test_justify_hours_mixed(self):
+        out = rewrite_sql(
+            "SELECT justify_hours(interval "
+            "'6 months 3 days 52 hours 3 minutes 2 seconds')"
+        )
+        assert "make_interval(0, 6, 0, 5, 4, 3, 2)" in out
+
+    def test_justify_days_pure_daytime_becomes_ym(self):
+        out = rewrite_sql("SELECT justify_days(interval '60 days')")
+        assert "INTERVAL '0-2' YEAR TO MONTH" in out
+
+    def test_justify_interval_sign_fixup(self):
+        out = rewrite_sql(
+            "SELECT justify_interval(interval '1 month -1 hour')"
+        )
+        assert "INTERVAL '29 23:00:00' DAY TO SECOND" in out
+
+    def test_non_literal_untouched(self):
+        sql = "SELECT justify_hours(col) FROM t"
+        assert rewrite_sql(sql) == sql
+
+    def test_unparseable_untouched(self):
+        sql = "SELECT justify_hours(interval 'bogus')"
+        assert rewrite_sql(sql) == sql
+
+
 @pytest.mark.parametrize(
     "pg_sql,expected",
     [

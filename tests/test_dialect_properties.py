@@ -28,8 +28,11 @@ from spark_sql_server_spark.dialect.rewriter import rewrite_sql
 #: are excluded too: a column NAMED as/using aborts the DDL-type scan
 #: (the pass must stop at the real CTAS/USING keyword), so e.g. 'text'
 #: after it would legitimately stay unmapped (r8 ADVICE latent flake).
+#: 'date' can fire the r9 date-literal pass when a random string
+#: literal follows it; justify_*/date_trunc fire in call position
 _REWRITTEN_FNS = {"log", "ltrim", "rtrim", "btrim", "timestamptz",
-                  "as", "using"}
+                  "as", "using", "date", "date_trunc", "justify_hours",
+                  "justify_days", "justify_interval", "interval"}
 _ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True).filter(
     lambda s: s.lower() not in _REWRITTEN_FNS
 )

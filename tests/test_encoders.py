@@ -6,7 +6,7 @@ layout)."""
 from __future__ import annotations
 
 import struct
-from datetime import date, datetime
+from datetime import date, datetime, timedelta
 from decimal import Decimal
 
 import pytest
@@ -66,6 +66,33 @@ class TestTextEncoders:
     def test_map_json(self):
         enc = text_encoder(T.MapType(T.StringType(), T.IntegerType()))
         assert enc({"k": 1}) == '{"k":1}'
+
+    def test_interval_day_typed(self):
+        # DAY-typed intervals split a day component (PG style)
+        day = T.DayTimeIntervalType(
+            T.DayTimeIntervalType.DAY, T.DayTimeIntervalType.SECOND
+        )
+        enc = text_encoder(day)
+        assert enc(timedelta(days=1, hours=2, minutes=3, seconds=4)) == \
+            "1 day 02:03:04"
+        # PG pluralizes on the SIGNED value: '1 day' but '-1 days'
+        assert enc(timedelta(days=1)) == "1 day"
+        assert enc(timedelta(days=-1)) == "-1 days"
+        # every printed component of a negative interval carries a sign
+        assert enc(-timedelta(days=1, hours=2, minutes=3, seconds=4)) == \
+            "-1 days -02:03:04"
+
+    def test_interval_hour_typed_never_rolls_days(self):
+        # PG never justifies hours into days: '999' hour is '999:00:00'
+        hour = T.DayTimeIntervalType(
+            T.DayTimeIntervalType.HOUR, T.DayTimeIntervalType.SECOND
+        )
+        enc = text_encoder(hour)
+        assert enc(timedelta(hours=999)) == "999:00:00"
+        assert enc(timedelta(seconds=999)) == "00:16:39"
+        assert enc(timedelta(seconds=-999)) == "-00:16:39"
+        assert enc(timedelta(seconds=1, microseconds=500000)) == \
+            "00:00:01.500000"
 
 
 class TestBinaryEncoders:

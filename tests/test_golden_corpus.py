@@ -3397,6 +3397,861 @@ def _duck_rows(duck, sql: str) -> list[list[str]]:
     return out
 
 
+# --------------------------------------------------------------------------
+# wave 26 (r9) — postgreSQL/date.sql port (reference inputs/postgreSQL/
+# date.sql). DATE_TBL fixture as a VALUES CTE (the reference's 15
+# inserts). New dialect surface pinned here: PG year-first date-literal
+# spellings ('1999 Jan 08'), EXTRACT(CENTURY/MILLENNIUM/DECADE),
+# DATE_TRUNC coarse fields (Spark returned silent NULL before), the
+# negative-interval day pluralization ('-1 days'), and PG date-date
+# (integer days) vs Spark (interval day) as a pinned divergence.
+# BC dates are out of scope: Spark parses '4714-11-24 BC' as AD 4714
+# (silently drops the era) — documented, not pinned.
+# --------------------------------------------------------------------------
+_DT = (
+    "WITH date_tbl(f1) AS (SELECT * FROM (VALUES "
+    "(DATE '1957-04-09'),(DATE '1957-06-13'),(DATE '1996-02-28'),"
+    "(DATE '1996-02-29'),(DATE '1996-03-01'),(DATE '1996-03-02'),"
+    "(DATE '1997-02-28'),(DATE '1997-03-01'),(DATE '1997-03-02'),"
+    "(DATE '2000-04-01'),(DATE '2000-04-02'),(DATE '2000-04-03'),"
+    "(DATE '2038-04-08'),(DATE '2039-04-09'),(DATE '2040-04-10')) t(f1)) "
+)
+
+CORPUS += [
+    # the three screens over the fixture
+    (_DT + "SELECT f1 AS fifteen FROM date_tbl ORDER BY f1", None),
+    (_DT + "SELECT f1 AS nine FROM date_tbl WHERE f1 < '2000-01-01' ORDER BY f1",
+     _DT + "SELECT f1 AS nine FROM date_tbl WHERE f1 < DATE '2000-01-01' ORDER BY f1"),
+    (_DT + "SELECT f1 AS three FROM date_tbl WHERE f1 BETWEEN '2000-01-01' AND '2001-01-01' ORDER BY f1",
+     _DT + "SELECT f1 AS three FROM date_tbl WHERE f1 BETWEEN DATE '2000-01-01' AND DATE '2001-01-01' ORDER BY f1"),
+    # documented input formats (ymd datestyle family) — the PG-only
+    # spellings ride the new _rewrite_pg_date_literals pass
+    ("SELECT date '1999-01-08' AS d", None),
+    ("SELECT date '1999-01-18' AS d", None),
+    ("SELECT date '1999 Jan 08' AS d", "SELECT DATE '1999-01-08' AS d"),
+    ("SELECT date '1999 08 Jan' AS d", "SELECT DATE '1999-01-08' AS d"),
+    ("SELECT date '1999-08-01' AS d", None),
+    ("SELECT date '1999 01 08' AS d", "SELECT DATE '1999-01-08' AS d"),
+    ("SELECT date '1999 08 01' AS d", "SELECT DATE '1999-08-01' AS d"),
+    # simple math: PG date-date is integer days; Spark renders its
+    # interval-day result as PG interval text — pinned divergence
+    ("SELECT date 'tomorrow' - date 'today' AS one_day", "SELECT '1 day' AS one_day"),
+    ("SELECT date 'today' - date 'tomorrow' AS one_day", "SELECT '-1 days' AS one_day"),
+    ("SELECT date 'yesterday' - date 'tomorrow' AS two_days", "SELECT '-2 days' AS two_days"),
+    ("SELECT date 'tomorrow' - date 'yesterday' AS two_days", "SELECT '2 days' AS two_days"),
+    (_DT + "SELECT f1 - date '2000-01-01' AS days_from_2k FROM date_tbl ORDER BY f1 LIMIT 3",
+     _DT + "SELECT CASE WHEN diff >= -1 AND diff <= 1 THEN diff || ' day' ELSE diff || ' days' END AS days_from_2k "
+     "FROM (SELECT f1, (f1 - DATE '2000-01-01') AS diff FROM date_tbl ORDER BY f1 LIMIT 3) t"),
+    ("SELECT date 'epoch' AS d", "SELECT DATE '1970-01-01' AS d"),
+    # extract: epoch
+    ("SELECT EXTRACT(EPOCH FROM DATE '1970-01-01') AS e", "SELECT '0.000000' AS e"),
+    ("SELECT EXTRACT(EPOCH FROM TIMESTAMP '1970-01-01 00:00:00') AS e", "SELECT '0.000000' AS e"),
+    # extract: century (new rewrite)
+    ("SELECT EXTRACT(CENTURY FROM DATE '0001-01-01') AS c", "SELECT 1 AS c"),
+    ("SELECT EXTRACT(CENTURY FROM DATE '1900-12-31') AS c", "SELECT 19 AS c"),
+    ("SELECT EXTRACT(CENTURY FROM DATE '1901-01-01') AS c", "SELECT 20 AS c"),
+    ("SELECT EXTRACT(CENTURY FROM DATE '2000-12-31') AS c", "SELECT 20 AS c"),
+    ("SELECT EXTRACT(CENTURY FROM DATE '2001-01-01') AS c", "SELECT 21 AS c"),
+    ("SELECT EXTRACT(CENTURY FROM CURRENT_DATE) >= 21 AS t", "SELECT true AS t"),
+    ("SELECT EXTRACT(CENTURY FROM NOW()) >= 21 AS t", "SELECT true AS t"),
+    ("SELECT EXTRACT(CENTURY FROM TIMESTAMP '1970-03-20 04:30:00') AS c", "SELECT 20 AS c"),
+    # extract: millennium
+    ("SELECT EXTRACT(MILLENNIUM FROM DATE '0001-01-01') AS m", "SELECT 1 AS m"),
+    ("SELECT EXTRACT(MILLENNIUM FROM DATE '1000-12-31') AS m", "SELECT 1 AS m"),
+    ("SELECT EXTRACT(MILLENNIUM FROM DATE '1001-01-01') AS m", "SELECT 2 AS m"),
+    ("SELECT EXTRACT(MILLENNIUM FROM DATE '2000-12-31') AS m", "SELECT 2 AS m"),
+    ("SELECT EXTRACT(MILLENNIUM FROM DATE '2001-01-01') AS m", "SELECT 3 AS m"),
+    ("SELECT EXTRACT(MILLENNIUM FROM CURRENT_DATE) AS m", "SELECT 3 AS m"),
+    # extract: decade
+    ("SELECT EXTRACT(DECADE FROM DATE '1994-12-25') AS d", "SELECT 199 AS d"),
+    ("SELECT EXTRACT(DECADE FROM DATE '0010-01-01') AS d", "SELECT 1 AS d"),
+    ("SELECT EXTRACT(DECADE FROM DATE '0009-12-31') AS d", "SELECT 0 AS d"),
+    # date_trunc coarse fields (new rewrite; PG returns timestamps)
+    ("SELECT DATE_TRUNC('MILLENNIUM', TIMESTAMP '1970-03-20 04:30:00') AS t",
+     "SELECT '1001-01-01 00:00:00' AS t"),
+    ("SELECT DATE_TRUNC('MILLENNIUM', DATE '1970-03-20') AS t",
+     "SELECT '1001-01-01 00:00:00' AS t"),
+    ("SELECT DATE_TRUNC('CENTURY', TIMESTAMP '1970-03-20 04:30:00') AS t",
+     "SELECT '1901-01-01 00:00:00' AS t"),
+    ("SELECT DATE_TRUNC('CENTURY', DATE '1970-03-20') AS t",
+     "SELECT '1901-01-01 00:00:00' AS t"),
+    ("SELECT DATE_TRUNC('CENTURY', DATE '2004-08-10') AS t",
+     "SELECT '2001-01-01 00:00:00' AS t"),
+    ("SELECT DATE_TRUNC('DECADE', DATE '1993-12-25') AS t",
+     "SELECT '1990-01-01 00:00:00' AS t"),
+    # constructors
+    ("SELECT make_date(2013, 7, 15) AS d", "SELECT DATE '2013-07-15' AS d"),
+]
+
+NEGATIVE_WAVE26 = [
+    "SELECT date '1999 Jan 08 extra'",
+    "SELECT make_date(2013, 2, 30)",
+    "SELECT make_date(2013, 13, 1)",
+    "SELECT make_date(2013, 11, -1)",
+    "SELECT make_date(-44, 3, 15)",  # PG: 0044-03-15 BC; Spark: no BC years (pinned divergence)
+]
+
+
+# --------------------------------------------------------------------------
+# wave 27 (r9) — postgreSQL/interval.sql deep port (reference inputs/
+# postgreSQL/interval.sql; r5 took only wire rendering). Pins the
+# interval literal unit/range forms, the hour-or-finer rendering rule
+# (PG never rolls hours into days — '999' hour prints '999:00:00'),
+# per-component signs on negative intervals, and the justify_hours/
+# justify_days/justify_interval literal rewrites (the reference fork
+# patches these into its parser; interval.sql golden).
+# --------------------------------------------------------------------------
+CORPUS += [
+    # oversize leading fields (each unit form)
+    ("SELECT interval '999' second AS i", "SELECT '00:16:39' AS i"),
+    ("SELECT interval '999' minute AS i", "SELECT '16:39:00' AS i"),
+    ("SELECT interval '999' hour AS i", "SELECT '999:00:00' AS i"),
+    ("SELECT interval '999' day AS i", "SELECT '999 days' AS i"),
+    ("SELECT interval '999' month AS i", "SELECT '83 years 3 mons' AS i"),
+    # single-unit forms
+    ("SELECT interval '1' year AS i", "SELECT '1 year' AS i"),
+    ("SELECT interval '2' month AS i", "SELECT '2 mons' AS i"),
+    ("SELECT interval '3' day AS i", "SELECT '3 days' AS i"),
+    ("SELECT interval '4' hour AS i", "SELECT '04:00:00' AS i"),
+    ("SELECT interval '5' minute AS i", "SELECT '00:05:00' AS i"),
+    ("SELECT interval '6' second AS i", "SELECT '00:00:06' AS i"),
+    # range forms
+    ("SELECT interval '1-2' year to month AS i", "SELECT '1 year 2 mons' AS i"),
+    ("SELECT interval '1 2:03:04' day to second AS i", "SELECT '1 day 02:03:04' AS i"),
+    ("SELECT interval '1 2:03' day to minute AS i", "SELECT '1 day 02:03:00' AS i"),
+    ("SELECT interval '2:03' hour to minute AS i", "SELECT '02:03:00' AS i"),
+    ("SELECT interval '2:03:04' hour to second AS i", "SELECT '02:03:04' AS i"),
+    ("SELECT interval '3:04' minute to second AS i", "SELECT '00:03:04' AS i"),
+    # negative + fractional seconds
+    ("SELECT interval '-1' day AS i", "SELECT '-1 days' AS i"),
+    ("SELECT interval '-1 02:03:04' day to second AS i", "SELECT '-1 days -02:03:04' AS i"),
+    ("SELECT interval '1.5' second AS i", "SELECT '00:00:01.500000' AS i"),
+    # justify family (new literal rewrites; PG regression lines)
+    ("SELECT justify_hours(interval '6 months 3 days 52 hours 3 minutes 2 seconds') AS j",
+     "SELECT '6 months 5 days 4 hours 3 minutes 2 seconds' AS j"),
+    ("SELECT justify_days(interval '6 months 36 days 5 hours 4 minutes 3 seconds') AS j",
+     "SELECT '7 months 6 days 5 hours 4 minutes 3 seconds' AS j"),
+    ("SELECT justify_interval(interval '1 month -1 hour') AS j",
+     "SELECT '29 days 23:00:00' AS j"),
+    ("SELECT justify_hours(interval '52 hours') AS j", "SELECT '2 days 04:00:00' AS j"),
+    ("SELECT justify_days(interval '36 days') AS j", "SELECT '1 months 6 days' AS j"),
+    ("SELECT justify_interval(interval '@ 1 month -1 hour ago') AS j",
+     "SELECT '-29 days -23:00:00' AS j"),
+    # interval arithmetic over the fixture tables (timestamp +/- interval)
+    ("SELECT TIMESTAMP '1996-03-01 00:00:00' - interval '1' day AS t",
+     "SELECT '1996-02-29 00:00:00' AS t"),
+    ("SELECT TIMESTAMP '1997-03-01 00:00:00' - interval '1' day AS t",
+     "SELECT '1997-02-28 00:00:00' AS t"),
+    # Spark: date + YM interval stays a DATE (PG returns timestamp)
+    ("SELECT DATE '2000-04-01' + interval '2-3' year to month AS t",
+     "SELECT '2002-07-01' AS t"),
+    # comparisons
+    ("SELECT interval '4' hour > interval '3' hour AS b", "SELECT true AS b"),
+    ("SELECT interval '1-2' year to month = interval '14' month AS b", "SELECT true AS b"),
+]
+
+NEGATIVE_WAVE27 = [
+    # PG truncates '1 2:03' to the day-to-hour fields; Spark's literal
+    # grammar requires the pattern to match the range exactly
+    "SELECT interval '1 2:03' day to hour",
+    # PG's per-component sign spelling; Spark signs the whole literal
+    "SELECT interval '-1 -2:03:04' day to second",
+    # PG parses these (odd leading-field reinterpretations); Spark's
+    # stricter range-literal grammar rejects the mismatch — pinned
+    "SELECT interval '1 2:03' minute to second",
+    "SELECT interval '1 2:03:04' hour to minute",
+    # mixed-sign multi-unit negation: CalendarIntervalType has no
+    # unary minus in Spark
+    "SELECT - interval '1 years 2 months -3 days 4 hours'",
+    # malformed
+    "SELECT interval 'badly formatted interval'",
+    "SELECT justify_hours(interval 'bogus')",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 28 (r9) — typeCoercion/native remainder: caseWhenCoercion.sql,
+# ifCoercion.sql, booleanEquality.sql, arrayJoin.sql,
+# widenSetOperationTypes.sql, division.sql deeper. Values/types pinned
+# from the engine (typeof twin columns); Spark 4 ANSI divergences from
+# the Spark 3 goldens (boolean = numeric, string-branch widening to
+# BIGINT) land in the negative wave. typeCoercion/native is now fully
+# covered across waves 5, 23, and 28.
+# --------------------------------------------------------------------------
+CORPUS += [
+    # --- caseWhenCoercion.sql: branch-type widening matrix ---
+    ("SELECT CASE WHEN true THEN cast(1 as tinyint) ELSE cast(2 as bigint) END AS v, "
+     "typeof(CASE WHEN true THEN cast(1 as tinyint) ELSE cast(2 as bigint) END) AS t",
+     "SELECT 1 AS v, 'bigint' AS t"),
+    ("SELECT CASE WHEN true THEN cast(1 as tinyint) ELSE cast(2 as double) END AS v, "
+     "typeof(CASE WHEN true THEN cast(1 as tinyint) ELSE cast(2 as double) END) AS t",
+     "SELECT '1.0' AS v, 'double' AS t"),
+    ("SELECT CASE WHEN true THEN cast(1 as tinyint) ELSE cast(2 as decimal(10,0)) END AS v, "
+     "typeof(CASE WHEN true THEN cast(1 as tinyint) ELSE cast(2 as decimal(10,0)) END) AS t",
+     "SELECT '1' AS v, 'decimal(10,0)' AS t"),
+    # Spark 4 ANSI: tinyint-branch vs string-branch widens to BIGINT
+    # (the Spark 3 golden said tinyint) — same class as the r8
+    # promoteStrings pin
+    ("SELECT CASE WHEN true THEN cast(1 as tinyint) ELSE cast(2 as string) END AS v, "
+     "typeof(CASE WHEN true THEN cast(1 as tinyint) ELSE cast(2 as string) END) AS t",
+     "SELECT 1 AS v, 'bigint' AS t"),
+    ("SELECT CASE WHEN true THEN cast(1 as bigint) ELSE cast(2 as decimal(10,0)) END AS v, "
+     "typeof(CASE WHEN true THEN cast(1 as bigint) ELSE cast(2 as decimal(10,0)) END) AS t",
+     "SELECT '1' AS v, 'decimal(20,0)' AS t"),
+    ("SELECT CASE WHEN true THEN cast(1 as float) ELSE cast(2 as bigint) END AS v, "
+     "typeof(CASE WHEN true THEN cast(1 as float) ELSE cast(2 as bigint) END) AS t",
+     "SELECT '1.0' AS v, 'double' AS t"),
+    ("SELECT CASE WHEN true THEN cast(1 as float) ELSE cast(2 as decimal(10,0)) END AS v, "
+     "typeof(CASE WHEN true THEN cast(1 as float) ELSE cast(2 as decimal(10,0)) END) AS t",
+     "SELECT '1.0' AS v, 'double' AS t"),
+    ("SELECT CASE WHEN true THEN cast(1 as decimal(10,0)) ELSE cast(2 as double) END AS v, "
+     "typeof(CASE WHEN true THEN cast(1 as decimal(10,0)) ELSE cast(2 as double) END) AS t",
+     "SELECT '1.0' AS v, 'double' AS t"),
+    ("SELECT CASE WHEN true THEN cast(1 as decimal(10,0)) ELSE cast(2 as string) END AS v, "
+     "typeof(CASE WHEN true THEN cast(1 as decimal(10,0)) ELSE cast(2 as string) END) AS t",
+     "SELECT '1.0' AS v, 'double' AS t"),
+    ("SELECT CASE WHEN true THEN cast(1 as string) ELSE cast(2 as string) END AS v, "
+     "typeof(CASE WHEN true THEN cast(1 as string) ELSE cast(2 as string) END) AS t",
+     "SELECT '1' AS v, 'string' AS t"),
+    # --- ifCoercion.sql: same rules through IF ---
+    ("SELECT IF(false, cast(1 as tinyint), cast(2 as double)) AS v, "
+     "typeof(IF(false, cast(1 as tinyint), cast(2 as double))) AS t",
+     "SELECT '2.0' AS v, 'double' AS t"),
+    ("SELECT IF(false, cast(1 as decimal(10,0)), cast(2 as double)) AS v, "
+     "typeof(IF(false, cast(1 as decimal(10,0)), cast(2 as double))) AS t",
+     "SELECT '2.0' AS v, 'double' AS t"),
+    # --- booleanEquality.sql: only string/boolean compare to boolean
+    # on Spark 4 (numeric forms are ANSI negatives below) ---
+    ("SELECT true = cast(1 as string) AS v", "SELECT true AS v"),
+    ("SELECT true <=> cast(1 as string) AS v", "SELECT true AS v"),
+    ("SELECT true = cast(1 as boolean) AS v", "SELECT true AS v"),
+    ("SELECT cast(0 as boolean) = false AS v", "SELECT true AS v"),
+    ("SELECT false = cast('false' as boolean) AS v", "SELECT true AS v"),
+    # --- arrayJoin.sql: element coercion to string ---
+    ("SELECT array_join(array(true, false), ', ') AS v", "SELECT 'true, false' AS v"),
+    ("SELECT array_join(array(2, 1), ', ') AS v", "SELECT '2, 1' AS v"),
+    ("SELECT array_join(array(2.3, 1.5), ', ') AS v", "SELECT '2.3, 1.5' AS v"),
+    ("SELECT array_join(array('a', 'b'), ', ') AS v", "SELECT 'a, b' AS v"),
+    ("SELECT array_join(array('a', NULL, 'b'), ', ') AS v", "SELECT 'a, b' AS v"),
+    ("SELECT array_join(array('a', NULL, 'b'), ', ', '?') AS v", "SELECT 'a, ?, b' AS v"),
+    # --- widenSetOperationTypes.sql: UNION branch widening ---
+    ("SELECT v, typeof(v) AS t FROM (SELECT cast(1 as tinyint) AS v "
+     "UNION SELECT cast(2 as bigint)) u ORDER BY v",
+     "SELECT * FROM (VALUES (1, 'bigint'), (2, 'bigint')) t(v, t)"),
+    ("SELECT v, typeof(v) AS t FROM (SELECT cast(1 as int) AS v "
+     "UNION SELECT cast(2 as double)) u ORDER BY v",
+     "SELECT * FROM (VALUES ('1.0', 'double'), ('2.0', 'double')) t(v, t)"),
+    # decimal(10,2) vs bigint widens to decimal(22,2) (bigint needs 20
+    # digits + the 2-digit scale)
+    ("SELECT v, typeof(v) AS t FROM (SELECT cast(1 as decimal(10,2)) AS v "
+     "UNION SELECT cast(2 as bigint)) u ORDER BY v",
+     "SELECT * FROM (VALUES ('1.00', 'decimal(22,2)'), ('2.00', 'decimal(22,2)')) t(v, t)"),
+    ("SELECT v, typeof(v) AS t FROM (SELECT cast(1 as float) AS v "
+     "UNION SELECT cast(2 as decimal(10,2))) u ORDER BY v",
+     "SELECT * FROM (VALUES ('1.0', 'double'), ('2.0', 'double')) t(v, t)"),
+    # Spark 4 ANSI: string UNION int resolves to BIGINT (Spark 3
+    # golden said string)
+    ("SELECT v, typeof(v) AS t FROM (SELECT cast(1 as string) AS v "
+     "UNION SELECT cast(2 as int)) u ORDER BY v",
+     "SELECT * FROM (VALUES (1, 'bigint'), (2, 'bigint')) t(v, t)"),
+    # --- division.sql deeper: result types ---
+    ("SELECT cast(5 as decimal(10,2)) / cast(2 as int) AS v, "
+     "typeof(cast(5 as decimal(10,2)) / cast(2 as int)) AS t",
+     "SELECT '2.5000000000000' AS v, 'decimal(21,13)' AS t"),
+    ("SELECT cast(1 as double) / cast(3 as float) AS v",
+     "SELECT '0.3333333333333333' AS v"),
+    ("SELECT 7 div 2 AS v, typeof(7 div 2) AS t", "SELECT 3 AS v, 'bigint' AS t"),
+    ("SELECT cast(7 as bigint) % 3 AS v, typeof(cast(7 as bigint) % 3) AS t",
+     "SELECT 1 AS v, 'bigint' AS t"),
+    ("SELECT mod(cast(7 as decimal(5,1)), 3) AS v, "
+     "typeof(mod(cast(7 as decimal(5,1)), 3)) AS t",
+     "SELECT '1.0' AS v, 'decimal(2,1)' AS t"),
+]
+
+NEGATIVE_WAVE28 = [
+    "SELECT true = cast(1 as tinyint)",
+    "SELECT true <=> cast(1 as int)",
+    "SELECT true = cast(1 as bigint)",
+    "SELECT true <=> cast(1 as decimal(10,0))",
+    "SELECT cast(1 as decimal(10,0)) = true",
+    "SELECT array_join(array(array('a'), array('b')), ', ')",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 29 (r9) — ansi/decimalArithmeticOperations.sql + the base
+# interval.sql operator semantics (reference inputs/ansi/*, inputs/
+# interval.sql). ANSI decimal overflow is an ERROR (negative pins);
+# year-month and day-time intervals no longer compare to each other on
+# Spark 4 (CalendarIntervalType did in the Spark 3 goldens); the
+# unordered CalendarIntervalType rejects sort/min/max. ansi/literals
+# and ansi/higher-order-functions are IMPORT-only stubs in the
+# reference; aggregates_part4.sql is entirely commented out upstream
+# (its live percentile/mode content landed in the r7 wave).
+# --------------------------------------------------------------------------
+CORPUS += [
+    # decimal multiply/divide precision-scale results
+    ("select 10.3 * 3.0 AS v", "SELECT '30.90' AS v"),
+    ("select 10.3000 * 3.0 AS v", "SELECT '30.90000' AS v"),
+    ("select 10.30000 * 30.0 AS v", "SELECT '309.000000' AS v"),
+    ("select 10.300000000000000000 * 3.000000000000000000 AS v",
+     "SELECT '30.9000000000000000000000000000000000' AS v"),
+    ("select 123456789123456789.1234567890 * 1.123456789123456789 AS v",
+     "SELECT '138698367904130467.654320988515622621' AS v"),
+    ("select 12345678912345.123456789123 / 0.000000012345678 AS v",
+     "SELECT '1000000073899961059796.725866332' AS v"),
+    # interval comparisons (same family compares; cross-family is a
+    # negative below)
+    ("select interval '1 day' > interval '23 hour' AS b", "SELECT true AS b"),
+    ("select interval '-1 day' >= interval '-23 hour' AS b", "SELECT false AS b"),
+    ("select interval '-1 day' > null AS b", "SELECT NULL AS b"),
+    ("select null > interval '-1 day' AS b", "SELECT NULL AS b"),
+    ("select interval '1 minutes' < interval '1 hour' AS b", "SELECT true AS b"),
+    ("select interval '-1 day' <= interval '-23 hour' AS b", "SELECT true AS b"),
+    ("select interval '1 minutes' = null AS b", "SELECT NULL AS b"),
+    ("select null = interval '-1 day' AS b", "SELECT NULL AS b"),
+    ("select interval '1 minutes' <=> null AS b", "SELECT false AS b"),
+    ("select null <=> interval '1 minutes' AS b", "SELECT false AS b"),
+    # interval arithmetic: scalar multiply/divide of day-time intervals
+    ("select 3 * (timestamp'2019-10-15 10:11:12.001002' - date'2019-10-15') AS i",
+     "SELECT '1 day 06:33:36.003006' AS i"),
+    ("select (timestamp'2019-10-15' - timestamp'2019-10-14') / 1.5 AS i",
+     "SELECT '16:00:00' AS i"),
+    ("select interval '2 seconds' / null AS i", "SELECT NULL AS i"),
+    ("select interval '2 seconds' * null AS i", "SELECT NULL AS i"),
+    ("select null * interval '2 seconds' AS i", "SELECT NULL AS i"),
+    ("select -interval '-1 day 1 second' AS i", "SELECT '23:59:59' AS i"),
+    ("select -interval '1 day' AS i", "SELECT '-1 days' AS i"),
+]
+
+NEGATIVE_WAVE29 = [
+    # ANSI decimal overflow errors (pre-ANSI goldens returned NULL)
+    "select (5e36BD + 0.1) + 5e36BD",
+    "select (-4e36BD - 0.1) - 7e36BD",
+    "select 12345678901234567890.0 * 12345678901234567890.0",
+    "select 1e35BD / 0.1",
+    # year-month vs day-time intervals no longer compare (Spark 3
+    # CalendarIntervalType did; pinned divergence)
+    "select interval '1 year' = interval '360 days'",
+    "select interval '1 month 120 days' > interval '2 month'",
+    # CalendarIntervalType is unordered: no sort / min / max
+    "select cast(v as interval) i from VALUES ('1 seconds'), ('4 seconds') t(v) order by i",
+    "select max(cast(v as interval)) from VALUES ('1 seconds'), ('4 seconds') t(v)",
+    # interval divided by zero (ANSI)
+    "select interval '2 seconds' / 0",
+    # ansi-mode implicit interval literals (Spark 3 fork syntax) are
+    # parse errors on Spark 4
+    "select 1 year 2 days",
+    "select 30 day day",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 30 (r9) — subquery/exists-subquery/* ports (reference inputs/
+# subquery/exists-subquery: basic, aggregate, having, orderby-limit,
+# joins-and-set-ops, within-and-or, cte). EMP/DEPT/BONUS fixture as a
+# shared CTE prefix (engine-neutral spelling — valid in Spark AND
+# DuckDB, so most oracles are the statement itself).
+# --------------------------------------------------------------------------
+_EMPFX = (
+    "WITH emp(id, emp_name, hiredate, salary, dept_id) AS (SELECT * FROM (VALUES "
+    "(100, 'emp 1', DATE '2005-01-01', CAST(100.00 AS DOUBLE), 10), "
+    "(100, 'emp 1', DATE '2005-01-01', CAST(100.00 AS DOUBLE), 10), "
+    "(200, 'emp 2', DATE '2003-01-01', CAST(200.00 AS DOUBLE), 10), "
+    "(300, 'emp 3', DATE '2002-01-01', CAST(300.00 AS DOUBLE), 20), "
+    "(400, 'emp 4', DATE '2005-01-01', CAST(400.00 AS DOUBLE), 30), "
+    "(500, 'emp 5', DATE '2001-01-01', CAST(400.00 AS DOUBLE), NULL), "
+    "(600, 'emp 6 - no dept', DATE '2001-01-01', CAST(400.00 AS DOUBLE), 100), "
+    "(700, 'emp 7', DATE '2010-01-01', CAST(400.00 AS DOUBLE), 100), "
+    "(800, 'emp 8', DATE '2016-01-01', CAST(150.00 AS DOUBLE), 70)"
+    ") v(id, emp_name, hiredate, salary, dept_id)), "
+    "dept(dept_id, dept_name, state) AS (SELECT * FROM (VALUES "
+    "(10, 'dept 1', 'CA'), (20, 'dept 2', 'NY'), (30, 'dept 3', 'TX'), "
+    "(40, 'dept 4 - unassigned', 'OR'), (50, 'dept 5 - unassigned', 'NJ'), "
+    "(70, 'dept 7', 'FL')) v(dept_id, dept_name, state)), "
+    "bonus(emp_name, bonus_amt) AS (SELECT * FROM (VALUES "
+    "('emp 1', CAST(10.00 AS DOUBLE)), ('emp 1', CAST(20.00 AS DOUBLE)), "
+    "('emp 2', CAST(300.00 AS DOUBLE)), ('emp 2', CAST(100.00 AS DOUBLE)), "
+    "('emp 3', CAST(300.00 AS DOUBLE)), ('emp 4', CAST(100.00 AS DOUBLE)), "
+    "('emp 5', CAST(1000.00 AS DOUBLE)), "
+    "('emp 6 - no dept', CAST(500.00 AS DOUBLE))) v(emp_name, bonus_amt)) "
+)
+
+CORPUS += [
+    # exists-basic TC.01.01: uncorrelated EXISTS
+    (_EMPFX + "SELECT id, emp_name FROM emp WHERE EXISTS (SELECT 1 FROM dept "
+     "WHERE dept.dept_id > 10 AND dept.dept_id < 30) ORDER BY id, emp_name", None),
+    # TC.01.02: simple correlated EXISTS
+    (_EMPFX + "SELECT id, emp_name, dept_id FROM emp WHERE EXISTS (SELECT dept.dept_name "
+     "FROM dept WHERE emp.dept_id = dept.dept_id) ORDER BY id, emp_name", None),
+    # TC.01.03: correlated with outer isnull in the predicate
+    (_EMPFX + "SELECT id, dept_id FROM emp WHERE EXISTS (SELECT dept.dept_name FROM dept "
+     "WHERE emp.dept_id = dept.dept_id OR emp.dept_id IS NULL) ORDER BY id, dept_id", None),
+    # TC.01.04: correlation + local outer predicate
+    (_EMPFX + "SELECT id, emp_name FROM emp WHERE EXISTS (SELECT dept.dept_name FROM dept "
+     "WHERE emp.dept_id = dept.dept_id) AND emp.id > 200 ORDER BY id", None),
+    # NOT EXISTS with correlation
+    (_EMPFX + "SELECT id, emp_name, dept_id FROM emp WHERE NOT EXISTS "
+     "(SELECT dept.dept_name FROM dept WHERE emp.dept_id = dept.dept_id) "
+     "ORDER BY id", None),
+    # exists-aggregate: aggregated outer block over an EXISTS screen
+    (_EMPFX + "SELECT emp.dept_id, avg(salary) AS a, sum(salary) AS s FROM emp "
+     "WHERE EXISTS (SELECT state FROM dept WHERE dept.dept_id = emp.dept_id) "
+     "GROUP BY dept_id ORDER BY dept_id", None),
+    # EXISTS over an aggregate-with-group-by subquery
+    (_EMPFX + "SELECT emp_name FROM emp WHERE EXISTS (SELECT max(dept.dept_id) a "
+     "FROM dept WHERE dept.dept_id = emp.dept_id GROUP BY dept.dept_id) "
+     "ORDER BY emp_name", None),
+    (_EMPFX + "SELECT count(*) AS n FROM emp WHERE EXISTS (SELECT max(dept.dept_id) a "
+     "FROM dept WHERE dept.dept_id = emp.dept_id GROUP BY dept.dept_id)", None),
+    # nested EXISTS (bonus → emp → dept)
+    (_EMPFX + "SELECT emp_name, bonus_amt FROM bonus WHERE EXISTS (SELECT 1 FROM emp "
+     "WHERE emp.emp_name = bonus.emp_name AND EXISTS (SELECT max(dept.dept_id) "
+     "FROM dept WHERE emp.dept_id = dept.dept_id GROUP BY dept.dept_id)) "
+     "ORDER BY emp_name, bonus_amt", None),
+    # NOT EXISTS variants
+    (_EMPFX + "SELECT emp.dept_id, avg(salary) AS a, sum(salary) AS s FROM emp "
+     "WHERE NOT EXISTS (SELECT state FROM dept WHERE dept.dept_id = emp.dept_id) "
+     "GROUP BY dept_id ORDER BY dept_id NULLS FIRST", None),
+    (_EMPFX + "SELECT count(*) AS n FROM emp WHERE NOT EXISTS "
+     "(SELECT max(dept.dept_id) a FROM dept WHERE dept.dept_id = emp.dept_id "
+     "GROUP BY dept.dept_id)", None),
+    (_EMPFX + "SELECT emp_name, bonus_amt FROM bonus WHERE NOT EXISTS "
+     "(SELECT 1 FROM emp WHERE emp.emp_name = bonus.emp_name AND EXISTS "
+     "(SELECT max(dept.dept_id) FROM dept WHERE emp.dept_id = dept.dept_id "
+     "GROUP BY dept.dept_id)) ORDER BY emp_name, bonus_amt", None),
+    # exists-having: HAVING with an EXISTS screen
+    (_EMPFX + "SELECT dept_id, count(*) AS n FROM emp WHERE EXISTS (SELECT state "
+     "FROM dept WHERE dept.dept_id = emp.dept_id) GROUP BY dept_id "
+     "HAVING count(*) > 1 ORDER BY dept_id", None),
+    # EXISTS inside HAVING
+    (_EMPFX + "SELECT dept_id, sum(salary) AS s FROM emp GROUP BY dept_id "
+     "HAVING EXISTS (SELECT dept_name FROM dept WHERE dept.dept_id = emp.dept_id "
+     "AND dept.dept_id < 30) ORDER BY dept_id", None),
+    # exists-orderby-limit: ORDER BY inside the subquery (no-op), LIMIT 1
+    (_EMPFX + "SELECT id, hiredate FROM emp WHERE EXISTS (SELECT dept.dept_id FROM dept "
+     "WHERE emp.dept_id = dept.dept_id ORDER BY state) ORDER BY hiredate DESC, id", None),
+    (_EMPFX + "SELECT id, emp_name FROM emp WHERE EXISTS (SELECT dept.dept_name FROM dept "
+     "WHERE dept.dept_id > 10 LIMIT 1) ORDER BY id, emp_name", None),
+    # uncorrelated NOT EXISTS with LIMIT
+    (_EMPFX + "SELECT count(*) AS n FROM emp WHERE NOT EXISTS "
+     "(SELECT dept.dept_name FROM dept WHERE dept.dept_id > 100 LIMIT 1)", None),
+    # exists-joins-and-set-ops: EXISTS over a join
+    (_EMPFX + "SELECT id, emp_name FROM emp WHERE EXISTS (SELECT 1 FROM dept JOIN bonus "
+     "ON dept.dept_name IS NOT NULL WHERE emp.dept_id = dept.dept_id "
+     "AND bonus.emp_name = emp.emp_name) ORDER BY id", None),
+    # join of two EXISTS-screened relations
+    (_EMPFX + "SELECT e.id, d.dept_name FROM emp e JOIN dept d ON e.dept_id = d.dept_id "
+     "WHERE EXISTS (SELECT 1 FROM bonus b WHERE b.emp_name = e.emp_name) "
+     "ORDER BY e.id, d.dept_name", None),
+    # EXISTS over UNION ALL
+    (_EMPFX + "SELECT id, dept_id FROM emp WHERE EXISTS "
+     "(SELECT dept_id FROM dept WHERE emp.dept_id = dept.dept_id UNION ALL "
+     "SELECT dept_id FROM emp e2 WHERE e2.dept_id = emp.dept_id AND e2.id < 300) "
+     "ORDER BY id, dept_id", None),
+    # exists-within-and-or: conjunction and disjunction of EXISTS
+    (_EMPFX + "SELECT id, emp_name FROM emp WHERE EXISTS (SELECT 1 FROM dept WHERE "
+     "emp.dept_id = dept.dept_id) AND EXISTS (SELECT 1 FROM bonus WHERE "
+     "bonus.emp_name = emp.emp_name) ORDER BY id", None),
+    (_EMPFX + "SELECT id, emp_name FROM emp WHERE EXISTS (SELECT 1 FROM dept WHERE "
+     "emp.dept_id = dept.dept_id) OR EXISTS (SELECT 1 FROM bonus WHERE "
+     "bonus.emp_name = emp.emp_name) ORDER BY id, emp_name", None),
+    (_EMPFX + "SELECT id, emp_name FROM emp WHERE NOT EXISTS (SELECT 1 FROM dept WHERE "
+     "emp.dept_id = dept.dept_id) OR EXISTS (SELECT 1 FROM bonus WHERE "
+     "bonus.emp_name = emp.emp_name AND bonus.bonus_amt > 300) "
+     "ORDER BY id, emp_name", None),
+    # exists-cte: EXISTS referencing a further CTE
+    (_EMPFX + ", rich AS (SELECT emp_name FROM bonus WHERE bonus_amt > 200) "
+     "SELECT id, emp_name FROM emp WHERE EXISTS "
+     "(SELECT 1 FROM rich WHERE rich.emp_name = emp.emp_name) ORDER BY id", None),
+]
+
+
+# --------------------------------------------------------------------------
+# wave 31 (r9) — subquery/in-subquery/* ports (reference inputs/
+# subquery/in-subquery: simple-in, in-group-by, in-having, in-joins,
+# in-multiple-columns, in-order-by, in-limit, in-set-operations,
+# in-with-cte, not-in-group-by, not-in-joins). The reference's t1/t2/t3
+# fixture spelled engine-neutrally (CASTs, no Spark literal suffixes)
+# so ONE generated prefix serves Spark and the DuckDB oracle. DuckDB
+# has no multi-column IN — those two oracles spell EXISTS. Nullable
+# sort columns pin NULLS FIRST (Spark ASC default) explicitly.
+# --------------------------------------------------------------------------
+_SQ_T1 = [
+    ("t1a", 6, 8, 10, 15.0, 20, 2000, "2014-04-04 01:00:00", "2014-04-04"),
+    ("t1b", 8, 16, 19, 17.0, 25, 2600, "2014-05-04 01:01:00", "2014-05-04"),
+    ("t1a", 16, 12, 21, 15.0, 20, 2000, "2014-06-04 01:02:00.001", "2014-06-04"),
+    ("t1a", 16, 12, 10, 15.0, 20, 2000, "2014-07-04 01:01:00", "2014-07-04"),
+    ("t1c", 8, 16, 19, 17.0, 25, 2600, "2014-05-04 01:02:00.001", "2014-05-05"),
+    ("t1d", None, 16, 22, 17.0, 25, 2600, "2014-06-04 01:01:00", None),
+    ("t1d", None, 16, 19, 17.0, 25, 2600, "2014-07-04 01:02:00.001", None),
+    ("t1e", 10, None, 25, 17.0, 25, 2600, "2014-08-04 01:01:00", "2014-08-04"),
+    ("t1e", 10, None, 19, 17.0, 25, 2600, "2014-09-04 01:02:00.001", "2014-09-04"),
+    ("t1d", 10, None, 12, 17.0, 25, 2600, "2015-05-04 01:01:00", "2015-05-04"),
+    ("t1a", 6, 8, 10, 15.0, 20, 2000, "2014-04-04 01:02:00.001", "2014-04-04"),
+    ("t1e", 10, None, 19, 17.0, 25, 2600, "2014-05-04 01:01:00", "2014-05-04"),
+]
+_SQ_T2 = [
+    ("t2a", 6, 12, 14, 15.0, 20, 2000, "2014-04-04 01:01:00", "2014-04-04"),
+    ("t1b", 10, 12, 19, 17.0, 25, 2600, "2014-05-04 01:01:00", "2014-05-04"),
+    ("t1b", 8, 16, 119, 17.0, 25, 2600, "2015-05-04 01:01:00", "2015-05-04"),
+    ("t1c", 12, 16, 219, 17.0, 25, 2600, "2016-05-04 01:01:00", "2016-05-04"),
+    ("t1b", None, 16, 319, 17.0, 25, 2600, "2017-05-04 01:01:00", None),
+    ("t2e", 8, None, 419, 17.0, 25, 2600, "2014-06-04 01:01:00", "2014-06-04"),
+    ("t1f", 19, None, 519, 17.0, 25, 2600, "2014-05-04 01:01:00", "2014-05-04"),
+    ("t1b", 10, 12, 19, 17.0, 25, 2600, "2014-06-04 01:01:00", "2014-06-04"),
+    ("t1b", 8, 16, 19, 17.0, 25, 2600, "2014-07-04 01:01:00", "2014-07-04"),
+    ("t1c", 12, 16, 19, 17.0, 25, 2600, "2014-08-04 01:01:00", "2014-08-05"),
+    ("t1e", 8, None, 19, 17.0, 25, 2600, "2014-09-04 01:01:00", "2014-09-04"),
+    ("t1f", 19, None, 19, 17.0, 25, 2600, "2014-10-04 01:01:00", "2014-10-04"),
+    ("t1b", None, 16, 19, 17.0, 25, 2600, "2014-05-04 01:01:00", None),
+]
+_SQ_T3 = [
+    ("t3a", 6, 12, 110, 15.0, 20, 2000, "2014-04-04 01:02:00", "2014-04-04"),
+    ("t3a", 6, 12, 10, 15.0, 20, 2000, "2014-05-04 01:02:00", "2014-05-04"),
+    ("t1b", 10, 12, 219, 17.0, 25, 2600, "2014-05-04 01:02:00", "2014-05-04"),
+    ("t1b", 10, 12, 19, 17.0, 25, 2600, "2014-05-04 01:02:00", "2014-05-04"),
+    ("t1b", 8, 16, 319, 17.0, 25, 2600, "2014-06-04 01:02:00", "2014-06-04"),
+    ("t1b", 8, 16, 19, 17.0, 25, 2600, "2014-07-04 01:02:00", "2014-07-04"),
+    ("t3c", 17, 16, 519, 17.0, 25, 2600, "2014-08-04 01:02:00", "2014-08-04"),
+    ("t3c", 17, 16, 19, 17.0, 25, 2600, "2014-09-04 01:02:00", "2014-09-05"),
+    ("t1b", None, 16, 419, 17.0, 25, 2600, "2014-10-04 01:02:00", None),
+    ("t1b", None, 16, 19, 17.0, 25, 2600, "2014-11-04 01:02:00", None),
+    ("t3b", 8, None, 719, 17.0, 25, 2600, "2014-05-04 01:02:00", "2014-05-04"),
+    ("t3b", 8, None, 19, 17.0, 25, 2600, "2015-05-04 01:02:00", "2015-05-04"),
+]
+
+
+def _sq_row(r):
+    a, b, c, d, e, f, g, h, i = r
+    return "(%s, %s, %s, %s, %s, %s, %s, %s, %s)" % (
+        f"'{a}'",
+        "CAST(NULL AS SMALLINT)" if b is None else f"CAST({b} AS SMALLINT)",
+        "CAST(NULL AS INT)" if c is None else str(c),
+        f"CAST({d} AS BIGINT)",
+        f"CAST({e} AS FLOAT)",
+        f"CAST({f} AS DOUBLE)",
+        f"CAST({g} AS DECIMAL(4,0))",
+        f"TIMESTAMP '{h}'",
+        "CAST(NULL AS DATE)" if i is None else f"DATE '{i}'",
+    )
+
+
+def _sq_view(name, rows):
+    cols = ",".join(f"{name}{s}" for s in "abcdefghi")
+    vals = ", ".join(_sq_row(r) for r in rows)
+    return f"{name}({cols}) AS (SELECT * FROM (VALUES {vals}) v({cols}))"
+
+
+_SQFX = ("WITH " + ", ".join(
+    [_sq_view("t1", _SQ_T1), _sq_view("t2", _SQ_T2),
+     _sq_view("t3", _SQ_T3)]) + " ")
+
+CORPUS += [
+    # simple-in TC 01.01: uncorrelated IN
+    (_SQFX + "SELECT t1a, t1b, t1c, t1d FROM t1 WHERE t1a IN (SELECT t2a FROM t2) "
+     "ORDER BY t1a, t1b, t1c, t1d", None),
+    # correlated IN
+    (_SQFX + "SELECT t1a, t1b, t1d FROM t1 WHERE t1b IN (SELECT t2b FROM t2 "
+     "WHERE t1a = t2a) ORDER BY t1a, t1b, t1d", None),
+    # correlated with != and disjunctive correlation
+    (_SQFX + "SELECT t1a, t1b FROM t1 WHERE t1c IN (SELECT t2b FROM t2 "
+     "WHERE t1a != t2a) ORDER BY t1a, t1b", None),
+    (_SQFX + "SELECT t1a, t1b FROM t1 WHERE t1c IN (SELECT t2b FROM t2 "
+     "WHERE t1a = t2a OR t1b > t2b) ORDER BY t1a, t1b", None),
+    # nested IN-in-IN with correlation
+    (_SQFX + "SELECT t1a, t1b FROM t1 WHERE t1c IN (SELECT t2b FROM t2 "
+     "WHERE t2a IN (SELECT t3a FROM t3 WHERE t2c = t3c AND t2b IS NOT NULL)) "
+     "ORDER BY t1a, t1b", None),
+    # NOT IN (null-free columns)
+    # Spark ASC default is NULLS FIRST, DuckDB's is NULLS LAST — the
+    # nullable sort column needs the explicit spelling
+    (_SQFX + "SELECT DISTINCT(t1a) AS t1a, t1b FROM t1 WHERE t1a NOT IN "
+     "(SELECT t2a FROM t2) ORDER BY t1a, t1b NULLS FIRST", None),
+    # in-group-by: aggregate over an IN screen
+    (_SQFX + "SELECT t1a, avg(t1b) AS a, count(*) AS n FROM t1 WHERE t1a IN "
+     "(SELECT t2a FROM t2) GROUP BY t1a ORDER BY t1a", None),
+    # GROUP BY with IN over a grouped subquery
+    (_SQFX + "SELECT t1a, max(t1b) AS m FROM t1 WHERE t1b IN (SELECT min(t2b) "
+     "FROM t2 GROUP BY t2a) GROUP BY t1a ORDER BY t1a", None),
+    # in-having
+    (_SQFX + "SELECT t1a, sum(t1d) AS s FROM t1 GROUP BY t1a HAVING t1a IN "
+     "(SELECT t2a FROM t2 WHERE t2b > 10) ORDER BY t1a", None),
+    (_SQFX + "SELECT t1a, count(*) AS n FROM t1 GROUP BY t1a HAVING max(t1c) IN "
+     "(SELECT t2c FROM t2 WHERE t2c IS NOT NULL) ORDER BY t1a", None),
+    # in-joins: join where one side is IN-screened
+    (_SQFX + "SELECT t1.t1a, t1.t1b, t2.t2a, t2.t2d FROM t1 JOIN t2 ON t1.t1a = t2.t2a "
+     "WHERE t1.t1a IN (SELECT t3a FROM t3) ORDER BY t1.t1a, t1.t1b, t2.t2a, t2.t2d",
+     None),
+    (_SQFX + "SELECT t1.t1a, t3.t3c FROM t1 LEFT JOIN t3 ON t1.t1c = t3.t3c "
+     "WHERE t1.t1a IN (SELECT t2a FROM t2 WHERE t2b IS NOT NULL) "
+     "ORDER BY t1.t1a, t3.t3c NULLS FIRST", None),
+    # in-multiple-columns: tuple IN
+    # DuckDB has no multi-column IN — the oracle spells it as EXISTS
+    (_SQFX + "SELECT t1a, t1b, t1c FROM t1 WHERE (t1a, t1b) IN "
+     "(SELECT t2a, t2b FROM t2) ORDER BY t1a, t1b, t1c",
+     _SQFX + "SELECT t1a, t1b, t1c FROM t1 WHERE EXISTS (SELECT 1 FROM t2 "
+     "WHERE t2a = t1a AND t2b = t1b) ORDER BY t1a, t1b, t1c"),
+    (_SQFX + "SELECT t1a, t1b, t1c FROM t1 WHERE (t1a, t1c) NOT IN "
+     "(SELECT t3a, t3c FROM t3 WHERE t3c IS NOT NULL) AND t1c IS NOT NULL "
+     "ORDER BY t1a, t1b NULLS FIRST, t1c",
+     _SQFX + "SELECT t1a, t1b, t1c FROM t1 WHERE NOT EXISTS (SELECT 1 FROM t3 "
+     "WHERE t3c IS NOT NULL AND t3a = t1a AND t3c = t1c) AND t1c IS NOT NULL "
+     "ORDER BY t1a, t1b NULLS FIRST, t1c"),
+    # in-order-by / in-limit
+    (_SQFX + "SELECT t1a, t1d FROM t1 WHERE t1a IN (SELECT t2a FROM t2) "
+     "ORDER BY t1d DESC, t1a LIMIT 4", None),
+    (_SQFX + "SELECT t1a, t1b FROM t1 WHERE t1a IN (SELECT t3a FROM t3 "
+     "ORDER BY t3a LIMIT 2) ORDER BY t1a, t1b", None),
+    # in-set-operations
+    (_SQFX + "SELECT u.c, count(*) AS n FROM (SELECT t2a AS c FROM t2 WHERE t2a IN "
+     "(SELECT t1a FROM t1) UNION ALL SELECT t3a FROM t3 WHERE t3a IN "
+     "(SELECT t1a FROM t1)) u GROUP BY u.c ORDER BY u.c", None),
+    (_SQFX + "SELECT c FROM (SELECT t2a AS c FROM t2 WHERE t2a IN (SELECT t1a FROM t1) "
+     "INTERSECT SELECT t3a FROM t3 WHERE t3a IN (SELECT t1a FROM t1)) u "
+     "ORDER BY c", None),
+    (_SQFX + "SELECT c FROM (SELECT t1a AS c FROM t1 EXCEPT SELECT t2a FROM t2 "
+     "WHERE t2a IN (SELECT t3a FROM t3)) u ORDER BY c", None),
+    # in-with-cte
+    (_SQFX + ", keys AS (SELECT t1a AS k FROM t1 WHERE t1b IS NOT NULL) "
+     "SELECT t2a, t2d FROM t2 WHERE t2a IN (SELECT k FROM keys) "
+     "ORDER BY t2a, t2d", None),
+    # not-in-group-by
+    (_SQFX + "SELECT t1a, count(*) AS n FROM t1 WHERE t1a NOT IN (SELECT t2a FROM t2 "
+     "WHERE t2b = 12) GROUP BY t1a ORDER BY t1a", None),
+    # NOT IN with a nullable subquery column over a non-null screen
+    (_SQFX + "SELECT t1a, t1c FROM t1 WHERE t1c IS NOT NULL AND t1c NOT IN "
+     "(SELECT t2c FROM t2 WHERE t2c IS NOT NULL AND t2c > 12) "
+     "ORDER BY t1a, t1c", None),
+    # not-in-joins
+    (_SQFX + "SELECT t1.t1a, t2.t2a FROM t1 JOIN t2 ON t1.t1b = t2.t2b "
+     "WHERE t1.t1a NOT IN (SELECT t3a FROM t3 WHERE t3a LIKE 't3%') "
+     "ORDER BY t1.t1a, t2.t2a", None),
+    # NOT IN against an empty subquery result keeps every row (even
+    # with NULLs in the outer column) — the classic null-semantics pin
+    (_SQFX + "SELECT count(*) AS n FROM t1 WHERE t1b NOT IN (SELECT t2b FROM t2 "
+     "WHERE t2b > 100)", None),
+    # ... but a NULL in a NON-EMPTY subquery empties the result
+    (_SQFX + "SELECT count(*) AS n FROM t1 WHERE t1b NOT IN (SELECT t2b FROM t2)",
+     None),
+]
+
+
+# --------------------------------------------------------------------------
+# wave 32 (r9) — postgreSQL/float4.sql port: NaN/Infinity text forms
+# (wire renders PG spellings), float32->float64 widening parity
+# (oracles CAST AS REAL so both engines widen the same bits),
+# string-operand arithmetic, and float->int casts (Spark truncates
+# toward zero where PG rounds — 32767.6 and -32768.6 are pinned
+# divergences; true overflow errors under ANSI as PG does).
+# --------------------------------------------------------------------------
+CORPUS += [
+    ("SELECT float('NaN') AS f", "SELECT 'NaN' AS f"),
+    ("SELECT float('nan') AS f", "SELECT 'NaN' AS f"),
+    ("SELECT float('   NAN  ') AS f", "SELECT 'NaN' AS f"),
+    ("SELECT float('infinity') AS f", "SELECT 'Infinity' AS f"),
+    ("SELECT float('          -INFINiTY   ') AS f", "SELECT '-Infinity' AS f"),
+    ("SELECT float('Infinity') + 100.0 AS f", "SELECT 'Infinity' AS f"),
+    ("SELECT float('Infinity') / float('Infinity') AS f", "SELECT 'NaN' AS f"),
+    ("SELECT float('nan') / float('nan') AS f", "SELECT 'NaN' AS f"),
+    # float32 widening parity (both engines widen the same bits)
+    ("SELECT float('    0.0') AS f", "SELECT CAST('0.0' AS REAL) AS f"),
+    ("SELECT float('1004.30   ') AS f", "SELECT CAST('1004.30' AS REAL) AS f"),
+    ("SELECT float('     -34.84    ') AS f", "SELECT CAST('-34.84' AS REAL) AS f"),
+    ("SELECT float('1.2345678901234e+20') AS f",
+     "SELECT CAST('1.2345678901234e+20' AS REAL) AS f"),
+    ("SELECT float('1.2345678901234e-20') AS f",
+     "SELECT CAST('1.2345678901234e-20' AS REAL) AS f"),
+    # string-operand arithmetic (ANSI string->double coercion)
+    ("SELECT float('1004.3') * '-10' AS x",
+     "SELECT CAST('1004.3' AS REAL) * CAST('-10' AS DOUBLE) AS x"),
+    ("SELECT float('1004.3') + '-10' AS x",
+     "SELECT CAST('1004.3' AS REAL) + CAST('-10' AS DOUBLE) AS x"),
+    ("SELECT float('1004.3') / '-10' AS x",
+     "SELECT CAST('1004.3' AS REAL) / CAST('-10' AS DOUBLE) AS x"),
+    ("SELECT float('1004.3') - '-10' AS x",
+     "SELECT CAST('1004.3' AS REAL) - CAST('-10' AS DOUBLE) AS x"),
+    # Spark compares float-vs-string in DOUBLE space, so the float32
+    # widening of 1004.3 != the double 1004.3 (PG casts the literal to
+    # float4 and matches — pinned divergence)
+    ("SELECT float('1004.3') = '1004.3' AS b", "SELECT false AS b"),
+    ("SELECT float('1004.3') <> '1004.3' AS b", "SELECT true AS b"),
+    # float->int casts: Spark TRUNCATES toward zero (PG rounds — PG
+    # errors on 32767.6, Spark truncates to 32767; pinned divergence)
+    ("SELECT smallint(float('32767.4')) AS v", "SELECT CAST(32767 AS SMALLINT) AS v"),
+    ("SELECT smallint(float('32767.6')) AS v", "SELECT CAST(32767 AS SMALLINT) AS v"),
+    ("SELECT smallint(float('-32768.4')) AS v", "SELECT CAST(-32768 AS SMALLINT) AS v"),
+    # -32768.6 truncates to -32768 (in range — PG rounds to -32769 and
+    # errors; pinned divergence)
+    ("SELECT smallint(float('-32768.6')) AS v", "SELECT CAST(-32768 AS SMALLINT) AS v"),
+    ("SELECT int(float('2147483520')) AS v", "SELECT 2147483520 AS v"),
+    ("SELECT bigint(float('9223369837831520256')) AS v",
+     "SELECT CAST(9223369837831520256 AS BIGINT) AS v"),
+]
+
+NEGATIVE_WAVE32 = [
+    # malformed float text (PG also errors)
+    "SELECT float('N A N')",
+    "SELECT float('NaN x')",
+    "SELECT float(' INFINITY    x')",
+    # NaN decimal text is a cast error under ANSI (PG numeric has NaN;
+    # pinned divergence — TRY_CAST carries the NULL behavior)
+    "SELECT float(decimal('nan'))",
+    # float->int overflow errors under ANSI (PG errors too)
+    "SELECT int(float('2147483647'))",
+    "SELECT int(float('-2147483900'))",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 33 (r9) — postgreSQL/with.sql port: CTE scoping/shadowing shapes
+# and the RECURSIVE department/tree traversals — Spark 4 supports WITH
+# RECURSIVE (and DuckDB does too, so the recursive oracles run the
+# same SQL). The nondeterministic-CTE case pins single evaluation
+# (UNION of a rand() CTE with itself dedups); negatives pin the
+# forward-reference error and the WITH-name-as-INSERT-target error.
+# --------------------------------------------------------------------------
+_DEPT = (
+    "department(id, parent_department, name) AS (SELECT * FROM (VALUES "
+    "(0, CAST(NULL AS INT), 'ROOT'), (1, 0, 'A'), (2, 1, 'B'), "
+    "(3, 2, 'C'), (4, 2, 'D'), (5, 0, 'E'), (6, 4, 'F'), (7, 5, 'G')"
+    ") v(id, parent_department, name))"
+)
+_TREE = (
+    "tree(id, parent_id) AS (SELECT * FROM (VALUES "
+    "(1, CAST(NULL AS INT)), (2, 1), (3, 1), (4, 2), (5, 2), (6, 2), "
+    "(7, 3), (8, 3), (9, 4), (10, 4), (11, 7), (12, 7), (13, 7), "
+    "(14, 9), (15, 11), (16, 11)) v(id, parent_id))"
+)
+
+CORPUS += [
+    # CTE referenced twice in one FROM
+    ("WITH q1(x, y) AS (SELECT 1, 2) SELECT * FROM q1, q1 AS q2", None),
+    # nondeterministic CTE must evaluate once: UNION with itself dedups
+    ("SELECT count(*) AS n FROM (WITH q1(x) AS (SELECT rand() FROM "
+     "(SELECT EXPLODE(SEQUENCE(1, 5)))) SELECT * FROM q1 UNION SELECT * FROM q1) ss",
+     "SELECT 5 AS n"),
+    # doubly-parenthesized CTE reference
+    ("with cte(foo) as ( select 42 ) select * from ((select foo from cte)) q",
+     None),
+    # nested WITH inside a set operation
+    ("WITH outermost(x) AS (SELECT 1 UNION (WITH innermost as (SELECT 2) "
+     "SELECT * FROM innermost UNION SELECT 3)) "
+     "SELECT * FROM outermost ORDER BY 1", None),
+    # 'ordinality' is an ordinary identifier as a CTE name
+    ("with ordinality as (select 1 as x) select * from ordinality", None),
+    # basic recursion: arithmetic series and fibonacci
+    ("WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t "
+     "WHERE n < 100) SELECT sum(n) AS s FROM t", "SELECT 5050 AS s"),
+    ("WITH RECURSIVE fib(a, b) AS (SELECT 0, 1 UNION ALL SELECT b, a + b "
+     "FROM fib WHERE a < 100) SELECT a FROM fib ORDER BY a", None),
+    # with.sql: subdepartments of A (recursive parent chase)
+    (f"WITH RECURSIVE {_DEPT}, subdepartment AS ("
+     "SELECT id, parent_department, name FROM department WHERE name = 'A' "
+     "UNION ALL SELECT d.id, d.parent_department, d.name FROM department d "
+     "JOIN subdepartment sd ON d.parent_department = sd.id) "
+     "SELECT id, name FROM subdepartment ORDER BY name", None),
+    # with depth levels
+    (f"WITH RECURSIVE {_DEPT}, subdepartment(level, id, name) AS ("
+     "SELECT 1, id, name FROM department WHERE name = 'A' "
+     "UNION ALL SELECT sd.level + 1, d.id, d.name FROM department d "
+     "JOIN subdepartment sd ON d.parent_department = sd.id) "
+     "SELECT level, id, name FROM subdepartment WHERE level >= 2 "
+     "ORDER BY level, id", None),
+    # tree: all descendants of node 2 and per-root subtree sizes
+    (f"WITH RECURSIVE {_TREE}, sub(id) AS ("
+     "SELECT 2 UNION ALL SELECT t.id FROM tree t JOIN sub s "
+     "ON t.parent_id = s.id) SELECT id FROM sub ORDER BY id", None),
+    (f"WITH RECURSIVE {_TREE}, sub(root, id) AS ("
+     "SELECT id, id FROM tree WHERE parent_id = 1 "
+     "UNION ALL SELECT s.root, t.id FROM tree t JOIN sub s "
+     "ON t.parent_id = s.id) "
+     "SELECT root, count(*) AS n FROM sub GROUP BY root ORDER BY root", None),
+    # CTE shadowing does NOT apply to itself without RECURSIVE: a CTE
+    # list can reference earlier CTEs
+    ("WITH a(x) AS (SELECT 1), b(y) AS (SELECT x + 1 FROM a) "
+     "SELECT * FROM a, b", None),
+]
+
+NEGATIVE_WAVE33 = [
+    # forward reference inside a non-recursive WITH (PG also errors)
+    "WITH outermost(x) AS (SELECT 1 UNION (WITH innermost as (SELECT 2) "
+    "SELECT * FROM outermost UNION SELECT * FROM innermost)) "
+    "SELECT * FROM outermost ORDER BY 1",
+    # WITH list target is not insertable (PG: WITH query name shadows)
+    "WITH test AS (SELECT 42) INSERT INTO test VALUES (1)",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 34 (r9) — subquery/scalar-subquery/* + subquery-in-from.sql
+# ports (reference inputs/subquery/scalar-subquery/{select,predicate}
+# .sql, subquery-in-from.sql) on the wave-31 t1/t2/t3 fixture:
+# uncorrelated and correlated scalars in select/predicate positions,
+# scalars under UNION branches, arithmetic around scalars, the
+# FROM-first spelling, and the >1-row runtime error as a negative.
+# --------------------------------------------------------------------------
+CORPUS += [
+    # scalar-subquery-select: scalar in the select list (x2 uncorrelated)
+    (_SQFX + "SELECT (SELECT min(t3d) FROM t3) AS min_t3d, "
+     "(SELECT max(t2c) FROM t2) AS max_t2c FROM t1 WHERE t1a = 't1c'", None),
+    # scalar inside an IN subquery with HAVING
+    (_SQFX + "SELECT t1a, count(*) AS n FROM t1 WHERE t1c IN "
+     "(SELECT (SELECT min(t3c) FROM t3) FROM t2 GROUP BY t2g "
+     "HAVING count(*) > 1) GROUP BY t1a ORDER BY t1a", None),
+    # scalars on both UNION branches
+    (_SQFX + "SELECT * FROM (SELECT (SELECT min(t3d) FROM t3) AS a, NULL AS b "
+     "FROM t1 WHERE t1a = 't1c' UNION SELECT NULL, "
+     "(SELECT max(t2d) FROM t2) FROM t1 WHERE t1a = 't1c') u "
+     "ORDER BY a NULLS FIRST", None),
+    # scalar-subquery-predicate: equality / conjunction / disjunction
+    (_SQFX + "SELECT t1a, t1b FROM t1 WHERE t1c = (SELECT max(t2c) FROM t2) "
+     "ORDER BY t1a, t1b NULLS FIRST", None),
+    (_SQFX + "SELECT t1a, t1d FROM t1 WHERE t1c = (SELECT max(t2c) FROM t2) "
+     "AND t1b > (SELECT min(t3b) FROM t3) ORDER BY t1a, t1d", None),
+    (_SQFX + "SELECT t1a, t1b FROM t1 WHERE t1c = (SELECT max(t2c) FROM t2) "
+     "OR t1b = (SELECT min(t3b) FROM t3 WHERE t3b > 10) "
+     "ORDER BY t1a, t1b NULLS FIRST", None),
+    # scalar predicate over an outer join
+    (_SQFX + "SELECT t1.t1a, t1.t1b, t2.t2d FROM t1 LEFT JOIN t2 ON t1a = t2a "
+     "WHERE t1.t1b = (SELECT min(t3b) FROM t3) "
+     "ORDER BY t1.t1a, t1.t1b, t2.t2d NULLS FIRST", None),
+    # arithmetic around the scalar
+    (_SQFX + "SELECT t1a, t1b FROM t1 WHERE t1c + 5 = "
+     "(SELECT max(t2c) + 5 FROM t2) ORDER BY t1a, t1b NULLS FIRST", None),
+    # date() around a correlated-free scalar
+    (_SQFX + "SELECT t1a, t1i FROM t1 WHERE t1i = (SELECT min(t2i) FROM t2) "
+     "ORDER BY t1a", None),
+    # scalar referencing BOTH tables (uncorrelated but multi-relation)
+    (_SQFX + "SELECT t2.t2d, t1.t1a FROM t1, t2 WHERE t1.t1b = t2.t2b AND "
+     "t2.t2c + 1 = (SELECT max(t2c) + 1 FROM t2, t1 WHERE t2b = t1b) "
+     "ORDER BY t2.t2d, t1.t1a", None),
+    # derived table + scalar equality on its aggregate
+    (_SQFX + "SELECT DISTINCT t2.t2a, m.max_t1d FROM t2 JOIN (SELECT max(t1d) "
+     "AS max_t1d, t1a FROM t1 GROUP BY t1a) m ON t2.t2a = m.t1a "
+     "WHERE m.max_t1d = (SELECT max(t1d) FROM t1) ORDER BY t2a", None),
+    # scalar >= scalar as a constant predicate
+    (_SQFX + "SELECT t3b, t3c FROM t3 WHERE (SELECT max(t3c) FROM t3 "
+     "WHERE t3b > 10) >= (SELECT min(t3b) FROM t3 WHERE t3c > 0) "
+     "ORDER BY t3b NULLS FIRST, t3c NULLS FIRST", None),
+    # correlated scalar in the select list
+    (_SQFX + "SELECT t1a, (SELECT count(*) FROM t2 WHERE t2a = t1a) AS n "
+     "FROM t1 ORDER BY t1a, n", None),
+    # subquery-in-from.sql: aliased, bare, and FROM-first spellings
+    (_SQFX + "SELECT * FROM (SELECT t1a, t1c FROM t1) AS t WHERE t1c = 8 "
+     "ORDER BY t1a", None),
+    (_SQFX + "SELECT * FROM (SELECT t1a, t1c FROM t1) WHERE t1c = 8 "
+     "ORDER BY t1a", None),
+    (_SQFX + "FROM (SELECT t1a, t1c FROM t1 WHERE t1c = 8) t SELECT * "
+     "ORDER BY t1a", None),
+]
+
+NEGATIVE_WAVE34 = [
+    # a scalar subquery returning >1 row errors at runtime (PG too)
+    "SELECT (SELECT x FROM (VALUES (1), (2)) v(x)) AS s",
+]
+
+
 @pytest.mark.parametrize("case", range(len(CORPUS)))
 def test_corpus_over_wire(server, duck, case):
     pg_sql, oracle = CORPUS[case]
@@ -3500,6 +4355,13 @@ NEGATIVE_CORPUS: list[str] = [
 NEGATIVE_CORPUS += NEGATIVE_WAVE22
 NEGATIVE_CORPUS += NEGATIVE_WAVE23
 NEGATIVE_CORPUS += NEGATIVE_WAVE25
+NEGATIVE_CORPUS += NEGATIVE_WAVE26
+NEGATIVE_CORPUS += NEGATIVE_WAVE27
+NEGATIVE_CORPUS += NEGATIVE_WAVE28
+NEGATIVE_CORPUS += NEGATIVE_WAVE29
+NEGATIVE_CORPUS += NEGATIVE_WAVE32
+NEGATIVE_CORPUS += NEGATIVE_WAVE33
+NEGATIVE_CORPUS += NEGATIVE_WAVE34
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))

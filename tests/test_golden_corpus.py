@@ -4252,6 +4252,81 @@ NEGATIVE_WAVE34 = [
 ]
 
 
+# --------------------------------------------------------------------------
+# wave 35 (r9) — postgreSQL/groupingsets.sql port: grouping()/rollup
+# matrices over gstest1, window-over-rollup running sums (OVER order
+# pins NULLS FIRST — Spark's window default, not DuckDB/PG's), and the
+# empty-relation grouping-sets rules. Pinned Spark divergence: over an
+# EMPTY relation Spark emits 0 rows even for () grouping sets where
+# PG/DuckDB emit one all-NULL/zero row per () set.
+# --------------------------------------------------------------------------
+_GS1 = (
+    "WITH gstest1(a, b, v) AS (SELECT * FROM (VALUES "
+    "(1,1,10),(1,1,11),(1,2,12),(1,2,13),(1,3,14),(2,3,15),"
+    "(3,3,16),(3,4,17),(4,1,18),(4,1,19)) t(a, b, v)) "
+)
+_GS2 = (
+    "WITH gstest2(a, b, c, d) AS (SELECT * FROM (VALUES "
+    "(1,1,1,1),(1,1,1,2),(1,1,2,2),(1,2,2,2),(2,2,2,2)) t(a, b, c, d)) "
+)
+_GSE = (
+    "WITH gstest_empty(a, b, v) AS (SELECT * FROM (VALUES (0,0,0)) "
+    "t(a, b, v) WHERE 1 = 0) "
+)
+
+CORPUS += [
+    (_GS1 + "SELECT a, b, grouping(a) AS ga, grouping(b) AS gb, sum(v) AS s, "
+     "count(*) AS n, max(v) AS m FROM gstest1 GROUP BY ROLLUP (a, b) "
+     "ORDER BY a NULLS FIRST, b NULLS FIRST", None),
+    (_GS1 + "SELECT a, b, grouping(a) AS ga, grouping(b) AS gb, sum(v) AS s "
+     "FROM gstest1 GROUP BY ROLLUP (a, b) "
+     "ORDER BY b DESC NULLS LAST, a NULLS FIRST", None),
+    (_GS1 + "SELECT a, b, sum(v) AS s FROM gstest1 GROUP BY ROLLUP (a, b) "
+     "ORDER BY coalesce(a, 0) + coalesce(b, 0), a NULLS FIRST, "
+     "b NULLS FIRST", None),
+    # running sum over the rollup output (window over Expand) — the
+    # OVER order pins NULLS FIRST: Spark's ASC window default, which
+    # DuckDB/PG must be told explicitly
+    (_GS2 + "SELECT a, b, sum(c) AS s, sum(sum(c)) OVER (ORDER BY "
+     "a NULLS FIRST, b NULLS FIRST) AS rsum FROM gstest2 "
+     "GROUP BY ROLLUP (a, b) ORDER BY rsum, a NULLS FIRST, "
+     "b NULLS FIRST", None),
+    # empty-relation rules: no () set -> 0 rows in both engines; BUT
+    # Spark returns 0 rows even WITH () sets where PG/DuckDB emit one
+    # all-NULL/zero row per () set — a pinned Spark divergence (the
+    # oracles force the empty expectation)
+    (_GSE + "SELECT a, b, sum(v) AS s, count(*) AS n FROM gstest_empty "
+     "GROUP BY GROUPING SETS ((a, b), a)", None),
+    (_GSE + "SELECT a, b, sum(v) AS s, count(*) AS n FROM gstest_empty "
+     "GROUP BY GROUPING SETS ((a, b), ())",
+     "SELECT NULL AS a, NULL AS b, NULL AS s, 0 AS n WHERE 1 = 0"),
+    (_GSE + "SELECT a, b, sum(v) AS s, count(*) AS n FROM gstest_empty "
+     "GROUP BY GROUPING SETS ((a, b), (), (), ())",
+     "SELECT NULL AS a, NULL AS b, NULL AS s, 0 AS n WHERE 1 = 0"),
+    (_GSE + "SELECT sum(v) AS s, count(*) AS n FROM gstest_empty "
+     "GROUP BY GROUPING SETS ((), (), ())",
+     "SELECT NULL AS s, 0 AS n WHERE 1 = 0"),
+    # grouping sets over a join, with grouping() flags
+    (_GS1 + ", gstest2(a2, b2) AS (SELECT * FROM (VALUES (1, 1), (2, 2)) "
+     "t(a2, b2)) SELECT t1.a, t2.b2, grouping(t1.a) AS ga, "
+     "grouping(t2.b2) AS gb, sum(t1.v) AS s FROM gstest1 t1 JOIN gstest2 t2 "
+     "ON t1.a = t2.a2 GROUP BY GROUPING SETS ((t1.a, t2.b2), ()) "
+     "ORDER BY a NULLS FIRST, b2 NULLS FIRST", None),
+    # CUBE and mixed sets over gstest1
+    (_GS1 + "SELECT a, b, grouping(a) AS ga, grouping(b) AS gb, "
+     "sum(v) AS s FROM gstest1 GROUP BY CUBE (a, b) "
+     "ORDER BY ga, gb, a NULLS FIRST, b NULLS FIRST", None),
+    (_GS1 + "SELECT a, b, sum(v) AS s FROM gstest1 "
+     "GROUP BY GROUPING SETS ((a), (b), ()) "
+     "ORDER BY a NULLS FIRST, b NULLS FIRST", None),
+]
+
+NEGATIVE_WAVE35 = [
+    # grouping() of a non-grouping column is an error (PG too)
+    _GS1 + "SELECT a, grouping(v) FROM gstest1 GROUP BY ROLLUP (a)",
+]
+
+
 @pytest.mark.parametrize("case", range(len(CORPUS)))
 def test_corpus_over_wire(server, duck, case):
     pg_sql, oracle = CORPUS[case]
@@ -4362,6 +4437,7 @@ NEGATIVE_CORPUS += NEGATIVE_WAVE29
 NEGATIVE_CORPUS += NEGATIVE_WAVE32
 NEGATIVE_CORPUS += NEGATIVE_WAVE33
 NEGATIVE_CORPUS += NEGATIVE_WAVE34
+NEGATIVE_CORPUS += NEGATIVE_WAVE35
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))

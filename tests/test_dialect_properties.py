@@ -65,6 +65,14 @@ _pgisms = st.sampled_from(
         "timestamptz '2020-01-01 00:00:00'",
         "'{1, NULL}'::int[]",
         "CAST(x AS DOUBLE PRECISION)",
+        # r9 passes: coarse EXTRACT/date_trunc fields, PG date-literal
+        # spellings, justify family over interval literals
+        "EXTRACT(CENTURY FROM d)",
+        "EXTRACT(DECADE FROM d)",
+        "date_trunc('century', d)",
+        "date '1999 Jan 08'",
+        "justify_hours(interval '52 hours')",
+        "justify_interval(interval '1 month -1 hour')",
     ]
 )
 

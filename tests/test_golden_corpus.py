@@ -4327,6 +4327,100 @@ NEGATIVE_WAVE35 = [
 ]
 
 
+# --------------------------------------------------------------------------
+# wave 36 (r9) — postgreSQL/union.sql port: set-op type widening,
+# INTERSECT/EXCEPT [ALL] batteries on the PG INT8/INT4/FLOAT8
+# fixtures, set-op precedence (UNION ALL then EXCEPT binds left),
+# parenthesized branches with their own ORDER BY/LIMIT, deep paren
+# nesting, and range() TVF set ops. Closes the last untouched
+# postgreSQL/ regression block (every file now has a wave or a
+# documented-empty note).
+# --------------------------------------------------------------------------
+_UFX = (
+    "WITH int4_tbl(f1) AS (SELECT * FROM (VALUES (0), (123456), "
+    "(-123456), (2147483647), (-2147483647)) v(f1)), "
+    "int8_tbl(q1, q2) AS (SELECT * FROM (VALUES "
+    "(CAST(123 AS BIGINT), CAST(456 AS BIGINT)), "
+    "(CAST(123 AS BIGINT), CAST(4567890123456789 AS BIGINT)), "
+    "(CAST(4567890123456789 AS BIGINT), CAST(123 AS BIGINT)), "
+    "(CAST(4567890123456789 AS BIGINT), CAST(4567890123456789 AS BIGINT)), "
+    "(CAST(4567890123456789 AS BIGINT), CAST(-4567890123456789 AS BIGINT))"
+    ") v(q1, q2)), "
+    "float8_tbl(f1) AS (SELECT * FROM (VALUES (CAST(0.0 AS DOUBLE)), "
+    "(CAST(-34.84 AS DOUBLE)), (CAST(-1004.30 AS DOUBLE)), "
+    "(CAST('-1.2345678901234e+200' AS DOUBLE)), "
+    "(CAST('-1.2345678901234e-200' AS DOUBLE))) v(f1)) "
+)
+
+CORPUS += [
+    # literal unions with type widening
+    ("SELECT 1 AS two UNION SELECT 2 ORDER BY 1", None),
+    ("SELECT 1 AS two UNION SELECT 2 UNION SELECT 2 ORDER BY 1", None),
+    ("SELECT 1 AS three UNION SELECT 2 UNION ALL SELECT 2 ORDER BY 1", None),
+    ("SELECT 1.1 AS two UNION SELECT 2 ORDER BY 1", None),
+    ("SELECT 1 AS one UNION SELECT double(1.0) ORDER BY 1",
+     "SELECT 1 AS one UNION SELECT CAST(1.0 AS DOUBLE) ORDER BY 1"),
+    ("SELECT double(1.0) AS two UNION ALL SELECT 1 ORDER BY 1",
+     "SELECT CAST(1.0 AS DOUBLE) AS two UNION ALL SELECT 1 ORDER BY 1"),
+    ("SELECT 1.1 AS two UNION (SELECT 2 UNION ALL SELECT 2) ORDER BY 1", None),
+    # fixture unions: dedup, mixed-type widening to double
+    (_UFX + "SELECT f1 AS five FROM float8_tbl UNION SELECT f1 FROM float8_tbl "
+     "ORDER BY 1", None),
+    (_UFX + "SELECT f1 AS nine FROM float8_tbl UNION SELECT f1 FROM int4_tbl "
+     "ORDER BY 1", None),
+    (_UFX + "SELECT f1 AS five FROM float8_tbl WHERE f1 BETWEEN -1e6 AND 1e6 "
+     "UNION SELECT f1 FROM int4_tbl WHERE f1 BETWEEN 0 AND 1000000 "
+     "ORDER BY 1", None),
+    # INTERSECT/EXCEPT [ALL] battery on int8_tbl
+    (_UFX + "SELECT q2 FROM int8_tbl INTERSECT SELECT q1 FROM int8_tbl "
+     "ORDER BY 1", None),
+    (_UFX + "SELECT q2 FROM int8_tbl INTERSECT ALL SELECT q1 FROM int8_tbl "
+     "ORDER BY 1", None),
+    (_UFX + "SELECT q2 FROM int8_tbl EXCEPT SELECT q1 FROM int8_tbl "
+     "ORDER BY 1", None),
+    (_UFX + "SELECT q2 FROM int8_tbl EXCEPT ALL SELECT q1 FROM int8_tbl "
+     "ORDER BY 1", None),
+    (_UFX + "SELECT q2 FROM int8_tbl EXCEPT ALL SELECT DISTINCT q1 "
+     "FROM int8_tbl ORDER BY 1", None),
+    (_UFX + "SELECT q1 FROM int8_tbl EXCEPT ALL SELECT q2 FROM int8_tbl "
+     "ORDER BY 1", None),
+    # mixed-type INTERSECT/EXCEPT
+    (_UFX + "SELECT f1 FROM float8_tbl INTERSECT SELECT f1 FROM int4_tbl "
+     "ORDER BY 1", None),
+    (_UFX + "SELECT f1 FROM float8_tbl EXCEPT SELECT f1 FROM int4_tbl "
+     "ORDER BY 1", None),
+    # row-wise set ops over unions
+    ("(SELECT 1, 2, 3 UNION SELECT 4, 5, 6) INTERSECT SELECT 4, 5, 6", None),
+    ("(SELECT 1, 2, 3 UNION SELECT 4, 5, 6) EXCEPT SELECT 4, 5, 6", None),
+    # precedence: UNION ALL then EXCEPT binds left-to-right
+    (_UFX + "SELECT q1 FROM int8_tbl UNION ALL SELECT q2 FROM int8_tbl "
+     "EXCEPT SELECT q1 FROM int8_tbl ORDER BY 1", None),
+    (_UFX + "SELECT q1 FROM int8_tbl INTERSECT "
+     "(((SELECT q2 FROM int8_tbl UNION ALL SELECT q2 FROM int8_tbl))) "
+     "ORDER BY 1", None),
+    # parenthesized branch with its own ORDER BY + LIMIT
+    (_UFX + "SELECT q1 FROM int8_tbl EXCEPT "
+     "(((SELECT q2 FROM int8_tbl ORDER BY q2 LIMIT 1))) ORDER BY 1", None),
+    # deep paren nesting around a bare select
+    (_UFX + "(((((SELECT q1, q2 FROM int8_tbl))))) ORDER BY q1, q2", None),
+    # range() TVF set ops (Spark and DuckDB both end-exclusive)
+    ("SELECT * FROM range(1, 6) INTERSECT ALL SELECT * FROM range(1, 4) "
+     "ORDER BY 1", None),
+    ("SELECT * FROM range(1, 6) EXCEPT ALL SELECT * FROM range(1, 4) "
+     "ORDER BY 1", None),
+    # distinct-over-union-all shell
+    (_UFX + "SELECT DISTINCT q1 FROM (SELECT DISTINCT * FROM int8_tbl i81 "
+     "UNION ALL SELECT DISTINCT * FROM int8_tbl i82) ss WHERE q2 = q2 "
+     "ORDER BY 1", None),
+]
+
+NEGATIVE_WAVE36 = [
+    # decimal UNION string is an ANSI type error (Spark 4; the Spark 3
+    # golden coerced — r5 pinned the same class for int-vs-string)
+    "SELECT cast('3.4' as decimal(38, 18)) UNION SELECT 'foo'",
+]
+
+
 @pytest.mark.parametrize("case", range(len(CORPUS)))
 def test_corpus_over_wire(server, duck, case):
     pg_sql, oracle = CORPUS[case]
@@ -4438,6 +4532,7 @@ NEGATIVE_CORPUS += NEGATIVE_WAVE32
 NEGATIVE_CORPUS += NEGATIVE_WAVE33
 NEGATIVE_CORPUS += NEGATIVE_WAVE34
 NEGATIVE_CORPUS += NEGATIVE_WAVE35
+NEGATIVE_CORPUS += NEGATIVE_WAVE36
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))

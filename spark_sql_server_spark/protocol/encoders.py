@@ -64,13 +64,52 @@ def _to_jsonable(v):
     return v
 
 
+def _pg_quote_elem(s: str) -> str:
+    """PG array-element quoting: backslash-escape ``\\`` and ``\"``."""
+    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
 def _pg_array_text(v) -> str:
-    """JSON-render then swap the outermost [] for {} — the reference's
-    array text form (converters.scala:370-388 uses ``\\[(.*)\\]``, i.e.
-    only the first '[' and last ']'; a global replace would corrupt
-    string elements containing brackets)."""
-    s = json.dumps(_to_jsonable(list(v)), default=_json_default, separators=(",", ","))
-    return "{" + s[1:-1] + "}"
+    """PG-shaped array text. The reference JSON-renders and swaps the
+    outermost [] for {} (converters.scala:370-388) — that form prints
+    null elements as lowercase ``null`` (PG prints unquoted ``NULL``,
+    and psycopg2's array parser only recognizes that spelling), bools
+    as ``true``/``false`` (PG: ``t``/``f``), keeps inner arrays as
+    ``[..]``, and renders struct elements as malformed pseudo-JSON.
+    Render element-by-element instead: NULL / t / f / bare numbers,
+    JSON-quoted strings (pinned form since r1), braced inner arrays,
+    and struct/map elements as their JSON text PG-quoted (escaped)
+    like a composite-in-array."""
+    parts = []
+    for x in v:
+        if x is None:
+            parts.append("NULL")
+        elif isinstance(x, bool):
+            parts.append("t" if x else "f")
+        elif isinstance(x, int):
+            parts.append(str(x))
+        elif isinstance(x, float):
+            parts.append(_float_text(x))
+        elif isinstance(x, Decimal):
+            parts.append(format(x, "f"))
+        elif isinstance(x, str):
+            parts.append(json.dumps(x))
+        # Row is a tuple subclass — the struct check must come first
+        elif hasattr(x, "asDict") or isinstance(x, dict):
+            parts.append(
+                _pg_quote_elem(
+                    json.dumps(
+                        _to_jsonable(x),
+                        default=_json_default,
+                        separators=(",", ":"),
+                    )
+                )
+            )
+        elif isinstance(x, (list, tuple)):
+            parts.append(_pg_array_text(x))
+        else:  # datetime/date/bytes/interval — quoted via the JSON default
+            parts.append(json.dumps(_json_default(x)))
+    return "{" + ",".join(parts) + "}"
 
 
 def _float_text(v: float) -> str:

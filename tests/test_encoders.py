@@ -63,6 +63,26 @@ class TestTextEncoders:
         enc = text_encoder(T.ArrayType(T.StringType()))
         assert enc(["a[1]", "b]c["]) == '{"a[1]","b]c["}'
 
+    def test_array_null_bool_elements(self):
+        # PG prints unquoted uppercase NULL for null elements (psycopg2's
+        # array parser only accepts that spelling) and t/f for booleans —
+        # the r9 element-wise renderer replaced the JSON [] swap
+        enc = text_encoder(T.ArrayType(T.IntegerType()))
+        assert enc([1, 2, None]) == "{1,2,NULL}"
+        encb = text_encoder(T.ArrayType(T.BooleanType()))
+        assert encb([True, False, None]) == "{t,f,NULL}"
+
+    def test_array_nested_braces(self):
+        enc = text_encoder(T.ArrayType(T.ArrayType(T.IntegerType())))
+        assert enc([[1, 2], [3]]) == "{{1,2},{3}}"
+
+    def test_array_of_structs_quoted_json(self):
+        # struct elements render as their JSON text, PG-quoted like a
+        # composite-in-array (escaped inner quotes)
+        st = T.StructType([T.StructField("a", T.IntegerType())])
+        enc = text_encoder(T.ArrayType(st))
+        assert enc([{"a": 1}, None]) == '{"{\\"a\\":1}",NULL}'
+
     def test_map_json(self):
         enc = text_encoder(T.MapType(T.StringType(), T.IntegerType()))
         assert enc({"k": 1}) == '{"k":1}'

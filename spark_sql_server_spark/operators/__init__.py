@@ -46,9 +46,10 @@ _DRIVER_SAMPLE_PRIORITY = [
     # (r1-certified, then r2, then r3): the rewriter/encoders/session
     # code under them has changed over six rounds while their
     # certification is 6+ rounds stale.
-    # --- new this round (wave 12: q10/q40/q84 promotions) ---
+    # --- new this round (wave 12: q10/q40/q84; wave 13: q30/q69) ---
     "qds10_demographic_census", "qds40_price_change_netting",
-    "qds84_chained_dim_lookup",
+    "qds84_chained_dim_lookup", "qds30_state_excess_returners",
+    "qds69_semi_anti_census",
     # --- latest driver row is r1 (17 ops) ---
     "q_using_join", "q_natural_join", "q_cross_join",
     "q_window_rank", "q_window_running", "q_window_range",
@@ -67,9 +68,11 @@ _DRIVER_SAMPLE_PRIORITY = [
     "q5_region_revenue", "d_substring_dups", "d_minhash_lsh",
     "d_simhash", "d_jaccard_histogram", "m_media_meta",
     "t_decontaminate", "t_stratified_sample", "t_text_stats",
-    "t_lang_id", "t_quality_score", "t_fingerprint", "t_pii_scrub",
+    "t_lang_id", "t_quality_score",
     # ---- 50-slot cut falls here ----
-    # r10 rotation priority: the 11 deferred r3-certified ops
+    # r10 rotation priority: the 13 deferred r3-certified ops (the
+    # wave-13 promotions pushed t_fingerprint/t_pii_scrub past the cut)
+    "t_fingerprint", "t_pii_scrub",
     "d_dup_clusters", "d_simhash_pairs", "d_editdist_dups",
     "d_minhash_est", "t_lang_predict", "t_pack_contexts",
     "t_chunk_documents", "t_repetition_filter", "t_weighted_sample",

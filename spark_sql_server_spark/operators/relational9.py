@@ -315,3 +315,145 @@ def qds84_chained_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("customer_id")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 13 (r9, second batch): q30, q69.
+# Reference: examples/tpcds/src/main/resources/tpcds/queries/q30.sql,
+# q69.sql — the two remaining parameter-siblings with structural
+# wrinkles of their own (COVERAGE.md r8 map marked them *sib*).
+# --------------------------------------------------------------------------
+
+_QDS30_NATIONS = "'NATION_12','NATION_7'"
+
+_QDS30_SQL = f"""
+    WITH ctr AS (
+      SELECT o_custkey AS ctr_custkey,
+             c_nationkey AS ctr_nation,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(24,6))) AS ctr_total
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+        AND EXTRACT(YEAR FROM l_shipdate) = 1996
+      GROUP BY 1, 2
+    )
+    SELECT c_custkey AS customer_id,
+           c_name AS customer_name,
+           c_mktsegment AS customer_segment,
+           CAST(ctr_total AS DOUBLE) AS total_return
+    FROM (SELECT ctr_custkey, ctr_nation, ctr_total,
+                 SUM(ctr_total) OVER (PARTITION BY ctr_nation)
+                   AS nation_sum,
+                 COUNT(*) OVER (PARTITION BY ctr_nation) AS nation_cnt
+          FROM ctr) x
+    JOIN customer ON ctr_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name IN ({_QDS30_NATIONS})
+      AND ctr_total * 5 * nation_cnt > nation_sum * 6
+    ORDER BY customer_id
+    LIMIT 100
+"""
+
+
+@query(
+    "qds30_state_excess_returners",
+    oracle=_QDS30_SQL,
+    covers="§2.B TPC-DS q30 shape: per-customer return totals vs "
+    "1.2x the state average (correlated scalar AVG over a CTE "
+    "referenced twice), customer-DETAIL output projection",
+)
+def qds30_state_excess_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q30's topology: a customer_total_return CTE (returns fact ⋈
+    date dim ⋈ address, grouped per customer × state), consumed twice
+    — once as the row source, once inside a correlated scalar
+    ``avg(ctr_total) * 1.2`` per state — with the survivors joined
+    back to the customer dimension for a DETAIL projection (q30 emits
+    twelve customer columns, no outer aggregate; here key, name,
+    segment + the return total).
+
+    Spark-first re-expression: instead of re-scanning the CTE for the
+    correlated scalar (Spark inlines shared SQL CTEs per reference —
+    the qds70/qds44/qds64 trap), the per-state average rides a window
+    over the grouped rows: ``SUM(ctr_total) OVER (PARTITION BY
+    state)`` / ``COUNT(*) OVER (...)`` — one pass, one exchange on
+    the state key, and the threshold compares exactly by
+    cross-multiplying integers-in-decimal (``total*5*cnt > sum*6`` ≡
+    ``total > 1.2*avg``) so no division ever happens. The money total
+    is DECIMAL(24,6) — int128-safe in DuckDB's decimal multiply (the
+    qds74/qds4 lesson), one DOUBLE cast at output.
+
+    Scale: the CTE groups (custkey, nation) after an equi fact join;
+    the window shuffles once on the ~25-key nation column (bounded
+    fan-in, no skew at 25 partitionsworth — AQE coalesces); customer
+    joins back on custkey; nation broadcasts. ORDER BY the unique
+    custkey rides TakeOrderedAndProject.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS30_SQL)
+
+
+_QDS69_NATIONS = "'NATION_3','NATION_12','NATION_21'"
+
+_QDS69_SQL = f"""
+    SELECT c_mktsegment,
+           n_name,
+           COUNT(*) AS cnt1,
+           COUNT(*) AS cnt2
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name IN ({_QDS69_NATIONS})
+      AND EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                        AND TIMESTAMP '1996-06-30 00:00:00')
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT'
+                        AND o_orderdate
+                            BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                AND TIMESTAMP '1996-06-30 00:00:00')
+      AND NOT EXISTS (SELECT 1 FROM orders JOIN lineitem
+                        ON l_orderkey = o_orderkey
+                      WHERE o_custkey = c_custkey
+                        AND l_returnflag = 'R'
+                        AND o_orderdate
+                            BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                AND TIMESTAMP '1996-06-30 00:00:00')
+    GROUP BY 1, 2
+    ORDER BY c_mktsegment, n_name
+    LIMIT 100
+"""
+
+
+@query(
+    "qds69_semi_anti_census",
+    oracle=_QDS69_SQL,
+    covers="§2.B TPC-DS q69 shape: one EXISTS AND two NOT EXISTS "
+    "channel screens in a single plan (LeftSemi + two LeftAnti), "
+    "demographic census with repeated count(*)",
+)
+def qds69_semi_anti_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q69's topology: the demographic census of customers who are
+    active in the base channel (EXISTS over store_sales ⋈ date_dim)
+    but inactive in BOTH other channels (NOT EXISTS over web_sales
+    and catalog_sales) — one LeftSemi and two LeftAnti joins stacked
+    against the same customer spine in a single plan, then a census
+    GROUP BY with q69's repeated ``count(*)`` outputs. Here: orders
+    in a half-year window is the base channel, urgent orders and
+    returned lines (the NOT EXISTS leg containing its own fact⋈fact
+    join, like q69's date-dim joins) are the two absent channels.
+
+    Planner path: all three subqueries correlate on the same custkey,
+    so Spark stacks LeftSemi → LeftAnti → LeftAnti before the census
+    aggregate — both join flavors plan-gated. At scale each build
+    side reduces to DISTINCT custkeys under the date screen before
+    joining, the nation dim broadcasts, and the census is one hash
+    aggregate over two low-cardinality keys.
+
+    Determinism: pure counts over exact screens; the full group key
+    is the ORDER BY so LIMIT 100 is a total order.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS69_SQL)

@@ -1079,6 +1079,31 @@ class TestTpcdsWave10Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_qds30_window_not_rescan(self, spark):
+        plan = plan_of(spark, "qds30_state_excess_returners")
+        # the per-state average rides a window over the grouped CTE —
+        # the returns aggregation must appear ONCE (no CTE re-scan for
+        # the correlated scalar: at most one scan-side returnflag
+        # filter), and the head is a TakeOrderedAndProject
+        assert "Window" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        li_scans = [
+            ln for ln in plan.splitlines()
+            if "Scan parquet" in ln and "lineitem" in ln
+        ]
+        assert len(li_scans) <= 1, f"returns CTE re-scanned: {li_scans}"
+
+    def test_qds69_semi_and_two_antis(self, spark):
+        plan = plan_of(spark, "qds69_semi_anti_census")
+        # one EXISTS and two NOT EXISTS stacked in a single plan:
+        # LeftSemi once, LeftAnti twice
+        assert "LeftSemi" in plan
+        assert plan.count("LeftAnti") >= 2
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 class TestKmeansTreeReduce:
     def test_partials_reduced_before_collect(self, spark):

@@ -172,9 +172,15 @@ def _interval_text(v, with_days: bool = True) -> str:
     ('999:00:00') because PG never justifies hours into days."""
     if not isinstance(v, timedelta):
         return str(v)
-    total = v.days * 86400 + v.seconds
-    sign = "-" if total < 0 or (total == 0 and v.microseconds < 0) else ""
-    rem = abs(total)
+    # derive every component from ONE signed total: Python timedeltas
+    # normalize microseconds to 0..999999 (a negative interval carries
+    # a MORE negative integer-second part + a positive fraction), so
+    # handling seconds and microseconds independently mis-rendered
+    # negative fractional intervals ('-13:48:48.345678' where PG prints
+    # '-13:48:47.654322' — caught by the r9 datetime.sql corpus wave)
+    total_us = (v.days * 86400 + v.seconds) * 1_000_000 + v.microseconds
+    sign = "-" if total_us < 0 else ""
+    rem, us = divmod(abs(total_us), 1_000_000)
     days = 0
     if with_days:
         days, rem = divmod(rem, 86400)
@@ -185,11 +191,12 @@ def _interval_text(v, with_days: bool = True) -> str:
         # plural unless the signed value is exactly +1 (PG interval.c)
         plural = "s" if (days != 1 or sign == "-") else ""
         out.append(f"{sign}{days} day{plural}")
-    us = abs(v.microseconds)
     if h or m or s or us or not days:
         t = f"{h:02d}:{m:02d}:{s:02d}"
         if us:
-            t += f".{us:06d}"
+            # PG trims trailing fractional zeros ('00:00:01.5', never
+            # '...01.500000') — interval.c %g-style seconds
+            t += f".{us:06d}".rstrip("0")
         out.append(sign + t)
     return " ".join(out)
 

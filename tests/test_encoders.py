@@ -98,6 +98,14 @@ class TestTextEncoders:
         # PG pluralizes on the SIGNED value: '1 day' but '-1 days'
         assert enc(timedelta(days=1)) == "1 day"
         assert enc(timedelta(days=-1)) == "-1 days"
+        # negative fractional intervals: every component carries the
+        # sign of the ONE true total (Python normalizes microseconds
+        # positive — the pre-r9 renderer printed '-00:00:01.500000')
+        assert enc(timedelta(microseconds=-500000)) == "-00:00:00.5"
+        assert enc(
+            timedelta(days=-86, hours=-13, minutes=-48, seconds=-47,
+                      microseconds=-654322)
+        ) == "-86 days -13:48:47.654322"
         # every printed component of a negative interval carries a sign
         assert enc(-timedelta(days=1, hours=2, minutes=3, seconds=4)) == \
             "-1 days -02:03:04"
@@ -111,8 +119,9 @@ class TestTextEncoders:
         assert enc(timedelta(hours=999)) == "999:00:00"
         assert enc(timedelta(seconds=999)) == "00:16:39"
         assert enc(timedelta(seconds=-999)) == "-00:16:39"
+        # PG trims trailing fractional zeros (r9 wave-48 fidelity fix)
         assert enc(timedelta(seconds=1, microseconds=500000)) == \
-            "00:00:01.500000"
+            "00:00:01.5"
 
 
 class TestBinaryEncoders:

@@ -3525,7 +3525,7 @@ CORPUS += [
     # negative + fractional seconds
     ("SELECT interval '-1' day AS i", "SELECT '-1 days' AS i"),
     ("SELECT interval '-1 02:03:04' day to second AS i", "SELECT '-1 days -02:03:04' AS i"),
-    ("SELECT interval '1.5' second AS i", "SELECT '00:00:01.500000' AS i"),
+    ("SELECT interval '1.5' second AS i", "SELECT '00:00:01.5' AS i"),
     # justify family (new literal rewrites; PG regression lines)
     ("SELECT justify_hours(interval '6 months 3 days 52 hours 3 minutes 2 seconds') AS j",
      "SELECT '6 months 5 days 4 hours 3 minutes 2 seconds' AS j"),
@@ -4421,6 +4421,1559 @@ NEGATIVE_WAVE36 = [
 ]
 
 
+# --------------------------------------------------------------------------
+# wave 37 (r9) — top-level cte.sql port (reference inputs/cte.sql):
+# CTE column aliases, CTE-in-CTE / CTE-in-subquery / CTE-in-subquery-
+# EXPRESSION nesting with innermost-wins shadowing (Spark 4 CORRECTED
+# precedence == PG), a CTE name shadowing a base table (DuckDB resolves
+# the CTE first — circular-ref error — so oracles qualify main.<table>),
+# DuckDB's forward CTE references vs Spark's sequential scoping, and
+# the SPARK-18609 self-joined-CTE shape. cte-legacy.sql is gated on
+# spark.sql.legacy.ctePrecedence (removed semantics) — documented skip.
+# Negatives: self/cross reference, empty alias list, duplicate names.
+# --------------------------------------------------------------------------
+CORPUS += [
+    # CTE with column alias / multiple aliases
+    ("WITH t(x) AS (SELECT 1) SELECT * FROM t WHERE x = 1", None),
+    ("WITH t(x, y) AS (SELECT 1, 2) SELECT * FROM t WHERE x = 1 AND y = 2",
+     None),
+    # CTE name shadowing a base table: inside the definition the base
+    # table resolves (non-recursive); outside, the CTE wins
+    ("WITH nation AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 3) "
+     "SELECT count(*) AS n FROM nation",
+     # DuckDB resolves the CTE name before the base table (circular-ref
+     # error) — qualify the base read with main.
+     "WITH nation AS (SELECT n_nationkey AS k FROM main.nation "
+     "WHERE n_nationkey < 3) SELECT count(*) AS n FROM nation"),
+    # a later CTE sharing a base table's name does not affect an earlier
+    # CTE that already resolved the base table
+    ("WITH t1 AS (SELECT r_regionkey FROM region), "
+     "region AS (SELECT 2 AS two FROM t1) "
+     "SELECT count(*) AS n FROM t1 CROSS JOIN region",
+     # DuckDB allows forward CTE references, so the unqualified spelling
+     # is circular there; Spark resolves the base table (sequential WITH)
+     "WITH t1 AS (SELECT r_regionkey FROM main.region), "
+     "region AS (SELECT 2 AS two FROM t1) "
+     "SELECT count(*) AS n FROM t1 CROSS JOIN region"),
+    # CTE in CTE definition
+    ("WITH t AS (WITH t2 AS (SELECT 1 AS c) SELECT * FROM t2) "
+     "SELECT * FROM t", None),
+    # CTE in subquery
+    ("SELECT max(c) AS m FROM (WITH t(c) AS (SELECT 1) SELECT * FROM t)",
+     "SELECT max(c) AS m FROM (WITH t(c) AS (SELECT 1) SELECT * FROM t) q"),
+    # CTE in subquery expression
+    ("SELECT (WITH t AS (SELECT 1 AS c) SELECT c FROM t) AS v", None),
+    # CTE in CTE definition shadows outer
+    ("WITH t AS (SELECT 1 AS c), t2 AS (WITH t AS (SELECT 2 AS c) "
+     "SELECT * FROM t) SELECT * FROM t2", None),
+    # shadows outer 2: scalar subquery inside a CTE body
+    ("WITH t(c) AS (SELECT 1), t2 AS (SELECT (SELECT max(c) FROM "
+     "(WITH t(c) AS (SELECT 2) SELECT * FROM t) q)) SELECT * FROM t2",
+     None),
+    # shadows outer 3: three levels of nesting, innermost wins
+    ("WITH t AS (SELECT 1 AS c), t2 AS (WITH t AS (SELECT 2 AS c), "
+     "t2 AS (WITH t AS (SELECT 3 AS c) SELECT * FROM t) SELECT * FROM t2) "
+     "SELECT * FROM t2", None),
+    # CTE in subquery shadows outer
+    ("WITH t(c) AS (SELECT 1) SELECT max(c) AS m FROM "
+     "(WITH t(c) AS (SELECT 2) SELECT * FROM t)",
+     "WITH t(c) AS (SELECT 1) SELECT max(c) AS m FROM "
+     "(WITH t(c) AS (SELECT 2) SELECT * FROM t) q"),
+    # CTE in subquery shadows outer 2 (shadow only at the innermost level)
+    ("WITH t(c) AS (SELECT 1) SELECT sum(c) AS s FROM "
+     "(SELECT max(c) AS c FROM (WITH t(c) AS (SELECT 2) SELECT * FROM t) q1) q2",
+     None),
+    # CTE in subquery shadows outer 3
+    ("WITH t(c) AS (SELECT 1) SELECT sum(c) AS s FROM "
+     "(WITH t(c) AS (SELECT 2) SELECT max(c) AS c FROM "
+     "(WITH t(c) AS (SELECT 3) SELECT * FROM t) q1) q2", None),
+    # CTE in subquery expression shadows outer (1/2/3 levels)
+    ("WITH t AS (SELECT 1 AS c) SELECT "
+     "(WITH t AS (SELECT 2 AS c) SELECT c FROM t) AS v", None),
+    ("WITH t AS (SELECT 1 AS c) SELECT (SELECT "
+     "(WITH t AS (SELECT 2 AS c) SELECT c FROM t)) AS v", None),
+    ("WITH t AS (SELECT 1 AS c) SELECT (WITH t AS (SELECT 2 AS c) SELECT "
+     "(WITH t AS (SELECT 3 AS c) SELECT c FROM t)) AS v", None),
+    # SPARK-18609 CTE with self-join (re-expressed on an inline fixture)
+    ("WITH base(id) AS (SELECT * FROM (VALUES (0), (1)) v(id)), "
+     "cte1 AS (SELECT b.id AS id FROM base a CROSS JOIN "
+     "(SELECT id FROM base) b) "
+     "SELECT t1.id AS c1, t2.id AS c2 FROM cte1 t1 CROSS JOIN cte1 t2 "
+     "ORDER BY c1, c2", None),
+]
+
+CORPUS.append(
+    # duplicate column aliases are ALLOWED in Spark 4 (star expands both)
+    ("WITH t(x, x) AS (SELECT 1, 2) SELECT * FROM t",
+     "SELECT 1 AS a, 2 AS b"))
+
+NEGATIVE_WAVE37 = [
+    # self-reference without RECURSIVE and no base table of that name
+    "WITH s AS (SELECT 1 FROM s) SELECT * FROM s",
+    "WITH r AS (SELECT (SELECT * FROM r)) SELECT * FROM r",
+    # cross reference between CTEs
+    "WITH s1 AS (SELECT 1 FROM s2), s2 AS (SELECT 1 FROM s1) "
+    "SELECT * FROM s1, s2",
+    # empty column alias list
+    "WITH t() AS (SELECT 1) SELECT * FROM t",
+    # duplicate CTE names
+    "WITH t(x) AS (SELECT 1), t(x) AS (SELECT 2) SELECT * FROM t",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 38 (r9) — intersect-all.sql + except-all.sql ports: multiplicity-
+# preserving INTERSECT/EXCEPT ALL over duplicate+NULL fixtures, MINUS
+# [ALL] synonyms (DuckDB has no MINUS — oracles spell EXCEPT), set-op
+# precedence chains (INTERSECT binds tighter), paren-controlled
+# evaluation, joins and GROUP BY under set ops. Negatives: incompatible
+# branch types, column-count mismatch.
+# --------------------------------------------------------------------------
+_IFX = (
+    "WITH tab1(k, v) AS (SELECT * FROM (VALUES (1, 2), (1, 2), (1, 3), "
+    "(1, 3), (2, 3), (CAST(NULL AS INT), CAST(NULL AS INT)), "
+    "(CAST(NULL AS INT), CAST(NULL AS INT))) v(k, v)), "
+    "tab2(k, v) AS (SELECT * FROM (VALUES (1, 2), (1, 2), (2, 3), (3, 4), "
+    "(CAST(NULL AS INT), CAST(NULL AS INT)), "
+    "(CAST(NULL AS INT), CAST(NULL AS INT))) v(k, v)) "
+)
+_EFX = (
+    "WITH tab1(c1) AS (SELECT * FROM (VALUES (0), (1), (2), (2), (2), "
+    "(2), (3), (CAST(NULL AS INT)), (CAST(NULL AS INT))) v(c1)), "
+    "tab2(c1) AS (SELECT * FROM (VALUES (1), (2), (2), (3), (5), (5), "
+    "(CAST(NULL AS INT))) v(c1)), "
+    "tab3(k, v) AS (SELECT * FROM (VALUES (1, 2), (1, 2), (1, 3), (2, 3), "
+    "(2, 2)) v(k, v)), "
+    "tab4(k, v) AS (SELECT * FROM (VALUES (1, 2), (2, 3), (2, 2), (2, 2), "
+    "(2, 20)) v(k, v)) "
+)
+_OB = " ORDER BY 1 NULLS FIRST"
+_OB2 = " ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"
+
+CORPUS += [
+    # basic INTERSECT ALL with duplicate+null multiplicity
+    (_IFX + "(SELECT * FROM tab1 INTERSECT ALL SELECT * FROM tab2)" + _OB2,
+     None),
+    # same table both branches
+    (_IFX + "(SELECT * FROM tab1 INTERSECT ALL SELECT * FROM tab1 "
+     "WHERE k = 1)" + _OB2, None),
+    # empty left / empty right
+    (_IFX + "(SELECT * FROM tab1 WHERE k > 2 INTERSECT ALL "
+     "SELECT * FROM tab2)" + _OB2, None),
+    (_IFX + "(SELECT * FROM tab1 INTERSECT ALL SELECT * FROM tab2 "
+     "WHERE k > 3)" + _OB2, None),
+    # type-coerced INTERSECT ALL (int vs bigint literal branch)
+    (_IFX + "(SELECT * FROM tab1 INTERSECT ALL "
+     "SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT))" + _OB2, None),
+    # triple chain
+    (_IFX + "(SELECT * FROM tab2 INTERSECT ALL SELECT * FROM tab1 "
+     "INTERSECT ALL SELECT * FROM tab2)" + _OB2, None),
+    # mixed-op precedence: INTERSECT ALL binds tighter than EXCEPT/UNION
+    (_IFX + "(SELECT * FROM tab1 EXCEPT SELECT * FROM tab2 UNION ALL "
+     "SELECT * FROM tab1 INTERSECT ALL SELECT * FROM tab2)" + _OB2, None),
+    (_IFX + "(SELECT * FROM tab1 EXCEPT SELECT * FROM tab2 EXCEPT "
+     "SELECT * FROM tab1 INTERSECT ALL SELECT * FROM tab2)" + _OB2, None),
+    # explicit parens controlling evaluation order
+    (_IFX + "((((SELECT * FROM tab1 EXCEPT SELECT * FROM tab2) EXCEPT "
+     "SELECT * FROM tab1) INTERSECT ALL SELECT * FROM tab2))" + _OB2, None),
+    # join under INTERSECT ALL (identical sides)
+    (_IFX + "(SELECT * FROM (SELECT tab1.k, tab2.v FROM tab1 JOIN tab2 "
+     "ON tab1.k = tab2.k) q1 INTERSECT ALL SELECT * FROM "
+     "(SELECT tab1.k, tab2.v FROM tab1 JOIN tab2 ON tab1.k = tab2.k) q2)"
+     + _OB2, None),
+    # join under INTERSECT ALL (swapped projection)
+    (_IFX + "(SELECT * FROM (SELECT tab1.k, tab2.v FROM tab1 JOIN tab2 "
+     "ON tab1.k = tab2.k) q1 INTERSECT ALL SELECT * FROM "
+     "(SELECT tab2.v AS k, tab1.k AS v FROM tab1 JOIN tab2 "
+     "ON tab1.k = tab2.k) q2)" + _OB2, None),
+    # group by under INTERSECT ALL
+    (_IFX + "(SELECT v FROM tab1 GROUP BY v INTERSECT ALL "
+     "SELECT k FROM tab2 GROUP BY k)" + _OB, None),
+    # ---- except-all.sql ----
+    (_EFX + "(SELECT c1 FROM tab1 EXCEPT ALL SELECT c1 FROM tab2)" + _OB,
+     None),
+    # MINUS ALL is a Spark synonym (DuckDB has no MINUS — oracle spells it)
+    (_EFX + "(SELECT c1 FROM tab1 MINUS ALL SELECT c1 FROM tab2)" + _OB,
+     _EFX + "(SELECT c1 FROM tab1 EXCEPT ALL SELECT c1 FROM tab2)" + _OB),
+    (_EFX + "(SELECT c1 FROM tab1 EXCEPT ALL SELECT c1 FROM tab2 "
+     "WHERE c1 IS NOT NULL)" + _OB, None),
+    (_EFX + "(SELECT c1 FROM tab1 WHERE c1 > 5 EXCEPT ALL "
+     "SELECT c1 FROM tab2)" + _OB, None),
+    (_EFX + "(SELECT c1 FROM tab1 EXCEPT ALL SELECT c1 FROM tab2 "
+     "WHERE c1 > 6)" + _OB, None),
+    (_EFX + "(SELECT c1 FROM tab1 EXCEPT ALL SELECT CAST(1 AS BIGINT))"
+     + _OB, None),
+    (_EFX + "(SELECT * FROM tab3 EXCEPT ALL SELECT * FROM tab4)" + _OB2,
+     None),
+    (_EFX + "(SELECT * FROM tab4 EXCEPT ALL SELECT * FROM tab3)" + _OB2,
+     None),
+    # EXCEPT ALL then INTERSECT DISTINCT (precedence: INTERSECT first)
+    (_EFX + "(SELECT * FROM tab4 EXCEPT ALL SELECT * FROM tab3 "
+     "INTERSECT DISTINCT SELECT * FROM tab4)" + _OB2, None),
+    (_EFX + "(SELECT * FROM tab4 EXCEPT ALL SELECT * FROM tab3 "
+     "EXCEPT DISTINCT SELECT * FROM tab4)" + _OB2, None),
+    # chains mixing UNION ALL / UNION / EXCEPT DISTINCT
+    (_EFX + "(SELECT * FROM tab3 EXCEPT ALL SELECT * FROM tab4 UNION ALL "
+     "SELECT * FROM tab3 EXCEPT DISTINCT SELECT * FROM tab4)" + _OB2, None),
+    (_EFX + "(SELECT * FROM tab3 EXCEPT ALL SELECT * FROM tab4 UNION "
+     "SELECT * FROM tab3 EXCEPT DISTINCT SELECT * FROM tab4)" + _OB2, None),
+    (_EFX + "(SELECT * FROM tab3 MINUS ALL SELECT * FROM tab4 UNION "
+     "SELECT * FROM tab3 MINUS DISTINCT SELECT * FROM tab4)" + _OB2,
+     _EFX + "(SELECT * FROM tab3 EXCEPT ALL SELECT * FROM tab4 UNION "
+     "SELECT * FROM tab3 EXCEPT DISTINCT SELECT * FROM tab4)" + _OB2),
+    (_EFX + "(SELECT * FROM tab3 EXCEPT ALL SELECT * FROM tab4 "
+     "EXCEPT DISTINCT SELECT * FROM tab3 EXCEPT DISTINCT "
+     "SELECT * FROM tab4)" + _OB2, None),
+    # join under EXCEPT ALL — identical sides produce empty
+    (_EFX + "(SELECT * FROM (SELECT tab3.k, tab4.v FROM tab3 JOIN tab4 "
+     "ON tab3.k = tab4.k) q1 EXCEPT ALL SELECT * FROM "
+     "(SELECT tab3.k, tab4.v FROM tab3 JOIN tab4 ON tab3.k = tab4.k) q2)"
+     + _OB2, None),
+    (_EFX + "(SELECT * FROM (SELECT tab3.k, tab4.v FROM tab3 JOIN tab4 "
+     "ON tab3.k = tab4.k) q1 EXCEPT ALL SELECT * FROM "
+     "(SELECT tab4.v AS k, tab3.k AS v FROM tab3 JOIN tab4 "
+     "ON tab3.k = tab4.k) q2)" + _OB2, None),
+    # group by under EXCEPT ALL
+    (_EFX + "(SELECT v FROM tab3 GROUP BY v EXCEPT ALL "
+     "SELECT k FROM tab4 GROUP BY k)" + _OB, None),
+]
+
+NEGATIVE_WAVE38 = [
+    # incompatible branch types
+    _IFX + "SELECT * FROM tab1 INTERSECT ALL SELECT array(1), 2",
+    _EFX + "SELECT c1 FROM tab1 EXCEPT ALL SELECT array(1)",
+    # column-count mismatch
+    _IFX + "SELECT k FROM tab1 INTERSECT ALL SELECT k, v FROM tab2",
+    _EFX + "SELECT k FROM tab3 EXCEPT ALL SELECT k, v FROM tab4",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 39 (r9) — group-by-ordinal.sql + order-by-ordinal.sql +
+# order-by-nulls-ordering.sql ports: ordinal resolution incl. constants
+# (1 + 0 is NOT an ordinal), ordinal+alias mixes, HAVING after a
+# grouped ordinal, SORT BY ordinal, window frames over all four
+# NULLS FIRST/LAST placements, mixed-datatype NULLS orders (the col3
+# tiebreak must pin NULLS FIRST — Spark ASC default NULLS FIRST vs
+# DuckDB NULLS LAST). Spark 4 ACCEPTS seeded rand() in GROUP BY (the
+# Spark 3 nondeterministic-grouping error is gone — documented).
+# Negatives: ordinals out of range / pointing at aggregates / star.
+# --------------------------------------------------------------------------
+_DFX = ("WITH data(a, b) AS (SELECT * FROM (VALUES (1, 1), (1, 2), (2, 1), "
+        "(2, 2), (3, 1), (3, 2)) v(a, b)) ")
+_NFX = ("WITH t(col1, col2, col3) AS (SELECT * FROM (VALUES "
+        "(6, 12, 10), (6, 11, 4), (6, 9, 10), (6, 15, 8), (6, 16, 8), "
+        "(6, 7, 4), (6, 8, 8), (6, 13, CAST(NULL AS INT)), "
+        "(6, 10, CAST(NULL AS INT))) v(col1, col2, col3)) ")
+_MFX = ("WITH m(col1, col2, col3, col4, col5) AS (SELECT * FROM (VALUES "
+        "('b', 2, CAST(1.0 AS DOUBLE), CAST(1.00 AS DECIMAL(10,2)), CAST(10.0 AS DECIMAL(20,1))), "
+        "('d', 3, CAST(2.0 AS DOUBLE), CAST(3.00 AS DECIMAL(10,2)), CAST(0.0 AS DECIMAL(20,1))), "
+        "('c', 3, CAST(2.0 AS DOUBLE), CAST(2.00 AS DECIMAL(10,2)), CAST(15.1 AS DECIMAL(20,1))), "
+        "('d', 3, CAST(0.0 AS DOUBLE), CAST(3.00 AS DECIMAL(10,2)), CAST(1.0 AS DECIMAL(20,1))), "
+        "(CAST(NULL AS STRING), 3, CAST(0.0 AS DOUBLE), CAST(3.00 AS DECIMAL(10,2)), CAST(1.0 AS DECIMAL(20,1))), "
+        "('d', 3, CAST(NULL AS DOUBLE), CAST(4.00 AS DECIMAL(10,2)), CAST(1.0 AS DECIMAL(20,1))), "
+        "('a', 1, CAST(1.0 AS DOUBLE), CAST(1.00 AS DECIMAL(10,2)), CAST(NULL AS DECIMAL(20,1))), "
+        "('c', 3, CAST(2.0 AS DOUBLE), CAST(2.00 AS DECIMAL(10,2)), CAST(NULL AS DECIMAL(20,1)))"
+        ") v(col1, col2, col3, col4, col5)) ")
+_MFX_DUCK = _MFX.replace("CAST(NULL AS STRING)", "CAST(NULL AS VARCHAR)")
+
+CORPUS += [
+    # ---- group-by-ordinal ----
+    (_DFX + "SELECT a, sum(b) AS s FROM data GROUP BY 1 ORDER BY 1", None),
+    (_DFX + "SELECT 1, 2, sum(b) AS s FROM data GROUP BY 1, 2 ORDER BY 3",
+     None),
+    (_DFX + "SELECT a, 1, sum(b) AS s FROM data GROUP BY a, 1 ORDER BY 1",
+     None),
+    (_DFX + "SELECT a, 1, sum(b) AS s FROM data GROUP BY 1, 2 ORDER BY 1",
+     None),
+    (_DFX + "SELECT a, b + 2, count(2) AS n FROM data GROUP BY a, 2 "
+     "ORDER BY 1, 2", None),
+    (_DFX + "SELECT a AS aa, b + 2 AS bb, count(2) AS n FROM data "
+     "GROUP BY 1, 2 ORDER BY 1, 2", None),
+    # foldable non-literal 1+0 is NOT an ordinal: same as global agg
+    (_DFX + "SELECT sum(b) AS s FROM data GROUP BY 1 + 0", None),
+    # group-by ordinal followed by order by / having
+    ("SELECT a, count(a) AS n FROM (SELECT 1 AS a) tmp GROUP BY 1 "
+     "ORDER BY 1", None),
+    ("SELECT count(a) AS n, a FROM (SELECT 1 AS a) tmp GROUP BY 2 "
+     "HAVING a > 0", None),
+    # mixed ordinals and aliases in one GROUP BY
+    (_DFX + "SELECT a, a AS k, count(b) AS n FROM data GROUP BY k, 1 "
+     "ORDER BY 1", None),
+    # ---- order-by-ordinal ----
+    (_DFX + "SELECT * FROM data ORDER BY 1 DESC, b DESC", None),
+    (_DFX + "SELECT * FROM data ORDER BY 1 DESC, 2 DESC", None),
+    # 1 + 0 is a constant, not an ordinal — ignored for ordering
+    (_DFX + "SELECT * FROM data ORDER BY 1 + 0 DESC, b DESC, a", None),
+    # sort by ordinal (single partition ≡ global order here)
+    (_DFX + "SELECT * FROM (SELECT * FROM data ORDER BY a, b) q "
+     "SORT BY 1 DESC, 2 DESC",
+     _DFX + "SELECT * FROM data ORDER BY 1 DESC, 2 DESC"),
+    # ---- order-by-nulls-ordering (window frames over NULLS orders) ----
+    (_NFX + "SELECT col1, col2, col3, sum(col2) OVER (PARTITION BY col1 "
+     "ORDER BY col3 DESC NULLS LAST, col2 ROWS BETWEEN 2 PRECEDING AND "
+     "2 FOLLOWING) AS sum_col2 FROM t WHERE col1 = 6 "
+     "ORDER BY sum_col2, col2", None),
+    (_NFX + "SELECT col1, col2, col3, sum(col2) OVER (PARTITION BY col1 "
+     "ORDER BY col3 DESC NULLS FIRST, col2 ROWS BETWEEN 2 PRECEDING AND "
+     "2 FOLLOWING) AS sum_col2 FROM t WHERE col1 = 6 "
+     "ORDER BY sum_col2, col2", None),
+    (_NFX + "SELECT col1, col2, col3, sum(col2) OVER (PARTITION BY col1 "
+     "ORDER BY col3 ASC NULLS LAST, col2 ROWS BETWEEN 2 PRECEDING AND "
+     "2 FOLLOWING) AS sum_col2 FROM t WHERE col1 = 6 "
+     "ORDER BY sum_col2, col2", None),
+    (_NFX + "SELECT col1, col2, col3, sum(col2) OVER (PARTITION BY col1 "
+     "ORDER BY col3 ASC NULLS FIRST, col2 ROWS BETWEEN 2 PRECEDING AND "
+     "2 FOLLOWING) AS sum_col2 FROM t WHERE col1 = 6 "
+     "ORDER BY sum_col2, col2", None),
+    # regular ORDER BY over the 4 NULLS placements
+    (_NFX + "SELECT col1, col2, col3 FROM t ORDER BY col3 ASC NULLS FIRST, "
+     "col2", None),
+    (_NFX + "SELECT col1, col2, col3 FROM t ORDER BY col3 NULLS LAST, col2",
+     None),
+    (_NFX + "SELECT col1, col2, col3 FROM t ORDER BY col3 DESC NULLS FIRST, "
+     "col2", None),
+    (_NFX + "SELECT col1, col2, col3 FROM t ORDER BY col3 DESC NULLS LAST, "
+     "col2", None),
+    # mixed-datatype NULLS FIRST|LAST (string/double/decimal keys;
+    # col2..col4 tiebreaks pin the intra-tie order)
+    (_MFX + "SELECT * FROM m ORDER BY col1 NULLS LAST, col5 NULLS LAST, "
+     "col3, col4",
+     _MFX_DUCK + "SELECT * FROM m ORDER BY col1 NULLS LAST, "
+     "col5 NULLS LAST, col3 NULLS FIRST, col4"),
+    (_MFX + "SELECT * FROM m ORDER BY col1 DESC NULLS FIRST, "
+     "col5 DESC NULLS FIRST, col3 NULLS FIRST, col4",
+     _MFX_DUCK + "SELECT * FROM m ORDER BY col1 DESC NULLS FIRST, "
+     "col5 DESC NULLS FIRST, col3 NULLS FIRST, col4"),
+    (_MFX + "SELECT * FROM m ORDER BY col5 DESC NULLS FIRST, "
+     "col3 DESC NULLS LAST, col1 NULLS FIRST, col4",
+     _MFX_DUCK + "SELECT * FROM m ORDER BY col5 DESC NULLS FIRST, "
+     "col3 DESC NULLS LAST, col1 NULLS FIRST, col4"),
+]
+
+NEGATIVE_WAVE39 = [
+    # ordinal out of range / aggregate-position / star
+    _DFX + "SELECT a, b FROM data GROUP BY -1",
+    _DFX + "SELECT a, b FROM data GROUP BY 0",
+    _DFX + "SELECT a, b FROM data GROUP BY 3",
+    _DFX + "SELECT a, b, sum(b) FROM data GROUP BY 3",
+    _DFX + "SELECT a, b, sum(b) + 2 FROM data GROUP BY 3",
+    _DFX + "SELECT * FROM data GROUP BY a, b, 1",
+    # (Spark 4 ACCEPTS seeded rand() in GROUP BY — the Spark 3 golden's
+    # nondeterministic-grouping error no longer applies; case dropped)
+    # order-by ordinal out of range
+    _DFX + "SELECT * FROM data ORDER BY 0",
+    _DFX + "SELECT * FROM data ORDER BY -1",
+    _DFX + "SELECT * FROM data ORDER BY 3",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 40 (r9) — cross-join.sql / inner-join.sql / natural-join.sql /
+# table-aliases.sql / operator-div.sql / pred-pushdown.sql ports:
+# CROSS JOIN with ON/WHERE/non-equi predicates, explicit cross join in
+# a reordering chain, SPARK-19766 constant-alias inner join (DuckDB
+# calls the bare ORDER BY ambiguous — oracle qualifies), NATURAL
+# LEFT/RIGHT/FULL joins, FROM-clause column aliases incl. aliasing a
+# parenthesized join relation, Spark div ≡ DuckDB // (div-by-zero is
+# the pinned ANSI negative), and the SPARK-18597/18614 anti-join /
+# ExistenceJoin pushdown shapes. DuckDB's parser needs AS for select
+# aliases (`k key` is Spark/PG-only — oracle adds AS).
+# --------------------------------------------------------------------------
+_JFX = (
+    "WITH nt1(k, v1) AS (SELECT * FROM (VALUES ('one', 1), ('two', 2), "
+    "('three', 3)) v(k, v1)), "
+    "nt2(k, v2) AS (SELECT * FROM (VALUES ('one', 1), ('two', 22), "
+    "('one', 5)) v(k, v2)) "
+)
+_ABCD = (
+    "WITH nt1(k, v1) AS (SELECT * FROM (VALUES ('one', 1), ('two', 2), "
+    "('three', 3)) v(k, v1)), "
+    "a(a, va) AS (SELECT * FROM nt1), b(b, vb) AS (SELECT * FROM nt1), "
+    "c(c, vc) AS (SELECT * FROM nt1), d(d, vd) AS (SELECT * FROM nt1) "
+)
+_PFX = (
+    "WITH tbl_a(c1, c2) AS (SELECT * FROM (VALUES (1, 1), (2, 1), (3, 6)) "
+    "v(c1, c2)), tbl_b(c1) AS (SELECT * FROM (VALUES (1)) v(c1)) "
+)
+
+CORPUS += [
+    # ---- cross-join.sql ----
+    (_JFX + "SELECT * FROM nt1 CROSS JOIN nt2 "
+     "ORDER BY nt1.k, v1, nt2.k, v2", None),
+    (_JFX + "SELECT * FROM nt1 CROSS JOIN nt2 WHERE nt1.k = nt2.k "
+     "ORDER BY nt1.k, v1, v2", None),
+    (_JFX + "SELECT * FROM nt1 CROSS JOIN nt2 ON (nt1.k = nt2.k) "
+     "ORDER BY nt1.k, v1, v2",
+     _JFX + "SELECT * FROM nt1 JOIN nt2 ON (nt1.k = nt2.k) "
+     "ORDER BY nt1.k, v1, v2"),
+    (_JFX + "SELECT * FROM nt1 CROSS JOIN nt2 WHERE nt1.v1 = 1 AND "
+     "nt2.v2 = 22 ORDER BY nt2.k", None),
+    # implicit (no-AS) select alias — DuckDB's parser needs the AS
+    (_JFX + "SELECT a.key, b.key FROM (SELECT k key FROM nt1 WHERE v1 < 2) a "
+     "CROSS JOIN (SELECT k key FROM nt2 WHERE v2 = 22) b",
+     _JFX + "SELECT a.key, b.key FROM (SELECT k AS key FROM nt1 "
+     "WHERE v1 < 2) a CROSS JOIN (SELECT k AS key FROM nt2 "
+     "WHERE v2 = 22) b"),
+    # join reordering with an explicit cross join in the middle
+    (_ABCD + "SELECT * FROM ((a JOIN b ON (a = b)) CROSS JOIN c) "
+     "JOIN d ON (a = d) ORDER BY a, b, c, d, va, vb, vc, vd", None),
+    # cross join with non-equal predicate
+    (_JFX + "SELECT * FROM nt1 CROSS JOIN nt2 ON (nt1.k > nt2.k) "
+     "ORDER BY nt1.k, v1, nt2.k, v2",
+     _JFX + "SELECT * FROM nt1 JOIN nt2 ON (nt1.k > nt2.k) "
+     "ORDER BY nt1.k, v1, nt2.k, v2"),
+    # ---- inner-join.sql (SPARK-19766 constant-alias columns) ----
+    ("WITH t1(a) AS (SELECT 1), t2(a) AS (SELECT 1), "
+     "t3(a) AS (SELECT * FROM (VALUES (1), (1)) v(a)), "
+     "t4(a) AS (SELECT * FROM (VALUES (1), (1)) v(a)), "
+     "ta AS (SELECT a, 'a' AS tag FROM t1 UNION ALL "
+     "SELECT a, 'b' AS tag FROM t2), "
+     "tb AS (SELECT a, 'a' AS tag FROM t3 UNION ALL "
+     "SELECT a, 'b' AS tag FROM t4) "
+     "SELECT tb.* FROM ta INNER JOIN tb ON ta.a = tb.a AND ta.tag = tb.tag "
+     "ORDER BY tag",
+     # DuckDB calls the bare ORDER BY tag ambiguous; Spark resolves it
+     "WITH t1(a) AS (SELECT 1), t2(a) AS (SELECT 1), "
+     "t3(a) AS (SELECT * FROM (VALUES (1), (1)) v(a)), "
+     "t4(a) AS (SELECT * FROM (VALUES (1), (1)) v(a)), "
+     "ta AS (SELECT a, 'a' AS tag FROM t1 UNION ALL "
+     "SELECT a, 'b' AS tag FROM t2), "
+     "tb AS (SELECT a, 'a' AS tag FROM t3 UNION ALL "
+     "SELECT a, 'b' AS tag FROM t4) "
+     "SELECT tb.* FROM ta INNER JOIN tb ON ta.a = tb.a AND ta.tag = tb.tag "
+     "ORDER BY tb.tag"),
+    # ---- natural-join.sql ----
+    (_JFX + "SELECT * FROM nt1 NATURAL JOIN nt2 WHERE k = 'one' "
+     "ORDER BY v1, v2", None),
+    (_JFX + "SELECT * FROM nt1 NATURAL LEFT JOIN nt2 "
+     "ORDER BY v1, v2 NULLS FIRST", None),
+    (_JFX + "SELECT * FROM nt1 NATURAL RIGHT JOIN nt2 ORDER BY v1, v2",
+     None),
+    (_JFX + "SELECT count(*) AS n FROM nt1 NATURAL FULL OUTER JOIN nt2",
+     None),
+    # ---- table-aliases.sql ----
+    ("SELECT * FROM (VALUES (1, 1), (1, 2), (2, 1)) AS t(col1, col2) "
+     "WHERE col1 = 1 ORDER BY col2", None),
+    ("SELECT * FROM (VALUES (1, 1), (1, 2), (2, 1)) AS t(col1, col2) "
+     "WHERE col1 = 2", None),
+    ("SELECT col1 AS k, SUM(col2) AS s FROM (VALUES (1, 1), (1, 2), (2, 1)) "
+     "AS t(col1, col2) GROUP BY k ORDER BY k", None),
+    ("SELECT a AS col1, b AS col2 FROM (VALUES (1, 1), (2, 1)) "
+     "AS t(a, b) ORDER BY 1", None),
+    ("SELECT * FROM (SELECT 1 AS a, 1 AS b) t(col1, col2)", None),
+    # aliasing a parenthesized join relation
+    ("WITH src1(id, v1) AS (SELECT * FROM (VALUES (1, 'a'), (2, 'b'), "
+     "(3, 'c')) v(id, v1)), src2(id, v2) AS (SELECT * FROM (VALUES "
+     "(2, 1.0), (3, 3.2), (1, 8.5)) v(id, v2)) "
+     "SELECT * FROM (src1 s1 INNER JOIN src2 s2 ON s1.id = s2.id) "
+     "dst(a, b, c, d) ORDER BY a", None),
+    # ---- operator-div.sql (Spark div ≡ DuckDB //; div-by-zero is the
+    # ANSI negative pinned in wave 6) ----
+    ("SELECT 5 div 2 AS v", "SELECT 5 // 2 AS v"),
+    ("SELECT 5 div null AS v", "SELECT NULL AS v"),
+    ("SELECT null div 5 AS v", "SELECT NULL AS v"),
+    ("SELECT cast(51 as decimal(10, 0)) div cast(2 as decimal(2, 0)) AS v",
+     "SELECT 25 AS v"),
+    ("SELECT cast(5 as decimal(1, 0)) div cast(null as decimal(2, 0)) AS v",
+     "SELECT NULL AS v"),
+    ("SELECT cast(null as decimal(1, 0)) div cast(5 as decimal(2, 0)) AS v",
+     "SELECT NULL AS v"),
+    # ---- pred-pushdown.sql ----
+    # SPARK-18597: no pushdown to the left side of an anti-join
+    (_PFX + "SELECT * FROM tbl_a LEFT ANTI JOIN tbl_b ON "
+     "((tbl_a.c1 = tbl_a.c2) IS NULL OR tbl_a.c1 = tbl_a.c2) "
+     "ORDER BY c1",
+     _PFX + "SELECT * FROM tbl_a WHERE NOT EXISTS (SELECT 1 FROM tbl_b "
+     "WHERE (tbl_a.c1 = tbl_a.c2) IS NULL OR tbl_a.c1 = tbl_a.c2) "
+     "ORDER BY c1"),
+    # SPARK-18614: no pushdown below ExistenceJoin
+    (_PFX + "SELECT l.c1, l.c2 FROM tbl_a l WHERE EXISTS "
+     "(SELECT 1 FROM tbl_b r WHERE l.c1 = l.c2) OR l.c2 < 2 "
+     "ORDER BY l.c1", None),
+]
+
+NEGATIVE_WAVE40 = [
+    # table alias with wrong column count
+    "SELECT * FROM (VALUES (1, 1), (2, 1)) AS t(col1, col2, col3)",
+    "SELECT * FROM (VALUES (1, 1), (2, 1)) AS t(col1)",
+    # ANSI: div by zero raises (pinned class; operator-div golden had NULL
+    # only under the legacy conf)
+    "SELECT 5 div 0",
+    "SELECT cast(5 as decimal(1, 0)) div cast(0 as decimal(2, 0))",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 41 (r9) — grouping_set.sql + group-analytics.sql ports (the
+# top-level files; postgreSQL/groupingsets.sql landed in wave 35):
+# SPARK-17849 shapes where a GROUP BY column is missing from a set
+# (Spark NULLs it; DuckDB/PG reject the projection — oracles spell the
+# NULLs), grouping sets without explicit GROUP BY, the Hive
+# grouping__id alias (oracle: GROUPING(...)), WITH CUBE / WITH ROLLUP
+# suffix syntax (DuckDB spells GROUP BY CUBE/ROLLUP), the GROUP BY
+# cols GROUPING SETS(subset) shorthand, select aliases inside
+# CUBE/ROLLUP/GROUPING SETS args, GROUPING/GROUPING_ID in
+# select/having/order-by. Spark canonicalizes (b + a) to the SELECT's
+# a + b (same set twice) where DuckDB keeps them distinct — oracle
+# spells them equal. Negatives: GROUP BY WITH ROLLUP without
+# expressions, ungrouped column under an empty set, GROUPING outside
+# grouping-set aggregates.
+# --------------------------------------------------------------------------
+_GFX = ("WITH grouping(a, b, c, d) AS (SELECT * FROM (VALUES "
+        "('1', '2', '3', 1), ('4', '5', '6', 1), ('7', '8', '9', 1)) "
+        "v(a, b, c, d)) ")
+_TFX = ("WITH testdata(a, b) AS (SELECT * FROM (VALUES (1, 1), (1, 2), "
+        "(2, 1), (2, 2), (3, 1), (3, 2)) v(a, b)) ")
+_CFX = ("WITH coursesales(course, year, earnings) AS (SELECT * FROM (VALUES "
+        "('dotNET', 2012, 10000), ('Java', 2012, 20000), "
+        "('dotNET', 2012, 5000), ('dotNET', 2013, 48000), "
+        "('Java', 2013, 30000)) v(course, year, earnings)) ")
+_ONF = " NULLS FIRST"
+
+CORPUS += [
+    # SPARK-17849 NPE shapes: grouping-set columns not in every set
+    (_GFX + "SELECT a, b, c, count(d) AS n FROM grouping "
+     "GROUP BY a, b, c GROUPING SETS (())",
+     # DuckDB/PG reject selecting ungrouped cols under grouping sets;
+     # Spark's shorthand returns NULL — oracle spells the NULLs
+     "SELECT CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b, "
+     "CAST(NULL AS VARCHAR) AS c, 3 AS n"),
+    (_GFX + "SELECT a, b, c, count(d) AS n FROM grouping "
+     "GROUP BY a, b, c GROUPING SETS ((a)) ORDER BY a",
+     _GFX + "SELECT a, CAST(NULL AS VARCHAR) AS b, "
+     "CAST(NULL AS VARCHAR) AS c, count(d) AS n FROM grouping "
+     "GROUP BY a ORDER BY a"),
+    (_GFX + "SELECT a, b, c, count(d) AS n FROM grouping "
+     "GROUP BY a, b, c GROUPING SETS ((c)) ORDER BY c",
+     _GFX + "SELECT CAST(NULL AS VARCHAR) AS a, "
+     "CAST(NULL AS VARCHAR) AS b, c, count(d) AS n FROM grouping "
+     "GROUP BY c ORDER BY c"),
+    # grouping sets without explicit group by
+    ("SELECT c1, sum(c2) AS s FROM (VALUES ('x', 10, 0), ('y', 20, 0)) "
+     "AS t(c1, c2, c3) GROUP BY GROUPING SETS (c1) ORDER BY c1", None),
+    ("SELECT c1, sum(c2) AS s, grouping(c1) AS g FROM (VALUES "
+     "('x', 10, 0), ('y', 20, 0)) AS t(c1, c2, c3) "
+     "GROUP BY GROUPING SETS (c1) ORDER BY c1", None),
+    # grouping__id (Hive alias) in select + having
+    ("SELECT c1, c2, sum(c3) AS s, grouping__id AS gid FROM (VALUES "
+     "('x', 'a', 10), ('y', 'b', 20)) AS t(c1, c2, c3) "
+     "GROUP BY GROUPING SETS ((c1), (c2)) HAVING grouping__id > 1 "
+     "ORDER BY c2" + _ONF,
+     "SELECT c1, c2, sum(c3) AS s, GROUPING(c1, c2) AS gid FROM (VALUES "
+     "('x', 'a', 10), ('y', 'b', 20)) AS t(c1, c2, c3) "
+     "GROUP BY GROUPING SETS ((c1), (c2)) HAVING GROUPING(c1, c2) > 1 "
+     "ORDER BY c2" + _ONF),
+    ("SELECT grouping(c1) AS g FROM (VALUES ('x', 'a', 10), ('y', 'b', 20)) "
+     "AS t(c1, c2, c3) GROUP BY GROUPING SETS (c1, c2) ORDER BY g", None),
+    # negated alias over grouping sets
+    ("SELECT -c1 AS c1 FROM (VALUES (1, 2), (3, 2)) t(c1, c2) "
+     "GROUP BY GROUPING SETS ((c1), (c1, c2)) ORDER BY c1", None),
+    # complex expressions in grouping sets
+    ("SELECT a + b AS ab, b, sum(c) AS s FROM (VALUES (1, 1, 1), (2, 2, 2)) "
+     "AS t(a, b, c) GROUP BY GROUPING SETS ((a + b), (b)) "
+     "ORDER BY ab" + _ONF + ", b" + _ONF, None),
+    ("SELECT a + b AS ab, b, sum(c) AS s FROM (VALUES (1, 1, 1), (2, 2, 2)) "
+     "AS t(a, b, c) GROUP BY GROUPING SETS ((a + b), (b + a), (b)) "
+     "ORDER BY ab" + _ONF + ", b" + _ONF,
+     # Spark canonicalizes (b + a) to the SELECT's a + b (same set
+     # twice); DuckDB keeps them distinct — oracle spells them equal
+     "SELECT a + b AS ab, b, sum(c) AS s FROM (VALUES (1, 1, 1), (2, 2, 2)) "
+     "AS t(a, b, c) GROUP BY GROUPING SETS ((a + b), (a + b), (b)) "
+     "ORDER BY ab" + _ONF + ", b" + _ONF),
+    # HAVING + ORDER BY negative alias over grouping sets
+    ("SELECT c1 AS col1, c2 AS col2 FROM (VALUES (1, 2), (3, 2)) t(c1, c2) "
+     "GROUP BY GROUPING SETS ((c1), (c1, c2)) HAVING col2 IS NOT NULL "
+     "ORDER BY -col1", None),
+    # ---- group-analytics.sql ----
+    # WITH CUBE suffix syntax (DuckDB spells GROUP BY CUBE)
+    (_TFX + "SELECT a + b AS ab, b, SUM(a - b) AS s FROM testdata "
+     "GROUP BY a + b, b WITH CUBE ORDER BY ab" + _ONF + ", b" + _ONF,
+     _TFX + "SELECT a + b AS ab, b, SUM(a - b) AS s FROM testdata "
+     "GROUP BY CUBE(a + b, b) ORDER BY ab" + _ONF + ", b" + _ONF),
+    (_TFX + "SELECT a, b, SUM(b) AS s FROM testdata GROUP BY a, b "
+     "WITH CUBE ORDER BY a" + _ONF + ", b" + _ONF + ", s",
+     _TFX + "SELECT a, b, SUM(b) AS s FROM testdata GROUP BY CUBE(a, b) "
+     "ORDER BY a" + _ONF + ", b" + _ONF + ", s"),
+    # WITH ROLLUP suffix syntax
+    (_TFX + "SELECT a + b AS ab, b, SUM(a - b) AS s FROM testdata "
+     "GROUP BY a + b, b WITH ROLLUP ORDER BY ab" + _ONF + ", b" + _ONF,
+     _TFX + "SELECT a + b AS ab, b, SUM(a - b) AS s FROM testdata "
+     "GROUP BY ROLLUP(a + b, b) ORDER BY ab" + _ONF + ", b" + _ONF),
+    (_TFX + "SELECT a, b, SUM(b) AS s FROM testdata GROUP BY a, b "
+     "WITH ROLLUP ORDER BY a" + _ONF + ", b" + _ONF,
+     _TFX + "SELECT a, b, SUM(b) AS s FROM testdata GROUP BY ROLLUP(a, b) "
+     "ORDER BY a" + _ONF + ", b" + _ONF),
+    # ROLLUP / CUBE over the course-sales fixture
+    (_CFX + "SELECT course, year, SUM(earnings) AS s FROM coursesales "
+     "GROUP BY ROLLUP(course, year) ORDER BY course" + _ONF
+     + ", year" + _ONF, None),
+    (_CFX + "SELECT course, year, SUM(earnings) AS s FROM coursesales "
+     "GROUP BY CUBE(course, year) ORDER BY course" + _ONF
+     + ", year" + _ONF, None),
+    # GROUP BY cols GROUPING SETS(...) shorthand (DuckDB: no shorthand)
+    (_CFX + "SELECT course, year, SUM(earnings) AS s FROM coursesales "
+     "GROUP BY course, year GROUPING SETS(course, year) "
+     "ORDER BY course" + _ONF + ", year" + _ONF,
+     _CFX + "SELECT course, year, SUM(earnings) AS s FROM coursesales "
+     "GROUP BY GROUPING SETS(course, year) "
+     "ORDER BY course" + _ONF + ", year" + _ONF),
+    (_CFX + "SELECT course, year, SUM(earnings) AS s FROM coursesales "
+     "GROUP BY course, year GROUPING SETS(course) ORDER BY course",
+     _CFX + "SELECT course, CAST(NULL AS INT) AS year, "
+     "SUM(earnings) AS s FROM coursesales GROUP BY course "
+     "ORDER BY course"),
+    (_CFX + "SELECT course, year, SUM(earnings) AS s FROM coursesales "
+     "GROUP BY course, year GROUPING SETS(year) ORDER BY year",
+     _CFX + "SELECT CAST(NULL AS VARCHAR) AS course, year, "
+     "SUM(earnings) AS s FROM coursesales GROUP BY year "
+     "ORDER BY year"),
+    # aggregate over a column that is also a grouping column
+    (_CFX + "SELECT course, SUM(earnings) AS sum FROM coursesales "
+     "GROUP BY course, earnings GROUPING SETS((), (course), "
+     "(course, earnings)) ORDER BY course" + _ONF + ", sum",
+     _CFX + "SELECT course, SUM(earnings) AS sum FROM coursesales "
+     "GROUP BY GROUPING SETS((), (course), (course, earnings)) "
+     "ORDER BY course" + _ONF + ", sum"),
+    (_CFX + "SELECT course, SUM(earnings) AS sum, "
+     "GROUPING_ID(course, earnings) AS gid FROM coursesales "
+     "GROUP BY course, earnings GROUPING SETS((), (course), "
+     "(course, earnings)) ORDER BY course" + _ONF + ", sum",
+     _CFX + "SELECT course, SUM(earnings) AS sum, "
+     "GROUPING(course, earnings) AS gid FROM coursesales "
+     "GROUP BY GROUPING SETS((), (course), (course, earnings)) "
+     "ORDER BY course" + _ONF + ", sum"),
+    # GROUPING/GROUPING_ID in select/having/order by
+    (_CFX + "SELECT course, year, GROUPING(course) AS gc, "
+     "GROUPING(year) AS gy, GROUPING_ID(course, year) AS gid "
+     "FROM coursesales GROUP BY CUBE(course, year) "
+     "ORDER BY gid, course" + _ONF + ", year" + _ONF,
+     _CFX + "SELECT course, year, GROUPING(course) AS gc, "
+     "GROUPING(year) AS gy, GROUPING(course, year) AS gid "
+     "FROM coursesales GROUP BY CUBE(course, year) "
+     "ORDER BY gid, course" + _ONF + ", year" + _ONF),
+    (_CFX + "SELECT course, year, grouping__id AS gid FROM coursesales "
+     "GROUP BY CUBE(course, year) ORDER BY gid, course" + _ONF
+     + ", year" + _ONF,
+     _CFX + "SELECT course, year, GROUPING(course, year) AS gid "
+     "FROM coursesales GROUP BY CUBE(course, year) "
+     "ORDER BY gid, course" + _ONF + ", year" + _ONF),
+    (_CFX + "SELECT course, year FROM coursesales "
+     "GROUP BY CUBE(course, year) HAVING GROUPING(year) = 1 AND "
+     "GROUPING_ID(course, year) > 0 ORDER BY course" + _ONF
+     + ", year" + _ONF,
+     _CFX + "SELECT course, year FROM coursesales "
+     "GROUP BY CUBE(course, year) HAVING GROUPING(year) = 1 AND "
+     "GROUPING(course, year) > 0 ORDER BY course" + _ONF
+     + ", year" + _ONF),
+    (_CFX + "SELECT course, year FROM coursesales "
+     "GROUP BY CUBE(course, year) HAVING grouping__id > 0 "
+     "ORDER BY course" + _ONF + ", year" + _ONF,
+     _CFX + "SELECT course, year FROM coursesales "
+     "GROUP BY CUBE(course, year) HAVING GROUPING(course, year) > 0 "
+     "ORDER BY course" + _ONF + ", year" + _ONF),
+    (_CFX + "SELECT course, year, GROUPING(course) AS gc, "
+     "GROUPING(year) AS gy FROM coursesales GROUP BY CUBE(course, year) "
+     "ORDER BY GROUPING(course), GROUPING(year), course" + _ONF
+     + ", year" + _ONF, None),
+    # select aliases usable inside ROLLUP/CUBE/GROUPING SETS args
+    (_TFX + "SELECT a + b AS k1, b AS k2, SUM(a - b) AS s FROM testdata "
+     "GROUP BY CUBE(k1, k2) ORDER BY k1" + _ONF + ", k2" + _ONF, None),
+    (_TFX + "SELECT a + b AS k, b, SUM(a - b) AS s FROM testdata "
+     "GROUP BY ROLLUP(k, b) ORDER BY k" + _ONF + ", b" + _ONF, None),
+    (_TFX + "SELECT a + b AS ab, b AS k, SUM(a - b) AS s FROM testdata "
+     "GROUP BY a + b, k GROUPING SETS(k) ORDER BY k",
+     _TFX + "SELECT CAST(NULL AS INT) AS ab, b AS k, "
+     "SUM(a - b) AS s FROM testdata GROUP BY b ORDER BY k"),
+]
+
+NEGATIVE_WAVE41 = [
+    # must have at least one grouping expression before WITH ROLLUP/CUBE
+    _GFX + "SELECT a, b, c, count(d) FROM grouping GROUP BY WITH ROLLUP",
+    _GFX + "SELECT a, b, c, count(d) FROM grouping GROUP BY WITH CUBE",
+    # selecting a non-grouped column with an empty grouping set
+    "SELECT c1 FROM (VALUES (1, 2), (3, 2)) t(c1, c2) "
+    "GROUP BY GROUPING SETS (())",
+    # GROUPING outside an aggregate with grouping sets
+    _CFX + "SELECT course, year, GROUPING(course) FROM coursesales "
+    "GROUP BY course, year",
+    _CFX + "SELECT course, year, GROUPING_ID(course, year) "
+    "FROM coursesales GROUP BY course, year",
+    _CFX + "SELECT course, year FROM coursesales GROUP BY course, year "
+    "ORDER BY GROUPING(course)",
+    _CFX + "SELECT course, year FROM coursesales GROUP BY course, year "
+    "ORDER BY GROUPING_ID(course)",
+    _CFX + "SELECT course, year FROM coursesales GROUP BY course, year "
+    "HAVING GROUPING(course) > 0",
+    _CFX + "SELECT course, year FROM coursesales GROUP BY course, year "
+    "HAVING GROUPING_ID(course) > 0",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 42 (r9) — top-level window.sql port: ROWS/RANGE frames over
+# int/long/double/date keys (integer range frame over a DATE is days
+# in Spark, INTERVAL in the DuckDB oracle), reverse-ordered RANGE,
+# the deterministic window-function battery over a named WINDOW
+# (max/min/count/sum/avg/first/last/rank/dense_rank/cume_dist/
+# percent_rank/ntile/row_number — avg/cume_dist/percent_rank are one
+# IEEE division of exact ints), first_value/last_value two-arg
+# IGNORE-NULLS forms (DuckDB spells IGNORE NULLS), empty OVER(),
+# WINDOW w AS (), parenthesized window references. NULLS FIRST pinned
+# inside every OVER (engine defaults differ). Spark 4 divergences
+# pinned as negatives: ROWS bound must be INT (long rejected),
+# row_number() requires an ordered window.
+# --------------------------------------------------------------------------
+_WFX = (
+    "WITH testdata(val, val_long, val_double, val_date, cate) AS "
+    "(SELECT * FROM (VALUES "
+    "(CAST(NULL AS INT), CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), "
+    "DATE '2017-08-01', 'a'), "
+    "(1, CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), DATE '2017-08-01', 'a'), "
+    "(1, CAST(2 AS BIGINT), CAST(2.5 AS DOUBLE), DATE '2017-08-02', 'a'), "
+    "(2, CAST(2147483650 AS BIGINT), CAST(100.001 AS DOUBLE), "
+    "DATE '2020-12-31', 'a'), "
+    "(1, CAST(NULL AS BIGINT), CAST(1.0 AS DOUBLE), DATE '2017-08-01', 'b'), "
+    "(2, CAST(3 AS BIGINT), CAST(3.3 AS DOUBLE), DATE '2017-08-03', 'b'), "
+    "(3, CAST(2147483650 AS BIGINT), CAST(100.001 AS DOUBLE), "
+    "DATE '2020-12-31', 'b'), "
+    "(CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), "
+    "CAST(NULL AS DATE), CAST(NULL AS STRING)), "
+    "(3, CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), DATE '2017-08-01', "
+    "CAST(NULL AS STRING))) v(val, val_long, val_double, val_date, cate)) "
+)
+_WFX_DUCK = _WFX.replace("CAST(NULL AS STRING)", "CAST(NULL AS VARCHAR)")
+_OB = " ORDER BY cate NULLS FIRST, val NULLS FIRST"
+
+
+def _pair(spark_body, duck_body=None):
+    return (_WFX + spark_body, _WFX_DUCK + (duck_body or spark_body))
+
+
+CORPUS += [
+    # RowsBetween
+    _pair("SELECT val, cate, count(val) OVER(PARTITION BY cate "
+          "ORDER BY val NULLS FIRST ROWS CURRENT ROW) AS c FROM testdata"
+          + _OB + ", c"),
+    _pair("SELECT val, cate, sum(val) OVER(PARTITION BY cate "
+          "ORDER BY val NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND "
+          "1 FOLLOWING) AS s FROM testdata" + _OB + ", s"),
+    # Spark 4 requires an INT bound for ROWS frames (the long bound the
+    # Spark 3 golden allowed is now a negative below) — max-int form:
+    _pair("SELECT val_long, cate, sum(val_long) OVER(PARTITION BY cate "
+          "ORDER BY val_long NULLS FIRST ROWS BETWEEN CURRENT ROW AND "
+          "2147483647 FOLLOWING) AS s FROM testdata "
+          "ORDER BY cate NULLS FIRST, val_long NULLS FIRST, s"),
+    # RangeBetween
+    _pair("SELECT val, cate, count(val) OVER(PARTITION BY cate "
+          "ORDER BY val NULLS FIRST RANGE 1 PRECEDING) AS c FROM testdata"
+          + _OB + ", c",
+          "SELECT val, cate, count(val) OVER(PARTITION BY cate "
+          "ORDER BY val NULLS FIRST RANGE BETWEEN 1 PRECEDING AND "
+          "CURRENT ROW) AS c FROM testdata" + _OB + ", c"),
+    _pair("SELECT val, cate, sum(val) OVER(PARTITION BY cate "
+          "ORDER BY val NULLS FIRST RANGE BETWEEN CURRENT ROW AND "
+          "1 FOLLOWING) AS s FROM testdata" + _OB + ", s"),
+    _pair("SELECT val_long, cate, sum(val_long) OVER(PARTITION BY cate "
+          "ORDER BY val_long NULLS FIRST RANGE BETWEEN CURRENT ROW AND "
+          "2147483648 FOLLOWING) AS s FROM testdata "
+          "ORDER BY cate NULLS FIRST, val_long NULLS FIRST, s"),
+    _pair("SELECT val_double, cate, sum(val_double) OVER(PARTITION BY cate "
+          "ORDER BY val_double NULLS FIRST RANGE BETWEEN CURRENT ROW AND "
+          "2.5 FOLLOWING) AS s FROM testdata "
+          "ORDER BY cate NULLS FIRST, val_double NULLS FIRST, s"),
+    # integer range frame over a DATE key (Spark: days; DuckDB: INTERVAL)
+    _pair("SELECT val_date, cate, max(val_date) OVER(PARTITION BY cate "
+          "ORDER BY val_date NULLS FIRST RANGE BETWEEN CURRENT ROW AND "
+          "2 FOLLOWING) AS m FROM testdata "
+          "ORDER BY cate NULLS FIRST, val_date NULLS FIRST",
+          "SELECT val_date, cate, max(val_date) OVER(PARTITION BY cate "
+          "ORDER BY val_date NULLS FIRST RANGE BETWEEN CURRENT ROW AND "
+          "INTERVAL 2 DAY FOLLOWING) AS m FROM testdata "
+          "ORDER BY cate NULLS FIRST, val_date NULLS FIRST"),
+    # RangeBetween with reverse ORDER BY
+    _pair("SELECT val, cate, sum(val) OVER(PARTITION BY cate "
+          "ORDER BY val DESC NULLS LAST RANGE BETWEEN CURRENT ROW AND "
+          "1 FOLLOWING) AS s FROM testdata" + _OB + ", s"),
+    # deterministic window-function battery over a named window
+    _pair("SELECT val, cate, max(val) OVER w AS mx, min(val) OVER w AS mn, "
+          "count(val) OVER w AS cnt, sum(val) OVER w AS sm, "
+          "avg(val) OVER w AS av, "
+          "first_value(val) OVER w AS fv, "
+          "last_value(val) OVER w AS lv, "
+          "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, "
+          "cume_dist() OVER w AS cd, percent_rank() OVER w AS pr, "
+          "ntile(2) OVER w AS nt, row_number() OVER w AS rn "
+          "FROM testdata WINDOW w AS (PARTITION BY cate "
+          "ORDER BY val NULLS FIRST)" + _OB + ", rn"),
+    # first_value/last_value IGNORE NULLS forms (Spark two-arg booleans)
+    (_WFX + "SELECT val, cate, "
+     "first_value(val, true) OVER w AS fvi, "
+     "first_value(val, false) OVER w AS fvc, "
+     "last_value(val, true) OVER w AS lvi, "
+     "last_value(val, false) OVER w AS lvc "
+     "FROM testdata WINDOW w AS (PARTITION BY cate "
+     "ORDER BY val NULLS FIRST)" + _OB,
+     _WFX_DUCK + "SELECT val, cate, "
+     "first_value(val IGNORE NULLS) OVER w AS fvi, "
+     "first_value(val) OVER w AS fvc, "
+     "last_value(val IGNORE NULLS) OVER w AS lvi, "
+     "last_value(val) OVER w AS lvc "
+     "FROM testdata WINDOW w AS (PARTITION BY cate "
+     "ORDER BY val NULLS FIRST)" + _OB),
+    # null inputs
+    _pair("SELECT val, cate, avg(NULL) OVER(PARTITION BY cate "
+          "ORDER BY val NULLS FIRST) AS a FROM testdata" + _OB),
+    # empty OVER clause
+    _pair("SELECT val, cate, sum(val) OVER () AS s, avg(val) OVER () AS a "
+          "FROM testdata" + _OB),
+    # constant first_value/last_value over an unordered window
+    _pair("SELECT val, cate, first_value(false) OVER w AS fv, "
+          "first_value(true, true) OVER w AS fvi, "
+          "last_value(false) OVER w AS lv "
+          "FROM testdata WINDOW w AS ()" + _OB,
+          "SELECT val, cate, first_value(false) OVER w AS fv, "
+          "first_value(true IGNORE NULLS) OVER w AS fvi, "
+          "last_value(false) OVER w AS lv "
+          "FROM testdata WINDOW w AS ()" + _OB),
+    # parentheses around a window reference
+    _pair("SELECT cate, sum(val) OVER (w) AS s FROM testdata "
+          "WHERE val IS NOT NULL "
+          "WINDOW w AS (PARTITION BY cate ORDER BY val NULLS FIRST) "
+          "ORDER BY cate NULLS FIRST, s",
+          "SELECT cate, sum(val) OVER w AS s FROM testdata "
+          "WHERE val IS NOT NULL "
+          "WINDOW w AS (PARTITION BY cate ORDER BY val NULLS FIRST) "
+          "ORDER BY cate NULLS FIRST, s"),
+]
+
+NEGATIVE_WAVE42 = [
+    # Spark 4: ROWS frame bound must be INT (long rejected; the Spark 3
+    # golden ran it)
+    _WFX + "SELECT val_long, cate, sum(val_long) OVER(PARTITION BY cate "
+    "ORDER BY val_long ROWS BETWEEN CURRENT ROW AND 2147483648 FOLLOWING) "
+    "FROM testdata",
+    # Spark requires row_number() windows to be ordered (PG allows an
+    # unordered one — pinned divergence)
+    _WFX + "SELECT val, cate, row_number() OVER(PARTITION BY cate) "
+    "FROM testdata",
+    # invalid frames
+    _WFX + "SELECT val, cate, count(val) OVER(PARTITION BY cate "
+    "ROWS BETWEEN UNBOUNDED FOLLOWING AND 1 FOLLOWING) FROM testdata",
+    _WFX + "SELECT val, cate, count(val) OVER(PARTITION BY cate "
+    "RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING) FROM testdata",
+    _WFX + "SELECT val, cate, count(val) OVER(PARTITION BY cate "
+    "ORDER BY val, cate RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING) "
+    "FROM testdata",
+    _WFX + "SELECT val, cate, count(val) OVER(PARTITION BY cate "
+    "ORDER BY current_timestamp RANGE BETWEEN CURRENT ROW AND "
+    "1 FOLLOWING) FROM testdata",
+    _WFX + "SELECT val, cate, count(val) OVER(PARTITION BY cate "
+    "ORDER BY val RANGE BETWEEN 1 FOLLOWING AND 1 PRECEDING) FROM testdata",
+    _WFX + "SELECT val, cate, count(val) OVER(PARTITION BY cate "
+    "ORDER BY val RANGE BETWEEN CURRENT ROW AND current_date PRECEDING) "
+    "FROM testdata",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 43 (r9) — csv-functions.sql + json-functions.sql ports.
+# from_csv/from_json/schema_of_* are Spark-native (no DuckDB twin) —
+# oracles pin the wire text (struct/map cells render JSON, arrays PG
+# text). This wave's drive caught THREE wire-rendering bugs in
+# _pg_array_text (fixed in encoders.py this round): null elements
+# printed lowercase 'null' (PG prints unquoted NULL — psycopg2's array
+# parser needs it), struct elements hit the tuple branch (Row is a
+# tuple subclass) and rendered as pseudo-arrays, bools printed
+# true/false (PG: t/f). Spark 4 pins: from_json('[1, "2", 3]',
+# 'array<int>') nulls the WHOLE array (Spark 3 coerced); float4 inside
+# a struct JSON cell renders the double-widened repr (schema-blind).
+# Negatives: non-literal schemas/options, invalid types, zero-arg.
+# --------------------------------------------------------------------------
+CORPUS += [
+    # ---- csv-functions ----
+    ("select from_csv('1, 3.14', 'a INT, f FLOAT') AS v",
+     "SELECT '{\"a\":1,\"f\":3.140000104904175}' AS v"),
+    ("select from_csv('26/08/2015', 'time Timestamp', "
+     "map('timestampFormat', 'dd/MM/yyyy')) AS v",
+     "SELECT '{\"time\":\"2015-08-26 00:00:00\"}' AS v"),
+    ("select from_csv('1,abc', schema_of_csv('1,abc')) AS v",
+     "SELECT '{\"_c0\":1,\"_c1\":\"abc\"}' AS v"),
+    ("select schema_of_csv('1|abc', map('delimiter', '|')) AS v",
+     "SELECT 'STRUCT<_c0: INT, _c1: STRING>' AS v"),
+    ("select to_csv(named_struct('a', 1, 'b', 2)) AS v",
+     "SELECT '1,2' AS v"),
+    ("select to_csv(named_struct('time', to_timestamp('2015-08-26', "
+     "'yyyy-MM-dd')), map('timestampFormat', 'dd/MM/yyyy')) AS v",
+     "SELECT '26/08/2015' AS v"),
+    # ---- json-functions: to_json ----
+    ("select to_json(named_struct('a', 1, 'b', 2)) AS v",
+     "SELECT '{\"a\":1,\"b\":2}' AS v"),
+    ("select to_json(named_struct('time', to_timestamp('2015-08-26', "
+     "'yyyy-MM-dd')), map('timestampFormat', 'dd/MM/yyyy')) AS v",
+     "SELECT '{\"time\":\"26/08/2015\"}' AS v"),
+    ("select to_json(array(named_struct('a', 1, 'b', 2))) AS v",
+     "SELECT '[{\"a\":1,\"b\":2}]' AS v"),
+    ("select to_json(map('a', named_struct('a', 1, 'b', 2))) AS v",
+     "SELECT '{\"a\":{\"a\":1,\"b\":2}}' AS v"),
+    ("select to_json(map('a', 1)) AS v", "SELECT '{\"a\":1}' AS v"),
+    ("select to_json(array(map('a', 1))) AS v",
+     "SELECT '[{\"a\":1}]' AS v"),
+    ("select to_json(array(map('a', 1), map('b', 2))) AS v",
+     "SELECT '[{\"a\":1},{\"b\":2}]' AS v"),
+    ("select to_json(array('1', '2', '3')) AS v",
+     "SELECT '[\"1\",\"2\",\"3\"]' AS v"),
+    ("select to_json(array(array(1, 2, 3), array(4))) AS v",
+     "SELECT '[[1,2,3],[4]]' AS v"),
+    # ---- json-functions: from_json ----
+    ("select from_json('{\"a\":1}', 'a INT') AS v",
+     "SELECT '{\"a\":1}' AS v"),
+    ("select from_json('{\"time\":\"26/08/2015\"}', 'time Timestamp', "
+     "map('timestampFormat', 'dd/MM/yyyy')) AS v",
+     "SELECT '{\"time\":\"2015-08-26 00:00:00\"}' AS v"),
+    ("select from_json('{\"a\":1, \"b\":2}', 'map<string, int>') AS v",
+     "SELECT '{\"a\":1,\"b\":2}' AS v"),
+    ("select from_json('{\"a\":1, \"b\":\"2\"}', "
+     "'struct<a:int,b:string>') AS v",
+     "SELECT '{\"a\":1,\"b\":\"2\"}' AS v"),
+    ("select schema_of_json('{\"c1\":0, \"c2\":[1]}') AS v",
+     "SELECT 'STRUCT<c1: BIGINT, c2: ARRAY<BIGINT>>' AS v"),
+    ("select from_json('{\"c1\":[1, 2, 3]}', "
+     "schema_of_json('{\"c1\":[0]}')) AS v",
+     "SELECT '{\"c1\":[1,2,3]}' AS v"),
+    ("select from_json('[1, 2, 3]', 'array<int>') AS v",
+     "SELECT '{1,2,3}' AS v"),
+    # Spark 4 PERMISSIVE mode nulls the whole array when an element
+    # fails coercion (the Spark 3 golden coerced "2" -> 2)
+    ("select from_json('[1, \"2\", 3]', 'array<int>') AS v",
+     "SELECT NULL AS v"),
+    ("select from_json('[1, 2, null]', 'array<int>') AS v",
+     "SELECT '{1,2,NULL}' AS v"),
+    ("select from_json('[{\"a\": 1}, {\"a\":2}]', "
+     "'array<struct<a:int>>') AS v",
+     "SELECT '{\"{\\\"a\\\":1}\",\"{\\\"a\\\":2}\"}' AS v"),
+    ("select from_json('{\"a\": 1}', 'array<struct<a:int>>') AS v",
+     "SELECT '{\"{\\\"a\\\":1}\"}' AS v"),
+    ("select from_json('[null, {\"a\":2}]', 'array<struct<a:int>>') AS v",
+     "SELECT '{NULL,\"{\\\"a\\\":2}\"}' AS v"),
+    ("select from_json('[{\"a\": 1}, {\"b\":2}]', "
+     "'array<map<string,int>>') AS v",
+     "SELECT '{\"{\\\"a\\\":1}\",\"{\\\"b\\\":2}\"}' AS v"),
+    ("select from_json('[{\"a\": 1}, 2]', 'array<map<string,int>>') AS v",
+     "SELECT NULL AS v"),
+    # json_tuple with NULL field names
+    ("SELECT json_tuple('{\"a\" : 1, \"b\" : 2}', "
+     "CAST(NULL AS STRING), 'b', CAST(NULL AS STRING), 'a')",
+     "SELECT NULL AS c0, '2' AS c1, NULL AS c2, '1' AS c3"),
+    ("SELECT json_tuple(jsonField, 'b', CAST(NULL AS STRING), a) FROM "
+     "(SELECT '{\"a\": 1, \"b\": 2}' AS jsonField, 'a' AS a) jsonTable",
+     "SELECT '2' AS c0, NULL AS c1, '1' AS c2"),
+    # schema inference with options
+    ("select schema_of_json('{\"c1\":1}', "
+     "map('primitivesAsString', 'true')) AS v",
+     "SELECT 'STRUCT<c1: STRING>' AS v"),
+    ("select schema_of_json('{\"c1\":01, \"c2\":0.1}', "
+     "map('allowNumericLeadingZeros', 'true', "
+     "'prefersDecimal', 'true')) AS v",
+     "SELECT 'STRUCT<c1: BIGINT, c2: DECIMAL(1,1)>' AS v"),
+]
+
+NEGATIVE_WAVE43 = [
+    # schema must be a string literal / valid type / literal options map
+    "select from_csv('1', 1)",
+    "select from_csv('1', 'a InvalidType')",
+    "select from_csv('1', 'a INT', named_struct('mode', 'PERMISSIVE'))",
+    "select from_csv('1', 'a INT', map('mode', 1))",
+    "select from_csv()",
+    "select schema_of_csv(null)",
+    "select to_csv(named_struct('a', 1, 'b', 2), "
+    "named_struct('mode', 'PERMISSIVE'))",
+    "select to_csv(named_struct('a', 1, 'b', 2), map('mode', 1))",
+    "select to_json(named_struct('a', 1, 'b', 2), "
+    "named_struct('mode', 'PERMISSIVE'))",
+    "select to_json(named_struct('a', 1, 'b', 2), map('mode', 1))",
+    "select to_json()",
+    "select from_json('{\"a\":1}', 1)",
+    "select from_json('{\"a\":1}', 'a InvalidType')",
+    "select from_json('{\"a\":1}', 'a INT', "
+    "named_struct('mode', 'PERMISSIVE'))",
+    "select from_json('{\"a\":1}', 'a INT', map('mode', 1))",
+    "select from_json()",
+    "select schema_of_json(null)",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 44 (r9) — random.sql + tablesample-negative.sql ports. Seeded
+# rand()/randn() are deterministic given seed + partition layout
+# (OneRowRelation is partition 0) — stable pins for a fixed Spark
+# version; NULL/omitted seeds behave as seed 0. Closes the last
+# portable top-level input files: the remaining ones are conf-gated
+# (query_regex_column, cte-legacy), DDL/metadata e2e surfaces covered
+# by test_sql_surface (explain, show-create-table, describe-*,
+# show-tables, show_columns, change-column, columnresolution-views),
+# jar-backed UDAF (test_hive_surface drives CREATE FUNCTION; the
+# Python-native UDAF path is p_pandas_udaf), or runner-internal
+# (blacklist.sql).
+# --------------------------------------------------------------------------
+CORPUS += [
+    ("SELECT rand(0) AS v", "SELECT 0.7604953758285915 AS v"),
+    ("SELECT rand(cast(3 / 7 AS int)) AS v",
+     "SELECT 0.7604953758285915 AS v"),
+    ("SELECT rand(NULL) AS v", "SELECT 0.7604953758285915 AS v"),
+    ("SELECT rand(cast(NULL AS int)) AS v",
+     "SELECT 0.7604953758285915 AS v"),
+    ("SELECT randn(0L) AS v", "SELECT 1.6034991609278433 AS v"),
+    ("SELECT randn(cast(3 / 7 AS long)) AS v",
+     "SELECT 1.6034991609278433 AS v"),
+    ("SELECT randn(NULL) AS v", "SELECT 1.6034991609278433 AS v"),
+    ("SELECT randn(cast(NULL AS long)) AS v",
+     "SELECT 1.6034991609278433 AS v"),
+]
+
+NEGATIVE_WAVE44 = [
+    # rand/randn seed must be int/long
+    "SELECT rand(1.0)",
+    "SELECT rand('1')",
+    # tablesample-negative.sql: negative percentage / over 100
+    "SELECT * FROM (VALUES (1)) t(i1) TABLESAMPLE (-1 PERCENT)",
+    "SELECT * FROM (VALUES (1)) t(i1) TABLESAMPLE (101 PERCENT)",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 45 (r9) — literals.sql port: typed numeric suffixes (Y/S/L/D/BD)
+# with boundary values, integral parsing incl. decimal promotion past
+# Long.MaxValue, double literal forms, multi-string concatenation,
+# octal/unicode escapes (Spark consumes backslash escapes — DuckDB
+# oracles pin results), hex binary literals, big-decimal suffix
+# scale rules. Spark 4 pins: typed `integer '7'` literal is
+# UNSUPPORTED_TYPED_LITERAL; unary + is strictly numeric/interval
+# (+date/+map/+array/+struct/+X'1' all error where Spark 3 passed them
+# through). Double-quoted strings are PG identifiers on this wire —
+# out of scope by dialect.
+# --------------------------------------------------------------------------
+CORPUS += [
+    # null / boolean keyword casing
+    ("select null AS a, Null AS b, nUll AS c",
+     "select NULL AS a, NULL AS b, NULL AS c"),
+    ("select true AS a, tRue AS b, false AS c, fALse AS d",
+     "select true AS a, true AS b, false AS c, false AS d"),
+    # tinyint/smallint/long suffixes
+    ("select 1Y AS v", "select 1 AS v"),
+    ("select 127Y AS a, -128Y AS b", "select 127 AS a, -128 AS b"),
+    ("select 1S AS v", "select 1 AS v"),
+    ("select 32767S AS a, -32768S AS b", "select 32767 AS a, -32768 AS b"),
+    ("select 1L AS a, 2147483648L AS b", "select 1 AS a, 2147483648 AS b"),
+    ("select 9223372036854775807L AS a, -9223372036854775808L AS b",
+     "select 9223372036854775807 AS a, -9223372036854775808 AS b"),
+    # integral parsing: int/long boundaries, decimal promotion past long
+    ("select 1 AS a, -1 AS b", None),
+    ("select 2147483647 AS a, -2147483648 AS b", None),
+    ("select 9223372036854775807 AS a, -9223372036854775808 AS b", None),
+    ("select 9223372036854775808 AS a, -9223372036854775809 AS b", None),
+    # double forms
+    ("select 1D AS a, 1.2D AS b, 1e10 AS c, 1.5e5 AS d, .10D AS e, "
+     "0.10D AS f, .1e5 AS g, .9e+2 AS h, 0.9e+2 AS i, 900e-1 AS j, "
+     "9.e+1 AS k",
+     "select CAST(1 AS DOUBLE) AS a, CAST(1.2 AS DOUBLE) AS b, 1e10 AS c, "
+     "1.5e5 AS d, CAST(0.10 AS DOUBLE) AS e, CAST(0.10 AS DOUBLE) AS f, "
+     ".1e5 AS g, .9e2 AS h, 0.9e2 AS i, 900e-1 AS j, 9.0e+1 AS k"),
+    ("select -1D AS a, -1.2D AS b, -1e10 AS c, -1.5e5 AS d, -.10D AS e, "
+     "-0.10D AS f, -.1e5 AS g",
+     "select CAST(-1 AS DOUBLE) AS a, CAST(-1.2 AS DOUBLE) AS b, "
+     "-1e10 AS c, -1.5e5 AS d, CAST(-0.10 AS DOUBLE) AS e, "
+     "CAST(-0.10 AS DOUBLE) AS f, -.1e5 AS g"),
+    # decimal parsing
+    ("select 0.3 AS a, -0.8 AS b, .5 AS c, -.18 AS d, 0.1111 AS e, "
+     ".1111 AS f", None),
+    # very large scientific doubles stay valid doubles
+    ("select 123456789012345678901234567890123456789e10d AS a, "
+     "123456789012345678901234567890123456789.1e10d AS b",
+     "select 1.2345678901234568e+48 AS a, 1.2345678901234568e+48 AS b"),
+    # string escapes (Spark consumes backslash escapes; DuckDB literals
+    # don't — oracles pin the results)
+    ("select 'hello lee!' AS v", None),
+    ("select 'hello' 'world' AS a, 'hello' ' ' 'lee' AS b",
+     "select 'helloworld' AS a, 'hello lee' AS b"),
+    ("select 'pattern%' AS a, 'no-pattern\\%' AS b, 'pattern\\\\%' AS c, "
+     "'pattern\\\\\\%' AS d",
+     "select 'pattern%' AS a, 'no-pattern\\%' AS b, 'pattern\\%' AS c, "
+     "'pattern\\\\%' AS d"),
+    ("select '\\'' AS a, '\\n' AS b, 'Z' AS c",
+     "select CHR(39) AS a, CHR(10) AS b, 'Z' AS c"),
+    # "Hello!" in octals, "World :)" in unicode
+    ("select '\\110\\145\\154\\154\\157\\041' AS v", "select 'Hello!' AS v"),
+    ("select '\\u0057\\u006F\\u0072\\u006C\\u0064\\u0020\\u003A\\u0029' AS v",
+     "select 'World :)' AS v"),
+    # date / timestamp literals with odd keyword casing
+    ("select dAte '2016-03-12' AS v", "select DATE '2016-03-12' AS v"),
+    ("select tImEstAmp '2016-03-11 20:54:00.000' AS v",
+     "select TIMESTAMP '2016-03-11 20:54:00' AS v"),
+    # big decimal suffix
+    ("select 90912830918230182310293801923652346786BD AS a, "
+     "123.0E-28BD AS b, 123.08BD AS c",
+     "select CAST('90912830918230182310293801923652346786' AS "
+     "DECIMAL(38,0)) AS a, CAST('0.0000000000000000000000000123' AS "
+     "DECIMAL(38,29)) AS b, CAST(123.08 AS DECIMAL(5,2)) AS c"),
+    # hexadecimal binary literal (wire renders \x hex)
+    ("select x'2379ACFe' AS v", "select '\\x2379acfe' AS v"),
+    # Hive literal_double battery
+    ("SELECT 3.14 AS a, -3.14 AS b, 3.14e8 AS c, 3.14e-8 AS d, "
+     "-3.14e8 AS e, -3.14e-8 AS f, 3.14e+8 AS g, 3.14E8 AS h, "
+     "3.14E-8 AS i",
+     "SELECT 3.14 AS a, -3.14 AS b, 3.14e8 AS c, 3.14e-8 AS d, "
+     "-3.14e8 AS e, -3.14e-8 AS f, 3.14e8 AS g, 3.14e8 AS h, "
+     "3.14e-8 AS i"),
+    # typed integer expression + sign awareness
+    ("select +interval '1 day' AS v", "select '1 day' AS v"),
+]
+
+NEGATIVE_WAVE45 = [
+    # Spark 4 UNSUPPORTED_TYPED_LITERAL: integer '7' (the Spark 3 golden
+    # ran it; only DATE/TIMESTAMP/TIME/INTERVAL/X literals remain)
+    "select integer '7'",
+    "select integer'7'",
+    "select -integer '7'",
+    # Spark 4 unary + is strictly numeric/interval (Spark 3 passed
+    # date/timestamp/map/array/struct/binary through)
+    "select +date '1999-01-01'",
+    "select +timestamp '1999-01-01'",
+    "select +map(1, 2)",
+    "select +array(1, 2)",
+    "select +named_struct('a', 1, 'b', 'spark')",
+    "select +X'1'",
+    # out-of-range typed literals
+    "select 128Y",
+    "select 32768S",
+    "select 9223372036854775808L",
+    # out-of-range decimals / doubles
+    "select 1234567890123456789012345678901234567890",
+    "select 1234567890123456789012345678901234567890.0",
+    "select 1E309, -1E309",
+    "select 1.20E-38BD",
+    # malformed double
+    "select .e3",
+    # invalid date/timestamp literals
+    "select date 'mar 11 2016'",
+    "select timestamp '2016-33-11 20:54:00.000'",
+    # unsupported type keyword / invalid hex
+    "select GEO '(10,-6)'",
+    "select X'XuZ'",
+    "select integer '2147483648'",
+    # can't negate date/timestamp/binary
+    "select -date '1999-01-01'",
+    "select -timestamp '1999-01-01'",
+    "select -x'2379ACFe'",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 46 (r9) — datetime.sql remainder: current_date/current_timestamp
+# literal-vs-function (SPARK-22333 column shadowing — DuckDB keeps the
+# reserved-word reading, oracles pin values), weekday/dayofweek incl.
+# 1582-10-15, date/timestamp literals with trailing whitespace escapes,
+# timestamp±interval and string-coerced interval arithmetic, timestamp
+# and date subtraction (day-time interval TEXT oracles — this wave's
+# drive caught the negative-fractional-interval renderer bug), the
+# date_add/date_sub type battery (tinyint/smallint/int/STRING coerce;
+# long/double/1E1 are ANSI negatives where the Spark 3 golden coerced).
+# --------------------------------------------------------------------------
+CORPUS += [
+    ("select current_date = current_date() AS a, "
+     "current_timestamp = current_timestamp() AS b",
+     "select true AS a, true AS b"),
+    # SPARK-22333: a column named current_date beats the function call
+    ("WITH ttf1(current_date, current_timestamp) AS (SELECT * FROM "
+     "(VALUES (1, 2), (2, 3)) v(a, b)) "
+     "SELECT current_date, current_timestamp FROM ttf1 ORDER BY 1",
+     "SELECT 1 AS a, 2 AS b UNION ALL SELECT 2, 3 ORDER BY 1"),
+    ("WITH ttf2(a, b) AS (SELECT * FROM (VALUES (1, 2), (2, 3)) v(a, b)) "
+     "SELECT current_date = current_date() AS c1, "
+     "current_timestamp = current_timestamp() AS c2, a, b FROM ttf2 "
+     "ORDER BY a",
+     "SELECT true AS c1, true AS c2, 1 AS a, 2 AS b "
+     "UNION ALL SELECT true, true, 2, 3 ORDER BY a"),
+    ("WITH ttf2(a, b) AS (SELECT * FROM (VALUES (1, 2), (2, 3)) v(a, b)) "
+     "SELECT a, b FROM ttf2 ORDER BY a, current_date",
+     "WITH ttf2(a, b) AS (SELECT * FROM (VALUES (1, 2), (2, 3)) v(a, b)) "
+     "SELECT a, b FROM ttf2 ORDER BY a"),
+    # weekday (Spark-only: Monday=0) and 1582 dayofweek
+    ("select weekday('2007-02-03') AS a, weekday('2009-07-30') AS b, "
+     "weekday('2017-05-27') AS c, weekday(null) AS d, "
+     "weekday('1582-10-15 13:10:15') AS e",
+     "select 5 AS a, 3 AS b, 5 AS c, CAST(NULL AS INT) AS d, 4 AS e"),
+    ("select dayofweek('2017-05-27') AS a, "
+     "dayofweek('1582-10-15 13:10:15') AS b",
+     "select 7 AS a, 6 AS b"),
+    ("select year('1500-01-01') AS y, month('1500-01-01') AS m, "
+     "dayOfYear('1500-01-01') AS d", "select 1500 AS y, 1 AS m, 1 AS d"),
+    # literals with trailing whitespace escape
+    ("select date '2019-01-01\\t' AS v", "select DATE '2019-01-01' AS v"),
+    ("select timestamp '2019-01-01\\t' AS v",
+     "select TIMESTAMP '2019-01-01' AS v"),
+    # time add/sub
+    ("select timestamp'2011-11-11 11:11:11' + interval '2' day AS v",
+     "select TIMESTAMP '2011-11-13 11:11:11' AS v"),
+    ("select timestamp'2011-11-11 11:11:11' - interval '2' day AS v",
+     "select TIMESTAMP '2011-11-09 11:11:11' AS v"),
+    ("select date'2011-11-11' + interval '2' second AS v",
+     "select TIMESTAMP '2011-11-11 00:00:02' AS v"),
+    ("select date'2011-11-11' - interval '2' second AS v",
+     "select TIMESTAMP '2011-11-10 23:59:58' AS v"),
+    # string coerces to timestamp for interval arithmetic
+    ("select '2011-11-11' - interval '2' day AS v",
+     "select '2011-11-09 00:00:00' AS v"),
+    ("select '2011-11-11 11:11:11' - interval '2' second AS v",
+     "select '2011-11-11 11:11:09' AS v"),
+    # subtract timestamps/dates -> day-time interval (TEXT oracles —
+    # the r7 interval-rendering lesson)
+    ("select date'2020-01-01' - timestamp'2019-10-06 10:11:12.345678' AS v",
+     "select '86 days 13:48:47.654322' AS v"),
+    ("select timestamp'2019-10-06 10:11:12.345678' - date'2020-01-01' AS v",
+     "select '-86 days -13:48:47.654322' AS v"),
+    ("select timestamp'2019-10-06 10:11:12.345678' - null AS v",
+     "select NULL AS v"),
+    ("select null - timestamp'2019-10-06 10:11:12.345678' AS v",
+     "select NULL AS v"),
+    # date add/sub battery
+    ("select date_add('2011-11-11', 1Y) AS a, date_add('2011-11-11', 1S) "
+     "AS b, date_add('2011-11-11', 1) AS c",
+     "select DATE '2011-11-12' AS a, DATE '2011-11-12' AS b, "
+     "DATE '2011-11-12' AS c"),
+    # a STRING day count coerces (unlike long/double — negatives below)
+    ("select date_add('2011-11-11', '1') AS v",
+     "select DATE '2011-11-12' AS v"),
+    ("select date_add(date'2011-11-11', 1) AS a, "
+     "date_sub(date'2011-11-11', 1) AS b",
+     "select DATE '2011-11-12' AS a, DATE '2011-11-10' AS b"),
+    ("select date_add(timestamp'2011-11-11', 1) AS a, "
+     "date_sub(timestamp'2011-11-11', 1) AS b",
+     "select DATE '2011-11-12' AS a, DATE '2011-11-10' AS b"),
+    ("select date_sub(null, 1) AS a, date_sub(date'2011-11-11', null) AS b",
+     "select CAST(NULL AS DATE) AS a, CAST(NULL AS DATE) AS b"),
+    ("select null + date '2001-09-28' AS v", "select CAST(NULL AS DATE) AS v"),
+    ("select date '2001-09-28' + 7Y AS v", "select DATE '2001-10-05' AS v"),
+    ("select 7S + date '2001-09-28' AS v", "select DATE '2001-10-05' AS v"),
+    ("select date '2001-10-01' - 7 AS v", "select DATE '2001-09-24' AS v"),
+    ("select date '2001-09-28' + null AS v", "select CAST(NULL AS DATE) AS v"),
+    ("select date '2001-09-28' - null AS v", "select CAST(NULL AS DATE) AS v"),
+    # subtract dates -> day-time interval
+    ("select null - date '2019-10-06' AS v", "select NULL AS v"),
+    ("select date '2001-10-01' - date '2001-09-28' AS v",
+     "select '3 days' AS v"),
+]
+
+NEGATIVE_WAVE46 = [
+    # ANSI: non-integral day counts and bad casts error (the Spark 3
+    # golden coerced/NULLed)
+    "select date_add('2011-11-11', 1L)",
+    "select date_add('2011-11-11', 1.0)",
+    "select date_add('2011-11-11', 1E1)",
+    "select date'2011-11-11' + 1E1",
+    "select '1' - interval '2' second",
+    "select 1 - interval '2' second",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 47 (r9) — higher-order-functions.sql port: transform (identity /
+# index / outer-reference / constant fn), filter, aggregate (incl. a
+# struct accumulator with a finish lambda — one IEEE division),
+# exists, zip_with (extends to the LONGER side padding NULL),
+# transform_keys/transform_values. array<array<int>> results can't
+# ride the wire (nested array oids rejected, reference parity) — those
+# wrap in to_json. Transforming map KEYS rebuilds the hash map so
+# entry order relocates (deterministic per Spark version; pinned).
+# `all` works as a lambda parameter on Spark 4.
+# --------------------------------------------------------------------------
+_HFX = (
+    "WITH nested(x, ys, zs) AS (SELECT * FROM (VALUES "
+    "(1, array(32, 97), array(array(12, 99), array(123, 42), array(1))), "
+    "(2, array(77, -76), array(array(6, 96, 65), array(-1, -2))), "
+    "(3, array(12), array(array(17)))) t(x, ys, zs)) "
+)
+_MFX = (
+    "WITH nested(x, ys) AS (SELECT * FROM (VALUES "
+    "(1, map(1, 1, 2, 2, 3, 3)), (2, map(4, 4, 5, 5, 6, 6))) t(x, ys)) "
+)
+
+CORPUS += [
+    # identity transform (nested result → to_json)
+    (_HFX + "SELECT to_json(transform(zs, z -> z)) AS v FROM nested "
+     "ORDER BY x",
+     "SELECT '[[12,99],[123,42],[1]]' AS v UNION ALL "
+     "SELECT '[[6,96,65],[-1,-2]]' UNION ALL SELECT '[[17]]'"),
+    # transform an array / with index
+    (_HFX + "SELECT transform(ys, y -> y * y) AS v FROM nested ORDER BY x",
+     "SELECT '{1024,9409}' AS v UNION ALL SELECT '{5929,5776}' "
+     "UNION ALL SELECT '{144}'"),
+    (_HFX + "SELECT transform(ys, (y, i) -> y + i) AS v FROM nested "
+     "ORDER BY x",
+     "SELECT '{32,98}' AS v UNION ALL SELECT '{77,-75}' "
+     "UNION ALL SELECT '{12}'"),
+    # transform with an outer-column reference (nested → to_json)
+    (_HFX + "SELECT to_json(transform(zs, z -> concat(ys, z))) AS v "
+     "FROM nested ORDER BY x",
+     "SELECT '[[32,97,12,99],[32,97,123,42],[32,97,1]]' AS v UNION ALL "
+     "SELECT '[[77,-76,6,96,65],[77,-76,-1,-2]]' UNION ALL "
+     "SELECT '[[12,17]]'"),
+    # transform a null array
+    ("SELECT transform(cast(null AS array<int>), x -> x + 1) AS v",
+     "SELECT NULL AS v"),
+    # filter
+    (_HFX + "SELECT filter(ys, y -> y > 30) AS v FROM nested ORDER BY x",
+     "SELECT '{32,97}' AS v UNION ALL SELECT '{77}' UNION ALL SELECT '{}'"),
+    ("SELECT filter(cast(null AS array<int>), y -> true) AS v",
+     "SELECT NULL AS v"),
+    (_HFX + "SELECT to_json(transform(zs, z -> filter(z, zz -> zz > 50))) "
+     "AS v FROM nested ORDER BY x",
+     "SELECT '[[99],[123],[]]' AS v UNION ALL SELECT '[[96,65],[]]' "
+     "UNION ALL SELECT '[[]]'"),
+    # aggregate with an outer reference
+    (_HFX + "SELECT aggregate(ys, 0, (y, a) -> y + a + x) AS v "
+     "FROM nested ORDER BY x",
+     "SELECT 131 AS v UNION ALL SELECT 5 UNION ALL SELECT 15"),
+    # aggregate average via a struct accumulator + finish lambda
+    (_HFX + "SELECT aggregate(ys, (0 AS sum, 0 AS n), "
+     "(acc, x) -> (acc.sum + x, acc.n + 1), acc -> acc.sum / acc.n) AS v "
+     "FROM nested ORDER BY x",
+     "SELECT 64.5 AS v UNION ALL SELECT 0.5 UNION ALL SELECT 12.0"),
+    # aggregate nested arrays
+    (_HFX + "SELECT transform(zs, z -> aggregate(z, 1, "
+     "(acc, val) -> acc * val * size(z))) AS v FROM nested ORDER BY x",
+     "SELECT '{4752,20664,1}' AS v UNION ALL SELECT '{1010880,8}' "
+     "UNION ALL SELECT '{17}'"),
+    ("SELECT aggregate(cast(null AS array<int>), 0, (a, y) -> a + y + 1, "
+     "a -> a + 2) AS v", "SELECT NULL AS v"),
+    # exists
+    (_HFX + "SELECT exists(ys, y -> y > 30) AS v FROM nested ORDER BY x",
+     "SELECT true AS v UNION ALL SELECT true UNION ALL SELECT false"),
+    ("SELECT exists(cast(null AS array<int>), y -> y > 30) AS v",
+     "SELECT NULL AS v"),
+    # zip_with
+    (_HFX + "SELECT zip_with(ys, zs, (a, b) -> a + size(b)) AS v "
+     "FROM nested ORDER BY x",
+     # zip_with extends to the LONGER side, padding with NULL
+     "SELECT '{34,99,NULL}' AS v UNION ALL SELECT '{80,-74}' "
+     "UNION ALL SELECT '{13}'"),
+    ("SELECT zip_with(array('a', 'b', 'c'), array('d', 'e', 'f'), "
+     "(x, y) -> concat(x, y)) AS v", "SELECT '{\"ad\",\"be\",\"cf\"}' AS v"),
+    ("SELECT zip_with(array('a'), array('d', null, 'f'), "
+     "(x, y) -> coalesce(x, y)) AS v", "SELECT '{\"a\",NULL,\"f\"}' AS v"),
+    # map transforms (map cells render JSON; insertion order is stable)
+    (_MFX + "SELECT transform_keys(ys, (k, v) -> k) AS v FROM nested "
+     "ORDER BY x",
+     "SELECT '{\"1\":1,\"2\":2,\"3\":3}' AS v UNION ALL "
+     "SELECT '{\"4\":4,\"5\":5,\"6\":6}'"),
+    # transforming KEYS rebuilds the hash map — entry order relocates
+    # (deterministic per Spark version; pinned as observed)
+    (_MFX + "SELECT transform_keys(ys, (k, v) -> k + 1) AS v FROM nested "
+     "ORDER BY x",
+     "SELECT '{\"4\":3,\"2\":1,\"3\":2}' AS v UNION ALL "
+     "SELECT '{\"5\":4,\"6\":5,\"7\":6}'"),
+    (_MFX + "SELECT transform_keys(ys, (k, v) -> k + v) AS v FROM nested "
+     "ORDER BY x",
+     "SELECT '{\"4\":2,\"2\":1,\"6\":3}' AS v UNION ALL "
+     "SELECT '{\"8\":4,\"12\":6,\"10\":5}'"),
+    (_MFX + "SELECT transform_values(ys, (k, v) -> v) AS v FROM nested "
+     "ORDER BY x",
+     "SELECT '{\"1\":1,\"2\":2,\"3\":3}' AS v UNION ALL "
+     "SELECT '{\"4\":4,\"5\":5,\"6\":6}'"),
+    (_MFX + "SELECT transform_values(ys, (k, v) -> v + 1) AS v FROM nested "
+     "ORDER BY x",
+     "SELECT '{\"1\":2,\"2\":3,\"3\":4}' AS v UNION ALL "
+     "SELECT '{\"4\":5,\"5\":6,\"6\":7}'"),
+    (_MFX + "SELECT transform_values(ys, (k, v) -> k + v) AS v FROM nested "
+     "ORDER BY x",
+     "SELECT '{\"1\":2,\"2\":4,\"3\":6}' AS v UNION ALL "
+     "SELECT '{\"4\":8,\"5\":10,\"6\":12}'"),
+]
+
+CORPUS += [
+    # a CONSTANT transform function is legal (array of zeros)
+    ("WITH t(ys) AS (SELECT array(32, 97)) "
+     "SELECT transform(ys, 0) AS v FROM t", "SELECT '{0,0}' AS v"),
+    # `all` works as a lambda parameter even under ANSI (Spark 4)
+    ("SELECT transform(ys, all -> all * all) AS v "
+     "FROM (VALUES (array(32, 97))) t(ys)", "SELECT '{1024,9409}' AS v"),
+    ("SELECT transform(ys, (all, i) -> all + i) AS v "
+     "FROM (VALUES (array(32, 97))) t(ys)", "SELECT '{32,98}' AS v"),
+]
+
+NEGATIVE_WAVE47 = [
+    # lambdas only in higher-order functions
+    "SELECT upper(x -> x) AS v",
+]
+
+
+# --------------------------------------------------------------------------
+# wave 48 (r9) — top-level interval.sql remainder: make_interval
+# arities (CalendarIntervalType renders via Spark's string cast — no
+# INTERVAL prefix on the wire), signed string->interval casts (Spark 4
+# NULLs double-signed forms), fractional-second literals TRUNCATE
+# nanos, ANSI interval sum/avg with group-by/having/window (Spark 4
+# REJECTS sum/avg over legacy CalendarIntervalType — negative pins
+# where the Spark 3 golden aggregated), YM and DT arithmetic batteries
+# over date/timestamp, control-character whitespace in interval
+# strings, the malformed-literal battery. This wave's drive caught the
+# trailing-fractional-zero renderer gap (PG prints '00:00:01.5').
+# --------------------------------------------------------------------------
+_AFX = ("WITH interval_arithmetic(dateval, tsval) AS (SELECT "
+        "DATE '2012-01-01', TIMESTAMP '2012-01-01') ")
+_SFX = ("WITH t(i, v) AS (SELECT * FROM (VALUES "
+        "(1, interval '-7' day), (2, interval '2' second), "
+        "(3, CAST(NULL AS INTERVAL DAY TO SECOND)), "
+        "(1, interval '5' day)) x(i, v)) ")
+
+CORPUS += [
+    # make_interval arities (CalendarIntervalType -> string cast render)
+    ("select make_interval(1) AS v", "select '1 years' AS v"),
+    ("select make_interval(1, 2) AS v",
+     "select '1 years 2 months' AS v"),
+    ("select make_interval(1, 2, 3) AS v",
+     "select '1 years 2 months 21 days' AS v"),
+    ("select make_interval(1, 2, 3, 4) AS v",
+     "select '1 years 2 months 25 days' AS v"),
+    ("select make_interval(1, 2, 3, 4, 5) AS v",
+     "select '1 years 2 months 25 days 5 hours' AS v"),
+    ("select make_interval(1, 2, 3, 4, 5, 6) AS v",
+     "select '1 years 2 months 25 days 5 hours 6 minutes' AS v"),
+    ("select make_interval(1, 2, 3, 4, 5, 6, 7.008009) AS v",
+     "select '1 years 2 months 25 days 5 hours 6 minutes "
+     "7.008009 seconds' AS v"),
+    # string -> interval casts with signs
+    ("select cast('1 second' as interval) AS v",
+     "select '1 seconds' AS v"),
+    ("select cast('+1 second' as interval) AS v",
+     "select '1 seconds' AS v"),
+    ("select cast('-1 second' as interval) AS v",
+     "select '-1 seconds' AS v"),
+    ("select cast('+     1 second' as interval) AS v",
+     "select '1 seconds' AS v"),
+    ("select cast('-     1 second' as interval) AS v",
+     "select '-1 seconds' AS v"),
+    # Spark 4 returns NULL for double-signed strings (Spark 3 parsed
+    # '- -1 second' as +1)
+    ("select cast('- -1 second' as interval) AS v", "select NULL AS v"),
+    ("select cast('- +1 second' as interval) AS v", "select NULL AS v"),
+    # fractional-second literals TRUNCATE nanos to micros
+    ("select interval 13.123456789 seconds AS a, "
+     "interval -13.123456789 second AS b",
+     "select '00:00:13.123456' AS a, '-00:00:13.123456' AS b"),
+    # ANSI interval sums (typed DT renders via the PG encoder)
+    ("select sum(v) AS v from VALUES (interval '1' second), "
+     "(interval '2' second), (CAST(NULL AS INTERVAL SECOND)) t(v)",
+     "select '00:00:03' AS v"),
+    ("select sum(v) AS v from VALUES (interval '-1' second), "
+     "(interval '2' second), (CAST(NULL AS INTERVAL SECOND)) t(v)",
+     "select '00:00:01' AS v"),
+    ("select sum(v) AS v from VALUES (interval '-1' second), "
+     "(interval '-2' second), (CAST(NULL AS INTERVAL SECOND)) t(v)",
+     "select '-00:00:03' AS v"),
+    ("select sum(v) AS v from VALUES (interval '-7' day), "
+     "(CAST(interval '2' second AS INTERVAL DAY TO SECOND)), "
+     "(CAST(NULL AS INTERVAL DAY TO SECOND)) t(v)",
+     "select '-6 days -23:59:58' AS v"),
+    (_SFX + "select i, sum(v) AS s from t group by i order by i",
+     "SELECT 1 AS i, '-2 days' AS s UNION ALL SELECT 2, '00:00:02' "
+     "UNION ALL SELECT 3, NULL ORDER BY i"),
+    (_SFX + "select sum(v) AS sv from t having sv is not null",
+     "select '-1 days -23:59:58' AS sv"),
+    ("SELECT i, sum(v) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW AND "
+     "UNBOUNDED FOLLOWING) AS s FROM VALUES (1, interval '1' second), "
+     "(1, interval '2' second), (2, CAST(NULL AS INTERVAL SECOND)), "
+     "(2, CAST(NULL AS INTERVAL SECOND)) t(i, v) "
+     "ORDER BY i, s NULLS FIRST",
+     "SELECT 1 AS i, '00:00:03' AS s UNION ALL SELECT 1, '00:00:02' "
+     "UNION ALL SELECT 2, NULL UNION ALL SELECT 2, NULL "
+     "ORDER BY i, s NULLS FIRST"),
+    # ANSI interval averages (one IEEE division over exact micros)
+    ("select avg(v) AS v from VALUES (interval '1' second), "
+     "(interval '2' second), (CAST(NULL AS INTERVAL SECOND)) t(v)",
+     "select '00:00:01.5' AS v"),
+    ("select avg(v) AS v from VALUES (interval '-1' second), "
+     "(interval '2' second), (CAST(NULL AS INTERVAL SECOND)) t(v)",
+     "select '00:00:00.5' AS v"),
+    ("select avg(v) AS v from VALUES (interval '-1' second), "
+     "(interval '-2' second), (CAST(NULL AS INTERVAL SECOND)) t(v)",
+     "select '-00:00:01.5' AS v"),
+    (_SFX + "select i, avg(v) AS s from t group by i order by i",
+     "SELECT 1 AS i, '-1 days' AS s UNION ALL SELECT 2, '00:00:02' "
+     "UNION ALL SELECT 3, NULL ORDER BY i"),
+    # YM arithmetic battery over dates and timestamps
+    (_AFX + "select dateval - interval '2-2' year to month AS a, "
+     "dateval - interval '-2-2' year to month AS b, "
+     "dateval + interval '2-2' year to month AS c, "
+     "dateval + interval '-2-2' year to month AS d, "
+     "- interval '2-2' year to month + dateval AS e, "
+     "interval '2-2' year to month + dateval AS f "
+     "from interval_arithmetic",
+     "select DATE '2009-11-01' AS a, DATE '2014-03-01' AS b, "
+     "DATE '2014-03-01' AS c, DATE '2009-11-01' AS d, "
+     "DATE '2009-11-01' AS e, DATE '2014-03-01' AS f"),
+    (_AFX + "select tsval - interval '2-2' year to month AS a, "
+     "tsval + interval '2-2' year to month AS b, "
+     "- interval '2-2' year to month + tsval AS c "
+     "from interval_arithmetic",
+     "select TIMESTAMP '2009-11-01' AS a, TIMESTAMP '2014-03-01' AS b, "
+     "TIMESTAMP '2009-11-01' AS c"),
+    ("select interval '2-2' year to month + interval '3-3' year to month "
+     "AS a, interval '2-2' year to month - interval '3-3' year to month "
+     "AS b", "select '5 years 5 mons' AS a, '-1 years -1 mons' AS b"),
+    # DT arithmetic battery (nanos truncate to micros)
+    (_AFX + "select dateval - interval '99 11:22:33.123456789' "
+     "day to second AS a, "
+     "dateval + interval '99 11:22:33.123456789' day to second AS b, "
+     "-interval '99 11:22:33.123456789' day to second + dateval AS c "
+     "from interval_arithmetic",
+     "select TIMESTAMP '2011-09-23 12:37:26.876544' AS a, "
+     "TIMESTAMP '2012-04-09 11:22:33.123456' AS b, "
+     "TIMESTAMP '2011-09-23 12:37:26.876544' AS c"),
+    (_AFX + "select tsval + interval '99 11:22:33.123456789' "
+     "day to second AS a from interval_arithmetic",
+     "select TIMESTAMP '2012-04-09 11:22:33.123456' AS a"),
+    ("select interval '99 11:22:33.123456789' day to second + "
+     "interval '10 9:8:7.123456789' day to second AS a, "
+     "interval '99 11:22:33.123456789' day to second - "
+     "interval '10 9:8:7.123456789' day to second AS b",
+     "select '109 days 20:30:40.246912' AS a, "
+     "'89 days 02:14:26' AS b"),
+    # control characters as whitespace in interval strings
+    ("select interval '1\\t' day AS v", "select '1 day' AS v"),
+    ("select interval '1 ' day AS v", "select '1 day' AS v"),
+]
+
+NEGATIVE_WAVE48 = [
+    # Spark 4: sum/avg take NUMERIC or ANSI intervals — the legacy
+    # CalendarIntervalType from cast(string AS interval) rejects (the
+    # Spark 3 golden summed it; pinned divergence)
+    "select sum(cast(null as interval))",
+    "select sum(cast(v as interval)) from VALUES ('1 seconds'), "
+    "('2 seconds'), (null) t(v)",
+    "select avg(cast(v as interval)) from VALUES ('1 seconds'), "
+    "('2 seconds'), (null) t(v)",
+    # malformed interval literals
+    "select interval",
+    "select interval 1 fake_unit",
+    "select interval 1 year to month",
+    "select interval '1' year to second",
+    "select interval '10-9' year to month '2-1' year to month",
+    "select interval '10-9' year to month '12:11:10' hour to second",
+    "select interval '1 15:11' day to minute '12:11:10' hour to second",
+    "select interval 1 year '2-1' year to month",
+    "select interval '10-9' year to month '1' year",
+    "select interval (-30) day",
+    "select interval (a + 1) day",
+    "select interval 30 day day day",
+    # nanoseconds is not a unit
+    "select interval 10 nanoseconds",
+    # Spark 4 rejects MIXED (YM+DT) unquoted multi-unit literals
+    "select interval 1 year 2 month 3 week 4 day 5 hour 6 minute "
+    "7 seconds 8 millisecond 9 microsecond",
+]
+
+
 @pytest.mark.parametrize("case", range(len(CORPUS)))
 def test_corpus_over_wire(server, duck, case):
     pg_sql, oracle = CORPUS[case]
@@ -4498,8 +6051,9 @@ NEGATIVE_CORPUS: list[str] = [
     # golden; ANSI coerces 'a' toward BIGINT and errors
     "SELECT c FROM (SELECT 'a' AS c UNION ALL SELECT 4) u",
     # extract.sql: PG fields Spark has no equivalent for error cleanly
-    "SELECT extract(millennium FROM TIMESTAMP '2011-05-06 07:08:09')",
-    "SELECT extract(decade FROM TIMESTAMP '2011-05-06 07:08:09')",
+    # (millennium/decade moved to the POSITIVE corpus when the r9 wave-26
+    # dialect pass started rewriting them — stale negatives caught by a
+    # live-psql probe this round)
     "SELECT extract(isoyear FROM TIMESTAMP '2011-05-06 07:08:09')",
     # boolean.sql: Spark's ANSI boolean cast rejects PG's extra
     # spellings ('on'/'off') and the garbage inputs PG also rejects
@@ -4533,6 +6087,18 @@ NEGATIVE_CORPUS += NEGATIVE_WAVE33
 NEGATIVE_CORPUS += NEGATIVE_WAVE34
 NEGATIVE_CORPUS += NEGATIVE_WAVE35
 NEGATIVE_CORPUS += NEGATIVE_WAVE36
+NEGATIVE_CORPUS += NEGATIVE_WAVE37
+NEGATIVE_CORPUS += NEGATIVE_WAVE38
+NEGATIVE_CORPUS += NEGATIVE_WAVE39
+NEGATIVE_CORPUS += NEGATIVE_WAVE40
+NEGATIVE_CORPUS += NEGATIVE_WAVE41
+NEGATIVE_CORPUS += NEGATIVE_WAVE42
+NEGATIVE_CORPUS += NEGATIVE_WAVE43
+NEGATIVE_CORPUS += NEGATIVE_WAVE44
+NEGATIVE_CORPUS += NEGATIVE_WAVE45
+NEGATIVE_CORPUS += NEGATIVE_WAVE46
+NEGATIVE_CORPUS += NEGATIVE_WAVE47
+NEGATIVE_CORPUS += NEGATIVE_WAVE48
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))

@@ -43,6 +43,10 @@ BINARY_CAPABLE = (
 
 
 def _json_default(v):
+    if isinstance(v, timedelta):
+        # intervals nested in array/map/struct cells render PG-style
+        # ('1 day'), not Python's '1 day, 0:00:00'
+        return _interval_text(v)
     if isinstance(v, (datetime, date)):
         return str(v)
     if isinstance(v, Decimal):

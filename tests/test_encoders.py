@@ -87,6 +87,16 @@ class TestTextEncoders:
         enc = text_encoder(T.MapType(T.StringType(), T.IntegerType()))
         assert enc({"k": 1}) == '{"k":1}'
 
+    def test_interval_in_map_renders_pg_style(self):
+        # a day-time interval nested in a map/struct JSON cell renders
+        # PG-style, not Python's '1 day, 0:00:00'
+        day = T.DayTimeIntervalType(
+            T.DayTimeIntervalType.DAY, T.DayTimeIntervalType.SECOND
+        )
+        enc = text_encoder(T.MapType(T.IntegerType(), day))
+        assert enc({1: timedelta(days=1), 2: timedelta(days=21)}) == \
+            '{"1":"1 day","2":"21 days"}'
+
     def test_interval_day_typed(self):
         # DAY-typed intervals split a day component (PG style)
         day = T.DayTimeIntervalType(

@@ -48,8 +48,9 @@ class TestTextEncoders:
         assert enc(datetime(2020, 1, 2, 3, 4, 5, 6)) == "2020-01-02 03:04:05.000006"
 
     def test_array_braces(self):
-        # reference renders arrays as JSON with [] swapped for {}
-        # (converters.scala:370-388)
+        # braced PG array text (the reference's converters.scala:370-388
+        # JSON-swap produced the same shape for simple int arrays; the
+        # r9 element-wise renderer fixes its NULL/bool/struct cases)
         enc = text_encoder(T.ArrayType(T.IntegerType()))
         assert enc([1, 2, 3]) == "{1,2,3}"
 

@@ -5974,6 +5974,105 @@ NEGATIVE_WAVE48 = [
 ]
 
 
+# --------------------------------------------------------------------------
+# wave 49 (r9, post-suite — drive-green then verified individually under
+# pytest like r8's wave 25) — string-functions.sql remainder: replace
+# (2/3-arg), position variants, left/right coercion batteries, split
+# with a limit, the substr/substring positional + from/for form matrix
+# with negative starts, trim-set spellings. Two-arg TRIM(a, b) is PG's
+# TRIM(BOTH a FROM b) — it trims a's chars from b (PG parses the
+# function form reversed; Spark 4 matches, the Spark 3 golden had
+# (src, chars); DuckDB's trim(string, chars) is the OPPOSITE order so
+# oracles pin literals). uuid() shape. Negatives: zero-arg
+# concat_ws/format_string, ANSI non-numeric length casts.
+# --------------------------------------------------------------------------
+CORPUS += [
+    ("select 'a' || 'b' || 'c' AS v", None),
+    ("select replace('abc', 'b', '123') AS a, replace('abc', 'b') AS b",
+     "select 'a123c' AS a, 'ac' AS b"),
+    ("select length(uuid()) AS l, (uuid() <> uuid()) AS d",
+     "select 36 AS l, true AS d"),
+    ("select position('bar' in 'foobarbar') AS a, "
+     "position(null, 'foobarbar') AS b, position('aaads', null) AS c",
+     "select 4 AS a, CAST(NULL AS INT) AS b, CAST(NULL AS INT) AS c"),
+    # left/right batteries (string counts coerce; negatives/0 empty)
+    ("select left('abcd', 2) AS a, left('abcd', 5) AS b, "
+     "left('abcd', '2') AS c, left('abcd', null) AS d",
+     "select 'ab' AS a, 'abcd' AS b, 'ab' AS c, "
+     "CAST(NULL AS VARCHAR) AS d"),
+    ("select left(null, -2) AS a, left('abcd', -2) AS b, "
+     "left('abcd', 0) AS c",
+     "select CAST(NULL AS VARCHAR) AS a, '' AS b, '' AS c"),
+    ("select right('abcd', 2) AS a, right('abcd', 5) AS b, "
+     "right('abcd', '2') AS c, right('abcd', null) AS d",
+     "select 'cd' AS a, 'abcd' AS b, 'cd' AS c, "
+     "CAST(NULL AS VARCHAR) AS d"),
+    ("select right(null, -2) AS a, right('abcd', -2) AS b, "
+     "right('abcd', 0) AS c",
+     "select CAST(NULL AS VARCHAR) AS a, '' AS b, '' AS c"),
+    # split with a limit
+    ("SELECT split('aa1cc2ee3', '[1-9]+') AS v",
+     "SELECT '{\"aa\",\"cc\",\"ee\",\"\"}' AS v"),
+    ("SELECT split('aa1cc2ee3', '[1-9]+', 2) AS v",
+     "SELECT '{\"aa\",\"cc2ee3\"}' AS v"),
+    # substr/substring positional + from/for forms, negative starts
+    ("SELECT substr('Spark SQL', 5) AS a, substr('Spark SQL', -3) AS b, "
+     "substr('Spark SQL', 5, 1) AS c",
+     "SELECT 'k SQL' AS a, 'SQL' AS b, 'k' AS c"),
+    ("SELECT substr('Spark SQL' from 5) AS a, "
+     "substr('Spark SQL' from -3) AS b, "
+     "substr('Spark SQL' from 5 for 1) AS c",
+     "SELECT 'k SQL' AS a, 'SQL' AS b, 'k' AS c"),
+    ("SELECT substring('Spark SQL', 5) AS a, "
+     "substring('Spark SQL', -3) AS b, substring('Spark SQL', 5, 1) AS c",
+     "SELECT 'k SQL' AS a, 'SQL' AS b, 'k' AS c"),
+    ("SELECT substring('Spark SQL' from 5) AS a, "
+     "substring('Spark SQL' from -3) AS b, "
+     "substring('Spark SQL' from 5 for 1) AS c",
+     "SELECT 'k SQL' AS a, 'SQL' AS b, 'k' AS c"),
+    # trim-set spellings: two-arg PG order (string, chars) via the r7
+    # rewriter, and the standard TRIM(BOTH/LEADING/TRAILING ... FROM ...)
+    # two-arg TRIM(a, b) is PG's TRIM(BOTH a FROM b) — it trims a's
+    # CHARS from b (PG parses the function form reversed; Spark 4
+    # matches; DuckDB's trim(string, chars) is the opposite order, so
+    # the oracle pins literals). The Spark 3 golden had (src, chars).
+    ("SELECT trim('yxTomxx', 'xyz') AS a, "
+     "trim(BOTH 'xyz' FROM 'yxTomxx') AS b, "
+     "trim('xyz' FROM 'yxTomxx') AS c",
+     "SELECT 'z' AS a, 'Tom' AS b, 'Tom' AS c"),
+    ("SELECT trim('xxxbarxxx', 'x') AS a, "
+     "trim(BOTH 'x' FROM 'xxxbarxxx') AS b",
+     "SELECT '' AS a, 'bar' AS b"),
+    ("SELECT ltrim('zzzytest', 'xyz') AS a, "
+     "trim(LEADING 'xyz' FROM 'zzzytest') AS b",
+     "SELECT 'test' AS a, 'test' AS b"),
+    ("SELECT ltrim('zzzytestxyz', 'xyz') AS a, "
+     "trim(LEADING 'xyz' FROM 'zzzytestxyz') AS b",
+     "SELECT 'testxyz' AS a, 'testxyz' AS b"),
+    ("SELECT ltrim('xyxXxyLAST WORD', 'xy') AS a, "
+     "trim(LEADING 'xy' FROM 'xyxXxyLAST WORD') AS b",
+     "SELECT 'XxyLAST WORD' AS a, 'XxyLAST WORD' AS b"),
+    ("SELECT rtrim('testxxzx', 'xyz') AS a, "
+     "trim(TRAILING 'xyz' FROM 'testxxzx') AS b",
+     "SELECT 'test' AS a, 'test' AS b"),
+    ("SELECT rtrim('xyztestxxzx', 'xyz') AS a, "
+     "trim(TRAILING 'xyz' FROM 'xyztestxxzx') AS b",
+     "SELECT 'xyztest' AS a, 'xyztest' AS b"),
+    ("SELECT rtrim('TURNERyxXxy', 'xy') AS a, "
+     "trim(TRAILING 'xy' FROM 'TURNERyxXxy') AS b",
+     "SELECT 'TURNERyxX' AS a, 'TURNERyxX' AS b"),
+]
+
+NEGATIVE_WAVE49 = [
+    # zero-arg forms raise argument-number errors
+    "select concat_ws()",
+    "select format_string()",
+    # ANSI: a non-numeric length string fails the cast
+    "select left('abcd', 'a')",
+    "select right('abcd', 'a')",
+]
+
+
 @pytest.mark.parametrize("case", range(len(CORPUS)))
 def test_corpus_over_wire(server, duck, case):
     pg_sql, oracle = CORPUS[case]
@@ -6099,6 +6198,7 @@ NEGATIVE_CORPUS += NEGATIVE_WAVE45
 NEGATIVE_CORPUS += NEGATIVE_WAVE46
 NEGATIVE_CORPUS += NEGATIVE_WAVE47
 NEGATIVE_CORPUS += NEGATIVE_WAVE48
+NEGATIVE_CORPUS += NEGATIVE_WAVE49
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))

@@ -22,6 +22,7 @@ from spark_sql_server_spark.operators import (  # noqa: F401
     relational7,
     relational8,
     relational9,
+    relational10,
     sampling,
     similarity,
     sketches,
@@ -46,10 +47,20 @@ _DRIVER_SAMPLE_PRIORITY = [
     # (r1-certified, then r2, then r3): the rewriter/encoders/session
     # code under them has changed over six rounds while their
     # certification is 6+ rounds stale.
-    # --- new this round (wave 12: q10/q40/q84; wave 13: q30/q69) ---
+    # --- new this round (wave 12: q10/q40/q84; wave 13: q30/q69;
+    #     waves 14-15: the final 17 sibling promotions — 99/99) ---
     "qds10_demographic_census", "qds40_price_change_netting",
     "qds84_chained_dim_lookup", "qds30_state_excess_returners",
     "qds69_semi_anti_census",
+    "qds3_brand_month_star", "qds12_class_revenue_ratio",
+    "qds20_catalog_class_ratio", "qds19_brand_geo_mismatch",
+    "qds26_promo_demographic_means", "qds27_rollup_demographic_means",
+    "qds48_disjunct_band_sum", "qds53_quarterly_cov_screen",
+    "qds57_entity_monthly_neighbors", "qds62_warehouse_ship_buckets",
+    "qds68_city_basket_detail", "qds71_time_of_day_union",
+    "qds73_guarded_count_band", "qds79_weekday_ticket_profit",
+    "qds86_rollup_rank_parent", "qds92_excess_discount",
+    "qds94_multiwarehouse_no_returns",
     # --- latest driver row is r1 (17 ops) ---
     "q_using_join", "q_natural_join", "q_cross_join",
     "q_window_rank", "q_window_running", "q_window_range",
@@ -63,15 +74,17 @@ _DRIVER_SAMPLE_PRIORITY = [
     # covered by a sampled sibling) ---
     "q_funnel", "q_cohort_retention", "d_dup_groups",
     "d_ngram_jaccard", "d_dedup_apply", "d_embedding_neardup",
-    "p_python_udtf", "q_agg_distinct", "q_rollup", "q_grouping_sets",
+    "p_python_udtf",
+    # ---- 50-slot cut falls here ----
+    # r10 rotation priority: the 30 deferred r3-certified ops (the
+    # wave-14-15 promotions pushed 17 more past the cut — new ops
+    # without any driver row outrank stale-but-green re-samples)
+    "q_agg_distinct", "q_rollup", "q_grouping_sets",
     "q_pivot", "q_stats_agg", "q2_order_priority",
     "q5_region_revenue", "d_substring_dups", "d_minhash_lsh",
     "d_simhash", "d_jaccard_histogram", "m_media_meta",
     "t_decontaminate", "t_stratified_sample", "t_text_stats",
     "t_lang_id", "t_quality_score",
-    # ---- 50-slot cut falls here ----
-    # r10 rotation priority: the 13 deferred r3-certified ops (the
-    # wave-13 promotions pushed t_fingerprint/t_pii_scrub past the cut)
     "t_fingerprint", "t_pii_scrub",
     "d_dup_clusters", "d_simhash_pairs", "d_editdist_dups",
     "d_minhash_est", "t_lang_predict", "t_pack_contexts",

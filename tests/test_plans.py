@@ -1105,6 +1105,149 @@ class TestTpcdsWave10Plans:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def _no_nlj(plan: str) -> None:
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestTpcdsWave14Plans:
+    """r9 waves 14-15: the final 17 sibling promotions (relational10).
+
+    Every op must stay equi-join-only (no cartesian / BNLJ even where
+    the WHERE carries cross-dimension <> residuals), broadcast its
+    dims, and head LIMITs with TakeOrderedAndProject."""
+
+    def test_qds3_star_topk(self, spark):
+        plan = plan_of(spark, "qds3_brand_month_star")
+        _no_nlj(plan)
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_qds12_window_share(self, spark):
+        plan = plan_of(spark, "qds12_class_revenue_ratio")
+        _no_nlj(plan)
+        assert "Window" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_qds20_window_share(self, spark):
+        plan = plan_of(spark, "qds20_catalog_class_ratio")
+        _no_nlj(plan)
+        assert "Window" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_qds19_cross_dim_residual_stays_equi(self, spark):
+        # the c_nationkey <> s_nationkey residual must NOT degrade the
+        # join tree to a nested loop — every join stays equi-keyed
+        plan = plan_of(spark, "qds19_brand_geo_mismatch")
+        _no_nlj(plan)
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "TakeOrderedAndProject" in plan
+
+    def test_qds26_means_broadcast_star(self, spark):
+        plan = plan_of(spark, "qds26_promo_demographic_means")
+        _no_nlj(plan)
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "TakeOrderedAndProject" in plan
+
+    def test_qds27_rollup_expand(self, spark):
+        plan = plan_of(spark, "qds27_rollup_demographic_means")
+        _no_nlj(plan)
+        assert "Expand" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_qds48_single_pass_disjunction(self, spark):
+        # the two OR blocks evaluate on one joined fact pass — no
+        # UNION rewrite, exactly one lineitem scan
+        plan = plan_of(spark, "qds48_disjunct_band_sum")
+        _no_nlj(plan)
+        li_scans = [
+            ln for ln in plan.splitlines()
+            if "Scan parquet" in ln and "lineitem" in ln
+        ]
+        assert len(li_scans) <= 1
+
+    def test_qds53_window_no_rescan(self, spark):
+        plan = plan_of(spark, "qds53_quarterly_cov_screen")
+        _no_nlj(plan)
+        assert "Window" in plan
+        li_scans = [
+            ln for ln in plan.splitlines()
+            if "Scan parquet" in ln and "lineitem" in ln
+        ]
+        assert len(li_scans) <= 1
+
+    def test_qds57_one_pass_neighbors(self, spark):
+        # LAG/LEAD + the year-average window replace the reference's
+        # TRIPLE self-join of the monthly CTE: one lineitem scan only
+        plan = plan_of(spark, "qds57_entity_monthly_neighbors")
+        _no_nlj(plan)
+        assert "Window" in plan
+        li_scans = [
+            ln for ln in plan.splitlines()
+            if "Scan parquet" in ln and "lineitem" in ln
+        ]
+        assert len(li_scans) <= 1
+
+    def test_qds62_broadcast_buckets(self, spark):
+        plan = plan_of(spark, "qds62_warehouse_ship_buckets")
+        _no_nlj(plan)
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_qds68_basket_joinback(self, spark):
+        plan = plan_of(spark, "qds68_city_basket_detail")
+        _no_nlj(plan)
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "TakeOrderedAndProject" in plan
+
+    def test_qds71_union_broadcast(self, spark):
+        plan = plan_of(spark, "qds71_time_of_day_union")
+        _no_nlj(plan)
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+        # the three channel slices push their event_type screens
+        assert any(
+            "event_type" in ln for ln in plan.splitlines()
+            if "PushedFilters" in ln
+        )
+
+    def test_qds73_guarded_band(self, spark):
+        plan = plan_of(spark, "qds73_guarded_count_band")
+        _no_nlj(plan)
+        assert "TakeOrderedAndProject" in plan
+
+    def test_qds79_weekday_report(self, spark):
+        plan = plan_of(spark, "qds79_weekday_ticket_profit")
+        _no_nlj(plan)
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "TakeOrderedAndProject" in plan
+
+    def test_qds86_rollup_rank(self, spark):
+        plan = plan_of(spark, "qds86_rollup_rank_parent")
+        _no_nlj(plan)
+        assert "Expand" in plan
+        assert "Window" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_qds92_window_not_correlated_rescan(self, spark):
+        # the per-item 1.3x-avg threshold rides a window — the
+        # reference's correlated subquery would re-scan the fact
+        plan = plan_of(spark, "qds92_excess_discount")
+        _no_nlj(plan)
+        assert "Window" in plan
+        li_scans = [
+            ln for ln in plan.splitlines()
+            if "Scan parquet" in ln and "lineitem" in ln
+        ]
+        assert len(li_scans) <= 1
+
+    def test_qds94_self_semi_and_anti(self, spark):
+        plan = plan_of(spark, "qds94_multiwarehouse_no_returns")
+        _no_nlj(plan)
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+
+
 class TestKmeansTreeReduce:
     def test_partials_reduced_before_collect(self, spark):
         """The k-means-family codebook fold must shuffle-reduce the

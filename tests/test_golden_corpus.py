@@ -6073,6 +6073,598 @@ NEGATIVE_WAVE49 = [
 ]
 
 
+# --------------------------------------------------------------------------
+# wave 50 (r9) — typeCoercion/native/decimalPrecision.sql, the FULL
+# matrix (the reference's single largest input file, ~1145 statements;
+# waves 5/23 took representative typeof pins). Generated, not
+# transcribed: the reference crosses {tinyint, smallint, int, bigint,
+# float, double, string, boolean, binary, date, timestamp} with
+# decimal(3,0)/(5,0)/(10,0)/(20,0) over +,-,*,/,%,pmod and the seven
+# comparisons in both operand orders; we regenerate that combo space
+# and PREDICT every result from Spark's public DecimalPrecision rules
+# (DecimalPrecision.scala / DecimalType.adjustPrecisionScale), with a
+# typeof() twin column certifying the precision/scale propagation of
+# every arithmetic result over the wire. All operands are 1, so values
+# are exact 0/1/2 at the result scale — no rounding anywhere.
+#
+# Engine-probed pins baked in (local-Spark probe, 832/832 exact):
+# * integral <op> decimal follows the plain precision algebra; the
+#   >38 overflow path (bigint vs decimal(20,0) multiply/divide) takes
+#   adjustPrecisionScale (e.g. /: scale max(6, s1+p2+1) then 38-cap →
+#   decimal(38,18) with text '1.000000000000000000').
+# * float/double with ANY decimal → double both directions ('2.0').
+# * string with ANY decimal → double arithmetic, boolean comparisons
+#   (Spark 4 ANSI semantics — the Spark 3 goldens widened string to
+#   the decimal side for comparisons).
+# * boolean/binary/date/timestamp with decimal: EVERY operator errors
+#   under Spark 4 ANSI (DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES /
+#   UNEXPECTED_INPUT_TYPE) where the Spark 3 goldens produced NULLs —
+#   pinned as negatives (one decimal width per combo: the width never
+#   changes the error class).
+# --------------------------------------------------------------------------
+
+_DP_NUMS = [("tinyint", 3, 0), ("smallint", 5, 0), ("int", 10, 0),
+            ("bigint", 20, 0)]
+_DP_DECS = [(3, 0), (5, 0), (10, 0), (20, 0)]
+_DP_ARITH = ["+", "-", "*", "/", "%"]
+_DP_CMPS = ["=", "<=>", "<", "<=", ">", ">=", "<>"]
+_DP_CMP_RESULT = {"=": "t", "<=>": "t", "<": "f", "<=": "t",
+                  ">": "f", ">=": "t", "<>": "f"}
+
+
+def _dp_adjust(prec: int, scale: int) -> tuple[int, int]:
+    """Spark DecimalType.adjustPrecisionScale (allowPrecisionLoss)."""
+    if prec <= 38:
+        return prec, scale
+    int_digits = prec - scale
+    adjusted = max(38 - int_digits, min(scale, 6))
+    return 38, adjusted
+
+
+def _dp_result_type(p1, s1, p2, s2, op) -> tuple[int, int]:
+    """Result (precision, scale) of decimal <op> decimal in Spark."""
+    if op in ("+", "-"):
+        scale = max(s1, s2)
+        prec = max(p1 - s1, p2 - s2) + scale + 1
+    elif op == "*":
+        prec, scale = p1 + p2 + 1, s1 + s2
+    elif op == "/":
+        scale = max(6, s1 + p2 + 1)
+        prec = p1 - s1 + s2 + scale
+    else:  # % and pmod
+        scale = max(s1, s2)
+        prec = min(p1 - s1, p2 - s2) + scale
+    return _dp_adjust(prec, scale)
+
+
+def _dp_text(value: int, scale: int) -> str:
+    """PG wire text of an exact decimal value at the given scale."""
+    return str(value) if scale == 0 else f"{value}.{'0' * scale}"
+
+
+_DP_ARITH_VALUE = {"+": 2, "-": 0, "*": 1, "/": 1, "%": 0}
+
+
+def _decimal_precision_wave() -> list[tuple[str, str]]:
+    cases = []
+
+    def typed(lhs, rhs, p1, s1, p2, s2):
+        for op in _DP_ARITH:
+            rp, rs = _dp_result_type(p1, s1, p2, s2, op)
+            expr = f"{lhs} {op} {rhs}"
+            cases.append((
+                f"SELECT {expr} AS v, typeof({expr}) AS t",
+                f"SELECT '{_dp_text(_DP_ARITH_VALUE[op], rs)}' AS v, "
+                f"'decimal({rp},{rs})' AS t",
+            ))
+        rp, rs = _dp_result_type(p1, s1, p2, s2, "%")
+        expr = f"pmod({lhs}, {rhs})"
+        cases.append((
+            f"SELECT {expr} AS v, typeof({expr}) AS t",
+            f"SELECT '{_dp_text(0, rs)}' AS v, 'decimal({rp},{rs})' AS t",
+        ))
+        for op in _DP_CMPS:
+            expr = f"{lhs} {op} {rhs}"
+            cases.append((
+                f"SELECT {expr} AS v, typeof({expr}) AS t",
+                f"SELECT '{_DP_CMP_RESULT[op]}' AS v, 'boolean' AS t",
+            ))
+
+    def doubled(lhs, rhs):
+        for op in _DP_ARITH:
+            expr = f"{lhs} {op} {rhs}"
+            cases.append((
+                f"SELECT {expr} AS v, typeof({expr}) AS t",
+                f"SELECT '{float(_DP_ARITH_VALUE[op])!r}' AS v, "
+                "'double' AS t",
+            ))
+        expr = f"pmod({lhs}, {rhs})"
+        cases.append((
+            f"SELECT {expr} AS v, typeof({expr}) AS t",
+            "SELECT '0.0' AS v, 'double' AS t",
+        ))
+        for op in _DP_CMPS:
+            expr = f"{lhs} {op} {rhs}"
+            cases.append((
+                f"SELECT {expr} AS v, typeof({expr}) AS t",
+                f"SELECT '{_DP_CMP_RESULT[op]}' AS v, 'boolean' AS t",
+            ))
+
+    for dp, ds in _DP_DECS:
+        dexpr = f"cast(1 as decimal({dp}, {ds}))"
+        for name, ip, is_ in _DP_NUMS:
+            nexpr = f"cast(1 as {name})"
+            typed(nexpr, dexpr, ip, is_, dp, ds)
+            typed(dexpr, nexpr, dp, ds, ip, is_)
+        for fp in ("float", "double"):
+            fexpr = f"cast(1 as {fp})"
+            doubled(fexpr, dexpr)
+            doubled(dexpr, fexpr)
+        # string coerces to DOUBLE against any decimal (Spark 4 ANSI)
+        doubled("cast(1 as string)", dexpr)
+        doubled(dexpr, "cast(1 as string)")
+    # decimal op decimal, all width pairs
+    for p1, s1 in _DP_DECS:
+        for p2, s2 in _DP_DECS:
+            typed(
+                f"cast(1 as decimal({p1}, {s1}))",
+                f"cast(1 as decimal({p2}, {s2}))",
+                p1, s1, p2, s2,
+            )
+    return cases
+
+
+CORPUS += _decimal_precision_wave()
+
+
+def _decimal_precision_negatives() -> list[str]:
+    """boolean/binary/date/timestamp vs decimal: every operator is a
+    Spark 4 ANSI type error (the Spark 3 goldens returned NULL)."""
+    operands = [
+        "cast(1 as boolean)",
+        "cast('1' as binary)",
+        "cast('2017-12-11 09:30:00' as date)",
+        "cast('2017-12-11 09:30:00.0' as timestamp)",
+    ]
+    dexpr = "cast(1 as decimal(10, 0))"
+    out = []
+    for ex in operands:
+        for op in _DP_ARITH + _DP_CMPS:
+            out.append(f"SELECT {ex} {op} {dexpr} FROM t_one")
+            out.append(f"SELECT {dexpr} {op} {ex} FROM t_one")
+    # the reference's t is CREATE TEMPORARY VIEW t AS SELECT 1 — the
+    # FROM is irrelevant to the type error; inline it
+    return [s.replace(" FROM t_one", "") for s in out]
+
+
+NEGATIVE_WAVE50 = _decimal_precision_negatives()
+
+
+# --------------------------------------------------------------------------
+# wave 51 (r9) — typeCoercion/native/promoteStrings.sql, the FULL
+# matrix (~316 statements upstream): the string literal '1' crossed
+# with every type over +,-,*,/,%,pmod and the seven comparisons, both
+# operand orders. Generated from the engine-probed Spark 4 ANSI
+# semantics (every combo probed locally before freezing):
+# * '1' {+,-,*,%,pmod} integral → BIGINT (the r8 pin generalizes:
+#   string+tinyint is bigint, not tinyint as the Spark 3 golden said);
+#   with float/double/decimal → DOUBLE; '/' → DOUBLE for ALL numerics.
+# * comparisons: string vs numerics/string/binary/boolean are all
+#   boolean (string-vs-binary and string-vs-boolean coerce — '1' =
+#   cast('1' as binary) is true, '1' = true is true).
+# * arithmetic with string/binary/boolean partners errors
+#   (BINARY_OP_WRONG_TYPE), and EVERYTHING with timestamp/date errors:
+#   '+'/'*'/'/'/'%'/pmod at analysis (WRONG_TYPE / UNEXPECTED_INPUT),
+#   '-' and every comparison at runtime (CAST_INVALID_INPUT — ANSI
+#   casts '1' to the datetime side and fails), where Spark 3 returned
+#   NULLs. All pinned as negatives.
+# --------------------------------------------------------------------------
+
+_PS_INTS = ["tinyint", "smallint", "int", "bigint"]
+_PS_FRACS = ["float", "double", "decimal(10, 0)"]
+
+
+def _promote_strings_wave() -> list[tuple[str, str]]:
+    cases = []
+
+    def emit(expr, text, stype):
+        cases.append((
+            f"SELECT {expr} AS v, typeof({expr}) AS t",
+            f"SELECT '{text}' AS v, '{stype}' AS t",
+        ))
+
+    int_val = {"+": "2", "-": "0", "*": "1", "%": "0"}
+    dbl_val = {"+": "2.0", "-": "0.0", "*": "1.0", "%": "0.0"}
+    for op in ("+", "-", "*", "%"):
+        for it in _PS_INTS:
+            emit(f"'1' {op} cast(1 as {it})", int_val[op], "bigint")
+            emit(f"cast(1 as {it}) {op} '1'", int_val[op], "bigint")
+        for ft in _PS_FRACS:
+            emit(f"'1' {op} cast(1 as {ft})", dbl_val[op], "double")
+            emit(f"cast(1 as {ft}) {op} '1'", dbl_val[op], "double")
+    for t in _PS_INTS + _PS_FRACS:
+        emit(f"'1' / cast(1 as {t})", "1.0", "double")
+        emit(f"cast(1 as {t}) / '1'", "1.0", "double")
+        emit(f"pmod('1', cast(1 as {t}))",
+             "0" if t in _PS_INTS else "0.0",
+             "bigint" if t in _PS_INTS else "double")
+        emit(f"pmod(cast(1 as {t}), '1')",
+             "0" if t in _PS_INTS else "0.0",
+             "bigint" if t in _PS_INTS else "double")
+    cmp_partners = (
+        [f"cast(1 as {t})" for t in _PS_INTS + _PS_FRACS]
+        + ["cast('1' as binary)", "cast(1 as boolean)"]
+    )
+    for op, res in _DP_CMP_RESULT.items():
+        for p in cmp_partners:
+            emit(f"'1' {op} {p}", res, "boolean")
+            emit(f"{p} {op} '1'", res, "boolean")
+        emit(f"'1' {op} '1'", res, "boolean")
+    return cases
+
+
+CORPUS += _promote_strings_wave()
+
+
+def _promote_strings_negatives() -> list[str]:
+    out = []
+    arith = ["+", "-", "*", "/", "%"]
+    # string arithmetic with non-numeric partners
+    for p in ("'1'", "cast('1' as binary)", "cast(1 as boolean)"):
+        for op in arith:
+            out.append(f"SELECT '1' {op} {p}")
+            if p != "'1'":
+                out.append(f"SELECT {p} {op} '1'")
+        out.append(f"SELECT pmod('1', {p})")
+        if p != "'1'":
+            out.append(f"SELECT pmod({p}, '1')")
+    # everything against timestamp/date errors (analysis or the ANSI
+    # runtime cast of '1' to the datetime side)
+    for p in ("cast('2017-12-11 09:30:00.0' as timestamp)",
+              "cast('2017-12-11 09:30:00' as date)"):
+        for op in arith + list(_DP_CMP_RESULT):
+            out.append(f"SELECT '1' {op} {p}")
+            out.append(f"SELECT {p} {op} '1'")
+        out.append(f"SELECT pmod('1', {p})")
+        out.append(f"SELECT pmod({p}, '1')")
+    return out
+
+
+NEGATIVE_WAVE51 = _promote_strings_negatives()
+
+
+# --------------------------------------------------------------------------
+# wave 52 (r9) — typeCoercion/native/binaryComparison.sql, the FULL
+# matrix (~265 statements upstream): every type compared against the
+# string literals '1' / '2' and against cast(null as string), all six
+# comparison operators. Engine-probed Spark 4 ANSI pins:
+# * numeric vs string-literal: ANSI casts the string to the NUMERIC
+#   side (1 = '1' is t, 1 < '2' is t) — the r5 operators.sql pin
+#   generalized to every numeric type and operator.
+# * anything vs cast(null as string): NULL boolean (wire NULL cell).
+# * boolean vs '1': works ('1' casts to true); boolean vs '2':
+#   CAST_INVALID_INPUT at runtime — negative.
+# * binary built FROM A STRING compares bytewise against strings;
+#   but the reference's own spelling cast(1 as binary) is itself an
+#   ANSI error (int→binary needs CAST_WITH_CONF_SUGGESTION) — the
+#   whole int-binary family is pinned negative.
+# * timestamp/date vs '1'/'2': CAST_INVALID_INPUT — negative.
+# --------------------------------------------------------------------------
+
+_BC_NUMS = ["tinyint", "smallint", "int", "bigint", "float", "double",
+            "decimal(10, 0)"]
+_BC_OPS = ["=", ">", ">=", "<", "<=", "<>"]
+_BC_1V1 = {"=": "t", ">": "f", ">=": "t", "<": "f", "<=": "t", "<>": "f"}
+_BC_1V2 = {"=": "f", ">": "f", ">=": "f", "<": "t", "<=": "t", "<>": "t"}
+
+
+def _binary_comparison_wave() -> list[tuple[str, str]]:
+    cases = []
+    for t in _BC_NUMS:
+        for op in _BC_OPS:
+            cases.append((
+                f"SELECT cast(1 as {t}) {op} '1' AS v",
+                f"SELECT '{_BC_1V1[op]}' AS v",
+            ))
+            cases.append((
+                f"SELECT cast(1 as {t}) {op} '2' AS v",
+                f"SELECT '{_BC_1V2[op]}' AS v",
+            ))
+    # boolean vs '1' ('1' casts to true; 1-as-boolean is true)
+    for op in _BC_OPS:
+        cases.append((
+            f"SELECT cast(1 as boolean) {op} '1' AS v",
+            f"SELECT '{_BC_1V1[op]}' AS v",
+        ))
+    # string-origin binary compares bytewise against string literals
+    for op in _BC_OPS:
+        cases.append((
+            f"SELECT cast('1' as binary) {op} '1' AS v",
+            f"SELECT '{_BC_1V1[op]}' AS v",
+        ))
+        cases.append((
+            f"SELECT cast('1' as binary) {op} '2' AS v",
+            f"SELECT '{_BC_1V2[op]}' AS v",
+        ))
+    # anything vs a NULL string is a NULL boolean
+    null_partners = [f"cast(1 as {t})" for t in _BC_NUMS] + [
+        "cast(1 as boolean)",
+        "cast('1' as binary)",
+        "cast('2017-12-11 09:30:00.0' as timestamp)",
+        "cast('2017-12-11 09:30:00' as date)",
+    ]
+    for p in null_partners:
+        for op in _BC_OPS:
+            cases.append((
+                f"SELECT {p} {op} cast(null as string) AS v",
+                "SELECT CAST(NULL AS BOOLEAN) AS v",
+            ))
+    return cases
+
+
+CORPUS += _binary_comparison_wave()
+
+
+def _binary_comparison_negatives() -> list[str]:
+    out = []
+    # the reference's own binary spelling: int→binary cast is an ANSI
+    # analysis error before any comparison happens
+    for op in _BC_OPS:
+        out.append(f"SELECT cast(1 as binary) {op} '1'")
+    # boolean vs a non-boolean string: runtime cast failure
+    for op in _BC_OPS:
+        out.append(f"SELECT cast(1 as boolean) {op} '2'")
+    # datetime vs non-datetime strings: runtime cast failure
+    for p in ("cast('2017-12-11 09:30:00.0' as timestamp)",
+              "cast('2017-12-11 09:30:00' as date)"):
+        for rhs in ("'1'", "'2'"):
+            for op in _BC_OPS:
+                out.append(f"SELECT {p} {op} {rhs}")
+    return out
+
+
+NEGATIVE_WAVE52 = _binary_comparison_negatives()
+
+
+# --------------------------------------------------------------------------
+# wave 53 (r9) — typeCoercion/native/inConversion.sql, the FULL matrix
+# (~289 statements upstream): every type IN (every type), single- and
+# two-element list forms (the two-element form leads with a matching
+# self-element: x IN (x, other)). The result table below is
+# engine-probed verbatim (all 288 combos, local Spark 4 ANSI):
+# t/f = boolean wire text, D = analysis-time DATATYPE_MISMATCH,
+# C = runtime CAST_INVALID_INPUT (ANSI casts the string '1' to the
+# datetime side per comparison).
+#
+# The probe exposed a genuine semantic wrinkle worth pinning: with a
+# datetime lhs, `ts IN (ts_self, string)` is TRUE (the first element
+# matches and IN short-circuits before the failing '1'→timestamp
+# runtime cast), while the single-element `ts IN (string)` errors —
+# same expression type, different evaluation order. The Spark 3
+# goldens returned NULL for every D/C cell here.
+# --------------------------------------------------------------------------
+
+_IN_TYPES = [
+    ("tinyint", "cast(1 as tinyint)"),
+    ("smallint", "cast(1 as smallint)"),
+    ("int", "cast(1 as int)"),
+    ("bigint", "cast(1 as bigint)"),
+    ("float", "cast(1 as float)"),
+    ("double", "cast(1 as double)"),
+    ("decimal", "cast(1 as decimal(10, 0))"),
+    ("string", "cast(1 as string)"),
+    ("binary", "cast('1' as binary)"),
+    ("boolean", "cast(1 as boolean)"),
+    ("timestamp", "cast('2017-12-11 09:30:00.0' as timestamp)"),
+    ("date", "cast('2017-12-11 09:30:00' as date)"),
+]
+# the two-element form's leading self-match (a later day for datetimes,
+# mirroring the reference's 2017-12-12 anchor)
+_IN_SELF = dict(_IN_TYPES) | {
+    "timestamp": "cast('2017-12-12 09:30:00.0' as timestamp)",
+    "date": "cast('2017-12-12 09:30:00' as date)",
+}
+# engine-probed results: row = lhs type, one char per partner type in
+# _IN_TYPES order
+_IN_RESULTS = {
+    "single": {
+        "tinyint": "ttttttttDDDD",
+        "smallint": "ttttttttDDDD",
+        "int": "ttttttttDDDD",
+        "bigint": "ttttttttDDDD",
+        "float": "ttttttttDDDD",
+        "double": "ttttttttDDDD",
+        "decimal": "ttttttttDDDD",
+        "string": "ttttttttttCC",
+        "binary": "DDDDDDDttDDD",
+        "boolean": "DDDDDDDtDtDD",
+        "timestamp": "DDDDDDDCDDtf",
+        "date": "DDDDDDDCDDft",
+    },
+    "pair": {
+        "tinyint": "ttttttttDDDD",
+        "smallint": "ttttttttDDDD",
+        "int": "ttttttttDDDD",
+        "bigint": "ttttttttDDDD",
+        "float": "ttttttttDDDD",
+        "double": "ttttttttDDDD",
+        "decimal": "ttttttttDDDD",
+        "string": "ttttttttttCC",
+        "binary": "DDDDDDDttDDD",
+        "boolean": "DDDDDDDtDtDD",
+        "timestamp": "DDDDDDDtDDtt",
+        "date": "DDDDDDDtDDtt",
+    },
+}
+
+
+def _in_conversion_waves() -> tuple[list[tuple[str, str]], list[str]]:
+    positives, negatives = [], []
+    for form in ("single", "pair"):
+        for lhs_name, lhs_expr in _IN_TYPES:
+            row = _IN_RESULTS[form][lhs_name]
+            for (p_name, p_expr), r in zip(_IN_TYPES, row):
+                if form == "single":
+                    sql = f"SELECT {lhs_expr} in ({p_expr}) AS v"
+                else:
+                    anchor = _IN_SELF[lhs_name]
+                    sql = f"SELECT {anchor} in ({anchor}, {p_expr}) AS v"
+                if r in ("t", "f"):
+                    positives.append((sql, f"SELECT '{r}' AS v"))
+                else:
+                    negatives.append(sql.replace(" AS v", ""))
+    return positives, negatives
+
+
+_IN_POS, _IN_NEG = _in_conversion_waves()
+CORPUS += _IN_POS
+NEGATIVE_WAVE53 = _IN_NEG
+
+
+# --------------------------------------------------------------------------
+# wave 54 (r9) — typeCoercion/native/caseWhenCoercion.sql +
+# ifCoercion.sql, the FULL branch matrices (~145 statements each
+# upstream; wave 28 took representatives). CASE WHEN true THEN t1
+# ELSE t2 END and if(true, t1, t2) for every type pair — an engine
+# probe confirmed the two forms unify IDENTICALLY on all 144 combos,
+# so one result table drives both. Each positive carries a typeof()
+# twin pinning the unified type (string+integral → BIGINT under Spark
+# 4 ANSI — not the Spark 3 golden's integral; string+decimal → DOUBLE;
+# float+anything-wider → DOUBLE but float+float stays FLOAT;
+# date+timestamp → TIMESTAMP with the date at midnight).
+#
+# Evaluation-order pin (same class as the wave-53 IN short-circuit):
+# boolean THEN string is fine (the string branch never evaluates, 't'),
+# but string THEN boolean errors at RUNTIME ('2' → boolean
+# CAST_INVALID_INPUT) — the asymmetric cells are negatives.
+# Binary-result cells pin the wire's PG bytea hex text ('\\x32').
+# --------------------------------------------------------------------------
+
+_CW_EXPRS = [
+    ("tinyint", "cast(1 as tinyint)"),
+    ("smallint", "cast(1 as smallint)"),
+    ("int", "cast(1 as int)"),
+    ("bigint", "cast(1 as bigint)"),
+    ("float", "cast(1 as float)"),
+    ("double", "cast(1 as double)"),
+    ("decimal", "cast(1 as decimal(10, 0))"),
+    ("string", "cast(2 as string)"),
+    ("binary", "cast('2' as binary)"),
+    ("boolean", "cast(1 as boolean)"),
+    ("timestamp", "cast('2017-12-11 09:30:00.0' as timestamp)"),
+    ("date", "cast('2017-12-11 09:30:00' as date)"),
+]
+#: engine-probed (wire text, typeof) per THEN-type row × ELSE-type
+#: column (None = Spark 4 ANSI error, analysis or runtime)
+_CW_RESULTS = {
+    "tinyint": [("1", "tinyint"), ("1", "smallint"), ("1", "int"), ("1", "bigint"), ("1.0", "double"), ("1.0", "double"), ("1", "decimal(10,0)"), ("1", "bigint"), None, None, None, None],
+    "smallint": [("1", "smallint"), ("1", "smallint"), ("1", "int"), ("1", "bigint"), ("1.0", "double"), ("1.0", "double"), ("1", "decimal(10,0)"), ("1", "bigint"), None, None, None, None],
+    "int": [("1", "int"), ("1", "int"), ("1", "int"), ("1", "bigint"), ("1.0", "double"), ("1.0", "double"), ("1", "decimal(10,0)"), ("1", "bigint"), None, None, None, None],
+    "bigint": [("1", "bigint"), ("1", "bigint"), ("1", "bigint"), ("1", "bigint"), ("1.0", "double"), ("1.0", "double"), ("1", "decimal(20,0)"), ("1", "bigint"), None, None, None, None],
+    "float": [("1.0", "double"), ("1.0", "double"), ("1.0", "double"), ("1.0", "double"), ("1.0", "float"), ("1.0", "double"), ("1.0", "double"), ("1.0", "double"), None, None, None, None],
+    "double": [("1.0", "double"), ("1.0", "double"), ("1.0", "double"), ("1.0", "double"), ("1.0", "double"), ("1.0", "double"), ("1.0", "double"), ("1.0", "double"), None, None, None, None],
+    "decimal": [("1", "decimal(10,0)"), ("1", "decimal(10,0)"), ("1", "decimal(10,0)"), ("1", "decimal(20,0)"), ("1.0", "double"), ("1.0", "double"), ("1", "decimal(10,0)"), ("1.0", "double"), None, None, None, None],
+    "string": [("2", "bigint"), ("2", "bigint"), ("2", "bigint"), ("2", "bigint"), ("2.0", "double"), ("2.0", "double"), ("2.0", "double"), ("2", "string"), ("\\x32", "binary"), None, None, None],
+    "binary": [None, None, None, None, None, None, None, ("\\x32", "binary"), ("\\x32", "binary"), None, None, None],
+    "boolean": [None, None, None, None, None, None, None, ("t", "boolean"), None, ("t", "boolean"), None, None],
+    "timestamp": [None, None, None, None, None, None, None, ("2017-12-11 09:30:00", "timestamp"), None, None, ("2017-12-11 09:30:00", "timestamp"), ("2017-12-11 09:30:00", "timestamp")],
+    "date": [None, None, None, None, None, None, None, ("2017-12-11", "date"), None, None, ("2017-12-11 00:00:00", "timestamp"), ("2017-12-11", "date")],
+}
+
+
+def _branch_coercion_waves() -> tuple[list[tuple[str, str]], list[str]]:
+    positives, negatives = [], []
+    for (n1, e1), row in zip(_CW_EXPRS, (_CW_RESULTS[n] for n, _ in _CW_EXPRS)):
+        for (n2, e2), cell in zip(_CW_EXPRS, row):
+            for expr in (f"CASE WHEN true THEN {e1} ELSE {e2} END",
+                         f"if(true, {e1}, {e2})"):
+                if cell is None:
+                    negatives.append(f"SELECT {expr}")
+                else:
+                    text, stype = cell
+                    positives.append((
+                        f"SELECT {expr} AS v, typeof({expr}) AS t",
+                        f"SELECT '{text}' AS v, '{stype}' AS t",
+                    ))
+    return positives, negatives
+
+
+_CW_POS, _CW_NEG = _branch_coercion_waves()
+CORPUS += _CW_POS
+NEGATIVE_WAVE54 = _CW_NEG
+
+
+# --------------------------------------------------------------------------
+# wave 55 (r9) — typeCoercion/native/widenSetOperationTypes.sql, the
+# FULL matrix (~145 statements upstream; wave 28 took representatives):
+# SELECT cast(1 as T1) UNION SELECT cast(2 as T2) for every type pair,
+# wire-checked with both result rows AND the widened column type (a
+# typeof-equivalent via a second statement would re-run the union, so
+# the type is asserted through the pinned VALUE texts — '1' vs '1.0'
+# distinguishes bigint from double — plus the analysis/negative split).
+# Engine-probed pins: string UNION boolean/binary WORKS (string leg
+# values cast leg-wise: '1'→true, '1'→bytes) while boolean UNION
+# string errors at RUNTIME ('2'→boolean) — the same evaluation-order
+# class as waves 53/54; string UNION timestamp/date always errors
+# ('1' never parses); every non-string cross-family pair is an
+# analysis error (INCOMPATIBLE_COLUMN_TYPE).
+# --------------------------------------------------------------------------
+
+_WU_EXPRS = [
+    ("tinyint", "cast(1 as tinyint)", "cast(2 as tinyint)"),
+    ("smallint", "cast(1 as smallint)", "cast(2 as smallint)"),
+    ("int", "cast(1 as int)", "cast(2 as int)"),
+    ("bigint", "cast(1 as bigint)", "cast(2 as bigint)"),
+    ("float", "cast(1 as float)", "cast(2 as float)"),
+    ("double", "cast(1 as double)", "cast(2 as double)"),
+    ("decimal", "cast(1 as decimal(10, 0))", "cast(2 as decimal(10, 0))"),
+    ("string", "cast(1 as string)", "cast(2 as string)"),
+    ("binary", "cast('1' as binary)", "cast('2' as binary)"),
+    ("boolean", "cast(1 as boolean)", "cast(0 as boolean)"),
+    ("timestamp", "cast('2017-12-11 09:30:00.0' as timestamp)",
+     "cast('2017-12-12 09:30:00.0' as timestamp)"),
+    ("date", "cast('2017-12-11 09:30:00' as date)",
+     "cast('2017-12-12 09:30:00' as date)"),
+]
+#: engine-probed (sorted wire texts, widened type) per T1 row × T2 col
+_WU_RESULTS = {
+    "tinyint": [(["1", "2"], "tinyint"), (["1", "2"], "smallint"), (["1", "2"], "int"), (["1", "2"], "bigint"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), (["1", "2"], "decimal(10,0)"), (["1", "2"], "bigint"), None, None, None, None],
+    "smallint": [(["1", "2"], "smallint"), (["1", "2"], "smallint"), (["1", "2"], "int"), (["1", "2"], "bigint"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), (["1", "2"], "decimal(10,0)"), (["1", "2"], "bigint"), None, None, None, None],
+    "int": [(["1", "2"], "int"), (["1", "2"], "int"), (["1", "2"], "int"), (["1", "2"], "bigint"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), (["1", "2"], "decimal(10,0)"), (["1", "2"], "bigint"), None, None, None, None],
+    "bigint": [(["1", "2"], "bigint"), (["1", "2"], "bigint"), (["1", "2"], "bigint"), (["1", "2"], "bigint"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), (["1", "2"], "decimal(20,0)"), (["1", "2"], "bigint"), None, None, None, None],
+    "float": [(["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "float"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), None, None, None, None],
+    "double": [(["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), None, None, None, None],
+    "decimal": [(["1", "2"], "decimal(10,0)"), (["1", "2"], "decimal(10,0)"), (["1", "2"], "decimal(10,0)"), (["1", "2"], "decimal(20,0)"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), (["1", "2"], "decimal(10,0)"), (["1.0", "2.0"], "double"), None, None, None, None],
+    "string": [(["1", "2"], "bigint"), (["1", "2"], "bigint"), (["1", "2"], "bigint"), (["1", "2"], "bigint"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), (["1.0", "2.0"], "double"), (["1", "2"], "string"), (["\\x31", "\\x32"], "binary"), (["f", "t"], "boolean"), None, None],
+    "binary": [None, None, None, None, None, None, None, (["\\x31", "\\x32"], "binary"), (["\\x31", "\\x32"], "binary"), None, None, None],
+    "boolean": [None, None, None, None, None, None, None, None, None, (["f", "t"], "boolean"), None, None],
+    "timestamp": [None, None, None, None, None, None, None, None, None, None, (["2017-12-11 09:30:00", "2017-12-12 09:30:00"], "timestamp"), (["2017-12-11 09:30:00", "2017-12-12 00:00:00"], "timestamp")],
+    "date": [None, None, None, None, None, None, None, None, None, None, (["2017-12-11 00:00:00", "2017-12-12 09:30:00"], "timestamp"), (["2017-12-11", "2017-12-12"], "date")],
+}
+
+
+def _widen_union_waves() -> tuple[list[tuple[str, str]], list[str]]:
+    positives, negatives = [], []
+    for (n1, e1, _), row in zip(_WU_EXPRS, (_WU_RESULTS[n] for n, _, _ in _WU_EXPRS)):
+        for (n2, _, e2), cell in zip(_WU_EXPRS, row):
+            sql = f"SELECT {e1} AS v UNION SELECT {e2} ORDER BY v"
+            if cell is None:
+                negatives.append(sql)
+            else:
+                texts, _stype = cell
+                rows = ", ".join(f"('{t}')" for t in texts)
+                positives.append((
+                    sql,
+                    f"SELECT * FROM (VALUES {rows}) t(v) ORDER BY v",
+                ))
+    return positives, negatives
+
+
+_WU_POS, _WU_NEG = _widen_union_waves()
+CORPUS += _WU_POS
+NEGATIVE_WAVE55 = _WU_NEG
+
+
 @pytest.mark.parametrize("case", range(len(CORPUS)))
 def test_corpus_over_wire(server, duck, case):
     pg_sql, oracle = CORPUS[case]
@@ -6199,6 +6791,12 @@ NEGATIVE_CORPUS += NEGATIVE_WAVE46
 NEGATIVE_CORPUS += NEGATIVE_WAVE47
 NEGATIVE_CORPUS += NEGATIVE_WAVE48
 NEGATIVE_CORPUS += NEGATIVE_WAVE49
+NEGATIVE_CORPUS += NEGATIVE_WAVE50
+NEGATIVE_CORPUS += NEGATIVE_WAVE51
+NEGATIVE_CORPUS += NEGATIVE_WAVE52
+NEGATIVE_CORPUS += NEGATIVE_WAVE53
+NEGATIVE_CORPUS += NEGATIVE_WAVE54
+NEGATIVE_CORPUS += NEGATIVE_WAVE55
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))

@@ -6665,6 +6665,84 @@ CORPUS += _WU_POS
 NEGATIVE_WAVE55 = _WU_NEG
 
 
+# --------------------------------------------------------------------------
+# wave 56 (r9) — typeCoercion/native/division.sql remainder: wave 50
+# already certifies every decimal-operand division with its exact
+# (precision, scale); this wave completes the NON-decimal pairs —
+# Spark's `/` is true division, so EVERY numeric/string pair lands in
+# DOUBLE ('1.0'), including integral/integral (PG int/int truncates;
+# psql users get Spark semantics, pinned here). Non-numeric operands
+# error under ANSI — negatives.
+# wave 57 — typeCoercion/native/booleanEquality.sql full semantics:
+# true/false {=, <=>} string/boolean both directions ('1'/'0'/'true'/
+# 'yes' all parse as booleans — engine-probed), and boolean-vs-numeric
+# equality is an ANSI error in EVERY numeric width (the Spark 3 golden
+# compared via widening; the r8 wave pinned one case, this pins the
+# family both directions).
+# --------------------------------------------------------------------------
+
+_DIV_NUM = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+
+
+def _division_waves() -> tuple[list[tuple[str, str]], list[str]]:
+    positives, negatives = [], []
+    operands = [f"cast(1 as {t})" for t in _DIV_NUM] + ["cast(1 as string)"]
+    for e1 in operands:
+        for e2 in operands:
+            if "string" in e1 and "string" in e2:
+                # string/string has no numeric side to win the coercion
+                # — BINARY_OP_WRONG_TYPE under ANSI
+                negatives.append(f"SELECT {e1} / {e2}")
+                continue
+            expr = f"{e1} / {e2}"
+            positives.append((
+                f"SELECT {expr} AS v, typeof({expr}) AS t",
+                "SELECT '1.0' AS v, 'double' AS t",
+            ))
+    for bad in ("cast('1' as binary)", "cast(1 as boolean)",
+                "cast('2017-12-11 09:30:00.0' as timestamp)",
+                "cast('2017-12-11 09:30:00' as date)"):
+        negatives.append(f"SELECT cast(1 as int) / {bad}")
+        negatives.append(f"SELECT {bad} / cast(1 as int)")
+        negatives.append(f"SELECT {bad} / {bad}")
+    return positives, negatives
+
+
+_DIV_POS, _DIV_NEG = _division_waves()
+CORPUS += _DIV_POS
+NEGATIVE_WAVE56 = _DIV_NEG
+
+
+def _boolean_equality_waves() -> tuple[list[tuple[str, str]], list[str]]:
+    positives, negatives = [], []
+    # engine-probed: '1'/'true'/'yes' cast to true, '0' to false
+    partners = [("cast(1 as string)", True), ("cast(0 as string)", False),
+                ("'true'", True), ("'yes'", True),
+                ("cast(0 as boolean)", False), ("cast(1 as boolean)", True)]
+    for lit, lval in (("true", True), ("false", False)):
+        for op in ("=", "<=>"):
+            for p_expr, p_val in partners:
+                res = "t" if (lval == p_val) else "f"
+                positives.append((
+                    f"SELECT {lit} {op} {p_expr} AS v",
+                    f"SELECT '{res}' AS v",
+                ))
+                positives.append((
+                    f"SELECT {p_expr} {op} {lit} AS v",
+                    f"SELECT '{res}' AS v",
+                ))
+    for t in _DIV_NUM + ["decimal(10, 0)"]:
+        negatives.append(f"SELECT true = cast(1 as {t})")
+        negatives.append(f"SELECT cast(1 as {t}) = true")
+        negatives.append(f"SELECT false <=> cast(0 as {t})")
+    return positives, negatives
+
+
+_BE_POS, _BE_NEG = _boolean_equality_waves()
+CORPUS += _BE_POS
+NEGATIVE_WAVE57 = _BE_NEG
+
+
 @pytest.mark.parametrize("case", range(len(CORPUS)))
 def test_corpus_over_wire(server, duck, case):
     pg_sql, oracle = CORPUS[case]
@@ -6797,6 +6875,8 @@ NEGATIVE_CORPUS += NEGATIVE_WAVE52
 NEGATIVE_CORPUS += NEGATIVE_WAVE53
 NEGATIVE_CORPUS += NEGATIVE_WAVE54
 NEGATIVE_CORPUS += NEGATIVE_WAVE55
+NEGATIVE_CORPUS += NEGATIVE_WAVE56
+NEGATIVE_CORPUS += NEGATIVE_WAVE57
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))

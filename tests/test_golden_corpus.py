@@ -6743,6 +6743,302 @@ CORPUS += _BE_POS
 NEGATIVE_WAVE57 = _BE_NEG
 
 
+# --------------------------------------------------------------------------
+# wave 58 (r9) — typeCoercion/native/dateTimeOperations.sql COMPLETE
+# (wave 23 took representatives): every type ± interval 2 day in both
+# orders. Spark 4 ANSI: only string/timestamp/date operands work (a
+# date-less string gains '00:00:00' — the +interval coerces it to
+# timestamp); every numeric/binary/boolean operand is an analysis
+# error where Spark 3 returned NULL.
+# --------------------------------------------------------------------------
+
+_DTO_POS = [
+    ("select cast('2017-12-11' as string) + interval 2 day AS v",
+     "SELECT '2017-12-13 00:00:00' AS v"),
+    ("select cast('2017-12-11 09:30:00' as string) + interval 2 day AS v",
+     "SELECT '2017-12-13 09:30:00' AS v"),
+    ("select cast('2017-12-11 09:30:00.0' as timestamp) + interval 2 day AS v",
+     "SELECT '2017-12-13 09:30:00' AS v"),
+    ("select cast('2017-12-11 09:30:00' as date) + interval 2 day AS v",
+     "SELECT '2017-12-13' AS v"),
+    ("select interval 2 day + cast('2017-12-11' as string) AS v",
+     "SELECT '2017-12-13 00:00:00' AS v"),
+    ("select interval 2 day + cast('2017-12-11 09:30:00' as string) AS v",
+     "SELECT '2017-12-13 09:30:00' AS v"),
+    ("select interval 2 day + cast('2017-12-11 09:30:00.0' as timestamp) AS v",
+     "SELECT '2017-12-13 09:30:00' AS v"),
+    ("select interval 2 day + cast('2017-12-11 09:30:00' as date) AS v",
+     "SELECT '2017-12-13' AS v"),
+    ("select cast('2017-12-11' as string) - interval 2 day AS v",
+     "SELECT '2017-12-09 00:00:00' AS v"),
+    ("select cast('2017-12-11 09:30:00' as string) - interval 2 day AS v",
+     "SELECT '2017-12-09 09:30:00' AS v"),
+    ("select cast('2017-12-11 09:30:00.0' as timestamp) - interval 2 day AS v",
+     "SELECT '2017-12-09 09:30:00' AS v"),
+    ("select cast('2017-12-11 09:30:00' as date) - interval 2 day AS v",
+     "SELECT '2017-12-09' AS v"),
+]
+CORPUS += _DTO_POS
+
+
+def _dto_negatives() -> list[str]:
+    out = []
+    bads = [f"cast(1 as {t})" for t in
+            ("tinyint", "smallint", "int", "bigint", "float", "double",
+             "decimal(10, 0)")] + ["cast('1' as binary)", "cast(1 as boolean)"]
+    for b in bads:
+        out.append(f"select {b} + interval 2 day")
+        out.append(f"select interval 2 day + {b}")
+        out.append(f"select {b} - interval 2 day")
+    return out
+
+
+NEGATIVE_WAVE58 = _dto_negatives()
+
+
+# --------------------------------------------------------------------------
+# wave 59 (r9) — typeCoercion/native/implicitTypeCasts.sql COMPLETE:
+# arithmetic with string literals carrying real values (1 + '2' is 3
+# BIGINT under ANSI), || string-concat renders every type through its
+# Spark string form (decimal keeps scale '1.100', timestamp trims to
+# '10:11:12.4'), length()/datetime accessors over implicit casts, and
+# LIKE with non-string operands. The one-row view t is inlined.
+# --------------------------------------------------------------------------
+
+_ITC = " FROM (select 1) t"
+_ITC_POS = [
+    (f"SELECT 1 + '2' AS v{_ITC}", "SELECT '3' AS v"),
+    (f"SELECT 1 - '2' AS v{_ITC}", "SELECT '-1' AS v"),
+    (f"SELECT 1 * '2' AS v{_ITC}", "SELECT '2' AS v"),
+    (f"SELECT 4 / '2' AS v{_ITC}", "SELECT '2.0' AS v"),
+    (f"SELECT 1.1 + '2' AS v{_ITC}", "SELECT '3.1' AS v"),
+    (f"SELECT 1.1 - '2' AS v{_ITC}", "SELECT '-0.8999999999999999' AS v"),
+    (f"SELECT 1.1 * '2' AS v{_ITC}", "SELECT '2.2' AS v"),
+    (f"SELECT 4.4 / '2' AS v{_ITC}", "SELECT '2.2' AS v"),
+    (f"SELECT 1.1 + '2.2' AS v{_ITC}", "SELECT '3.3000000000000003' AS v"),
+    (f"SELECT 1.1 - '2.2' AS v{_ITC}", "SELECT '-1.1' AS v"),
+    (f"SELECT 1.1 * '2.2' AS v{_ITC}", "SELECT '2.4200000000000004' AS v"),
+    (f"SELECT 4.4 / '2.2' AS v{_ITC}", "SELECT '2.0' AS v"),
+    (f"SELECT '$' || cast(1 as smallint) || '$' AS v{_ITC}",
+     "SELECT '$1$' AS v"),
+    (f"SELECT '$' || 1 || '$' AS v{_ITC}", "SELECT '$1$' AS v"),
+    (f"SELECT '$' || cast(1 as bigint) || '$' AS v{_ITC}",
+     "SELECT '$1$' AS v"),
+    (f"SELECT '$' || cast(1.1 as float) || '$' AS v{_ITC}",
+     "SELECT '$1.1$' AS v"),
+    (f"SELECT '$' || cast(1.1 as double) || '$' AS v{_ITC}",
+     "SELECT '$1.1$' AS v"),
+    (f"SELECT '$' || 1.1 || '$' AS v{_ITC}", "SELECT '$1.1$' AS v"),
+    (f"SELECT '$' || cast(1.1 as decimal(8,3)) || '$' AS v{_ITC}",
+     "SELECT '$1.100$' AS v"),
+    (f"SELECT '$' || 'abcd' || '$' AS v{_ITC}", "SELECT '$abcd$' AS v"),
+    (f"SELECT '$' || date('1996-09-09') || '$' AS v{_ITC}",
+     "SELECT '$1996-09-09$' AS v"),
+    (f"SELECT '$' || timestamp('1996-09-09 10:11:12.4' )|| '$' AS v{_ITC}",
+     "SELECT '$1996-09-09 10:11:12.4$' AS v"),
+    (f"SELECT length(cast(1 as smallint)) AS v{_ITC}", "SELECT '1' AS v"),
+    (f"SELECT length(cast(1 as int)) AS v{_ITC}", "SELECT '1' AS v"),
+    (f"SELECT length(cast(1 as bigint)) AS v{_ITC}", "SELECT '1' AS v"),
+    (f"SELECT length(cast(1.1 as float)) AS v{_ITC}", "SELECT '3' AS v"),
+    (f"SELECT length(cast(1.1 as double)) AS v{_ITC}", "SELECT '3' AS v"),
+    (f"SELECT length(1.1) AS v{_ITC}", "SELECT '3' AS v"),
+    (f"SELECT length(cast(1.1 as decimal(8,3))) AS v{_ITC}",
+     "SELECT '5' AS v"),
+    (f"SELECT length('four') AS v{_ITC}", "SELECT '4' AS v"),
+    (f"SELECT length(date('1996-09-10')) AS v{_ITC}", "SELECT '10' AS v"),
+    (f"SELECT length(timestamp('1996-09-10 10:11:12.4')) AS v{_ITC}",
+     "SELECT '21' AS v"),
+    (f"SELECT year( '1996-01-10') AS v{_ITC}", "SELECT '1996' AS v"),
+    (f"SELECT month( '1996-01-10') AS v{_ITC}", "SELECT '1' AS v"),
+    (f"SELECT day( '1996-01-10') AS v{_ITC}", "SELECT '10' AS v"),
+    (f"SELECT hour( '10:11:12') AS v{_ITC}", "SELECT '10' AS v"),
+    (f"SELECT minute( '10:11:12') AS v{_ITC}", "SELECT '11' AS v"),
+    (f"SELECT second( '10:11:12') AS v{_ITC}", "SELECT '12' AS v"),
+    (f"select 1 like '%' AS v{_ITC}", "SELECT 't' AS v"),
+    (f"select date('1996-09-10') like '19%' AS v{_ITC}", "SELECT 't' AS v"),
+    (f"select '1' like 1 AS v{_ITC}", "SELECT 't' AS v"),
+    (f"select '1 ' like 1 AS v{_ITC}", "SELECT 'f' AS v"),
+    (f"select '1996-09-10' like date('1996-09-10') AS v{_ITC}",
+     "SELECT 't' AS v"),
+]
+CORPUS += _ITC_POS
+
+
+# --------------------------------------------------------------------------
+# wave 60 (r9) — typeCoercion/native elt.sql + arrayJoin.sql +
+# stringCastAndExpressions.sql COMPLETE (the elt/concat
+# spark.sql.function.*AsString SET-dependent groups are skipped:
+# corpus statements must not mutate pooled-session state — documented
+# here; their no-SET twins are taken). stringCastAndExpressions' 'aa'
+# fixture is inlined; the invalid-cast family is the ANSI negative
+# battery (Spark 3 golden returned NULLs).
+# --------------------------------------------------------------------------
+
+_SCE = " from (select 'aa' as a) t"
+_W60_POS = [
+    # elt with mixed string/int/binary/double args coerces to string
+    ("SELECT elt(2, col1, col2, col3, col4, col5) col FROM ( "
+     "SELECT 'prefix_' col1, id col2, string(id + 1) col3, "
+     "encode(string(id + 2), 'utf-8') col4, CAST(id AS DOUBLE) col5 "
+     "FROM range(10) ) ORDER BY col",
+     "SELECT * FROM (VALUES ('0'),('1'),('2'),('3'),('4'),('5'),('6'),"
+     "('7'),('8'),('9')) t(col) ORDER BY col"),
+    ("SELECT elt(3, col1, col2, col3, col4) col FROM ( "
+     "SELECT string(id) col1, string(id + 1) col2, "
+     "encode(string(id + 2), 'utf-8') col3, "
+     "encode(string(id + 3), 'utf-8') col4 FROM range(10) ) ORDER BY col",
+     "SELECT * FROM (VALUES ('10'),('11'),('2'),('3'),('4'),('5'),('6'),"
+     "('7'),('8'),('9')) t(col) ORDER BY col"),
+    # arrayJoin across every element type
+    ("SELECT array_join(array(true, false), ', ') AS v",
+     "SELECT 'true, false' AS v"),
+    ("SELECT array_join(array(2Y, 1Y), ', ') AS v", "SELECT '2, 1' AS v"),
+    ("SELECT array_join(array(2S, 1S), ', ') AS v", "SELECT '2, 1' AS v"),
+    ("SELECT array_join(array(2, 1), ', ') AS v", "SELECT '2, 1' AS v"),
+    ("SELECT array_join(array(2L, 1L), ', ') AS v", "SELECT '2, 1' AS v"),
+    ("SELECT array_join(array(9223372036854775809, 9223372036854775808), "
+     "', ') AS v",
+     "SELECT '9223372036854775809, 9223372036854775808' AS v"),
+    ("SELECT array_join(array(2.0D, 1.0D), ', ') AS v",
+     "SELECT '2.0, 1.0' AS v"),
+    ("SELECT array_join(array(float(2.0), float(1.0)), ', ') AS v",
+     "SELECT '2.0, 1.0' AS v"),
+    ("SELECT array_join(array(date '2016-03-14', date '2016-03-13'), "
+     "', ') AS v",
+     "SELECT '2016-03-14, 2016-03-13' AS v"),
+    ("SELECT array_join(array(timestamp '2016-11-15 20:54:00.000', "
+     "timestamp '2016-11-12 20:54:00.000'), ', ') AS v",
+     "SELECT '2016-11-15 20:54:00, 2016-11-12 20:54:00' AS v"),
+    ("SELECT array_join(array('a', 'b'), ', ') AS v", "SELECT 'a, b' AS v"),
+    # stringCastAndExpressions: the casts/functions that survive ANSI
+    (f"select cast(a as binary) AS v{_SCE}", "SELECT '\\x6161' AS v"),
+    (f"select trunc('2018-01-01', a) AS v{_SCE}",
+     "SELECT CAST(NULL AS VARCHAR) AS v"),
+    ("select unhex('-123') AS v", "SELECT CAST(NULL AS VARCHAR) AS v"),
+    (f"select get_json_object(a, a) AS v{_SCE}",
+     "SELECT CAST(NULL AS VARCHAR) AS v"),
+    (f"select json_tuple(a, a) AS v{_SCE}",
+     "SELECT CAST(NULL AS VARCHAR) AS v"),
+    (f"select from_json(a, 'a INT') AS v{_SCE}",
+     "SELECT '{\"a\":null}' AS v"),
+]
+CORPUS += _W60_POS
+
+NEGATIVE_WAVE60 = [
+    "select cast(a as byte)" + _SCE,
+    "select cast(a as short)" + _SCE,
+    "select cast(a as int)" + _SCE,
+    "select cast(a as long)" + _SCE,
+    "select cast(a as float)" + _SCE,
+    "select cast(a as double)" + _SCE,
+    "select cast(a as decimal)" + _SCE,
+    "select cast(a as boolean)" + _SCE,
+    "select cast(a as timestamp)" + _SCE,
+    "select cast(a as date)" + _SCE,
+    "select cast(a as array<string>)" + _SCE,
+    "select cast(a as struct<s:string>)" + _SCE,
+    "select cast(a as map<string, string>)" + _SCE,
+    "select to_timestamp(a)" + _SCE,
+    "select to_timestamp('2018-01-01', a)" + _SCE,
+    "select to_unix_timestamp(a)" + _SCE,
+    "select to_unix_timestamp('2018-01-01', a)" + _SCE,
+    "select unix_timestamp(a)" + _SCE,
+    "select unix_timestamp('2018-01-01', a)" + _SCE,
+    "select from_unixtime(a)" + _SCE,
+    "select from_unixtime('2018-01-01', a)" + _SCE,
+    "select next_day(a, 'MO')" + _SCE,
+    "select next_day('2018-01-01', a)" + _SCE,
+    "select trunc(a, 'MM')" + _SCE,
+    "select sha2(a, a)" + _SCE,
+]
+
+
+# --------------------------------------------------------------------------
+# wave 61 (r9) — typeCoercion/native/windowFrameCoercion.sql COMPLETE:
+# COUNT(*) OVER an ordered window for every ORDER BY type (all legal),
+# then RANGE BETWEEN ... 1 FOLLOWING which demands a numeric/date sort
+# key — string/binary/boolean/timestamp sort keys are the negative
+# family (SPECIFIED_WINDOW_FRAME_UNACCEPTED_TYPE / RANGE_FRAME_
+# INVALID_TYPE).
+# --------------------------------------------------------------------------
+
+_WFC_TYPES = [
+    "cast(1 as tinyint)", "cast(1 as smallint)", "cast(1 as int)",
+    "cast(1 as bigint)", "cast(1 as float)", "cast(1 as double)",
+    "cast(1 as decimal(10, 0))", "cast(1 as string)",
+    "cast('1' as binary)", "cast(1 as boolean)",
+    "cast('2017-12-11 09:30:00.0' as timestamp)",
+    "cast('2017-12-11 09:30:00' as date)",
+]
+_WFC_RANGE_OK = {
+    "cast(1 as tinyint)", "cast(1 as smallint)", "cast(1 as int)",
+    "cast(1 as bigint)", "cast(1 as float)", "cast(1 as double)",
+    "cast(1 as decimal(10, 0))",
+    "cast('2017-12-11 09:30:00' as date)",
+}
+
+
+def _wfc_waves() -> tuple[list[tuple[str, str]], list[str]]:
+    positives, negatives = [], []
+    for e in _WFC_TYPES:
+        positives.append((
+            f"SELECT COUNT(*) OVER (PARTITION BY 1 ORDER BY {e}) AS v "
+            "FROM (select 1) t",
+            "SELECT '1' AS v",
+        ))
+        range_window = (
+            f"COUNT(*) OVER (PARTITION BY 1 ORDER BY {e} DESC "
+            "RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING)"
+        )
+        if e in _WFC_RANGE_OK:
+            positives.append((
+                f"SELECT {range_window} AS v FROM (select 1) t",
+                "SELECT '1' AS v",
+            ))
+        else:
+            negatives.append(f"SELECT {range_window} FROM (select 1) t")
+    return positives, negatives
+
+
+_WFC_POS, _WFC_NEG = _wfc_waves()
+CORPUS += _WFC_POS
+NEGATIVE_WAVE61 = _WFC_NEG
+
+
+# --------------------------------------------------------------------------
+# wave 62 (r9) — typeCoercion/native/concat.sql, the conf-independent
+# core: || chains over mixed string/int/binary/double columns coerce
+# to STRING (10-row range fixtures, ordered; the
+# concatBinaryAsString SET-dependent groups and the various_arrays
+# wide-row rendering are skipped — session-mutating SETs don't belong
+# in a pooled-session corpus).
+# --------------------------------------------------------------------------
+
+_W62_POS = [
+    ("SELECT (col1 || col2 || col3) col FROM ( SELECT id col1, "
+     "string(id + 1) col2, encode(string(id + 2), 'utf-8') col3 "
+     "FROM range(10) ) ORDER BY col",
+     "SELECT * FROM (VALUES ('012'),('123'),('234'),('345'),('456'),"
+     "('567'),('678'),('789'),('8910'),('91011')) t(col) ORDER BY col"),
+    ("SELECT ((col1 || col2) || (col3 || col4) || col5) col FROM ( "
+     "SELECT 'prefix_' col1, id col2, string(id + 1) col3, "
+     "encode(string(id + 2), 'utf-8') col4, CAST(id AS DOUBLE) col5 "
+     "FROM range(10) ) ORDER BY col",
+     "SELECT * FROM (VALUES ('prefix_0120.0'),('prefix_1231.0'),"
+     "('prefix_2342.0'),('prefix_3453.0'),('prefix_4564.0'),"
+     "('prefix_5675.0'),('prefix_6786.0'),('prefix_7897.0'),"
+     "('prefix_89108.0'),('prefix_910119.0')) t(col) ORDER BY col"),
+    ("SELECT ((col1 || col2) || (col3 || col4)) col FROM ( "
+     "SELECT string(id) col1, string(id + 1) col2, "
+     "encode(string(id + 2), 'utf-8') col3, "
+     "encode(string(id + 3), 'utf-8') col4 FROM range(10) ) ORDER BY col",
+     "SELECT * FROM (VALUES ('0123'),('1234'),('2345'),('3456'),('4567'),"
+     "('5678'),('6789'),('78910'),('891011'),('9101112')) t(col) "
+     "ORDER BY col"),
+]
+CORPUS += _W62_POS
+
+
 @pytest.mark.parametrize("case", range(len(CORPUS)))
 def test_corpus_over_wire(server, duck, case):
     pg_sql, oracle = CORPUS[case]
@@ -6877,6 +7173,9 @@ NEGATIVE_CORPUS += NEGATIVE_WAVE54
 NEGATIVE_CORPUS += NEGATIVE_WAVE55
 NEGATIVE_CORPUS += NEGATIVE_WAVE56
 NEGATIVE_CORPUS += NEGATIVE_WAVE57
+NEGATIVE_CORPUS += NEGATIVE_WAVE58
+NEGATIVE_CORPUS += NEGATIVE_WAVE60
+NEGATIVE_CORPUS += NEGATIVE_WAVE61
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))

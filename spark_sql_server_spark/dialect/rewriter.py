@@ -504,6 +504,56 @@ def _rewrite_substring_from_for(toks: list[Tok]) -> list[Tok]:
     return toks
 
 
+#: date_part() fields whose PG semantics differ from (or don't exist
+#: in) Spark's date_part — canonicalized to EXTRACT so the
+#: _rewrite_extract_dow pass fixes them once. Spark's own fields
+#: (year, doy, week, …) pass through untouched.
+_DATE_PART_PG_FIELDS = {
+    "dow", "isodow", "epoch", "century", "millennium", "decade",
+    "milliseconds", "microseconds", "isoyear",
+}
+
+
+def _rewrite_date_part_pg(toks: list[Tok]) -> list[Tok]:
+    """``date_part('dow', x)`` → ``EXTRACT(DOW FROM x)`` for the
+    PG-divergent fields, so the EXTRACT pass below supplies the PG
+    semantics. Without this, ``date_part('dow', …)`` reached Spark
+    raw and returned Spark's 1-based day-of-week — a SILENT
+    off-by-one for psql users (the extract spelling was fixed in r4,
+    the date_part spelling only here)."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind != "word" or t.text.lower() != "date_part":
+            i += 1
+            continue
+        oi = _next_code(toks, i)
+        if oi >= len(toks) or toks[oi].text != "(":
+            i += 1
+            continue
+        li = _next_code(toks, oi)
+        if li >= len(toks) or toks[li].kind != "string":
+            i += 1
+            continue
+        field = toks[li].text.strip("'").lower()
+        if field not in _DATE_PART_PG_FIELDS:
+            i += 1
+            continue
+        ci = _next_code(toks, li)
+        if ci >= len(toks) or toks[ci].text != ",":
+            i += 1
+            continue
+        toks[i] = Tok("word", "EXTRACT")
+        toks[li] = Tok("word", field.upper())
+        # ',' → FROM, spaced as separate tokens so the EXTRACT pass's
+        # FROM search (exact text match) sees it
+        toks[ci] = Tok("word", "FROM")
+        toks.insert(ci + 1, Tok("op", " "))
+        toks.insert(ci, Tok("op", " "))
+        i += 1
+    return toks
+
+
 def _rewrite_extract_dow(toks: list[Tok]) -> list[Tok]:
     """PG ``EXTRACT(DOW/ISODOW FROM x)`` → Spark semantics.
 
@@ -554,6 +604,71 @@ def _rewrite_extract_dow(toks: list[Tok]) -> list[Tok]:
                                 ") AS TIMESTAMP)) / 1000000.0 "
                                 "AS DECIMAL(26,6)))",
                             )
+                    elif field in ("milliseconds", "microseconds"):
+                        # PG sub-second fields: seconds (with fraction)
+                        # scaled — milliseconds is numeric(…,3)
+                        # ('9123.457'), microseconds integral
+                        # ('9123457'). Spark has neither field but its
+                        # SECOND is a DECIMAL(8,6) WITH the fraction.
+                        depth = 0
+                        from_i = -1
+                        for j in range(ni, close):
+                            if toks[j].text == "(":
+                                depth += 1
+                            elif toks[j].text == ")":
+                                depth -= 1
+                            elif (
+                                depth == 1
+                                and toks[j].kind == "word"
+                                and toks[j].text.upper() == "FROM"
+                            ):
+                                from_i = j
+                                break
+                        if from_i != -1:
+                            head = "(CAST(EXTRACT(SECOND FROM "
+                            tail = (
+                                ") * 1000 AS DECIMAL(15,3)))"
+                                if field == "milliseconds"
+                                else ") * 1000000 AS DECIMAL(18,0)))"
+                            )
+                            toks[i] = Tok("op", head)
+                            toks[ni] = Tok("op", "")
+                            toks[fi] = Tok("op", "")
+                            toks[from_i] = Tok("op", "")
+                            toks[close] = Tok("op", tail)
+                    elif field == "isoyear":
+                        # PG ISOYEAR = the ISO-week-numbering year =
+                        # calendar year of that week's Thursday
+                        # (date + (4 - isodow) days). Spark has no
+                        # such field. The argument is duplicated once
+                        # (column/literal args — same contract as the
+                        # date_trunc coarse pass).
+                        depth = 0
+                        from_i = -1
+                        for j in range(ni, close):
+                            if toks[j].text == "(":
+                                depth += 1
+                            elif toks[j].text == ")":
+                                depth -= 1
+                            elif (
+                                depth == 1
+                                and toks[j].kind == "word"
+                                and toks[j].text.upper() == "FROM"
+                            ):
+                                from_i = j
+                                break
+                        if from_i != -1:
+                            arg = "".join(
+                                tk.text for tk in toks[from_i + 1:close]
+                            ).strip()
+                            repl = (
+                                "(CAST(YEAR(DATE_ADD(CAST((%s) AS DATE), "
+                                "4 - EXTRACT(DOW_ISO FROM CAST((%s) AS "
+                                "DATE)))) AS BIGINT))" % (arg, arg)
+                            )
+                            toks[i] = Tok("op", repl)
+                            for j in range(ni, close + 1):
+                                toks[j] = Tok("op", "")
                     elif field == "isodow":
                         toks[fi] = Tok("word", "DOW_ISO")
                     elif field == "dow":
@@ -1865,6 +1980,7 @@ def rewrite_sql(sql: str, params: bool = True) -> str:
     toks = _rewrite_json_ops(toks)
     toks = _rewrite_tilde(toks)
     toks = _rewrite_substring_from_for(toks)
+    toks = _rewrite_date_part_pg(toks)
     toks = _rewrite_extract_dow(toks)
     toks = _rewrite_date_trunc_coarse(toks)
     toks = _rewrite_pg_date_literals(toks)

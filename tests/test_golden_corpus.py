@@ -7039,6 +7039,320 @@ _W62_POS = [
 CORPUS += _W62_POS
 
 
+
+
+# --------------------------------------------------------------------------
+# wave 63 (r9) — extract.sql COMPLETE (top-level input, 64 statements;
+# waves 12-13 took the synonym matrix): the full field battery over a
+# string timestamp fixture, wire-captured. NEW DIALECT SURFACE landed
+# with this wave (rewriter): EXTRACT/date_part MILLISECONDS (PG
+# numeric-with-fraction '9123.456' — DuckDB itself truncates to int,
+# we match real PG), MICROSECONDS ('9123457' class), and ISOYEAR (the
+# ISO-week-numbering year = year of that week's Thursday; boundary
+# '2005-01-01' → 2004). The .1234567 input keeps Spark's micro
+# TRUNCATION (PG rounds) — the documented nanos class. Spark-only
+# synonym spellings PG rejects (mil/cent/decs/…) stay clean errors.
+# --------------------------------------------------------------------------
+
+CORPUS += [
+
+    ("select extract(millennium from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '3' AS c0"),
+    ("select extract(century from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '21' AS c0"),
+    ("select extract(decade from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '201' AS c0"),
+    ("select extract(year from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '2011' AS c0"),
+    ("select extract(y from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '2011' AS c0"),
+    ("select extract(years from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '2011' AS c0"),
+    ("select extract(yr from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '2011' AS c0"),
+    ("select extract(yrs from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '2011' AS c0"),
+    ("select extract(isoyear from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '2011' AS c0"),
+    ("select extract(quarter from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '2' AS c0"),
+    ("select extract(qtr from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '2' AS c0"),
+    ("select extract(month from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '5' AS c0"),
+    ("select extract(mon from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '5' AS c0"),
+    ("select extract(mons from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '5' AS c0"),
+    ("select extract(months from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '5' AS c0"),
+    ("select extract(week from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '18' AS c0"),
+    ("select extract(w from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '18' AS c0"),
+    ("select extract(weeks from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '18' AS c0"),
+    ("select extract(day from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '6' AS c0"),
+    ("select extract(d from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '6' AS c0"),
+    ("select extract(days from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '6' AS c0"),
+    ("select extract(dayofweek from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '6' AS c0"),
+    ("select extract(dow from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '5' AS c0"),
+    ("select extract(isodow from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '5' AS c0"),
+    ("select extract(doy from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '126' AS c0"),
+    ("select extract(hour from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '7' AS c0"),
+    ("select extract(h from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '7' AS c0"),
+    ("select extract(hours from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '7' AS c0"),
+    ("select extract(hr from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '7' AS c0"),
+    ("select extract(hrs from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '7' AS c0"),
+    ("select extract(minute from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '8' AS c0"),
+    ("select extract(m from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '8' AS c0"),
+    ("select extract(min from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '8' AS c0"),
+    ("select extract(mins from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '8' AS c0"),
+    ("select extract(minutes from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '8' AS c0"),
+    ("select extract(second from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '9.123456' AS c0"),
+    ("select extract(s from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '9.123456' AS c0"),
+    ("select extract(sec from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '9.123456' AS c0"),
+    ("select extract(seconds from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '9.123456' AS c0"),
+    ("select extract(secs from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '9.123456' AS c0"),
+    ("select extract(milliseconds from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '9123.456' AS c0"),
+    ("select extract(microseconds from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '9123456' AS c0"),
+    ("select extract(epoch from c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '1304665689.123456' AS c0"),
+]
+
+NEGATIVE_WAVE63 = [
+
+    "select extract(millennia from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(mil from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(mils from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(centuries from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(c from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(cent from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(decades from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(dec from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(decs from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(msec from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(msecs from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(millisecon from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(mseconds from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(ms from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(usec from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(usecs from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(useconds from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(microsecon from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(us from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select extract(not_supported from c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+]
+
+
+# --------------------------------------------------------------------------
+# wave 64 (r9) — date_part.sql COMPLETE: the same battery through the
+# date_part() spelling — which previously BYPASSED the r4 extract
+# rewrites entirely: date_part('dow', …) reached Spark raw and
+# returned the 1-based Spark day-of-week, a SILENT off-by-one for
+# psql users (fixed this wave by _rewrite_date_part_pg canonicalizing
+# the PG-divergent fields to EXTRACT). The reference's t2 fixture is a
+# MIXED year-to-microsecond calendar interval — Spark 4 rejects the
+# mixed multi-unit literal itself, so the interval section runs on a
+# pure YEAR TO MONTH fixture (the Spark-4-legal projection of it) and
+# the mixed literal is pinned negative. date_part(NULL, x) is NULL;
+# date_part(col, x) is NON_FOLDABLE_ARGUMENT.
+# --------------------------------------------------------------------------
+
+CORPUS += [
+
+    ("select date_part('millennium', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '3' AS c0"),
+    ("select date_part('century', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '21' AS c0"),
+    ("select date_part('decade', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '201' AS c0"),
+    ("select date_part('year', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '2011' AS c0"),
+    ("select date_part('y', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '2011' AS c0"),
+    ("select date_part('years', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '2011' AS c0"),
+    ("select date_part('yr', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '2011' AS c0"),
+    ("select date_part('yrs', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '2011' AS c0"),
+    ("select date_part('quarter', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '2' AS c0"),
+    ("select date_part('qtr', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '2' AS c0"),
+    ("select date_part('month', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '5' AS c0"),
+    ("select date_part('mon', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '5' AS c0"),
+    ("select date_part('mons', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '5' AS c0"),
+    ("select date_part('months', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '5' AS c0"),
+    ("select date_part('week', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '18' AS c0"),
+    ("select date_part('w', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '18' AS c0"),
+    ("select date_part('weeks', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '18' AS c0"),
+    ("select date_part('day', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '6' AS c0"),
+    ("select date_part('d', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '6' AS c0"),
+    ("select date_part('days', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '6' AS c0"),
+    ("select date_part('dayofweek', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '6' AS c0"),
+    ("select date_part('dow', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '5' AS c0"),
+    ("select date_part('isodow', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '5' AS c0"),
+    ("select date_part('doy', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '126' AS c0"),
+    ("select date_part('hour', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '7' AS c0"),
+    ("select date_part('h', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '7' AS c0"),
+    ("select date_part('hours', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '7' AS c0"),
+    ("select date_part('hr', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '7' AS c0"),
+    ("select date_part('hrs', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '7' AS c0"),
+    ("select date_part('minute', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '8' AS c0"),
+    ("select date_part('m', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '8' AS c0"),
+    ("select date_part('min', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '8' AS c0"),
+    ("select date_part('mins', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '8' AS c0"),
+    ("select date_part('minutes', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '8' AS c0"),
+    ("select date_part('second', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '9.123456' AS c0"),
+    ("select date_part('s', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '9.123456' AS c0"),
+    ("select date_part('sec', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '9.123456' AS c0"),
+    ("select date_part('seconds', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '9.123456' AS c0"),
+    ("select date_part('secs', c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT '9.123456' AS c0"),
+    ("select date_part(null, c) from (select '2011-05-06 07:08:09.1234567' as c) t",
+     "SELECT CAST(NULL AS VARCHAR) AS c0"),
+    ("select date_part('year', c) from (select interval '1010-9' year to month as c) t2",
+     "SELECT '1010' AS c0"),
+    ("select date_part('y', c) from (select interval '1010-9' year to month as c) t2",
+     "SELECT '1010' AS c0"),
+    ("select date_part('years', c) from (select interval '1010-9' year to month as c) t2",
+     "SELECT '1010' AS c0"),
+    ("select date_part('yr', c) from (select interval '1010-9' year to month as c) t2",
+     "SELECT '1010' AS c0"),
+    ("select date_part('yrs', c) from (select interval '1010-9' year to month as c) t2",
+     "SELECT '1010' AS c0"),
+    ("select date_part('month', c) from (select interval '1010-9' year to month as c) t2",
+     "SELECT '9' AS c0"),
+    ("select date_part('mon', c) from (select interval '1010-9' year to month as c) t2",
+     "SELECT '9' AS c0"),
+    ("select date_part('mons', c) from (select interval '1010-9' year to month as c) t2",
+     "SELECT '9' AS c0"),
+    ("select date_part('months', c) from (select interval '1010-9' year to month as c) t2",
+     "SELECT '9' AS c0"),
+    ("select date_part(null, c) from (select interval '1010-9' year to month as c) t2",
+     "SELECT CAST(NULL AS VARCHAR) AS c0"),
+]
+
+NEGATIVE_WAVE64 = [
+
+    "select date_part('millennia', c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select date_part('mil', c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select date_part('mils', c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select date_part('centuries', c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select date_part('c', c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select date_part('cent', c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select date_part('decades', c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select date_part('dec', c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select date_part('decs', c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select date_part('not_supported', c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # INVALID_EXTRACT_FIELD
+    "select date_part(c, c) from (select '2011-05-06 07:08:09.1234567' as c) t",  # NON_FOLDABLE_ARGUMENT
+    "select date_part('millennium', c) from (select interval '1010-9' year to month as c) t2",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    "select date_part('millennia', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('mil', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('mils', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('century', c) from (select interval '1010-9' year to month as c) t2",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    "select date_part('centuries', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('c', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('cent', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('decade', c) from (select interval '1010-9' year to month as c) t2",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    "select date_part('decades', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('dec', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('decs', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('quarter', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('qtr', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('day', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('d', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('days', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('hour', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('h', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('hours', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('hr', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('hrs', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('minute', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('m', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('min', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('mins', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('minutes', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('second', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('s', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('sec', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('seconds', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('secs', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('milliseconds', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('msec', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('msecs', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('millisecon', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('mseconds', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('ms', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('microseconds', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('usec', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('usecs', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('useconds', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('microsecon', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('us', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part('epoch', c) from (select interval '1010-9' year to month as c) t2",  # DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION
+    "select date_part('not_supported', c) from (select interval '1010-9' year to month as c) t2",  # INVALID_EXTRACT_FIELD
+    "select date_part(c, c) from (select interval '1010-9' year to month as c) t2",  # NON_FOLDABLE_ARGUMENT
+    # Spark 4 rejects the reference's mixed multi-unit interval literal
+    "select interval 1010 year 9 month 8 day 7 hour 6 minute "
+    "5 second 4 millisecond 3 microsecond as c",
+]
+
+
 @pytest.mark.parametrize("case", range(len(CORPUS)))
 def test_corpus_over_wire(server, duck, case):
     pg_sql, oracle = CORPUS[case]
@@ -7176,6 +7490,8 @@ NEGATIVE_CORPUS += NEGATIVE_WAVE57
 NEGATIVE_CORPUS += NEGATIVE_WAVE58
 NEGATIVE_CORPUS += NEGATIVE_WAVE60
 NEGATIVE_CORPUS += NEGATIVE_WAVE61
+NEGATIVE_CORPUS += NEGATIVE_WAVE63
+NEGATIVE_CORPUS += NEGATIVE_WAVE64
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))

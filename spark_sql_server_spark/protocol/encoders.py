@@ -50,7 +50,7 @@ def _json_default(v):
     if isinstance(v, (datetime, date)):
         return str(v)
     if isinstance(v, Decimal):
-        return float(v)
+        return _json_decimal(v)
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     if hasattr(v, "asDict"):  # pyspark Row
@@ -58,11 +58,43 @@ def _json_default(v):
     return str(v)
 
 
+def _json_decimal(v: Decimal):
+    """Decimal inside a JSON cell: keep the historical float form when
+    it round-trips exactly; beyond float precision render EXACTLY —
+    integral as a JSON int, fractional as a quoted fixed-point string
+    (a decimal(19,0) map value rendered '9.223372036854776e+18'
+    before — precision silently lost; found porting mapconcat.sql)."""
+    f = float(v)
+    if (
+        not (math.isinf(f) or math.isnan(f))
+        and Decimal(f) == v
+        and abs(v) < 1 << 53
+    ):
+        # small values keep the historical float form ('1.0')
+        return f
+    if v == v.to_integral_value():
+        return int(v)
+    return format(v, "f")
+
+
+def _json_key(k):
+    """Map keys must be JSON strings; use the JSON value spellings
+    (true/false, fixed-point decimals, hex bytes) — str() printed
+    Python's 'True'/'False' for boolean keys."""
+    if isinstance(k, bool):
+        return "true" if k else "false"
+    if isinstance(k, Decimal):
+        return format(k, "f")
+    if isinstance(k, (bytes, bytearray)):
+        return k.hex()
+    return str(k)
+
+
 def _to_jsonable(v):
     if hasattr(v, "asDict"):
         return {k: _to_jsonable(x) for k, x in v.asDict(recursive=False).items()}
     if isinstance(v, dict):
-        return {str(k): _to_jsonable(x) for k, x in v.items()}
+        return {_json_key(k): _to_jsonable(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
         return [_to_jsonable(x) for x in v]
     return v

@@ -2072,9 +2072,12 @@ def _ym_interval_pg_text(col: str) -> str:
 
 
 def _has_uncollectable(dt) -> bool:
-    """True when a YearMonthInterval/CalendarInterval hides anywhere in
-    the type tree — PySpark's fromInternal raises NOT_IMPLEMENTED for
-    them even nested inside array/struct/map elements."""
+    """True when the type tree cannot survive PySpark's fromInternal:
+    a YearMonthInterval/CalendarInterval anywhere (NOT_IMPLEMENTED), or
+    a map whose KEY type is array/map/struct — fromInternal builds a
+    Python dict and list/dict/Row keys raise ``unhashable type``
+    (found wire-porting typeCoercion/native/mapconcat.sql: a plain
+    ``map_concat(map(array('a'),…), …)`` crashed the row path)."""
     from pyspark.sql import types as T
 
     if isinstance(dt, (T.YearMonthIntervalType, T.CalendarIntervalType)):
@@ -2082,6 +2085,8 @@ def _has_uncollectable(dt) -> bool:
     if isinstance(dt, T.ArrayType):
         return _has_uncollectable(dt.elementType)
     if isinstance(dt, T.MapType):
+        if isinstance(dt.keyType, (T.ArrayType, T.MapType, T.StructType)):
+            return True
         return _has_uncollectable(dt.keyType) or _has_uncollectable(dt.valueType)
     if isinstance(dt, T.StructType):
         return any(_has_uncollectable(f.dataType) for f in dt.fields)

@@ -3372,6 +3372,20 @@ def server(spark):
     loop.close()
 
 
+@pytest.fixture(scope="module")
+def client(server):
+    """ONE wire connection shared across the whole corpus — a
+    per-case PgClient.connect cost ~1.3 s of handshake per statement,
+    which at 4000+ corpus cases dominated the entire test suite
+    (~90 min of pure reconnects). The simple-protocol error path ends
+    in ReadyForQuery, so a shared connection stays usable across
+    negative cases too (the per-case desync probe below asserts it)."""
+    srv, loop = server
+    c = loop.run_until_complete(PgClient.connect(srv.port))
+    yield c
+    loop.run_until_complete(c.close())
+
+
 def _duck_rows(duck, sql: str) -> list[list[str]]:
     from decimal import Decimal
 
@@ -7353,19 +7367,77 @@ NEGATIVE_WAVE64 = [
 ]
 
 
+
+
+# --------------------------------------------------------------------------
+# wave 65 (r9) — typeCoercion/native mapconcat.sql + mapZipWith.sql
+# COMPLETE (wave 23 took key-coercion representatives). The
+# various_maps fixture is inlined per statement. This wave found and
+# fixed a REAL row-path crash: a map whose KEY type is array/struct
+# could not be collected at all (pyspark fromInternal builds a Python
+# dict — unhashable keys raised "unhashable type: 'list'" on a plain
+# map_concat result); _has_uncollectable now routes such columns
+# through the string cast. It also drove two JSON-cell fidelity fixes:
+# integral Decimal map values beyond 2^53 rendered
+# '9.223372036854776e+18' (precision silently lost for most, and
+# scientific even when float-exact — now exact JSON ints; fractional
+# lossy decimals render quoted fixed-point), and boolean map keys
+# printed Python's 'True'/'False' (now JSON 'true'/'false'). The
+# MAP_ZIP_WITH / map_concat cross-family pairs are ANSI negatives.
+# --------------------------------------------------------------------------
+
+CORPUS += [
+
+    ("SELECT map_concat(boolean_map1, boolean_map2) boolean_map, map_concat(tinyint_map1, tinyint_map2) tinyint_map, map_concat(smallint_map1, smallint_map2) smallint_map, map_concat(int_map1, int_map2) int_map, map_concat(bigint_map1, bigint_map2) bigint_map, map_concat(decimal_map1, decimal_map2) decimal_map, map_concat(float_map1, float_map2) float_map, map_concat(double_map1, double_map2) double_map, map_concat(date_map1, date_map2) date_map, map_concat(timestamp_map1, timestamp_map2) timestamp_map, map_concat(string_map1, string_map2) string_map, map_concat(array_map1, array_map2) array_map, map_concat(struct_map1, struct_map2) struct_map, map_concat(string_int_map1, string_int_map2) string_int_map, map_concat(int_string_map1, int_string_map2) int_string_map from (SELECT * FROM VALUES ( map(true, false), map(false, true), map(1Y, 2Y), map(3Y, 4Y), map(1S, 2S), map(3S, 4S), map(4, 6), map(7, 8), map(6L, 7L), map(8L, 9L), map(9223372036854775809, 9223372036854775808), map(9223372036854775808, 9223372036854775809), map(1.0D, 2.0D), map(3.0D, 4.0D), map(float(1.0D), float(2.0D)), map(float(3.0D), float(4.0D)), map(date '2016-03-14', date '2016-03-13'), map(date '2016-03-12', date '2016-03-11'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map(timestamp '2016-11-11 20:54:00.000', timestamp '2016-11-09 20:54:00.000'), map('a', 'b'), map('c', 'd'), map(array('a', 'b'), array('c', 'd')), map(array('e'), array('f')), map(struct('a', 1), struct('b', 2)), map(struct('c', 3), struct('d', 4)), map('a', 1), map('c', 2), map(1, 'a'), map(2, 'c') ) AS various_maps ( boolean_map1, boolean_map2, tinyint_map1, tinyint_map2, smallint_map1, smallint_map2, int_map1, int_map2, bigint_map1, bigint_map2, decimal_map1, decimal_map2, double_map1, double_map2, float_map1, float_map2, date_map1, date_map2, timestamp_map1, timestamp_map2, string_map1, string_map2, array_map1, array_map2, struct_map1, struct_map2, string_int_map1, string_int_map2, int_string_map1, int_string_map2 )) various_maps",
+     'SELECT \'{"false":true,"true":false}\' AS c0, \'{"1":2,"3":4}\' AS c1, \'{"1":2,"3":4}\' AS c2, \'{"4":6,"7":8}\' AS c3, \'{"8":9,"6":7}\' AS c4, \'{"9223372036854775808":9223372036854775809,"9223372036854775809":9223372036854775808}\' AS c5, \'{"1.0":2.0,"3.0":4.0}\' AS c6, \'{"1.0":2.0,"3.0":4.0}\' AS c7, \'{"2016-03-12":"2016-03-11","2016-03-14":"2016-03-13"}\' AS c8, \'{"2016-11-11 20:54:00":"2016-11-09 20:54:00","2016-11-15 20:54:00":"2016-11-12 20:54:00"}\' AS c9, \'{"a":"b","c":"d"}\' AS c10, \'{[a, b] -> [c, d], [e] -> [f]}\' AS c11, \'{{a, 1} -> {b, 2}, {c, 3} -> {d, 4}}\' AS c12, \'{"a":1,"c":2}\' AS c13, \'{"1":"a","2":"c"}\' AS c14'),
+
+    ("SELECT map_zip_with(tinyint_map, smallint_map, (k, v1, v2) -> struct(k, v1, v2)) m from (SELECT * FROM VALUES ( map(true, false), map(2Y, 1Y), map(2S, 1S), map(2, 1), map(2L, 1L), map(922337203685477897945456575809789456, 922337203685477897945456575809789456), map(9.22337203685477897945456575809789456, 9.22337203685477897945456575809789456), map(2.0D, 1.0D), map(float(2.0), float(1.0)), map(date '2016-03-14', date '2016-03-13'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map('true', 'false', '2', '1'), map('2016-03-14', '2016-03-13'), map('2016-11-15 20:54:00.000', '2016-11-12 20:54:00.000'), map('922337203685477897945456575809789456', 'text'), map(array(1L, 2L), array(1L, 2L)), map(array(1, 2), array(1, 2)), map(struct(1S, 2L), struct(1S, 2L)), map(struct(1, 2), struct(1, 2)) ) AS various_maps( boolean_map, tinyint_map, smallint_map, int_map, bigint_map, decimal_map1, decimal_map2, double_map, float_map, date_map, timestamp_map, string_map1, string_map2, string_map3, string_map4, array_map1, array_map2, struct_map1, struct_map2 )) various_maps",
+     'SELECT \'{"2":{"k":2,"v1":1,"v2":1}}\' AS c0'),
+    ("SELECT map_zip_with(smallint_map, int_map, (k, v1, v2) -> struct(k, v1, v2)) m from (SELECT * FROM VALUES ( map(true, false), map(2Y, 1Y), map(2S, 1S), map(2, 1), map(2L, 1L), map(922337203685477897945456575809789456, 922337203685477897945456575809789456), map(9.22337203685477897945456575809789456, 9.22337203685477897945456575809789456), map(2.0D, 1.0D), map(float(2.0), float(1.0)), map(date '2016-03-14', date '2016-03-13'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map('true', 'false', '2', '1'), map('2016-03-14', '2016-03-13'), map('2016-11-15 20:54:00.000', '2016-11-12 20:54:00.000'), map('922337203685477897945456575809789456', 'text'), map(array(1L, 2L), array(1L, 2L)), map(array(1, 2), array(1, 2)), map(struct(1S, 2L), struct(1S, 2L)), map(struct(1, 2), struct(1, 2)) ) AS various_maps( boolean_map, tinyint_map, smallint_map, int_map, bigint_map, decimal_map1, decimal_map2, double_map, float_map, date_map, timestamp_map, string_map1, string_map2, string_map3, string_map4, array_map1, array_map2, struct_map1, struct_map2 )) various_maps",
+     'SELECT \'{"2":{"k":2,"v1":1,"v2":1}}\' AS c0'),
+    ("SELECT map_zip_with(int_map, bigint_map, (k, v1, v2) -> struct(k, v1, v2)) m from (SELECT * FROM VALUES ( map(true, false), map(2Y, 1Y), map(2S, 1S), map(2, 1), map(2L, 1L), map(922337203685477897945456575809789456, 922337203685477897945456575809789456), map(9.22337203685477897945456575809789456, 9.22337203685477897945456575809789456), map(2.0D, 1.0D), map(float(2.0), float(1.0)), map(date '2016-03-14', date '2016-03-13'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map('true', 'false', '2', '1'), map('2016-03-14', '2016-03-13'), map('2016-11-15 20:54:00.000', '2016-11-12 20:54:00.000'), map('922337203685477897945456575809789456', 'text'), map(array(1L, 2L), array(1L, 2L)), map(array(1, 2), array(1, 2)), map(struct(1S, 2L), struct(1S, 2L)), map(struct(1, 2), struct(1, 2)) ) AS various_maps( boolean_map, tinyint_map, smallint_map, int_map, bigint_map, decimal_map1, decimal_map2, double_map, float_map, date_map, timestamp_map, string_map1, string_map2, string_map3, string_map4, array_map1, array_map2, struct_map1, struct_map2 )) various_maps",
+     'SELECT \'{"2":{"k":2,"v1":1,"v2":1}}\' AS c0'),
+    ("SELECT map_zip_with(double_map, float_map, (k, v1, v2) -> struct(k, v1, v2)) m from (SELECT * FROM VALUES ( map(true, false), map(2Y, 1Y), map(2S, 1S), map(2, 1), map(2L, 1L), map(922337203685477897945456575809789456, 922337203685477897945456575809789456), map(9.22337203685477897945456575809789456, 9.22337203685477897945456575809789456), map(2.0D, 1.0D), map(float(2.0), float(1.0)), map(date '2016-03-14', date '2016-03-13'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map('true', 'false', '2', '1'), map('2016-03-14', '2016-03-13'), map('2016-11-15 20:54:00.000', '2016-11-12 20:54:00.000'), map('922337203685477897945456575809789456', 'text'), map(array(1L, 2L), array(1L, 2L)), map(array(1, 2), array(1, 2)), map(struct(1S, 2L), struct(1S, 2L)), map(struct(1, 2), struct(1, 2)) ) AS various_maps( boolean_map, tinyint_map, smallint_map, int_map, bigint_map, decimal_map1, decimal_map2, double_map, float_map, date_map, timestamp_map, string_map1, string_map2, string_map3, string_map4, array_map1, array_map2, struct_map1, struct_map2 )) various_maps",
+     'SELECT \'{"2.0":{"k":2.0,"v1":1.0,"v2":1.0}}\' AS c0'),
+    ("SELECT map_zip_with(decimal_map1, decimal_map2, (k, v1, v2) -> struct(k, v1, v2)) m from (SELECT * FROM VALUES ( map(true, false), map(2Y, 1Y), map(2S, 1S), map(2, 1), map(2L, 1L), map(922337203685477897945456575809789456, 922337203685477897945456575809789456), map(9.22337203685477897945456575809789456, 9.22337203685477897945456575809789456), map(2.0D, 1.0D), map(float(2.0), float(1.0)), map(date '2016-03-14', date '2016-03-13'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map('true', 'false', '2', '1'), map('2016-03-14', '2016-03-13'), map('2016-11-15 20:54:00.000', '2016-11-12 20:54:00.000'), map('922337203685477897945456575809789456', 'text'), map(array(1L, 2L), array(1L, 2L)), map(array(1, 2), array(1, 2)), map(struct(1S, 2L), struct(1S, 2L)), map(struct(1, 2), struct(1, 2)) ) AS various_maps( boolean_map, tinyint_map, smallint_map, int_map, bigint_map, decimal_map1, decimal_map2, double_map, float_map, date_map, timestamp_map, string_map1, string_map2, string_map3, string_map4, array_map1, array_map2, struct_map1, struct_map2 )) various_maps",
+     'SELECT \'{"9.22":{"k":"9.22","v1":null,"v2":"9.22337203685477897945456575809789456"},"922337203685477897945456575809789456.00":{"k":922337203685477897945456575809789456,"v1":922337203685477897945456575809789456,"v2":null}}\' AS c0'),
+    ("SELECT map_zip_with(decimal_map1, int_map, (k, v1, v2) -> struct(k, v1, v2)) m from (SELECT * FROM VALUES ( map(true, false), map(2Y, 1Y), map(2S, 1S), map(2, 1), map(2L, 1L), map(922337203685477897945456575809789456, 922337203685477897945456575809789456), map(9.22337203685477897945456575809789456, 9.22337203685477897945456575809789456), map(2.0D, 1.0D), map(float(2.0), float(1.0)), map(date '2016-03-14', date '2016-03-13'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map('true', 'false', '2', '1'), map('2016-03-14', '2016-03-13'), map('2016-11-15 20:54:00.000', '2016-11-12 20:54:00.000'), map('922337203685477897945456575809789456', 'text'), map(array(1L, 2L), array(1L, 2L)), map(array(1, 2), array(1, 2)), map(struct(1S, 2L), struct(1S, 2L)), map(struct(1, 2), struct(1, 2)) ) AS various_maps( boolean_map, tinyint_map, smallint_map, int_map, bigint_map, decimal_map1, decimal_map2, double_map, float_map, date_map, timestamp_map, string_map1, string_map2, string_map3, string_map4, array_map1, array_map2, struct_map1, struct_map2 )) various_maps",
+     'SELECT \'{"922337203685477897945456575809789456":{"k":922337203685477897945456575809789456,"v1":922337203685477897945456575809789456,"v2":null},"2":{"k":2.0,"v1":null,"v2":1}}\' AS c0'),
+    ("SELECT map_zip_with(decimal_map1, double_map, (k, v1, v2) -> struct(k, v1, v2)) m from (SELECT * FROM VALUES ( map(true, false), map(2Y, 1Y), map(2S, 1S), map(2, 1), map(2L, 1L), map(922337203685477897945456575809789456, 922337203685477897945456575809789456), map(9.22337203685477897945456575809789456, 9.22337203685477897945456575809789456), map(2.0D, 1.0D), map(float(2.0), float(1.0)), map(date '2016-03-14', date '2016-03-13'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map('true', 'false', '2', '1'), map('2016-03-14', '2016-03-13'), map('2016-11-15 20:54:00.000', '2016-11-12 20:54:00.000'), map('922337203685477897945456575809789456', 'text'), map(array(1L, 2L), array(1L, 2L)), map(array(1, 2), array(1, 2)), map(struct(1S, 2L), struct(1S, 2L)), map(struct(1, 2), struct(1, 2)) ) AS various_maps( boolean_map, tinyint_map, smallint_map, int_map, bigint_map, decimal_map1, decimal_map2, double_map, float_map, date_map, timestamp_map, string_map1, string_map2, string_map3, string_map4, array_map1, array_map2, struct_map1, struct_map2 )) various_maps",
+     'SELECT \'{"2.0":{"k":2.0,"v1":null,"v2":1.0},"9.223372036854779e+35":{"k":9.223372036854779e+35,"v1":922337203685477897945456575809789456,"v2":null}}\' AS c0'),
+    ("SELECT map_zip_with(decimal_map2, int_map, (k, v1, v2) -> struct(k, v1, v2)) m from (SELECT * FROM VALUES ( map(true, false), map(2Y, 1Y), map(2S, 1S), map(2, 1), map(2L, 1L), map(922337203685477897945456575809789456, 922337203685477897945456575809789456), map(9.22337203685477897945456575809789456, 9.22337203685477897945456575809789456), map(2.0D, 1.0D), map(float(2.0), float(1.0)), map(date '2016-03-14', date '2016-03-13'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map('true', 'false', '2', '1'), map('2016-03-14', '2016-03-13'), map('2016-11-15 20:54:00.000', '2016-11-12 20:54:00.000'), map('922337203685477897945456575809789456', 'text'), map(array(1L, 2L), array(1L, 2L)), map(array(1, 2), array(1, 2)), map(struct(1S, 2L), struct(1S, 2L)), map(struct(1, 2), struct(1, 2)) ) AS various_maps( boolean_map, tinyint_map, smallint_map, int_map, bigint_map, decimal_map1, decimal_map2, double_map, float_map, date_map, timestamp_map, string_map1, string_map2, string_map3, string_map4, array_map1, array_map2, struct_map1, struct_map2 )) various_maps",
+     'SELECT \'{"9.2233720368547789794545657581":{"k":"9.2233720368547789794545657581","v1":"9.22337203685477897945456575809789456","v2":null},"2.0000000000000000000000000000":{"k":2.0,"v1":null,"v2":1}}\' AS c0'),
+    ("SELECT map_zip_with(decimal_map2, double_map, (k, v1, v2) -> struct(k, v1, v2)) m from (SELECT * FROM VALUES ( map(true, false), map(2Y, 1Y), map(2S, 1S), map(2, 1), map(2L, 1L), map(922337203685477897945456575809789456, 922337203685477897945456575809789456), map(9.22337203685477897945456575809789456, 9.22337203685477897945456575809789456), map(2.0D, 1.0D), map(float(2.0), float(1.0)), map(date '2016-03-14', date '2016-03-13'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map('true', 'false', '2', '1'), map('2016-03-14', '2016-03-13'), map('2016-11-15 20:54:00.000', '2016-11-12 20:54:00.000'), map('922337203685477897945456575809789456', 'text'), map(array(1L, 2L), array(1L, 2L)), map(array(1, 2), array(1, 2)), map(struct(1S, 2L), struct(1S, 2L)), map(struct(1, 2), struct(1, 2)) ) AS various_maps( boolean_map, tinyint_map, smallint_map, int_map, bigint_map, decimal_map1, decimal_map2, double_map, float_map, date_map, timestamp_map, string_map1, string_map2, string_map3, string_map4, array_map1, array_map2, struct_map1, struct_map2 )) various_maps",
+     'SELECT \'{"9.223372036854778":{"k":9.223372036854778,"v1":"9.22337203685477897945456575809789456","v2":null},"2.0":{"k":2.0,"v1":null,"v2":1.0}}\' AS c0'),
+    ("SELECT map_zip_with(array_map1, array_map2, (k, v1, v2) -> struct(k, v1, v2)) m from (SELECT * FROM VALUES ( map(true, false), map(2Y, 1Y), map(2S, 1S), map(2, 1), map(2L, 1L), map(922337203685477897945456575809789456, 922337203685477897945456575809789456), map(9.22337203685477897945456575809789456, 9.22337203685477897945456575809789456), map(2.0D, 1.0D), map(float(2.0), float(1.0)), map(date '2016-03-14', date '2016-03-13'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map('true', 'false', '2', '1'), map('2016-03-14', '2016-03-13'), map('2016-11-15 20:54:00.000', '2016-11-12 20:54:00.000'), map('922337203685477897945456575809789456', 'text'), map(array(1L, 2L), array(1L, 2L)), map(array(1, 2), array(1, 2)), map(struct(1S, 2L), struct(1S, 2L)), map(struct(1, 2), struct(1, 2)) ) AS various_maps( boolean_map, tinyint_map, smallint_map, int_map, bigint_map, decimal_map1, decimal_map2, double_map, float_map, date_map, timestamp_map, string_map1, string_map2, string_map3, string_map4, array_map1, array_map2, struct_map1, struct_map2 )) various_maps",
+     "SELECT '{[1, 2] -> {[1, 2], [1, 2], [1, 2]}}' AS c0"),
+    ("SELECT map_zip_with(struct_map1, struct_map2, (k, v1, v2) -> struct(k, v1, v2)) m from (SELECT * FROM VALUES ( map(true, false), map(2Y, 1Y), map(2S, 1S), map(2, 1), map(2L, 1L), map(922337203685477897945456575809789456, 922337203685477897945456575809789456), map(9.22337203685477897945456575809789456, 9.22337203685477897945456575809789456), map(2.0D, 1.0D), map(float(2.0), float(1.0)), map(date '2016-03-14', date '2016-03-13'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map('true', 'false', '2', '1'), map('2016-03-14', '2016-03-13'), map('2016-11-15 20:54:00.000', '2016-11-12 20:54:00.000'), map('922337203685477897945456575809789456', 'text'), map(array(1L, 2L), array(1L, 2L)), map(array(1, 2), array(1, 2)), map(struct(1S, 2L), struct(1S, 2L)), map(struct(1, 2), struct(1, 2)) ) AS various_maps( boolean_map, tinyint_map, smallint_map, int_map, bigint_map, decimal_map1, decimal_map2, double_map, float_map, date_map, timestamp_map, string_map1, string_map2, string_map3, string_map4, array_map1, array_map2, struct_map1, struct_map2 )) various_maps",
+     "SELECT '{{1, 2} -> {{1, 2}, {1, 2}, {1, 2}}}' AS c0"),
+]
+
+NEGATIVE_WAVE65 = [
+
+    "SELECT map_concat(tinyint_map1, smallint_map2) ts_map, map_concat(smallint_map1, int_map2) si_map, map_concat(int_map1, bigint_map2) ib_map, map_concat(bigint_map1, decimal_map2) bd_map, map_concat(decimal_map1, float_map2) df_map, map_concat(string_map1, date_map2) std_map, map_concat(timestamp_map1, string_map2) tst_map, map_concat(string_map1, int_map2) sti_map, map_concat(int_string_map1, tinyint_map2) istt_map from (SELECT * FROM VALUES ( map(true, false), map(false, true), map(1Y, 2Y), map(3Y, 4Y), map(1S, 2S), map(3S, 4S), map(4, 6), map(7, 8), map(6L, 7L), map(8L, 9L), map(9223372036854775809, 9223372036854775808), map(9223372036854775808, 9223372036854775809), map(1.0D, 2.0D), map(3.0D, 4.0D), map(float(1.0D), float(2.0D)), map(float(3.0D), float(4.0D)), map(date '2016-03-14', date '2016-03-13'), map(date '2016-03-12', date '2016-03-11'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map(timestamp '2016-11-11 20:54:00.000', timestamp '2016-11-09 20:54:00.000'), map('a', 'b'), map('c', 'd'), map(array('a', 'b'), array('c', 'd')), map(array('e'), array('f')), map(struct('a', 1), struct('b', 2)), map(struct('c', 3), struct('d', 4)), map('a', 1), map('c', 2), map(1, 'a'), map(2, 'c') ) AS various_maps ( boolean_map1, boolean_map2, tinyint_map1, tinyint_map2, smallint_map1, smallint_map2, int_map1, int_map2, bigint_map1, bigint_map2, decimal_map1, decimal_map2, double_map1, double_map2, float_map1, float_map2, date_map1, date_map2, timestamp_map1, timestamp_map2, string_map1, string_map2, array_map1, array_map2, struct_map1, struct_map2, string_int_map1, string_int_map2, int_string_map1, int_string_map2 )) various_maps",  # DATATYPE_MISMATCH.DATA_DIFF_TYPES
+    "SELECT map_concat(tinyint_map1, array_map1) tm_map from (SELECT * FROM VALUES ( map(true, false), map(false, true), map(1Y, 2Y), map(3Y, 4Y), map(1S, 2S), map(3S, 4S), map(4, 6), map(7, 8), map(6L, 7L), map(8L, 9L), map(9223372036854775809, 9223372036854775808), map(9223372036854775808, 9223372036854775809), map(1.0D, 2.0D), map(3.0D, 4.0D), map(float(1.0D), float(2.0D)), map(float(3.0D), float(4.0D)), map(date '2016-03-14', date '2016-03-13'), map(date '2016-03-12', date '2016-03-11'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map(timestamp '2016-11-11 20:54:00.000', timestamp '2016-11-09 20:54:00.000'), map('a', 'b'), map('c', 'd'), map(array('a', 'b'), array('c', 'd')), map(array('e'), array('f')), map(struct('a', 1), struct('b', 2)), map(struct('c', 3), struct('d', 4)), map('a', 1), map('c', 2), map(1, 'a'), map(2, 'c') ) AS various_maps ( boolean_map1, boolean_map2, tinyint_map1, tinyint_map2, smallint_map1, smallint_map2, int_map1, int_map2, bigint_map1, bigint_map2, decimal_map1, decimal_map2, double_map1, double_map2, float_map1, float_map2, date_map1, date_map2, timestamp_map1, timestamp_map2, string_map1, string_map2, array_map1, array_map2, struct_map1, struct_map2, string_int_map1, string_int_map2, int_string_map1, int_string_map2 )) various_maps",  # DATATYPE_MISMATCH.DATA_DIFF_TYPES
+    "SELECT map_concat(boolean_map1, int_map2) bi_map from (SELECT * FROM VALUES ( map(true, false), map(false, true), map(1Y, 2Y), map(3Y, 4Y), map(1S, 2S), map(3S, 4S), map(4, 6), map(7, 8), map(6L, 7L), map(8L, 9L), map(9223372036854775809, 9223372036854775808), map(9223372036854775808, 9223372036854775809), map(1.0D, 2.0D), map(3.0D, 4.0D), map(float(1.0D), float(2.0D)), map(float(3.0D), float(4.0D)), map(date '2016-03-14', date '2016-03-13'), map(date '2016-03-12', date '2016-03-11'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map(timestamp '2016-11-11 20:54:00.000', timestamp '2016-11-09 20:54:00.000'), map('a', 'b'), map('c', 'd'), map(array('a', 'b'), array('c', 'd')), map(array('e'), array('f')), map(struct('a', 1), struct('b', 2)), map(struct('c', 3), struct('d', 4)), map('a', 1), map('c', 2), map(1, 'a'), map(2, 'c') ) AS various_maps ( boolean_map1, boolean_map2, tinyint_map1, tinyint_map2, smallint_map1, smallint_map2, int_map1, int_map2, bigint_map1, bigint_map2, decimal_map1, decimal_map2, double_map1, double_map2, float_map1, float_map2, date_map1, date_map2, timestamp_map1, timestamp_map2, string_map1, string_map2, array_map1, array_map2, struct_map1, struct_map2, string_int_map1, string_int_map2, int_string_map1, int_string_map2 )) various_maps",  # DATATYPE_MISMATCH.DATA_DIFF_TYPES
+    "SELECT map_concat(int_map1, struct_map2) is_map from (SELECT * FROM VALUES ( map(true, false), map(false, true), map(1Y, 2Y), map(3Y, 4Y), map(1S, 2S), map(3S, 4S), map(4, 6), map(7, 8), map(6L, 7L), map(8L, 9L), map(9223372036854775809, 9223372036854775808), map(9223372036854775808, 9223372036854775809), map(1.0D, 2.0D), map(3.0D, 4.0D), map(float(1.0D), float(2.0D)), map(float(3.0D), float(4.0D)), map(date '2016-03-14', date '2016-03-13'), map(date '2016-03-12', date '2016-03-11'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map(timestamp '2016-11-11 20:54:00.000', timestamp '2016-11-09 20:54:00.000'), map('a', 'b'), map('c', 'd'), map(array('a', 'b'), array('c', 'd')), map(array('e'), array('f')), map(struct('a', 1), struct('b', 2)), map(struct('c', 3), struct('d', 4)), map('a', 1), map('c', 2), map(1, 'a'), map(2, 'c') ) AS various_maps ( boolean_map1, boolean_map2, tinyint_map1, tinyint_map2, smallint_map1, smallint_map2, int_map1, int_map2, bigint_map1, bigint_map2, decimal_map1, decimal_map2, double_map1, double_map2, float_map1, float_map2, date_map1, date_map2, timestamp_map1, timestamp_map2, string_map1, string_map2, array_map1, array_map2, struct_map1, struct_map2, string_int_map1, string_int_map2, int_string_map1, int_string_map2 )) various_maps",  # DATATYPE_MISMATCH.DATA_DIFF_TYPES
+    "SELECT map_concat(struct_map1, array_map2) ma_map from (SELECT * FROM VALUES ( map(true, false), map(false, true), map(1Y, 2Y), map(3Y, 4Y), map(1S, 2S), map(3S, 4S), map(4, 6), map(7, 8), map(6L, 7L), map(8L, 9L), map(9223372036854775809, 9223372036854775808), map(9223372036854775808, 9223372036854775809), map(1.0D, 2.0D), map(3.0D, 4.0D), map(float(1.0D), float(2.0D)), map(float(3.0D), float(4.0D)), map(date '2016-03-14', date '2016-03-13'), map(date '2016-03-12', date '2016-03-11'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map(timestamp '2016-11-11 20:54:00.000', timestamp '2016-11-09 20:54:00.000'), map('a', 'b'), map('c', 'd'), map(array('a', 'b'), array('c', 'd')), map(array('e'), array('f')), map(struct('a', 1), struct('b', 2)), map(struct('c', 3), struct('d', 4)), map('a', 1), map('c', 2), map(1, 'a'), map(2, 'c') ) AS various_maps ( boolean_map1, boolean_map2, tinyint_map1, tinyint_map2, smallint_map1, smallint_map2, int_map1, int_map2, bigint_map1, bigint_map2, decimal_map1, decimal_map2, double_map1, double_map2, float_map1, float_map2, date_map1, date_map2, timestamp_map1, timestamp_map2, string_map1, string_map2, array_map1, array_map2, struct_map1, struct_map2, string_int_map1, string_int_map2, int_string_map1, int_string_map2 )) various_maps",  # DATATYPE_MISMATCH.DATA_DIFF_TYPES
+    "SELECT map_concat(int_map1, array_map2) ms_map from (SELECT * FROM VALUES ( map(true, false), map(false, true), map(1Y, 2Y), map(3Y, 4Y), map(1S, 2S), map(3S, 4S), map(4, 6), map(7, 8), map(6L, 7L), map(8L, 9L), map(9223372036854775809, 9223372036854775808), map(9223372036854775808, 9223372036854775809), map(1.0D, 2.0D), map(3.0D, 4.0D), map(float(1.0D), float(2.0D)), map(float(3.0D), float(4.0D)), map(date '2016-03-14', date '2016-03-13'), map(date '2016-03-12', date '2016-03-11'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map(timestamp '2016-11-11 20:54:00.000', timestamp '2016-11-09 20:54:00.000'), map('a', 'b'), map('c', 'd'), map(array('a', 'b'), array('c', 'd')), map(array('e'), array('f')), map(struct('a', 1), struct('b', 2)), map(struct('c', 3), struct('d', 4)), map('a', 1), map('c', 2), map(1, 'a'), map(2, 'c') ) AS various_maps ( boolean_map1, boolean_map2, tinyint_map1, tinyint_map2, smallint_map1, smallint_map2, int_map1, int_map2, bigint_map1, bigint_map2, decimal_map1, decimal_map2, double_map1, double_map2, float_map1, float_map2, date_map1, date_map2, timestamp_map1, timestamp_map2, string_map1, string_map2, array_map1, array_map2, struct_map1, struct_map2, string_int_map1, string_int_map2, int_string_map1, int_string_map2 )) various_maps",  # DATATYPE_MISMATCH.DATA_DIFF_TYPES
+
+    "SELECT map_zip_with(string_map1, int_map, (k, v1, v2) -> struct(k, v1, v2)) m from (SELECT * FROM VALUES ( map(true, false), map(2Y, 1Y), map(2S, 1S), map(2, 1), map(2L, 1L), map(922337203685477897945456575809789456, 922337203685477897945456575809789456), map(9.22337203685477897945456575809789456, 9.22337203685477897945456575809789456), map(2.0D, 1.0D), map(float(2.0), float(1.0)), map(date '2016-03-14', date '2016-03-13'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map('true', 'false', '2', '1'), map('2016-03-14', '2016-03-13'), map('2016-11-15 20:54:00.000', '2016-11-12 20:54:00.000'), map('922337203685477897945456575809789456', 'text'), map(array(1L, 2L), array(1L, 2L)), map(array(1, 2), array(1, 2)), map(struct(1S, 2L), struct(1S, 2L)), map(struct(1, 2), struct(1, 2)) ) AS various_maps( boolean_map, tinyint_map, smallint_map, int_map, bigint_map, decimal_map1, decimal_map2, double_map, float_map, date_map, timestamp_map, string_map1, string_map2, string_map3, string_map4, array_map1, array_map2, struct_map1, struct_map2 )) various_maps",  # DATATYPE_MISMATCH.MAP_ZIP_WITH_DIFF_TYPES
+    "SELECT map_zip_with(string_map2, date_map, (k, v1, v2) -> struct(k, v1, v2)) m from (SELECT * FROM VALUES ( map(true, false), map(2Y, 1Y), map(2S, 1S), map(2, 1), map(2L, 1L), map(922337203685477897945456575809789456, 922337203685477897945456575809789456), map(9.22337203685477897945456575809789456, 9.22337203685477897945456575809789456), map(2.0D, 1.0D), map(float(2.0), float(1.0)), map(date '2016-03-14', date '2016-03-13'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map('true', 'false', '2', '1'), map('2016-03-14', '2016-03-13'), map('2016-11-15 20:54:00.000', '2016-11-12 20:54:00.000'), map('922337203685477897945456575809789456', 'text'), map(array(1L, 2L), array(1L, 2L)), map(array(1, 2), array(1, 2)), map(struct(1S, 2L), struct(1S, 2L)), map(struct(1, 2), struct(1, 2)) ) AS various_maps( boolean_map, tinyint_map, smallint_map, int_map, bigint_map, decimal_map1, decimal_map2, double_map, float_map, date_map, timestamp_map, string_map1, string_map2, string_map3, string_map4, array_map1, array_map2, struct_map1, struct_map2 )) various_maps",  # DATATYPE_MISMATCH.MAP_ZIP_WITH_DIFF_TYPES
+    "SELECT map_zip_with(timestamp_map, string_map3, (k, v1, v2) -> struct(k, v1, v2)) m from (SELECT * FROM VALUES ( map(true, false), map(2Y, 1Y), map(2S, 1S), map(2, 1), map(2L, 1L), map(922337203685477897945456575809789456, 922337203685477897945456575809789456), map(9.22337203685477897945456575809789456, 9.22337203685477897945456575809789456), map(2.0D, 1.0D), map(float(2.0), float(1.0)), map(date '2016-03-14', date '2016-03-13'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map('true', 'false', '2', '1'), map('2016-03-14', '2016-03-13'), map('2016-11-15 20:54:00.000', '2016-11-12 20:54:00.000'), map('922337203685477897945456575809789456', 'text'), map(array(1L, 2L), array(1L, 2L)), map(array(1, 2), array(1, 2)), map(struct(1S, 2L), struct(1S, 2L)), map(struct(1, 2), struct(1, 2)) ) AS various_maps( boolean_map, tinyint_map, smallint_map, int_map, bigint_map, decimal_map1, decimal_map2, double_map, float_map, date_map, timestamp_map, string_map1, string_map2, string_map3, string_map4, array_map1, array_map2, struct_map1, struct_map2 )) various_maps",  # DATATYPE_MISMATCH.MAP_ZIP_WITH_DIFF_TYPES
+    "SELECT map_zip_with(decimal_map1, string_map4, (k, v1, v2) -> struct(k, v1, v2)) m from (SELECT * FROM VALUES ( map(true, false), map(2Y, 1Y), map(2S, 1S), map(2, 1), map(2L, 1L), map(922337203685477897945456575809789456, 922337203685477897945456575809789456), map(9.22337203685477897945456575809789456, 9.22337203685477897945456575809789456), map(2.0D, 1.0D), map(float(2.0), float(1.0)), map(date '2016-03-14', date '2016-03-13'), map(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000'), map('true', 'false', '2', '1'), map('2016-03-14', '2016-03-13'), map('2016-11-15 20:54:00.000', '2016-11-12 20:54:00.000'), map('922337203685477897945456575809789456', 'text'), map(array(1L, 2L), array(1L, 2L)), map(array(1, 2), array(1, 2)), map(struct(1S, 2L), struct(1S, 2L)), map(struct(1, 2), struct(1, 2)) ) AS various_maps( boolean_map, tinyint_map, smallint_map, int_map, bigint_map, decimal_map1, decimal_map2, double_map, float_map, date_map, timestamp_map, string_map1, string_map2, string_map3, string_map4, array_map1, array_map2, struct_map1, struct_map2 )) various_maps",  # DATATYPE_MISMATCH.MAP_ZIP_WITH_DIFF_TYPES
+]
+
+
 @pytest.mark.parametrize("case", range(len(CORPUS)))
-def test_corpus_over_wire(server, duck, case):
+def test_corpus_over_wire(server, client, duck, case):
     pg_sql, oracle = CORPUS[case]
-    srv, loop = server
+    _srv, loop = server
     register_duck_views(duck, SF_SMOKE)
 
-    async def go():
-        c = await PgClient.connect(srv.port)
-        msgs = await c.simple(pg_sql)
-        await c.close()
-        return msgs
-
-    msgs = loop.run_until_complete(go())
+    msgs = loop.run_until_complete(client.simple(pg_sql))
     assert msgs[-1][0] == b"Z"
     assert not any(t == b"E" for t, _ in msgs), f"server error for: {pg_sql}"
     got = [
@@ -7429,11 +7501,10 @@ NEGATIVE_CORPUS: list[str] = [
     # union.sql: string-vs-int UNION coerced to string in the Spark 3
     # golden; ANSI coerces 'a' toward BIGINT and errors
     "SELECT c FROM (SELECT 'a' AS c UNION ALL SELECT 4) u",
-    # extract.sql: PG fields Spark has no equivalent for error cleanly
-    # (millennium/decade moved to the POSITIVE corpus when the r9 wave-26
-    # dialect pass started rewriting them — stale negatives caught by a
-    # live-psql probe this round)
-    "SELECT extract(isoyear FROM TIMESTAMP '2011-05-06 07:08:09')",
+    # extract.sql: millennium/decade moved to the POSITIVE corpus when
+    # the r9 wave-26 dialect pass started rewriting them, and isoyear
+    # moved with the wave-63 pass (stale-negative trap, hit twice now —
+    # grep NEGATIVE_CORPUS whenever a dialect pass adds a rewrite)
     # boolean.sql: Spark's ANSI boolean cast rejects PG's extra
     # spellings ('on'/'off') and the garbage inputs PG also rejects
     "SELECT boolean('test')",
@@ -7492,18 +7563,17 @@ NEGATIVE_CORPUS += NEGATIVE_WAVE60
 NEGATIVE_CORPUS += NEGATIVE_WAVE61
 NEGATIVE_CORPUS += NEGATIVE_WAVE63
 NEGATIVE_CORPUS += NEGATIVE_WAVE64
+NEGATIVE_CORPUS += NEGATIVE_WAVE65
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))
-def test_negative_corpus_errors_cleanly(server, case):
+def test_negative_corpus_errors_cleanly(server, client, case):
     sql = NEGATIVE_CORPUS[case]
-    srv, loop = server
+    _srv, loop = server
 
     async def go():
-        c = await PgClient.connect(srv.port)
-        bad = await c.simple(sql)
-        ok = await c.simple("SELECT 41 + 1 AS v")  # session still usable
-        await c.close()
+        bad = await client.simple(sql)
+        ok = await client.simple("SELECT 41 + 1 AS v")  # session usable
         return bad, ok
 
     bad, ok = loop.run_until_complete(go())

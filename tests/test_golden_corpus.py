@@ -7431,6 +7431,202 @@ NEGATIVE_WAVE65 = [
 ]
 
 
+
+
+# --------------------------------------------------------------------------
+# wave 66 (r9) — seven small top-level inputs COMPLETED wholesale via
+# the wire-porter: predicate-functions.sql, null-handling.sql,
+# null-propagation.sql, misc-functions.sql,
+# sql-compatibility-functions.sql, comparator.sql, count.sql (earlier
+# waves had representative picks; every statement of each file now
+# runs over the wire with a pinned oracle). Wire-captured, so all
+# values went through the dialect rewriter + encoders.
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    # --- predicate-functions ---
+    ('select 1 = 1',
+     "SELECT 't' AS c0"),
+    ("select 1 = '1'",
+     "SELECT 't' AS c0"),
+    ("select 1.0 = '1'",
+     "SELECT 't' AS c0"),
+    ("select 1.5 = '1.51'",
+     "SELECT 'f' AS c0"),
+    ("select 1 > '1'",
+     "SELECT 'f' AS c0"),
+    ("select '1.5' > 0.5",
+     "SELECT 't' AS c0"),
+    ("select to_date('2009-07-30 04:17:52') > to_date('2009-07-30 04:17:52')",
+     "SELECT 'f' AS c0"),
+    ("select to_date('2009-07-30 04:17:52') > '2009-07-30 04:17:52'",
+     "SELECT 'f' AS c0"),
+    ("select 1 >= '1'",
+     "SELECT 't' AS c0"),
+    ("select 2.0 >= '2.2'",
+     "SELECT 'f' AS c0"),
+    ("select '1.5' >= 0.5",
+     "SELECT 't' AS c0"),
+    ("select to_date('2009-07-30 04:17:52') >= to_date('2009-07-30 04:17:52')",
+     "SELECT 't' AS c0"),
+    ("select to_date('2009-07-30 04:17:52') >= '2009-07-30 04:17:52'",
+     "SELECT 't' AS c0"),
+    ("select 1 < '1'",
+     "SELECT 'f' AS c0"),
+    ("select 2.0 < '2.2'",
+     "SELECT 't' AS c0"),
+    ("select 0.5 < '1.5'",
+     "SELECT 't' AS c0"),
+    ("select to_date('2009-07-30 04:17:52') < to_date('2009-07-30 04:17:52')",
+     "SELECT 'f' AS c0"),
+    ("select to_date('2009-07-30 04:17:52') < '2009-07-30 04:17:52'",
+     "SELECT 'f' AS c0"),
+    ("select 1 <= '1'",
+     "SELECT 't' AS c0"),
+    ("select 2.0 <= '2.2'",
+     "SELECT 't' AS c0"),
+    ("select 0.5 <= '1.5'",
+     "SELECT 't' AS c0"),
+    ("select to_date('2009-07-30 04:17:52') <= to_date('2009-07-30 04:17:52')",
+     "SELECT 't' AS c0"),
+    ("select to_date('2009-07-30 04:17:52') <= '2009-07-30 04:17:52'",
+     "SELECT 't' AS c0"),
+    ("select to_date('2017-03-01') = to_timestamp('2017-03-01 00:00:00')",
+     "SELECT 't' AS c0"),
+    ("select to_timestamp('2017-03-01 00:00:01') > to_date('2017-03-01')",
+     "SELECT 't' AS c0"),
+    ("select to_timestamp('2017-03-01 00:00:01') >= to_date('2017-03-01')",
+     "SELECT 't' AS c0"),
+    ("select to_date('2017-03-01') < to_timestamp('2017-03-01 00:00:01')",
+     "SELECT 't' AS c0"),
+    ("select to_date('2017-03-01') <= to_timestamp('2017-03-01 00:00:01')",
+     "SELECT 't' AS c0"),
+    # --- null-handling ---
+
+    # --- null-propagation ---
+    ('SELECT COUNT(NULL) FROM VALUES 1, 2, 3',
+     "SELECT '0' AS c0"),
+    ('SELECT COUNT(1 + NULL) FROM VALUES 1, 2, 3',
+     "SELECT '0' AS c0"),
+    # MULTIROW (3): 'SELECT COUNT(NULL) OVER () FROM VALUES 1, 2, 3' -> [['0'], ['0'], ['0']]
+    # MULTIROW (3): 'SELECT COUNT(1 + NULL) OVER () FROM VALUES 1, 2, 3' -> [['0'], ['0'], ['0']]
+    # --- misc-functions ---
+    ('select typeof(null)',
+     "SELECT 'void' AS c0"),
+    ('select typeof(true)',
+     "SELECT 'boolean' AS c0"),
+    ('select typeof(1Y), typeof(1S), typeof(1), typeof(1L)',
+     "SELECT 'tinyint' AS c0, 'smallint' AS c1, 'int' AS c2, 'bigint' AS c3"),
+    ('select typeof(cast(1.0 as float)), typeof(1.0D), typeof(1.2)',
+     "SELECT 'float' AS c0, 'double' AS c1, 'decimal(2,1)' AS c2"),
+    ("select typeof(date '1986-05-23'), typeof(timestamp '1986-05-23'), typeof(interval '23 days')",
+     "SELECT 'date' AS c0, 'timestamp' AS c1, 'interval day' AS c2"),
+    ("select typeof(x'ABCD'), typeof('SPARK')",
+     "SELECT 'binary' AS c0, 'string' AS c1"),
+    ("select typeof(array(1, 2)), typeof(map(1, 2)), typeof(named_struct('a', 1, 'b', 'spark'))",
+     "SELECT 'array<int>' AS c0, 'map<int,int>' AS c1, 'struct<a:int,b:string>' AS c2"),
+    # --- sql-compatibility-functions ---
+    ("SELECT ifnull(null, 'x'), ifnull('y', 'x'), ifnull(null, null)",
+     "SELECT 'x' AS c0, 'y' AS c1, CAST(NULL AS VARCHAR) AS c2"),
+    ("SELECT nullif('x', 'x'), nullif('x', 'y')",
+     "SELECT CAST(NULL AS VARCHAR) AS c0, 'x' AS c1"),
+    ("SELECT nvl(null, 'x'), nvl('y', 'x'), nvl(null, null)",
+     "SELECT 'x' AS c0, 'y' AS c1, CAST(NULL AS VARCHAR) AS c2"),
+    ("SELECT nvl2(null, 'x', 'y'), nvl2('n', 'x', 'y'), nvl2(null, null, null)",
+     "SELECT 'y' AS c0, 'x' AS c1, CAST(NULL AS VARCHAR) AS c2"),
+    ('SELECT ifnull(1, 2.1d), ifnull(null, 2.1d)',
+     "SELECT '1.0' AS c0, '2.1' AS c1"),
+    ('SELECT nullif(1, 2.1d), nullif(1, 1.0d)',
+     "SELECT '1' AS c0, CAST(NULL AS VARCHAR) AS c1"),
+    ('SELECT nvl(1, 2.1d), nvl(null, 2.1d)',
+     "SELECT '1.0' AS c0, '2.1' AS c1"),
+    ("SELECT nvl2(null, 1, 2.1d), nvl2('n', 1, 2.1d)",
+     "SELECT '2.1' AS c0, '1.0' AS c1"),
+    ('SELECT boolean(1), tinyint(1), smallint(1), int(1), bigint(1)',
+     "SELECT 't' AS c0, '1' AS c1, '1' AS c2, '1' AS c3, '1' AS c4"),
+    ('SELECT float(1), double(1), decimal(1)',
+     "SELECT '1.0' AS c0, '1.0' AS c1, '1' AS c2"),
+    # --- comparator ---
+    ("select x'00' < x'0f'",
+     "SELECT 't' AS c0"),
+    ("select x'00' < x'ff'",
+     "SELECT 't' AS c0"),
+    ("select '1 ' = 1Y",
+     "SELECT 't' AS c0"),
+    ("select '\\t1 ' = 1Y",
+     "SELECT 't' AS c0"),
+    ("select '1 ' = 1S",
+     "SELECT 't' AS c0"),
+    ("select '1 ' = 1",
+     "SELECT 't' AS c0"),
+    ("select ' 1' = 1L",
+     "SELECT 't' AS c0"),
+    ("select ' 1' = cast(1.0 as float)",
+     "SELECT 't' AS c0"),
+    ("select ' 1.0 ' = 1.0D",
+     "SELECT 't' AS c0"),
+    ("select ' 1.0 ' = 1.0BD",
+     "SELECT 't' AS c0"),
+    # --- count ---
+
+    # count.sql window-form count of NULLs (3 input rows)
+    ("SELECT COUNT(NULL) OVER () AS v FROM VALUES 1, 2, 3",
+     "SELECT * FROM (VALUES ('0'),('0'),('0')) t(v)"),
+    ("SELECT COUNT(1 + NULL) OVER () AS v FROM VALUES 1, 2, 3",
+     "SELECT * FROM (VALUES ('0'),('0'),('0')) t(v)"),
+]
+
+NEGATIVE_WAVE66 = [
+    # --- predicate-functions ---
+    "select 2 > '1.0'",  # CAST_INVALID_INPUT
+    "select 2 > '2.0'",  # CAST_INVALID_INPUT
+    "select 2 > '2.2'",  # CAST_INVALID_INPUT
+    "select 2 >= '1.0'",  # CAST_INVALID_INPUT
+    "select 2 >= '2.0'",  # CAST_INVALID_INPUT
+    "select 2 < '1.0'",  # CAST_INVALID_INPUT
+    "select 2 < '2.0'",  # CAST_INVALID_INPUT
+    "select 2 <= '1.0'",  # CAST_INVALID_INPUT
+    "select 2 <= '2.0'",  # CAST_INVALID_INPUT
+    # --- null-handling ---
+    'insert into t1 values(1,0,0)',  # TABLE_OR_VIEW_NOT_FOUND
+    'insert into t1 values(2,0,1)',  # TABLE_OR_VIEW_NOT_FOUND
+    'insert into t1 values(3,1,0)',  # TABLE_OR_VIEW_NOT_FOUND
+    'insert into t1 values(4,1,1)',  # TABLE_OR_VIEW_NOT_FOUND
+    'insert into t1 values(5,null,0)',  # TABLE_OR_VIEW_NOT_FOUND
+    'insert into t1 values(6,null,1)',  # TABLE_OR_VIEW_NOT_FOUND
+    'insert into t1 values(7,null,null)',  # TABLE_OR_VIEW_NOT_FOUND
+    'select a, b+c from t1',  # TABLE_OR_VIEW_NOT_FOUND
+    'select a+10, b*0 from t1',  # TABLE_OR_VIEW_NOT_FOUND
+    'select distinct b from t1',  # TABLE_OR_VIEW_NOT_FOUND
+    'select b from t1 union select b from t1',  # TABLE_OR_VIEW_NOT_FOUND
+    'select a+20, case b when c then 1 else 0 end from t1',  # TABLE_OR_VIEW_NOT_FOUND
+    'select a+30, case c when b then 1 else 0 end from t1',  # TABLE_OR_VIEW_NOT_FOUND
+    'select a+40, case when b<>0 then 1 else 0 end from t1',  # TABLE_OR_VIEW_NOT_FOUND
+    'select a+50, case when not b<>0 then 1 else 0 end from t1',  # TABLE_OR_VIEW_NOT_FOUND
+    'select a+60, case when b<>0 and c<>0 then 1 else 0 end from t1',  # TABLE_OR_VIEW_NOT_FOUND
+    'select a+70, case when not (b<>0 and c<>0) then 1 else 0 end from t1',  # TABLE_OR_VIEW_NOT_FOUND
+    'select a+80, case when b<>0 or c<>0 then 1 else 0 end from t1',  # TABLE_OR_VIEW_NOT_FOUND
+    'select a+90, case when not (b<>0 or c<>0) then 1 else 0 end from t1',  # TABLE_OR_VIEW_NOT_FOUND
+    'select count(*), count(b), sum(b), avg(b), min(b), max(b) from t1',  # TABLE_OR_VIEW_NOT_FOUND
+    'select a+100 from t1 where b<10',  # TABLE_OR_VIEW_NOT_FOUND
+    'select a+110 from t1 where not b>10',  # TABLE_OR_VIEW_NOT_FOUND
+    'select a+120 from t1 where b<10 OR c=1',  # TABLE_OR_VIEW_NOT_FOUND
+    'select a+130 from t1 where b<10 AND c=1',  # TABLE_OR_VIEW_NOT_FOUND
+    'select a+140 from t1 where not (b<10 AND c=1)',  # TABLE_OR_VIEW_NOT_FOUND
+    'select a+150 from t1 where not (c=1 AND b<10)',  # TABLE_OR_VIEW_NOT_FOUND
+    'drop table t1',  # TABLE_OR_VIEW_NOT_FOUND
+    # --- sql-compatibility-functions ---
+    'SELECT date("2014-04-04"), timestamp(date("2014-04-04"))',  # UNRESOLVED_COLUMN.WITHOUT_SUGGESTION
+    'SELECT string(1, 2)',  # WRONG_NUM_ARGS.WITHOUT_SUGGESTION
+    'SELECT nvl(st.col1, "value"), count(*) FROM from (VALUES (1, NAMED_STRUCT(\'col1\', \'gamma\', \'col2\', \'delta\')) AS T(id, st)) tempView1 GROUP BY nvl(st.col1, "value")',  # UNRESOLVED_COLUMN.WITH_SUGGESTION
+    # --- count ---
+    'SELECT count(*), count(1), count(null), count(a), count(b), count(a + b), count((a, b)) FROM testData',  # TABLE_OR_VIEW_NOT_FOUND
+    'SELECT count(DISTINCT 1), count(DISTINCT null), count(DISTINCT a), count(DISTINCT b), count(DISTINCT (a + b)), count(DISTINCT (a, b)) FROM testData',  # TABLE_OR_VIEW_NOT_FOUND
+    'SELECT count(a, b), count(b, a), count(testData.*) FROM testData',  # TABLE_OR_VIEW_NOT_FOUND
+    'SELECT count(DISTINCT a, b), count(DISTINCT b, a), count(DISTINCT *), count(DISTINCT testData.*) FROM testData',  # TABLE_OR_VIEW_NOT_FOUND
+]
+
+
 @pytest.mark.parametrize("case", range(len(CORPUS)))
 def test_corpus_over_wire(server, client, duck, case):
     pg_sql, oracle = CORPUS[case]
@@ -7564,6 +7760,7 @@ NEGATIVE_CORPUS += NEGATIVE_WAVE61
 NEGATIVE_CORPUS += NEGATIVE_WAVE63
 NEGATIVE_CORPUS += NEGATIVE_WAVE64
 NEGATIVE_CORPUS += NEGATIVE_WAVE65
+NEGATIVE_CORPUS += NEGATIVE_WAVE66
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))

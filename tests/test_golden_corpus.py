@@ -7627,6 +7627,443 @@ NEGATIVE_WAVE66 = [
 ]
 
 
+
+
+# --------------------------------------------------------------------------
+# wave 67 (r9) — operators.sql, cast.sql, literals.sql, having.sql,
+# datetime.sql, group-by.sql COMPLETED wholesale via the wire-porter
+# (earlier waves took representative picks). Multi-row statements get
+# ORDER BY ALL appended on the wire side with the captured row
+# sequence pinned verbatim in the oracle VALUES; the reference's
+# ``set spark.sql.groupByAliases=false`` line is a documented skip
+# (session-mutating SET — pooled-session corpus rule) along with its
+# one dependent alias-resolution negative. Aggregates over WHERE false
+# WITH group keys pin the 0-row contract (vs one row ungrouped).
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    # --- operators.sql ---
+    ('select -100',
+     "SELECT '-100' AS c0"),
+    ('select +230',
+     "SELECT '230' AS c0"),
+    ('select -5.2',
+     "SELECT '-5.2' AS c0"),
+    ('select +6.8e0',
+     "SELECT '6.8' AS c0"),
+    ('select - (-10)',
+     "SELECT '10' AS c0"),
+    ('select - - 3',
+     "SELECT '3' AS c0"),
+    ('select - + 20',
+     "SELECT '-20' AS c0"),
+    ('select + + 100',
+     "SELECT '100' AS c0"),
+    ('select 5 / 2',
+     "SELECT '2.5' AS c0"),
+    ('select 5 / null',
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ('select null / 5',
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ('select 1 + 2',
+     "SELECT '3' AS c0"),
+    ('select 1 - 2',
+     "SELECT '-1' AS c0"),
+    ('select 2 * 5',
+     "SELECT '10' AS c0"),
+    ('select 5 % 3',
+     "SELECT '2' AS c0"),
+    ('select pmod(-7, 3)',
+     "SELECT '2' AS c0"),
+    ('select cot(1)',
+     "SELECT '0.6420926159343306' AS c0"),
+    ('select cot(null)',
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ('select cot(0)',
+     "SELECT 'Infinity' AS c0"),
+    ('select cot(-1)',
+     "SELECT '-0.6420926159343306' AS c0"),
+    ('select ceiling(0)',
+     "SELECT '0' AS c0"),
+    ('select ceiling(1)',
+     "SELECT '1' AS c0"),
+    ('select ceil(1234567890123456)',
+     "SELECT '1234567890123456' AS c0"),
+    ('select ceiling(1234567890123456)',
+     "SELECT '1234567890123456' AS c0"),
+    ('select ceil(0.01)',
+     "SELECT '1' AS c0"),
+    ('select ceiling(-0.10)',
+     "SELECT '0' AS c0"),
+    ('select floor(0)',
+     "SELECT '0' AS c0"),
+    ('select floor(1)',
+     "SELECT '1' AS c0"),
+    ('select floor(1234567890123456)',
+     "SELECT '1234567890123456' AS c0"),
+    ('select floor(0.01)',
+     "SELECT '0' AS c0"),
+    ('select floor(-0.10)',
+     "SELECT '-1' AS c0"),
+    ('select 1 > 0.00001',
+     "SELECT 't' AS c0"),
+    ("select BIT_LENGTH('abc')",
+     "SELECT '24' AS c0"),
+    ("select CHAR_LENGTH('abc')",
+     "SELECT '3' AS c0"),
+    ("select CHARACTER_LENGTH('abc')",
+     "SELECT '3' AS c0"),
+    ("select OCTET_LENGTH('abc')",
+     "SELECT '3' AS c0"),
+    ("select abs(-3.13), abs('-2.19')",
+     "SELECT '3.13' AS c0, '2.19' AS c1"),
+    ("select positive('-1.11'), positive(-1.11), negative('-1.11'), negative(-1.11)",
+     "SELECT '-1.11' AS c0, '-1.11' AS c1, '1.11' AS c2, '1.11' AS c3"),
+    # --- cast.sql ---
+    ('SELECT CAST(NULL AS int)',
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ('SELECT CAST(NULL AS long)',
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ("SELECT CAST('-2147483648' AS int)",
+     "SELECT '-2147483648' AS c0"),
+    ("SELECT CAST('2147483647' AS int)",
+     "SELECT '2147483647' AS c0"),
+    ("SELECT CAST('-9223372036854775808' AS long)",
+     "SELECT '-9223372036854775808' AS c0"),
+    ("SELECT CAST('9223372036854775807' AS long)",
+     "SELECT '9223372036854775807' AS c0"),
+    ("SELECT HEX(CAST('abc' AS binary))",
+     "SELECT '616263' AS c0"),
+    ("SELECT CAST('interval 3 month 1 hour' AS interval)",
+     "SELECT '3 months 1 hours' AS c0"),
+    ("select cast(' 1' as tinyint)",
+     "SELECT '1' AS c0"),
+    ("select cast(' 1\\t' as tinyint)",
+     "SELECT '1' AS c0"),
+    ("select cast(' 1' as smallint)",
+     "SELECT '1' AS c0"),
+    ("select cast(' 1' as INT)",
+     "SELECT '1' AS c0"),
+    ("select cast(' 1' as bigint)",
+     "SELECT '1' AS c0"),
+    ("select cast(' 1' as float)",
+     "SELECT '1.0' AS c0"),
+    ("select cast(' 1 ' as DOUBLE)",
+     "SELECT '1.0' AS c0"),
+    ("select cast('1.0 ' as DEC)",
+     "SELECT '1' AS c0"),
+    ("select cast('\\t\\t true \\n\\r ' as boolean)",
+     "SELECT 't' AS c0"),
+    ("select cast('\\t\\n false \\t\\r' as boolean)",
+     "SELECT 'f' AS c0"),
+    # --- literals.sql ---
+    ('select null, Null, nUll',
+     'SELECT CAST(NULL AS VARCHAR) AS c0, CAST(NULL AS VARCHAR) AS c1, CAST(NULL AS VARCHAR) AS c2'),
+    ('select true, tRue, false, fALse',
+     "SELECT 't' AS c0, 't' AS c1, 'f' AS c2, 'f' AS c3"),
+    ('select 1Y',
+     "SELECT '1' AS c0"),
+    ('select 127Y, -128Y',
+     "SELECT '127' AS c0, '-128' AS c1"),
+    ('select 1S',
+     "SELECT '1' AS c0"),
+    ('select 32767S, -32768S',
+     "SELECT '32767' AS c0, '-32768' AS c1"),
+    ('select 1L, 2147483648L',
+     "SELECT '1' AS c0, '2147483648' AS c1"),
+    ('select 9223372036854775807L, -9223372036854775808L',
+     "SELECT '9223372036854775807' AS c0, '-9223372036854775808' AS c1"),
+    ('select 1, -1',
+     "SELECT '1' AS c0, '-1' AS c1"),
+    ('select 2147483647, -2147483648',
+     "SELECT '2147483647' AS c0, '-2147483648' AS c1"),
+    ('select 9223372036854775807, -9223372036854775808',
+     "SELECT '9223372036854775807' AS c0, '-9223372036854775808' AS c1"),
+    ('select 9223372036854775808, -9223372036854775809',
+     "SELECT '9223372036854775808' AS c0, '-9223372036854775809' AS c1"),
+    ('select 1D, 1.2D, 1e10, 1.5e5, .10D, 0.10D, .1e5, .9e+2, 0.9e+2, 900e-1, 9.e+1',
+     "SELECT '1.0' AS c0, '1.2' AS c1, '10000000000.0' AS c2, '150000.0' AS c3, '0.1' AS c4, '0.1' AS c5, '10000.0' AS c6, '90.0' AS c7, '90.0' AS c8, '90.0' AS c9, '90.0' AS c10"),
+    ('select -1D, -1.2D, -1e10, -1.5e5, -.10D, -0.10D, -.1e5',
+     "SELECT '-1.0' AS c0, '-1.2' AS c1, '-10000000000.0' AS c2, '-150000.0' AS c3, '-0.1' AS c4, '-0.1' AS c5, '-10000.0' AS c6"),
+    ('select 0.3, -0.8, .5, -.18, 0.1111, .1111',
+     "SELECT '0.3' AS c0, '-0.8' AS c1, '0.5' AS c2, '-0.18' AS c3, '0.1111' AS c4, '0.1111' AS c5"),
+    ('select 123456789012345678901234567890123456789e10d, 123456789012345678901234567890123456789.1e10d',
+     "SELECT '1.2345678901234568e+48' AS c0, '1.2345678901234568e+48' AS c1"),
+    ("select 'pattern%', 'no-pattern\\%', 'pattern\\\\%', 'pattern\\\\\\%'",
+     "SELECT 'pattern%' AS c0, 'no-pattern\\%' AS c1, 'pattern\\%' AS c2, 'pattern\\\\%' AS c3"),
+    ('select \'\\\'\', \'"\', \'\\n\', \'\\r\', \'\\t\', \'Z\'',
+     'SELECT \'\'\'\' AS c0, \'"\' AS c1, \'\n\' AS c2, \'\r\' AS c3, \'\t\' AS c4, \'Z\' AS c5'),
+    ("select '\\110\\145\\154\\154\\157\\041'",
+     "SELECT 'Hello!' AS c0"),
+    ("select '\\u0057\\u006F\\u0072\\u006C\\u0064\\u0020\\u003A\\u0029'",
+     "SELECT 'World :)' AS c0"),
+    ("select dAte '2016-03-12'",
+     "SELECT '2016-03-12' AS c0"),
+    ("select tImEstAmp '2016-03-11 20:54:00.000'",
+     "SELECT '2016-03-11 20:54:00' AS c0"),
+    ('select 90912830918230182310293801923652346786BD, 123.0E-28BD, 123.08BD',
+     "SELECT '90912830918230182310293801923652346786' AS c0, '0.00000000000000000000000001230' AS c1, '123.08' AS c2"),
+    ("select x'2379ACFe'",
+     "SELECT '\\x2379acfe' AS c0"),
+    ('SELECT 3.14, -3.14, 3.14e8, 3.14e-8, -3.14e8, -3.14e-8, 3.14e+8, 3.14E8, 3.14E-8',
+     "SELECT '3.14' AS c0, '-3.14' AS c1, '314000000.0' AS c2, '3.14e-08' AS c3, '-314000000.0' AS c4, '-3.14e-08' AS c5, '314000000.0' AS c6, '314000000.0' AS c7, '3.14e-08' AS c8"),
+    ("select +interval '1 day'",
+     "SELECT '1 day' AS c0"),
+    # --- having.sql ---
+    ('SELECT a + b FROM VALUES (1L, 2), (3L, 4) AS T(a, b) GROUP BY a + b HAVING a + b > 1 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('3'), ('7')) t(c0)"),
+    # --- datetime.sql ---
+    ('select current_date = current_date(), current_timestamp = current_timestamp()',
+     "SELECT 't' AS c0, 't' AS c1"),
+    ("select to_date(null), to_date('2016-12-31'), to_date('2016-12-31', 'yyyy-MM-dd')",
+     "SELECT CAST(NULL AS VARCHAR) AS c0, '2016-12-31' AS c1, '2016-12-31' AS c2"),
+    ("select to_timestamp(null), to_timestamp('2016-12-31 00:12:00'), to_timestamp('2016-12-31', 'yyyy-MM-dd')",
+     "SELECT CAST(NULL AS VARCHAR) AS c0, '2016-12-31 00:12:00' AS c1, '2016-12-31 00:00:00' AS c2"),
+    ("select dayofweek('2007-02-03'), dayofweek('2009-07-30'), dayofweek('2017-05-27'), dayofweek(null), dayofweek('1582-10-15 13:10:15')",
+     "SELECT '7' AS c0, '5' AS c1, '7' AS c2, CAST(NULL AS VARCHAR) AS c3, '6' AS c4"),
+    ('select current_date, current_timestamp from (select * from values (1, 2), (2, 3) as ttf1(current_date, current_timestamp)) ttf1 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', '2'), ('2', '3')) t(c0, c1)"),
+    ('select current_date = current_date(), current_timestamp = current_timestamp(), a, b from (select * from values (1, 2), (2, 3) as ttf2(a, b)) ttf2 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('t', 't', '1', '2'), ('t', 't', '2', '3')) t(c0, c1, c2, c3)"),
+    ('select a, b from (select * from values (1, 2), (2, 3) as ttf2(a, b)) ttf2 order by a, current_date',
+     "SELECT * FROM (VALUES ('1', '2'), ('2', '3')) t(c0, c1)"),
+    ("select weekday('2007-02-03'), weekday('2009-07-30'), weekday('2017-05-27'), weekday(null), weekday('1582-10-15 13:10:15')",
+     "SELECT '5' AS c0, '3' AS c1, '5' AS c2, CAST(NULL AS VARCHAR) AS c3, '4' AS c4"),
+    ("select year('1500-01-01'), month('1500-01-01'), dayOfYear('1500-01-01')",
+     "SELECT '1500' AS c0, '1' AS c1, '1' AS c2"),
+    ("select date '2019-01-01\\t'",
+     "SELECT '2019-01-01' AS c0"),
+    ("select timestamp '2019-01-01\\t'",
+     "SELECT '2019-01-01 00:00:00' AS c0"),
+    ("select timestamp'2011-11-11 11:11:11' + interval '2' day",
+     "SELECT '2011-11-13 11:11:11' AS c0"),
+    ("select timestamp'2011-11-11 11:11:11' - interval '2' day",
+     "SELECT '2011-11-09 11:11:11' AS c0"),
+    ("select date'2011-11-11 11:11:11' + interval '2' second",
+     "SELECT '2011-11-11 00:00:02' AS c0"),
+    ("select date'2011-11-11 11:11:11' - interval '2' second",
+     "SELECT '2011-11-10 23:59:58' AS c0"),
+    ("select '2011-11-11' - interval '2' day",
+     "SELECT '2011-11-09 00:00:00' AS c0"),
+    ("select '2011-11-11 11:11:11' - interval '2' second",
+     "SELECT '2011-11-11 11:11:09' AS c0"),
+    ("select date'2020-01-01' - timestamp'2019-10-06 10:11:12.345678'",
+     "SELECT '86 days 13:48:47.654322' AS c0"),
+    ("select timestamp'2019-10-06 10:11:12.345678' - date'2020-01-01'",
+     "SELECT '-86 days -13:48:47.654322' AS c0"),
+    ("select timestamp'2019-10-06 10:11:12.345678' - null",
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ("select null - timestamp'2019-10-06 10:11:12.345678'",
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ("select date_add('2011-11-11', 1Y)",
+     "SELECT '2011-11-12' AS c0"),
+    ("select date_add('2011-11-11', 1S)",
+     "SELECT '2011-11-12' AS c0"),
+    ("select date_add('2011-11-11', 1)",
+     "SELECT '2011-11-12' AS c0"),
+    ("select date_add('2011-11-11', '1')",
+     "SELECT '2011-11-12' AS c0"),
+    ("select date_add(date'2011-11-11', 1)",
+     "SELECT '2011-11-12' AS c0"),
+    ("select date_add(timestamp'2011-11-11', 1)",
+     "SELECT '2011-11-12' AS c0"),
+    ("select date_sub(date'2011-11-11', 1)",
+     "SELECT '2011-11-10' AS c0"),
+    ("select date_sub(timestamp'2011-11-11', 1)",
+     "SELECT '2011-11-10' AS c0"),
+    ('select date_sub(null, 1)',
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ("select date_sub(date'2011-11-11', null)",
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ("select null + date '2001-09-28'",
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ("select date '2001-09-28' + 7Y",
+     "SELECT '2001-10-05' AS c0"),
+    ("select 7S + date '2001-09-28'",
+     "SELECT '2001-10-05' AS c0"),
+    ("select date '2001-10-01' - 7",
+     "SELECT '2001-09-24' AS c0"),
+    ("select date '2001-09-28' + null",
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ("select date '2001-09-28' - null",
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ("select null - date '2019-10-06'",
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ("select date '2001-10-01' - date '2001-09-28'",
+     "SELECT '3 days' AS c0"),
+    # --- group-by.sql ---
+    ('SELECT COUNT(a), COUNT(b) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData',
+     "SELECT '7' AS c0, '7' AS c1"),
+    ('SELECT a, COUNT(b) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData GROUP BY a ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL, '1'), ('1', '2'), ('2', '2'), ('3', '2')) t(c0, c1)"),
+    ('SELECT COUNT(a), COUNT(b) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData GROUP BY a ORDER BY ALL',
+     "SELECT * FROM (VALUES ('0', '1'), ('2', '2'), ('2', '2'), ('3', '2')) t(c0, c1)"),
+    ("SELECT 'foo', COUNT(a) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData GROUP BY 1",
+     "SELECT 'foo' AS c0, '7' AS c1"),
+    ('SELECT a + b, COUNT(b) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData GROUP BY a + b ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL, '1'), ('2', '1'), ('3', '2'), ('4', '2'), ('5', '1')) t(c0, c1)"),
+    ('SELECT a + 1 + 1, COUNT(b) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData GROUP BY a + 1 ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL, '1'), ('3', '2'), ('4', '2'), ('5', '2')) t(c0, c1)"),
+    ('SELECT SKEWNESS(a), KURTOSIS(a), MIN(a), MAX(a), AVG(a), VARIANCE(a), STDDEV(a), SUM(a), COUNT(a) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData',
+     "SELECT '-0.2723801058145728' AS c0, '-1.5069204152249136' AS c1, '1' AS c2, '3' AS c3, '2.142857142857143' AS c4, '0.8095238095238094' AS c5, '0.8997354108424372' AS c6, '15' AS c7, '7' AS c8"),
+    ('SELECT COUNT(DISTINCT b), COUNT(DISTINCT b, c) FROM (SELECT 1 AS a, 2 AS b, 3 AS c) GROUP BY a',
+     "SELECT '1' AS c0, '1' AS c1"),
+    ('SELECT a AS k, COUNT(b) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData GROUP BY k ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL, '1'), ('1', '2'), ('2', '2'), ('3', '2')) t(c0, c1)"),
+    ('SELECT a AS k, COUNT(b) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData GROUP BY k HAVING k > 1 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('2', '2'), ('3', '2')) t(c0, c1)"),
+    ('SELECT a AS k, COUNT(b) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData GROUP BY k ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL, '1'), ('1', '2'), ('2', '2'), ('3', '2')) t(c0, c1)"),
+    ('SELECT COUNT(1) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData WHERE false',
+     "SELECT '0' AS c0"),
+    ('SELECT 1 FROM (SELECT COUNT(1) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData WHERE false) t',
+     "SELECT '1' AS c0"),
+    ('SELECT corr(DISTINCT x, y), corr(DISTINCT y, x), count(*) FROM (VALUES (1, 1), (2, 2), (2, 2)) t(x, y)',
+     "SELECT '1.0' AS c0, '1.0' AS c1, '3' AS c2"),
+    ('SELECT 1 FROM range(10) HAVING true',
+     "SELECT '1' AS c0"),
+    ('SELECT 1 FROM range(10) HAVING MAX(id) > 0',
+     "SELECT '1' AS c0"),
+    ('SELECT k, every(v) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg GROUP BY k HAVING every(v) = false ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', 'f'), ('3', 'f'), ('5', 'f')) t(c0, c1)"),
+    ('SELECT k, every(v) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg GROUP BY k HAVING every(v) IS NULL',
+     "SELECT '4' AS c0, CAST(NULL AS VARCHAR) AS c1"),
+    ('SELECT k, v, every(v) OVER (PARTITION BY k ORDER BY v) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg',
+     "SELECT * FROM (VALUES ('1', 'f', 'f'), ('1', 't', 'f'), ('2', 't', 't'), ('3', NULL, NULL), ('3', 'f', 'f'), ('4', NULL, NULL), ('4', NULL, NULL), ('5', NULL, NULL), ('5', 'f', 'f'), ('5', 't', 'f')) t(c0, c1, c2)"),
+    ('SELECT k, v, some(v) OVER (PARTITION BY k ORDER BY v) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg',
+     "SELECT * FROM (VALUES ('1', 'f', 'f'), ('1', 't', 't'), ('2', 't', 't'), ('3', NULL, NULL), ('3', 'f', 'f'), ('4', NULL, NULL), ('4', NULL, NULL), ('5', NULL, NULL), ('5', 'f', 'f'), ('5', 't', 't')) t(c0, c1, c2)"),
+    ('SELECT k, v, bool_and(v) OVER (PARTITION BY k ORDER BY v) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg',
+     "SELECT * FROM (VALUES ('1', 'f', 'f'), ('1', 't', 'f'), ('2', 't', 't'), ('3', NULL, NULL), ('3', 'f', 'f'), ('4', NULL, NULL), ('4', NULL, NULL), ('5', NULL, NULL), ('5', 'f', 'f'), ('5', 't', 'f')) t(c0, c1, c2)"),
+    ('SELECT k, v, bool_or(v) OVER (PARTITION BY k ORDER BY v) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg',
+     "SELECT * FROM (VALUES ('1', 'f', 'f'), ('1', 't', 't'), ('2', 't', 't'), ('3', NULL, NULL), ('3', 'f', 'f'), ('4', NULL, NULL), ('4', NULL, NULL), ('5', NULL, NULL), ('5', 'f', 'f'), ('5', 't', 't')) t(c0, c1, c2)"),
+    ('SELECT count(*) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg HAVING count(*) > 1L',
+     "SELECT '10' AS c0"),
+    ('SELECT k, max(v) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg GROUP BY k HAVING max(v) = true ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', 't'), ('2', 't'), ('5', 't')) t(c0, c1)"),
+    ('SELECT * FROM (SELECT COUNT(*) AS cnt from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg) WHERE cnt > 1L',
+     "SELECT '10' AS c0"),
+    # group-by.sql empty-result statements (aggregates
+    # over WHERE false with non-empty group keys → 0 rows)
+    ("SELECT 'foo' from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData WHERE a = 0 GROUP BY 1",
+     "SELECT 1 AS c0 WHERE false"),
+    ("SELECT 'foo', APPROX_COUNT_DISTINCT(a) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData WHERE a = 0 GROUP BY 1",
+     "SELECT 1 AS c0 WHERE false"),
+    ("SELECT 'foo', MAX(STRUCT(a)) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData WHERE a = 0 GROUP BY 1",
+     "SELECT 1 AS c0 WHERE false"),
+    ('SELECT a, COUNT(1) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData WHERE false GROUP BY a',
+     "SELECT 1 AS c0 WHERE false"),
+    ('SELECT 1 from ( SELECT 1 AS z, MIN(a.x) FROM (select 1 as x) a WHERE false ) b where b.z != b.z',
+     "SELECT 1 AS c0 WHERE false"),
+    ('SELECT k, Every(v) AS every from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg WHERE k = 2 AND v IN (SELECT Every(v) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg WHERE k = 1) GROUP BY k',
+     "SELECT 1 AS c0 WHERE false"),
+]
+
+NEGATIVE_WAVE67 = [
+    # --- operators.sql ---
+    'select -key, +key from testdata where key = 2',  # TABLE_OR_VIEW_NOT_FOUND
+    'select -(key + 1), - key + 1, +(key + 5) from testdata where key = 1',  # TABLE_OR_VIEW_NOT_FOUND
+    'select -max(key), +max(key) from testdata',  # TABLE_OR_VIEW_NOT_FOUND
+    'select + (-key) from testdata where key = 32',  # TABLE_OR_VIEW_NOT_FOUND
+    'select - (+max(key)) from testdata',  # TABLE_OR_VIEW_NOT_FOUND
+    'select - - max(key) from testdata',  # TABLE_OR_VIEW_NOT_FOUND
+    'select + - key from testdata where key = 33',  # TABLE_OR_VIEW_NOT_FOUND
+    'select 5 / 0',  # DIVIDE_BY_ZERO
+    'select mod(7, 2), mod(7, 0), mod(0, 2), mod(7, null), mod(null, 2), mod(null, null)',  # REMAINDER_BY_ZERO
+    'select pmod(-7, 2), pmod(0, 2), pmod(7, 0), pmod(7, null), pmod(null, 2), pmod(null, null)',  # REMAINDER_BY_ZERO
+    'select pmod(cast(3.13 as decimal), cast(0 as decimal)), pmod(cast(2 as smallint), cast(0 as smallint))',  # REMAINDER_BY_ZERO
+    # --- cast.sql ---
+    "SELECT CAST('1.23' AS int)",  # CAST_INVALID_INPUT
+    "SELECT CAST('1.23' AS long)",  # CAST_INVALID_INPUT
+    "SELECT CAST('-4.56' AS int)",  # CAST_INVALID_INPUT
+    "SELECT CAST('-4.56' AS long)",  # CAST_INVALID_INPUT
+    "SELECT CAST('abc' AS int)",  # CAST_INVALID_INPUT
+    "SELECT CAST('abc' AS long)",  # CAST_INVALID_INPUT
+    "SELECT CAST('1234567890123' AS int)",  # CAST_INVALID_INPUT
+    "SELECT CAST('12345678901234567890123' AS long)",  # CAST_INVALID_INPUT
+    "SELECT CAST('' AS int)",  # CAST_INVALID_INPUT
+    "SELECT CAST('' AS long)",  # CAST_INVALID_INPUT
+    "SELECT CAST('123.a' AS int)",  # CAST_INVALID_INPUT
+    "SELECT CAST('123.a' AS long)",  # CAST_INVALID_INPUT
+    "SELECT CAST('-2147483649' AS int)",  # CAST_INVALID_INPUT
+    "SELECT CAST('2147483648' AS int)",  # CAST_INVALID_INPUT
+    "SELECT CAST('-9223372036854775809' AS long)",  # CAST_INVALID_INPUT
+    "SELECT CAST('9223372036854775808' AS long)",  # CAST_INVALID_INPUT
+    'SELECT HEX(CAST(CAST(123 AS byte) AS binary))',  # DATATYPE_MISMATCH.CAST_WITH_CONF_SUGGESTION
+    'SELECT HEX(CAST(CAST(-123 AS byte) AS binary))',  # DATATYPE_MISMATCH.CAST_WITH_CONF_SUGGESTION
+    'SELECT HEX(CAST(123S AS binary))',  # DATATYPE_MISMATCH.CAST_WITH_CONF_SUGGESTION
+    'SELECT HEX(CAST(-123S AS binary))',  # DATATYPE_MISMATCH.CAST_WITH_CONF_SUGGESTION
+    'SELECT HEX(CAST(123 AS binary))',  # DATATYPE_MISMATCH.CAST_WITH_CONF_SUGGESTION
+    'SELECT HEX(CAST(-123 AS binary))',  # DATATYPE_MISMATCH.CAST_WITH_CONF_SUGGESTION
+    'SELECT HEX(CAST(123L AS binary))',  # DATATYPE_MISMATCH.CAST_WITH_CONF_SUGGESTION
+    'SELECT HEX(CAST(-123L AS binary))',  # DATATYPE_MISMATCH.CAST_WITH_CONF_SUGGESTION
+    'SELECT CAST(interval 3 month 1 hour AS string)',  # b'SERROR\x00CXX000\x00M\nCannot mix year-month and day-time'
+    "select cast('\\t\\n xyz \\t\\r' as boolean)",  # CAST_INVALID_INPUT
+    # --- literals.sql ---
+    'select 128Y',  # INVALID_NUMERIC_LITERAL_RANGE
+    'select 32768S',  # INVALID_NUMERIC_LITERAL_RANGE
+    'select 9223372036854775808L',  # INVALID_NUMERIC_LITERAL_RANGE
+    'select 1234567890123456789012345678901234567890',  # DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION
+    'select 1234567890123456789012345678901234567890.0',  # DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION
+    'select .e3',  # PARSE_SYNTAX_ERROR
+    'select 1E309, -1E309',  # INVALID_NUMERIC_LITERAL_RANGE
+    'select "Hello Peter!", \'hello lee!\'',  # UNRESOLVED_COLUMN.WITHOUT_SUGGESTION
+    'select \'hello\' \'world\', \'hello\' " " \'lee\'',  # PARSE_SYNTAX_ERROR
+    'select "hello \'peter\'"',  # UNRESOLVED_COLUMN.WITHOUT_SUGGESTION
+    "select date 'mar 11 2016'",  # INVALID_TYPED_LITERAL
+    "select timestamp '2016-33-11 20:54:00.000'",  # INVALID_TYPED_LITERAL
+    "select GEO '(10,-6)'",  # UNSUPPORTED_TYPED_LITERAL
+    'select 1.20E-38BD',  # DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION
+    "select X'XuZ'",  # INVALID_TYPED_LITERAL
+    "select integer '7'",  # UNSUPPORTED_TYPED_LITERAL
+    "select integer'7'",  # UNSUPPORTED_TYPED_LITERAL
+    "select integer '2147483648'",  # UNSUPPORTED_TYPED_LITERAL
+    "select -integer '7'",  # UNSUPPORTED_TYPED_LITERAL
+    "select +integer '7'",  # UNSUPPORTED_TYPED_LITERAL
+    "select +date '1999-01-01'",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    "select +timestamp '1999-01-01'",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    'select +map(1, 2)',  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    'select +array(1,2)',  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    "select +named_struct('a', 1, 'b', 'spark')",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    "select +X'1'",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    "select -date '1999-01-01'",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    "select -timestamp '1999-01-01'",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    "select -x'2379ACFe'",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    # --- having.sql ---
+    'SELECT k, sum(v) from (select * from values ("one", 1), ("two", 2), ("three", 3), ("one", 5) as hav(k, v)) hav GROUP BY k HAVING sum(v) > 2',  # UNRESOLVED_COLUMN.WITHOUT_SUGGESTION
+    'SELECT count(k) from (select * from values ("one", 1), ("two", 2), ("three", 3), ("one", 5) as hav(k, v)) hav GROUP BY v + 1 HAVING v + 1 = 2',  # UNRESOLVED_COLUMN.WITHOUT_SUGGESTION
+    'SELECT MIN(t.v) FROM (SELECT * from (select * from values ("one", 1), ("two", 2), ("three", 3), ("one", 5) as hav(k, v)) hav WHERE v > 0) t HAVING(COUNT(1) > 0)',  # UNRESOLVED_COLUMN.WITHOUT_SUGGESTION
+    # --- datetime.sql ---
+    "select '1' - interval '2' second",  # CAST_INVALID_INPUT
+    "select 1 - interval '2' second",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    "select date_add('2011-11-11', 1L)",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    "select date_add('2011-11-11', 1.0)",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    "select date_add('2011-11-11', 1E1)",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    "select date'2011-11-11' + 1E1",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    # --- group-by.sql ---
+    'SELECT a, COUNT(b) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData',  # MISSING_GROUP_BY
+    'SELECT a, COUNT(b) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData GROUP BY b',  # MISSING_AGGREGATION
+    'SELECT a + 2, COUNT(b) from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData GROUP BY a + 1',  # MISSING_AGGREGATION
+    'SELECT COUNT(b) AS k from (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (null, 1), (3, null), (null, null) AS testData(a, b)) testData GROUP BY k',  # GROUP_BY_AGGREGATE
+    'SELECT k AS a, COUNT(v) from (SELECT * FROM VALUES (1, 1, 3), (1, 2, 1) AS testDataHasSameNameWithAlias(k, a, v)) testDataHasSameNameWithAlias GROUP BY a',  # MISSING_AGGREGATION
+    'SELECT id FROM range(10) HAVING id > 0',  # MISSING_GROUP_BY
+    'SELECT every(v), some(v), any(v), bool_and(v), bool_or(v) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg WHERE 1 = 0',  # MISSING_GROUP_BY
+    'SELECT every(v), some(v), any(v), bool_and(v), bool_or(v) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg WHERE k = 4',  # MISSING_GROUP_BY
+    'SELECT every(v), some(v), any(v), bool_and(v), bool_or(v) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg WHERE k = 5',  # MISSING_GROUP_BY
+    'SELECT k, every(v), some(v), any(v), bool_and(v), bool_or(v) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg GROUP BY k',  # MISSING_AGGREGATION
+    'SELECT k, Every(v) AS every from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg WHERE k = 2 AND v IN (SELECT Any(v) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg WHERE k = 1) GROUP BY k',  # 0
+    'SELECT every(1)',  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    'SELECT some(1S)',  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    'SELECT any(1L)',  # 0
+    'SELECT every("true")',  # UNRESOLVED_COLUMN.WITHOUT_SUGGESTION
+    'SELECT bool_and(1.0)',  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    'SELECT bool_or(1.0D)',  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    'SELECT k, v, any(v) OVER (PARTITION BY k ORDER BY v) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg',  # UNSUPPORTED_EXPR_FOR_WINDOW
+    'SELECT count(*) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg WHERE count(*) > 1L',  # INVALID_WHERE_CONDITION
+    'SELECT count(*) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg WHERE count(*) + 1L > 1L',  # INVALID_WHERE_CONDITION
+    'SELECT count(*) from (SELECT * FROM VALUES (1, true), (1, false), (2, true), (3, false), (3, null), (4, null), (4, null), (5, null), (5, true), (5, false) AS test_agg(k, v)) test_agg WHERE k = 1 or k = 2 or count(*) + 1L > 1L or max(k) > 1',  # INVALID_WHERE_CONDITION
+]
+
+
 @pytest.mark.parametrize("case", range(len(CORPUS)))
 def test_corpus_over_wire(server, client, duck, case):
     pg_sql, oracle = CORPUS[case]
@@ -7761,6 +8198,7 @@ NEGATIVE_CORPUS += NEGATIVE_WAVE63
 NEGATIVE_CORPUS += NEGATIVE_WAVE64
 NEGATIVE_CORPUS += NEGATIVE_WAVE65
 NEGATIVE_CORPUS += NEGATIVE_WAVE66
+NEGATIVE_CORPUS += NEGATIVE_WAVE67
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))

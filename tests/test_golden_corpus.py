@@ -8064,6 +8064,272 @@ NEGATIVE_WAVE67 = [
 ]
 
 
+
+
+# --------------------------------------------------------------------------
+# wave 68 (r9) — array.sql, struct.sql, bitwise.sql, inline-table.sql,
+# join-empty-relation.sql, intersect-all.sql, except-all.sql,
+# except.sql COMPLETED wholesale via the wire-porter. Fixture views
+# ride as CTE prefixes (transitively resolved — join-empty-relation's
+# empty_table is defined over t2); the reference's Spark double-quoted
+# STRINGS are normalized to single quotes (double quotes are
+# identifiers over the PG wire); every join flavor against an empty
+# relation pins its 0-row/NULL-extension contract; INTERSECT/EXCEPT
+# ALL multiset semantics pinned with ordered row sequences.
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    # --- array.sql ---
+    ("WITH primitive_arrays AS (select * from values ( array(true), array(2Y, 1Y), array(2S, 1S), array(2, 1), array(2L, 1L), array(9223372036854775809, 9223372036854775808), array(2.0D, 1.0D), array(float(2.0), float(1.0)), array(date '2016-03-14', date '2016-03-13'), array(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000') ) as primitive_arrays( boolean_array, tinyint_array, smallint_array, int_array, bigint_array, decimal_array, double_array, float_array, date_array, timestamp_array )) select * from primitive_arrays",
+     'SELECT \'{t}\' AS c0, \'{2,1}\' AS c1, \'{2,1}\' AS c2, \'{2,1}\' AS c3, \'{2,1}\' AS c4, \'{9223372036854775809,9223372036854775808}\' AS c5, \'{2.0,1.0}\' AS c6, \'{2.0,1.0}\' AS c7, \'{"2016-03-14","2016-03-13"}\' AS c8, \'{"2016-11-15 20:54:00","2016-11-12 20:54:00"}\' AS c9'),
+    ("WITH primitive_arrays AS (select * from values ( array(true), array(2Y, 1Y), array(2S, 1S), array(2, 1), array(2L, 1L), array(9223372036854775809, 9223372036854775808), array(2.0D, 1.0D), array(float(2.0), float(1.0)), array(date '2016-03-14', date '2016-03-13'), array(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000') ) as primitive_arrays( boolean_array, tinyint_array, smallint_array, int_array, bigint_array, decimal_array, double_array, float_array, date_array, timestamp_array )) select array_contains(boolean_array, true), array_contains(boolean_array, false), array_contains(tinyint_array, 2Y), array_contains(tinyint_array, 0Y), array_contains(smallint_array, 2S), array_contains(smallint_array, 0S), array_contains(int_array, 2), array_contains(int_array, 0), array_contains(bigint_array, 2L), array_contains(bigint_array, 0L), array_contains(decimal_array, 9223372036854775809), array_contains(decimal_array, 1), array_contains(double_array, 2.0D), array_contains(double_array, 0.0D), array_contains(float_array, float(2.0)), array_contains(float_array, float(0.0)), array_contains(date_array, date '2016-03-14'), array_contains(date_array, date '2016-01-01'), array_contains(timestamp_array, timestamp '2016-11-15 20:54:00.000'), array_contains(timestamp_array, timestamp '2016-01-01 20:54:00.000') from primitive_arrays",
+     "SELECT 't' AS c0, 'f' AS c1, 't' AS c2, 'f' AS c3, 't' AS c4, 'f' AS c5, 't' AS c6, 'f' AS c7, 't' AS c8, 'f' AS c9, 't' AS c10, 'f' AS c11, 't' AS c12, 'f' AS c13, 't' AS c14, 'f' AS c15, 't' AS c16, 'f' AS c17, 't' AS c18, 'f' AS c19"),
+    ("WITH data AS (select * from values ('one', array(11, 12, 13), array(array(111, 112, 113), array(121, 122, 123))), ('two', array(21, 22, 23), array(array(211, 212, 213), array(221, 222, 223))) as data(a, b, c)) select array_contains(b, 11), array_contains(c, array(111, 112, 113)) from data ORDER BY ALL",
+     "SELECT * FROM (VALUES ('f', 'f'), ('t', 't')) t(c0, c1)"),
+    ("WITH primitive_arrays AS (select * from values ( array(true), array(2Y, 1Y), array(2S, 1S), array(2, 1), array(2L, 1L), array(9223372036854775809, 9223372036854775808), array(2.0D, 1.0D), array(float(2.0), float(1.0)), array(date '2016-03-14', date '2016-03-13'), array(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000') ) as primitive_arrays( boolean_array, tinyint_array, smallint_array, int_array, bigint_array, decimal_array, double_array, float_array, date_array, timestamp_array )) select sort_array(boolean_array), sort_array(tinyint_array), sort_array(smallint_array), sort_array(int_array), sort_array(bigint_array), sort_array(decimal_array), sort_array(double_array), sort_array(float_array), sort_array(date_array), sort_array(timestamp_array) from primitive_arrays",
+     'SELECT \'{t}\' AS c0, \'{1,2}\' AS c1, \'{1,2}\' AS c2, \'{1,2}\' AS c3, \'{1,2}\' AS c4, \'{9223372036854775808,9223372036854775809}\' AS c5, \'{1.0,2.0}\' AS c6, \'{1.0,2.0}\' AS c7, \'{"2016-03-13","2016-03-14"}\' AS c8, \'{"2016-11-12 20:54:00","2016-11-15 20:54:00"}\' AS c9'),
+    ("select sort_array(array('b', 'd'), cast(NULL as boolean))",
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ("WITH primitive_arrays AS (select * from values ( array(true), array(2Y, 1Y), array(2S, 1S), array(2, 1), array(2L, 1L), array(9223372036854775809, 9223372036854775808), array(2.0D, 1.0D), array(float(2.0), float(1.0)), array(date '2016-03-14', date '2016-03-13'), array(timestamp '2016-11-15 20:54:00.000', timestamp '2016-11-12 20:54:00.000') ) as primitive_arrays( boolean_array, tinyint_array, smallint_array, int_array, bigint_array, decimal_array, double_array, float_array, date_array, timestamp_array )) select size(boolean_array), size(tinyint_array), size(smallint_array), size(int_array), size(bigint_array), size(decimal_array), size(double_array), size(float_array), size(date_array), size(timestamp_array) from primitive_arrays",
+     "SELECT '1' AS c0, '2' AS c1, '2' AS c2, '2' AS c3, '2' AS c4, '2' AS c5, '2' AS c6, '2' AS c7, '2' AS c8, '2' AS c9"),
+    # --- struct.sql ---
+    ("SELECT STRUCT('alpha', 'beta') ST",
+     'SELECT \'{"col1":"alpha","col2":"beta"}\' AS c0'),
+    ("SELECT STRUCT('alpha' AS A, 'beta' AS B) ST",
+     'SELECT \'{"A":"alpha","B":"beta"}\' AS c0'),
+    ("WITH tbl_x AS (VALUES (1, NAMED_STRUCT('C', 'gamma', 'D', 'delta')), (2, NAMED_STRUCT('C', 'epsilon', 'D', 'eta')), (3, NAMED_STRUCT('C', 'theta', 'D', 'iota')) AS T(ID, ST)) SELECT ID, STRUCT(ST.*) NST FROM tbl_x ORDER BY ALL",
+     'SELECT * FROM (VALUES (\'1\', \'{"C":"gamma","D":"delta"}\'), (\'2\', \'{"C":"epsilon","D":"eta"}\'), (\'3\', \'{"C":"theta","D":"iota"}\')) t(c0, c1)'),
+    ("WITH tbl_x AS (VALUES (1, NAMED_STRUCT('C', 'gamma', 'D', 'delta')), (2, NAMED_STRUCT('C', 'epsilon', 'D', 'eta')), (3, NAMED_STRUCT('C', 'theta', 'D', 'iota')) AS T(ID, ST)) SELECT ID, STRUCT(ST.*,CAST(ID AS STRING) AS E) NST FROM tbl_x ORDER BY ALL",
+     'SELECT * FROM (VALUES (\'1\', \'{"C":"gamma","D":"delta","E":"1"}\'), (\'2\', \'{"C":"epsilon","D":"eta","E":"2"}\'), (\'3\', \'{"C":"theta","D":"iota","E":"3"}\')) t(c0, c1)'),
+    ("WITH tbl_x AS (VALUES (1, NAMED_STRUCT('C', 'gamma', 'D', 'delta')), (2, NAMED_STRUCT('C', 'epsilon', 'D', 'eta')), (3, NAMED_STRUCT('C', 'theta', 'D', 'iota')) AS T(ID, ST)) SELECT ID, STRUCT(CAST(ID AS STRING) AS AA, ST.*) NST FROM tbl_x ORDER BY ALL",
+     'SELECT * FROM (VALUES (\'1\', \'{"AA":"1","C":"gamma","D":"delta"}\'), (\'2\', \'{"AA":"2","C":"epsilon","D":"eta"}\'), (\'3\', \'{"AA":"3","C":"theta","D":"iota"}\')) t(c0, c1)'),
+    ("WITH tbl_x AS (VALUES (1, NAMED_STRUCT('C', 'gamma', 'D', 'delta')), (2, NAMED_STRUCT('C', 'epsilon', 'D', 'eta')), (3, NAMED_STRUCT('C', 'theta', 'D', 'iota')) AS T(ID, ST)) SELECT ID, STRUCT(ST.*).C NST FROM tbl_x ORDER BY ALL",
+     "SELECT * FROM (VALUES ('1', 'gamma'), ('2', 'epsilon'), ('3', 'theta')) t(c0, c1)"),
+    ("WITH tbl_x AS (VALUES (1, NAMED_STRUCT('C', 'gamma', 'D', 'delta')), (2, NAMED_STRUCT('C', 'epsilon', 'D', 'eta')), (3, NAMED_STRUCT('C', 'theta', 'D', 'iota')) AS T(ID, ST)) SELECT ID, STRUCT(ST.C, ST.D).D NST FROM tbl_x ORDER BY ALL",
+     "SELECT * FROM (VALUES ('1', 'delta'), ('2', 'eta'), ('3', 'iota')) t(c0, c1)"),
+    ("WITH tbl_x AS (VALUES (1, NAMED_STRUCT('C', 'gamma', 'D', 'delta')), (2, NAMED_STRUCT('C', 'epsilon', 'D', 'eta')), (3, NAMED_STRUCT('C', 'theta', 'D', 'iota')) AS T(ID, ST)) SELECT ID, STRUCT(ST.C as STC, ST.D as STD).STD FROM tbl_x ORDER BY ALL",
+     "SELECT * FROM (VALUES ('1', 'delta'), ('2', 'eta'), ('3', 'iota')) t(c0, c1)"),
+    # --- bitwise.sql ---
+    ('select bit_count(null)',
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ('select bit_count(true)',
+     "SELECT '1' AS c0"),
+    ('select bit_count(false)',
+     "SELECT '0' AS c0"),
+    ('select bit_count(cast(1 as tinyint))',
+     "SELECT '1' AS c0"),
+    ('select bit_count(cast(2 as tinyint))',
+     "SELECT '1' AS c0"),
+    ('select bit_count(cast(3 as tinyint))',
+     "SELECT '2' AS c0"),
+    ('select bit_count(1S)',
+     "SELECT '1' AS c0"),
+    ('select bit_count(2S)',
+     "SELECT '1' AS c0"),
+    ('select bit_count(3S)',
+     "SELECT '2' AS c0"),
+    ('select bit_count(1)',
+     "SELECT '1' AS c0"),
+    ('select bit_count(2)',
+     "SELECT '1' AS c0"),
+    ('select bit_count(3)',
+     "SELECT '2' AS c0"),
+    ('select bit_count(1L)',
+     "SELECT '1' AS c0"),
+    ('select bit_count(2L)',
+     "SELECT '1' AS c0"),
+    ('select bit_count(3L)',
+     "SELECT '2' AS c0"),
+    ('select bit_count(-1L)',
+     "SELECT '64' AS c0"),
+    ('select bit_count(9223372036854775807L)',
+     "SELECT '63' AS c0"),
+    ('select bit_count(-9223372036854775808L)',
+     "SELECT '1' AS c0"),
+    ('WITH bitwise_test AS (SELECT * FROM VALUES (1, 1, 1, 1L), (2, 3, 4, null), (7, 7, 7, 3L) AS bitwise_test(b1, b2, b3, b4)) SELECT BIT_XOR(b3) AS n1 FROM bitwise_test where 1 = 0',
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ('WITH bitwise_test AS (SELECT * FROM VALUES (1, 1, 1, 1L), (2, 3, 4, null), (7, 7, 7, 3L) AS bitwise_test(b1, b2, b3, b4)) SELECT BIT_XOR(b4) AS n1 FROM bitwise_test where b4 is null',
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ('WITH bitwise_test AS (SELECT * FROM VALUES (1, 1, 1, 1L), (2, 3, 4, null), (7, 7, 7, 3L) AS bitwise_test(b1, b2, b3, b4)) SELECT BIT_XOR(cast(b1 as tinyint)) AS a4, BIT_XOR(cast(b2 as smallint)) AS b5, BIT_XOR(b3) AS c2, BIT_XOR(b4) AS d2, BIT_XOR(distinct b4) AS e2 FROM bitwise_test',
+     "SELECT '4' AS c0, '5' AS c1, '2' AS c2, '2' AS c3, '2' AS c4"),
+    ('WITH bitwise_test AS (SELECT * FROM VALUES (1, 1, 1, 1L), (2, 3, 4, null), (7, 7, 7, 3L) AS bitwise_test(b1, b2, b3, b4)) SELECT bit_xor(b3) FROM bitwise_test GROUP BY b1 & 1 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('4'), ('6')) t(c0)"),
+    ('WITH bitwise_test AS (SELECT * FROM VALUES (1, 1, 1, 1L), (2, 3, 4, null), (7, 7, 7, 3L) AS bitwise_test(b1, b2, b3, b4)) SELECT b1, bit_xor(b2) FROM bitwise_test GROUP BY b1 HAVING bit_and(b2) < 7 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', '1'), ('2', '3')) t(c0, c1)"),
+    ('WITH bitwise_test AS (SELECT * FROM VALUES (1, 1, 1, 1L), (2, 3, 4, null), (7, 7, 7, 3L) AS bitwise_test(b1, b2, b3, b4)) SELECT b1, b2, bit_xor(b2) OVER (PARTITION BY b1 ORDER BY b2) FROM bitwise_test',
+     "SELECT * FROM (VALUES ('1', '1', '1'), ('2', '3', '3'), ('7', '7', '7')) t(c0, c1, c2)"),
+    # --- inline-table.sql ---
+    ("select * from values ('one', 1)",
+     "SELECT 'one' AS c0, '1' AS c1"),
+    ("select * from values ('one', 1) as data",
+     "SELECT 'one' AS c0, '1' AS c1"),
+    ("select * from values ('one', 1) as data(a, b)",
+     "SELECT 'one' AS c0, '1' AS c1"),
+    ('select * from values 1, 2, 3 as data(a) ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1'), ('2'), ('3')) t(c0)"),
+    ("select * from values ('one', 1), ('two', 2), ('three', null) as data(a, b) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('one', '1'), ('three', NULL), ('two', '2')) t(c0, c1)"),
+    ("select * from values ('one', null), ('two', null) as data(a, b) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('one', NULL), ('two', NULL)) t(c0, c1)"),
+    ("select * from values ('one', 1), ('two', 2L) as data(a, b) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('one', '1'), ('two', '2')) t(c0, c1)"),
+    ("select * from values ('one', 1 + 0), ('two', 1 + 3L) as data(a, b) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('one', '1'), ('two', '4')) t(c0, c1)"),
+    ("select * from values ('one', array(0, 1)), ('two', array(2, 3)) as data(a, b) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('one', '{0,1}'), ('two', '{2,3}')) t(c0, c1)"),
+    ("select * from values ('one', 2.0), ('two', 3.0D) as data(a, b) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('one', '2.0'), ('two', '3.0')) t(c0, c1)"),
+    ("select * from values (timestamp('1991-12-06 00:00:00.0'), array(timestamp('1991-12-06 01:00:00.0'), timestamp('1991-12-06 12:00:00.0'))) as data(a, b)",
+     'SELECT \'1991-12-06 00:00:00\' AS c0, \'{"1991-12-06 01:00:00","1991-12-06 12:00:00"}\' AS c1'),
+    # --- join-empty-relation.sql ---
+    ('WITH t1 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM t1 INNER JOIN empty_table',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH t1 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM t1 CROSS JOIN empty_table',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH t1 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM t1 LEFT OUTER JOIN empty_table',
+     "SELECT '1' AS c0, CAST(NULL AS VARCHAR) AS c1"),
+    ('WITH t1 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM t1 RIGHT OUTER JOIN empty_table',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH t1 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM t1 FULL OUTER JOIN empty_table',
+     "SELECT '1' AS c0, CAST(NULL AS VARCHAR) AS c1"),
+    ('WITH t1 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM t1 LEFT SEMI JOIN empty_table',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH t1 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM t1 LEFT ANTI JOIN empty_table',
+     "SELECT '1' AS c0"),
+    ('WITH t1 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM empty_table INNER JOIN t1',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH t1 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM empty_table CROSS JOIN t1',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH t1 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM empty_table LEFT OUTER JOIN t1',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH t1 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM empty_table RIGHT OUTER JOIN t1',
+     "SELECT CAST(NULL AS VARCHAR) AS c0, '1' AS c1"),
+    ('WITH t1 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM empty_table FULL OUTER JOIN t1',
+     "SELECT CAST(NULL AS VARCHAR) AS c0, '1' AS c1"),
+    ('WITH t1 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM empty_table LEFT SEMI JOIN t1',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH t1 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM empty_table LEFT ANTI JOIN t1',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM empty_table INNER JOIN empty_table',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM empty_table CROSS JOIN empty_table',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM empty_table LEFT OUTER JOIN empty_table',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM empty_table RIGHT OUTER JOIN empty_table',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM empty_table FULL OUTER JOIN empty_table',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM empty_table LEFT SEMI JOIN empty_table',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), empty_table AS (SELECT a FROM t2 WHERE false) SELECT * FROM empty_table LEFT ANTI JOIN empty_table',
+     "SELECT 1 AS c0 WHERE false"),
+    # --- intersect-all.sql ---
+    ('WITH tab1 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (1, 3), (2, 3), (null, null), (null, null) AS tab1(k, v)), tab2 AS (SELECT * FROM VALUES (1, 2), (1, 2), (2, 3), (3, 4), (null, null), (null, null) AS tab2(k, v)) SELECT * FROM tab1 INTERSECT ALL SELECT * FROM tab2 ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL, NULL), (NULL, NULL), ('1', '2'), ('1', '2'), ('2', '3')) t(c0, c1)"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (1, 3), (2, 3), (null, null), (null, null) AS tab1(k, v)) SELECT * FROM tab1 INTERSECT ALL SELECT * FROM tab1 WHERE k = 1 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', '2'), ('1', '2'), ('1', '3'), ('1', '3')) t(c0, c1)"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (1, 3), (2, 3), (null, null), (null, null) AS tab1(k, v)), tab2 AS (SELECT * FROM VALUES (1, 2), (1, 2), (2, 3), (3, 4), (null, null), (null, null) AS tab2(k, v)) SELECT * FROM tab1 WHERE k > 2 INTERSECT ALL SELECT * FROM tab2',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (1, 3), (2, 3), (null, null), (null, null) AS tab1(k, v)), tab2 AS (SELECT * FROM VALUES (1, 2), (1, 2), (2, 3), (3, 4), (null, null), (null, null) AS tab2(k, v)) SELECT * FROM tab1 INTERSECT ALL SELECT * FROM tab2 WHERE k > 3',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (1, 3), (2, 3), (null, null), (null, null) AS tab1(k, v)) SELECT * FROM tab1 INTERSECT ALL SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT)',
+     "SELECT '1' AS c0, '2' AS c1"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (1, 3), (2, 3), (null, null), (null, null) AS tab1(k, v)), tab2 AS (SELECT * FROM VALUES (1, 2), (1, 2), (2, 3), (3, 4), (null, null), (null, null) AS tab2(k, v)) SELECT * FROM tab2 INTERSECT ALL SELECT * FROM tab1 INTERSECT ALL SELECT * FROM tab2 ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL, NULL), (NULL, NULL), ('1', '2'), ('1', '2'), ('2', '3')) t(c0, c1)"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (1, 3), (2, 3), (null, null), (null, null) AS tab1(k, v)), tab2 AS (SELECT * FROM VALUES (1, 2), (1, 2), (2, 3), (3, 4), (null, null), (null, null) AS tab2(k, v)) SELECT * FROM tab1 EXCEPT SELECT * FROM tab2 UNION ALL SELECT * FROM tab1 INTERSECT ALL SELECT * FROM tab2 ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL, NULL), (NULL, NULL), ('1', '2'), ('1', '2'), ('1', '3'), ('2', '3')) t(c0, c1)"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (1, 3), (2, 3), (null, null), (null, null) AS tab1(k, v)), tab2 AS (SELECT * FROM VALUES (1, 2), (1, 2), (2, 3), (3, 4), (null, null), (null, null) AS tab2(k, v)) SELECT * FROM tab1 EXCEPT SELECT * FROM tab2 EXCEPT SELECT * FROM tab1 INTERSECT ALL SELECT * FROM tab2',
+     "SELECT '1' AS c0, '3' AS c1"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (1, 3), (2, 3), (null, null), (null, null) AS tab1(k, v)), tab2 AS (SELECT * FROM VALUES (1, 2), (1, 2), (2, 3), (3, 4), (null, null), (null, null) AS tab2(k, v)) ( ( ( SELECT * FROM tab1 EXCEPT SELECT * FROM tab2 ) EXCEPT SELECT * FROM tab1 ) INTERSECT ALL SELECT * FROM tab2 )',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (1, 3), (2, 3), (null, null), (null, null) AS tab1(k, v)), tab2 AS (SELECT * FROM VALUES (1, 2), (1, 2), (2, 3), (3, 4), (null, null), (null, null) AS tab2(k, v)) SELECT * FROM (SELECT tab1.k, tab2.v FROM tab1 JOIN tab2 ON tab1.k = tab2.k) INTERSECT ALL SELECT * FROM (SELECT tab1.k, tab2.v FROM tab1 JOIN tab2 ON tab1.k = tab2.k) ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', '2'), ('1', '2'), ('1', '2'), ('1', '2'), ('1', '2'), ('1', '2'), ('1', '2'), ('1', '2'), ('2', '3')) t(c0, c1)"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (1, 3), (2, 3), (null, null), (null, null) AS tab1(k, v)), tab2 AS (SELECT * FROM VALUES (1, 2), (1, 2), (2, 3), (3, 4), (null, null), (null, null) AS tab2(k, v)) SELECT * FROM (SELECT tab1.k, tab2.v FROM tab1 JOIN tab2 ON tab1.k = tab2.k) INTERSECT ALL SELECT * FROM (SELECT tab2.v AS k, tab1.k AS v FROM tab1 JOIN tab2 ON tab1.k = tab2.k)',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (1, 3), (2, 3), (null, null), (null, null) AS tab1(k, v)), tab2 AS (SELECT * FROM VALUES (1, 2), (1, 2), (2, 3), (3, 4), (null, null), (null, null) AS tab2(k, v)) SELECT v FROM tab1 GROUP BY v INTERSECT ALL SELECT k FROM tab2 GROUP BY k ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL), ('2'), ('3')) t(c0)"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (1, 3), (2, 3), (null, null), (null, null) AS tab1(k, v)), tab2 AS (SELECT * FROM VALUES (1, 2), (1, 2), (2, 3), (3, 4), (null, null), (null, null) AS tab2(k, v)) SELECT * FROM tab1 EXCEPT SELECT * FROM tab2 UNION ALL SELECT * FROM tab1 INTERSECT ALL SELECT * FROM tab2 ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL, NULL), (NULL, NULL), ('1', '2'), ('1', '2'), ('1', '3'), ('2', '3')) t(c0, c1)"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (1, 3), (2, 3), (null, null), (null, null) AS tab1(k, v)), tab2 AS (SELECT * FROM VALUES (1, 2), (1, 2), (2, 3), (3, 4), (null, null), (null, null) AS tab2(k, v)) SELECT * FROM tab1 EXCEPT SELECT * FROM tab2 UNION ALL SELECT * FROM tab1 INTERSECT SELECT * FROM tab2 ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL, NULL), ('1', '2'), ('1', '3'), ('2', '3')) t(c0, c1)"),
+    # --- except-all.sql ---
+    ('WITH tab1 AS (SELECT * FROM VALUES (0), (1), (2), (2), (2), (2), (3), (null), (null) AS tab1(c1)), tab2 AS (SELECT * FROM VALUES (1), (2), (2), (3), (5), (5), (null) AS tab2(c1)) SELECT * FROM tab1 EXCEPT ALL SELECT * FROM tab2 ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL), ('0'), ('2'), ('2')) t(c0)"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (0), (1), (2), (2), (2), (2), (3), (null), (null) AS tab1(c1)), tab2 AS (SELECT * FROM VALUES (1), (2), (2), (3), (5), (5), (null) AS tab2(c1)) SELECT * FROM tab1 MINUS ALL SELECT * FROM tab2 ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL), ('0'), ('2'), ('2')) t(c0)"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (0), (1), (2), (2), (2), (2), (3), (null), (null) AS tab1(c1)), tab2 AS (SELECT * FROM VALUES (1), (2), (2), (3), (5), (5), (null) AS tab2(c1)) SELECT * FROM tab1 EXCEPT ALL SELECT * FROM tab2 WHERE c1 IS NOT NULL ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL), (NULL), ('0'), ('2'), ('2')) t(c0)"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (0), (1), (2), (2), (2), (2), (3), (null), (null) AS tab1(c1)), tab2 AS (SELECT * FROM VALUES (1), (2), (2), (3), (5), (5), (null) AS tab2(c1)) SELECT * FROM tab1 WHERE c1 > 5 EXCEPT ALL SELECT * FROM tab2',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (0), (1), (2), (2), (2), (2), (3), (null), (null) AS tab1(c1)), tab2 AS (SELECT * FROM VALUES (1), (2), (2), (3), (5), (5), (null) AS tab2(c1)) SELECT * FROM tab1 EXCEPT ALL SELECT * FROM tab2 WHERE c1 > 6 ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL), (NULL), ('0'), ('1'), ('2'), ('2'), ('2'), ('2'), ('3')) t(c0)"),
+    ('WITH tab1 AS (SELECT * FROM VALUES (0), (1), (2), (2), (2), (2), (3), (null), (null) AS tab1(c1)) SELECT * FROM tab1 EXCEPT ALL SELECT CAST(1 AS BIGINT) ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL), (NULL), ('0'), ('2'), ('2'), ('2'), ('2'), ('3')) t(c0)"),
+    ('WITH tab3 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (2, 3), (2, 2) AS tab3(k, v)), tab4 AS (SELECT * FROM VALUES (1, 2), (2, 3), (2, 2), (2, 2), (2, 20) AS tab4(k, v)) SELECT * FROM tab3 EXCEPT ALL SELECT * FROM tab4 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', '2'), ('1', '3')) t(c0, c1)"),
+    ('WITH tab3 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (2, 3), (2, 2) AS tab3(k, v)), tab4 AS (SELECT * FROM VALUES (1, 2), (2, 3), (2, 2), (2, 2), (2, 20) AS tab4(k, v)) SELECT * FROM tab4 EXCEPT ALL SELECT * FROM tab3 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('2', '2'), ('2', '20')) t(c0, c1)"),
+    ('WITH tab3 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (2, 3), (2, 2) AS tab3(k, v)), tab4 AS (SELECT * FROM VALUES (1, 2), (2, 3), (2, 2), (2, 2), (2, 20) AS tab4(k, v)) SELECT * FROM tab4 EXCEPT ALL SELECT * FROM tab3 INTERSECT DISTINCT SELECT * FROM tab4 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('2', '2'), ('2', '20')) t(c0, c1)"),
+    ('WITH tab3 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (2, 3), (2, 2) AS tab3(k, v)), tab4 AS (SELECT * FROM VALUES (1, 2), (2, 3), (2, 2), (2, 2), (2, 20) AS tab4(k, v)) SELECT * FROM tab4 EXCEPT ALL SELECT * FROM tab3 EXCEPT DISTINCT SELECT * FROM tab4',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH tab3 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (2, 3), (2, 2) AS tab3(k, v)), tab4 AS (SELECT * FROM VALUES (1, 2), (2, 3), (2, 2), (2, 2), (2, 20) AS tab4(k, v)) SELECT * FROM tab3 EXCEPT ALL SELECT * FROM tab4 UNION ALL SELECT * FROM tab3 EXCEPT DISTINCT SELECT * FROM tab4',
+     "SELECT '1' AS c0, '3' AS c1"),
+    ('WITH tab3 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (2, 3), (2, 2) AS tab3(k, v)), tab4 AS (SELECT * FROM VALUES (1, 2), (2, 3), (2, 2), (2, 2), (2, 20) AS tab4(k, v)) SELECT * FROM tab3 EXCEPT ALL SELECT * FROM tab4 UNION SELECT * FROM tab3 EXCEPT DISTINCT SELECT * FROM tab4',
+     "SELECT '1' AS c0, '3' AS c1"),
+    ('WITH tab3 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (2, 3), (2, 2) AS tab3(k, v)), tab4 AS (SELECT * FROM VALUES (1, 2), (2, 3), (2, 2), (2, 2), (2, 20) AS tab4(k, v)) SELECT * FROM tab3 MINUS ALL SELECT * FROM tab4 UNION SELECT * FROM tab3 MINUS DISTINCT SELECT * FROM tab4',
+     "SELECT '1' AS c0, '3' AS c1"),
+    ('WITH tab3 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (2, 3), (2, 2) AS tab3(k, v)), tab4 AS (SELECT * FROM VALUES (1, 2), (2, 3), (2, 2), (2, 2), (2, 20) AS tab4(k, v)) SELECT * FROM tab3 EXCEPT ALL SELECT * FROM tab4 EXCEPT DISTINCT SELECT * FROM tab3 EXCEPT DISTINCT SELECT * FROM tab4',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH tab3 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (2, 3), (2, 2) AS tab3(k, v)), tab4 AS (SELECT * FROM VALUES (1, 2), (2, 3), (2, 2), (2, 2), (2, 20) AS tab4(k, v)) SELECT * FROM (SELECT tab3.k, tab4.v FROM tab3 JOIN tab4 ON tab3.k = tab4.k) EXCEPT ALL SELECT * FROM (SELECT tab3.k, tab4.v FROM tab3 JOIN tab4 ON tab3.k = tab4.k)',
+     "SELECT 1 AS c0 WHERE false"),
+    ('WITH tab3 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (2, 3), (2, 2) AS tab3(k, v)), tab4 AS (SELECT * FROM VALUES (1, 2), (2, 3), (2, 2), (2, 2), (2, 20) AS tab4(k, v)) SELECT * FROM (SELECT tab3.k, tab4.v FROM tab3 JOIN tab4 ON tab3.k = tab4.k) EXCEPT ALL SELECT * FROM (SELECT tab4.v AS k, tab3.k AS v FROM tab3 JOIN tab4 ON tab3.k = tab4.k) ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', '2'), ('1', '2'), ('1', '2'), ('2', '3'), ('2', '3'), ('2', '20'), ('2', '20')) t(c0, c1)"),
+    ('WITH tab3 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (2, 3), (2, 2) AS tab3(k, v)), tab4 AS (SELECT * FROM VALUES (1, 2), (2, 3), (2, 2), (2, 2), (2, 20) AS tab4(k, v)) SELECT v FROM tab3 GROUP BY v EXCEPT ALL SELECT k FROM tab4 GROUP BY k',
+     "SELECT '3' AS c0"),
+    # --- except.sql ---
+    ("WITH t1 AS (select * from values ('one', 1), ('two', 2), ('three', 3), ('one', NULL) as t1(k, v)), t2 AS (select * from values ('one', 1), ('two', 22), ('one', 5), ('one', NULL), (NULL, 5) as t2(k, v)) SELECT * FROM t1 EXCEPT SELECT * FROM t2 ORDER BY ALL",
+     "SELECT * FROM (VALUES ('three', '3'), ('two', '2')) t(c0, c1)"),
+    ("WITH t1 AS (select * from values ('one', 1), ('two', 2), ('three', 3), ('one', NULL) as t1(k, v)) SELECT * FROM t1 EXCEPT SELECT * FROM t1 where v <> 1 and v <> 2 ORDER BY ALL",
+     "SELECT * FROM (VALUES ('one', NULL), ('one', '1'), ('two', '2')) t(c0, c1)"),
+    ("WITH t1 AS (select * from values ('one', 1), ('two', 2), ('three', 3), ('one', NULL) as t1(k, v)) SELECT * FROM t1 where v <> 1 and v <> 22 EXCEPT SELECT * FROM t1 where v <> 2 and v >= 3",
+     "SELECT 'two' AS c0, '2' AS c1"),
+    ("WITH t1 AS (select * from values ('one', 1), ('two', 2), ('three', 3), ('one', NULL) as t1(k, v)), t2 AS (select * from values ('one', 1), ('two', 22), ('one', 5), ('one', NULL), (NULL, 5) as t2(k, v)) SELECT t1.* FROM t1, t2 where t1.k = t2.k EXCEPT SELECT t1.* FROM t1, t2 where t1.k = t2.k and t1.k != 'one' ORDER BY ALL",
+     "SELECT * FROM (VALUES ('one', NULL), ('one', '1')) t(c0, c1)"),
+    ("WITH t1 AS (select * from values ('one', 1), ('two', 2), ('three', 3), ('one', NULL) as t1(k, v)), t2 AS (select * from values ('one', 1), ('two', 22), ('one', 5), ('one', NULL), (NULL, 5) as t2(k, v)) SELECT * FROM t2 where v >= 1 and v <> 22 EXCEPT SELECT * FROM t1 ORDER BY ALL",
+     "SELECT * FROM (VALUES (NULL, '5'), ('one', '5')) t(c0, c1)"),
+    ("WITH t1 AS (select * from values ('one', 1), ('two', 2), ('three', 3), ('one', NULL) as t1(k, v)), t2 AS (select * from values ('one', 1), ('two', 22), ('one', 5), ('one', NULL), (NULL, 5) as t2(k, v)) SELECT (SELECT min(k) FROM t2 WHERE t2.k = t1.k) min_t2 FROM t1 MINUS SELECT (SELECT min(k) FROM t2) abs_min_t2 FROM t1 WHERE t1.k = 'one' ORDER BY ALL",
+     "SELECT * FROM (VALUES (NULL), ('two')) t(c0)"),
+    ("WITH t1 AS (select * from values ('one', 1), ('two', 2), ('three', 3), ('one', NULL) as t1(k, v)), t2 AS (select * from values ('one', 1), ('two', 22), ('one', 5), ('one', NULL), (NULL, 5) as t2(k, v)) SELECT t1.k FROM t1 WHERE t1.v <= (SELECT max(t2.v) FROM t2 WHERE t2.k = t1.k) MINUS SELECT t1.k FROM t1 WHERE t1.v >= (SELECT min(t2.v) FROM t2 WHERE t2.k = t1.k)",
+     "SELECT 'two' AS c0"),
+]
+
+NEGATIVE_WAVE68 = [
+    # --- array.sql ---
+    "WITH data AS (select * from values ('one', array(11, 12, 13), array(array(111, 112, 113), array(121, 122, 123))), ('two', array(21, 22, 23), array(array(211, 212, 213), array(221, 222, 223))) as data(a, b, c)) select * from data",  # b'SERROR\x00CXX000\x00MNested array types are not supporte'
+    "WITH data AS (select * from values ('one', array(11, 12, 13), array(array(111, 112, 113), array(121, 122, 123))), ('two', array(21, 22, 23), array(array(211, 212, 213), array(221, 222, 223))) as data(a, b, c)) select a, b[0], b[0] + b[1] from data",  # INVALID_INDEX_OF_ZERO
+    "WITH data AS (select * from values ('one', array(11, 12, 13), array(array(111, 112, 113), array(121, 122, 123))), ('two', array(21, 22, 23), array(array(211, 212, 213), array(221, 222, 223))) as data(a, b, c)) select a, c[0][0] + c[0][0 + 1] from data",  # INVALID_INDEX_OF_ZERO
+    "select sort_array(array('b', 'd'), '1')",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    # --- bitwise.sql ---
+    "select bit_count('bit count')",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    "select bit_count('a')",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
+    # --- inline-table.sql ---
+    "select * from values ('one', rand(5)), ('two', 3.0D) as data(a, b)",  # INVALID_INLINE_TABLE.CANNOT_EVALUATE_EXPRESSION_IN_INLINE_TABLE
+    "select * from values ('one', 2.0), ('two') as data(a, b)",  # INVALID_INLINE_TABLE.NUM_COLUMNS_MISMATCH
+    "select * from values ('one', array(0, 1)), ('two', struct(1, 2)) as data(a, b)",  # INVALID_INLINE_TABLE.INCOMPATIBLE_TYPES_IN_INLINE_TABLE
+    "select * from values ('one'), ('two') as data(a, b)",  # INVALID_INLINE_TABLE.NUM_COLUMNS_MISMATCH
+    "select * from values ('one', random_not_exist_func(1)), ('two', 2) as data(a, b)",  # UNRESOLVED_ROUTINE
+    "select * from values ('one', count(1)), ('two', 2) as data(a, b)",  # INVALID_INLINE_TABLE.CANNOT_EVALUATE_EXPRESSION_IN_INLINE_TABLE
+    # --- intersect-all.sql ---
+    'WITH tab1 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (1, 3), (2, 3), (null, null), (null, null) AS tab1(k, v)) SELECT * FROM tab1 INTERSECT ALL SELECT array(1), 2',  # INCOMPATIBLE_COLUMN_TYPE
+    'WITH tab1 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (1, 3), (2, 3), (null, null), (null, null) AS tab1(k, v)), tab2 AS (SELECT * FROM VALUES (1, 2), (1, 2), (2, 3), (3, 4), (null, null), (null, null) AS tab2(k, v)) SELECT k FROM tab1 INTERSECT ALL SELECT k, v FROM tab2',  # NUM_COLUMNS_MISMATCH
+    # --- except-all.sql ---
+    'WITH tab1 AS (SELECT * FROM VALUES (0), (1), (2), (2), (2), (2), (3), (null), (null) AS tab1(c1)) SELECT * FROM tab1 EXCEPT ALL SELECT array(1)',  # INCOMPATIBLE_COLUMN_TYPE
+    'WITH tab3 AS (SELECT * FROM VALUES (1, 2), (1, 2), (1, 3), (2, 3), (2, 2) AS tab3(k, v)), tab4 AS (SELECT * FROM VALUES (1, 2), (2, 3), (2, 2), (2, 2), (2, 20) AS tab4(k, v)) SELECT k FROM tab3 EXCEPT ALL SELECT k, v FROM tab4',  # NUM_COLUMNS_MISMATCH
+]
+
+
 @pytest.mark.parametrize("case", range(len(CORPUS)))
 def test_corpus_over_wire(server, client, duck, case):
     pg_sql, oracle = CORPUS[case]
@@ -8199,6 +8465,7 @@ NEGATIVE_CORPUS += NEGATIVE_WAVE64
 NEGATIVE_CORPUS += NEGATIVE_WAVE65
 NEGATIVE_CORPUS += NEGATIVE_WAVE66
 NEGATIVE_CORPUS += NEGATIVE_WAVE67
+NEGATIVE_CORPUS += NEGATIVE_WAVE68
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))

@@ -8330,6 +8330,171 @@ NEGATIVE_WAVE68 = [
 ]
 
 
+
+
+# --------------------------------------------------------------------------
+# wave 69 (r9) — outer/inner/cross/natural-join.sql, order-by-ordinal,
+# group-by-ordinal, limit.sql, table-aliases.sql, pred-pushdown.sql,
+# order-by-nulls-ordering.sql COMPLETED wholesale via the wire-porter.
+# The harness-level built-in test tables (testdata/arraydata/mapdata —
+# reference SQLServerQueryTestSuite.scala:77-100) and the
+# CREATE TABLE + INSERT fixtures (spark_10747/_mix) ride as CTE
+# prefixes. LIMIT-without-ORDER-BY statements over the ordered range
+# scan pin the scan order; the per-partition SORT BY statement is the
+# one documented skip (its row order is nondeterministic by design).
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    # --- outer-join.sql ---
+    ('WITH t1 AS (SELECT * FROM VALUES (-234), (145), (367), (975), (298) as t1(int_col1)), t2 AS (SELECT * FROM VALUES (-769, -244), (-800, -409), (940, 86), (-507, 304), (-367, 158) as t2(int_col0, int_col1)) SELECT (SUM(COALESCE(t1.int_col1, t2.int_col0))), ((COALESCE(t1.int_col1, t2.int_col0)) * 2) FROM t1 RIGHT JOIN t2 ON (t2.int_col0) = (t1.int_col1) GROUP BY GREATEST(COALESCE(t2.int_col1, 109), COALESCE(t1.int_col1, -449)), COALESCE(t1.int_col1, t2.int_col0) HAVING (SUM(COALESCE(t1.int_col1, t2.int_col0))) > ((COALESCE(t1.int_col1, t2.int_col0)) * 2) ORDER BY ALL',
+     "SELECT * FROM (VALUES ('-800', '-1600'), ('-769', '-1538'), ('-507', '-1014'), ('-367', '-734')) t(c0, c1)"),
+    ('WITH t1 AS (SELECT * FROM VALUES (97) as t1(int_col1)), t2 AS (SELECT * FROM VALUES (0) as t2(int_col1)) SELECT * FROM ( SELECT COALESCE(t2.int_col1, t1.int_col1) AS int_col FROM t1 LEFT JOIN t2 ON false ) t where (t.int_col) is not null',
+     "SELECT '97' AS c0"),
+    # --- inner-join.sql ---
+    ("WITH t1 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), t2 AS (SELECT * FROM VALUES (1) AS GROUPING(a)), ta AS (SELECT a, 'a' AS tag FROM t1 UNION ALL SELECT a, 'b' AS tag FROM t2), t3 AS (SELECT * FROM VALUES (1), (1) AS GROUPING(a)), t4 AS (SELECT * FROM VALUES (1), (1) AS GROUPING(a)), tb AS (SELECT a, 'a' AS tag FROM t3 UNION ALL SELECT a, 'b' AS tag FROM t4) SELECT tb.* FROM ta INNER JOIN tb ON ta.a = tb.a AND ta.tag = tb.tag ORDER BY ALL",
+     "SELECT * FROM (VALUES ('1', 'a'), ('1', 'a'), ('1', 'b'), ('1', 'b')) t(c0, c1)"),
+    # --- cross-join.sql ---
+    ("WITH nt1 AS (select * from values ('one', 1), ('two', 2), ('three', 3) as nt1(k, v1)), nt2 AS (select * from values ('one', 1), ('two', 22), ('one', 5) as nt2(k, v2)) SELECT * FROM nt1 cross join nt2 ORDER BY ALL",
+     "SELECT * FROM (VALUES ('one', '1', 'one', '1'), ('one', '1', 'one', '5'), ('one', '1', 'two', '22'), ('three', '3', 'one', '1'), ('three', '3', 'one', '5'), ('three', '3', 'two', '22'), ('two', '2', 'one', '1'), ('two', '2', 'one', '5'), ('two', '2', 'two', '22')) t(c0, c1, c2, c3)"),
+    ("WITH nt1 AS (select * from values ('one', 1), ('two', 2), ('three', 3) as nt1(k, v1)), nt2 AS (select * from values ('one', 1), ('two', 22), ('one', 5) as nt2(k, v2)) SELECT * FROM nt1 cross join nt2 where nt1.k = nt2.k ORDER BY ALL",
+     "SELECT * FROM (VALUES ('one', '1', 'one', '1'), ('one', '1', 'one', '5'), ('two', '2', 'two', '22')) t(c0, c1, c2, c3)"),
+    ("WITH nt1 AS (select * from values ('one', 1), ('two', 2), ('three', 3) as nt1(k, v1)), nt2 AS (select * from values ('one', 1), ('two', 22), ('one', 5) as nt2(k, v2)) SELECT * FROM nt1 cross join nt2 on (nt1.k = nt2.k) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('one', '1', 'one', '1'), ('one', '1', 'one', '5'), ('two', '2', 'two', '22')) t(c0, c1, c2, c3)"),
+    ("WITH nt1 AS (select * from values ('one', 1), ('two', 2), ('three', 3) as nt1(k, v1)), nt2 AS (select * from values ('one', 1), ('two', 22), ('one', 5) as nt2(k, v2)) SELECT * FROM nt1 cross join nt2 where nt1.v1 = 1 and nt2.v2 = 22",
+     "SELECT 'one' AS c0, '1' AS c1, 'two' AS c2, '22' AS c3"),
+    ("WITH nt1 AS (select * from values ('one', 1), ('two', 2), ('three', 3) as nt1(k, v1)), nt2 AS (select * from values ('one', 1), ('two', 22), ('one', 5) as nt2(k, v2)) SELECT a.key, b.key FROM (SELECT k key FROM nt1 WHERE v1 < 2) a CROSS JOIN (SELECT k key FROM nt2 WHERE v2 = 22) b",
+     "SELECT 'one' AS c0, 'two' AS c1"),
+    ("WITH nt1 AS (select * from values ('one', 1), ('two', 2), ('three', 3) as nt1(k, v1)), A(a, va) AS (select * from nt1), B(b, vb) AS (select * from nt1), C(c, vc) AS (select * from nt1), D(d, vd) AS (select * from nt1) select * from ((A join B on (a = b)) cross join C) join D on (a = d) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('one', '1', 'one', '1', 'one', '1', 'one', '1'), ('one', '1', 'one', '1', 'three', '3', 'one', '1'), ('one', '1', 'one', '1', 'two', '2', 'one', '1'), ('three', '3', 'three', '3', 'one', '1', 'three', '3'), ('three', '3', 'three', '3', 'three', '3', 'three', '3'), ('three', '3', 'three', '3', 'two', '2', 'three', '3'), ('two', '2', 'two', '2', 'one', '1', 'two', '2'), ('two', '2', 'two', '2', 'three', '3', 'two', '2'), ('two', '2', 'two', '2', 'two', '2', 'two', '2')) t(c0, c1, c2, c3, c4, c5, c6, c7)"),
+    ("WITH nt1 AS (select * from values ('one', 1), ('two', 2), ('three', 3) as nt1(k, v1)), nt2 AS (select * from values ('one', 1), ('two', 22), ('one', 5) as nt2(k, v2)) SELECT * FROM nt1 CROSS JOIN nt2 ON (nt1.k > nt2.k) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('three', '3', 'one', '1'), ('three', '3', 'one', '5'), ('two', '2', 'one', '1'), ('two', '2', 'one', '5')) t(c0, c1, c2, c3)"),
+    # --- natural-join.sql ---
+    ("WITH nt1 AS (select * from values ('one', 1), ('two', 2), ('three', 3) as nt1(k, v1)), nt2 AS (select * from values ('one', 1), ('two', 22), ('one', 5) as nt2(k, v2)) SELECT * FROM nt1 natural join nt2 where k = 'one' ORDER BY ALL",
+     "SELECT * FROM (VALUES ('one', '1', '1'), ('one', '1', '5')) t(c0, c1, c2)"),
+    ("WITH nt1 AS (select * from values ('one', 1), ('two', 2), ('three', 3) as nt1(k, v1)), nt2 AS (select * from values ('one', 1), ('two', 22), ('one', 5) as nt2(k, v2)) SELECT * FROM nt1 natural left join nt2 order by v1, v2",
+     "SELECT * FROM (VALUES ('one', '1', '1'), ('one', '1', '5'), ('two', '2', '22'), ('three', '3', NULL)) t(c0, c1, c2)"),
+    ("WITH nt1 AS (select * from values ('one', 1), ('two', 2), ('three', 3) as nt1(k, v1)), nt2 AS (select * from values ('one', 1), ('two', 22), ('one', 5) as nt2(k, v2)) SELECT * FROM nt1 natural right join nt2 order by v1, v2",
+     "SELECT * FROM (VALUES ('one', '1', '1'), ('one', '1', '5'), ('two', '2', '22')) t(c0, c1, c2)"),
+    ("WITH nt1 AS (select * from values ('one', 1), ('two', 2), ('three', 3) as nt1(k, v1)), nt2 AS (select * from values ('one', 1), ('two', 22), ('one', 5) as nt2(k, v2)) SELECT count(*) FROM nt1 natural full outer join nt2",
+     "SELECT '4' AS c0"),
+    # --- order-by-ordinal.sql ---
+    ('WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select * from data order by 1 desc',
+     "SELECT * FROM (VALUES ('3', '1'), ('3', '2'), ('2', '1'), ('2', '2'), ('1', '1'), ('1', '2')) t(c0, c1)"),
+    ('WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select * from data order by 1 desc, b desc',
+     "SELECT * FROM (VALUES ('3', '2'), ('3', '1'), ('2', '2'), ('2', '1'), ('1', '2'), ('1', '1')) t(c0, c1)"),
+    ('WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select * from data order by 1 desc, 2 desc',
+     "SELECT * FROM (VALUES ('3', '2'), ('3', '1'), ('2', '2'), ('2', '1'), ('1', '2'), ('1', '1')) t(c0, c1)"),
+    ('WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select * from data order by 1 + 0 desc, b desc',
+     "SELECT * FROM (VALUES ('1', '2'), ('2', '2'), ('3', '2'), ('1', '1'), ('2', '1'), ('3', '1')) t(c0, c1)"),
+    # --- group-by-ordinal.sql ---
+    ('WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select a, sum(b) from data group by 1 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', '3'), ('2', '3'), ('3', '3')) t(c0, c1)"),
+    ('WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select 1, 2, sum(b) from data group by 1, 2',
+     "SELECT '1' AS c0, '2' AS c1, '9' AS c2"),
+    ('WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select a, 1, sum(b) from data group by a, 1 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', '1', '3'), ('2', '1', '3'), ('3', '1', '3')) t(c0, c1, c2)"),
+    ('WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select a, 1, sum(b) from data group by 1, 2 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', '1', '3'), ('2', '1', '3'), ('3', '1', '3')) t(c0, c1, c2)"),
+    ('WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select a, b + 2, count(2) from data group by a, 2 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', '3', '1'), ('1', '4', '1'), ('2', '3', '1'), ('2', '4', '1'), ('3', '3', '1'), ('3', '4', '1')) t(c0, c1, c2)"),
+    ('WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select a as aa, b + 2 as bb, count(2) from data group by 1, 2 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', '3', '1'), ('1', '4', '1'), ('2', '3', '1'), ('2', '4', '1'), ('3', '3', '1'), ('3', '4', '1')) t(c0, c1, c2)"),
+    ('WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select sum(b) from data group by 1 + 0',
+     "SELECT '9' AS c0"),
+    ('WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select a, rand(0), sum(b) from (select /*+ REPARTITION(1) */ a, b from data) group by a, 2 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', '0.5234194256885571', '2'), ('1', '0.7604953758285915', '1'), ('2', '0.0953472826424725', '1'), ('2', '0.3163249920547614', '2'), ('3', '0.2710259815484829', '2'), ('3', '0.7141011170991605', '1')) t(c0, c1, c2)"),
+    ('select a, count(a) from (select 1 as a) tmp group by 1 order by 1',
+     "SELECT '1' AS c0, '1' AS c1"),
+    ('select count(a), a from (select 1 as a) tmp group by 2 having a > 0',
+     "SELECT '1' AS c0, '1' AS c1"),
+    ('WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select a, a AS k, count(b) from data group by k, 1 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', '1', '2'), ('2', '2', '2'), ('3', '3', '2')) t(c0, c1, c2)"),
+    # --- limit.sql ---
+    ('WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)) SELECT * FROM testdata LIMIT CAST(1 AS int)',
+     "SELECT '1' AS c0, '1' AS c1"),
+    ('WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)) SELECT * FROM testdata LIMIT CAST(1 AS INT)',
+     "SELECT '1' AS c0, '1' AS c1"),
+    ('SELECT * FROM (SELECT * FROM range(10) LIMIT 5) WHERE id > 3',
+     "SELECT '4' AS c0"),
+    # --- table-aliases.sql ---
+    ('WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1) AS testData(a, b)) SELECT * FROM testData AS t(col1, col2) WHERE col1 = 1 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', '1'), ('1', '2')) t(c0, c1)"),
+    ('WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1) AS testData(a, b)) SELECT * FROM testData AS t(col1, col2) WHERE col1 = 2',
+     "SELECT '2' AS c0, '1' AS c1"),
+    ('WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1) AS testData(a, b)) SELECT col1 AS k, SUM(col2) FROM testData AS t(col1, col2) GROUP BY k ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', '3'), ('2', '1')) t(c0, c1)"),
+    ('SELECT * FROM (SELECT 1 AS a, 1 AS b) t(col1, col2)',
+     "SELECT '1' AS c0, '1' AS c1"),
+    ("WITH src1 AS (SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') AS src1(id, v1)), src2 AS (SELECT * FROM VALUES (2, 1.0), (3, 3.2), (1, 8.5) AS src2(id, v2)) SELECT * FROM (src1 s1 INNER JOIN src2 s2 ON s1.id = s2.id) dst(a, b, c, d) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('1', 'a', '1', '8.5'), ('2', 'b', '2', '1.0'), ('3', 'c', '3', '3.2')) t(c0, c1, c2, c3)"),
+    # --- pred-pushdown.sql ---
+    ('WITH tbl_a AS (VALUES (1, 1), (2, 1), (3, 6) AS T(c1, c2)), tbl_b AS (VALUES 1 AS T(c1)) SELECT * FROM tbl_a LEFT ANTI JOIN tbl_b ON ((tbl_a.c1 = tbl_a.c2) IS NULL OR tbl_a.c1 = tbl_a.c2) ORDER BY ALL',
+     "SELECT * FROM (VALUES ('2', '1'), ('3', '6')) t(c0, c1)"),
+    ('WITH tbl_a AS (VALUES (1, 1), (2, 1), (3, 6) AS T(c1, c2)), tbl_b AS (VALUES 1 AS T(c1)) SELECT l.c1, l.c2 FROM tbl_a l WHERE EXISTS (SELECT 1 FROM tbl_b r WHERE l.c1 = l.c2) OR l.c2 < 2 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', '1'), ('2', '1')) t(c0, c1)"),
+    # --- order-by-nulls-ordering.sql (spark_10747 fixtures as CTEs) ---
+    ('WITH spark_10747 AS (SELECT * FROM VALUES (6, 12, 10), (6, 11, 4), (6, 9, 10), (6, 15, 8), (6, 15, 8), (6, 7, 4), (6, 7, 8), (6, 13, null), (6, 10, null) AS v(col1, col2, col3)) select col1, col2, col3, sum(col2) over (partition by col1 order by col3 desc nulls last, col2 rows between 2 preceding and 2 following ) as sum_col2 from spark_10747 where col1 = 6 order by sum_col2',
+     "SELECT * FROM (VALUES ('6', '9', '10', '28'), ('6', '13', NULL, '34'), ('6', '10', NULL, '41'), ('6', '12', '10', '43'), ('6', '15', '8', '55'), ('6', '15', '8', '56'), ('6', '11', '4', '56'), ('6', '7', '8', '58'), ('6', '7', '4', '58')) t(c0, c1, c2, c3)"),
+    ('WITH spark_10747 AS (SELECT * FROM VALUES (6, 12, 10), (6, 11, 4), (6, 9, 10), (6, 15, 8), (6, 15, 8), (6, 7, 4), (6, 7, 8), (6, 13, null), (6, 10, null) AS v(col1, col2, col3)) select col1, col2, col3, sum(col2) over (partition by col1 order by col3 desc nulls first, col2 rows between 2 preceding and 2 following ) as sum_col2 from spark_10747 where col1 = 6 order by sum_col2',
+     "SELECT * FROM (VALUES ('6', '10', NULL, '32'), ('6', '11', '4', '33'), ('6', '13', NULL, '44'), ('6', '7', '4', '48'), ('6', '9', '10', '51'), ('6', '15', '8', '55'), ('6', '12', '10', '56'), ('6', '15', '8', '56'), ('6', '7', '8', '58')) t(c0, c1, c2, c3)"),
+    ('WITH spark_10747 AS (SELECT * FROM VALUES (6, 12, 10), (6, 11, 4), (6, 9, 10), (6, 15, 8), (6, 15, 8), (6, 7, 4), (6, 7, 8), (6, 13, null), (6, 10, null) AS v(col1, col2, col3)) select col1, col2, col3, sum(col2) over (partition by col1 order by col3 asc nulls last, col2 rows between 2 preceding and 2 following ) as sum_col2 from spark_10747 where col1 = 6 order by sum_col2',
+     "SELECT * FROM (VALUES ('6', '7', '4', '25'), ('6', '13', NULL, '35'), ('6', '11', '4', '40'), ('6', '10', NULL, '44'), ('6', '7', '8', '55'), ('6', '15', '8', '57'), ('6', '15', '8', '58'), ('6', '12', '10', '59'), ('6', '9', '10', '61')) t(c0, c1, c2, c3)"),
+    ('WITH spark_10747 AS (SELECT * FROM VALUES (6, 12, 10), (6, 11, 4), (6, 9, 10), (6, 15, 8), (6, 15, 8), (6, 7, 4), (6, 7, 8), (6, 13, null), (6, 10, null) AS v(col1, col2, col3)) select col1, col2, col3, sum(col2) over (partition by col1 order by col3 asc nulls first, col2 rows between 2 preceding and 2 following ) as sum_col2 from spark_10747 where col1 = 6 order by sum_col2',
+     "SELECT * FROM (VALUES ('6', '10', NULL, '30'), ('6', '12', '10', '36'), ('6', '13', NULL, '41'), ('6', '7', '4', '48'), ('6', '9', '10', '51'), ('6', '11', '4', '53'), ('6', '7', '8', '55'), ('6', '15', '8', '57'), ('6', '15', '8', '58')) t(c0, c1, c2, c3)"),
+    ('WITH spark_10747 AS (SELECT * FROM VALUES (6, 12, 10), (6, 11, 4), (6, 9, 10), (6, 15, 8), (6, 15, 8), (6, 7, 4), (6, 7, 8), (6, 13, null), (6, 10, null) AS v(col1, col2, col3)) SELECT COL1, COL2, COL3 FROM spark_10747 ORDER BY COL3 ASC NULLS FIRST, COL2',
+     "SELECT * FROM (VALUES ('6', '10', NULL), ('6', '13', NULL), ('6', '7', '4'), ('6', '11', '4'), ('6', '7', '8'), ('6', '15', '8'), ('6', '15', '8'), ('6', '9', '10'), ('6', '12', '10')) t(c0, c1, c2)"),
+    ('WITH spark_10747 AS (SELECT * FROM VALUES (6, 12, 10), (6, 11, 4), (6, 9, 10), (6, 15, 8), (6, 15, 8), (6, 7, 4), (6, 7, 8), (6, 13, null), (6, 10, null) AS v(col1, col2, col3)) SELECT COL1, COL2, COL3 FROM spark_10747 ORDER BY COL3 NULLS LAST, COL2',
+     "SELECT * FROM (VALUES ('6', '7', '4'), ('6', '11', '4'), ('6', '7', '8'), ('6', '15', '8'), ('6', '15', '8'), ('6', '9', '10'), ('6', '12', '10'), ('6', '10', NULL), ('6', '13', NULL)) t(c0, c1, c2)"),
+    ('WITH spark_10747 AS (SELECT * FROM VALUES (6, 12, 10), (6, 11, 4), (6, 9, 10), (6, 15, 8), (6, 15, 8), (6, 7, 4), (6, 7, 8), (6, 13, null), (6, 10, null) AS v(col1, col2, col3)) SELECT COL1, COL2, COL3 FROM spark_10747 ORDER BY COL3 DESC NULLS FIRST, COL2',
+     "SELECT * FROM (VALUES ('6', '10', NULL), ('6', '13', NULL), ('6', '9', '10'), ('6', '12', '10'), ('6', '7', '8'), ('6', '15', '8'), ('6', '15', '8'), ('6', '7', '4'), ('6', '11', '4')) t(c0, c1, c2)"),
+    ('WITH spark_10747 AS (SELECT * FROM VALUES (6, 12, 10), (6, 11, 4), (6, 9, 10), (6, 15, 8), (6, 15, 8), (6, 7, 4), (6, 7, 8), (6, 13, null), (6, 10, null) AS v(col1, col2, col3)) SELECT COL1, COL2, COL3 FROM spark_10747 ORDER BY COL3 DESC NULLS LAST, COL2',
+     "SELECT * FROM (VALUES ('6', '9', '10'), ('6', '12', '10'), ('6', '7', '8'), ('6', '15', '8'), ('6', '15', '8'), ('6', '7', '4'), ('6', '11', '4'), ('6', '10', NULL), ('6', '13', NULL)) t(c0, c1, c2)"),
+    ("WITH spark_10747_mix AS (SELECT col1, col2, col3, CAST(col4 AS decimal(10,2)) AS col4, CAST(col5 AS decimal(20,1)) AS col5 FROM VALUES ('b', 2, 1.0D, 1.00, 10.0), ('d', 3, 2.0D, 3.00, 0.0), ('c', 3, 2.0D, 2.00, 15.1), ('d', 3, 0.0D, 3.00, 1.0), (null, 3, 0.0D, 3.00, 1.0), ('d', 3, CAST(null AS DOUBLE), 4.00, 1.0), ('a', 1, 1.0D, 1.00, null), ('c', 3, 2.0D, 2.00, null) AS v(col1, col2, col3, col4, col5)) select * from spark_10747_mix order by col1 nulls last, col5 nulls last",
+     "SELECT * FROM (VALUES ('a', '1', '1.0', '1.00', NULL), ('b', '2', '1.0', '1.00', '10.0'), ('c', '3', '2.0', '2.00', '15.1'), ('c', '3', '2.0', '2.00', NULL), ('d', '3', '2.0', '3.00', '0.0'), ('d', '3', '0.0', '3.00', '1.0'), ('d', '3', NULL, '4.00', '1.0'), (NULL, '3', '0.0', '3.00', '1.0')) t(c0, c1, c2, c3, c4)"),
+    ("WITH spark_10747_mix AS (SELECT col1, col2, col3, CAST(col4 AS decimal(10,2)) AS col4, CAST(col5 AS decimal(20,1)) AS col5 FROM VALUES ('b', 2, 1.0D, 1.00, 10.0), ('d', 3, 2.0D, 3.00, 0.0), ('c', 3, 2.0D, 2.00, 15.1), ('d', 3, 0.0D, 3.00, 1.0), (null, 3, 0.0D, 3.00, 1.0), ('d', 3, CAST(null AS DOUBLE), 4.00, 1.0), ('a', 1, 1.0D, 1.00, null), ('c', 3, 2.0D, 2.00, null) AS v(col1, col2, col3, col4, col5)) select * from spark_10747_mix order by col1 desc nulls first, col5 desc nulls first",
+     "SELECT * FROM (VALUES (NULL, '3', '0.0', '3.00', '1.0'), ('d', '3', '0.0', '3.00', '1.0'), ('d', '3', NULL, '4.00', '1.0'), ('d', '3', '2.0', '3.00', '0.0'), ('c', '3', '2.0', '2.00', NULL), ('c', '3', '2.0', '2.00', '15.1'), ('b', '2', '1.0', '1.00', '10.0'), ('a', '1', '1.0', '1.00', NULL)) t(c0, c1, c2, c3, c4)"),
+    ("WITH spark_10747_mix AS (SELECT col1, col2, col3, CAST(col4 AS decimal(10,2)) AS col4, CAST(col5 AS decimal(20,1)) AS col5 FROM VALUES ('b', 2, 1.0D, 1.00, 10.0), ('d', 3, 2.0D, 3.00, 0.0), ('c', 3, 2.0D, 2.00, 15.1), ('d', 3, 0.0D, 3.00, 1.0), (null, 3, 0.0D, 3.00, 1.0), ('d', 3, CAST(null AS DOUBLE), 4.00, 1.0), ('a', 1, 1.0D, 1.00, null), ('c', 3, 2.0D, 2.00, null) AS v(col1, col2, col3, col4, col5)) select * from spark_10747_mix order by col5 desc nulls first, col3 desc nulls last",
+     "SELECT * FROM (VALUES ('c', '3', '2.0', '2.00', NULL), ('a', '1', '1.0', '1.00', NULL), ('c', '3', '2.0', '2.00', '15.1'), ('b', '2', '1.0', '1.00', '10.0'), ('d', '3', '0.0', '3.00', '1.0'), (NULL, '3', '0.0', '3.00', '1.0'), ('d', '3', NULL, '4.00', '1.0'), ('d', '3', '2.0', '3.00', '0.0')) t(c0, c1, c2, c3, c4)"),
+    # limit.sql LIMIT-without-ORDER-BY over the harness testdata
+    # (single ordered range scan — row order is the scan order)
+    ("WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)) SELECT * FROM testdata LIMIT 2",
+     "SELECT * FROM (VALUES ('1', '1'), ('2', '2')) t(key, value)"),
+    ("WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)) SELECT * FROM testdata LIMIT 2 + 1",
+     "SELECT * FROM (VALUES ('1', '1'), ('2', '2'), ('3', '3')) t(key, value)"),
+    ("WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)) SELECT * FROM testdata WHERE key < 3 LIMIT ALL",
+     "SELECT * FROM (VALUES ('1', '1'), ('2', '2')) t(key, value)"),
+]
+
+NEGATIVE_WAVE69 = [
+    # --- order-by-ordinal.sql ---
+    'WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select * from data order by 0',  # ORDER_BY_POS_OUT_OF_RANGE
+    'WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select * from data order by -1',  # ORDER_BY_POS_OUT_OF_RANGE
+    'WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select * from data order by 3',  # ORDER_BY_POS_OUT_OF_RANGE
+    'WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select * from data order by 0',  # ORDER_BY_POS_OUT_OF_RANGE
+    'WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select * from data sort by 0',  # ORDER_BY_POS_OUT_OF_RANGE
+    # --- group-by-ordinal.sql ---
+    'WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select a, b from data group by -1',  # GROUP_BY_POS_OUT_OF_RANGE
+    'WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select a, b from data group by 0',  # GROUP_BY_POS_OUT_OF_RANGE
+    'WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select a, b from data group by 3',  # GROUP_BY_POS_OUT_OF_RANGE
+    'WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select a, b, sum(b) from data group by 3',  # GROUP_BY_POS_AGGREGATE
+    'WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select a, b, sum(b) + 2 from data group by 3',  # GROUP_BY_POS_AGGREGATE
+    'WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select * from data group by a, b, 1',  # STAR_GROUP_BY_POS
+    'WITH data AS (select * from values (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2) as data(a, b)) select sum(b) from data group by -1',  # GROUP_BY_POS_OUT_OF_RANGE
+    # --- limit.sql ---
+    'WITH arraydata AS (SELECT * FROM VALUES (ARRAY(1, 2, 3), ARRAY(ARRAY(1, 2, 3))), (ARRAY(2, 3, 4), ARRAY(ARRAY(2, 3, 4))) AS v(arraycol, nestedarraycol)) SELECT * FROM arraydata LIMIT 2',  # b'SERROR\x00CXX000\x00MNested array types are not supporte'
+    'WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)) SELECT * FROM testdata LIMIT -1',  # INVALID_LIMIT_LIKE_EXPRESSION.IS_NEGATIVE
+    'WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)) SELECT * FROM testData TABLESAMPLE (-1 ROWS)',  # INVALID_LIMIT_LIKE_EXPRESSION.IS_NEGATIVE
+    'WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)) SELECT * FROM testdata LIMIT CAST(NULL AS INT)',  # INVALID_LIMIT_LIKE_EXPRESSION.IS_NULL
+    'WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)) SELECT * FROM testdata LIMIT key > 3',  # INVALID_LIMIT_LIKE_EXPRESSION.IS_UNFOLDABLE
+    'WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)) SELECT * FROM testdata LIMIT true',  # INVALID_LIMIT_LIKE_EXPRESSION.DATA_TYPE
+    "WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)) SELECT * FROM testdata LIMIT 'a'",  # INVALID_LIMIT_LIKE_EXPRESSION.DATA_TYPE
+    # --- table-aliases.sql ---
+    'WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1) AS testData(a, b)) SELECT * FROM testData AS t(col1, col2, col3)',  # ASSIGNMENT_ARITY_MISMATCH
+    'WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1) AS testData(a, b)) SELECT * FROM testData AS t(col1)',  # ASSIGNMENT_ARITY_MISMATCH
+    'WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (1, 1), (1, 2), (2, 1) AS testData(a, b)) SELECT a AS col1, b AS col2 FROM testData AS t(c, d)',  # UNRESOLVED_COLUMN.WITH_SUGGESTION
+]
+
+
 @pytest.mark.parametrize("case", range(len(CORPUS)))
 def test_corpus_over_wire(server, client, duck, case):
     pg_sql, oracle = CORPUS[case]
@@ -8466,6 +8631,7 @@ NEGATIVE_CORPUS += NEGATIVE_WAVE65
 NEGATIVE_CORPUS += NEGATIVE_WAVE66
 NEGATIVE_CORPUS += NEGATIVE_WAVE67
 NEGATIVE_CORPUS += NEGATIVE_WAVE68
+NEGATIVE_CORPUS += NEGATIVE_WAVE69
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))

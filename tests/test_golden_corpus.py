@@ -8495,6 +8495,157 @@ NEGATIVE_WAVE69 = [
 ]
 
 
+
+
+# --------------------------------------------------------------------------
+# wave 70 (r9) — pivot.sql, window.sql, cte.sql COMPLETED wholesale
+# via the wire-porter (waves 37/41/43 took the structural picks).
+# pivot: the full value/aggregate/complex-type matrix with the
+# INCOMPARABLE_PIVOT_COLUMN / NON_LITERAL_PIVOT_VALUES /
+# PIVOT_VALUE_DATA_TYPE_MISMATCH negative classes; window: every
+# frame-bound battery with the six RANGE/ROWS DATATYPE_MISMATCH
+# classes; cte: name shadowing incl. column-list CTEs (a fixture CTE
+# is suppressed whenever the statement defines the same name itself),
+# with Spark's sequential scoping negatives pinned.
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    # --- pivot.sql ---
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)) SELECT * FROM ( SELECT year, course, earnings FROM courseSales ) PIVOT ( sum(earnings) FOR course IN ('dotNET', 'Java') ) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('2012', '15000', '20000'), ('2013', '48000', '30000')) t(c0, c1, c2)"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)) SELECT * FROM courseSales PIVOT ( sum(earnings) FOR year IN (2012, 2013) ) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('Java', '20000', '30000'), ('dotNET', '15000', '48000')) t(c0, c1, c2)"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)) SELECT * FROM ( SELECT year, course, earnings FROM courseSales ) PIVOT ( sum(earnings), avg(earnings) FOR course IN ('dotNET', 'Java') ) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('2012', '15000', '7500.0', '20000', '20000.0'), ('2013', '48000', '48000.0', '30000', '30000.0')) t(c0, c1, c2, c3, c4)"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)) SELECT * FROM ( SELECT course, earnings FROM courseSales ) PIVOT ( sum(earnings) FOR course IN ('dotNET', 'Java') )",
+     "SELECT '63000' AS c0, '50000' AS c1"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)) SELECT * FROM ( SELECT year, course, earnings FROM courseSales ) PIVOT ( sum(earnings), min(year) FOR course IN ('dotNET', 'Java') )",
+     "SELECT '63000' AS c0, '2012' AS c1, '50000' AS c2, '2012' AS c3"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)), years AS (select * from values (2012, 1), (2013, 2) as years(y, s)) SELECT * FROM ( SELECT course, year, earnings, s FROM courseSales JOIN years ON year = y ) PIVOT ( sum(earnings) FOR s IN (1, 2) ) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('Java', '2012', '20000', NULL), ('Java', '2013', NULL, '30000'), ('dotNET', '2012', '15000', NULL), ('dotNET', '2013', NULL, '48000')) t(c0, c1, c2, c3)"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)), years AS (select * from values (2012, 1), (2013, 2) as years(y, s)) SELECT * FROM ( SELECT course, year, earnings, s FROM courseSales JOIN years ON year = y ) PIVOT ( sum(earnings), min(s) FOR course IN ('dotNET', 'Java') ) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('2012', '15000', '1', '20000', '1'), ('2013', '48000', '2', '30000', '2')) t(c0, c1, c2, c3, c4)"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)), years AS (select * from values (2012, 1), (2013, 2) as years(y, s)) SELECT * FROM ( SELECT course, year, earnings, s FROM courseSales JOIN years ON year = y ) PIVOT ( sum(earnings * s) FOR course IN ('dotNET', 'Java') ) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('2012', '15000', '20000'), ('2013', '96000', '60000')) t(c0, c1, c2)"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)) SELECT 2012_s, 2013_s, 2012_a, 2013_a, c FROM ( SELECT year y, course c, earnings e FROM courseSales ) PIVOT ( sum(e) s, avg(e) a FOR y IN (2012, 2013) ) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('15000', '48000', '7500.0', '48000.0', 'dotNET'), ('20000', '30000', '20000.0', '30000.0', 'Java')) t(c0, c1, c2, c3, c4)"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)) SELECT firstYear_s, secondYear_s, firstYear_a, secondYear_a, c FROM ( SELECT year y, course c, earnings e FROM courseSales ) PIVOT ( sum(e) s, avg(e) a FOR y IN (2012 as firstYear, 2013 secondYear) ) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('15000', '48000', '7500.0', '48000.0', 'dotNET'), ('20000', '30000', '20000.0', '30000.0', 'Java')) t(c0, c1, c2, c3, c4)"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)) SELECT * FROM ( SELECT year, course, earnings FROM courseSales ) PIVOT ( ceil(sum(earnings)), avg(earnings) + 1 as a1 FOR course IN ('dotNET', 'Java') ) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('2012', '15000', '7501.0', '20000', '20001.0'), ('2013', '48000', '48001.0', '30000', '30001.0')) t(c0, c1, c2, c3, c4)"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)), years AS (select * from values (2012, 1), (2013, 2) as years(y, s)) SELECT * FROM ( SELECT course, year, earnings, s FROM courseSales JOIN years ON year = y ) PIVOT ( sum(earnings) FOR (course, year) IN (('dotNET', 2012), ('Java', 2013)) ) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('1', '15000', NULL), ('2', NULL, '30000')) t(c0, c1, c2)"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)), years AS (select * from values (2012, 1), (2013, 2) as years(y, s)) SELECT * FROM ( SELECT course, year, earnings, s FROM courseSales JOIN years ON year = y ) PIVOT ( sum(earnings) FOR (course, s) IN (('dotNET', 2) as c1, ('Java', 1) as c2) ) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('2012', NULL, '20000'), ('2013', '48000', NULL)) t(c0, c1, c2)"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)), yearsWithComplexTypes AS (select * from values (2012, array(1, 1), map('1', 1), struct(1, 'a')), (2013, array(2, 2), map('2', 2), struct(2, 'b')) as yearsWithComplexTypes(y, a, m, s)) SELECT * FROM ( SELECT course, year, a FROM courseSales JOIN yearsWithComplexTypes ON year = y ) PIVOT ( min(a) FOR course IN ('dotNET', 'Java') ) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('2012', '{1,1}', '{1,1}'), ('2013', '{2,2}', '{2,2}')) t(c0, c1, c2)"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)), yearsWithComplexTypes AS (select * from values (2012, array(1, 1), map('1', 1), struct(1, 'a')), (2013, array(2, 2), map('2', 2), struct(2, 'b')) as yearsWithComplexTypes(y, a, m, s)) SELECT * FROM ( SELECT course, year, y, a FROM courseSales JOIN yearsWithComplexTypes ON year = y ) PIVOT ( max(a) FOR (y, course) IN ((2012, 'dotNET'), (2013, 'Java')) ) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('2012', '{1,1}', NULL), ('2013', NULL, '{2,2}')) t(c0, c1, c2)"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)), yearsWithComplexTypes AS (select * from values (2012, array(1, 1), map('1', 1), struct(1, 'a')), (2013, array(2, 2), map('2', 2), struct(2, 'b')) as yearsWithComplexTypes(y, a, m, s)) SELECT * FROM ( SELECT earnings, year, a FROM courseSales JOIN yearsWithComplexTypes ON year = y ) PIVOT ( sum(earnings) FOR a IN (array(1, 1), array(2, 2)) ) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('2012', '35000', NULL), ('2013', NULL, '78000')) t(c0, c1, c2)"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)), yearsWithComplexTypes AS (select * from values (2012, array(1, 1), map('1', 1), struct(1, 'a')), (2013, array(2, 2), map('2', 2), struct(2, 'b')) as yearsWithComplexTypes(y, a, m, s)) SELECT * FROM ( SELECT course, earnings, year, a FROM courseSales JOIN yearsWithComplexTypes ON year = y ) PIVOT ( sum(earnings) FOR (course, a) IN (('dotNET', array(1, 1)), ('Java', array(2, 2))) ) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('2012', '15000', NULL), ('2013', NULL, '30000')) t(c0, c1, c2)"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)), yearsWithComplexTypes AS (select * from values (2012, array(1, 1), map('1', 1), struct(1, 'a')), (2013, array(2, 2), map('2', 2), struct(2, 'b')) as yearsWithComplexTypes(y, a, m, s)) SELECT * FROM ( SELECT earnings, year, s FROM courseSales JOIN yearsWithComplexTypes ON year = y ) PIVOT ( sum(earnings) FOR s IN ((1, 'a'), (2, 'b')) ) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('2012', '35000', NULL), ('2013', NULL, '78000')) t(c0, c1, c2)"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)), yearsWithComplexTypes AS (select * from values (2012, array(1, 1), map('1', 1), struct(1, 'a')), (2013, array(2, 2), map('2', 2), struct(2, 'b')) as yearsWithComplexTypes(y, a, m, s)) SELECT * FROM ( SELECT course, earnings, year, s FROM courseSales JOIN yearsWithComplexTypes ON year = y ) PIVOT ( sum(earnings) FOR (course, s) IN (('dotNET', (1, 'a')), ('Java', (2, 'b'))) ) ORDER BY ALL",
+     "SELECT * FROM (VALUES ('2012', '15000', NULL), ('2013', NULL, '30000')) t(c0, c1, c2)"),
+    ("WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)) SELECT * FROM ( SELECT course, earnings, 'a' as a, 'z' as z, 'b' as b, 'y' as y, 'c' as c, 'x' as x, 'd' as d, 'w' as w FROM courseSales ) PIVOT ( sum(Earnings) FOR Course IN ('dotNET', 'Java') )",
+     "SELECT 'a' AS c0, 'z' AS c1, 'b' AS c2, 'y' AS c3, 'c' AS c4, 'x' AS c5, 'd' AS c6, 'w' AS c7, '63000' AS c8, '50000' AS c9"),
+    # --- window.sql ---
+    ("WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val, cate, count(val) OVER(PARTITION BY cate ORDER BY val ROWS CURRENT ROW) FROM testData ORDER BY cate, val",
+     "SELECT * FROM (VALUES (NULL, NULL, '0'), ('3', NULL, '1'), (NULL, 'a', '0'), ('1', 'a', '1'), ('1', 'a', '1'), ('2', 'a', '1'), ('1', 'b', '1'), ('2', 'b', '1'), ('3', 'b', '1')) t(c0, c1, c2)"),
+    ("WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val, cate, sum(val) OVER(PARTITION BY cate ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) FROM testData ORDER BY cate, val",
+     "SELECT * FROM (VALUES (NULL, NULL, '3'), ('3', NULL, '3'), (NULL, 'a', '1'), ('1', 'a', '2'), ('1', 'a', '4'), ('2', 'a', '4'), ('1', 'b', '3'), ('2', 'b', '6'), ('3', 'b', '6')) t(c0, c1, c2)"),
+    ("WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val, cate, count(val) OVER(PARTITION BY cate ORDER BY val RANGE 1 PRECEDING) FROM testData ORDER BY cate, val",
+     "SELECT * FROM (VALUES (NULL, NULL, '0'), ('3', NULL, '1'), (NULL, 'a', '0'), ('1', 'a', '2'), ('1', 'a', '2'), ('2', 'a', '3'), ('1', 'b', '1'), ('2', 'b', '2'), ('3', 'b', '2')) t(c0, c1, c2)"),
+    ("WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val, cate, sum(val) OVER(PARTITION BY cate ORDER BY val RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING) FROM testData ORDER BY cate, val",
+     "SELECT * FROM (VALUES (NULL, NULL, NULL), ('3', NULL, '3'), (NULL, 'a', NULL), ('1', 'a', '4'), ('1', 'a', '4'), ('2', 'a', '2'), ('1', 'b', '3'), ('2', 'b', '5'), ('3', 'b', '3')) t(c0, c1, c2)"),
+    ("WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val_long, cate, sum(val_long) OVER(PARTITION BY cate ORDER BY val_long RANGE BETWEEN CURRENT ROW AND 2147483648 FOLLOWING) FROM testData ORDER BY cate, val_long",
+     "SELECT * FROM (VALUES (NULL, NULL, NULL), ('1', NULL, '1'), ('1', 'a', '4'), ('1', 'a', '4'), ('2', 'a', '2147483652'), ('2147483650', 'a', '2147483650'), (NULL, 'b', NULL), ('3', 'b', '2147483653'), ('2147483650', 'b', '2147483650')) t(c0, c1, c2)"),
+    ("WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val_double, cate, sum(val_double) OVER(PARTITION BY cate ORDER BY val_double RANGE BETWEEN CURRENT ROW AND 2.5 FOLLOWING) FROM testData ORDER BY cate, val_double",
+     "SELECT * FROM (VALUES (NULL, NULL, NULL), ('1.0', NULL, '1.0'), ('1.0', 'a', '4.5'), ('1.0', 'a', '4.5'), ('2.5', 'a', '2.5'), ('100.001', 'a', '100.001'), ('1.0', 'b', '4.3'), ('3.3', 'b', '3.3'), ('100.001', 'b', '100.001')) t(c0, c1, c2)"),
+    ("WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val_date, cate, max(val_date) OVER(PARTITION BY cate ORDER BY val_date RANGE BETWEEN CURRENT ROW AND 2 FOLLOWING) FROM testData ORDER BY cate, val_date",
+     "SELECT * FROM (VALUES (NULL, NULL, NULL), ('2017-08-01', NULL, '2017-08-01'), ('2017-08-01', 'a', '2017-08-02'), ('2017-08-01', 'a', '2017-08-02'), ('2017-08-02', 'a', '2017-08-02'), ('2020-12-31', 'a', '2020-12-31'), ('2017-08-01', 'b', '2017-08-03'), ('2017-08-03', 'b', '2017-08-03'), ('2020-12-31', 'b', '2020-12-31')) t(c0, c1, c2)"),
+    ("WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val_timestamp, cate, avg(val_timestamp) OVER(PARTITION BY cate ORDER BY val_timestamp RANGE BETWEEN CURRENT ROW AND interval 23 days 4 hours FOLLOWING) FROM testData ORDER BY cate, val_timestamp",
+     "SELECT * FROM (VALUES (NULL, NULL, NULL), ('2017-08-01 00:00:00', NULL, '1501545600.0'), ('2017-08-01 00:00:00', 'a', '1501697066.6666667'), ('2017-08-01 00:00:00', 'a', '1501697066.6666667'), ('2017-08-06 06:13:20', 'a', '1502000000.0'), ('2020-12-31 00:00:00', 'a', '1609372800.0'), ('2017-08-01 00:00:00', 'b', '1502272800.0'), ('2017-08-17 20:00:00', 'b', '1503000000.0'), ('2020-12-31 00:00:00', 'b', '1609372800.0')) t(c0, c1, c2)"),
+    ("WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val, cate, sum(val) OVER(PARTITION BY cate ORDER BY val DESC RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING) FROM testData ORDER BY cate, val",
+     "SELECT * FROM (VALUES (NULL, NULL, NULL), ('3', NULL, '3'), (NULL, 'a', NULL), ('1', 'a', '2'), ('1', 'a', '2'), ('2', 'a', '4'), ('1', 'b', '1'), ('2', 'b', '3'), ('3', 'b', '5')) t(c0, c1, c2)"),
+    ("WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val, cate, avg(null) OVER(PARTITION BY cate ORDER BY val) FROM testData ORDER BY cate, val",
+     "SELECT * FROM (VALUES (NULL, NULL, NULL), ('3', NULL, NULL), (NULL, 'a', NULL), ('1', 'a', NULL), ('1', 'a', NULL), ('2', 'a', NULL), ('1', 'b', NULL), ('2', 'b', NULL), ('3', 'b', NULL)) t(c0, c1, c2)"),
+    ("WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val, cate, sum(val) OVER(), avg(val) OVER() FROM testData ORDER BY cate, val",
+     "SELECT * FROM (VALUES (NULL, NULL, '13', '1.8571428571428572'), ('3', NULL, '13', '1.8571428571428572'), (NULL, 'a', '13', '1.8571428571428572'), ('1', 'a', '13', '1.8571428571428572'), ('1', 'a', '13', '1.8571428571428572'), ('2', 'a', '13', '1.8571428571428572'), ('1', 'b', '13', '1.8571428571428572'), ('2', 'b', '13', '1.8571428571428572'), ('3', 'b', '13', '1.8571428571428572')) t(c0, c1, c2, c3)"),
+    ("WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val, cate, first_value(false) OVER w AS first_value, first_value(true, true) OVER w AS first_value_ignore_null, first_value(false, false) OVER w AS first_value_contain_null, last_value(false) OVER w AS last_value, last_value(true, true) OVER w AS last_value_ignore_null, last_value(false, false) OVER w AS last_value_contain_null FROM testData WINDOW w AS () ORDER BY cate, val",
+     "SELECT * FROM (VALUES (NULL, NULL, 'f', 't', 'f', 'f', 't', 'f'), ('3', NULL, 'f', 't', 'f', 'f', 't', 'f'), (NULL, 'a', 'f', 't', 'f', 'f', 't', 'f'), ('1', 'a', 'f', 't', 'f', 'f', 't', 'f'), ('1', 'a', 'f', 't', 'f', 'f', 't', 'f'), ('2', 'a', 'f', 't', 'f', 'f', 't', 'f'), ('1', 'b', 'f', 't', 'f', 'f', 't', 'f'), ('2', 'b', 'f', 't', 'f', 'f', 't', 'f'), ('3', 'b', 'f', 't', 'f', 'f', 't', 'f')) t(c0, c1, c2, c3, c4, c5, c6, c7)"),
+    ("WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT cate, sum(val) OVER (w) FROM testData WHERE val is not null WINDOW w AS (PARTITION BY cate ORDER BY val)",
+     "SELECT * FROM (VALUES (NULL, '3'), ('a', '2'), ('a', '2'), ('a', '4'), ('b', '1'), ('b', '3'), ('b', '6')) t(c0, c1)"),
+    # --- cte.sql ---
+    ('WITH t AS (select * from values 0, 1, 2 as t(id)), t2 AS (select * from values 0, 1 as t(id)), CTE1 AS ( SELECT b.id AS id FROM T2 a CROSS JOIN (SELECT id AS id FROM T2) b ) SELECT t1.id AS c1, t2.id AS c2 FROM CTE1 t1 CROSS JOIN CTE1 t2 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('0', '0'), ('0', '0'), ('0', '0'), ('0', '0'), ('0', '1'), ('0', '1'), ('0', '1'), ('0', '1'), ('1', '0'), ('1', '0'), ('1', '0'), ('1', '0'), ('1', '1'), ('1', '1'), ('1', '1'), ('1', '1')) t(c0, c1)"),
+    ('WITH t(x) AS (SELECT 1) SELECT * FROM t WHERE x = 1',
+     "SELECT '1' AS c0"),
+    ('WITH t(x, y) AS (SELECT 1, 2) SELECT * FROM t WHERE x = 1 AND y = 2',
+     "SELECT '1' AS c0, '2' AS c1"),
+    ('WITH t(x, x) AS (SELECT 1, 2) SELECT * FROM t',
+     "SELECT '1' AS c0, '2' AS c1"),
+    ('WITH t as ( WITH t2 AS (SELECT 1) SELECT * FROM t2 ) SELECT * FROM t',
+     "SELECT '1' AS c0"),
+    ('SELECT max(c) FROM ( WITH t(c) AS (SELECT 1) SELECT * FROM t )',
+     "SELECT '1' AS c0"),
+    ('SELECT ( WITH t AS (SELECT 1) SELECT * FROM t )',
+     "SELECT '1' AS c0"),
+    ('WITH t AS (SELECT 1), t2 AS ( WITH t AS (SELECT 2) SELECT * FROM t ) SELECT * FROM t2',
+     "SELECT '2' AS c0"),
+    ('WITH t(c) AS (SELECT 1), t2 AS ( SELECT ( SELECT max(c) FROM ( WITH t(c) AS (SELECT 2) SELECT * FROM t ) ) ) SELECT * FROM t2',
+     "SELECT '2' AS c0"),
+    ('WITH t AS (SELECT 1), t2 AS ( WITH t AS (SELECT 2), t2 AS ( WITH t AS (SELECT 3) SELECT * FROM t ) SELECT * FROM t2 ) SELECT * FROM t2',
+     "SELECT '3' AS c0"),
+    ('WITH t(c) AS (SELECT 1) SELECT max(c) FROM ( WITH t(c) AS (SELECT 2) SELECT * FROM t )',
+     "SELECT '2' AS c0"),
+    ('WITH t(c) AS (SELECT 1) SELECT sum(c) FROM ( SELECT max(c) AS c FROM ( WITH t(c) AS (SELECT 2) SELECT * FROM t ) )',
+     "SELECT '2' AS c0"),
+    ('WITH t(c) AS (SELECT 1) SELECT sum(c) FROM ( WITH t(c) AS (SELECT 2) SELECT max(c) AS c FROM ( WITH t(c) AS (SELECT 3) SELECT * FROM t ) )',
+     "SELECT '3' AS c0"),
+    ('WITH t AS (SELECT 1) SELECT ( WITH t AS (SELECT 2) SELECT * FROM t )',
+     "SELECT '2' AS c0"),
+    ('WITH t AS (SELECT 1) SELECT ( SELECT ( WITH t AS (SELECT 2) SELECT * FROM t ) )',
+     "SELECT '2' AS c0"),
+    ('WITH t AS (SELECT 1) SELECT ( WITH t AS (SELECT 2) SELECT ( WITH t AS (SELECT 3) SELECT * FROM t ) )',
+     "SELECT '3' AS c0"),
+]
+
+NEGATIVE_WAVE70 = [
+    # --- pivot.sql ---
+    "WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)) SELECT * FROM courseSales PIVOT ( abs(earnings) FOR year IN (2012, 2013) )",  # b'SERROR\x00CXX000\x00MAggregate expression required for p'
+    "WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)) SELECT * FROM ( SELECT year, course, earnings FROM courseSales ) PIVOT ( sum(earnings), year FOR course IN ('dotNET', 'Java') )",  # b'SERROR\x00CXX000\x00MAggregate expression required for p'
+    "WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)) SELECT * FROM ( SELECT course, earnings FROM courseSales ) PIVOT ( sum(earnings) FOR year IN (2012, 2013) )",  # UNRESOLVED_COLUMN.WITH_SUGGESTION
+    "WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)) SELECT * FROM ( SELECT year, course, earnings FROM courseSales ) PIVOT ( sum(avg(earnings)) FOR course IN ('dotNET', 'Java') )",  # NESTED_AGGREGATE_FUNCTION
+    "WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)), years AS (select * from values (2012, 1), (2013, 2) as years(y, s)) SELECT * FROM ( SELECT course, year, earnings, s FROM courseSales JOIN years ON year = y ) PIVOT ( sum(earnings) FOR (course, year) IN ('dotNET', 'Java') )",  # PIVOT_VALUE_DATA_TYPE_MISMATCH
+    "WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)) SELECT * FROM courseSales PIVOT ( sum(earnings) FOR year IN (s, 2013) )",  # UNRESOLVED_COLUMN.WITH_SUGGESTION
+    "WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)) SELECT * FROM courseSales PIVOT ( sum(earnings) FOR year IN (course, 2013) )",  # NON_LITERAL_PIVOT_VALUES
+    "WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)), yearsWithComplexTypes AS (select * from values (2012, array(1, 1), map('1', 1), struct(1, 'a')), (2013, array(2, 2), map('2', 2), struct(2, 'b')) as yearsWithComplexTypes(y, a, m, s)) SELECT * FROM ( SELECT earnings, year, m FROM courseSales JOIN yearsWithComplexTypes ON year = y ) PIVOT ( sum(earnings) FOR m IN (map('1', 1), map('2', 2)) )",  # INCOMPARABLE_PIVOT_COLUMN
+    "WITH courseSales AS (select * from values ('dotNET', 2012, 10000), ('Java', 2012, 20000), ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000) as courseSales(course, year, earnings)), yearsWithComplexTypes AS (select * from values (2012, array(1, 1), map('1', 1), struct(1, 'a')), (2013, array(2, 2), map('2', 2), struct(2, 'b')) as yearsWithComplexTypes(y, a, m, s)) SELECT * FROM ( SELECT course, earnings, year, m FROM courseSales JOIN yearsWithComplexTypes ON year = y ) PIVOT ( sum(earnings) FOR (course, m) IN (('dotNET', map('1', 1)), ('Java', map('2', 2))) )",  # INCOMPARABLE_PIVOT_COLUMN
+    # --- window.sql ---
+    "WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val_long, cate, sum(val_long) OVER(PARTITION BY cate ORDER BY val_long ROWS BETWEEN CURRENT ROW AND 2147483648 FOLLOWING) FROM testData ORDER BY cate, val_long",  # DATATYPE_MISMATCH.SPECIFIED_WINDOW_FRAME_UNACCEPTED_TYPE
+    "WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val, cate, count(val) OVER(PARTITION BY cate ROWS BETWEEN UNBOUNDED FOLLOWING AND 1 FOLLOWING) FROM testData ORDER BY cate, val",  # DATATYPE_MISMATCH.SPECIFIED_WINDOW_FRAME_INVALID_BOUND
+    "WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val, cate, count(val) OVER(PARTITION BY cate RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING) FROM testData ORDER BY cate, val",  # DATATYPE_MISMATCH.RANGE_FRAME_WITHOUT_ORDER
+    "WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val, cate, count(val) OVER(PARTITION BY cate ORDER BY val, cate RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING) FROM testData ORDER BY cate, val",  # DATATYPE_MISMATCH.RANGE_FRAME_MULTI_ORDER
+    "WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val, cate, count(val) OVER(PARTITION BY cate ORDER BY current_timestamp RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING) FROM testData ORDER BY cate, val",  # DATATYPE_MISMATCH.RANGE_FRAME_INVALID_TYPE
+    "WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val, cate, count(val) OVER(PARTITION BY cate ORDER BY val RANGE BETWEEN 1 FOLLOWING AND 1 PRECEDING) FROM testData ORDER BY cate, val",  # DATATYPE_MISMATCH.SPECIFIED_WINDOW_FRAME_WRONG_COMPARISON
+    "WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val, cate, count(val) OVER(PARTITION BY cate ORDER BY val RANGE BETWEEN CURRENT ROW AND current_date PRECEDING) FROM testData ORDER BY cate, val",  # b'SERROR\x00CXX000\x00M\nFrame bound value must be a litera'
+    "WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val, cate, max(val) OVER w AS max, min(val) OVER w AS min, min(val) OVER w AS min, count(val) OVER w AS count, sum(val) OVER w AS sum, avg(val) OVER w AS avg, stddev(val) OVER w AS stddev, first_value(val) OVER w AS first_value, first_value(val, true) OVER w AS first_value_ignore_null, first_value(val, false) OVER w AS first_value_contain_null, last_value(val) OVER w AS last_value, last_value(val, true) OVER w AS last_value_ignore_null, last_value(val, false) OVER w AS last_value_contain_null, rank() OVER w AS rank, dense_rank() OVER w AS dense_rank, cume_dist() OVER w AS cume_dist, percent_rank() OVER w AS percent_rank, ntile(2) OVER w AS ntile, row_number() OVER w AS row_number, var_pop(val) OVER w AS var_pop, var_samp(val) OVER w AS var_samp, approx_count_distinct(val) OVER w AS approx_count_distinct, covar_pop(val, val_long) OVER w AS covar_pop, corr(val, val_long) OVER w AS corr, stddev_samp(val) OVER w AS stddev_samp, stddev_pop(val) OVER w AS stddev_pop, collect_list(val) OVER w AS collect_list, collect_set(val) OVER w AS collect_set, skewness(val_double) OVER w AS skewness, kurtosis(val_double) OVER w AS kurtosis FROM testData WINDOW w AS (PARTITION BY cate ORDER BY val) ORDER BY cate, val",  # DIVIDE_BY_ZERO
+    "WITH testdata AS (SELECT id AS key, CAST(id AS string) AS value FROM range(1, 101)), testData AS (SELECT * FROM VALUES (null, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), 'a'), (1, 2L, 2.5D, date('2017-08-02'), timestamp(1502000000), 'a'), (2, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'a'), (1, null, 1.0D, date('2017-08-01'), timestamp(1501545600), 'b'), (2, 3L, 3.3D, date('2017-08-03'), timestamp(1503000000), 'b'), (3, 2147483650L, 100.001D, date('2020-12-31'), timestamp(1609372800), 'b'), (null, null, null, null, null, null), (3, 1L, 1.0D, date('2017-08-01'), timestamp(1501545600), null) AS testData(val, val_long, val_double, val_date, val_timestamp, cate)) SELECT val, cate, row_number() OVER(PARTITION BY cate) FROM testData ORDER BY cate, val",  # b'SERROR\x00CXX000\x00MWindow function row_number() requir'
+    # --- cte.sql (incl. Spark's sequential CTE scoping: self/forward
+    # references error where PG/DuckDB resolve them — wave-37 pin class) ---
+    'WITH s AS (SELECT 1 FROM s) SELECT * FROM s',  # TABLE_OR_VIEW_NOT_FOUND
+    'WITH r AS (SELECT (SELECT * FROM r)) SELECT * FROM r',  # TABLE_OR_VIEW_NOT_FOUND
+    'WITH t AS (SELECT 1 FROM t) SELECT * FROM t',  # TABLE_OR_VIEW_NOT_FOUND
+    'WITH s1 AS (SELECT 1 FROM s2), s2 AS (SELECT 1 FROM s1) SELECT * FROM s1, s2',  # TABLE_OR_VIEW_NOT_FOUND
+    'WITH t1 AS (SELECT * FROM t2), t2 AS (SELECT 2 FROM t1) SELECT * FROM t1 cross join t2',  # TABLE_OR_VIEW_NOT_FOUND
+    'WITH t() AS (SELECT 1) SELECT * FROM t',  # PARSE_SYNTAX_ERROR
+    'WITH t(x) AS (SELECT 1), t(x) AS (SELECT 2) SELECT * FROM t',  # DUPLICATED_CTE_NAMES
+]
+
+
 @pytest.mark.parametrize("case", range(len(CORPUS)))
 def test_corpus_over_wire(server, client, duck, case):
     pg_sql, oracle = CORPUS[case]
@@ -8632,6 +8783,7 @@ NEGATIVE_CORPUS += NEGATIVE_WAVE66
 NEGATIVE_CORPUS += NEGATIVE_WAVE67
 NEGATIVE_CORPUS += NEGATIVE_WAVE68
 NEGATIVE_CORPUS += NEGATIVE_WAVE69
+NEGATIVE_CORPUS += NEGATIVE_WAVE70
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))

@@ -8646,6 +8646,180 @@ NEGATIVE_WAVE70 = [
 ]
 
 
+
+
+# --------------------------------------------------------------------------
+# wave 71 (r9) — csv-functions.sql, json-functions.sql,
+# string-functions.sql COMPLETED wholesale via the wire-porter (waves
+# 42/49 took the structural picks): the full from_csv/from_json/
+# to_json/schema_of_* surfaces with their negative option/schema
+# classes (INVALID_OPTIONS.NON_MAP_FUNCTION / NON_STRING_TYPE,
+# INVALID_SCHEMA, WRONG_NUM_ARGS, NON_FOLDABLE_INPUT), struct cells
+# rendering as JSON over the wire.
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    # --- csv-functions.sql ---
+    ("select from_csv('1, 3.14', 'a INT, f FLOAT')",
+     'SELECT \'{"a":1,"f":3.140000104904175}\' AS c0'),
+    ("select from_csv('26/08/2015', 'time Timestamp', map('timestampFormat', 'dd/MM/yyyy'))",
+     'SELECT \'{"time":"2015-08-26 00:00:00"}\' AS c0'),
+    ("select from_csv('1,abc', schema_of_csv('1,abc'))",
+     'SELECT \'{"_c0":1,"_c1":"abc"}\' AS c0'),
+    ("select schema_of_csv('1|abc', map('delimiter', '|'))",
+     "SELECT 'STRUCT<_c0: INT, _c1: STRING>' AS c0"),
+    ("select to_csv(named_struct('a', 1, 'b', 2))",
+     "SELECT '1,2' AS c0"),
+    ("select to_csv(named_struct('time', to_timestamp('2015-08-26', 'yyyy-MM-dd')), map('timestampFormat', 'dd/MM/yyyy'))",
+     "SELECT '26/08/2015' AS c0"),
+    # --- json-functions.sql ---
+    ("select to_json(named_struct('a', 1, 'b', 2))",
+     'SELECT \'{"a":1,"b":2}\' AS c0'),
+    ("select to_json(named_struct('time', to_timestamp('2015-08-26', 'yyyy-MM-dd')), map('timestampFormat', 'dd/MM/yyyy'))",
+     'SELECT \'{"time":"26/08/2015"}\' AS c0'),
+    ("select to_json(array(named_struct('a', 1, 'b', 2)))",
+     'SELECT \'[{"a":1,"b":2}]\' AS c0'),
+    ("select to_json(map(named_struct('a', 1, 'b', 2), named_struct('a', 1, 'b', 2)))",
+     'SELECT \'{"[1,2]":{"a":1,"b":2}}\' AS c0'),
+    ("select to_json(map('a', named_struct('a', 1, 'b', 2)))",
+     'SELECT \'{"a":{"a":1,"b":2}}\' AS c0'),
+    ("select to_json(map('a', 1))",
+     'SELECT \'{"a":1}\' AS c0'),
+    ("select to_json(array(map('a',1)))",
+     'SELECT \'[{"a":1}]\' AS c0'),
+    ("select to_json(array(map('a',1), map('b',2)))",
+     'SELECT \'[{"a":1},{"b":2}]\' AS c0'),
+    ('select from_json(\'{"a":1}\', \'a INT\')',
+     'SELECT \'{"a":1}\' AS c0'),
+    ('select from_json(\'{"time":"26/08/2015"}\', \'time Timestamp\', map(\'timestampFormat\', \'dd/MM/yyyy\'))',
+     'SELECT \'{"time":"2015-08-26 00:00:00"}\' AS c0'),
+    ('SELECT json_tuple(\'{"a" : 1, "b" : 2}\', CAST(NULL AS STRING), \'b\', CAST(NULL AS STRING), \'a\')',
+     "SELECT CAST(NULL AS VARCHAR) AS c0, '2' AS c1, CAST(NULL AS VARCHAR) AS c2, '1' AS c3"),
+    ('WITH jsonTable(jsonField, a) AS (SELECT * FROM VALUES (\'{"a": 1, "b": 2}\', \'a\')) SELECT json_tuple(jsonField, \'b\', CAST(NULL AS STRING), a) FROM jsonTable',
+     "SELECT '2' AS c0, CAST(NULL AS VARCHAR) AS c1, '1' AS c2"),
+    ('select from_json(\'{"a":1, "b":2}\', \'map<string, int>\')',
+     'SELECT \'{"a":1,"b":2}\' AS c0'),
+    ('select from_json(\'{"a":1, "b":"2"}\', \'struct<a:int,b:string>\')',
+     'SELECT \'{"a":1,"b":"2"}\' AS c0'),
+    ('select schema_of_json(\'{"c1":0, "c2":[1]}\')',
+     "SELECT 'STRUCT<c1: BIGINT, c2: ARRAY<BIGINT>>' AS c0"),
+    ('select from_json(\'{"c1":[1, 2, 3]}\', schema_of_json(\'{"c1":[0]}\'))',
+     'SELECT \'{"c1":[1,2,3]}\' AS c0'),
+    ("select from_json('[1, 2, 3]', 'array<int>')",
+     "SELECT '{1,2,3}' AS c0"),
+    ('select from_json(\'[1, "2", 3]\', \'array<int>\')',
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ("select from_json('[1, 2, null]', 'array<int>')",
+     "SELECT '{1,2,NULL}' AS c0"),
+    ('select from_json(\'[{"a": 1}, {"a":2}]\', \'array<struct<a:int>>\')',
+     'SELECT \'{"{\\"a\\":1}","{\\"a\\":2}"}\' AS c0'),
+    ('select from_json(\'{"a": 1}\', \'array<struct<a:int>>\')',
+     'SELECT \'{"{\\"a\\":1}"}\' AS c0'),
+    ('select from_json(\'[null, {"a":2}]\', \'array<struct<a:int>>\')',
+     'SELECT \'{NULL,"{\\"a\\":2}"}\' AS c0'),
+    ('select from_json(\'[{"a": 1}, {"b":2}]\', \'array<map<string,int>>\')',
+     'SELECT \'{"{\\"a\\":1}","{\\"b\\":2}"}\' AS c0'),
+    ('select from_json(\'[{"a": 1}, 2]\', \'array<map<string,int>>\')',
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ("select to_json(array('1', '2', '3'))",
+     'SELECT \'["1","2","3"]\' AS c0'),
+    ('select to_json(array(array(1, 2, 3), array(4)))',
+     "SELECT '[[1,2,3],[4]]' AS c0"),
+    ('select schema_of_json(\'{"c1":1}\', map(\'primitivesAsString\', \'true\'))',
+     "SELECT 'STRUCT<c1: STRING>' AS c0"),
+    ('select schema_of_json(\'{"c1":01, "c2":0.1}\', map(\'allowNumericLeadingZeros\', \'true\', \'prefersDecimal\', \'true\'))',
+     "SELECT 'STRUCT<c1: BIGINT, c2: DECIMAL(1,1)>' AS c0"),
+    # --- string-functions.sql ---
+    ("select 'a' || 'b' || 'c'",
+     "SELECT 'abc' AS c0"),
+    ("select replace('abc', 'b', '123')",
+     "SELECT 'a123c' AS c0"),
+    ("select replace('abc', 'b')",
+     "SELECT 'ac' AS c0"),
+    ('select length(uuid()), (uuid() <> uuid())',
+     "SELECT '36' AS c0, 't' AS c1"),
+    ("select position('bar' in 'foobarbar'), position(null, 'foobarbar'), position('aaads', null)",
+     "SELECT '4' AS c0, CAST(NULL AS VARCHAR) AS c1, CAST(NULL AS VARCHAR) AS c2"),
+    ("select left('abcd', 2), left('abcd', 5), left('abcd', '2'), left('abcd', null)",
+     "SELECT 'ab' AS c0, 'abcd' AS c1, 'ab' AS c2, CAST(NULL AS VARCHAR) AS c3"),
+    ("select right('abcd', 2), right('abcd', 5), right('abcd', '2'), right('abcd', null)",
+     "SELECT 'cd' AS c0, 'abcd' AS c1, 'cd' AS c2, CAST(NULL AS VARCHAR) AS c3"),
+    ("SELECT split('aa1cc2ee3', '[1-9]+')",
+     'SELECT \'{"aa","cc","ee",""}\' AS c0'),
+    ("SELECT split('aa1cc2ee3', '[1-9]+', 2)",
+     'SELECT \'{"aa","cc2ee3"}\' AS c0'),
+    ("SELECT substr('Spark SQL', 5)",
+     "SELECT 'k SQL' AS c0"),
+    ("SELECT substr('Spark SQL', -3)",
+     "SELECT 'SQL' AS c0"),
+    ("SELECT substr('Spark SQL', 5, 1)",
+     "SELECT 'k' AS c0"),
+    ("SELECT substr('Spark SQL' from 5)",
+     "SELECT 'k SQL' AS c0"),
+    ("SELECT substr('Spark SQL' from -3)",
+     "SELECT 'SQL' AS c0"),
+    ("SELECT substr('Spark SQL' from 5 for 1)",
+     "SELECT 'k' AS c0"),
+    ("SELECT substring('Spark SQL', 5)",
+     "SELECT 'k SQL' AS c0"),
+    ("SELECT substring('Spark SQL', -3)",
+     "SELECT 'SQL' AS c0"),
+    ("SELECT substring('Spark SQL', 5, 1)",
+     "SELECT 'k' AS c0"),
+    ("SELECT substring('Spark SQL' from 5)",
+     "SELECT 'k SQL' AS c0"),
+    ("SELECT substring('Spark SQL' from -3)",
+     "SELECT 'SQL' AS c0"),
+    ("SELECT substring('Spark SQL' from 5 for 1)",
+     "SELECT 'k' AS c0"),
+    ("SELECT trim('yxTomxx', 'xyz'), trim(BOTH 'xyz' FROM 'yxTomxx'), trim('xyz' FROM 'yxTomxx')",
+     "SELECT 'z' AS c0, 'Tom' AS c1, 'Tom' AS c2"),
+    ("SELECT trim('xxxbarxxx', 'x'), trim(BOTH 'x' FROM 'xxxbarxxx'), trim('x' FROM 'xxxbarxxx')",
+     "SELECT '' AS c0, 'bar' AS c1, 'bar' AS c2"),
+    ("SELECT ltrim('zzzytest', 'xyz'), trim(LEADING 'xyz' FROM 'zzzytest')",
+     "SELECT 'test' AS c0, 'test' AS c1"),
+    ("SELECT ltrim('zzzytestxyz', 'xyz'), trim(LEADING 'xyz' FROM 'zzzytestxyz')",
+     "SELECT 'testxyz' AS c0, 'testxyz' AS c1"),
+    ("SELECT ltrim('xyxXxyLAST WORD', 'xy'), trim(LEADING 'xy' FROM 'xyxXxyLAST WORD')",
+     "SELECT 'XxyLAST WORD' AS c0, 'XxyLAST WORD' AS c1"),
+    ("SELECT rtrim('testxxzx', 'xyz'), trim(TRAILING 'xyz' FROM 'testxxzx')",
+     "SELECT 'test' AS c0, 'test' AS c1"),
+    ("SELECT rtrim('xyztestxxzx', 'xyz'), trim(TRAILING 'xyz' FROM 'xyztestxxzx')",
+     "SELECT 'xyztest' AS c0, 'xyztest' AS c1"),
+    ("SELECT rtrim('TURNERyxXxy', 'xy'), trim(TRAILING 'xy' FROM 'TURNERyxXxy')",
+     "SELECT 'TURNERyxX' AS c0, 'TURNERyxX' AS c1"),
+]
+
+NEGATIVE_WAVE71 = [
+    # --- csv-functions.sql ---
+    "select from_csv('1', 1)",  # INVALID_SCHEMA.NON_STRING_LITERAL
+    "select from_csv('1', 'a InvalidType')",  # PARSE_SYNTAX_ERROR
+    "select from_csv('1', 'a INT', named_struct('mode', 'PERMISSIVE'))",  # INVALID_OPTIONS.NON_MAP_FUNCTION
+    "select from_csv('1', 'a INT', map('mode', 1))",  # INVALID_OPTIONS.NON_STRING_TYPE
+    'select from_csv()',  # WRONG_NUM_ARGS.WITHOUT_SUGGESTION
+    'select schema_of_csv(null)',  # DATATYPE_MISMATCH.UNEXPECTED_NULL
+    "WITH csvTable(csvField, a) AS (SELECT * FROM VALUES ('1,abc', 'a')) SELECT schema_of_csv(csvField) FROM csvTable",  # DATATYPE_MISMATCH.NON_FOLDABLE_INPUT
+    "select to_csv(named_struct('a', 1, 'b', 2), named_struct('mode', 'PERMISSIVE'))",  # INVALID_OPTIONS.NON_MAP_FUNCTION
+    "select to_csv(named_struct('a', 1, 'b', 2), map('mode', 1))",  # INVALID_OPTIONS.NON_STRING_TYPE
+    # --- json-functions.sql ---
+    "select to_json(named_struct('a', 1, 'b', 2), named_struct('mode', 'PERMISSIVE'))",  # INVALID_OPTIONS.NON_MAP_FUNCTION
+    "select to_json(named_struct('a', 1, 'b', 2), map('mode', 1))",  # INVALID_OPTIONS.NON_STRING_TYPE
+    'select to_json()',  # WRONG_NUM_ARGS.WITHOUT_SUGGESTION
+    'select from_json(\'{"a":1}\', 1)',  # INVALID_SCHEMA.NON_STRING_LITERAL
+    'select from_json(\'{"a":1}\', \'a InvalidType\')',  # PARSE_SYNTAX_ERROR
+    'select from_json(\'{"a":1}\', \'a INT\', named_struct(\'mode\', \'PERMISSIVE\'))',  # INVALID_OPTIONS.NON_MAP_FUNCTION
+    'select from_json(\'{"a":1}\', \'a INT\', map(\'mode\', 1))',  # INVALID_OPTIONS.NON_STRING_TYPE
+    'select from_json()',  # WRONG_NUM_ARGS.WITHOUT_SUGGESTION
+    'select schema_of_json(null)',  # DATATYPE_MISMATCH.UNEXPECTED_NULL
+    'WITH jsonTable(jsonField, a) AS (SELECT * FROM VALUES (\'{"a": 1, "b": 2}\', \'a\')) SELECT schema_of_json(jsonField) FROM jsonTable',  # DATATYPE_MISMATCH.NON_FOLDABLE_INPUT
+    # --- string-functions.sql ---
+    'select concat_ws()',  # WRONG_NUM_ARGS.WITHOUT_SUGGESTION
+    'select format_string()',  # WRONG_NUM_ARGS.WITHOUT_SUGGESTION
+    "select left(null, -2), left('abcd', -2), left('abcd', 0), left('abcd', 'a')",  # CAST_INVALID_INPUT
+    "select right(null, -2), right('abcd', -2), right('abcd', 0), right('abcd', 'a')",  # CAST_INVALID_INPUT
+]
+
+
 @pytest.mark.parametrize("case", range(len(CORPUS)))
 def test_corpus_over_wire(server, client, duck, case):
     pg_sql, oracle = CORPUS[case]
@@ -8784,6 +8958,7 @@ NEGATIVE_CORPUS += NEGATIVE_WAVE67
 NEGATIVE_CORPUS += NEGATIVE_WAVE68
 NEGATIVE_CORPUS += NEGATIVE_WAVE69
 NEGATIVE_CORPUS += NEGATIVE_WAVE70
+NEGATIVE_CORPUS += NEGATIVE_WAVE71
 
 
 @pytest.mark.parametrize("case", range(len(NEGATIVE_CORPUS)))

@@ -9304,6 +9304,120 @@ NEGATIVE_WAVE72 = [
 ]
 
 
+
+
+# --------------------------------------------------------------------------
+# wave 73 (r9) — postgreSQL/select.sql + select_distinct.sql
+# COMPLETED (wave 24 took the IS-DISTINCT battery; the onek-bound
+# sections are now portable via the vendored regression data): the
+# full ORDER BY direction/limit screens over onek, VALUES-clause
+# select forms, and DISTINCT over the duplicated fixture.
+# --------------------------------------------------------------------------
+
+CORPUS += [
+    # --- postgreSQL/select.sql ---
+    ('SELECT * FROM onek WHERE onek.unique1 < 10 ORDER BY onek.unique1',
+     "SELECT * FROM (VALUES ('0', '998', '0', '0', '0', '0', '0', '0', '0', '0', '0', '0', '1', 'AAAAAA', 'KMBAAA', 'OOOOxx'), ('1', '214', '1', '1', '1', '1', '1', '1', '1', '1', '1', '2', '3', 'BAAAAA', 'GIAAAA', 'OOOOxx'), ('2', '326', '0', '2', '2', '2', '2', '2', '2', '2', '2', '4', '5', 'CAAAAA', 'OMAAAA', 'OOOOxx'), ('3', '431', '1', '3', '3', '3', '3', '3', '3', '3', '3', '6', '7', 'DAAAAA', 'PQAAAA', 'VVVVxx'), ('4', '833', '0', '0', '4', '4', '4', '4', '4', '4', '4', '8', '9', 'EAAAAA', 'BGBAAA', 'HHHHxx'), ('5', '541', '1', '1', '5', '5', '5', '5', '5', '5', '5', '10', '11', 'FAAAAA', 'VUAAAA', 'HHHHxx'), ('6', '978', '0', '2', '6', '6', '6', '6', '6', '6', '6', '12', '13', 'GAAAAA', 'QLBAAA', 'OOOOxx'), ('7', '647', '1', '3', '7', '7', '7', '7', '7', '7', '7', '14', '15', 'HAAAAA', 'XYAAAA', 'VVVVxx'), ('8', '653', '0', '0', '8', '8', '8', '8', '8', '8', '8', '16', '17', 'IAAAAA', 'DZAAAA', 'HHHHxx'), ('9', '49', '1', '1', '9', '9', '9', '9', '9', '9', '9', '18', '19', 'JAAAAA', 'XBAAAA', 'HHHHxx')) t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15)"),
+    ('SELECT onek.unique1, onek.stringu1 FROM onek WHERE onek.unique1 < 20 ORDER BY unique1 DESC',
+     "SELECT * FROM (VALUES ('19', 'TAAAAA'), ('18', 'SAAAAA'), ('17', 'RAAAAA'), ('16', 'QAAAAA'), ('15', 'PAAAAA'), ('14', 'OAAAAA'), ('13', 'NAAAAA'), ('12', 'MAAAAA'), ('11', 'LAAAAA'), ('10', 'KAAAAA'), ('9', 'JAAAAA'), ('8', 'IAAAAA'), ('7', 'HAAAAA'), ('6', 'GAAAAA'), ('5', 'FAAAAA'), ('4', 'EAAAAA'), ('3', 'DAAAAA'), ('2', 'CAAAAA'), ('1', 'BAAAAA'), ('0', 'AAAAAA')) t(c0, c1)"),
+    ('SELECT onek.unique1, onek.stringu1 FROM onek WHERE onek.unique1 > 980 ORDER BY stringu1 ASC',
+     "SELECT * FROM (VALUES ('988', 'AMAAAA'), ('989', 'BMAAAA'), ('990', 'CMAAAA'), ('991', 'DMAAAA'), ('992', 'EMAAAA'), ('993', 'FMAAAA'), ('994', 'GMAAAA'), ('995', 'HMAAAA'), ('996', 'IMAAAA'), ('997', 'JMAAAA'), ('998', 'KMAAAA'), ('999', 'LMAAAA'), ('981', 'TLAAAA'), ('982', 'ULAAAA'), ('983', 'VLAAAA'), ('984', 'WLAAAA'), ('985', 'XLAAAA'), ('986', 'YLAAAA'), ('987', 'ZLAAAA')) t(c0, c1)"),
+    ('SELECT onek.unique1, onek.string4 FROM onek WHERE onek.unique1 > 980 ORDER BY string4 ASC, unique1 DESC',
+     "SELECT * FROM (VALUES ('999', 'AAAAxx'), ('995', 'AAAAxx'), ('983', 'AAAAxx'), ('982', 'AAAAxx'), ('981', 'AAAAxx'), ('998', 'HHHHxx'), ('997', 'HHHHxx'), ('993', 'HHHHxx'), ('990', 'HHHHxx'), ('986', 'HHHHxx'), ('996', 'OOOOxx'), ('991', 'OOOOxx'), ('988', 'OOOOxx'), ('987', 'OOOOxx'), ('985', 'OOOOxx'), ('994', 'VVVVxx'), ('992', 'VVVVxx'), ('989', 'VVVVxx'), ('984', 'VVVVxx')) t(c0, c1)"),
+    ('SELECT onek.unique1, onek.string4 FROM onek WHERE onek.unique1 > 980 ORDER BY string4 DESC, unique1 ASC',
+     "SELECT * FROM (VALUES ('984', 'VVVVxx'), ('989', 'VVVVxx'), ('992', 'VVVVxx'), ('994', 'VVVVxx'), ('985', 'OOOOxx'), ('987', 'OOOOxx'), ('988', 'OOOOxx'), ('991', 'OOOOxx'), ('996', 'OOOOxx'), ('986', 'HHHHxx'), ('990', 'HHHHxx'), ('993', 'HHHHxx'), ('997', 'HHHHxx'), ('998', 'HHHHxx'), ('981', 'AAAAxx'), ('982', 'AAAAxx'), ('983', 'AAAAxx'), ('995', 'AAAAxx'), ('999', 'AAAAxx')) t(c0, c1)"),
+    ('SELECT onek.unique1, onek.string4 FROM onek WHERE onek.unique1 < 20 ORDER BY unique1 DESC, string4 ASC',
+     "SELECT * FROM (VALUES ('19', 'OOOOxx'), ('18', 'VVVVxx'), ('17', 'HHHHxx'), ('16', 'OOOOxx'), ('15', 'VVVVxx'), ('14', 'AAAAxx'), ('13', 'OOOOxx'), ('12', 'AAAAxx'), ('11', 'OOOOxx'), ('10', 'AAAAxx'), ('9', 'HHHHxx'), ('8', 'HHHHxx'), ('7', 'VVVVxx'), ('6', 'OOOOxx'), ('5', 'HHHHxx'), ('4', 'HHHHxx'), ('3', 'VVVVxx'), ('2', 'OOOOxx'), ('1', 'OOOOxx'), ('0', 'OOOOxx')) t(c0, c1)"),
+    ('SELECT onek.unique1, onek.string4 FROM onek WHERE onek.unique1 < 20 ORDER BY unique1 ASC, string4 DESC',
+     "SELECT * FROM (VALUES ('0', 'OOOOxx'), ('1', 'OOOOxx'), ('2', 'OOOOxx'), ('3', 'VVVVxx'), ('4', 'HHHHxx'), ('5', 'HHHHxx'), ('6', 'OOOOxx'), ('7', 'VVVVxx'), ('8', 'HHHHxx'), ('9', 'HHHHxx'), ('10', 'AAAAxx'), ('11', 'OOOOxx'), ('12', 'AAAAxx'), ('13', 'OOOOxx'), ('14', 'AAAAxx'), ('15', 'VVVVxx'), ('16', 'OOOOxx'), ('17', 'HHHHxx'), ('18', 'VVVVxx'), ('19', 'OOOOxx')) t(c0, c1)"),
+    ('WITH onek2 AS (select * from onek) SELECT onek2.* FROM onek2 WHERE onek2.unique1 < 10 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('0', '998', '0', '0', '0', '0', '0', '0', '0', '0', '0', '0', '1', 'AAAAAA', 'KMBAAA', 'OOOOxx'), ('1', '214', '1', '1', '1', '1', '1', '1', '1', '1', '1', '2', '3', 'BAAAAA', 'GIAAAA', 'OOOOxx'), ('2', '326', '0', '2', '2', '2', '2', '2', '2', '2', '2', '4', '5', 'CAAAAA', 'OMAAAA', 'OOOOxx'), ('3', '431', '1', '3', '3', '3', '3', '3', '3', '3', '3', '6', '7', 'DAAAAA', 'PQAAAA', 'VVVVxx'), ('4', '833', '0', '0', '4', '4', '4', '4', '4', '4', '4', '8', '9', 'EAAAAA', 'BGBAAA', 'HHHHxx'), ('5', '541', '1', '1', '5', '5', '5', '5', '5', '5', '5', '10', '11', 'FAAAAA', 'VUAAAA', 'HHHHxx'), ('6', '978', '0', '2', '6', '6', '6', '6', '6', '6', '6', '12', '13', 'GAAAAA', 'QLBAAA', 'OOOOxx'), ('7', '647', '1', '3', '7', '7', '7', '7', '7', '7', '7', '14', '15', 'HAAAAA', 'XYAAAA', 'VVVVxx'), ('8', '653', '0', '0', '8', '8', '8', '8', '8', '8', '8', '16', '17', 'IAAAAA', 'DZAAAA', 'HHHHxx'), ('9', '49', '1', '1', '9', '9', '9', '9', '9', '9', '9', '18', '19', 'JAAAAA', 'XBAAAA', 'HHHHxx')) t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15)"),
+    ('WITH onek2 AS (select * from onek) SELECT onek2.unique1, onek2.stringu1 FROM onek2 WHERE onek2.unique1 < 20 ORDER BY unique1 DESC',
+     "SELECT * FROM (VALUES ('19', 'TAAAAA'), ('18', 'SAAAAA'), ('17', 'RAAAAA'), ('16', 'QAAAAA'), ('15', 'PAAAAA'), ('14', 'OAAAAA'), ('13', 'NAAAAA'), ('12', 'MAAAAA'), ('11', 'LAAAAA'), ('10', 'KAAAAA'), ('9', 'JAAAAA'), ('8', 'IAAAAA'), ('7', 'HAAAAA'), ('6', 'GAAAAA'), ('5', 'FAAAAA'), ('4', 'EAAAAA'), ('3', 'DAAAAA'), ('2', 'CAAAAA'), ('1', 'BAAAAA'), ('0', 'AAAAAA')) t(c0, c1)"),
+    ('WITH onek2 AS (select * from onek) SELECT onek2.unique1, onek2.stringu1 FROM onek2 WHERE onek2.unique1 > 980 ORDER BY ALL',
+     "SELECT * FROM (VALUES ('981', 'TLAAAA'), ('982', 'ULAAAA'), ('983', 'VLAAAA'), ('984', 'WLAAAA'), ('985', 'XLAAAA'), ('986', 'YLAAAA'), ('987', 'ZLAAAA'), ('988', 'AMAAAA'), ('989', 'BMAAAA'), ('990', 'CMAAAA'), ('991', 'DMAAAA'), ('992', 'EMAAAA'), ('993', 'FMAAAA'), ('994', 'GMAAAA'), ('995', 'HMAAAA'), ('996', 'IMAAAA'), ('997', 'JMAAAA'), ('998', 'KMAAAA'), ('999', 'LMAAAA')) t(c0, c1)"),
+    ('select foo.* from (select 1) as foo',
+     "SELECT '1' AS c0"),
+    ('select foo.* from (select null) as foo',
+     'SELECT CAST(NULL AS VARCHAR) AS c0'),
+    ("select foo.* from (select 'xyzzy',1,null) as foo",
+     "SELECT 'xyzzy' AS c0, '1' AS c1, CAST(NULL AS VARCHAR) AS c2"),
+    ("select * from onek, values(147, 'RFAAAA'), (931, 'VJAAAA') as v (i, j) WHERE onek.unique1 = v.i and onek.stringu1 = v.j ORDER BY ALL",
+     "SELECT * FROM (VALUES ('147', '0', '1', '3', '7', '7', '7', '47', '147', '147', '147', '14', '15', 'RFAAAA', 'AAAAAA', 'AAAAxx', '147', 'RFAAAA'), ('931', '1', '1', '3', '1', '11', '1', '31', '131', '431', '931', '2', '3', 'VJAAAA', 'BAAAAA', 'HHHHxx', '931', 'VJAAAA')) t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15, c16, c17)"),
+    ('VALUES (1,2), (3,4+4), (7,77.7) ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1', '2.0'), ('3', '8.0'), ('7', '77.7')) t(c0, c1)"),
+    ("WITH INT8_TBL AS (select * from values (cast(trim(' 123 ') as bigint), cast(trim(' 456') as bigint)), (cast(trim('123 ') as bigint),cast('4567890123456789' as bigint)), (cast('4567890123456789' as bigint),cast('123' as bigint)), (cast(+4567890123456789 as bigint),cast('4567890123456789' as bigint)), (cast('+4567890123456789' as bigint),cast('-4567890123456789' as bigint)) as INT8_TBL(q1, q2)) VALUES (1,2), (3,4+4), (7,77.7) UNION ALL SELECT 2+2, 57 UNION ALL TABLE int8_tbl ORDER BY ALL",
+     "SELECT * FROM (VALUES ('1', '2.0'), ('3', '8.0'), ('4', '57.0'), ('7', '77.7'), ('123', '456.0'), ('123', '4567890123456789.0'), ('4567890123456789', '-4567890123456789.0'), ('4567890123456789', '123.0'), ('4567890123456789', '4567890123456789.0')) t(c0, c1)"),
+    ('WITH foo AS (SELECT * FROM (values(42),(3),(10),(7),(null),(null),(1)) as foo (f1)) SELECT * FROM foo ORDER BY f1',
+     "SELECT * FROM (VALUES (NULL), (NULL), ('1'), ('3'), ('7'), ('10'), ('42')) t(c0)"),
+    ('WITH foo AS (SELECT * FROM (values(42),(3),(10),(7),(null),(null),(1)) as foo (f1)) SELECT * FROM foo ORDER BY f1 ASC',
+     "SELECT * FROM (VALUES (NULL), (NULL), ('1'), ('3'), ('7'), ('10'), ('42')) t(c0)"),
+    ('WITH foo AS (SELECT * FROM (values(42),(3),(10),(7),(null),(null),(1)) as foo (f1)) SELECT * FROM foo ORDER BY f1 NULLS FIRST',
+     "SELECT * FROM (VALUES (NULL), (NULL), ('1'), ('3'), ('7'), ('10'), ('42')) t(c0)"),
+    ('WITH foo AS (SELECT * FROM (values(42),(3),(10),(7),(null),(null),(1)) as foo (f1)) SELECT * FROM foo ORDER BY f1 DESC',
+     "SELECT * FROM (VALUES ('42'), ('10'), ('7'), ('3'), ('1'), (NULL), (NULL)) t(c0)"),
+    ('WITH foo AS (SELECT * FROM (values(42),(3),(10),(7),(null),(null),(1)) as foo (f1)) SELECT * FROM foo ORDER BY f1 DESC NULLS LAST',
+     "SELECT * FROM (VALUES ('42'), ('10'), ('7'), ('3'), ('1'), (NULL), (NULL)) t(c0)"),
+    ("WITH onek2 AS (select * from onek) select * from onek2 where unique2 = 11 and stringu1 = 'ATAAAA'",
+     "SELECT '494' AS c0, '11' AS c1, '0' AS c2, '2' AS c3, '4' AS c4, '14' AS c5, '4' AS c6, '94' AS c7, '94' AS c8, '494' AS c9, '494' AS c10, '8' AS c11, '9' AS c12, 'ATAAAA' AS c13, 'LAAAAA' AS c14, 'VVVVxx' AS c15"),
+    ("WITH onek2 AS (select * from onek) select unique2 from onek2 where unique2 = 11 and stringu1 = 'ATAAAA'",
+     "SELECT '11' AS c0"),
+    ("WITH onek2 AS (select * from onek) select * from onek2 where unique2 = 11 and stringu1 < 'B'",
+     "SELECT '494' AS c0, '11' AS c1, '0' AS c2, '2' AS c3, '4' AS c4, '14' AS c5, '4' AS c6, '94' AS c7, '94' AS c8, '494' AS c9, '494' AS c10, '8' AS c11, '9' AS c12, 'ATAAAA' AS c13, 'LAAAAA' AS c14, 'VVVVxx' AS c15"),
+    ("WITH onek2 AS (select * from onek) select unique2 from onek2 where unique2 = 11 and stringu1 < 'B'",
+     "SELECT '11' AS c0"),
+    ("WITH onek2 AS (select * from onek) select unique2 from onek2 where unique2 = 11 and stringu1 < 'C'",
+     "SELECT '11' AS c0"),
+    ("WITH onek2 AS (select * from onek) select unique2 from onek2 where unique2 = 11 and stringu1 < 'B'",
+     "SELECT '11' AS c0"),
+    ("WITH onek2 AS (select * from onek) select unique1, unique2 from onek2 where (unique2 = 11 or unique1 = 0) and stringu1 < 'B' ORDER BY ALL",
+     "SELECT * FROM (VALUES ('0', '998'), ('494', '11')) t(c0, c1)"),
+    ("WITH onek2 AS (select * from onek) select unique1, unique2 from onek2 where (unique2 = 11 and stringu1 < 'B') or unique1 = 0 ORDER BY ALL",
+     "SELECT * FROM (VALUES ('0', '998'), ('494', '11')) t(c0, c1)"),
+    ('SELECT 1 AS x ORDER BY x',
+     "SELECT '1' AS c0"),
+    ('select * from (values (2),(null),(1)) v(k) where k = k order by k',
+     "SELECT * FROM (VALUES ('1'), ('2')) t(c0)"),
+    ('select * from (values (2),(null),(1)) v(k) where k = k ORDER BY ALL',
+     "SELECT * FROM (VALUES ('1'), ('2')) t(c0)"),
+    # --- postgreSQL/select_distinct.sql ---
+    ('WITH tmp AS (SELECT two, stringu1, ten, string4 FROM onek) SELECT DISTINCT two FROM tmp ORDER BY 1',
+     "SELECT * FROM (VALUES ('0'), ('1')) t(c0)"),
+    ('WITH tmp AS (SELECT two, stringu1, ten, string4 FROM onek) SELECT DISTINCT ten FROM tmp ORDER BY 1',
+     "SELECT * FROM (VALUES ('0'), ('1'), ('2'), ('3'), ('4'), ('5'), ('6'), ('7'), ('8'), ('9')) t(c0)"),
+    ('WITH tmp AS (SELECT two, stringu1, ten, string4 FROM onek) SELECT DISTINCT string4 FROM tmp ORDER BY 1',
+     "SELECT * FROM (VALUES ('AAAAxx'), ('HHHHxx'), ('OOOOxx'), ('VVVVxx')) t(c0)"),
+    ('WITH tmp AS (SELECT two, stringu1, ten, string4 FROM onek) SELECT DISTINCT two, string4, ten FROM tmp ORDER BY two ASC, string4 ASC, ten ASC',
+     "SELECT * FROM (VALUES ('0', 'AAAAxx', '0'), ('0', 'AAAAxx', '2'), ('0', 'AAAAxx', '4'), ('0', 'AAAAxx', '6'), ('0', 'AAAAxx', '8'), ('0', 'HHHHxx', '0'), ('0', 'HHHHxx', '2'), ('0', 'HHHHxx', '4'), ('0', 'HHHHxx', '6'), ('0', 'HHHHxx', '8'), ('0', 'OOOOxx', '0'), ('0', 'OOOOxx', '2'), ('0', 'OOOOxx', '4'), ('0', 'OOOOxx', '6'), ('0', 'OOOOxx', '8'), ('0', 'VVVVxx', '0'), ('0', 'VVVVxx', '2'), ('0', 'VVVVxx', '4'), ('0', 'VVVVxx', '6'), ('0', 'VVVVxx', '8'), ('1', 'AAAAxx', '1'), ('1', 'AAAAxx', '3'), ('1', 'AAAAxx', '5'), ('1', 'AAAAxx', '7'), ('1', 'AAAAxx', '9'), ('1', 'HHHHxx', '1'), ('1', 'HHHHxx', '3'), ('1', 'HHHHxx', '5'), ('1', 'HHHHxx', '7'), ('1', 'HHHHxx', '9'), ('1', 'OOOOxx', '1'), ('1', 'OOOOxx', '3'), ('1', 'OOOOxx', '5'), ('1', 'OOOOxx', '7'), ('1', 'OOOOxx', '9'), ('1', 'VVVVxx', '1'), ('1', 'VVVVxx', '3'), ('1', 'VVVVxx', '5'), ('1', 'VVVVxx', '7'), ('1', 'VVVVxx', '9')) t(c0, c1, c2)"),
+    ('SELECT count(*) FROM (SELECT DISTINCT two, four, two FROM tenk1) ss',
+     "SELECT '4' AS c0"),
+    ('WITH disttable AS (SELECT * FROM (VALUES (1), (2), (3), (NULL)) AS v(f1)) SELECT f1, f1 IS DISTINCT FROM 2 as `not 2` FROM disttable ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL, 't'), ('1', 't'), ('2', 'f'), ('3', 't')) t(c0, c1)"),
+    ('WITH disttable AS (SELECT * FROM (VALUES (1), (2), (3), (NULL)) AS v(f1)) SELECT f1, f1 IS DISTINCT FROM NULL as `not null` FROM disttable ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL, 'f'), ('1', 't'), ('2', 't'), ('3', 't')) t(c0, c1)"),
+    ('WITH disttable AS (SELECT * FROM (VALUES (1), (2), (3), (NULL)) AS v(f1)) SELECT f1, f1 IS DISTINCT FROM f1 as `false` FROM disttable ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL, 'f'), ('1', 'f'), ('2', 'f'), ('3', 'f')) t(c0, c1)"),
+    ('WITH disttable AS (SELECT * FROM (VALUES (1), (2), (3), (NULL)) AS v(f1)) SELECT f1, f1 IS DISTINCT FROM f1+1 as `not null` FROM disttable ORDER BY ALL',
+     "SELECT * FROM (VALUES (NULL, 'f'), ('1', 't'), ('2', 't'), ('3', 't')) t(c0, c1)"),
+    ('SELECT 1 IS DISTINCT FROM 2 as `yes`',
+     "SELECT 't' AS c0"),
+    ('SELECT 2 IS DISTINCT FROM 2 as `no`',
+     "SELECT 'f' AS c0"),
+    ('SELECT 2 IS DISTINCT FROM null as `yes`',
+     "SELECT 't' AS c0"),
+    ('SELECT null IS DISTINCT FROM null as `no`',
+     "SELECT 'f' AS c0"),
+    ('SELECT 1 IS NOT DISTINCT FROM 2 as `no`',
+     "SELECT 'f' AS c0"),
+    ('SELECT 2 IS NOT DISTINCT FROM 2 as `yes`',
+     "SELECT 't' AS c0"),
+    ('SELECT 2 IS NOT DISTINCT FROM null as `no`',
+     "SELECT 'f' AS c0"),
+    ('SELECT null IS NOT DISTINCT FROM null as `yes`',
+     "SELECT 't' AS c0"),
+]
+
+
 @pytest.mark.parametrize("case", range(len(CORPUS)))
 def test_corpus_over_wire(server, client, duck, case):
     pg_sql, oracle = CORPUS[case]

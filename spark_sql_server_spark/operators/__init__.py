@@ -23,6 +23,7 @@ from spark_sql_server_spark.operators import (  # noqa: F401
     relational8,
     relational9,
     relational10,
+    relational11,
     sampling,
     similarity,
     sketches,
@@ -41,55 +42,46 @@ from spark_sql_server_spark.operators.registry import REGISTRY, QuerySpec
 #: Everything listed after rests on its r1–r3 driver record and the
 #: local bit-exact twin (tests/test_oracle_parity.py runs ALL of them).
 _DRIVER_SAMPLE_PRIORITY = [
-    # r9 rotation (VERDICT r8 task 1): every registry op now has a
-    # driver row, so FRESHNESS is the invariant — new r9 ops first,
-    # then the operators whose LATEST green driver row is oldest
-    # (r1-certified, then r2, then r3): the rewriter/encoders/session
-    # code under them has changed over six rounds while their
-    # certification is 6+ rounds stale.
-    # --- new this round (wave 12: q10/q40/q84; wave 13: q30/q69;
-    #     waves 14-15: the final 17 sibling promotions — 99/99) ---
-    "qds10_demographic_census", "qds40_price_change_netting",
-    "qds84_chained_dim_lookup", "qds30_state_excess_returners",
-    "qds69_semi_anti_census",
-    "qds3_brand_month_star", "qds12_class_revenue_ratio",
-    "qds20_catalog_class_ratio", "qds19_brand_geo_mismatch",
-    "qds26_promo_demographic_means", "qds27_rollup_demographic_means",
-    "qds48_disjunct_band_sum", "qds53_quarterly_cov_screen",
-    "qds57_entity_monthly_neighbors", "qds62_warehouse_ship_buckets",
-    "qds68_city_basket_detail", "qds71_time_of_day_union",
-    "qds73_guarded_count_band", "qds79_weekday_ticket_profit",
-    "qds86_rollup_rank_parent", "qds92_excess_discount",
-    "qds94_multiwarehouse_no_returns",
-    # --- latest driver row is r1 (17 ops) ---
-    "q_using_join", "q_natural_join", "q_cross_join",
-    "q_window_rank", "q_window_running", "q_window_range",
-    "q_intersect", "q_except", "q_union", "q_intersect_all",
-    "q_scalar_subquery", "q_correlated_scalar", "q_in_subquery",
-    "q_cte", "q_case_expr", "q_string_funcs", "q_regex",
-    # --- latest driver row is r2 (4 ops) ---
-    "q_outer_joins", "q_full_outer", "q_anti_join", "q_theta_join",
-    # --- latest driver row is r3 (26 of 37; the 11 deferred to r10
-    # below are same-file siblings of a sampled op or Expand shapes
-    # covered by a sampled sibling) ---
-    "q_funnel", "q_cohort_retention", "d_dup_groups",
-    "d_ngram_jaccard", "d_dedup_apply", "d_embedding_neardup",
-    "p_python_udtf",
-    # ---- 50-slot cut falls here ----
-    # r10 rotation priority: the 30 deferred r3-certified ops (the
-    # wave-14-15 promotions pushed 17 more past the cut — new ops
-    # without any driver row outrank stale-but-green re-samples)
+    # r10 rotation (VERDICT r9 task 1): freshness is the invariant.
+    # New r10 ops (no driver row yet) first, then the 30 operators
+    # whose LATEST green driver row is r3 (judge-computed freshness
+    # debt — the rewriter/encoders/session code under them has changed
+    # over seven rounds), then 16 of the oldest remaining (r4)
+    # certifications: 4 + 30 + 16 = exactly the 50-slot sample.
+    # --- new this round (b-variant promotions — 103/103 files) ---
+    "qds14b_period_self_join", "qds23b_best_customer_names",
+    "qds24b_netpaid_alt_slice", "qds39b_sustained_volatility",
+    # --- latest driver row is r3 (all 30) ---
     "q_agg_distinct", "q_rollup", "q_grouping_sets",
-    "q_pivot", "q_stats_agg", "q2_order_priority",
-    "q5_region_revenue", "d_substring_dups", "d_minhash_lsh",
-    "d_simhash", "d_jaccard_histogram", "m_media_meta",
-    "t_decontaminate", "t_stratified_sample", "t_text_stats",
-    "t_lang_id", "t_quality_score",
-    "t_fingerprint", "t_pii_scrub",
-    "d_dup_clusters", "d_simhash_pairs", "d_editdist_dups",
-    "d_minhash_est", "t_lang_predict", "t_pack_contexts",
-    "t_chunk_documents", "t_repetition_filter", "t_weighted_sample",
-    "q_cube", "q_having",
+    "q_pivot", "q_cube", "q_having", "q_stats_agg",
+    "q2_order_priority", "q5_region_revenue",
+    "d_substring_dups", "d_minhash_lsh",
+    "d_simhash", "d_simhash_pairs", "d_jaccard_histogram",
+    "d_dup_clusters", "d_editdist_dups", "d_minhash_est",
+    "m_media_meta",
+    "t_decontaminate", "t_stratified_sample", "t_weighted_sample",
+    "t_text_stats", "t_lang_id", "t_lang_predict",
+    "t_quality_score", "t_pack_contexts", "t_chunk_documents",
+    "t_fingerprint", "t_repetition_filter", "t_pii_scrub",
+    # --- latest driver row is r4 (16 of 47; pandas/sketch/multimodal
+    # families whose certification is oldest after the r3 set —
+    # the remaining 31 r4 ops are the r11 rotation priority) ---
+    "p_pandas_udaf", "p_grouped_map_zscore",
+    "t_ngram_lm_score", "t_tfidf", "t_domain_mix",
+    "sk_hll_distinct", "sk_cms_topk", "sk_hll_intersect",
+    "sk_bloom_prefilter", "d_incremental_dedup",
+    "q_zorder_layout", "m_thumbnail", "m_media_features",
+    "m_frame_sample", "q8_market_share", "q_corr",
+    # ---- 50-slot cut falls here ----
+    # r11 rotation priority: the remaining r4-certified ops (oldest
+    # first): q14_promo_revenue, q17_small_qty_revenue, q_math_funcs,
+    # q_bucketed_join, st_* (5), q7/q9/q10/q16/q18/q21/q13/q20/q22/
+    # q11/q12/q19 TPC-H siblings, q_salted_join, s_ann_bruteforce,
+    # q_recursive_cte, q_unpivot, q_variant_json, q_try_arith,
+    # qds63/qds14/qds67/qds81.
+    "q14_promo_revenue", "q17_small_qty_revenue", "q_math_funcs",
+    "q_bucketed_join", "st_hourly_stream", "st_enrich_stream",
+    "st_dedup_stream", "st_running_totals", "st_stream_stream_join",
     # anchors with a continuous driver record (cheap cross-round
     # stability signal if the sample ever widens)
     "q1_pricing_summary", "q3_shipping_priority",

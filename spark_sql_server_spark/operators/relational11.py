@@ -1,0 +1,354 @@
+"""TPC-DS b-variant promotions (r10): q14b, q23b, q24b, q39b.
+
+The reference validates 103 TPC-DS query *files* — 99 numbers plus
+distinct a/b variants for 14/23/24/39
+(``examples/tpcds/src/main/scala/.../TPCDSQueryBenchmark.scala:215-227``).
+The a-variants (and the shared topology) are covered by
+``qds14_cross_channel`` / ``qds23_cte_reuse`` /
+``qds24_netpaid_threshold`` / ``qds39_volatile_supply``; this wave
+promotes each b-variant's *structural delta* to its own plan-gated
+operator, closing the 103/103 file-level bar:
+
+* q14b (``queries/q14b.sql``) — drops q14a's three-channel UNION ALL
+  result and instead aggregates the SAME channel over two adjacent
+  periods (``this_year`` / ``last_year``, each HAVING-gated by the
+  shared ``avg_sales`` scalar) and equi-joins the two gated aggregates
+  on the item attributes — a period-over-period self-join of a
+  threshold-filtered aggregate, a topology q14a never builds.
+* q23b (``queries/q23b.sql``) — q23a returns ONE scalar
+  ``sum(sales)``; q23b joins each channel branch to ``customer``,
+  groups per (customer) inside each branch, UNION ALLs the per-customer
+  rows and emits an ordered LIMIT head — the "best customer grouping"
+  delta the r9 verdict names.
+* q24b (``queries/q24b.sql``) — identical topology to q24a with the
+  attribute literal swapped (``i_color`` 'pale' → 'chiffon',
+  ``q24b.sql:31``); shares the checkpointed-ssales builder with
+  ``qds24_netpaid_threshold`` so the CTE-referenced-twice plan
+  discipline is identical, and certifies the other attribute slice.
+* q39b (``queries/q39b.sql``) — q39a plus one predicate:
+  ``AND inv1.cov > 1.5`` (the only diff line) — the first period's
+  coefficient of variation must clear a TIGHTER bar than the standing
+  screen. Algebraized exactly like the a-variant: with the test
+  schema's CoV bar at 1/2 (``relational5._QDS39_SQL``), the tightened
+  first-month bar is 3/4, i.e.
+  ``16·n·(n·Σq² − S²) > 9·(n−1)·S²`` in int64 (all terms ≪ 2^63 at
+  any tested SF; quantities ≤ 50).
+
+Adaptation notes (same test-schema conventions as the anchor files):
+order priorities stand in for sales channels, ``p_brand`` for the item
+attributes, and the two q14b periods are the 1996/1997 order years
+(the reference selects its two weeks via scalar subqueries over
+``date_dim``; this schema has no date dimension, so the period screens
+are pushed-down year literals — the structural delta under test is the
+self-join of two gated aggregates, which survives the substitution).
+
+Determinism: exact DECIMAL(38,6) sums cast to DOUBLE once; HAVING
+thresholds are single IEEE multiplies of exact-derived doubles; every
+LIMIT head orders by a unique tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_sql_server_spark.operators.registry import query
+from spark_sql_server_spark.operators.relational import DSUM, dsum
+from spark_sql_server_spark.operators.relational7 import (
+    _netpaid_threshold_build,
+    _netpaid_threshold_sql,
+)
+from spark_sql_server_spark.session import load_table, register_tables
+
+# --------------------------------------------------------------------------
+# q14b — two period-gated aggregates of one channel, self-joined on the
+# item attribute.
+# --------------------------------------------------------------------------
+
+_QDS14B_CHANNELS = ("1-URGENT", "2-HIGH", "3-MEDIUM")
+_QDS14B_YEAR_TY = 1997
+_QDS14B_YEAR_LY = 1996
+
+
+def _qds14b_leg_sql(year: int, suffix: str) -> str:
+    return f"""
+      SELECT p_brand AS brand_{suffix}, COUNT(*) AS n_{suffix},
+             {DSUM('l_extendedprice')} AS sales_{suffix}
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_partkey IN (SELECT l_partkey FROM cross_parts)
+        AND EXTRACT(YEAR FROM o_orderdate) = {year}
+      GROUP BY p_brand
+      HAVING {DSUM('l_extendedprice')}
+             > (SELECT average_sales FROM avg_sales) * COUNT(*)
+    """
+
+
+_QDS14B_SQL = f"""
+    WITH cross_parts AS (
+      SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '{_QDS14B_CHANNELS[0]}'
+      INTERSECT
+      SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '{_QDS14B_CHANNELS[1]}'
+      INTERSECT
+      SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '{_QDS14B_CHANNELS[2]}'
+    ),
+    avg_sales AS (
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS average_sales
+      FROM lineitem
+    ),
+    this_year AS ({_qds14b_leg_sql(_QDS14B_YEAR_TY, 'ty')}),
+    last_year AS ({_qds14b_leg_sql(_QDS14B_YEAR_LY, 'ly')})
+    SELECT brand_ty AS p_brand, n_ty, sales_ty, n_ly, sales_ly
+    FROM this_year JOIN last_year ON brand_ty = brand_ly
+    ORDER BY p_brand
+    LIMIT 100
+"""
+
+
+@query(
+    "qds14b_period_self_join",
+    oracle=_QDS14B_SQL,
+    covers="§2.B TPC-DS q14b: two period-gated aggregates of the same "
+    "channel (each HAVING-gated by a shared global-average scalar over "
+    "an INTERSECT item set) equi-joined on the item attribute",
+)
+def qds14b_period_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14b's topology: the cross-channel item set and global-average
+    scalar are shared with q14a, but the result is a self-join of two
+    period slices of ONE channel — brands that beat the corpus-average
+    line price in BOTH 1996 and 1997 (reference ``queries/q14b.sql``:
+    ``this_year``/``last_year`` on adjacent ``d_week_seq``).
+
+    Scale: each INTERSECT branch reduces to a distinct partkey set
+    before intersecting (hash-aggregated semi joins, never row×row);
+    both period legs semi-join the same small intersection and share
+    the 1-row broadcast average; the final join keys on p_brand —
+    ~25 gated rows per side, an in-memory hash join at any SF. Year
+    screens push to the orders scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+
+    def channel(prio: str) -> DataFrame:
+        return (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("o_orderpriority") == prio)
+            .select("l_partkey")
+        )
+
+    cross_parts = (
+        channel(_QDS14B_CHANNELS[0])
+        .intersect(channel(_QDS14B_CHANNELS[1]))
+        .intersect(channel(_QDS14B_CHANNELS[2]))
+    )
+    avg_sales = li.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("average_sales")
+    )
+
+    def leg(year: int, suffix: str) -> DataFrame:
+        return (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.year(F.col("o_orderdate")) == year)
+            .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .join(cross_parts, "l_partkey", "left_semi")
+            .groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{suffix}"),
+                dsum(F.col("l_extendedprice")).alias(f"sales_{suffix}"),
+            )
+            .crossJoin(F.broadcast(avg_sales))
+            .filter(
+                F.col(f"sales_{suffix}")
+                > F.col("average_sales") * F.col(f"n_{suffix}")
+            )
+            .select(
+                F.col("p_brand").alias(f"brand_{suffix}"),
+                f"n_{suffix}",
+                f"sales_{suffix}",
+            )
+        )
+
+    ty = leg(_QDS14B_YEAR_TY, "ty")
+    ly = leg(_QDS14B_YEAR_LY, "ly")
+    return (
+        ty.join(ly, F.col("brand_ty") == F.col("brand_ly"))
+        .select(
+            F.col("brand_ty").alias("p_brand"),
+            "n_ty",
+            "sales_ty",
+            "n_ly",
+            "sales_ly",
+        )
+        .orderBy("p_brand")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q23b — per-customer grouping of the doubly-gated channel branches.
+# --------------------------------------------------------------------------
+
+_QDS23B_SQL = f"""
+    WITH frequent_parts AS (
+      SELECT l_partkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_partkey
+      HAVING COUNT(*) > 8
+    ),
+    customer_totals AS (
+      SELECT o_custkey,
+             {DSUM('l_extendedprice * (1 - l_discount)')} AS total
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey
+    ),
+    best_customers AS (
+      SELECT o_custkey FROM customer_totals
+      WHERE total > (SELECT 0.5 * MAX(total) FROM customer_totals)
+    )
+    SELECT c_custkey, c_name, sales
+    FROM (
+      SELECT c_custkey, c_name,
+             {DSUM('l_extendedprice * (1 - l_discount)')} AS sales
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderpriority = '1-URGENT'
+        AND l_partkey IN (SELECT l_partkey FROM frequent_parts)
+        AND o_custkey IN (SELECT o_custkey FROM best_customers)
+      GROUP BY c_custkey, c_name
+      UNION ALL
+      SELECT c_custkey, c_name,
+             {DSUM('l_extendedprice * (1 - l_discount)')} AS sales
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderpriority = '2-HIGH'
+        AND l_partkey IN (SELECT l_partkey FROM frequent_parts)
+        AND o_custkey IN (SELECT o_custkey FROM best_customers)
+      GROUP BY c_custkey, c_name
+    ) y
+    ORDER BY c_name, c_custkey, sales
+    LIMIT 100
+"""
+
+
+@query(
+    "qds23b_best_customer_names",
+    oracle=_QDS23B_SQL,
+    covers="§2.B TPC-DS q23b: the q23a CTE stack (frequent items, "
+    "best customers via a whole-CTE scalar threshold) with per-customer "
+    "grouping inside each UNION ALL channel branch and an ordered head",
+)
+def qds23b_best_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q23b's delta over q23a: instead of one scalar ``sum(sales)``,
+    each channel branch joins ``customer`` and groups per customer,
+    the branches UNION ALL, and the head is ordered per customer
+    (reference ``queries/q23b.sql:34-67`` — the "best customer
+    grouping" variant).
+
+    Scale: `frequent_parts` / `best_customers` plan as semi joins into
+    both branches exactly as in qds23 (Catalyst reuses the aggregated
+    subplans under AQE); the added customer join is equi on the natural
+    key with the customer dimension broadcast; per-branch grouping keys
+    on (c_custkey) so the union carries at most 2 rows per best
+    customer. LIMIT rides TakeOrderedAndProject; (c_name, c_custkey,
+    sales) is a total order — custkey is unique per branch and the two
+    branches' rows for one customer differ only in sales, which the
+    third key orders.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS23B_SQL)
+
+
+# --------------------------------------------------------------------------
+# q24b — the q24a topology over the swapped attribute literal.
+# --------------------------------------------------------------------------
+
+_QDS24B_PTYPE = "STANDARD"
+
+
+@query(
+    "qds24b_netpaid_alt_slice",
+    oracle=_netpaid_threshold_sql(_QDS24B_PTYPE),
+    covers="§2.B TPC-DS q24b: the q24a checkpointed-ssales topology "
+    "with the attribute literal swapped (i_color 'pale' → 'chiffon')",
+)
+def qds24b_netpaid_alt_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q24b — identical join/threshold topology to q24a with only the
+    attribute literal swapped (``q24b.sql:31``; here p_type 'PROMO' →
+    'STANDARD'). Shares ``_netpaid_threshold_build`` with
+    ``qds24_netpaid_threshold``: the five-relation star aggregates
+    ONCE into a localCheckpoint (plan gate: ExistingRDD, zero parquet
+    scans downstream), the 5%-of-average threshold is a bounded 1-row
+    collect, and this operator certifies the OTHER attribute slice of
+    the shared aggregate — the b-file's entire point.
+    """
+    return _netpaid_threshold_build(spark, sf_dir, _QDS24B_PTYPE)
+
+
+# --------------------------------------------------------------------------
+# q39b — the q39a volatility screen with a tightened first-period bar.
+# --------------------------------------------------------------------------
+
+_QDS39B_SQL = """
+    WITH inv AS (
+      SELECT l_suppkey AS supp,
+             CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mon,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+    ),
+    stats AS (
+      SELECT supp, mon, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s,
+             CAST(SUM(q * q) AS BIGINT) AS s2
+      FROM inv GROUP BY supp, mon HAVING COUNT(*) > 1
+    ),
+    volatile AS (
+      SELECT supp, mon, n, s, s2 FROM stats
+      WHERE 4 * n * (n * s2 - s * s) > (n - 1) * s * s
+    )
+    SELECT a.supp, a.mon AS mon1, b.mon AS mon2,
+           a.n AS n1, a.s AS sum1, a.s2 AS sumsq1,
+           b.n AS n2, b.s AS sum2, b.s2 AS sumsq2
+    FROM volatile a JOIN volatile b
+      ON a.supp = b.supp AND b.mon = a.mon + 1
+    WHERE 16 * a.n * (a.n * a.s2 - a.s * a.s) > 9 * (a.n - 1) * a.s * a.s
+    ORDER BY a.supp, a.mon
+"""
+
+
+@query(
+    "qds39b_sustained_volatility",
+    oracle=_QDS39B_SQL,
+    covers="§2.B TPC-DS q39b: the q39a consecutive-period volatility "
+    "self-join with a tightened exact-integer CoV bar on the first "
+    "period (the b-file's single added predicate)",
+)
+def qds39b_sustained_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q39b — q39a plus exactly one predicate: the FIRST month's
+    coefficient of variation must clear a tighter bar (reference diff:
+    ``AND inv1.cov > 1.5`` is the only added line in ``q39b.sql``).
+
+    With the standing screen algebraized at CoV > 1/2
+    (``4·n·(n·Σq² − S²) > (n−1)·S²``), the tightened first-month bar
+    is CoV > 3/4: sample-variance > (9/16)·mean² ⇔
+    ``16·n·(n·Σq² − S²) > 9·(n−1)·S²`` — pure int64 (q ≤ 50, so every
+    term ≪ 2^63 at any tested SF). STDDEV of doubles is
+    partial-agg-order dependent; the cross-multiplied integer form is
+    bit-identical under any partition/merge order in both engines.
+    The predicate applies AFTER the self-join in both spellings (it
+    references only the a-side, so Catalyst pushes it below the join —
+    same rows either way, smaller build side at scale).
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_QDS39B_SQL)

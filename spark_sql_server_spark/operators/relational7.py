@@ -326,7 +326,11 @@ def qds82_inventory_store_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # filtered re-aggregation HAVING > 5% of the whole-CTE average.
 # --------------------------------------------------------------------------
 
-_QDS24_SQL = """
+def _netpaid_threshold_sql(p_type: str) -> str:
+    """q24-family oracle, parameterized on the attribute literal
+    (q24a vs q24b differ only in the ``i_color`` literal —
+    ``queries/q24a.sql:31`` 'pale' vs ``q24b.sql:31`` 'chiffon')."""
+    return f"""
     WITH ssales AS (
       SELECT c_name, s_name, p_brand, p_type, p_size,
              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
@@ -342,13 +346,53 @@ _QDS24_SQL = """
     SELECT c_name, s_name,
            CAST(SUM(netpaid) AS DOUBLE) AS paid
     FROM ssales
-    WHERE p_type = 'PROMO'
+    WHERE p_type = '{p_type}'
     GROUP BY c_name, s_name
     HAVING CAST(SUM(netpaid) AS DOUBLE) >
            (SELECT 0.05 * (CAST(SUM(netpaid) AS DOUBLE) / COUNT(*))
             FROM ssales)
     ORDER BY c_name, s_name
 """
+
+
+_QDS24_SQL = _netpaid_threshold_sql("PROMO")
+
+
+def _netpaid_threshold_build(
+    spark: SparkSession, sf_dir: str, p_type: str
+) -> DataFrame:
+    """Shared q24-family builder (see :func:`qds24_netpaid_threshold`)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    ssales = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("c_name", "s_name", "p_brand", "p_type", "p_size")
+        .agg(F.sum(net).alias("netpaid"))
+        .localCheckpoint()
+    )
+    srow = ssales.agg(
+        F.sum("netpaid").cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    threshold = 0.05 * (srow["s"] / srow["n"])
+    return (
+        ssales.filter(F.col("p_type") == p_type)
+        .groupBy("c_name", "s_name")
+        .agg(F.sum("netpaid").cast("double").alias("paid"))
+        .filter(F.col("paid") > F.lit(threshold))
+        .orderBy("c_name", "s_name")
+    )
 
 
 @query(
@@ -375,37 +419,7 @@ def qds24_netpaid_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits both engines the same way. The netpaid sums are exact
     decimals cast to DOUBLE once per consumer.
     """
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag") == "R"
-    )
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    part = load_table(spark, sf_dir, "part")
-    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(38,6)"
-    )
-    ssales = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("c_name", "s_name", "p_brand", "p_type", "p_size")
-        .agg(F.sum(net).alias("netpaid"))
-        .localCheckpoint()
-    )
-    srow = ssales.agg(
-        F.sum("netpaid").cast("double").alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    threshold = 0.05 * (srow["s"] / srow["n"])
-    return (
-        ssales.filter(F.col("p_type") == "PROMO")
-        .groupBy("c_name", "s_name")
-        .agg(F.sum("netpaid").cast("double").alias("paid"))
-        .filter(F.col("paid") > F.lit(threshold))
-        .orderBy("c_name", "s_name")
-    )
+    return _netpaid_threshold_build(spark, sf_dir, "PROMO")
 
 
 # --------------------------------------------------------------------------

@@ -1284,3 +1284,40 @@ class TestKmeansTreeReduce:
         byk = {(r.cluster, r.pos): (r.sv, r.cn) for r in rows}
         assert byk[(2, 0)] == (2.0 * 16, 5 * 16)
         assert byk[(1, 3)] == (3.0 * 16, 5 * 16)
+
+
+class TestTpcdsBVariantPlans:
+    """r10: the q14b/q23b/q24b/q39b promotions (relational11) — the
+    last four reference-validated TPC-DS files (103/103)."""
+
+    def test_qds14b_gated_self_join_no_explosion(self, spark):
+        plan = plan_of(spark, "qds14b_period_self_join")
+        # both period legs semi-join the INTERSECT item set; the final
+        # brand join is equi over two ~25-row gated aggregates; the
+        # only nested-loops are the two 1-row average broadcasts
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+    def test_qds23b_per_customer_head(self, spark):
+        plan = plan_of(spark, "qds23b_best_customer_names")
+        # frequent_parts / best_customers filter as semi joins in both
+        # branches (as in qds23); the ordered LIMIT is a heap
+        assert "LeftSemi" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_qds24b_checkpointed_ssales(self, spark):
+        plan = plan_of(spark, "qds24b_netpaid_alt_slice")
+        # shares the localCheckpoint discipline with qds24: the
+        # five-relation star must NOT re-run per consumer
+        assert "Scan ExistingRDD" in plan
+        assert plan.count("Scan parquet") == 0
+        assert "CartesianProduct" not in plan
+
+    def test_qds39b_tightened_screen_stays_equi(self, spark):
+        plan = plan_of(spark, "qds39b_sustained_volatility")
+        # the added first-month CoV predicate is a scalar filter — the
+        # consecutive-month self-join stays pure equi
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -640,9 +640,10 @@ def _rewrite_extract_dow(toks: list[Tok]) -> list[Tok]:
                         # PG ISOYEAR = the ISO-week-numbering year =
                         # calendar year of that week's Thursday
                         # (date + (4 - isodow) days). Spark has no
-                        # such field. The argument is duplicated once
-                        # (column/literal args — same contract as the
-                        # date_trunc coarse pass).
+                        # such field. The argument expression is
+                        # duplicated once (evaluated twice — fine for
+                        # the column/literal args this fires on; same
+                        # contract as the date_trunc coarse pass).
                         depth = 0
                         from_i = -1
                         for j in range(ni, close):
@@ -666,9 +667,15 @@ def _rewrite_extract_dow(toks: list[Tok]) -> list[Tok]:
                                 "4 - EXTRACT(DOW_ISO FROM CAST((%s) AS "
                                 "DATE)))) AS BIGINT))" % (arg, arg)
                             )
-                            toks[i] = Tok("op", repl)
-                            for j in range(ni, close + 1):
-                                toks[j] = Tok("op", "")
+                            # RE-TOKENIZE the replacement instead of
+                            # folding it into one opaque op token
+                            # (r9 ADVICE): PG-only constructs nested
+                            # inside the argument (a PG date literal, a
+                            # nested divergent EXTRACT) stay visible as
+                            # word/string tokens, so this pass keeps
+                            # scanning inside the splice and every
+                            # later pass still fires on them.
+                            toks[i:close + 1] = _lex(repl)
                     elif field == "isodow":
                         toks[fi] = Tok("word", "DOW_ISO")
                     elif field == "dow":

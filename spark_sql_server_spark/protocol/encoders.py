@@ -67,10 +67,14 @@ def _json_decimal(v: Decimal):
     f = float(v)
     if (
         not (math.isinf(f) or math.isnan(f))
-        and Decimal(f) == v
+        and Decimal(repr(f)) == v
         and abs(v) < 1 << 53
     ):
-        # small values keep the historical float form ('1.0')
+        # values whose shortest float repr reads back exactly keep the
+        # historical float form ('1.0', '0.1', '123.456') — the binary
+        # expansion test Decimal(f) == v fails for most fractional
+        # decimals (0.1 → 0.1000000000000000055511…) and silently
+        # demoted them to quoted strings (r9 ADVICE medium)
         return f
     if v == v.to_integral_value():
         return int(v)

@@ -755,9 +755,33 @@ class SparkPGServer:
             return
         df = await self._spark_sql(state, rewrite_sql(sql))
         if not df.schema.fields:
-            writer.write(M.command_complete(_tag_for(sql, df=df)))
+            if not await self._stream_zero_columns(state, df, writer, sql):
+                writer.write(M.command_complete(_tag_for(sql, df=df)))
             return
         await self._stream_result(state, df, [0], writer, limit=0, tag_word=None, sql=sql)
+
+    async def _stream_zero_columns(self, state, df, writer, sql) -> bool:
+        """A genuine ZERO-COLUMN query result — PG's ``SELECT FROM t``,
+        or a ``quotedRegexColumnNames`` projection matching no columns —
+        arrives from Spark with an empty schema, the same shape as a
+        command (DDL/INSERT) that has no result set at all. Commands
+        keep their tags; a statement whose first word is a query verb
+        gets the faithful PG wire shape instead: RowDescription with 0
+        fields, one empty DataRow per row, ``SELECT n`` (psql prints
+        '(n rows)'). Returns False when the statement is not a query."""
+        head = (sql or "").lstrip().split(None, 1)
+        if (head[0].upper() if head else "") not in (
+            "SELECT", "WITH", "VALUES", "TABLE",
+        ):
+            return False
+        n = int(await self._to_thread_with_timeout(state, df.count))
+        writer.write(M.row_description([]))
+        row = M.data_row([])
+        for start in range(0, n, 5000):
+            writer.write(row * min(5000, n - start))
+            await writer.drain()
+        writer.write(M.command_complete(f"SELECT {n}"))
+        return True
 
     def _guc_values(self, state) -> dict[str, str]:
         """The settings PG advertises via ParameterStatus (shared

@@ -579,6 +579,26 @@ class TestExtractCoarseFields:
         sql = "SELECT EXTRACT(YEAR FROM d) FROM t"
         assert rewrite_sql(sql) == sql
 
+    def test_isoyear_nested_pg_constructs_rewritten(self, spark):
+        # r9 ADVICE (low): the ISOYEAR splice used to fold the argument
+        # into one opaque token, hiding nested PG-only constructs from
+        # every later pass; the re-tokenized splice keeps them visible
+        out = rewrite_sql("SELECT EXTRACT(ISOYEAR FROM DATE '1999 Jan 08')")
+        assert "1999-01-08" in out and "Jan" not in out
+        out2 = rewrite_sql(
+            "SELECT EXTRACT(ISOYEAR FROM "
+            "make_date(EXTRACT(CENTURY FROM d)::int, 1, 1))"
+        )
+        assert "CENTURY" not in out2.upper().replace("DIV 100", "")
+        assert "DIV 100" in out2 and "::" not in out2
+
+    def test_isoyear_values(self, spark):
+        rows = spark.sql(rewrite_sql(
+            "SELECT EXTRACT(ISOYEAR FROM DATE '2005-01-01'), "
+            "EXTRACT(ISOYEAR FROM DATE '1999 Jan 08')"
+        )).collect()[0]
+        assert tuple(rows) == (2004, 1999)
+
 
 class TestDateTruncCoarse:
     def test_century_rewrites(self):

@@ -47,6 +47,25 @@ class TestTextEncoders:
         enc = text_encoder(T.TimestampType())
         assert enc(datetime(2020, 1, 2, 3, 4, 5, 6)) == "2020-01-02 03:04:05.000006"
 
+    def test_json_decimal_shortest_repr(self):
+        # r9 ADVICE (medium): fractional decimals whose SHORTEST float
+        # repr round-trips exactly must keep the historical float form
+        # in JSON cells — the old binary-expansion test Decimal(f) == v
+        # silently demoted 0.1/1.1/123.456 to quoted strings
+        from spark_sql_server_spark.protocol.encoders import _json_decimal
+
+        assert _json_decimal(Decimal("0.1")) == 0.1
+        assert _json_decimal(Decimal("1.1")) == 1.1
+        assert _json_decimal(Decimal("123.456")) == 123.456
+        assert _json_decimal(Decimal("2.5")) == 2.5
+        assert _json_decimal(Decimal("1.0")) == 1.0
+        # beyond float precision: exact forms, never lossy floats
+        assert _json_decimal(Decimal(2**53 + 1)) == 2**53 + 1
+        assert isinstance(_json_decimal(Decimal(2**53 + 1)), int)
+        assert _json_decimal(
+            Decimal("1.23456789012345678901")
+        ) == "1.23456789012345678901"
+
     def test_array_braces(self):
         # braced PG array text (the reference's converters.scala:370-388
         # JSON-swap produced the same shape for simple int arrays; the

@@ -32,7 +32,7 @@ def _strip_udfs(sql: str) -> str:
     them."""
     import re
 
-    pat = re.compile(r"udf_(?:int|bigint|double|str|bool)\(")
+    pat = re.compile(r"udf_(?:int|bigint|double|float|str|bool)\(")
     while True:
         m = pat.search(sql)
         if not m:

@@ -378,6 +378,11 @@ class RowSerializer:
         """
         if not rows:
             return b""
+        if not self.encoders:
+            # zero-column result (a quotedRegexColumnNames projection
+            # matching no columns): one empty DataRow per row — the
+            # transpose below would lose the row count
+            return b"D\x00\x00\x00\x06\x00\x00" * len(rows)
         if self._arrow_types is not None:
             import pyarrow as pa
 

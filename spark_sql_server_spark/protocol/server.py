@@ -1896,6 +1896,10 @@ class SparkPGServer:
             and limit == 0
             and (portal is None or portal.iterator is None)
             and df is not None
+            # a zero-column df loses its row count through toArrow()
+            # (an Arrow table with no columns has num_rows 0) — the
+            # iterator path carries empty Rows and keeps the count
+            and len(df.schema.fields) > 0
             and not send_row_description  # SQL FETCH keeps the iterator path
         )
         if use_arrow:

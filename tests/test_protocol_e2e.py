@@ -708,3 +708,61 @@ class TestCancellation:
 
         ok = run(loop, go())
         assert rows_of(ok) == [[b"7"]]
+
+
+class TestZeroColumnResults:
+    """r10: a genuine zero-column SELECT (a quotedRegexColumnNames
+    projection matching no columns — PG itself allows `SELECT FROM t`)
+    must keep its ROW COUNT on the wire: RowDescription with 0 fields +
+    one empty DataRow per row + 'SELECT n'. Before r10 the simple
+    protocol conflated it with the no-result command path and the
+    extended protocol crashed in the batch assembler."""
+
+    def test_simple_protocol(self, server):
+        srv, loop = server
+
+        async def outer():
+            c = await PgClient.connect(srv.port)
+            try:
+                await c.simple(
+                    "SET spark.sql.parser.quotedRegexColumnNames=true")
+                msgs = await c.simple("SELECT `(zz)` FROM region")
+                await c.simple(
+                    "RESET spark.sql.parser.quotedRegexColumnNames")
+                return msgs
+            finally:
+                await c.close()
+
+        msgs = run(loop, outer())
+        assert rows_of(msgs) == [[]] * 5
+        assert b"SELECT 5\x00" in [b for t, b in msgs if t == b"C"]
+
+    def test_extended_protocol_with_cursor_pacing(self, server):
+        srv, loop = server
+
+        async def outer():
+            c = await PgClient.connect(srv.port)
+            try:
+                await c.simple(
+                    "SET spark.sql.parser.quotedRegexColumnNames=true")
+                await c.send(
+                    _parse("zc", "SELECT `(zz)` FROM region"),
+                    _describe("S", "zc"),
+                    _bind("", "zc"), _execute(""), _m(b"S"))
+                full = await c.until_ready()
+                await c.send(_bind("pz", "zc"), _execute("pz", 2), _m(b"S"))
+                paced = await c.until_ready()
+                await c.simple(
+                    "RESET spark.sql.parser.quotedRegexColumnNames")
+                return full, paced
+            finally:
+                await c.close()
+
+        full, paced = run(loop, outer())
+        # RowDescription present with ZERO fields (2-byte body)
+        assert any(t == b"T" and len(b) == 2 for t, b in full)
+        assert rows_of(full) == [[]] * 5
+        assert b"SELECT 5\x00" in [b for t, b in full if t == b"C"]
+        # maxRows pacing still suspends the portal
+        assert rows_of(paced) == [[]] * 2
+        assert any(t == b"s" for t, _ in paced)

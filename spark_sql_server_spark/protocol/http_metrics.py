@@ -13,7 +13,11 @@ Endpoints:
 * ``GET /metrics`` — Prometheus text exposition (counters + gauges),
   scrapeable by any Prometheus-compatible agent.
 * ``GET /metrics.json`` — the same snapshot plus the per-session
-  activity table, as one JSON object.
+  activity table and the recent-statements ring, as one JSON object.
+* ``GET /`` (also ``/status``) — a human-readable HTML status page:
+  server counters, live sessions, and the last 100 statements with
+  durations — the same tables the reference renders in its Spark UI
+  tab (``ui/SQLServerPage.scala``: session stats + statement stats).
 * ``GET /healthz`` — liveness probe (200 once the wire listener is up).
 
 Scale note: handlers read in-memory counters and the session dict only —
@@ -73,6 +77,56 @@ class MetricsHTTPServer:
             for s in self.pg._sessions.values()
         ]
 
+    def _statements(self) -> list[dict]:
+        return list(getattr(self.pg.metrics, "recent_statements", ()))
+
+    def _status_html(self) -> str:
+        import html as H
+
+        snap = self._snapshot()
+        counters = "".join(
+            f"<tr><td>{H.escape(k)}</td><td>{v}</td></tr>"
+            for k, v in snap.items()
+        )
+        sessions = "".join(
+            "<tr>"
+            f"<td>{s['pid']}</td><td>{H.escape(s['usename'])}</td>"
+            f"<td>{H.escape(s['application_name'])}</td>"
+            f"<td>{time.strftime('%H:%M:%S', time.localtime(s['backend_start']))}</td>"
+            f"<td><code>{H.escape(s['query'][:120])}</code></td>"
+            "</tr>"
+            for s in self._sessions()
+        )
+        stmts = "".join(
+            "<tr>"
+            f"<td>{st['pid']}</td>"
+            f"<td>{time.strftime('%H:%M:%S', time.localtime(st['started']))}</td>"
+            f"<td>{st['duration_ms']}</td><td>{H.escape(st['state'])}</td>"
+            f"<td><code>{H.escape(st['query'][:160])}</code></td>"
+            "</tr>"
+            for st in reversed(self._statements())
+        )
+        return f"""<!doctype html><html><head><meta charset="utf-8">
+<title>spark-sql-server status</title>
+<style>
+ body {{ font: 14px/1.4 system-ui, sans-serif; margin: 2em; color: #222 }}
+ h2 {{ margin-top: 1.5em }}
+ table {{ border-collapse: collapse; min-width: 40em }}
+ th, td {{ border: 1px solid #ccc; padding: 3px 9px; text-align: left }}
+ th {{ background: #f2f2f2 }}
+ code {{ font-size: 12px }}
+</style></head><body>
+<h1>spark-sql-server</h1>
+<h2>Server</h2>
+<table><tr><th>metric</th><th>value</th></tr>{counters}</table>
+<h2>Sessions ({snap["active_sessions"]})</h2>
+<table><tr><th>pid</th><th>user</th><th>application</th><th>started</th>
+<th>current query</th></tr>{sessions}</table>
+<h2>Recent statements (newest first)</h2>
+<table><tr><th>pid</th><th>started</th><th>ms</th><th>state</th>
+<th>statement</th></tr>{stmts}</table>
+</body></html>"""
+
     def _prometheus(self) -> str:
         snap = self._snapshot()
         gauges = {"active_sessions", "uptime_sec"}
@@ -97,9 +151,16 @@ class MetricsHTTPServer:
                 ctype, status = "text/plain; version=0.0.4", 200
             elif path == "/metrics.json":
                 body = json.dumps(
-                    {"server": self._snapshot(), "sessions": self._sessions()}
+                    {
+                        "server": self._snapshot(),
+                        "sessions": self._sessions(),
+                        "statements": self._statements(),
+                    }
                 ).encode()
                 ctype, status = "application/json", 200
+            elif path in ("/", "/status"):
+                body = self._status_html().encode()
+                ctype, status = "text/html; charset=utf-8", 200
             elif path == "/healthz":
                 body, ctype, status = b"ok\n", "text/plain", 200
             else:

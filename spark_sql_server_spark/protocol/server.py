@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import asyncio
 import itertools
+import time
 import logging
 import re
 import secrets
@@ -210,6 +211,28 @@ class ServerMetrics:
     rows_sent: int = 0
     errors: int = 0
     cancels: int = 0
+
+    def __post_init__(self) -> None:
+        # bounded ring of recently finished statements — the statement
+        # table the reference renders in its UI tab
+        # (SQLServerListener's ExecutionInfo); O(1) append, never a
+        # Spark job, safe on the hot path
+        from collections import deque
+
+        self.recent_statements: Any = deque(maxlen=100)
+
+    def record_statement(
+        self, pid: int, sql: str, started: float, state: str
+    ) -> None:
+        self.recent_statements.append(
+            {
+                "pid": pid,
+                "query": sql[:300],
+                "started": round(started, 3),
+                "duration_ms": int((time.time() - started) * 1000),
+                "state": state,
+            }
+        )
 
     def snapshot(self) -> dict[str, int]:
         return {
@@ -626,11 +649,14 @@ class SparkPGServer:
             await writer.drain()
             return
         for stmt_sql in statements:
+            t0 = time.time()
             try:
                 await self._run_simple(state, stmt_sql, writer)
+                self.metrics.record_statement(state.pid, stmt_sql, t0, "finished")
             except Exception as e:  # noqa: BLE001
                 log.debug("query failed: %s", stmt_sql, exc_info=True)
                 self.metrics.errors += 1
+                self.metrics.record_statement(state.pid, stmt_sql, t0, "failed")
                 writer.write(M.error_response(_errmsg(e), _sqlstate_for(e)))
                 break
         writer.write(M.ready_for_query())
@@ -1203,6 +1229,15 @@ class SparkPGServer:
         if portal is None:
             raise ValueError(f"unknown portal: {e.portal!r}")
         ps = portal.statement
+        t0 = time.time()
+        try:
+            await self._execute_portal(state, e, portal, ps, writer)
+            self.metrics.record_statement(state.pid, ps.raw_sql, t0, "finished")
+        except Exception:
+            self.metrics.record_statement(state.pid, ps.raw_sql, t0, "failed")
+            raise
+
+    async def _execute_portal(self, state, e, portal, ps, writer) -> None:
         stmt = ps.stmt
         if stmt.cls is StatementClass.BEGIN:
             writer.write(M.command_complete("BEGIN"))

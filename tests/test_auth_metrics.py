@@ -245,7 +245,42 @@ class TestHttpMetrics:
         doc = json.loads(js[1])
         assert doc["server"]["statements_executed"] == 1
         assert doc["sessions"][0]["query"].startswith("SELECT 1")
+        # recent-statements ring (the reference UI's statement table)
+        assert doc["statements"][-1]["query"].startswith("SELECT 1")
+        assert doc["statements"][-1]["state"] == "finished"
+        assert doc["statements"][-1]["duration_ms"] >= 0
         assert missing[0] == 404
+
+    def test_status_page(self, spark):
+        """GET / renders the HTML status page — server counters, live
+        sessions, recent statements (the reference's SQLServerPage
+        tables, ui/SQLServerPage.scala)."""
+        loop = asyncio.new_event_loop()
+
+        async def go():
+            srv = SparkPGServer(spark, port=0, pg_catalog=False, metrics_port=0)
+            await srv.start()
+            c = await PgClient.connect(srv.port)
+            await c.simple("SELECT 42 AS probe_status_page")
+            try:
+                await c.simple("SELECT definitely_not_a_column")
+            except Exception:
+                pass
+            page = await _http_get(srv.metrics_server.port, "/")
+            alias = await _http_get(srv.metrics_server.port, "/status")
+            await c.close()
+            await srv.stop()
+            return page, alias
+
+        page, alias = loop.run_until_complete(go())
+        loop.close()
+        assert page[0] == 200 and alias[0] == 200
+        body = page[1].decode()
+        assert "<title>spark-sql-server status</title>" in body
+        assert "statements_executed" in body
+        assert "probe_status_page" in body          # statement table
+        assert ">failed<" in body                    # error state shown
+        assert "definitely_not_a_column" in body
 
     def test_disabled_by_default(self, spark):
         loop = asyncio.new_event_loop()

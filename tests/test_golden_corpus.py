@@ -5474,12 +5474,15 @@ NEGATIVE_WAVE43 = [
 # (OneRowRelation is partition 0) — stable pins for a fixed Spark
 # version; NULL/omitted seeds behave as seed 0. Closes the last
 # portable top-level input files: the remaining ones are conf-gated
-# (query_regex_column, cte-legacy), DDL/metadata e2e surfaces covered
+# (query_regex_column, cte-legacy — BOTH ported in r10's wave 74 below
+# as SET-then-query statefulness waves; interval-display-* documented
+# unportable there), DDL/metadata e2e surfaces covered
 # by test_sql_surface (explain, show-create-table, describe-*,
 # show-tables, show_columns, change-column, columnresolution-views),
 # jar-backed UDAF (test_hive_surface drives CREATE FUNCTION; the
 # Python-native UDAF path is p_pandas_udaf), or runner-internal
-# (blacklist.sql).
+# (blacklist.sql). The udf/postgreSQL tree is covered by
+# tests/test_udf_pg_corpus.py (r10).
 # --------------------------------------------------------------------------
 CORPUS += [
     ("SELECT rand(0) AS v", "SELECT 0.7604953758285915 AS v"),

@@ -23,8 +23,8 @@ _CATALOG_TABLE_OIDS = frozenset(
      3256, 3456, 11631, 11642)
 )
 _SYSTEM_FUNCTION_OIDS = frozenset(
-    (384, 750, 1081, 1215, 1402, 1597, 1642, 1716, 2079, 2081, 2092, 2162,
-     2165, 2420)
+    (384, 750, 1081, 1215, 1402, 1597, 1642, 1716, 2079, 2080, 2081, 2092,
+     2098, 2162, 2165, 2168, 2250, 2420, 3166, 3415, 3778)
 )
 
 
@@ -49,7 +49,8 @@ def init_system_functions(spark: SparkSession) -> None:
     udf("current_schemas", lambda _b: ["spark"], T.ArrayType(T.StringType()))
     udf("pg_encoding_to_char", lambda enc: "UTF8", T.StringType())
     udf("pg_get_userbyid", lambda uid: "spark-user", T.StringType())
-    udf("pg_get_expr", lambda adbin, adrelid: "", T.StringType())
+    # psql calls both the 2-arg and 3-arg (pretty) forms
+    udf("pg_get_expr", lambda *args: "", T.StringType())
     udf(
         "pg_table_is_visible",
         lambda oid: oid is not None and int(oid) not in _CATALOG_TABLE_OIDS,
@@ -69,6 +70,29 @@ def init_system_functions(spark: SparkSession) -> None:
     udf(
         "oidvectortypes",
         lambda oids: ", ".join(_type_name(o) for o in oids) if oids else "",
+        T.StringType(),
+    )
+    # r10 psql meta-command wave (\dn \du \dT \db \dx \l+ \sf):
+    # pg_catalog is always on the search path, so types are visible
+    udf("pg_type_is_visible", lambda oid: oid is not None, T.BooleanType())
+    # single-directory deployment: tablespaces have no separate location
+    udf("pg_tablespace_location", lambda oid: "", T.StringType())
+    # one implicit superuser — every privilege is held
+    udf("has_database_privilege", lambda db, priv: True, T.BooleanType())
+    # sizes aren't tracked per PG database (Spark storage is external);
+    # 0 renders as '0 bytes' in \l+ rather than faking a number
+    udf("pg_database_size", lambda db: 0, T.LongType())
+    udf(
+        "pg_size_pretty",
+        lambda n: f"{int(n or 0)} bytes",
+        T.StringType(),
+    )
+    udf("shobj_description", lambda oid, cat: "", T.StringType())
+    udf("col_description", lambda oid, colnum: "", T.StringType())
+    udf(
+        "pg_get_functiondef",
+        lambda oid: "-- function definitions are not stored "
+        "(Spark session UDF)",
         T.StringType(),
     )
     # interaction shims, not real functions (catalog.scala:241-244)

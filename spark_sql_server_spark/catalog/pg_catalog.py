@@ -48,10 +48,27 @@ CATALOG_TABLE_SCHEMAS: dict[str, str] = {
     "pg_type": (
         "oid INT, typname STRING, typtype STRING, typlen INT, typnotnull BOOLEAN, "
         "typelem INT, typdelim STRING, typinput STRING, typrelid INT, "
-        "typbasetype INT, typtypmod INT, typcollation INT, typnamespace INT"
+        "typbasetype INT, typtypmod INT, typcollation INT, typnamespace INT, "
+        "typarray INT"  # psql \dT: NOT EXISTS(… el.typarray = t.oid)
     ),
-    "pg_namespace": "oid INT, nspname STRING",
-    "pg_roles": "oid INT, rolname STRING",
+    "pg_namespace": "oid INT, nspname STRING, nspowner INT",  # \dn reads nspowner
+    "pg_roles": (
+        # the full column set psql \du/\dg selects
+        "oid INT, rolname STRING, rolsuper BOOLEAN, rolinherit BOOLEAN, "
+        "rolcreaterole BOOLEAN, rolcreatedb BOOLEAN, rolcanlogin BOOLEAN, "
+        "rolconnlimit INT, rolvaliduntil TIMESTAMP, rolreplication BOOLEAN, "
+        "rolbypassrls BOOLEAN"
+    ),
+    "pg_auth_members": (  # empty — no role grants; \du's memberof subquery
+        "roleid INT, member INT, grantor INT, admin_option BOOLEAN"
+    ),
+    "pg_extension": (  # empty — no extensions; \dx
+        "oid INT, extname STRING, extversion STRING, extnamespace INT"
+    ),
+    "pg_tablespace": (  # pg_default/pg_global rows; \db and \l+ join it
+        "oid INT, spcname STRING, spcowner INT, spcacl ARRAY<STRING>, "
+        "spcoptions ARRAY<STRING>"
+    ),
     "pg_user": "usename STRING, usesysid INT",
     "pg_settings": (
         "name STRING, setting STRING, unit STRING, category STRING, "
@@ -80,11 +97,14 @@ CATALOG_TABLE_SCHEMAS: dict[str, str] = {
     "pg_attribute": (
         "oid INT, attrelid INT, attname STRING, atttypid INT, attnotnull BOOLEAN, "
         "atthasdef BOOLEAN, atttypmod INT, attlen INT, attnum INT, "
-        "attidentity STRING, attisdropped BOOLEAN, attcollation INT"
+        "attidentity STRING, attisdropped BOOLEAN, attcollation INT, "
+        "attacl ARRAY<STRING>, "  # \dp column privileges (always NULL)
+        "attstorage STRING, attstattarget INT"  # psql 15 \d+ Storage col
     ),
     "pg_proc": (
         "oid INT, proname STRING, prorettype INT, proargtypes ARRAY<INT>, "
-        "pronamespace INT, proisagg BOOLEAN, proiswindow BOOLEAN, proretset BOOLEAN"
+        "pronamespace INT, proisagg BOOLEAN, proiswindow BOOLEAN, "
+        "proretset BOOLEAN, pronargs SMALLINT"
     ),
     "pg_class": (
         "oid INT, reltablespace INT, relname STRING, reloftype INT, "
@@ -93,13 +113,42 @@ CATALOG_TABLE_SCHEMAS: dict[str, str] = {
         "relhasindex BOOLEAN, relhasrules BOOLEAN, relhastriggers BOOLEAN, "
         "relrowsecurity BOOLEAN, relforcerowsecurity BOOLEAN, relreplident STRING, "
         "reltriggers SMALLINT, relhasoids BOOLEAN, relispartition BOOLEAN, "
-        "relpartbound STRING"
+        "relpartbound STRING, reloptions ARRAY<STRING>"  # \d+ storage opts
     ),
     "pg_database": (
-        "datname STRING, datdba INT, encoding INT, datcollate STRING, "
-        "datctype STRING, datacl ARRAY<STRING>"
+        "oid INT, datname STRING, datdba INT, encoding INT, datcollate STRING, "
+        "datctype STRING, datacl ARRAY<STRING>, dattablespace INT"
     ),
 }
+
+#: pg_tablespace rows (PG's builtin pair); \l+ joins dattablespace → oid
+_TABLESPACES = ((1663, "pg_default"), (1664, "pg_global"))
+
+#: Catalog relations that are empty BY DESIGN in this emulation (no
+#: row policies, no extensions, no role grants, …). Created as
+#: ``WHERE false`` VIEWS instead of parquet tables: the optimizer's
+#: empty-relation propagation then erases whole subquery trees over
+#: them — which matters because psql's \dp nests a correlated scalar
+#: subquery INSIDE another correlated subquery's aggregate argument, a
+#: shape Spark cannot decorrelate over a real scan (INTERNAL_ERROR:
+#: Cannot generate code for expression: outer(...)) but folds away
+#: over an empty LocalRelation.
+_EMPTY_VIEW_TABLES = frozenset((
+    "pg_attrdef", "pg_constraint", "pg_depend", "pg_description",
+    "pg_index", "pg_inherits", "pg_collation", "pg_policy",
+    "pg_auth_members", "pg_extension",
+))
+
+
+def _empty_view_sql(name: str, schema: str) -> str:
+    cols = ", ".join(
+        f"CAST(NULL AS {c.split(' ', 1)[1]}) AS {c.split(' ', 1)[0]}"
+        for c in schema.split(", ")
+    )
+    return (
+        f"CREATE OR REPLACE VIEW {CATALOG_DB}.{name} AS "
+        f"SELECT {cols} WHERE false"
+    )
 
 
 def table_oid(name: str) -> int:
@@ -117,7 +166,9 @@ def init_pg_catalog(spark: SparkSession) -> None:
             f"SELECT 1 FROM {CATALOG_DB}.pg_settings "
             "WHERE name = 'statement_timeout' LIMIT 1"
         ).count() == 1
-        if "typtypmod" in cols and has_timeout_row:
+        # "typarray" is the r10 schema-revision marker (psql \dn/\du/
+        # \dT/\db/\dx/\l+ catalog extension wave)
+        if "typtypmod" in cols and "typarray" in cols and has_timeout_row:
             return  # current schema+content rev — nothing to do
         # stale persisted catalog from an older schema rev: rebuild
     # the in-memory catalog is per-process but the warehouse dir is not:
@@ -131,19 +182,30 @@ def init_pg_catalog(spark: SparkSession) -> None:
         shutil.rmtree(f"{warehouse}/{CATALOG_DB}.db", ignore_errors=True)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {CATALOG_DB}")
     for name, schema in CATALOG_TABLE_SCHEMAS.items():
+        spark.sql(f"DROP VIEW IF EXISTS {CATALOG_DB}.{name}")
         spark.sql(f"DROP TABLE IF EXISTS {CATALOG_DB}.{name}")
-        spark.sql(f"CREATE TABLE {CATALOG_DB}.{name} ({schema}) USING parquet")
+        if name in _EMPTY_VIEW_TABLES:
+            spark.sql(_empty_view_sql(name, schema))
+        else:
+            spark.sql(f"CREATE TABLE {CATALOG_DB}.{name} ({schema}) USING parquet")
 
     ns_oid, ns_name = DEFAULT_NAMESPACE
     spark.sql(
-        f"INSERT INTO {CATALOG_DB}.pg_namespace VALUES ({ns_oid}, '{ns_name}')"
+        f"INSERT INTO {CATALOG_DB}.pg_namespace "
+        f"VALUES ({ns_oid}, '{ns_name}', {USER_ROLE_OID})"
     )
     spark.sql(
-        f"INSERT INTO {CATALOG_DB}.pg_roles VALUES ({USER_ROLE_OID}, 'spark-user')"
+        f"INSERT INTO {CATALOG_DB}.pg_roles VALUES ({USER_ROLE_OID}, "
+        "'spark-user', true, true, true, true, true, -1, NULL, false, false)"
     )
     spark.sql(
         f"INSERT INTO {CATALOG_DB}.pg_user VALUES ('spark-user', {USER_ROLE_OID})"
     )
+    for ts_oid, ts_name in _TABLESPACES:
+        spark.sql(
+            f"INSERT INTO {CATALOG_DB}.pg_tablespace VALUES "
+            f"({ts_oid}, '{ts_name}', {USER_ROLE_OID}, NULL, NULL)"
+        )
 
     settings_rows = [
         Row(
@@ -180,11 +242,19 @@ def init_pg_catalog(spark: SparkSession) -> None:
         (1642, "pg_get_userbyid", 1043),
         (1716, "pg_get_expr", 1043),
         (2079, "pg_table_is_visible", 16),
+        (2080, "pg_type_is_visible", 16),
         (2081, "pg_function_is_visible", 16),
         (2092, "array_upper", 23),
         (2162, "pg_get_function_arguments", 1043),
         (2165, "pg_get_function_result", 1043),
+        (2168, "pg_database_size", 20),
+        (2250, "has_database_privilege", 16),
         (2420, "oidvectortypes", 1043),
+        (3166, "pg_size_pretty", 1043),
+        (3415, "shobj_description", 1043),
+        (3778, "pg_tablespace_location", 1043),
+        (2098, "pg_get_functiondef", 1043),
+        (1216, "col_description", 1043),
     ]
     proc_rows = [
         Row(
@@ -196,6 +266,7 @@ def init_pg_catalog(spark: SparkSession) -> None:
             proisagg=False,
             proiswindow=False,
             proretset=False,
+            pronargs=0,
         )
         for oid, name, rettype in _SYSTEM_PROCS
     ]
@@ -203,6 +274,10 @@ def init_pg_catalog(spark: SparkSession) -> None:
         proc_rows, schema=CATALOG_TABLE_SCHEMAS["pg_proc"]
     ).write.insertInto(f"{CATALOG_DB}.pg_proc")
 
+    # typarray: base type → oid of its array type (the type whose
+    # typelem points back at it); psql \dT uses it to suppress the
+    # array shadow of every base type
+    arr_of = {t.elemoid: t.oid for t in P.ALL_PG_TYPES if t.elemoid}
     type_rows = [
         Row(
             oid=t.oid,
@@ -218,6 +293,7 @@ def init_pg_catalog(spark: SparkSession) -> None:
             typtypmod=-1,  # pgjdbc getColumns reads t.typtypmod for domains
             typcollation=0,
             typnamespace=ns_oid,
+            typarray=arr_of.get(t.oid, 0),
         )
         for t in P.ALL_PG_TYPES
     ]
@@ -234,12 +310,14 @@ def refresh_runtime_catalog(spark: SparkSession) -> None:
     spark.sql(f"TRUNCATE TABLE {CATALOG_DB}.pg_database")
     db_rows = [
         Row(
+            oid=table_oid(f"db:{db.name}"),
             datname=db.name,
             datdba=USER_ROLE_OID,
             encoding=6,  # UTF8
             datcollate="C",
             datctype="C",
             datacl=[],
+            dattablespace=1663,  # pg_default
         )
         for db in spark.catalog.listDatabases()
     ]
@@ -280,6 +358,7 @@ def refresh_runtime_catalog(spark: SparkSession) -> None:
                 relhasoids=False,
                 relispartition=False,
                 relpartbound=None,
+                reloptions=None,
             )
         )
         try:
@@ -307,6 +386,10 @@ def refresh_runtime_catalog(spark: SparkSession) -> None:
                     attidentity="",
                     attisdropped=False,
                     attcollation=0,
+                    attacl=None,
+                    # 'x' (extended) for varlena types, 'p' for fixed
+                    attstorage="x" if pgt.len == -1 else "p",
+                    attstattarget=-1,
                 )
             )
 

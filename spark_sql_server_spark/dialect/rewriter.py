@@ -60,6 +60,18 @@ PG_TYPE_MAP = {
 # passthrough, which is what the PG JDBC metadata queries need.
 _IDENTITY_CASTS = {"regclass", "regtype", "regproc", "oid"}
 
+#: PG's real oids for the emulated catalog relations — what a
+#: ``'pg_catalog.<name>'::regclass`` literal resolves to.
+_CATALOG_RELATION_OIDS = {
+    "pg_type": 1247, "pg_attribute": 1249, "pg_proc": 1255,
+    "pg_class": 1259, "pg_authid": 1260, "pg_auth_members": 1261,
+    "pg_database": 1262, "pg_tablespace": 1213, "pg_attrdef": 2604,
+    "pg_constraint": 2606, "pg_depend": 2608, "pg_description": 2609,
+    "pg_index": 2610, "pg_inherits": 2611, "pg_namespace": 2615,
+    "pg_extension": 3079, "pg_policy": 3256, "pg_collation": 3456,
+    "pg_roles": 1260, "pg_user": 1260,
+}
+
 # pg_type name → oid for the 'name'::regtype rewrite (kept local to the
 # rewriter so it has no import cycle with the protocol package)
 _TYPE_NAME_TO_OID = {
@@ -242,6 +254,27 @@ def _rewrite_casts(toks: list[Tok]) -> list[Tok]:
                 # (ANSI mode would fail casting the name string)
                 tname = toks[start].text[1:-1].split(".")[-1]
                 oid = _TYPE_NAME_TO_OID.get(tname, -1)
+                new = [Tok("number", str(oid))]
+            elif (
+                type_l == "regclass"
+                and start == pi
+                and toks[start].kind == "string"
+            ):
+                # 'relname'::regclass → that relation's oid literal
+                # (psql \dx compares pg_description.classoid against
+                # 'pg_catalog.pg_extension'::regclass — the identity
+                # passthrough left a string against an INT column,
+                # CAST_INVALID_INPUT under ANSI). Catalog tables use
+                # PG's real oids; user tables the same synthetic oid
+                # pg_class rows carry.
+                tname = toks[start].text[1:-1].split(".")[-1]
+                oid = _CATALOG_RELATION_OIDS.get(tname)
+                if oid is None:
+                    from spark_sql_server_spark.catalog.pg_catalog import (
+                        table_oid,
+                    )
+
+                    oid = table_oid(tname)
                 new = [Tok("number", str(oid))]
             elif type_l in _IDENTITY_CASTS:
                 # identity pseudo-cast: drop the ::type entirely
@@ -1172,12 +1205,62 @@ def _rewrite_array_subquery(toks: list[Tok]) -> list[Tok]:
                     break
             if from_i == -1:
                 continue
+            # a trailing top-level ORDER BY orders the ELEMENTS in PG's
+            # ARRAY(...); after the collect_list conversion it would
+            # order the aggregated single row (blocking decorrelation —
+            # Spark left an outer() ref uncompiled in psql's \dp). When
+            # the order matches the single selected expression (ORDER
+            # BY 1 — psql's spelling), sort the ELEMENTS instead:
+            # sort_array(collect_list(expr) [, asc]). Other order keys
+            # (or LIMIT) keep the plain conversion.
+            depth = 0
+            order_i = -1
+            has_limit = False
+            for j in range(from_i + 1, close):
+                if toks[j].text == "(":
+                    depth += 1
+                elif toks[j].text == ")":
+                    depth -= 1
+                elif depth == 0 and toks[j].kind == "word":
+                    up = toks[j].text.upper()
+                    if up == "ORDER":
+                        order_i = j
+                    elif up == "LIMIT":
+                        has_limit = True
+            sortable = False
+            asc = True
+            body_end = close
+            if order_i != -1 and not has_limit:
+                otoks = [
+                    x for x in toks[order_i:close] if _is_code(x)
+                ]
+                spelled = [x.text.upper() for x in otoks]
+                if spelled[:3] == ["ORDER", "BY", "1"] and (
+                    len(spelled) == 3 or spelled[3:] in (["ASC"], ["DESC"])
+                ):
+                    sortable = True
+                    asc = spelled[3:] != ["DESC"]
+                    body_end = order_i
+            if sortable:
+                head = [
+                    Tok("word", "sort_array"), Tok("op", "("),
+                    Tok("word", "collect_list"), Tok("op", "("),
+                ]
+                tail_proj = [Tok("op", ")")] + (
+                    [] if asc else [Tok("op", ","), Tok("word", "false")]
+                ) + [Tok("op", ")"), Tok("ws", " ")]
+            else:
+                head = [Tok("word", "collect_list"), Tok("op", "(")]
+                tail_proj = [Tok("op", ")"), Tok("ws", " ")]
+                body_end = close
             new = (
                 toks[i + 1 : si + 1]
-                + [Tok("ws", " "), Tok("word", "collect_list"), Tok("op", "(")]
+                + [Tok("ws", " ")]
+                + head
                 + toks[si + 1 : from_i]
-                + [Tok("op", ")"), Tok("ws", " ")]
-                + toks[from_i : close + 1]
+                + tail_proj
+                + toks[from_i:body_end]
+                + [Tok("op", ")")]
             )
             toks = toks[:i] + new + toks[close + 1 :]
             changed = True
@@ -1310,9 +1393,12 @@ def _array_literal_expr(type_l: str, lit: str) -> str | None:
 
 
 def _rewrite_array_literals(toks: list[Tok]) -> list[Tok]:
-    """PG integer array literals in comparisons: ``x = '{0}'`` →
-    ``x = array(0)`` (only next to ``=`` and only all-integer content,
-    so ordinary string data is never touched)."""
+    """PG integer array literals in comparisons: ``x = '{0}'`` /
+    ``x <> '{0}'`` / ``x != '{0}'`` → ``array(0)`` on the literal side
+    (only next to an (in)equality operator and only all-integer
+    content, so ordinary string data is never touched; psql's \\dp
+    spells the policy-roles check with ``<>``, which lexes as two
+    single-char op tokens)."""
     for i, t in enumerate(toks):
         if t.kind != "string":
             continue
@@ -1321,8 +1407,20 @@ def _rewrite_array_literals(toks: list[Tok]) -> list[Tok]:
             continue
         pi = _prev_code(toks, i)
         ni = _next_code(toks, i)
-        adjacent_eq = (pi >= 0 and toks[pi].text == "=") or (
-            ni < len(toks) and toks[ni].text == "="
+        ppi = _prev_code(toks, pi) if pi >= 0 else -1
+        nni = _next_code(toks, ni) if ni < len(toks) else len(toks)
+
+        def _tx(j):
+            return toks[j].text if 0 <= j < len(toks) else ""
+
+        adjacent_eq = (
+            _tx(pi) == "="
+            or _tx(ni) == "="
+            # x <> '{0}'  /  x != '{0}'  (two op tokens each)
+            or (_tx(pi) == ">" and _tx(ppi) == "<")
+            or (_tx(pi) == "=" and _tx(ppi) == "!")
+            or (_tx(ni) == "<" and _tx(nni) == ">")
+            or (_tx(ni) == "!" and _tx(nni) == "=")
         )
         if not adjacent_eq:
             continue
@@ -1485,6 +1583,78 @@ def _rewrite_escape_strings(toks: list[Tok]) -> list[Tok]:
         out.append(t)
         i += 1
     return out
+
+
+def _strip_qualified_type_names(toks: list[Tok]) -> list[Tok]:
+    """``::pg_catalog.text`` → ``::text`` and
+    ``CAST(x AS pg_catalog.text)`` → ``CAST(x AS text)`` so the cast
+    passes below see the bare type name. psql's describe queries spell
+    every cast type qualified (``'*'::pg_catalog.text``,
+    ``'…'::pg_catalog.regclass``, ``polcmd::pg_catalog.text`` — \\da,
+    \\dx, \\dp, \\sf); the bare-name passes never fired on them.
+    Conservative scope: after ``::`` always (a qualified name after a
+    cast operator can only be a type); after ``AS`` only when the word
+    past the dot is a known PG type alias or pseudo-cast (an alias
+    can't be qualified, but don't touch anything else)."""
+    known = set(PG_TYPE_MAP) | _IDENTITY_CASTS
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "word" and t.text.lower() == "pg_catalog":
+            p = _prev_code(out, len(out))
+            prev = out[p].text.upper() if p >= 0 else ""
+            d = _next_code(toks, i)
+            if prev in ("::", "AS") and d < len(toks) and toks[d].text == ".":
+                f = _next_code(toks, d)
+                if f < len(toks) and toks[f].kind == "word" and (
+                    prev == "::" or toks[f].text.lower() in known
+                ):
+                    i = f
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
+_UNNEST_ALIAS_STOPWORDS = frozenset(
+    "where group order having limit union intersect except join inner left "
+    "right full cross on using as and or not when then else end from "
+    "select".split()
+)
+
+
+def _rewrite_unnest(toks: list[Tok]) -> list[Tok]:
+    """PG ``unnest(arr)`` → Spark ``explode(arr)`` (the table-valued
+    array-flattening function psql's \\d+ uses on ``reloptions``).
+    Fires only in call position. PG's ``unnest(a) x`` makes ``x`` both
+    the table AND the column alias; Spark's TVF aliasing needs the
+    column list spelled (``explode(a) x(x)``), so a bare alias after
+    the call gets one appended (``AS x`` handled too)."""
+    for i, t in enumerate(toks):
+        if t.kind == "word" and t.text.lower() == "unnest":
+            ni = _next_code(toks, i)
+            if ni < len(toks) and toks[ni].text == "(":
+                toks[i] = Tok("word", "explode")
+                close = _find_matching_paren(toks, ni)
+                if close == -1:
+                    continue
+                ai = _next_code(toks, close)
+                if ai < len(toks) and toks[ai].kind == "word" and (
+                    toks[ai].text.upper() == "AS"
+                ):
+                    ai = _next_code(toks, ai)
+                if (
+                    ai < len(toks)
+                    and toks[ai].kind == "word"
+                    and toks[ai].text.lower() not in _UNNEST_ALIAS_STOPWORDS
+                ):
+                    nxt = _next_code(toks, ai)
+                    if nxt >= len(toks) or toks[nxt].text != "(":
+                        toks[ai] = Tok(
+                            "word", f"{toks[ai].text}({toks[ai].text})"
+                        )
+    return toks
 
 
 def _rewrite_qualified_system_functions(toks: list[Tok]) -> list[Tok]:
@@ -1982,6 +2152,7 @@ def rewrite_sql(sql: str, params: bool = True) -> str:
     toks = _merge_multiword_types(toks)
     toks = _rewrite_timestamptz_literals(toks)
     toks = _rewrite_ddl_column_types(toks)
+    toks = _strip_qualified_type_names(toks)
     toks = _rewrite_casts(toks)
     toks = _rewrite_cast_type_names(toks)
     toks = _rewrite_json_ops(toks)
@@ -2000,6 +2171,8 @@ def rewrite_sql(sql: str, params: bool = True) -> str:
     toks = _rewrite_subscripts(toks)
     toks = _rewrite_escape_strings(toks)
     toks = _rewrite_qualified_system_functions(toks)
+    # AFTER the pg_catalog. strip so pg_catalog.unnest(...) fires too
+    toks = _rewrite_unnest(toks)
     # AFTER the pg_catalog. strip so pg_catalog.ltrim(s, chars) gets its
     # argument order fixed too (r7 ADVICE: running this pass first let
     # the dotted spelling reach Spark's reversed two-arg ltrim)

@@ -56,8 +56,16 @@ class TestCasts:
 
     def test_regclass_identity(self):
         # ::regclass / ::regtype / ::regproc are identity-ish lookups
-        # (reference PgParser.scala:163-186)
-        assert rewrite_sql("SELECT 'pg_type'::regclass") == "SELECT 'pg_type'"
+        # (reference PgParser.scala:163-186); r10: a STRING literal
+        # ::regclass resolves to the relation's oid (psql \dx compares
+        # it against pg_description.classoid, an INT column)
+        assert rewrite_sql("SELECT 'pg_type'::regclass") == "SELECT 1247"
+        assert (
+            rewrite_sql("SELECT 'pg_catalog.pg_extension'::regclass")
+            == "SELECT 3079"
+        )
+        # non-literal operands stay identity passthrough
+        assert rewrite_sql("SELECT c.oid::regclass") == "SELECT c.oid"
 
     def test_cast_not_in_string(self):
         assert rewrite_sql("SELECT 'a::b'") == "SELECT 'a::b'"

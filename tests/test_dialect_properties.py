@@ -32,7 +32,9 @@ from spark_sql_server_spark.dialect.rewriter import rewrite_sql
 #: literal follows it; justify_*/date_trunc fire in call position
 _REWRITTEN_FNS = {"log", "ltrim", "rtrim", "btrim", "timestamptz",
                   "as", "using", "date", "date_trunc", "justify_hours",
-                  "justify_days", "justify_interval", "interval"}
+                  "justify_days", "justify_interval", "interval",
+                  # r10: unnest(…) → explode(…) fires in call position
+                  "unnest"}
 _ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True).filter(
     lambda s: s.lower() not in _REWRITTEN_FNS
 )

@@ -143,3 +143,55 @@ class TestPsqlSessionStatements:
             "SELECT setting FROM pg_catalog.pg_settings WHERE name = 'timezone'",
         )
         assert out.returncode == 0 and out.stdout.strip() == "UTC"
+
+
+class TestPsqlMetaCommandBattery:
+    """r10: the wider describe-command battery — every command here
+    used to fail on a missing catalog column/table/function or an
+    unhandled dialect form (qualified cast type names, string-literal
+    ::regclass, unnest TVF, '{0}' under <>, ARRAY(... ORDER BY 1))."""
+
+    def _ok(self, psql_server, cmd: str) -> str:
+        r = psql(psql_server, "-c", cmd)
+        assert r.returncode == 0, (cmd, r.stderr)
+        assert "ERROR" not in r.stderr, (cmd, r.stderr)
+        return r.stdout
+
+    def test_dn_schemas(self, psql_server):
+        out = self._ok(psql_server, r"\dn")
+        assert "spark" in out and "spark-user" in out
+
+    def test_du_roles(self, psql_server):
+        out = self._ok(psql_server, r"\du")
+        assert "spark-user" in out and "Superuser" in out
+
+    def test_da_aggregates_empty(self, psql_server):
+        assert "0 rows" in self._ok(psql_server, r"\da")
+
+    def test_dT_types(self, psql_server):
+        out = self._ok(psql_server, r"\dT")
+        assert "int4" in out and "varchar" in out
+
+    def test_db_tablespaces(self, psql_server):
+        out = self._ok(psql_server, r"\db")
+        assert "pg_default" in out and "pg_global" in out
+
+    def test_dx_extensions_empty(self, psql_server):
+        assert "0 rows" in self._ok(psql_server, r"\dx")
+
+    def test_l_plus_sizes(self, psql_server):
+        out = self._ok(psql_server, r"\l+")
+        assert "0 bytes" in out and "pg_default" in out
+
+    def test_dp_privileges(self, psql_server):
+        out = self._ok(psql_server, r"\dp")
+        assert "orders" in out and "Policies" in out
+
+    def test_d_plus_storage(self, psql_server):
+        out = self._ok(psql_server, r"\d+ orders")
+        assert "o_orderkey" in out
+        assert "plain" in out and "extended" in out  # attstorage rendering
+
+    def test_sf_function_def(self, psql_server):
+        out = self._ok(psql_server, r"\sf version")
+        assert "not stored" in out

@@ -89,6 +89,18 @@ def init_system_functions(spark: SparkSession) -> None:
     )
     udf("shobj_description", lambda oid, cat: "", T.StringType())
     udf("col_description", lambda oid, colnum: "", T.StringType())
+    # exotic describe battery (\dd \do \dO \dF \dC \dD): visibility
+    # checks over always-empty catalogs + constraint/encoding helpers
+    for vis_fn in (
+        "pg_opclass_is_visible", "pg_operator_is_visible",
+        "pg_ts_config_is_visible", "pg_ts_dict_is_visible",
+        "pg_conversion_is_visible", "pg_collation_is_visible",
+        "pg_statistics_obj_is_visible", "pg_opfamily_is_visible",
+    ):
+        udf(vis_fn, lambda oid: oid is not None, T.BooleanType())
+    udf("pg_get_constraintdef", lambda *args: "", T.StringType())
+    udf("pg_char_to_encoding", lambda name: 6, T.IntegerType())  # UTF8
+    udf("getdatabaseencoding", lambda: "UTF8", T.StringType())
     udf(
         "pg_get_functiondef",
         lambda oid: "-- function definitions are not stored "

@@ -41,6 +41,13 @@ GUC_DEFAULTS: dict[str, str] = {
 
 #: namespace oid/name the reference reports for Spark's default database
 DEFAULT_NAMESPACE = (2200, "spark")
+#: PG's real oid for the pg_catalog namespace — the emulated catalog
+#: relations list themselves under it in pg_class so pg_class-walking
+#: tools see them (the ^pg_ screens keep them out of \dt/\dn output;
+#: psql's \dS name resolution still hides them because
+#: pg_table_is_visible keeps the reference's inverted semantics —
+#: catalog oids are "not visible", tests/test_pg_catalog.py pins it)
+PG_CATALOG_NAMESPACE_OID = 11
 USER_ROLE_OID = 10
 
 # (name, schema DDL) — one entry per catalog table the reference creates.
@@ -49,7 +56,8 @@ CATALOG_TABLE_SCHEMAS: dict[str, str] = {
         "oid INT, typname STRING, typtype STRING, typlen INT, typnotnull BOOLEAN, "
         "typelem INT, typdelim STRING, typinput STRING, typrelid INT, "
         "typbasetype INT, typtypmod INT, typcollation INT, typnamespace INT, "
-        "typarray INT"  # psql \dT: NOT EXISTS(… el.typarray = t.oid)
+        "typarray INT, "  # psql \dT: NOT EXISTS(… el.typarray = t.oid)
+        "typdefault STRING"  # \dD domain defaults (always NULL)
     ),
     "pg_namespace": "oid INT, nspname STRING, nspowner INT",  # \dn reads nspowner
     "pg_roles": (
@@ -80,13 +88,62 @@ CATALOG_TABLE_SCHEMAS: dict[str, str] = {
     "pg_constraint": (
         "oid INT, confupdtype STRING, confdeltype STRING, conname STRING, "
         "condeferrable BOOLEAN, condeferred BOOLEAN, conkey ARRAY<INT>, "
-        "confkey ARRAY<INT>, confrelid INT, conrelid INT, contype STRING"
+        "confkey ARRAY<INT>, confrelid INT, conrelid INT, contype STRING, "
+        "contypid INT, tableoid INT"  # \dD domain checks; \dd join
     ),
     "pg_depend": "objid INT, classid INT, refobjid INT, refclassid INT",
     "pg_description": "objoid INT, classoid INT, objsubid INT, description STRING",
     "pg_index": "oid INT, indrelid INT, indexrelid INT, indisprimary BOOLEAN",
     "pg_inherits": "inhrelid INT, inhparent INT, inhseqno INT",
-    "pg_collation": "oid INT, collname STRING",
+    "pg_collation": (
+        # full psql-15 \dO column set
+        "oid INT, collname STRING, collnamespace INT, collowner INT, "
+        "collencoding INT, collcollate STRING, collctype STRING, "
+        "collprovider STRING, collisdeterministic BOOLEAN, collversion STRING"
+    ),
+    # r10 exotic-describe battery (\dC \dL \drds \do \dO \dF \dd \dD) —
+    # all empty by design in this emulation
+    "pg_cast": (
+        "oid INT, castsource INT, casttarget INT, castfunc INT, "
+        "castcontext STRING, castmethod STRING"
+    ),
+    "pg_language": (
+        # tableoid: PG's implicit per-row column, psql \dL joins on it
+        "oid INT, lanname STRING, lanowner INT, lanpltrusted BOOLEAN, "
+        "lanplcallfoid INT, tableoid INT"
+    ),
+    "pg_db_role_setting": (
+        "setdatabase INT, setrole INT, setconfig ARRAY<STRING>"
+    ),
+    "pg_operator": (
+        "oid INT, oprname STRING, oprnamespace INT, oprleft INT, "
+        "oprright INT, oprresult INT, oprcode STRING, oprkind STRING"
+    ),
+    "pg_opclass": (
+        "oid INT, opcname STRING, opcnamespace INT, opcowner INT, "
+        "opcintype INT, opcdefault BOOLEAN, opcmethod INT, tableoid INT"
+    ),
+    "pg_opfamily": (
+        "oid INT, opfmethod INT, opfname STRING, opfnamespace INT, "
+        "opfowner INT, tableoid INT"
+    ),
+    "pg_rewrite": (
+        "oid INT, rulename STRING, ev_class INT, tableoid INT"
+    ),
+    "pg_trigger": (
+        "oid INT, tgname STRING, tgrelid INT, tgconstraint INT, "
+        "tgisinternal BOOLEAN, tableoid INT"
+    ),
+    "pg_am": (
+        "oid INT, amname STRING, amhandler STRING, amtype STRING"
+    ),
+    "pg_ts_config": (
+        "oid INT, cfgname STRING, cfgnamespace INT, cfgowner INT"
+    ),
+    "pg_conversion": (
+        "oid INT, conname STRING, connamespace INT, conforencoding INT, "
+        "contoencoding INT, condefault BOOLEAN"
+    ),
     "pg_policy": (
         # polroles is an oid array in PG; psql's \d row-security query
         # does `polroles = '{0}'` and `oid = any(polroles)` — the array
@@ -136,7 +193,9 @@ _TABLESPACES = ((1663, "pg_default"), (1664, "pg_global"))
 _EMPTY_VIEW_TABLES = frozenset((
     "pg_attrdef", "pg_constraint", "pg_depend", "pg_description",
     "pg_index", "pg_inherits", "pg_collation", "pg_policy",
-    "pg_auth_members", "pg_extension",
+    "pg_auth_members", "pg_extension", "pg_cast", "pg_language",
+    "pg_db_role_setting", "pg_operator", "pg_opclass", "pg_ts_config",
+    "pg_conversion", "pg_opfamily", "pg_rewrite", "pg_trigger", "pg_am",
 ))
 
 
@@ -192,7 +251,8 @@ def init_pg_catalog(spark: SparkSession) -> None:
     ns_oid, ns_name = DEFAULT_NAMESPACE
     spark.sql(
         f"INSERT INTO {CATALOG_DB}.pg_namespace "
-        f"VALUES ({ns_oid}, '{ns_name}', {USER_ROLE_OID})"
+        f"VALUES ({ns_oid}, '{ns_name}', {USER_ROLE_OID}), "
+        f"({PG_CATALOG_NAMESPACE_OID}, 'pg_catalog', {USER_ROLE_OID})"
     )
     spark.sql(
         f"INSERT INTO {CATALOG_DB}.pg_roles VALUES ({USER_ROLE_OID}, "
@@ -294,10 +354,13 @@ def init_pg_catalog(spark: SparkSession) -> None:
             typcollation=0,
             typnamespace=ns_oid,
             typarray=arr_of.get(t.oid, 0),
+            typdefault=None,
         )
         for t in P.ALL_PG_TYPES
     ]
-    spark.createDataFrame(type_rows).write.insertInto(f"{CATALOG_DB}.pg_type")
+    spark.createDataFrame(
+        type_rows, schema=CATALOG_TABLE_SCHEMAS["pg_type"]
+    ).write.insertInto(f"{CATALOG_DB}.pg_type")
 
     refresh_runtime_catalog(spark)
 
@@ -326,24 +389,48 @@ def refresh_runtime_catalog(spark: SparkSession) -> None:
             db_rows, schema=CATALOG_TABLE_SCHEMAS["pg_database"]
         ).write.insertInto(f"{CATALOG_DB}.pg_database")
 
+    #: the emulated system catalogs appear in pg_class too (namespace
+    #: pg_catalog) so psql's \dS and \d pg_type resolve; schema-string
+    #: types map to pg_type oids for their pg_attribute rows
+    _SCHEMA_TYPE_OIDS = {
+        "INT": 23, "SMALLINT": 21, "BIGINT": 20, "STRING": 1043,
+        "BOOLEAN": 16, "TIMESTAMP": 1114,
+        "ARRAY<INT>": 1007, "ARRAY<STRING>": 1009,
+    }
+    from spark_sql_server_spark.dialect.rewriter import (
+        _CATALOG_RELATION_OIDS,
+    )
+
+    system_rels = [
+        (
+            _CATALOG_RELATION_OIDS.get(name, table_oid(name)),
+            name,
+            "v" if name in _EMPTY_VIEW_TABLES else "r",
+            [c.split(" ", 1) for c in schema.split(", ")],
+        )
+        for name, schema in CATALOG_TABLE_SCHEMAS.items()
+    ]
+
     tables = [
-        t
+        (table_oid(t.name), t.name, "r", None)
         for t in spark.catalog.listTables()
         if t.database in (None, "", "default") or t.isTemporary
-    ]
+    ] + system_rels
     cls_rows = []
     attr_rows = []
-    for t in tables:
-        oid = table_oid(t.name)
+    for oid, tname, relkind, sys_cols in tables:
         cls_rows.append(
             Row(
                 oid=oid,
                 reltablespace=0,
-                relname=t.name,
+                relname=tname,
                 reloftype=0,
                 relpersistence="p",
-                relkind="r",
-                relnamespace=ns_oid,
+                relkind=relkind,
+                relnamespace=(
+                    PG_CATALOG_NAMESPACE_OID if sys_cols is not None
+                    else ns_oid
+                ),
                 relowner=USER_ROLE_OID,
                 relacl=[],
                 relchecks=0,
@@ -361,34 +448,43 @@ def refresh_runtime_catalog(spark: SparkSession) -> None:
                 reloptions=None,
             )
         )
-        try:
-            cols = spark.catalog.listColumns(t.name)
-        except Exception:
-            continue
-        for i, c in enumerate(cols):
+        if sys_cols is not None:
+            cols = [
+                (cname, _SCHEMA_TYPE_OIDS.get(ctype.upper(), 1043), -1, True)
+                for cname, ctype in sys_cols
+            ]
+        else:
             try:
-                from pyspark.sql.types import _parse_datatype_string
-
-                pgt = P.pg_type_for(_parse_datatype_string(c.dataType))
+                listed = spark.catalog.listColumns(tname)
             except Exception:
-                pgt = P.VARCHAR
+                continue
+            cols = []
+            for c in listed:
+                try:
+                    from pyspark.sql.types import _parse_datatype_string
+
+                    pgt = P.pg_type_for(_parse_datatype_string(c.dataType))
+                except Exception:
+                    pgt = P.VARCHAR
+                cols.append((c.name, pgt.oid, pgt.len, c.nullable))
+        for i, (cname, ctypid, clen, cnullable) in enumerate(cols):
             attr_rows.append(
                 Row(
                     oid=0,
                     attrelid=oid,
-                    attname=c.name,
-                    atttypid=pgt.oid,
-                    attnotnull=not c.nullable,
+                    attname=cname,
+                    atttypid=ctypid,
+                    attnotnull=not cnullable,
                     atthasdef=False,
                     atttypmod=-1,
-                    attlen=pgt.len,
+                    attlen=clen,
                     attnum=i + 1,
                     attidentity="",
                     attisdropped=False,
                     attcollation=0,
                     attacl=None,
                     # 'x' (extended) for varlena types, 'p' for fixed
-                    attstorage="x" if pgt.len == -1 else "p",
+                    attstorage="x" if clen == -1 else "p",
                     attstattarget=-1,
                 )
             )

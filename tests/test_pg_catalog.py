@@ -46,7 +46,8 @@ class TestCatalogTables:
     def test_pg_namespace_via_bare_name(self, spark):
         # JDBC drivers reference bare `pg_namespace` (AstBuilder.scala:1186-1221)
         rows = spark.sql(rewrite_sql("SELECT nspname FROM pg_namespace")).collect()
-        assert rows[0].nspname == "spark"
+        # r10: the pg_catalog namespace row joined the spark one
+        assert {r.nspname for r in rows} == {"spark", "pg_catalog"}
 
     def test_pg_database_lists_default(self, spark):
         names = {r.datname for r in spark.sql(

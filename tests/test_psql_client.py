@@ -195,3 +195,36 @@ class TestPsqlMetaCommandBattery:
     def test_sf_function_def(self, psql_server):
         out = self._ok(psql_server, r"\sf version")
         assert "not stored" in out
+
+    # ---- r10 second wave: the exotic describe commands --------------
+
+    def test_dC_casts_empty(self, psql_server):
+        assert "0 rows" in self._ok(psql_server, r"\dC")
+
+    def test_dL_languages_empty(self, psql_server):
+        assert "0 rows" in self._ok(psql_server, r"\dL")
+
+    def test_do_operators_empty(self, psql_server):
+        assert "0 rows" in self._ok(psql_server, r"\do +")
+
+    def test_dO_collations_empty(self, psql_server):
+        assert "0 rows" in self._ok(psql_server, r"\dO")
+
+    def test_dF_ts_configs_empty(self, psql_server):
+        assert "0 rows" in self._ok(psql_server, r"\dF")
+
+    def test_dD_domains_empty(self, psql_server):
+        assert "0 rows" in self._ok(psql_server, r"\dD")
+
+    def test_dd_descriptions_empty(self, psql_server):
+        assert "0 rows" in self._ok(psql_server, r"\dd orders")
+
+    def test_drds_settings_empty(self, psql_server):
+        # psql prints the "Did not find any settings." notice on stderr
+        r = psql(psql_server, "-c", r"\drds")
+        assert r.returncode == 0 and "ERROR" not in r.stderr, r.stderr
+        assert "Did not find any settings" in (r.stdout + r.stderr)
+
+    def test_dconfig_setting(self, psql_server):
+        out = self._ok(psql_server, r"\dconfig statement_timeout")
+        assert "statement_timeout" in out

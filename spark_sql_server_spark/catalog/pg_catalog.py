@@ -228,6 +228,7 @@ def init_pg_catalog(spark: SparkSession) -> None:
         # "typarray" is the r10 schema-revision marker (psql \dn/\du/
         # \dT/\db/\dx/\l+ catalog extension wave)
         if "typtypmod" in cols and "typarray" in cols and has_timeout_row:
+            init_information_schema(spark)  # idempotent view refresh
             return  # current schema+content rev — nothing to do
         # stale persisted catalog from an older schema rev: rebuild
     # the in-memory catalog is per-process but the warehouse dir is not:
@@ -363,6 +364,101 @@ def init_pg_catalog(spark: SparkSession) -> None:
     ).write.insertInto(f"{CATALOG_DB}.pg_type")
 
     refresh_runtime_catalog(spark)
+    init_information_schema(spark)
+
+
+#: PG's SQL-standard data_type spellings for information_schema.columns
+_INFOSCHEMA_DATA_TYPES = {
+    "int2": "smallint", "int4": "integer", "int8": "bigint",
+    "float4": "real", "float8": "double precision",
+    "varchar": "character varying", "bpchar": "character",
+    "bool": "boolean", "timestamp": "timestamp without time zone",
+    "timestamptz": "timestamp with time zone", "bytea": "bytea",
+    "date": "date", "numeric": "numeric", "text": "text",
+}
+
+
+def init_information_schema(spark: SparkSession) -> None:
+    """SQL-standard ``information_schema`` views over the pg_catalog
+    emulation — beyond the reference (which ships only pg_catalog), but
+    what BI/ELT tools (dbt, Metabase, Superset) actually query first.
+    PG itself implements information_schema exactly this way: standard
+    views over the system catalogs. All views delegate to the live
+    pg_catalog tables, so refresh_runtime_catalog keeps them current;
+    CREATE OR REPLACE makes re-init idempotent."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
+    dt_case = "CASE t.typname " + " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _INFOSCHEMA_DATA_TYPES.items()
+    ) + " ELSE t.typname END"
+    views = {
+        "schemata": f"""
+            SELECT 'spark' AS catalog_name, n.nspname AS schema_name,
+                   'spark-user' AS schema_owner
+            FROM {CATALOG_DB}.pg_namespace n
+        """,
+        "tables": f"""
+            SELECT 'spark' AS table_catalog, n.nspname AS table_schema,
+                   c.relname AS table_name,
+                   CASE c.relkind WHEN 'r' THEN 'BASE TABLE'
+                                  WHEN 'v' THEN 'VIEW' END AS table_type
+            FROM {CATALOG_DB}.pg_class c
+            JOIN {CATALOG_DB}.pg_namespace n ON n.oid = c.relnamespace
+            WHERE c.relkind IN ('r', 'v')
+        """,
+        "views": f"""
+            SELECT 'spark' AS table_catalog, n.nspname AS table_schema,
+                   c.relname AS table_name,
+                   CAST(NULL AS STRING) AS view_definition
+            FROM {CATALOG_DB}.pg_class c
+            JOIN {CATALOG_DB}.pg_namespace n ON n.oid = c.relnamespace
+            WHERE c.relkind = 'v'
+        """,
+        "columns": f"""
+            SELECT 'spark' AS table_catalog, n.nspname AS table_schema,
+                   c.relname AS table_name, a.attname AS column_name,
+                   a.attnum AS ordinal_position,
+                   CAST(NULL AS STRING) AS column_default,
+                   CASE WHEN a.attnotnull THEN 'NO' ELSE 'YES' END
+                     AS is_nullable,
+                   {dt_case} AS data_type,
+                   CAST(NULL AS INT) AS character_maximum_length,
+                   CAST(NULL AS INT) AS numeric_precision,
+                   CAST(NULL AS INT) AS numeric_scale,
+                   t.typname AS udt_name
+            FROM {CATALOG_DB}.pg_attribute a
+            JOIN {CATALOG_DB}.pg_class c ON c.oid = a.attrelid
+            JOIN {CATALOG_DB}.pg_namespace n ON n.oid = c.relnamespace
+            LEFT JOIN {CATALOG_DB}.pg_type t ON t.oid = a.atttypid
+            WHERE a.attnum > 0 AND NOT a.attisdropped
+        """,
+        # constraint views: empty by design (delegate to the empty
+        # pg_constraint view so the schemas stay authoritative)
+        "table_constraints": f"""
+            SELECT 'spark' AS constraint_catalog,
+                   'spark' AS constraint_schema, conname AS constraint_name,
+                   'spark' AS table_schema, CAST(NULL AS STRING) AS table_name,
+                   contype AS constraint_type
+            FROM {CATALOG_DB}.pg_constraint
+        """,
+        "key_column_usage": f"""
+            SELECT 'spark' AS constraint_catalog,
+                   'spark' AS constraint_schema, conname AS constraint_name,
+                   'spark' AS table_schema, CAST(NULL AS STRING) AS table_name,
+                   CAST(NULL AS STRING) AS column_name,
+                   CAST(NULL AS INT) AS ordinal_position
+            FROM {CATALOG_DB}.pg_constraint
+        """,
+        "referential_constraints": f"""
+            SELECT 'spark' AS constraint_catalog,
+                   'spark' AS constraint_schema, conname AS constraint_name,
+                   confupdtype AS update_rule, confdeltype AS delete_rule
+            FROM {CATALOG_DB}.pg_constraint
+        """,
+    }
+    for name, body in views.items():
+        spark.sql(
+            f"CREATE OR REPLACE VIEW information_schema.{name} AS {body}"
+        )
 
 
 def refresh_runtime_catalog(spark: SparkSession) -> None:

@@ -165,3 +165,70 @@ class TestPgSettings:
             "current_setting('server_encoding') AS enc"
         ).collect()[0]
         assert row["tz"] == "UTC" and row["enc"] == "UTF8"
+
+
+class TestInformationSchema:
+    """r10 beyond-reference: SQL-standard information_schema views over
+    the pg_catalog emulation — the first thing BI/ELT tools (dbt,
+    Metabase, Superset) query. PG itself implements them exactly this
+    way (standard views over the system catalogs)."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def _tables(self, spark):
+        # the views read the live pg_class — register the base tables
+        # in THIS session and sync, like a server connection init does
+        from spark_sql_server_spark.session import register_tables
+        from tests.conftest import SF_SMOKE
+
+        register_tables(spark, SF_SMOKE)
+        refresh_runtime_catalog(spark)
+        yield
+
+    def test_tables_lists_user_tables(self, spark):
+        rows = spark.sql(
+            "SELECT table_name, table_type FROM information_schema.tables "
+            "WHERE table_schema = 'spark'"
+        ).collect()
+        names = {r.table_name for r in rows}
+        assert {"orders", "lineitem", "region"} <= names
+        assert all(r.table_type == "BASE TABLE" for r in rows
+                   if r.table_name == "orders")
+
+    def test_columns_pg_standard_type_spellings(self, spark):
+        rows = spark.sql(
+            "SELECT column_name, data_type, is_nullable, ordinal_position "
+            "FROM information_schema.columns WHERE table_name = 'orders' "
+            "ORDER BY ordinal_position"
+        ).collect()
+        got = {r.column_name: r.data_type for r in rows}
+        assert got["o_orderkey"] == "bigint"
+        assert got["o_orderstatus"] == "character varying"
+        assert got["o_totalprice"] == "double precision"
+        assert got["o_orderdate"] == "timestamp without time zone"
+        assert [r.ordinal_position for r in rows] == list(range(1, 7))
+        assert all(r.is_nullable in ("YES", "NO") for r in rows)
+
+    def test_schemata(self, spark):
+        names = {r.schema_name for r in spark.sql(
+            "SELECT schema_name FROM information_schema.schemata"
+        ).collect()}
+        assert {"spark", "pg_catalog"} <= names
+
+    def test_constraint_views_empty(self, spark):
+        for v in ("table_constraints", "key_column_usage",
+                  "referential_constraints"):
+            assert spark.sql(
+                f"SELECT count(*) AS n FROM information_schema.{v}"
+            ).collect()[0].n == 0
+
+    def test_system_catalogs_listed_in_pg_class(self, spark):
+        # r10: the emulated catalogs appear in pg_class under the
+        # pg_catalog namespace so pg_class-walking tools see them
+        rows = spark.sql(
+            "SELECT relname, relkind FROM pg_catalog.pg_class c "
+            "JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace "
+            "WHERE n.nspname = 'pg_catalog'"
+        ).collect()
+        by = {r.relname: r.relkind for r in rows}
+        assert by.get("pg_type") == "r"
+        assert by.get("pg_policy") == "v"  # empty-by-design view

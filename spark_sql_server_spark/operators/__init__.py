@@ -42,46 +42,41 @@ from spark_sql_server_spark.operators.registry import REGISTRY, QuerySpec
 #: Everything listed after rests on its r1–r3 driver record and the
 #: local bit-exact twin (tests/test_oracle_parity.py runs ALL of them).
 _DRIVER_SAMPLE_PRIORITY = [
-    # r10 rotation (VERDICT r9 task 1): freshness is the invariant.
-    # New r10 ops (no driver row yet) first, then the 30 operators
-    # whose LATEST green driver row is r3 (judge-computed freshness
-    # debt — the rewriter/encoders/session code under them has changed
-    # over seven rounds), then 16 of the oldest remaining (r4)
-    # certifications: 4 + 30 + 16 = exactly the 50-slot sample.
-    # --- new this round (b-variant promotions — 103/103 files) ---
-    "qds14b_period_self_join", "qds23b_best_customer_names",
-    "qds24b_netpaid_alt_slice", "qds39b_sustained_volatility",
-    # --- latest driver row is r3 (all 30) ---
-    "q_agg_distinct", "q_rollup", "q_grouping_sets",
-    "q_pivot", "q_cube", "q_having", "q_stats_agg",
-    "q2_order_priority", "q5_region_revenue",
-    "d_substring_dups", "d_minhash_lsh",
-    "d_simhash", "d_simhash_pairs", "d_jaccard_histogram",
-    "d_dup_clusters", "d_editdist_dups", "d_minhash_est",
-    "m_media_meta",
-    "t_decontaminate", "t_stratified_sample", "t_weighted_sample",
-    "t_text_stats", "t_lang_id", "t_lang_predict",
-    "t_quality_score", "t_pack_contexts", "t_chunk_documents",
-    "t_fingerprint", "t_repetition_filter", "t_pii_scrub",
-    # --- latest driver row is r4 (16 of 47; pandas/sketch/multimodal
-    # families whose certification is oldest after the r3 set —
-    # the remaining 31 r4 ops are the r11 rotation priority) ---
-    "p_pandas_udaf", "p_grouped_map_zscore",
-    "t_ngram_lm_score", "t_tfidf", "t_domain_mix",
-    "sk_hll_distinct", "sk_cms_topk", "sk_hll_intersect",
-    "sk_bloom_prefilter", "d_incremental_dedup",
-    "q_zorder_layout", "m_thumbnail", "m_media_features",
-    "m_frame_sample", "q8_market_share", "q_corr",
+    # r11 rotation (VERDICT r10 task 1): burn the freshness debt to
+    # zero-older-than-r5. The 31 ops whose LATEST green driver row is
+    # r4 lead, then the 11 r5s, then 8 of the 11 r6s:
+    # 31 + 11 + 8 = exactly the 50-slot sample.
+    # --- latest driver row is r4 (all 31) ---
+    "q7_nation_trade", "q9_product_profit", "q10_returned_items",
+    "q11_important_parts", "q12_priority_lines",
+    "q13_customer_distribution", "q14_promo_revenue",
+    "q16_supplier_cnt", "q17_small_qty_revenue", "q18_large_orders",
+    "q19_bracket_revenue", "q20_excess_suppliers", "q21_last_shipper",
+    "q22_global_sales_opp",
+    "q_bucketed_join", "q_salted_join", "q_math_funcs",
+    "q_recursive_cte", "q_try_arith", "q_unpivot", "q_variant_json",
+    "qds14_cross_channel", "qds63_monthly_deviation",
+    "qds67_topk_rollup", "qds81_returns_above_avg",
+    "s_ann_bruteforce",
+    "st_dedup_stream", "st_enrich_stream", "st_hourly_stream",
+    "st_running_totals", "st_stream_stream_join",
+    # --- latest driver row is r5 (all 11) ---
+    "qds11_yoy_growth", "qds17_sale_return_repurchase",
+    "qds23_cte_reuse", "qds34_frequent_buyers", "qds36_hierarchy_rank",
+    "qds49_channel_return_ranks", "qds51_cumulative_windows",
+    "qds72_wide_dim_join", "qds88_multi_scalar",
+    "qds93_returns_adjustment", "qds95_reused_subquery",
+    # --- latest driver row is r6 (8 of 11; deterministic alphabetical
+    # cut — s_label_centroids / sk_quantile_bands / t_hash_split are
+    # the r12 rotation priority, then the 47 r7s oldest-first) ---
+    "q_approx_distinct", "q_csv_funcs", "q_explode_outer",
+    "q_minmax_by", "q_ordinals", "q_posexplode", "q_union_by_name",
+    "q_window_time_range",
     # ---- 50-slot cut falls here ----
-    # r11 rotation priority: the remaining r4-certified ops (oldest
-    # first): q14_promo_revenue, q17_small_qty_revenue, q_math_funcs,
-    # q_bucketed_join, st_* (5), q7/q9/q10/q16/q18/q21/q13/q20/q22/
-    # q11/q12/q19 TPC-H siblings, q_salted_join, s_ann_bruteforce,
-    # q_recursive_cte, q_unpivot, q_variant_json, q_try_arith,
-    # qds63/qds14/qds67/qds81.
-    "q14_promo_revenue", "q17_small_qty_revenue", "q_math_funcs",
-    "q_bucketed_join", "st_hourly_stream", "st_enrich_stream",
-    "st_dedup_stream", "st_running_totals", "st_stream_stream_join",
+    # r12 rotation priority: s_label_centroids, sk_quantile_bands,
+    # t_hash_split (r6), then the r7 block (d_dedup_exact,
+    # pipe_build_dataset, q6_forecast_revenue, q_array_funcs, ...).
+    "s_label_centroids", "sk_quantile_bands", "t_hash_split",
     # anchors with a continuous driver record (cheap cross-round
     # stability signal if the sample ever widens)
     "q1_pricing_summary", "q3_shipping_priority",

@@ -49,6 +49,13 @@ def main() -> None:
                    help="COPY FROM STDIN spills complete-row batches to a "
                         "parquet staging dir past this driver-buffer bound "
                         "(default 32 MiB)")
+    p.add_argument("--auth", default="trust",
+                   choices=["trust", "password", "scram-sha-256"],
+                   help="client authentication: trust (default), cleartext "
+                        "password, or SCRAM-SHA-256 (RFC 7677 SASL)")
+    p.add_argument("--auth-password", default=None,
+                   help="the single accepted password for --auth modes "
+                        "(default: $SPARK_PG_PASSWORD)")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args()
 
@@ -60,10 +67,23 @@ def main() -> None:
     sf_dir = args.sf_dir or DEFAULT_SF_DIR
     spark = build_session("spark-pg-server")
 
+    import os
+
+    auth_password = args.auth_password or os.environ.get("SPARK_PG_PASSWORD")
+    if args.auth != "trust" and not auth_password:
+        p.error(f"--auth {args.auth} requires --auth-password or $SPARK_PG_PASSWORD")
+
     server = SparkPGServer(
         spark,
         host=args.host,
         port=args.port,
+        auth=args.auth,
+        password_check=(
+            (lambda user, pw: pw == auth_password) if auth_password else None
+        ),
+        password_lookup=(
+            (lambda user: auth_password) if auth_password else None
+        ),
         incremental_collect=not args.no_incremental,
         init_session=lambda s: register_tables(s, sf_dir),
         idle_session_timeout=args.idle_session_timeout,

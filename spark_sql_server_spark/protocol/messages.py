@@ -35,6 +35,23 @@ def authentication_cleartext_password() -> bytes:
     return _msg(b"R", struct.pack("!i", 3))
 
 
+def authentication_sasl(mechanisms: list[str]) -> bytes:
+    """AuthenticationSASL: advertised mechanism list, NUL-separated,
+    double-NUL terminated."""
+    body = struct.pack("!i", 10)
+    for m in mechanisms:
+        body += m.encode() + b"\x00"
+    return _msg(b"R", body + b"\x00")
+
+
+def authentication_sasl_continue(data: bytes) -> bytes:
+    return _msg(b"R", struct.pack("!i", 11) + data)
+
+
+def authentication_sasl_final(data: bytes) -> bytes:
+    return _msg(b"R", struct.pack("!i", 12) + data)
+
+
 def parameter_status(key: str, value: str) -> bytes:
     return _msg(b"S", key.encode() + b"\x00" + value.encode() + b"\x00")
 

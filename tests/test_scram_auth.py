@@ -1,0 +1,293 @@
+"""SCRAM-SHA-256 authentication tests (RFC 5802/7677).
+
+Beyond-reference surface (the reference only stubs GSS,
+``protocol.scala:703-729``): unit tests of the server state machine
+against a hand-rolled RFC client, raw-socket SASL e2e, and a real-psql
+drive (libpq negotiates SCRAM natively from AuthenticationSASL).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import hashlib
+import hmac
+import secrets as pysecrets
+import shutil
+import struct
+import subprocess
+import threading
+
+import pytest
+
+from spark_sql_server_spark.protocol import scram
+from spark_sql_server_spark.protocol.server import SparkPGServer
+from tests.test_protocol_e2e import PgClient, _startup, rows_of
+
+
+# --------------------------------------------------------------------- #
+# RFC 5802 client side (test-local — drives the server state machine)
+# --------------------------------------------------------------------- #
+
+
+def _hmac(key: bytes, msg: bytes) -> bytes:
+    return hmac.new(key, msg, hashlib.sha256).digest()
+
+
+class _RfcClient:
+    def __init__(self, password: str, gs2: str = "n,,", nonce: str | None = None):
+        self.password = password
+        self.gs2 = gs2
+        self.nonce = nonce or pysecrets.token_urlsafe(18)
+        self.first_bare = f"n=,r={self.nonce}"
+
+    def first(self) -> bytes:
+        return (self.gs2 + self.first_bare).encode()
+
+    def final(self, server_first: bytes) -> tuple[bytes, bytes]:
+        """Returns (client-final bytes, expected ServerSignature)."""
+        attrs = dict(p.split("=", 1) for p in server_first.decode().split(","))
+        assert attrs["r"].startswith(self.nonce)
+        salt = base64.b64decode(attrs["s"])
+        i = int(attrs["i"])
+        salted = hashlib.pbkdf2_hmac("sha256", self.password.encode(), salt, i)
+        client_key = _hmac(salted, b"Client Key")
+        stored_key = hashlib.sha256(client_key).digest()
+        c = base64.b64encode(self.gs2.encode()).decode()
+        without_proof = f"c={c},r={attrs['r']}"
+        auth_message = ",".join(
+            (self.first_bare, server_first.decode(), without_proof)
+        ).encode()
+        sig = _hmac(stored_key, auth_message)
+        proof = bytes(a ^ b for a, b in zip(client_key, sig))
+        final = f"{without_proof},p={base64.b64encode(proof).decode()}"
+        server_sig = _hmac(_hmac(salted, b"Server Key"), auth_message)
+        return final.encode(), b"v=" + base64.b64encode(server_sig)
+
+
+class TestScramStateMachine:
+    def test_full_exchange(self):
+        cli = _RfcClient("hunter2")
+        srv = scram.ScramServer("hunter2")
+        sfirst = srv.handle_client_first(cli.first())
+        assert sfirst.startswith(b"r=" + cli.nonce.encode())
+        assert b",s=" in sfirst and b",i=4096" in sfirst
+        cfinal, want_sig = cli.final(sfirst)
+        assert srv.handle_client_final(cfinal) == want_sig
+
+    def test_rfc7677_vector(self):
+        # the published RFC 7677 example exchange, replayed verbatim
+        srv = scram.ScramServer(
+            "pencil",
+            salt=base64.b64decode("W22ZaJ0SNY7soEsUEjb6gQ=="),
+            server_nonce="%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0",
+            iterations=4096,
+        )
+        sfirst = srv.handle_client_first(
+            b"n,,n=user,r=rOprNGfwEbeRWgbNEkqO"
+        )
+        assert sfirst == (
+            b"r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+            b"s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+        )
+        sfinal = srv.handle_client_final(
+            b"c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+            b"p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+        )
+        assert sfinal == b"v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+
+    def test_y_gs2_header_accepted(self):
+        # "y,," = client supports channel binding, server offered no
+        # -PLUS (libpq sends this over SSL when only SCRAM-SHA-256 is
+        # advertised)
+        cli = _RfcClient("pw", gs2="y,,")
+        srv = scram.ScramServer("pw")
+        cfinal, want = cli.final(srv.handle_client_first(cli.first()))
+        assert srv.handle_client_final(cfinal) == want
+
+    def test_wrong_password_is_28p01(self):
+        cli = _RfcClient("wrong")
+        srv = scram.ScramServer("right")
+        cfinal, _ = cli.final(srv.handle_client_first(cli.first()))
+        with pytest.raises(scram.ScramError) as ei:
+            srv.handle_client_final(cfinal)
+        assert ei.value.sqlstate == "28P01"
+
+    def test_channel_binding_required_rejected(self):
+        srv = scram.ScramServer("pw")
+        with pytest.raises(scram.ScramError):
+            srv.handle_client_first(b"p=tls-server-end-point,,n=,r=abc")
+
+    def test_nonce_mismatch_rejected(self):
+        cli = _RfcClient("pw")
+        srv = scram.ScramServer("pw")
+        sfirst = srv.handle_client_first(cli.first())
+        cfinal, _ = cli.final(sfirst)
+        # tamper: replace the combined nonce
+        bad = cfinal.replace(cli.nonce.encode(), b"XXXX", 1)
+        with pytest.raises(scram.ScramError):
+            srv.handle_client_final(bad)
+
+    def test_cbind_data_mismatch_rejected(self):
+        cli = _RfcClient("pw")
+        srv = scram.ScramServer("pw")
+        cfinal, _ = cli.final(srv.handle_client_first(cli.first()))
+        with pytest.raises(scram.ScramError):
+            # c=eSws claims a "y,," gs2 header the client never sent
+            srv.handle_client_final(cfinal.replace(b"c=biws", b"c=eSws"))
+
+    def test_malformed_first_rejected(self):
+        srv = scram.ScramServer("pw")
+        for bad in (b"", b"x,,n=,r=a", b"n,,garbage", b"n,,n=u"):
+            with pytest.raises(scram.ScramError):
+                scram.ScramServer("pw").handle_client_first(bad)
+        with pytest.raises(scram.ScramError):
+            srv.handle_client_final(b"c=biws,r=a,p=AAAA")  # before first
+
+
+# --------------------------------------------------------------------- #
+# socket e2e
+# --------------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def scram_server(spark):
+    loop = asyncio.new_event_loop()
+    thread = threading.Thread(target=loop.run_forever, daemon=True)
+    thread.start()
+
+    async def make():
+        srv = SparkPGServer(
+            spark,
+            port=0,
+            pg_catalog=False,
+            auth="scram-sha-256",
+            password_lookup=lambda user: "s3cret" if user == "alice" else None,
+        )
+        await srv.start()
+        return srv
+
+    srv = asyncio.run_coroutine_threadsafe(make(), loop).result(120)
+    yield srv, loop
+    asyncio.run_coroutine_threadsafe(srv.stop(), loop).result(30)
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def _pmsg(data: bytes) -> bytes:
+    return b"p" + struct.pack("!i", len(data) + 4) + data
+
+
+async def _read_msg(r):
+    hdr = await r.readexactly(5)
+    (ln,) = struct.unpack("!i", hdr[1:])
+    return hdr[:1], await r.readexactly(ln - 4)
+
+
+async def _sasl_login(port: int, user: str, password: str):
+    """Full SASL exchange; returns (reader, writer, server_sig_ok) on
+    success or (None, None, error_body) on auth failure."""
+    r, w = await asyncio.open_connection("127.0.0.1", port)
+    w.write(_startup({"user": user}))
+    await w.drain()
+    tag, body = await _read_msg(r)
+    assert tag == b"R" and struct.unpack("!i", body[:4])[0] == 10
+    mechs = body[4:].rstrip(b"\x00").split(b"\x00")
+    assert b"SCRAM-SHA-256" in mechs
+    cli = _RfcClient(password)
+    first = cli.first()
+    w.write(_pmsg(b"SCRAM-SHA-256\x00" + struct.pack("!i", len(first)) + first))
+    await w.drain()
+    tag, body = await _read_msg(r)
+    assert tag == b"R" and struct.unpack("!i", body[:4])[0] == 11
+    cfinal, want_sig = cli.final(body[4:])
+    w.write(_pmsg(cfinal))
+    await w.drain()
+    tag, body = await _read_msg(r)
+    if tag == b"E":
+        w.close()
+        return None, None, body
+    assert tag == b"R" and struct.unpack("!i", body[:4])[0] == 12
+    return r, w, body[4:] == want_sig
+
+
+class TestScramSocketE2E:
+    def test_login_and_query(self, scram_server):
+        srv, loop = scram_server
+
+        async def go():
+            r, w, sig_ok = await _sasl_login(srv.port, "alice", "s3cret")
+            assert sig_ok is True  # server proved knowledge of the password
+            c = PgClient(r, w)
+            msgs = await c.until_ready()
+            assert msgs[0][0] == b"R"  # AuthenticationOk
+            result = await c.simple("SELECT 7 AS v")
+            await c.close()
+            return result
+
+        assert rows_of(asyncio.run_coroutine_threadsafe(go(), loop).result(120)) == [[b"7"]]
+
+    def test_wrong_password_28p01(self, scram_server):
+        srv, loop = scram_server
+        r, w, err = asyncio.run_coroutine_threadsafe(
+            _sasl_login(srv.port, "alice", "nope"), loop
+        ).result(120)
+        assert r is None and b"28P01" in err
+
+    def test_unknown_user_28p01_after_mock_exchange(self, scram_server):
+        # unknown users get a full mock exchange (no enumeration), then
+        # the same 28P01 as a wrong password
+        srv, loop = scram_server
+        r, w, err = asyncio.run_coroutine_threadsafe(
+            _sasl_login(srv.port, "mallory", "s3cret"), loop
+        ).result(120)
+        assert r is None and b"28P01" in err
+
+    def test_unsupported_mechanism_rejected(self, scram_server):
+        srv, loop = scram_server
+
+        async def go():
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            w.write(_startup({"user": "alice"}))
+            await w.drain()
+            await _read_msg(r)  # AuthenticationSASL
+            w.write(_pmsg(b"SCRAM-SHA-256-PLUS\x00" + struct.pack("!i", 3) + b"n,,"))
+            await w.drain()
+            tag, body = await _read_msg(r)
+            w.close()
+            return tag, body
+
+        tag, body = asyncio.run_coroutine_threadsafe(go(), loop).result(120)
+        assert tag == b"E" and b"28000" in body
+
+
+# --------------------------------------------------------------------- #
+# real psql (libpq SCRAM)
+# --------------------------------------------------------------------- #
+
+psql_missing = shutil.which("psql") is None
+
+
+@pytest.mark.skipif(psql_missing, reason="psql binary not available")
+class TestScramPsql:
+    def _psql(self, srv, password: str, sql: str):
+        return subprocess.run(
+            ["psql", "-h", "127.0.0.1", "-p", str(srv.port), "-U", "alice",
+             "-d", "default", "-X", "-At", "-c", sql],
+            capture_output=True,
+            text=True,
+            timeout=120,
+            env={"PATH": "/usr/bin:/bin", "PGPASSWORD": password,
+                 "PGCONNECT_TIMEOUT": "30"},
+        )
+
+    def test_psql_scram_login(self, scram_server):
+        srv, _ = scram_server
+        out = self._psql(srv, "s3cret", "SELECT 1+1")
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.strip() == "2"
+
+    def test_psql_scram_wrong_password(self, scram_server):
+        srv, _ = scram_server
+        out = self._psql(srv, "wrong", "SELECT 1")
+        assert out.returncode != 0
+        assert "password authentication failed" in out.stderr

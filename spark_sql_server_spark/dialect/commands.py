@@ -71,6 +71,13 @@ class Statement:
     #: for DECLARE/FETCH/CLOSE: cursor name; FETCH also carries a count
     cursor_name: str | None = None
     fetch_count: int | None = None  # None → ALL
+    #: FETCH/MOVE direction keyword (NEXT/PRIOR/FIRST/LAST/ABSOLUTE/
+    #: RELATIVE/FORWARD/BACKWARD/ALL); None for plain `FETCH [n]`
+    fetch_direction: str | None = None
+    #: MOVE repositions without returning rows
+    fetch_move: bool = False
+    #: DECLARE ... SCROLL CURSOR — backward/absolute FETCH allowed
+    cursor_scroll: bool = False
     #: COPY WITH (DELIMITER 'x' / NULL 'marker') overrides
     copy_delim: str | None = None
     copy_null: str | None = None
@@ -79,14 +86,21 @@ class Statement:
 
 
 _DECLARE_RE = re.compile(
-    r"^\s*DECLARE\s+(?P<name>[\w\"]+)\s+(?:BINARY\s+|INSENSITIVE\s+|"
-    r"NO\s+SCROLL\s+|SCROLL\s+)*CURSOR\s+(?:WITH(?:OUT)?\s+HOLD\s+)?FOR\s+"
+    r"^\s*DECLARE\s+(?P<name>[\w\"]+)\s+(?P<opts>(?:BINARY\s+|INSENSITIVE\s+|"
+    r"NO\s+SCROLL\s+|SCROLL\s+)*)CURSOR\s+(?:WITH(?:OUT)?\s+HOLD\s+)?FOR\s+"
     r"(?P<query>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 
+#: PG FETCH/MOVE grammar: [direction] [count] [FROM|IN] cursor.
+#: NEXT/PRIOR/FIRST/LAST take no count; ABSOLUTE/RELATIVE require one
+#: (may be negative); FORWARD/BACKWARD take an optional count or ALL;
+#: a bare signed count means FORWARD n (negative → BACKWARD |n|).
 _FETCH_RE = re.compile(
-    r"^\s*FETCH\s+(?:(?:FORWARD|NEXT)\s+)?(?P<count>\d+|ALL)?\s*"
+    r"^\s*(?P<verb>FETCH|MOVE)\s+"
+    r"(?:(?P<dir>NEXT|PRIOR|FIRST|LAST|ABSOLUTE|RELATIVE|FORWARD|BACKWARD"
+    r"|ALL)\s+)?"
+    r"(?P<count>[+-]?\d+|ALL)?\s*"
     r"(?:FROM\s+|IN\s+)?(?P<name>[\w\"]+)\s*$",
     re.IGNORECASE,
 )
@@ -434,23 +448,35 @@ def classify_statement(sql: str) -> Statement:
     if word0 == "DECLARE":
         m = _DECLARE_RE.match(s)
         if m:
+            opts = (m.group("opts") or "").upper()
             return Statement(
                 StatementClass.DECLARE_CURSOR,
                 sql,
                 cursor_name=m.group("name").strip('"'),
                 copy_query=m.group("query").strip(),
                 tag="DECLARE CURSOR",
+                # "NO SCROLL" contains "SCROLL" — check the negation first
+                cursor_scroll="SCROLL" in opts and "NO SCROLL" not in opts,
             )
-    if word0 == "FETCH":
+    if word0 in ("FETCH", "MOVE"):
         m = _FETCH_RE.match(s)
         if m:
             count = m.group("count")
+            direction = (m.group("dir") or "").upper() or None
+            is_all = count is not None and count.upper() == "ALL"
+            if direction in ("FORWARD", "BACKWARD") and is_all:
+                # FORWARD ALL / BACKWARD ALL vs bare FORWARD (= 1 row)
+                direction = f"{direction} ALL"
+            elif direction is None and is_all:
+                direction = "ALL"
             return Statement(
                 StatementClass.FETCH,
                 sql,
                 cursor_name=m.group("name").strip('"'),
-                fetch_count=None if count in (None, "") or count.upper() == "ALL"
+                fetch_count=None if count in (None, "") or is_all
                 else int(count),
+                fetch_direction=direction,
+                fetch_move=m.group("verb").upper() == "MOVE",
             )
     if word0 == "CLOSE":
         m = _CLOSE_RE.match(s)

@@ -228,3 +228,33 @@ class TestPsqlMetaCommandBattery:
     def test_dconfig_setting(self, psql_server):
         out = self._ok(psql_server, r"\dconfig statement_timeout")
         assert "statement_timeout" in out
+
+
+class TestPsqlScrollCursor:
+    def test_fetch_backward_over_psql(self, psql_server):
+        # one simple-query message with the whole scroll battery, the
+        # way psql -c ships it
+        out = psql(psql_server, "-At", "-c",
+                   "BEGIN; "
+                   "DECLARE sc SCROLL CURSOR FOR "
+                   "SELECT r_regionkey FROM region ORDER BY r_regionkey; "
+                   "FETCH 3 FROM sc; "
+                   "FETCH PRIOR FROM sc; "
+                   "FETCH BACKWARD 2 FROM sc; "
+                   "FETCH LAST FROM sc; "
+                   "MOVE ABSOLUTE 2 IN sc; "
+                   "FETCH RELATIVE 0 FROM sc; "
+                   "CLOSE sc")
+        assert out.returncode == 0, out.stderr
+        # psql -At interleaves command tags (BEGIN/DECLARE CURSOR/MOVE 1)
+        # with the fetched rows — compare the numeric row stream:
+        # 0,1,2 | prior→1 | backward→0 (then before-first) | last→4 |
+        # relative 0 after MOVE ABSOLUTE 2 → 1
+        rows = [ln for ln in out.stdout.splitlines() if ln.isdigit()]
+        assert rows == ["0", "1", "2", "1", "0", "4", "1"]
+        assert "MOVE 1" in out.stdout
+
+    def test_no_scroll_backward_error(self, psql_server):
+        out = psql(psql_server, "-At", "-c",
+                   "DECLARE ns CURSOR FOR SELECT 1; FETCH PRIOR FROM ns")
+        assert "scan forward" in out.stderr

@@ -185,3 +185,165 @@ class TestFetchSizeIncrementalMatrix:
         else:
             # 6 rows at fetch_size per round: every full batch suspends
             assert suspensions == 6 // fetch_size
+
+
+class TestScrollClassify:
+    def test_scroll_flag(self):
+        assert classify_statement(
+            "DECLARE c SCROLL CURSOR FOR SELECT 1"
+        ).cursor_scroll is True
+        assert classify_statement(
+            "DECLARE c NO SCROLL CURSOR FOR SELECT 1"
+        ).cursor_scroll is False
+        assert classify_statement(
+            "DECLARE c CURSOR FOR SELECT 1"
+        ).cursor_scroll is False
+
+    def test_direction_grammar(self):
+        st = classify_statement("FETCH PRIOR FROM c")
+        assert st.fetch_direction == "PRIOR" and st.fetch_count is None
+        st = classify_statement("FETCH ABSOLUTE -2 FROM c")
+        assert st.fetch_direction == "ABSOLUTE" and st.fetch_count == -2
+        st = classify_statement("FETCH BACKWARD ALL FROM c")
+        assert st.fetch_direction == "BACKWARD ALL" and st.fetch_count is None
+        st = classify_statement("FETCH FORWARD ALL FROM c")
+        assert st.fetch_direction == "FORWARD ALL"
+        st = classify_statement("FETCH RELATIVE 3 IN c")
+        assert st.fetch_direction == "RELATIVE" and st.fetch_count == 3
+        st = classify_statement("MOVE LAST IN c")
+        assert st.fetch_move is True and st.fetch_direction == "LAST"
+        st = classify_statement("FETCH -4 FROM c")
+        assert st.fetch_direction is None and st.fetch_count == -4
+
+
+class TestScrollCursors:
+    """PG scrollable-cursor battery: the 25-row nation walk drives every
+    direction (PRIOR/FIRST/LAST/ABSOLUTE/RELATIVE/BACKWARD[n|ALL]/MOVE)
+    against PG's documented position semantics."""
+
+    def _walk(self, server, stmts):
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            out = []
+            await c.simple(
+                "DECLARE sc SCROLL CURSOR FOR "
+                "SELECT n_nationkey FROM nation ORDER BY n_nationkey"
+            )
+            for s in stmts:
+                msgs = await c.simple(s)
+                out.append(
+                    ([r[0] for r in rows_of(msgs)], completes_of(msgs))
+                )
+            await c.simple("CLOSE sc")
+            await c.close()
+            return out
+
+        return loop.run_until_complete(go())
+
+    def test_forward_then_backward(self, server):
+        out = self._walk(server, [
+            "FETCH 5 FROM sc",          # rows 0..4, pos=5
+            "FETCH PRIOR FROM sc",      # row 3, pos=4
+            "FETCH BACKWARD 2 FROM sc", # rows 2,1 (reverse order), pos=2
+            "FETCH BACKWARD ALL FROM sc",  # row 0, pos=0
+            "FETCH PRIOR FROM sc",      # nothing before first
+        ])
+        assert out[0] == ([b"0", b"1", b"2", b"3", b"4"], ["FETCH 5"])
+        assert out[1] == ([b"3"], ["FETCH 1"])
+        assert out[2] == ([b"2", b"1"], ["FETCH 2"])
+        assert out[3] == ([b"0"], ["FETCH 1"])
+        assert out[4] == ([], ["FETCH 0"])
+
+    def test_absolute_first_last(self, server):
+        out = self._walk(server, [
+            "FETCH ABSOLUTE 10 FROM sc",   # row key 9
+            "FETCH FIRST FROM sc",         # key 0
+            "FETCH LAST FROM sc",          # key 24
+            "FETCH ABSOLUTE -2 FROM sc",   # key 23 (second from end)
+            "FETCH ABSOLUTE 100 FROM sc",  # past end: none, pos after last
+            "FETCH PRIOR FROM sc",         # from after-end: last row
+            "FETCH ABSOLUTE 0 FROM sc",    # before first: none
+            "FETCH NEXT FROM sc",          # first row again
+        ])
+        assert out[0] == ([b"9"], ["FETCH 1"])
+        assert out[1] == ([b"0"], ["FETCH 1"])
+        assert out[2] == ([b"24"], ["FETCH 1"])
+        assert out[3] == ([b"23"], ["FETCH 1"])
+        assert out[4] == ([], ["FETCH 0"])
+        assert out[5] == ([b"24"], ["FETCH 1"])
+        assert out[6] == ([], ["FETCH 0"])
+        assert out[7] == ([b"0"], ["FETCH 1"])
+
+    def test_relative_and_move(self, server):
+        out = self._walk(server, [
+            "FETCH 3 FROM sc",            # pos=3 (key 2)
+            "FETCH RELATIVE 0 FROM sc",   # re-fetch current: key 2
+            "FETCH RELATIVE 5 FROM sc",   # key 7, pos=8
+            "FETCH RELATIVE -6 FROM sc",  # key 1, pos=2
+            "MOVE ABSOLUTE 5 IN sc",      # reposition only: MOVE 1
+            "FETCH RELATIVE 0 FROM sc",   # key 4
+            "MOVE BACKWARD ALL IN sc",    # MOVE 4, pos=0
+            "FETCH NEXT FROM sc",         # key 0
+        ])
+        assert out[0][1] == ["FETCH 3"]
+        assert out[1] == ([b"2"], ["FETCH 1"])
+        assert out[2] == ([b"7"], ["FETCH 1"])
+        assert out[3] == ([b"1"], ["FETCH 1"])
+        assert out[4] == ([], ["MOVE 1"])
+        assert out[5] == ([b"4"], ["FETCH 1"])
+        assert out[6] == ([], ["MOVE 4"])
+        assert out[7] == ([b"0"], ["FETCH 1"])
+
+    def test_forward_all_roundtrip(self, server):
+        out = self._walk(server, [
+            "FETCH FORWARD ALL FROM sc",   # 25 rows, pos after last
+            "FETCH NEXT FROM sc",          # exhausted
+            "FETCH BACKWARD ALL FROM sc",  # 24 rows (all but last... no:
+                                           # from after-end: 25? no — 24+1)
+        ])
+        assert out[0][1] == ["FETCH 25"]
+        assert out[1] == ([], ["FETCH 0"])
+        # from position after-last, BACKWARD ALL returns all 25 reversed
+        assert out[2][0][0] == b"24" and len(out[2][0]) == 25
+
+    def test_no_scroll_backward_rejected(self, server):
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            await c.simple(
+                "DECLARE ns CURSOR FOR SELECT n_nationkey FROM nation"
+            )
+            msgs = await c.simple("FETCH PRIOR FROM ns")
+            msgs2 = await c.simple("MOVE 3 IN ns")
+            await c.simple("CLOSE ns")
+            await c.close()
+            return msgs, msgs2
+
+        msgs, msgs2 = loop.run_until_complete(go())
+        assert any(t == b"E" for t, _ in msgs)
+        assert b"scan forward" in b"".join(b for t, b in msgs if t == b"E")
+        assert any(t == b"E" for t, _ in msgs2)
+
+    def test_scroll_partial_pull_is_lazy(self, server):
+        # FETCH 2 on a SCROLL cursor over range(1e6) must return fast
+        # (buffers only the first pull batch, never the whole result)
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            await c.simple(
+                "DECLARE big SCROLL CURSOR FOR "
+                "SELECT id FROM range(1000000) ORDER BY id"
+            )
+            msgs = await c.simple("FETCH 2 FROM big")
+            back = await c.simple("FETCH BACKWARD 1 FROM big")
+            await c.simple("CLOSE big")
+            await c.close()
+            return msgs, back
+
+        msgs, back = loop.run_until_complete(go())
+        assert [r[0] for r in rows_of(msgs)] == [b"0", b"1"]
+        assert [r[0] for r in rows_of(back)] == [b"0"]

@@ -199,6 +199,20 @@ class Portal:
     fetched: int = 0
     exhausted: bool = False
     is_cursor: bool = False  # named portal → cursor-paced fetch
+    # monitoring-ring bookkeeping: a maxRows fetch loop (JDBC
+    # setFetchSize) is ONE statement — record it once, timed from the
+    # first Execute, not one ring entry per PortalSuspended resume
+    first_execute_t0: float | None = None
+    suspended: bool = False
+    # SCROLL cursors buffer fetched-so-far rows driver-side (like PG's
+    # own SCROLL materialization caveat) so PRIOR/BACKWARD/ABSOLUTE can
+    # revisit them; pos is PG's cursor position: 0 = before first row,
+    # 1..N on row N, N+1 = after last; total stays None until the
+    # source iterator is exhausted
+    scroll: bool = False
+    buffer: list | None = None
+    pos: int = 0
+    total: int | None = None
 
 
 @dataclass
@@ -306,6 +320,8 @@ class SparkPGServer:
         ssl_self_signed: bool = False,
         auth: str = "trust",
         password_check=None,  # callback(user, password) -> bool
+        password_lookup=None,  # callback(user) -> cleartext password | None
+        scram_iterations: int | None = None,
         execution_mode: str | None = None,
         binary_transfer: bool | None = None,
         metrics_port: int | None = None,
@@ -343,8 +359,15 @@ class SparkPGServer:
         self.init_session = init_session  # callback(SparkSession) per connection
         self.pg_catalog = pg_catalog
         self.idle_session_timeout = idle_session_timeout
+        if auth not in ("trust", "password", "scram-sha-256"):
+            raise ValueError(f"unsupported auth mode {auth!r}")
         self.auth = auth
         self.password_check = password_check
+        # SCRAM derives the verifier per-exchange from the cleartext
+        # password the embedder supplies (PG stores salted verifiers in
+        # pg_authid; a plain password source keeps the embedder API small)
+        self.password_lookup = password_lookup
+        self.scram_iterations = scram_iterations
         self.metrics = ServerMetrics()
         #: HTTP monitoring endpoint (reference SQLServerListener + UI
         #: tab equivalent); None → disabled, 0 → ephemeral port.
@@ -438,6 +461,19 @@ class SparkPGServer:
                 hdr = await reader.readexactly(5)
                 tag = hdr[:1]
                 (length,) = struct.unpack("!i", hdr[1:5])
+                if length < 4 or length > (1 << 30):
+                    # PG's PqRecvBuf bound: a malformed/hostile length
+                    # is a protocol violation, never an allocation
+                    writer.write(
+                        M.error_response(
+                            f"invalid message length {length} "
+                            f"(tag {tag!r})",
+                            "08P01",
+                            severity="FATAL",
+                        )
+                    )
+                    await writer.drain()
+                    break
                 body = await reader.readexactly(length - 4) if length > 4 else b""
                 if tag == b"X":  # Terminate
                     break
@@ -461,6 +497,20 @@ class SparkPGServer:
         while True:
             hdr = await reader.readexactly(4)
             (length,) = struct.unpack("!i", hdr)
+            # PG bounds the startup packet (MAX_STARTUP_PACKET_LENGTH
+            # 10000) — reject before allocating an attacker-chosen
+            # buffer; a negative/short length is equally malformed
+            if length < 8 or length > 10000:
+                writer.write(
+                    M.error_response(
+                        f"invalid startup packet length {length}",
+                        "08P01",
+                        severity="FATAL",
+                    )
+                )
+                await writer.drain()
+                writer.close()
+                return None
             body = await reader.readexactly(length - 4)
             (code,) = struct.unpack("!i", body[:4])
             if code == M.SSL_REQUEST_CODE:
@@ -507,6 +557,9 @@ class SparkPGServer:
                 )
                 await writer.drain()
                 writer.close()
+                return None
+        elif self.auth == "scram-sha-256":
+            if not await self._scram_handshake(startup, reader, writer):
                 return None
 
         pid = next(self._pid_counter)
@@ -586,6 +639,84 @@ class SparkPGServer:
         writer.write(bytes(out))
         await writer.drain()
         return state
+
+    async def _scram_handshake(self, startup, reader, writer) -> bool:
+        """SCRAM-SHA-256 SASL exchange (RFC 5802/7677; beyond-reference —
+        the reference only stubs GSS, ``protocol.scala:703-729``).
+        Returns True on success; on failure writes the error, closes the
+        transport and returns False."""
+        from spark_sql_server_spark.protocol import scram
+
+        user = startup.params.get("user", "")
+        pw = self.password_lookup(user) if self.password_lookup else None
+        # unknown user: run a mock exchange against a random password so
+        # the timing/shape doesn't leak which usernames exist (PG's
+        # mock_scram_secret behavior); the proof then fails as 28P01
+        srv = scram.ScramServer(
+            pw if pw is not None else secrets.token_hex(16),
+            iterations=self.scram_iterations or scram.DEFAULT_ITERATIONS,
+        )
+
+        async def fail(msg: str, sqlstate: str) -> bool:
+            writer.write(M.error_response(msg, sqlstate, severity="FATAL"))
+            await writer.drain()
+            writer.close()
+            return False
+
+        async def read_password_message() -> bytes | None:
+            hdr = await reader.readexactly(5)
+            (plen,) = struct.unpack("!i", hdr[1:5])
+            body = await reader.readexactly(plen - 4)
+            return body if hdr[:1] == b"p" else None
+
+        writer.write(M.authentication_sasl([scram.MECHANISM]))
+        await writer.drain()
+
+        # SASLInitialResponse: mechanism cstring + int32 length + data
+        body = await read_password_message()
+        if body is None:
+            return await fail("expected SASLInitialResponse", "28000")
+        try:
+            mech, rest = body.split(b"\x00", 1)
+            (dlen,) = struct.unpack("!i", rest[:4])
+            first = rest[4 : 4 + dlen] if dlen >= 0 else b""
+        except (ValueError, struct.error):
+            return await fail("malformed SASLInitialResponse", "08P01")
+        if mech.decode("utf-8", "replace") != scram.MECHANISM:
+            return await fail(
+                f"unsupported SASL mechanism {mech!r} "
+                f"(server offers {scram.MECHANISM})",
+                "28000",
+            )
+        try:
+            server_first = srv.handle_client_first(first)
+        except scram.ScramError as e:
+            return await fail(str(e), e.sqlstate)
+        writer.write(M.authentication_sasl_continue(server_first))
+        await writer.drain()
+
+        # SASLResponse: raw client-final-message
+        body = await read_password_message()
+        if body is None:
+            return await fail("expected SASLResponse", "28000")
+        try:
+            server_final = srv.handle_client_final(body)
+        except scram.ScramError as e:
+            if e.sqlstate == "28P01" or pw is None:
+                return await fail(
+                    "password authentication failed for user "
+                    f'"{user}"',
+                    "28P01",
+                )
+            return await fail(str(e), e.sqlstate)
+        if pw is None:
+            # mock exchange somehow passed (cannot happen: random secret)
+            return await fail(
+                f'password authentication failed for user "{user}"', "28P01"
+            )
+        writer.write(M.authentication_sasl_final(server_final))
+        await writer.drain()
+        return True
 
     def _cancel(self, pid: int, secret: int) -> None:
         state = self._sessions.get(pid)
@@ -752,6 +883,8 @@ class SparkPGServer:
                 result_formats=[0],
                 serializer=self._make_serializer(df, [0]),
                 is_cursor=True,
+                scroll=stmt.cursor_scroll,
+                buffer=[] if stmt.cursor_scroll else None,
             )
             writer.write(M.command_complete("DECLARE CURSOR"))
             return
@@ -759,7 +892,23 @@ class SparkPGServer:
             cur = state.cursors.get(stmt.cursor_name)
             if cur is None:
                 raise ValueError(f'cursor "{stmt.cursor_name}" does not exist')
+            if cur.scroll:
+                await self._fetch_scroll(state, stmt, cur, writer)
+                return
+            direction = stmt.fetch_direction
+            if stmt.fetch_move or direction not in (
+                None, "NEXT", "FORWARD", "ALL", "FORWARD ALL",
+            ) or (stmt.fetch_count or 0) < 0:
+                # PG: backward fetch on a NO SCROLL cursor is 55000
+                raise ValueError(
+                    "cursor can only scan forward "
+                    "(declare it with SCROLL to fetch backwards)"
+                )
             limit = stmt.fetch_count or 0
+            if direction == "NEXT" or (
+                direction == "FORWARD" and stmt.fetch_count is None
+            ):
+                limit = 1
             await self._stream_result(
                 state,
                 cur.df,
@@ -808,6 +957,143 @@ class SparkPGServer:
             await writer.drain()
         writer.write(M.command_complete(f"SELECT {n}"))
         return True
+
+    async def _fetch_scroll(self, state, stmt, cur, writer) -> None:
+        """FETCH/MOVE on a ``DECLARE SCROLL CURSOR`` — PG's full
+        direction grammar (NEXT/PRIOR/FIRST/LAST/ABSOLUTE n/RELATIVE n/
+        FORWARD [n|ALL]/BACKWARD [n|ALL]). Rows already pulled from the
+        source stay buffered driver-side so the cursor can revisit them
+        (PG's own SCROLL materialization caveat); the source iterator is
+        only advanced as far as the fetch requires, so FETCH 10 on a
+        SCROLL cursor over a huge result still reads ~10 rows."""
+        if cur.iterator is None:
+            def start():
+                sc = state.session.sparkContext
+                sc.setJobGroup(
+                    state.job_group, (stmt.sql or "")[:200], interruptOnCancel=True
+                )
+                sc.setLocalProperty("spark.scheduler.pool", state.scheduler_pool)
+                if self._incremental(state):
+                    return cur.df.toLocalIterator(prefetchPartitions=True)
+                return iter(cur.df.collect())
+
+            cur.iterator = await self._to_thread_with_timeout(state, start)
+
+        def pull(upto: int | None) -> None:
+            # extend the buffer to `upto` rows (None → exhaust source)
+            while cur.total is None and (
+                upto is None or len(cur.buffer) < upto
+            ):
+                batch = list(itertools.islice(cur.iterator, 1000))
+                cur.buffer.extend(batch)
+                if len(batch) < 1000:
+                    cur.total = len(cur.buffer)
+
+        async def ensure(upto: int | None) -> None:
+            if cur.total is None and (upto is None or len(cur.buffer) < upto):
+                await self._to_thread_with_timeout(state, lambda: pull(upto))
+
+        direction, n = stmt.fetch_direction, stmt.fetch_count
+        # normalize the grammar to (mode, count); count None = ALL
+        if direction in (None, "FORWARD"):
+            if n is None:
+                # bare `FETCH c` keeps the legacy drain-everything
+                # semantics of the non-scroll path; bare FORWARD is 1
+                mode, cnt = ("forward", None if direction is None else 1)
+            else:
+                mode, cnt = ("forward", n) if n >= 0 else ("backward", -n)
+        elif direction in ("ALL", "FORWARD ALL"):
+            mode, cnt = "forward", None
+        elif direction == "NEXT":
+            mode, cnt = "forward", 1
+        elif direction == "PRIOR":
+            mode, cnt = "backward", 1
+        elif direction == "BACKWARD":
+            if n is None:
+                mode, cnt = "backward", 1
+            else:
+                mode, cnt = ("backward", n) if n >= 0 else ("forward", -n)
+        elif direction == "BACKWARD ALL":
+            mode, cnt = "backward", None
+        elif direction == "FIRST":
+            mode, cnt = "absolute", 1
+        elif direction == "LAST":
+            mode, cnt = "absolute", -1
+        elif direction in ("ABSOLUTE", "RELATIVE"):
+            if n is None:
+                raise ValueError(f"{direction} requires a row count")
+            mode, cnt = direction.lower(), n
+        else:  # pragma: no cover — the regex can't produce others
+            raise ValueError(f"unsupported FETCH direction {direction!r}")
+
+        pos = cur.pos
+        rows: list = []
+        if mode == "forward" and cnt == 0 or mode == "relative" and cnt == 0:
+            # FORWARD 0 / RELATIVE 0: re-fetch the current row
+            if pos >= 1:
+                await ensure(pos)
+                if cur.total is None or pos <= cur.total:
+                    rows = [cur.buffer[pos - 1]]
+            newpos = pos
+        elif mode == "forward":
+            await ensure(None if cnt is None else pos + cnt)
+            end = len(cur.buffer) if cnt is None else min(
+                pos + cnt, len(cur.buffer)
+            )
+            rows = cur.buffer[pos:end]
+            newpos = (
+                pos + cnt
+                if cnt is not None and len(rows) == cnt
+                else cur.total + 1
+            )
+        elif mode == "backward":
+            lo = 1 if cnt is None else max(pos - cnt, 1)
+            rows = list(reversed(cur.buffer[lo - 1 : max(pos - 1, 0)]))
+            newpos = (
+                pos - cnt if cnt is not None and len(rows) == cnt else 0
+            )
+        elif mode == "absolute":
+            if cnt == 0:
+                newpos = 0
+            elif cnt > 0:
+                await ensure(cnt)
+                if cur.total is not None and cnt > cur.total:
+                    newpos = cur.total + 1
+                else:
+                    rows, newpos = [cur.buffer[cnt - 1]], cnt
+            else:
+                await ensure(None)
+                k = cur.total + cnt + 1
+                if k >= 1:
+                    rows, newpos = [cur.buffer[k - 1]], k
+                else:
+                    newpos = 0
+        else:  # relative, cnt != 0
+            target = pos + cnt
+            if target < 1:
+                newpos = 0
+            else:
+                await ensure(target)
+                if cur.total is not None and target > cur.total:
+                    newpos = cur.total + 1
+                else:
+                    rows, newpos = [cur.buffer[target - 1]], target
+
+        cur.pos = newpos
+        cur.fetched += len(rows)
+        if stmt.fetch_move:
+            writer.write(M.command_complete(f"MOVE {len(rows)}"))
+            await writer.drain()
+            return
+        writer.write(self._row_description(cur.df, cur.result_formats))
+        if rows:
+            blob = await asyncio.to_thread(
+                cur.serializer.serialize_rows_batch, rows
+            )
+            writer.write(blob)
+            self.metrics.rows_sent += len(rows)
+        writer.write(M.command_complete(f"FETCH {len(rows)}"))
+        await writer.drain()
 
     def _guc_values(self, state) -> dict[str, str]:
         """The settings PG advertises via ParameterStatus (shared
@@ -1230,11 +1516,19 @@ class SparkPGServer:
             raise ValueError(f"unknown portal: {e.portal!r}")
         ps = portal.statement
         t0 = time.time()
+        if portal.first_execute_t0 is None:
+            portal.first_execute_t0 = t0
+        portal.suspended = False
         try:
             await self._execute_portal(state, e, portal, ps, writer)
-            self.metrics.record_statement(state.pid, ps.raw_sql, t0, "finished")
+            if not portal.suspended:
+                self.metrics.record_statement(
+                    state.pid, ps.raw_sql, portal.first_execute_t0, "finished"
+                )
         except Exception:
-            self.metrics.record_statement(state.pid, ps.raw_sql, t0, "failed")
+            self.metrics.record_statement(
+                state.pid, ps.raw_sql, portal.first_execute_t0, "failed"
+            )
             raise
 
     async def _execute_portal(self, state, e, portal, ps, writer) -> None:
@@ -2022,6 +2316,7 @@ class SparkPGServer:
         if portal is not None:
             portal.fetched += sent
             if not portal.exhausted and limit and sent >= limit:
+                portal.suspended = True
                 writer.write(M.portal_suspended())
                 await writer.drain()
                 return

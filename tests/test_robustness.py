@@ -13,7 +13,17 @@ from spark_sql_server_spark.plans.inspect import executed_plan, join_strategies
 from spark_sql_server_spark.protocol.server import SparkPGServer
 from spark_sql_server_spark.session import register_tables
 from tests.conftest import SF_SMOKE
-from tests.test_protocol_e2e import PgClient, _q, _startup, rows_of
+from tests.test_protocol_e2e import (
+    SYNC,
+    PgClient,
+    _bind,
+    _execute,
+    _m,
+    _parse,
+    _q,
+    _startup,
+    rows_of,
+)
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -192,3 +202,213 @@ class TestDeferredDml:
         assert _is_command("MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN DELETE")
         assert _is_command("  delete from t")
         assert not _is_command("SELECT 1")
+
+
+class TestMalformedMessageBattery:
+    """r10 VERDICT #7: malformed-message fuzz over the extended
+    protocol — the server must answer ErrorResponse and stay alive
+    (next connection or post-Sync statement works), never wedge."""
+
+    def test_oversized_startup_packet(self, server):
+        srv, loop = server
+
+        async def go():
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            # declared length 100 MB — PG caps startup packets at 10000
+            w.write(struct.pack("!i", 100 * 1024 * 1024))
+            await w.drain()
+            hdr = await r.readexactly(5)
+            (ln,) = struct.unpack("!i", hdr[1:])
+            body = await r.readexactly(ln - 4)
+            w.close()
+            # server must still accept fresh connections
+            c = await PgClient.connect(srv.port)
+            msgs = await c.simple("SELECT 1 AS alive")
+            await c.close()
+            return hdr[:1], body, msgs
+
+        tag, body, msgs = loop.run_until_complete(go())
+        assert tag == b"E" and b"08P01" in body
+        assert rows_of(msgs) == [[b"1"]]
+
+    def test_negative_startup_length(self, server):
+        srv, loop = server
+
+        async def go():
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            w.write(struct.pack("!i", -5))
+            await w.drain()
+            hdr = await r.readexactly(5)
+            (ln,) = struct.unpack("!i", hdr[1:])
+            await r.readexactly(ln - 4)
+            w.close()
+            return hdr[:1]
+
+        assert loop.run_until_complete(go()) == b"E"
+
+    def test_truncated_parse_then_disconnect(self, server):
+        """A Parse whose declared length never arrives must not wedge
+        the accept loop."""
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            # declared 5000-byte Parse, ship only 20 bytes, hang up
+            c.writer.write(b"P" + struct.pack("!i", 5004) + b"x" * 20)
+            await c.writer.drain()
+            c.writer.close()
+            await asyncio.sleep(0.2)
+            c2 = await PgClient.connect(srv.port)
+            msgs = await c2.simple("SELECT 2 AS alive")
+            await c2.close()
+            return msgs
+
+        assert rows_of(loop.run_until_complete(go())) == [[b"2"]]
+
+    def test_hostile_message_length(self, server):
+        """A 2 GB-declared message is a protocol violation, not an
+        allocation."""
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            c.writer.write(b"Q" + struct.pack("!i", 0x7FFFFFFF))
+            await c.writer.drain()
+            hdr = await c.reader.readexactly(5)
+            (ln,) = struct.unpack("!i", hdr[1:])
+            body = await c.reader.readexactly(ln - 4)
+            c.writer.close()
+            c2 = await PgClient.connect(srv.port)
+            msgs = await c2.simple("SELECT 3 AS alive")
+            await c2.close()
+            return hdr[:1], body, msgs
+
+        tag, body, msgs = loop.run_until_complete(go())
+        assert tag == b"E" and b"08P01" in body
+        assert rows_of(msgs) == [[b"3"]]
+
+    def test_bind_wrong_param_count_mid_pipeline(self, server):
+        """P/B/E;P/B/E pipeline where the FIRST Bind omits the declared
+        parameter: error once, skip to Sync, next pipeline is clean
+        (PG's extended-protocol error recovery)."""
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            await c.send(
+                _parse("s1", "SELECT $1::int AS a"),
+                _bind("", "s1", []),  # wrong: 0 params for 1 placeholder
+                _execute(""),
+                _parse("s2", "SELECT 42 AS b"),
+                _bind("", "s2", []),
+                _execute(""),
+                SYNC,
+            )
+            msgs1 = await c.until_ready()
+            # after Sync: a fresh pipeline must work end-to-end
+            await c.send(
+                _parse("s3", "SELECT $1::int + 1 AS c"),
+                _bind("", "s3", [b"41"]),
+                _execute(""),
+                SYNC,
+            )
+            msgs2 = await c.until_ready()
+            await c.close()
+            return msgs1, msgs2
+
+        msgs1, msgs2 = loop.run_until_complete(go())
+        errs = [b for t, b in msgs1 if t == b"E"]
+        assert len(errs) == 1  # one error, the rest of the pipeline skipped
+        assert not rows_of(msgs1)  # s2 never executed
+        assert rows_of(msgs2) == [[b"42"]]
+
+    def test_bind_unknown_statement_recovers(self, server):
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            await c.send(_bind("", "never_parsed", []), _execute(""), SYNC)
+            msgs1 = await c.until_ready()
+            msgs2 = await c.simple("SELECT 7 AS ok")
+            await c.close()
+            return msgs1, msgs2
+
+        msgs1, msgs2 = loop.run_until_complete(go())
+        assert any(t == b"E" for t, _ in msgs1)
+        assert rows_of(msgs2) == [[b"7"]]
+
+    def test_execute_unknown_portal_recovers(self, server):
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            await c.send(_execute("ghost_portal"), SYNC)
+            msgs1 = await c.until_ready()
+            msgs2 = await c.simple("SELECT 8 AS ok")
+            await c.close()
+            return msgs1, msgs2
+
+        msgs1, msgs2 = loop.run_until_complete(go())
+        assert any(t == b"E" for t, _ in msgs1)
+        assert rows_of(msgs2) == [[b"8"]]
+
+    def test_unknown_message_tag_recovers(self, server):
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            c.writer.write(_m(b"z", b"junk"))  # no such frontend tag
+            c.writer.write(SYNC)
+            await c.writer.drain()
+            msgs1 = await c.until_ready()
+            msgs2 = await c.simple("SELECT 9 AS ok")
+            await c.close()
+            return msgs1, msgs2
+
+        msgs1, msgs2 = loop.run_until_complete(go())
+        assert any(t == b"E" for t, _ in msgs1)
+        assert rows_of(msgs2) == [[b"9"]]
+
+    def test_cancel_request_during_copy_in(self, server):
+        """An interleaved CancelRequest while a COPY FROM STDIN is open
+        must not wedge the session or the server; the COPY then finishes
+        (or fails cleanly) and the connection answers new queries."""
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            await c.simple("CREATE TABLE robust_copy_t (a INT) USING parquet")
+            try:
+                await c.send(_q("COPY robust_copy_t FROM STDIN"))
+                # read until CopyInResponse 'G'
+                while True:
+                    hdr = await c.reader.readexactly(5)
+                    (ln,) = struct.unpack("!i", hdr[1:])
+                    if ln > 4:
+                        await c.reader.readexactly(ln - 4)
+                    if hdr[:1] == b"G":
+                        break
+                c.writer.write(_m(b"d", b"1\n"))
+                await c.writer.drain()
+                # out-of-band cancel on a SECOND connection (PG wire shape)
+                pid, secret = c.backend_key
+                r2, w2 = await asyncio.open_connection("127.0.0.1", srv.port)
+                w2.write(struct.pack("!iiii", 16, 80877102, pid, secret))
+                await w2.drain()
+                w2.close()
+                await asyncio.sleep(0.2)
+                c.writer.write(_m(b"d", b"2\n"))
+                c.writer.write(_m(b"c"))  # CopyDone
+                await c.writer.drain()
+                msgs = await c.until_ready()
+                after = await c.simple("SELECT count(*) AS n FROM robust_copy_t")
+                return msgs, after
+            finally:
+                await c.simple("DROP TABLE IF EXISTS robust_copy_t")
+                await c.close()
+
+        msgs, after = loop.run_until_complete(go())
+        # the COPY either completed (2 rows) or was cancelled cleanly —
+        # both are live-server outcomes; wedging/crashing is the failure
+        assert any(t in (b"C", b"E") for t, _ in msgs)
+        assert rows_of(after) in ([[b"2"]], [[b"0"]])

@@ -18,10 +18,31 @@ _OID_TO_NAME = {t.oid: t.name for t in P.ALL_PG_TYPES}
 
 #: oids of the emulated catalog tables / system functions — used by the
 #: visibility checks (visible = NOT one of ours, like the reference).
-_CATALOG_TABLE_OIDS = frozenset(
-    (1247, 1249, 1255, 1259, 1262, 2604, 2606, 2608, 2609, 2610, 2611, 2615,
-     3256, 3456, 11631, 11642)
-)
+#: Derived from the catalog schema map + the well-known-oid table so the
+#: two can never drift apart again (r10 ADVICE: the r10 relations —
+#: pg_tablespace/pg_auth_members/pg_extension/… — were reported
+#: "visible", inconsistent with the pinned inverted semantics); the two
+#: literals are the legacy pg_settings/pg_stat view oids.
+def _compute_catalog_table_oids() -> frozenset:
+    from spark_sql_server_spark.catalog.pg_catalog import (
+        CATALOG_TABLE_SCHEMAS,
+        table_oid,
+    )
+    from spark_sql_server_spark.dialect.rewriter import (
+        _CATALOG_RELATION_OIDS,
+    )
+
+    return (
+        frozenset(
+            _CATALOG_RELATION_OIDS.get(n, table_oid(n))
+            for n in CATALOG_TABLE_SCHEMAS
+        )
+        | frozenset(_CATALOG_RELATION_OIDS.values())
+        | frozenset((11631, 11642))
+    )
+
+
+_CATALOG_TABLE_OIDS = _compute_catalog_table_oids()
 _SYSTEM_FUNCTION_OIDS = frozenset(
     (384, 750, 1081, 1215, 1402, 1597, 1642, 1716, 2079, 2080, 2081, 2092,
      2098, 2162, 2165, 2168, 2250, 2420, 3166, 3415, 3778)
@@ -99,6 +120,11 @@ def init_system_functions(spark: SparkSession) -> None:
     ):
         udf(vis_fn, lambda oid: oid is not None, T.BooleanType())
     udf("pg_get_constraintdef", lambda *args: "", T.StringType())
+    # SQLAlchemy get_view_definition / get_indexes call these (the
+    # emulation stores no view SQL or indexes — empty text, like the
+    # reference's empty pg_proc answers)
+    udf("pg_get_viewdef", lambda *args: "", T.StringType())
+    udf("pg_get_indexdef", lambda *args: "", T.StringType())
     udf("pg_char_to_encoding", lambda name: 6, T.IntegerType())  # UTF8
     udf("getdatabaseencoding", lambda: "UTF8", T.StringType())
     udf(
@@ -107,6 +133,13 @@ def init_system_functions(spark: SparkSession) -> None:
         "(Spark session UDF)",
         T.StringType(),
     )
+    # PG current_schema() is the PG namespace name, not Spark's current
+    # database ('default') — SQLAlchemy uses it as the default schema
+    # for inspect(engine); shadows the Spark builtin like version()
+    from spark_sql_server_spark.catalog.pg_catalog import DEFAULT_NAMESPACE
+
+    _ns_name = DEFAULT_NAMESPACE[1]
+    udf("current_schema", lambda: _ns_name, T.StringType())
     # interaction shims, not real functions (catalog.scala:241-244)
     udf("ANY", lambda arr: arr[0] if arr else None, T.StringType())
     udf("regtype", lambda oid: _type_name(oid), T.StringType())

@@ -93,7 +93,14 @@ CATALOG_TABLE_SCHEMAS: dict[str, str] = {
     ),
     "pg_depend": "objid INT, classid INT, refobjid INT, refclassid INT",
     "pg_description": "objoid INT, classoid INT, objsubid INT, description STRING",
-    "pg_index": "oid INT, indrelid INT, indexrelid INT, indisprimary BOOLEAN",
+    "pg_index": (
+        # the column set SQLAlchemy's get_indexes/get_pk_constraint
+        # introspection selects (empty view — no indexes exist here)
+        "oid INT, indrelid INT, indexrelid INT, indisprimary BOOLEAN, "
+        "indisunique BOOLEAN, indkey ARRAY<INT>, indoption ARRAY<INT>, "
+        "indexprs STRING, indpred STRING, indnkeyatts SMALLINT, "
+        "indnatts SMALLINT"
+    ),
     "pg_inherits": "inhrelid INT, inhparent INT, inhseqno INT",
     "pg_collation": (
         # full psql-15 \dO column set
@@ -170,7 +177,8 @@ CATALOG_TABLE_SCHEMAS: dict[str, str] = {
         "relhasindex BOOLEAN, relhasrules BOOLEAN, relhastriggers BOOLEAN, "
         "relrowsecurity BOOLEAN, relforcerowsecurity BOOLEAN, relreplident STRING, "
         "reltriggers SMALLINT, relhasoids BOOLEAN, relispartition BOOLEAN, "
-        "relpartbound STRING, reloptions ARRAY<STRING>"  # \d+ storage opts
+        "relpartbound STRING, reloptions ARRAY<STRING>, "  # \d+ storage opts
+        "relam INT"  # SQLAlchemy get_indexes joins pg_am on i.relam
     ),
     "pg_database": (
         "oid INT, datname STRING, datdba INT, encoding INT, datcollate STRING, "
@@ -226,8 +234,16 @@ def init_pg_catalog(spark: SparkSession) -> None:
             "WHERE name = 'statement_timeout' LIMIT 1"
         ).count() == 1
         # "typarray" is the r10 schema-revision marker (psql \dn/\du/
-        # \dT/\db/\dx/\l+ catalog extension wave)
-        if "typtypmod" in cols and "typarray" in cols and has_timeout_row:
+        # \dT/\db/\dx/\l+ catalog extension wave); "relam" is the r11
+        # marker (SQLAlchemy introspection: pg_class.relam + the full
+        # pg_index column set)
+        cls_cols = {
+            f.name for f in spark.table(f"{CATALOG_DB}.pg_class").schema.fields
+        }
+        if (
+            "typtypmod" in cols and "typarray" in cols
+            and "relam" in cls_cols and has_timeout_row
+        ):
             init_information_schema(spark)  # idempotent view refresh
             return  # current schema+content rev — nothing to do
         # stale persisted catalog from an older schema rev: rebuild
@@ -242,8 +258,19 @@ def init_pg_catalog(spark: SparkSession) -> None:
         shutil.rmtree(f"{warehouse}/{CATALOG_DB}.db", ignore_errors=True)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {CATALOG_DB}")
     for name, schema in CATALOG_TABLE_SCHEMAS.items():
-        spark.sql(f"DROP VIEW IF EXISTS {CATALOG_DB}.{name}")
-        spark.sql(f"DROP TABLE IF EXISTS {CATALOG_DB}.{name}")
+        # Spark 4 raises WRONG_COMMAND_FOR_OBJECT_TYPE (42809) when
+        # DROP VIEW IF EXISTS hits an existing TABLE (and vice versa),
+        # so a schema-revision rebuild over a persisted older catalog
+        # (where a now-view relation was a parquet table) must tolerate
+        # the kind mismatch instead of crashing at init.
+        for drop in (
+            f"DROP VIEW IF EXISTS {CATALOG_DB}.{name}",
+            f"DROP TABLE IF EXISTS {CATALOG_DB}.{name}",
+        ):
+            try:
+                spark.sql(drop)
+            except Exception:  # AnalysisException: object-kind mismatch
+                pass
         if name in _EMPTY_VIEW_TABLES:
             spark.sql(_empty_view_sql(name, schema))
         else:
@@ -542,6 +569,7 @@ def refresh_runtime_catalog(spark: SparkSession) -> None:
                 relispartition=False,
                 relpartbound=None,
                 reloptions=None,
+                relam=0,
             )
         )
         if sys_cols is not None:

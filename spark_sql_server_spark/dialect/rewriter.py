@@ -69,7 +69,11 @@ _CATALOG_RELATION_OIDS = {
     "pg_constraint": 2606, "pg_depend": 2608, "pg_description": 2609,
     "pg_index": 2610, "pg_inherits": 2611, "pg_namespace": 2615,
     "pg_extension": 3079, "pg_policy": 3256, "pg_collation": 3456,
-    "pg_roles": 1260, "pg_user": 1260,
+    # pg_roles emulates pg_authid's well-known oid; pg_user is a VIEW in
+    # real PG with no fixed oid — it takes the table_oid() synthetic
+    # fallback so pg_class oids stay unique (two relations sharing 1260
+    # merged their pg_attribute column sets under \d).
+    "pg_roles": 1260,
 }
 
 # pg_type name → oid for the 'name'::regtype rewrite (kept local to the
@@ -1159,17 +1163,39 @@ def _rewrite_generate_series(toks: list[Tok]) -> list[Tok]:
     return toks
 
 
+_BARE_CATALOG_NAMES: frozenset | None = None
+
+
+def _bare_catalog_names() -> frozenset:
+    """Catalog relations a client may reference UNQUALIFIED (SQLAlchemy's
+    get_table_names does ``FROM pg_class c JOIN pg_namespace n``) — every
+    emulated pg_catalog relation name. pg_stat_* session temp views are
+    NOT in this set (they resolve as temp views, unqualifiable)."""
+    global _BARE_CATALOG_NAMES
+    if _BARE_CATALOG_NAMES is None:
+        from spark_sql_server_spark.catalog.pg_catalog import (
+            CATALOG_TABLE_SCHEMAS,
+        )
+
+        _BARE_CATALOG_NAMES = frozenset(CATALOG_TABLE_SCHEMAS)
+    return _BARE_CATALOG_NAMES
+
+
 def _rewrite_pg_namespace(toks: list[Tok]) -> list[Tok]:
-    """Qualify bare pg_catalog table references (AstBuilder.scala:1186-1221)."""
+    """Qualify bare pg_catalog table references (AstBuilder.scala:1186-1221).
+    Originally pg_namespace only; r11 widens it to every emulated
+    catalog relation so SQLAlchemy's unqualified introspection SQL
+    (``FROM pg_class c JOIN pg_namespace n ...``) resolves."""
+    names = _bare_catalog_names()
     for i, t in enumerate(toks):
-        if t.kind == "word" and t.text.lower() == "pg_namespace":
+        if t.kind == "word" and t.text.lower() in names:
             pi = _prev_code(toks, i)
             if pi >= 0 and toks[pi].text == ".":
                 continue
             ni = _next_code(toks, i)
-            if ni < len(toks) and toks[ni].text == ".":
+            if ni < len(toks) and toks[ni].text in (".", "("):
                 continue
-            toks[i] = Tok("word", "pg_catalog.pg_namespace")
+            toks[i] = Tok("word", f"pg_catalog.{t.text.lower()}")
     return toks
 
 
@@ -1622,6 +1648,77 @@ _UNNEST_ALIAS_STOPWORDS = frozenset(
     "right full cross on using as and or not when then else end from "
     "select".split()
 )
+
+
+def _rewrite_srf_zip_pair(toks: list[Tok]) -> list[Tok]:
+    """PG zips multiple set-returning functions in one select list
+    positionally; Spark allows only ONE generator per projection. The
+    canonical client shape is SQLAlchemy's primary-key introspection
+    (``SELECT unnest(ix.indkey) attnum, generate_subscripts(ix.indkey,
+    1) ord FROM pg_index ix``): rewrite the *pair over the same array*
+    into one generator —
+
+        inline(transform(E, (e, i) -> named_struct('attnum', e,
+                                                   'ord', i + 1)))
+
+    (``inline`` names its output columns after the struct fields, so
+    the PG aliases ride through). Fires only when exactly one
+    ``unnest`` and one ``generate_subscripts`` call the SAME argument
+    tokens and both carry a column alias."""
+
+    def call_span(i):
+        op = _next_code(toks, i)
+        if op >= len(toks) or toks[op].text != "(":
+            return None
+        close = _find_matching_paren(toks, op)
+        if close == -1:
+            return None
+        args = "".join(t.text for t in toks[op + 1 : close])
+        ai = _next_code(toks, close)
+        if ai < len(toks) and toks[ai].kind == "word" and (
+            toks[ai].text.upper() == "AS"
+        ):
+            ai = _next_code(toks, ai)
+        if not (
+            ai < len(toks)
+            and toks[ai].kind == "word"
+            and toks[ai].text.lower() not in _UNNEST_ALIAS_STOPWORDS
+        ):
+            return None
+        return (i, close, args, toks[ai].text.strip('"'), ai)
+
+    unnests = [
+        i for i, t in enumerate(toks)
+        if t.kind == "word" and t.text.lower() == "unnest"
+    ]
+    gens = [
+        i for i, t in enumerate(toks)
+        if t.kind == "word" and t.text.lower() == "generate_subscripts"
+    ]
+    if len(unnests) != 1 or len(gens) != 1:
+        return toks
+    u = call_span(unnests[0])
+    g = call_span(gens[0])
+    if u is None or g is None:
+        return toks
+    g_args = [a.strip() for a in g[2].rsplit(",", 1)]
+    if len(g_args) != 2 or g_args[1] != "1" or g_args[0] != u[2].strip():
+        return toks
+    first, second = (u, g) if u[0] < g[0] else (g, u)
+    # the two items must be adjacent select-list entries (a single
+    # comma between the first item's alias and the second call)
+    between = [
+        t for t in toks[first[4] + 1 : second[0]] if t.kind != "ws"
+    ]
+    if [t.text for t in between] != [","]:
+        return toks
+    elem_alias, ord_alias = u[3], g[3]
+    repl = _lex(
+        f"inline(transform({u[2]}, (__srf_e, __srf_i) -> "
+        f"named_struct('{elem_alias}', __srf_e, "
+        f"'{ord_alias}', __srf_i + 1)))"
+    )
+    return toks[: first[0]] + repl + toks[second[4] + 1 :]
 
 
 def _rewrite_unnest(toks: list[Tok]) -> list[Tok]:
@@ -2171,7 +2268,9 @@ def rewrite_sql(sql: str, params: bool = True) -> str:
     toks = _rewrite_subscripts(toks)
     toks = _rewrite_escape_strings(toks)
     toks = _rewrite_qualified_system_functions(toks)
-    # AFTER the pg_catalog. strip so pg_catalog.unnest(...) fires too
+    # AFTER the pg_catalog. strip so pg_catalog.unnest(...) fires too;
+    # the SRF zip-pair pass must see `unnest` BEFORE it becomes explode
+    toks = _rewrite_srf_zip_pair(toks)
     toks = _rewrite_unnest(toks)
     # AFTER the pg_catalog. strip so pg_catalog.ltrim(s, chars) gets its
     # argument order fixed too (r7 ADVICE: running this pass first let

@@ -65,18 +65,21 @@ def _json_decimal(v: Decimal):
     (a decimal(19,0) map value rendered '9.223372036854776e+18'
     before — precision silently lost; found porting mapconcat.sql)."""
     f = float(v)
-    if (
-        not (math.isinf(f) or math.isnan(f))
-        and Decimal(repr(f)) == v
-        and abs(v) < 1 << 53
-    ):
-        # values whose shortest float repr reads back exactly keep the
-        # historical float form ('1.0', '0.1', '123.456') — the binary
-        # expansion test Decimal(f) == v fails for most fractional
-        # decimals (0.1 → 0.1000000000000000055511…) and silently
-        # demoted them to quoted strings (r9 ADVICE medium)
-        return f
-    if v == v.to_integral_value():
+    if not (math.isinf(f) or math.isnan(f)) and abs(v) < 1 << 53:
+        r = repr(f)
+        # values whose shortest float repr reads back exactly AND at
+        # the same scale keep the historical float form ('1.0', '0.1',
+        # '123.456') — the binary expansion test Decimal(f) == v failed
+        # for most fractional decimals (r9 ADVICE medium), and a
+        # numeric-equality-only test dropped trailing-zero scale
+        # (Decimal('1.10') rendered 1.1 where PG keeps 1.10 —
+        # r10 ADVICE low): the fixed-point form must equal the repr.
+        if Decimal(r) == v and format(v, "f") == r:
+            return f
+    if v == v.to_integral_value() and v.as_tuple().exponent >= 0:
+        # scale-0 decimals print as JSON ints — PG's row_to_json of
+        # numeric 5 is 5, never 5.0. Trailing-zero integral forms
+        # ('5.00') fall through to the exact fixed-point string.
         return int(v)
     return format(v, "f")
 

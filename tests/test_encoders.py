@@ -59,6 +59,14 @@ class TestTextEncoders:
         assert _json_decimal(Decimal("123.456")) == 123.456
         assert _json_decimal(Decimal("2.5")) == 2.5
         assert _json_decimal(Decimal("1.0")) == 1.0
+        # r10 ADVICE: the float form must also preserve SCALE —
+        # numeric 1.10 must not collapse to 1.1 (PG's row_to_json
+        # keeps the trailing zero; we keep it as an exact string)
+        assert _json_decimal(Decimal("1.10")) == "1.10"
+        assert _json_decimal(Decimal("5.00")) == "5.00"
+        # scale-0 decimals are JSON ints (PG prints 5, never 5.0)
+        assert _json_decimal(Decimal("5")) == 5
+        assert isinstance(_json_decimal(Decimal("5")), int)
         # beyond float precision: exact forms, never lossy floats
         assert _json_decimal(Decimal(2**53 + 1)) == 2**53 + 1
         assert isinstance(_json_decimal(Decimal(2**53 + 1)), int)

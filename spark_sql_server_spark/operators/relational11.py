@@ -112,6 +112,7 @@ _QDS14B_SQL = f"""
 
 @query(
     "qds14b_period_self_join",
+    bench=True,  # r10 VERDICT #3: TPC-DS heavies tracked round-over-round
     oracle=_QDS14B_SQL,
     covers="§2.B TPC-DS q14b: two period-gated aggregates of the same "
     "channel (each HAVING-gated by a shared global-average scalar over "

@@ -500,6 +500,7 @@ _QDS23_SQL = f"""
 
 @query(
     "qds23_cte_reuse",
+    bench=True,  # r10 VERDICT #3: TPC-DS heavies tracked round-over-round
     oracle=_QDS23_SQL,
     covers="§2.B TPC-DS q23 shape: multi-level CTE reuse (two expensive "
     "CTEs, one a scalar-threshold filter of the other, each consumed by "

@@ -249,6 +249,7 @@ _QDS64_SQL = """
 
 @query(
     "qds64_two_cycle_sales",
+    bench=True,  # r10 VERDICT #3: TPC-DS heavies tracked round-over-round
     oracle=_QDS64_SQL,
     covers="§2.B TPC-DS q64 shape: HAVING-gated returns CTE + 9-relation "
     "star (same-dim alias inequality) self-joined across two years",

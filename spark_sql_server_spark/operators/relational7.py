@@ -397,6 +397,7 @@ def _netpaid_threshold_build(
 
 @query(
     "qds24_netpaid_threshold",
+    bench=True,  # r10 VERDICT #3: TPC-DS heavies tracked round-over-round
     oracle=_QDS24_SQL,
     covers="§2.B TPC-DS q24 shape: fine-grained returns aggregate "
     "consumed twice — filtered re-aggregation HAVING > 5% of the "

@@ -86,6 +86,7 @@ _QDS4_SQL = f"""
 
 @query(
     "qds4_triple_channel_growth",
+    bench=True,  # r10 VERDICT #3: TPC-DS heavies tracked round-over-round
     oracle=_QDS4_SQL,
     covers="§2.B TPC-DS q4 shape: three-channel period totals consumed "
     "by a six-way self-join, catalog-grew-fastest double screen",

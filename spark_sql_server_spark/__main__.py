@@ -50,9 +50,10 @@ def main() -> None:
                         "parquet staging dir past this driver-buffer bound "
                         "(default 32 MiB)")
     p.add_argument("--auth", default="trust",
-                   choices=["trust", "password", "scram-sha-256"],
+                   choices=["trust", "password", "md5", "scram-sha-256"],
                    help="client authentication: trust (default), cleartext "
-                        "password, or SCRAM-SHA-256 (RFC 7677 SASL)")
+                        "password, md5 challenge-response, or "
+                        "SCRAM-SHA-256 (RFC 7677 SASL)")
     p.add_argument("--auth-password", default=None,
                    help="the single accepted password for --auth modes "
                         "(default: $SPARK_PG_PASSWORD)")

@@ -35,6 +35,13 @@ def authentication_cleartext_password() -> bytes:
     return _msg(b"R", struct.pack("!i", 3))
 
 
+def authentication_md5_password(salt: bytes) -> bytes:
+    """AuthenticationMD5Password: 4-byte random salt; the client answers
+    ``'md5' + hex(md5(hex(md5(password + user)) + salt))``."""
+    assert len(salt) == 4
+    return _msg(b"R", struct.pack("!i", 5) + salt)
+
+
 def authentication_sasl(mechanisms: list[str]) -> bytes:
     """AuthenticationSASL: advertised mechanism list, NUL-separated,
     double-NUL terminated."""

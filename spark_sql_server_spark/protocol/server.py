@@ -359,7 +359,7 @@ class SparkPGServer:
         self.init_session = init_session  # callback(SparkSession) per connection
         self.pg_catalog = pg_catalog
         self.idle_session_timeout = idle_session_timeout
-        if auth not in ("trust", "password", "scram-sha-256"):
+        if auth not in ("trust", "password", "md5", "scram-sha-256"):
             raise ValueError(f"unsupported auth mode {auth!r}")
         self.auth = auth
         self.password_check = password_check
@@ -558,6 +558,9 @@ class SparkPGServer:
                 await writer.drain()
                 writer.close()
                 return None
+        elif self.auth == "md5":
+            if not await self._md5_handshake(startup, reader, writer):
+                return None
         elif self.auth == "scram-sha-256":
             if not await self._scram_handshake(startup, reader, writer):
                 return None
@@ -639,6 +642,45 @@ class SparkPGServer:
         writer.write(bytes(out))
         await writer.drain()
         return state
+
+    async def _md5_handshake(self, startup, reader, writer) -> bool:
+        """MD5 challenge-response (PG `md5` hba method): the client sends
+        ``'md5' + hex(md5(hex(md5(password + user)) + salt))`` for a
+        4-byte random salt. Needs the cleartext password server-side
+        (``password_lookup``), like SCRAM. Beyond-reference — the
+        reference only stubs GSS (``protocol.scala:703-729``)."""
+        import hashlib
+
+        user = startup.params.get("user", "")
+        salt = secrets.token_bytes(4)
+
+        async def fail(msg: str, sqlstate: str) -> bool:
+            writer.write(M.error_response(msg, sqlstate, severity="FATAL"))
+            await writer.drain()
+            writer.close()
+            return False
+
+        writer.write(M.authentication_md5_password(salt))
+        await writer.drain()
+        hdr = await reader.readexactly(5)
+        (plen,) = struct.unpack("!i", hdr[1:5])
+        body = await reader.readexactly(plen - 4)
+        if hdr[:1] != b"p":
+            return await fail("expected PasswordMessage", "28000")
+        got = body.rstrip(b"\x00")
+        pw = self.password_lookup(user) if self.password_lookup else None
+        # unknown user still burns the same two hashes against a random
+        # password so the timing doesn't leak which usernames exist
+        secret = pw if pw is not None else secrets.token_hex(16)
+        inner = hashlib.md5((secret + user).encode("utf-8")).hexdigest()
+        want = b"md5" + hashlib.md5(inner.encode("ascii") + salt).hexdigest().encode(
+            "ascii"
+        )
+        if pw is None or not secrets.compare_digest(got, want):
+            return await fail(
+                f'password authentication failed for user "{user}"', "28P01"
+            )
+        return True
 
     async def _scram_handshake(self, startup, reader, writer) -> bool:
         """SCRAM-SHA-256 SASL exchange (RFC 5802/7677; beyond-reference —

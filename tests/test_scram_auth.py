@@ -291,3 +291,132 @@ class TestScramPsql:
         out = self._psql(srv, "wrong", "SELECT 1")
         assert out.returncode != 0
         assert "password authentication failed" in out.stderr
+
+
+# --------------------------------------------------------------------- #
+# md5 challenge-response (PG `md5` hba method; the pre-SCRAM default
+# older clients negotiate)
+# --------------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def md5_server(spark):
+    loop = asyncio.new_event_loop()
+    thread = threading.Thread(target=loop.run_forever, daemon=True)
+    thread.start()
+
+    async def make():
+        srv = SparkPGServer(
+            spark,
+            port=0,
+            pg_catalog=False,
+            auth="md5",
+            password_lookup=lambda user: "s3cret" if user == "alice" else None,
+        )
+        await srv.start()
+        return srv
+
+    srv = asyncio.run_coroutine_threadsafe(make(), loop).result(120)
+    yield srv, loop
+    asyncio.run_coroutine_threadsafe(srv.stop(), loop).result(30)
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def _md5_answer(user: str, password: str, salt: bytes) -> bytes:
+    """libpq's pg_md5_encrypt: 'md5' + hex(md5(hex(md5(pw+user)) + salt))."""
+    inner = hashlib.md5((password + user).encode()).hexdigest()
+    return b"md5" + hashlib.md5(inner.encode() + salt).hexdigest().encode()
+
+
+async def _md5_login(port: int, user: str, password: str):
+    """Returns (reader, writer, None) on success or (None, None, err)."""
+    r, w = await asyncio.open_connection("127.0.0.1", port)
+    w.write(_startup({"user": user}))
+    await w.drain()
+    tag, body = await _read_msg(r)
+    assert tag == b"R" and struct.unpack("!i", body[:4])[0] == 5
+    salt = body[4:8]
+    assert len(salt) == 4
+    w.write(_pmsg(_md5_answer(user, password, salt) + b"\x00"))
+    await w.drain()
+    tag, body = await _read_msg(r)
+    if tag == b"E":
+        w.close()
+        return None, None, body
+    assert tag == b"R" and struct.unpack("!i", body[:4])[0] == 0
+    return r, w, None
+
+
+class TestMd5SocketE2E:
+    def test_login_and_query(self, md5_server):
+        srv, loop = md5_server
+
+        async def go():
+            r, w, err = await _md5_login(srv.port, "alice", "s3cret")
+            assert err is None
+            c = PgClient(r, w)
+            await c.until_ready()
+            result = await c.simple("SELECT 6*7 AS v")
+            await c.close()
+            return result
+
+        assert rows_of(
+            asyncio.run_coroutine_threadsafe(go(), loop).result(120)
+        ) == [[b"42"]]
+
+    def test_salts_are_random_per_connection(self, md5_server):
+        srv, loop = md5_server
+
+        async def salt_of():
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            w.write(_startup({"user": "alice"}))
+            await w.drain()
+            tag, body = await _read_msg(r)
+            w.close()
+            return body[4:8]
+
+        async def go():
+            return await salt_of(), await salt_of()
+
+        s1, s2 = asyncio.run_coroutine_threadsafe(go(), loop).result(120)
+        assert s1 != s2
+
+    def test_wrong_password_28p01(self, md5_server):
+        srv, loop = md5_server
+        r, w, err = asyncio.run_coroutine_threadsafe(
+            _md5_login(srv.port, "alice", "nope"), loop
+        ).result(120)
+        assert r is None and b"28P01" in err
+
+    def test_unknown_user_28p01(self, md5_server):
+        srv, loop = md5_server
+        r, w, err = asyncio.run_coroutine_threadsafe(
+            _md5_login(srv.port, "mallory", "s3cret"), loop
+        ).result(120)
+        assert r is None and b"28P01" in err
+
+
+@pytest.mark.skipif(psql_missing, reason="psql binary not available")
+class TestMd5Psql:
+    def _psql(self, srv, password: str, sql: str):
+        return subprocess.run(
+            ["psql", "-h", "127.0.0.1", "-p", str(srv.port), "-U", "alice",
+             "-d", "default", "-X", "-At", "-c", sql],
+            capture_output=True,
+            text=True,
+            timeout=120,
+            env={"PATH": "/usr/bin:/bin", "PGPASSWORD": password,
+                 "PGCONNECT_TIMEOUT": "30"},
+        )
+
+    def test_psql_md5_login(self, md5_server):
+        srv, _ = md5_server
+        out = self._psql(srv, "s3cret", "SELECT 2+3")
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.strip() == "5"
+
+    def test_psql_md5_wrong_password(self, md5_server):
+        srv, _ = md5_server
+        out = self._psql(srv, "wrong", "SELECT 1")
+        assert out.returncode != 0
+        assert "password authentication failed" in out.stderr

@@ -100,6 +100,32 @@ def init_system_functions(spark: SparkSession) -> None:
     udf("pg_tablespace_location", lambda oid: "", T.StringType())
     # one implicit superuser — every privilege is held
     udf("has_database_privilege", lambda db, priv: True, T.BooleanType())
+    # pg_dump's connection preamble (never a standby here)
+    udf("pg_is_in_recovery", lambda: False, T.BooleanType())
+    # pg_dump quoting helpers (PG's exact quoting rules: ident quoted
+    # unless a clean lower-case identifier; literal doubles quotes)
+    import re as _re
+
+    udf(
+        "quote_ident",
+        lambda s: (
+            None if s is None
+            else s if _re.fullmatch(r"[a-z_][a-z0-9_]*", s)
+            else '"' + s.replace('"', '""') + '"'
+        ),
+        T.StringType(),
+    )
+    udf(
+        "quote_literal",
+        lambda s: None if s is None else "'" + str(s).replace("'", "''") + "'",
+        T.StringType(),
+    )
+    udf("pg_get_triggerdef", lambda *args: "", T.StringType())
+    # default ACL for an object type/owner — NULL here, matching the
+    # NULL acl columns, so pg_dump sees "no ACL to dump". STRING (not
+    # array): pg_dump's pg_default_acl query CASEs it against the text
+    # literal '{}', and every comparison against it happens client-side
+    udf("acldefault", lambda objtype, owner: None, T.StringType())
     # sizes aren't tracked per PG database (Spark storage is external);
     # 0 renders as '0 bytes' in \l+ rather than faking a number
     udf("pg_database_size", lambda db: 0, T.LongType())
@@ -151,6 +177,15 @@ def init_system_functions(spark: SparkSession) -> None:
     udf(
         "current_setting",
         lambda name: GUC_DEFAULTS.get(str(name).lower()) if name else None,
+        T.StringType(),
+    )
+    # standalone `SELECT set_config(...)` is handled as a real SET at the
+    # commands layer (pg_dump clears search_path that way); this UDF is
+    # the no-side-effect fallback for set_config embedded in a larger
+    # expression — it echoes the new value like PG
+    udf(
+        "set_config",
+        lambda name, value, is_local: value,
         T.StringType(),
     )
     # PG-style version(): ORMs parse "PostgreSQL X.Y" out of it

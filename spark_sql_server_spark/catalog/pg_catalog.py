@@ -57,9 +57,16 @@ CATALOG_TABLE_SCHEMAS: dict[str, str] = {
         "typelem INT, typdelim STRING, typinput STRING, typrelid INT, "
         "typbasetype INT, typtypmod INT, typcollation INT, typnamespace INT, "
         "typarray INT, "  # psql \dT: NOT EXISTS(… el.typarray = t.oid)
-        "typdefault STRING"  # \dD domain defaults (always NULL)
+        "typdefault STRING, "  # \dD domain defaults (always NULL)
+        # pg_dump getTypes column set
+        "typowner INT, typacl ARRAY<STRING>, typisdefined BOOLEAN, "
+        "typstorage STRING, tableoid INT"
     ),
-    "pg_namespace": "oid INT, nspname STRING, nspowner INT",  # \dn reads nspowner
+    # \dn reads nspowner; pg_dump getNamespaces reads nspacl + tableoid
+    "pg_namespace": (
+        "oid INT, nspname STRING, nspowner INT, nspacl ARRAY<STRING>, "
+        "tableoid INT"
+    ),
     "pg_roles": (
         # the full column set psql \du/\dg selects
         "oid INT, rolname STRING, rolsuper BOOLEAN, rolinherit BOOLEAN, "
@@ -70,8 +77,10 @@ CATALOG_TABLE_SCHEMAS: dict[str, str] = {
     "pg_auth_members": (  # empty — no role grants; \du's memberof subquery
         "roleid INT, member INT, grantor INT, admin_option BOOLEAN"
     ),
-    "pg_extension": (  # empty — no extensions; \dx
-        "oid INT, extname STRING, extversion STRING, extnamespace INT"
+    "pg_extension": (  # empty — no extensions; \dx + pg_dump getExtensions
+        "oid INT, extname STRING, extversion STRING, extnamespace INT, "
+        "extowner INT, extrelocatable BOOLEAN, extconfig ARRAY<INT>, "
+        "extcondition ARRAY<STRING>, tableoid INT"
     ),
     "pg_tablespace": (  # pg_default/pg_global rows; \db and \l+ join it
         "oid INT, spcname STRING, spcowner INT, spcacl ARRAY<STRING>, "
@@ -84,14 +93,20 @@ CATALOG_TABLE_SCHEMAS: dict[str, str] = {
         "min_val STRING, max_val STRING, enumvals ARRAY<STRING>, "
         "boot_val STRING, reset_val STRING, pending_restart BOOLEAN"
     ),
-    "pg_attrdef": "adrelid INT, adnum SMALLINT, adbin STRING",
+    "pg_attrdef": "oid INT, adrelid INT, adnum SMALLINT, adbin STRING, tableoid INT",
     "pg_constraint": (
         "oid INT, confupdtype STRING, confdeltype STRING, conname STRING, "
         "condeferrable BOOLEAN, condeferred BOOLEAN, conkey ARRAY<INT>, "
         "confkey ARRAY<INT>, confrelid INT, conrelid INT, contype STRING, "
-        "contypid INT, tableoid INT"  # \dD domain checks; \dd join
+        "contypid INT, tableoid INT, "  # \dD domain checks; \dd join
+        # pg_dump getConstraints/getIndexes column set
+        "connamespace INT, conindid INT, conislocal BOOLEAN, "
+        "convalidated BOOLEAN"
     ),
-    "pg_depend": "objid INT, classid INT, refobjid INT, refclassid INT",
+    "pg_depend": (
+        "objid INT, classid INT, refobjid INT, refclassid INT, "
+        "objsubid INT, refobjsubid INT, deptype STRING"
+    ),
     "pg_description": "objoid INT, classoid INT, objsubid INT, description STRING",
     "pg_index": (
         # the column set SQLAlchemy's get_indexes/get_pk_constraint
@@ -99,32 +114,37 @@ CATALOG_TABLE_SCHEMAS: dict[str, str] = {
         "oid INT, indrelid INT, indexrelid INT, indisprimary BOOLEAN, "
         "indisunique BOOLEAN, indkey ARRAY<INT>, indoption ARRAY<INT>, "
         "indexprs STRING, indpred STRING, indnkeyatts SMALLINT, "
-        "indnatts SMALLINT"
+        "indnatts SMALLINT, indisclustered BOOLEAN, "
+        "indisreplident BOOLEAN, indisvalid BOOLEAN, indisready BOOLEAN, "
+        "tableoid INT"
     ),
     "pg_inherits": "inhrelid INT, inhparent INT, inhseqno INT",
     "pg_collation": (
         # full psql-15 \dO column set
         "oid INT, collname STRING, collnamespace INT, collowner INT, "
         "collencoding INT, collcollate STRING, collctype STRING, "
-        "collprovider STRING, collisdeterministic BOOLEAN, collversion STRING"
+        "collprovider STRING, collisdeterministic BOOLEAN, "
+        "collversion STRING, tableoid INT"
     ),
     # r10 exotic-describe battery (\dC \dL \drds \do \dO \dF \dd \dD) —
     # all empty by design in this emulation
     "pg_cast": (
         "oid INT, castsource INT, casttarget INT, castfunc INT, "
-        "castcontext STRING, castmethod STRING"
+        "castcontext STRING, castmethod STRING, tableoid INT"
     ),
     "pg_language": (
         # tableoid: PG's implicit per-row column, psql \dL joins on it
         "oid INT, lanname STRING, lanowner INT, lanpltrusted BOOLEAN, "
-        "lanplcallfoid INT, tableoid INT"
+        "lanplcallfoid INT, tableoid INT, laninline STRING, "
+        "lanvalidator STRING, lanacl ARRAY<STRING>, lanispl BOOLEAN"
     ),
     "pg_db_role_setting": (
         "setdatabase INT, setrole INT, setconfig ARRAY<STRING>"
     ),
     "pg_operator": (
         "oid INT, oprname STRING, oprnamespace INT, oprleft INT, "
-        "oprright INT, oprresult INT, oprcode STRING, oprkind STRING"
+        "oprright INT, oprresult INT, oprcode STRING, oprkind STRING, "
+        "oprowner INT, tableoid INT"
     ),
     "pg_opclass": (
         "oid INT, opcname STRING, opcnamespace INT, opcowner INT, "
@@ -135,40 +155,49 @@ CATALOG_TABLE_SCHEMAS: dict[str, str] = {
         "opfowner INT, tableoid INT"
     ),
     "pg_rewrite": (
-        "oid INT, rulename STRING, ev_class INT, tableoid INT"
+        "oid INT, rulename STRING, ev_class INT, tableoid INT, "
+        "ev_type STRING, is_instead BOOLEAN, ev_enabled STRING"
     ),
     "pg_trigger": (
         "oid INT, tgname STRING, tgrelid INT, tgconstraint INT, "
-        "tgisinternal BOOLEAN, tableoid INT"
+        "tgisinternal BOOLEAN, tableoid INT, tgfoid STRING, "
+        "tgenabled STRING, tgdeferrable BOOLEAN, tginitdeferred BOOLEAN"
     ),
     "pg_am": (
-        "oid INT, amname STRING, amhandler STRING, amtype STRING"
+        "oid INT, amname STRING, amhandler STRING, amtype STRING, "
+        "tableoid INT"
     ),
     "pg_ts_config": (
-        "oid INT, cfgname STRING, cfgnamespace INT, cfgowner INT"
+        "oid INT, cfgname STRING, cfgnamespace INT, cfgowner INT, "
+        "cfgparser INT, tableoid INT"
     ),
     "pg_conversion": (
         "oid INT, conname STRING, connamespace INT, conforencoding INT, "
-        "contoencoding INT, condefault BOOLEAN"
+        "contoencoding INT, condefault BOOLEAN, conowner INT, tableoid INT"
     ),
     "pg_policy": (
         # polroles is an oid array in PG; psql's \d row-security query
         # does `polroles = '{0}'` and `oid = any(polroles)` — the array
         # type (with the '{0}' literal rewrite) keeps both analyzable
         "polname STRING, polrelid INT, polcmd STRING, polroles ARRAY<INT>, "
-        "polqual STRING, polwithcheck STRING"
+        "polqual STRING, polwithcheck STRING, oid INT, tableoid INT"
     ),
     "pg_attribute": (
         "oid INT, attrelid INT, attname STRING, atttypid INT, attnotnull BOOLEAN, "
         "atthasdef BOOLEAN, atttypmod INT, attlen INT, attnum INT, "
         "attidentity STRING, attisdropped BOOLEAN, attcollation INT, "
         "attacl ARRAY<STRING>, "  # \dp column privileges (always NULL)
-        "attstorage STRING, attstattarget INT"  # psql 15 \d+ Storage col
+        "attstorage STRING, attstattarget INT, "  # psql 15 \d+ Storage col
+        # pg_dump getTableAttrs column set
+        "attalign STRING, attislocal BOOLEAN, attoptions ARRAY<STRING>, "
+        "attfdwoptions ARRAY<STRING>, tableoid INT"
     ),
     "pg_proc": (
         "oid INT, proname STRING, prorettype INT, proargtypes ARRAY<INT>, "
         "pronamespace INT, proisagg BOOLEAN, proiswindow BOOLEAN, "
-        "proretset BOOLEAN, pronargs SMALLINT"
+        "proretset BOOLEAN, pronargs SMALLINT, "
+        # pg_dump getFuncs/getAggregates column set
+        "prolang INT, proowner INT, proacl ARRAY<STRING>, tableoid INT"
     ),
     "pg_class": (
         "oid INT, reltablespace INT, relname STRING, reloftype INT, "
@@ -178,11 +207,101 @@ CATALOG_TABLE_SCHEMAS: dict[str, str] = {
         "relrowsecurity BOOLEAN, relforcerowsecurity BOOLEAN, relreplident STRING, "
         "reltriggers SMALLINT, relhasoids BOOLEAN, relispartition BOOLEAN, "
         "relpartbound STRING, reloptions ARRAY<STRING>, "  # \d+ storage opts
-        "relam INT"  # SQLAlchemy get_indexes joins pg_am on i.relam
+        "relam INT, "  # SQLAlchemy get_indexes joins pg_am on i.relam
+        # pg_dump getTables column set
+        "relpages INT, relallvisible INT, relfrozenxid INT, "
+        "relminmxid INT, relispopulated BOOLEAN, reltype INT, tableoid INT"
     ),
     "pg_database": (
         "oid INT, datname STRING, datdba INT, encoding INT, datcollate STRING, "
-        "datctype STRING, datacl ARRAY<STRING>, dattablespace INT"
+        "datctype STRING, datacl ARRAY<STRING>, dattablespace INT, "
+        # pg_dump -Fc dumpDatabase column set
+        "datistemplate BOOLEAN, datconnlimit INT, datfrozenxid INT, "
+        "datminmxid INT, tableoid INT"
+    ),
+    # ---- pg_dump surface: object classes that don't exist in this
+    # emulation (no text-search objects, FDWs, transforms, …) — all
+    # empty WHERE-false views with the pg_dump-era column sets
+    "pg_ts_parser": (
+        "oid INT, prsname STRING, prsnamespace INT, prsstart STRING, "
+        "prstoken STRING, prsend STRING, prsheadline STRING, "
+        "prslextype STRING, tableoid INT"
+    ),
+    "pg_ts_dict": (
+        "oid INT, dictname STRING, dictnamespace INT, dictowner INT, "
+        "dicttemplate INT, dictinitoption STRING, tableoid INT"
+    ),
+    "pg_ts_template": (
+        "oid INT, tmplname STRING, tmplnamespace INT, tmplinit STRING, "
+        "tmpllexize STRING, tableoid INT"
+    ),
+    "pg_foreign_data_wrapper": (
+        "oid INT, fdwname STRING, fdwowner INT, fdwhandler STRING, "
+        "fdwvalidator STRING, fdwacl ARRAY<STRING>, "
+        "fdwoptions ARRAY<STRING>, tableoid INT"
+    ),
+    "pg_foreign_server": (
+        "oid INT, srvname STRING, srvowner INT, srvfdw INT, "
+        "srvtype STRING, srvversion STRING, srvacl ARRAY<STRING>, "
+        "srvoptions ARRAY<STRING>, tableoid INT"
+    ),
+    "pg_foreign_table": "ftrelid INT, ftserver INT, ftoptions ARRAY<STRING>",
+    "pg_default_acl": (
+        "oid INT, defaclrole INT, defaclnamespace INT, "
+        "defaclobjtype STRING, defaclacl ARRAY<STRING>, tableoid INT"
+    ),
+    "pg_transform": (
+        "oid INT, trftype INT, trflang INT, trffromsql STRING, "
+        "trftosql STRING, tableoid INT"
+    ),
+    "pg_event_trigger": (
+        "oid INT, evtname STRING, evtenabled STRING, evtevent STRING, "
+        "evtowner INT, evttags ARRAY<STRING>, evtfoid STRING, tableoid INT"
+    ),
+    "pg_init_privs": (
+        "objoid INT, classoid INT, objsubid INT, privtype STRING, "
+        "initprivs ARRAY<STRING>"
+    ),
+    "pg_range": (
+        "rngtypid INT, rngsubtype INT, rngmultitypid INT, "
+        "rngcollation INT, rngsubopc INT, rngcanonical STRING, "
+        "rngsubdiff STRING, tableoid INT"
+    ),
+    "pg_largeobject_metadata": (
+        "oid INT, lomowner INT, lomacl ARRAY<STRING>, tableoid INT"
+    ),
+    "pg_largeobject": "loid INT, pageno INT, data BINARY",
+    "pg_statistic_ext": (
+        "oid INT, stxname STRING, stxnamespace INT, stxowner INT, "
+        "stxrelid INT, stxstattarget INT, stxkeys ARRAY<INT>, tableoid INT"
+    ),
+    "pg_publication": (
+        "oid INT, pubname STRING, pubowner INT, puballtables BOOLEAN, "
+        "pubinsert BOOLEAN, pubupdate BOOLEAN, pubdelete BOOLEAN, "
+        "pubtruncate BOOLEAN, pubviaroot BOOLEAN, tableoid INT"
+    ),
+    "pg_amop": (
+        "oid INT, amopfamily INT, amoplefttype INT, amoprighttype INT, "
+        "amopstrategy INT, amoppurpose STRING, amopopr INT, "
+        "amopmethod INT, amopsortfamily INT, tableoid INT"
+    ),
+    "pg_amproc": (
+        "oid INT, amprocfamily INT, amproclefttype INT, "
+        "amprocrighttype INT, amprocnum INT, amproc STRING, tableoid INT"
+    ),
+    "pg_seclabel": (
+        "objoid INT, classoid INT, objsubid INT, provider STRING, "
+        "label STRING"
+    ),
+    "pg_shseclabel": "objoid INT, classoid INT, provider STRING, label STRING",
+    "pg_seclabels": (  # the system VIEW pg_dump actually reads
+        "objoid INT, classoid INT, objsubid INT, objtype STRING, "
+        "objnamespace INT, objname STRING, provider STRING, label STRING"
+    ),
+    "pg_shdescription": "objoid INT, classoid INT, description STRING",
+    "pg_sequence": (
+        "seqrelid INT, seqtypid INT, seqstart BIGINT, seqincrement BIGINT, "
+        "seqmax BIGINT, seqmin BIGINT, seqcache BIGINT, seqcycle BOOLEAN"
     ),
 }
 
@@ -204,6 +323,13 @@ _EMPTY_VIEW_TABLES = frozenset((
     "pg_auth_members", "pg_extension", "pg_cast", "pg_language",
     "pg_db_role_setting", "pg_operator", "pg_opclass", "pg_ts_config",
     "pg_conversion", "pg_opfamily", "pg_rewrite", "pg_trigger", "pg_am",
+    "pg_ts_parser", "pg_ts_dict", "pg_ts_template",
+    "pg_foreign_data_wrapper", "pg_foreign_server", "pg_foreign_table",
+    "pg_default_acl", "pg_transform", "pg_event_trigger",
+    "pg_init_privs", "pg_range", "pg_largeobject_metadata",
+    "pg_largeobject", "pg_statistic_ext", "pg_publication",
+    "pg_seclabel", "pg_shseclabel", "pg_shdescription", "pg_sequence",
+    "pg_amop", "pg_amproc", "pg_seclabels",
 ))
 
 
@@ -234,14 +360,29 @@ def init_pg_catalog(spark: SparkSession) -> None:
             "WHERE name = 'statement_timeout' LIMIT 1"
         ).count() == 1
         # "typarray" is the r10 schema-revision marker (psql \dn/\du/
-        # \dT/\db/\dx/\l+ catalog extension wave); "relam" is the r11
-        # marker (SQLAlchemy introspection: pg_class.relam + the full
-        # pg_index column set)
+        # \dT/\db/\dx/\l+ catalog extension wave); "relam" is the first
+        # r11 marker (SQLAlchemy introspection: pg_class.relam + the
+        # full pg_index column set); pg_type "tableoid" is the second
+        # r11 marker (pg_dump surface: tableoid everywhere + the
+        # object-class relations pg_dump walks)
         cls_cols = {
             f.name for f in spark.table(f"{CATALOG_DB}.pg_class").schema.fields
         }
+        # content probe (columns alone can't see a row-level revision):
+        # builtin types must live in pg_catalog's namespace so pg_dump
+        # (which dumps every type in a dumpable namespace) skips them
+        builtin_ns_ok = False
+        if "typnamespace" in cols:
+            try:
+                builtin_ns_ok = spark.sql(
+                    f"SELECT typnamespace FROM {CATALOG_DB}.pg_type "
+                    "WHERE oid = 16"
+                ).collect()[0][0] == PG_CATALOG_NAMESPACE_OID
+            except Exception:  # noqa: BLE001
+                builtin_ns_ok = False
         if (
             "typtypmod" in cols and "typarray" in cols
+            and "tableoid" in cols and builtin_ns_ok
             and "relam" in cls_cols and has_timeout_row
         ):
             init_information_schema(spark)  # idempotent view refresh
@@ -279,8 +420,9 @@ def init_pg_catalog(spark: SparkSession) -> None:
     ns_oid, ns_name = DEFAULT_NAMESPACE
     spark.sql(
         f"INSERT INTO {CATALOG_DB}.pg_namespace "
-        f"VALUES ({ns_oid}, '{ns_name}', {USER_ROLE_OID}), "
-        f"({PG_CATALOG_NAMESPACE_OID}, 'pg_catalog', {USER_ROLE_OID})"
+        f"VALUES ({ns_oid}, '{ns_name}', {USER_ROLE_OID}, NULL, 2615), "
+        f"({PG_CATALOG_NAMESPACE_OID}, 'pg_catalog', {USER_ROLE_OID}, "
+        "NULL, 2615)"
     )
     spark.sql(
         f"INSERT INTO {CATALOG_DB}.pg_roles VALUES ({USER_ROLE_OID}, "
@@ -350,11 +492,18 @@ def init_pg_catalog(spark: SparkSession) -> None:
             proname=name,
             prorettype=rettype,
             proargtypes=[],
-            pronamespace=ns_oid,
+            # pg_catalog namespace: these are system functions, and
+            # pg_dump's getFuncs (WHERE pronamespace != pg_catalog's
+            # oid) must not try to dump them as user functions
+            pronamespace=PG_CATALOG_NAMESPACE_OID,
             proisagg=False,
             proiswindow=False,
             proretset=False,
             pronargs=0,
+            prolang=12,  # 'internal'
+            proowner=USER_ROLE_OID,
+            proacl=None,
+            tableoid=1255,
         )
         for oid, name, rettype in _SYSTEM_PROCS
     ]
@@ -380,9 +529,20 @@ def init_pg_catalog(spark: SparkSession) -> None:
             typbasetype=0,
             typtypmod=-1,  # pgjdbc getColumns reads t.typtypmod for domains
             typcollation=0,
-            typnamespace=ns_oid,
+            # pg_catalog: these ARE PG's builtin types — r11 moved them
+            # off the user namespace so pg_dump (which dumps every type
+            # in a dumpable namespace) correctly skips them. pgjdbc's
+            # bootstrap query still resolves: it LEFT JOINs the
+            # current_schemas() subquery, and getTypeInfo's
+            # pg_namespace join matches the pg_catalog row.
+            typnamespace=PG_CATALOG_NAMESPACE_OID,
             typarray=arr_of.get(t.oid, 0),
             typdefault=None,
+            typowner=USER_ROLE_OID,
+            typacl=None,
+            typisdefined=True,
+            typstorage="x" if t.len == -1 else "p",
+            tableoid=1247,
         )
         for t in P.ALL_PG_TYPES
     ]
@@ -502,8 +662,13 @@ def refresh_runtime_catalog(spark: SparkSession) -> None:
             encoding=6,  # UTF8
             datcollate="C",
             datctype="C",
-            datacl=[],
+            datacl=None,  # NULL = no ACL (pg_dump: parseable or absent)
             dattablespace=1663,  # pg_default
+            datistemplate=False,
+            datconnlimit=-1,
+            datfrozenxid=0,
+            datminmxid=0,
+            tableoid=1262,
         )
         for db in spark.catalog.listDatabases()
     ]
@@ -555,7 +720,7 @@ def refresh_runtime_catalog(spark: SparkSession) -> None:
                     else ns_oid
                 ),
                 relowner=USER_ROLE_OID,
-                relacl=[],
+                relacl=None,  # NULL = no ACL (pg_dump: parseable or absent)
                 relchecks=0,
                 reltoastrelid=0,
                 relhasindex=False,
@@ -570,6 +735,13 @@ def refresh_runtime_catalog(spark: SparkSession) -> None:
                 relpartbound=None,
                 reloptions=None,
                 relam=0,
+                relpages=0,
+                relallvisible=0,
+                relfrozenxid=0,
+                relminmxid=0,
+                relispopulated=True,
+                reltype=0,
+                tableoid=1259,
             )
         )
         if sys_cols is not None:
@@ -610,6 +782,11 @@ def refresh_runtime_catalog(spark: SparkSession) -> None:
                     # 'x' (extended) for varlena types, 'p' for fixed
                     attstorage="x" if clen == -1 else "p",
                     attstattarget=-1,
+                    attalign="i",
+                    attislocal=True,
+                    attoptions=None,
+                    attfdwoptions=None,
+                    tableoid=1249,
                 )
             )
 

@@ -40,6 +40,12 @@ class StatementClass(enum.Enum):
     SHOW_GUC = "show_guc"      # PG `SHOW <setting>` / `SHOW ALL` (Spark's
                                # own SHOW TABLES/… passes through as QUERY)
     RESET = "reset"            # PG `RESET <setting>` / `RESET ALL` — undo SET
+    SET_CONFIG = "set_config"  # SELECT set_config('name','value',is_local)
+                               # — SET spelled as a function (pg_dump's
+                               # first statement clears search_path this
+                               # way); is_local=true would be
+                               # transaction-scoped in PG, session-scoped
+                               # here (no transactions — documented)
     BACKEND_CTL = "backend_ctl"  # SELECT pg_cancel_backend(pid) /
                                  # pg_terminate_backend(pid) — admin surface
     LISTEN = "listen"      # PG LISTEN channel
@@ -254,10 +260,21 @@ def substitute_params(sql: str, args: list[str]) -> str:
 
 
 _COPY_RE = re.compile(
-    r"^\s*COPY\s+(?P<src>\((?P<query>.*)\)|[\w.\"]+)\s+TO\s+STDOUT"
+    r"^\s*COPY\s+(?P<src>\((?P<query>.*)\)|[\w.\"]+)"
+    r"\s*(?:\((?P<cols>[^)]*)\))?\s+TO\s+STDOUT"
     r"(?P<opts>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _strip_pg_schema(name: str) -> str:
+    """Drop a leading user-namespace qualifier (pg_dump emits
+    ``COPY spark.region (…) TO stdout`` — the registered views are
+    session-level, unqualified in Spark)."""
+    head, _, tail = name.partition(".")
+    if tail and head.strip('"') in ("spark", "public"):
+        return tail
+    return name
 
 _COPY_IN_RE = re.compile(
     r"^\s*COPY\s+(?P<table>[\w.\"]+)\s*(?:\((?P<cols>[^)]*)\))?\s+FROM\s+STDIN"
@@ -312,6 +329,13 @@ def _fold_channel(raw: str) -> str:
         return raw[1:-1].replace('""', '"')
     return raw.lower()
 
+
+_SET_CONFIG_RE = re.compile(
+    r"^\s*SELECT\s+(?:pg_catalog\.)?set_config\s*\(\s*"
+    r"'(?P<name>[^']*)'\s*,\s*(?:'(?P<val>[^']*)'|(?P<null>NULL))\s*,\s*"
+    r"(?P<local>true|false)\s*\)\s*$",
+    re.IGNORECASE,
+)
 
 _BACKEND_RE = re.compile(
     r"^\s*SELECT\s+pg_(?P<kind>cancel|terminate)_backend\s*"
@@ -402,6 +426,10 @@ def classify_statement(sql: str) -> Statement:
         return Statement(StatementClass.COMMIT, sql, tag="COMMIT")
     if word0 in ("VACUUM", "CHECKPOINT", "REINDEX"):
         return Statement(StatementClass.MAINT, sql, tag=word0)
+    if word0 == "LOCK":
+        # pg_dump takes ACCESS SHARE locks on every dumped table; no
+        # lock manager here (reads are snapshot-isolated parquet scans)
+        return Statement(StatementClass.MAINT, sql, tag="LOCK TABLE")
     if word0 in ("ANALYZE", "ANALYSE"):
         words = s.split(None, 2)
         if len(words) == 1 or words[1].upper() not in ("TABLE", "TABLES"):
@@ -497,7 +525,9 @@ def classify_statement(sql: str) -> Statement:
             return Statement(
                 StatementClass.COPY_IN,
                 sql,
-                cursor_name=m.group("table").strip('"'),  # reuse field for table
+                cursor_name=_strip_pg_schema(
+                    m.group("table")
+                ).strip('"'),  # reuse field for table
                 copy_query=cols.strip() if cols else None,  # reuse for column list
                 copy_format="binary" if "BINARY" in opts
                 else "csv" if "CSV" in opts else "text",
@@ -509,7 +539,9 @@ def classify_statement(sql: str) -> Statement:
         if m:
             inner = m.group("query")
             if inner is None:
-                inner = f"SELECT * FROM {m.group('src')}"
+                cols = (m.group("cols") or "").strip()
+                src = _strip_pg_schema(m.group("src"))
+                inner = f"SELECT {cols or '*'} FROM {src}"
             raw_opts = m.group("opts") or ""
             opts = raw_opts.upper()
             delim, null = _copy_options(raw_opts)
@@ -548,6 +580,14 @@ def classify_statement(sql: str) -> Statement:
                 StatementClass.SHOW_GUC, sql, cursor_name=rest, tag="SHOW",
             )
     if word0 == "SELECT":
+        m = _SET_CONFIG_RE.match(s)
+        if m:
+            return Statement(
+                StatementClass.SET_CONFIG, sql,
+                set_kv=(m.group("name"),
+                        "" if m.group("null") else m.group("val")),
+                tag="SELECT 1",
+            )
         m = _BACKEND_RE.match(s)
         if m:
             # monitoring tools issue these verbatim; the pid is a server
@@ -601,6 +641,15 @@ def classify_statement(sql: str) -> Statement:
                 tag=f"DISCARD {target}",
             )
     if word0 == "SET":
+        rest_up = s.split(None, 2)
+        if len(rest_up) > 1 and rest_up[1].upper() in (
+            "TRANSACTION",
+            "CONSTRAINTS",
+        ) or s.upper().startswith("SET SESSION CHARACTERISTICS"):
+            # no transactions / constraint triggers to configure —
+            # complete with the PG tag (pg_dump sets REPEATABLE READ,
+            # READ ONLY right after BEGIN)
+            return Statement(StatementClass.MAINT, sql, tag="SET")
         m = _SET_RE.match(s)
         if m:
             val = m.group("val").strip()

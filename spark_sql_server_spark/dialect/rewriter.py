@@ -69,6 +69,20 @@ _CATALOG_RELATION_OIDS = {
     "pg_constraint": 2606, "pg_depend": 2608, "pg_description": 2609,
     "pg_index": 2610, "pg_inherits": 2611, "pg_namespace": 2615,
     "pg_extension": 3079, "pg_policy": 3256, "pg_collation": 3456,
+    # pg_dump surface (r11): PG's real oids for the object-class
+    # relations it walks
+    "pg_am": 2601, "pg_cast": 2605, "pg_conversion": 2607,
+    "pg_language": 2612, "pg_largeobject": 2613, "pg_opclass": 2616,
+    "pg_operator": 2617, "pg_rewrite": 2618, "pg_trigger": 2620,
+    "pg_opfamily": 2753, "pg_default_acl": 826,
+    "pg_shdescription": 2396, "pg_ts_config": 3602, "pg_ts_dict": 3600,
+    "pg_ts_parser": 3601, "pg_ts_template": 3764,
+    "pg_foreign_data_wrapper": 2328, "pg_foreign_server": 1417,
+    "pg_foreign_table": 3118, "pg_largeobject_metadata": 2995,
+    "pg_init_privs": 3394, "pg_range": 3541, "pg_seclabel": 3596,
+    "pg_shseclabel": 3592, "pg_transform": 3576,
+    "pg_event_trigger": 3466, "pg_statistic_ext": 3381,
+    "pg_publication": 6104, "pg_sequence": 2224,
     # pg_roles emulates pg_authid's well-known oid; pg_user is a VIEW in
     # real PG with no fixed oid — it takes the table_oid() synthetic
     # fallback so pg_class oids stay unique (two relations sharing 1260
@@ -173,6 +187,14 @@ def _rewrite_casts(toks: list[Tok]) -> list[Tok]:
             if t.kind != "cast":
                 continue
             ni = _next_code(toks, i)
+            if (
+                ni < len(toks)
+                and toks[ni].kind == "qident"
+                and toks[ni].text.lower() == '"char"'
+            ):
+                # PG's 1-byte "char" (pg_dump: 's'::"char") — values are
+                # single-char strings here, so it's an identity cast
+                toks[ni] = Tok("word", "oid")
             if ni >= len(toks) or toks[ni].kind != "word":
                 continue
             # qualified type name: ::pg_catalog.regtype → regtype
@@ -280,15 +302,21 @@ def _rewrite_casts(toks: list[Tok]) -> list[Tok]:
 
                     oid = table_oid(tname)
                 new = [Tok("number", str(oid))]
-            elif type_l in _IDENTITY_CASTS:
+            elif type_l in _IDENTITY_CASTS and arr_dims == 0:
                 # identity pseudo-cast: drop the ::type entirely
+                # (arr_dims gate: '{1,2}'::oid[] is an ARRAY literal —
+                # pg_dump's per-table unnest('{…}'::pg_catalog.oid[]) —
+                # and must take the array-literal branch below)
                 new = operand
             elif (
                 arr_dims == 1
                 and start == pi
                 and toks[start].kind == "string"
                 and (
-                    _arr_lit := _array_literal_expr(type_l, toks[start].text)
+                    _arr_lit := _array_literal_expr(
+                        "int4" if type_l in _IDENTITY_CASTS else type_l,
+                        toks[start].text,
+                    )
                 )
                 is not None
             ):
@@ -1254,6 +1282,7 @@ def _rewrite_array_subquery(toks: list[Tok]) -> list[Tok]:
                     elif up == "LIMIT":
                         has_limit = True
             sortable = False
+            keyed: list[Tok] | None = None
             asc = True
             body_end = close
             if order_i != -1 and not has_limit:
@@ -1267,6 +1296,23 @@ def _rewrite_array_subquery(toks: list[Tok]) -> list[Tok]:
                     sortable = True
                     asc = spelled[3:] != ["DESC"]
                     body_end = order_i
+                elif (
+                    len(spelled) > 2
+                    and spelled[:2] == ["ORDER", "BY"]
+                    and "," not in spelled
+                ):
+                    # single order key ≠ the projection (pg_dump's FDW
+                    # query: ARRAY(SELECT quote_ident(o_name) || … FROM
+                    # … ORDER BY option_name)): sort (key, expr) structs
+                    # by the key, then project the expr back out —
+                    # transform(sort_array(collect_list(struct(K, x))),
+                    # s -> s._x). Keeps the subquery aggregate-shaped so
+                    # empty-relation propagation / decorrelation work.
+                    keyed = otoks[2:]
+                    if keyed and keyed[-1].text.upper() in ("ASC", "DESC"):
+                        asc = keyed[-1].text.upper() == "ASC"
+                        keyed = keyed[:-1]
+                    body_end = order_i
             if sortable:
                 head = [
                     Tok("word", "sort_array"), Tok("op", "("),
@@ -1275,6 +1321,13 @@ def _rewrite_array_subquery(toks: list[Tok]) -> list[Tok]:
                 tail_proj = [Tok("op", ")")] + (
                     [] if asc else [Tok("op", ","), Tok("word", "false")]
                 ) + [Tok("op", ")"), Tok("ws", " ")]
+            elif keyed is not None:
+                head = _lex("transform(sort_array(collect_list(struct(") + list(
+                    keyed
+                ) + _lex(" AS _o, ")
+                tail_proj = _lex(
+                    " AS _x))" + ("" if asc else ", false") + "), s -> s._x) "
+                )
             else:
                 head = [Tok("word", "collect_list"), Tok("op", "(")]
                 tail_proj = [Tok("op", ")"), Tok("ws", " ")]
@@ -1292,6 +1345,82 @@ def _rewrite_array_subquery(toks: list[Tok]) -> list[Tok]:
             changed = True
             break
     return toks
+
+
+def _rewrite_recursive_union_over_empty_catalog(toks: list[Tok]) -> list[Tok]:
+    """``WITH RECURSIVE … UNION …`` → ``UNION ALL`` — but ONLY when the
+    statement reads a permanently-empty catalog relation (pg_depend,
+    pg_rewrite, …). Spark rejects bare UNION in recursive CTEs
+    (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE); over empty relations the
+    dedup-fixpoint and append semantics coincide, so the rewrite is
+    exact there. pg_dump's materialized-view dependency walk is the
+    consumer. A user's genuine recursive UNION over real data keeps
+    Spark's clean error — silently switching it to UNION ALL could
+    change termination."""
+    code = [t for t in toks if _is_code(t)]
+    if (
+        len(code) < 2
+        or code[0].text.upper() != "WITH"
+        or code[1].text.upper() != "RECURSIVE"
+    ):
+        return toks
+    from spark_sql_server_spark.catalog.pg_catalog import _EMPTY_VIEW_TABLES
+
+    # the namespace pass may have folded pg_catalog.pg_depend into one
+    # dotted token — compare on the last path segment
+    names = {
+        t.text.lower().split(".")[-1] for t in toks if t.kind == "word"
+    }
+    if not (names & set(_EMPTY_VIEW_TABLES)):
+        return toks
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        out.append(t)
+        if t.kind == "word" and t.text.upper() == "UNION":
+            nxt = _next_code(toks, i)
+            if nxt >= len(toks) or toks[nxt].text.upper() != "ALL":
+                out.append(Tok("ws", " "))
+                out.append(Tok("word", "ALL"))
+        i += 1
+    return out
+
+
+def _rewrite_operator_syntax(toks: list[Tok]) -> list[Tok]:
+    """PG's schema-qualified operator syntax ``a OPERATOR(pg_catalog.=) b``
+    → the bare operator (pg_dump spells every comparison this way to be
+    search_path-proof). Runs before the ``= ANY`` pass so
+    ``OPERATOR(pg_catalog.=) ANY (...)`` folds into that rewrite too."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "word" and t.text.upper() == "OPERATOR":
+            op_i = _next_code(toks, i)
+            if op_i < len(toks) and toks[op_i].text == "(":
+                close = _find_matching_paren(toks, op_i)
+                if close != -1:
+                    inner = [
+                        x for x in toks[op_i + 1 : close] if _is_code(x)
+                    ]
+                    # strip an optional pg_catalog. qualifier
+                    if (
+                        len(inner) >= 2
+                        and inner[0].kind == "word"
+                        and inner[0].text.lower() == "pg_catalog"
+                        and inner[1].text == "."
+                    ):
+                        inner = inner[2:]
+                    if inner and all(x.kind == "op" for x in inner):
+                        out.append(
+                            Tok("op", "".join(x.text for x in inner))
+                        )
+                        i = close + 1
+                        continue
+        out.append(t)
+        i += 1
+    return out
 
 
 def _rewrite_eq_any(toks: list[Tok]) -> list[Tok]:
@@ -1577,6 +1706,29 @@ def _rewrite_subscripts(toks: list[Tok]) -> list[Tok]:
                 continue
             base = out[base_start:]
             del out[base_start:]
+            inner_code = [x for x in inner if _is_code(x)]
+            if (
+                len(inner_code) == 1
+                and inner_code[0].kind == "number"
+                and inner_code[0].text == "0"
+            ):
+                # zero subscript: PG arrays are 1-based (a[0] is NULL),
+                # but `name` columns are C-strings where [0] reads the
+                # first byte — pg_dump's array-type probe is literally
+                # `typname[0] = '_'`. Emit the first character.
+                out.append(Tok("word", "substring"))
+                out.append(Tok("op", "("))
+                out.extend(base)
+                out.append(Tok("op", ","))
+                out.append(Tok("ws", " "))
+                out.append(Tok("number", "1"))
+                out.append(Tok("op", ","))
+                out.append(Tok("ws", " "))
+                out.append(Tok("number", "1"))
+                out.append(Tok("op", ")"))
+                i = k + 1
+                changed = True
+                continue
             out.append(Tok("word", "try_element_at"))
             out.append(Tok("op", "("))
             out.extend(base)
@@ -1587,6 +1739,38 @@ def _rewrite_subscripts(toks: list[Tok]) -> list[Tok]:
             i = k + 1
             changed = True
         toks = out
+    return toks
+
+
+def _rewrite_pg_options_to_table(toks: list[Tok]) -> list[Tok]:
+    """``pg_options_to_table(<expr>)`` (PG SRF: text[] of 'k=v' →
+    (option_name, option_value) rows) → an empty two-column relation.
+
+    The only producers of options arrays in this emulation
+    (pg_foreign_data_wrapper/pg_foreign_server fdwoptions/srvoptions,
+    pg_attribute.attfdwoptions, pg_class.reloptions) are always NULL,
+    so the empty relation IS the exact row set; pg_dump's FDW/server
+    queries wrap it in ``ARRAY(SELECT … FROM pg_options_to_table(...)
+    ORDER BY option_name)``, which must *analyze* even though the outer
+    relation is an empty view (Spark resolves before it propagates
+    empty relations). Dropping the argument also drops the lateral
+    correlation a Spark TVF could not express."""
+    repl = _lex(
+        "(SELECT CAST(NULL AS STRING) AS option_name, "
+        "CAST(NULL AS STRING) AS option_value WHERE false)"
+    )
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "word" and t.text.lower() == "pg_options_to_table":
+            op = _next_code(toks, i)
+            if op < len(toks) and toks[op].text == "(":
+                close = _find_matching_paren(toks, op)
+                if close != -1:
+                    toks[i : close + 1] = list(repl)
+                    i += len(repl)
+                    continue
+        i += 1
     return toks
 
 
@@ -2263,6 +2447,8 @@ def rewrite_sql(sql: str, params: bool = True) -> str:
     toks = _rewrite_generate_series(toks)
     toks = _rewrite_pg_namespace(toks)
     toks = _rewrite_array_subquery(toks)
+    toks = _rewrite_recursive_union_over_empty_catalog(toks)
+    toks = _rewrite_operator_syntax(toks)
     toks = _rewrite_eq_any(toks)
     toks = _rewrite_array_literals(toks)
     toks = _rewrite_subscripts(toks)
@@ -2271,6 +2457,7 @@ def rewrite_sql(sql: str, params: bool = True) -> str:
     # AFTER the pg_catalog. strip so pg_catalog.unnest(...) fires too;
     # the SRF zip-pair pass must see `unnest` BEFORE it becomes explode
     toks = _rewrite_srf_zip_pair(toks)
+    toks = _rewrite_pg_options_to_table(toks)
     toks = _rewrite_unnest(toks)
     # AFTER the pg_catalog. strip so pg_catalog.ltrim(s, chars) gets its
     # argument order fixed too (r7 ADVICE: running this pass first let

@@ -299,6 +299,9 @@ class SessionState:
     #: query currently/last running in this session
     backend_start: float = 0.0
     current_query: str | None = None
+    #: deferred session init (runs behind the handshake so the auth
+    #: round-trip is instant); the first dispatch awaits it
+    init_task: object | None = None
 
     @property
     def job_group(self) -> str:
@@ -599,17 +602,20 @@ class SparkPGServer:
                 except Exception:
                     log.debug("runtime catalog refresh failed", exc_info=True)
 
-        await asyncio.to_thread(_init, state.session)
-        # snapshot the boot-time temp views (registered tables, pg_stat_*
-        # live views) so DISCARD ALL/TEMP only drops client-created ones
-        try:
-            state.boot_temp_views = {
-                t.name
-                for t in state.session.catalog.listTables()
-                if t.tableType == "TEMPORARY" and t.namespace == []
-            }
-        except Exception:  # noqa: BLE001
-            state.boot_temp_views = set()
+        def _init_all() -> None:
+            _init(state.session)
+            # snapshot the boot-time temp views (registered tables,
+            # pg_stat_* live views) so DISCARD ALL/TEMP only drops
+            # client-created ones
+            try:
+                state.boot_temp_views = {
+                    t.name
+                    for t in state.session.catalog.listTables()
+                    if t.tableType == "TEMPORARY" and t.namespace == []
+                }
+            except Exception:  # noqa: BLE001
+                state.boot_temp_views = set()
+
         import time
 
         state.backend_start = time.time()
@@ -617,6 +623,18 @@ class SparkPGServer:
         state.writer = writer
         state.reader = reader
         self._sessions[pid] = state
+        # Session init (system functions + table registration + runtime
+        # catalog refresh) takes seconds; run it behind the handshake so
+        # AuthenticationOk/ReadyForQuery go out immediately — health
+        # checks with stock timeouts (pg_isready's 3 s) and poolers
+        # measuring connect latency see a normal PG. The first dispatch
+        # awaits the task before touching the session.
+        state.init_task = asyncio.create_task(asyncio.to_thread(_init_all))
+        # a client that disconnects before its first statement leaves the
+        # task unawaited — retrieve the exception so the loop stays quiet
+        state.init_task.add_done_callback(
+            lambda t: t.exception() if not t.cancelled() else None
+        )
 
         try:
             # reference conf: spark.sql.server.version (psql tailors its
@@ -774,6 +792,11 @@ class SparkPGServer:
         import time
 
         state.last_activity = time.monotonic()
+        if state.init_task is not None:
+            task, state.init_task = state.init_task, None
+            await task  # deferred session init — must finish before any
+            # statement touches the session (failure closes the
+            # connection via the handler's defensive except)
         if state.in_error and tag not in (b"S",):
             return  # skip until Sync (extended-protocol error recovery)
         try:
@@ -884,6 +907,14 @@ class SparkPGServer:
         if stmt.cls is StatementClass.DISCARD:
             self._discard(state, stmt.cursor_name)
             writer.write(M.command_complete(stmt.tag))
+            return
+        if stmt.cls is StatementClass.SET_CONFIG:
+            # SET spelled as a SELECTable function; echoes the new value
+            key, val = stmt.set_kv
+            self._apply_set(state, key, val)
+            writer.write(M.row_description([("set_config", 25, -1, 0)]))
+            writer.write(M.data_row([val.encode()]))
+            writer.write(M.command_complete("SELECT 1"))
             return
         if stmt.cls is StatementClass.BACKEND_CTL:
             writer.write(M.row_description(self._backend_ctl_fields(stmt.copy_query)))
@@ -1493,6 +1524,8 @@ class SparkPGServer:
                 writer.write(
                     M.row_description(self._backend_ctl_fields(ps.stmt.copy_query))
                 )
+            elif ps.stmt.cls is StatementClass.SET_CONFIG:
+                writer.write(M.row_description([("set_config", 25, -1, 0)]))
             elif ps.stmt.cls is StatementClass.EXECUTE_STMT:
                 writer.write(
                     self._row_description(
@@ -1523,6 +1556,10 @@ class SparkPGServer:
                         self._backend_ctl_fields(portal.statement.stmt.copy_query)
                     )
                 )
+            elif portal.statement is not None and (
+                portal.statement.stmt.cls is StatementClass.SET_CONFIG
+            ):
+                writer.write(M.row_description([("set_config", 25, -1, 0)]))
             elif portal.statement is not None and (
                 portal.statement.stmt.cls is StatementClass.EXECUTE_STMT
             ):
@@ -1609,6 +1646,12 @@ class SparkPGServer:
         if stmt.cls is StatementClass.DISCARD:
             self._discard(state, stmt.cursor_name)
             writer.write(M.command_complete(stmt.tag))
+            return
+        if stmt.cls is StatementClass.SET_CONFIG:
+            key, val = stmt.set_kv
+            self._apply_set(state, key, val)
+            writer.write(M.data_row([val.encode()]))
+            writer.write(M.command_complete("SELECT 1"))
             return
         if stmt.cls is StatementClass.BACKEND_CTL:
             writer.write(M.data_row(self._backend_ctl(state, stmt)))

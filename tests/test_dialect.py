@@ -691,3 +691,152 @@ class TestJustifyRewrites:
 def test_rewritten_sql_executes(spark, pg_sql, expected):
     rows = [tuple(r) for r in spark.sql(rewrite_sql(pg_sql)).collect()]
     assert rows == expected
+
+
+class TestPgDumpDialect:
+    """The rewrites the real pg_dump binary exercises (r11 — see
+    tests/test_pg_dump.py for the end-to-end drive)."""
+
+    def test_operator_syntax(self):
+        assert (
+            rewrite_sql("SELECT 1 WHERE a OPERATOR(pg_catalog.=) b")
+            == "SELECT 1 WHERE a = b"
+        )
+
+    def test_operator_syntax_regex(self):
+        assert (
+            rewrite_sql("SELECT c.relname OPERATOR(pg_catalog.~) '^x$'")
+            == "SELECT c.relname RLIKE '^x$'"
+        )
+
+    def test_operator_any_folds_to_array_contains(self):
+        out = rewrite_sql(
+            "SELECT 1 WHERE c.relkind OPERATOR(pg_catalog.=) ANY "
+            "(array['r', 'v'])"
+        )
+        assert "array_contains(array('r', 'v'), c.relkind)" in out
+
+    def test_unqualified_operator(self):
+        assert rewrite_sql("SELECT a OPERATOR(<>) b") == "SELECT a <> b"
+
+    def test_zero_subscript_is_first_char(self):
+        # pg_dump's array-type probe: typname[0] = '_' — PG name columns
+        # are C-strings where [0] is the first byte
+        out = rewrite_sql("SELECT typname[0] = '_' FROM pg_type")
+        assert "substring(typname, 1, 1)" in out
+
+    def test_positive_subscript_untouched_by_zero_rule(self):
+        assert "try_element_at(a, 1)" in rewrite_sql("SELECT a[1]")
+
+    def test_quoted_char_cast_is_identity(self):
+        assert rewrite_sql("SELECT 's'::\"char\"") == "SELECT 's'"
+
+    def test_oid_array_literal_cast(self):
+        assert (
+            rewrite_sql("SELECT '{1,2}'::pg_catalog.oid[]")
+            == "SELECT array(1, 2)"
+        )
+
+    def test_pg_options_to_table_becomes_empty_relation(self):
+        out = rewrite_sql(
+            "SELECT option_name FROM pg_options_to_table(fdwoptions)"
+        )
+        assert "option_name" in out and "WHERE false" in out
+        assert "fdwoptions" not in out
+
+    def test_array_subquery_keyed_order(self):
+        out = rewrite_sql("SELECT ARRAY(SELECT f(x) FROM t ORDER BY y)")
+        assert "transform(sort_array(collect_list(struct(y AS _o," in out
+        assert "s -> s._x" in out
+
+    def test_array_subquery_keyed_order_desc(self):
+        out = rewrite_sql("SELECT ARRAY(SELECT x FROM t ORDER BY y DESC)")
+        assert ", false), s -> s._x)" in out
+
+    def test_recursive_union_over_empty_catalog(self):
+        out = rewrite_sql(
+            "WITH RECURSIVE w AS (SELECT objid FROM pg_depend UNION "
+            "SELECT objid FROM w) SELECT * FROM w"
+        )
+        assert "UNION ALL" in out
+
+    def test_recursive_union_over_user_data_untouched(self):
+        # a user's genuine recursive UNION keeps Spark's clean error —
+        # switching it to UNION ALL could change termination
+        sql = (
+            "WITH RECURSIVE w AS (SELECT a FROM edges UNION "
+            "SELECT a + 1 FROM w) SELECT * FROM w"
+        )
+        assert "UNION ALL" not in rewrite_sql(sql)
+
+
+class TestPgDumpCommands:
+    """Statement-classification additions pg_dump's preamble needs."""
+
+    def test_set_config_is_a_real_set(self):
+        from spark_sql_server_spark.dialect.commands import (
+            StatementClass,
+            classify_statement,
+        )
+
+        st = classify_statement(
+            "SELECT pg_catalog.set_config('search_path', '', false);"
+        )
+        assert st.cls is StatementClass.SET_CONFIG
+        assert st.set_kv == ("search_path", "")
+
+    def test_set_config_null_value(self):
+        from spark_sql_server_spark.dialect.commands import (
+            StatementClass,
+            classify_statement,
+        )
+
+        st = classify_statement("SELECT set_config('x', NULL, true)")
+        assert st.cls is StatementClass.SET_CONFIG
+        assert st.set_kv == ("x", "")
+
+    def test_lock_table_is_noop_with_pg_tag(self):
+        from spark_sql_server_spark.dialect.commands import (
+            StatementClass,
+            classify_statement,
+        )
+
+        st = classify_statement(
+            "LOCK TABLE spark.region IN ACCESS SHARE MODE"
+        )
+        assert st.cls is StatementClass.MAINT
+        assert st.tag == "LOCK TABLE"
+
+    def test_set_transaction_is_noop(self):
+        from spark_sql_server_spark.dialect.commands import (
+            StatementClass,
+            classify_statement,
+        )
+
+        st = classify_statement(
+            "SET TRANSACTION ISOLATION LEVEL REPEATABLE READ, READ ONLY"
+        )
+        assert st.cls is StatementClass.MAINT
+        assert st.tag == "SET"
+
+    def test_plain_set_still_works(self):
+        from spark_sql_server_spark.dialect.commands import (
+            StatementClass,
+            classify_statement,
+        )
+
+        st = classify_statement("SET search_path = 'x'")
+        assert st.cls is StatementClass.SET
+        assert st.set_kv == ("search_path", "x")
+
+    def test_copy_out_with_schema_and_columns(self):
+        from spark_sql_server_spark.dialect.commands import (
+            StatementClass,
+            classify_statement,
+        )
+
+        st = classify_statement(
+            "COPY spark.region (r_regionkey, r_name) TO stdout;"
+        )
+        assert st.cls is StatementClass.COPY_OUT
+        assert st.copy_query == "SELECT r_regionkey, r_name FROM region"

@@ -8368,8 +8368,8 @@ CORPUS += [
 NEGATIVE_WAVE68 = [
     # --- array.sql ---
     "WITH data AS (select * from values ('one', array(11, 12, 13), array(array(111, 112, 113), array(121, 122, 123))), ('two', array(21, 22, 23), array(array(211, 212, 213), array(221, 222, 223))) as data(a, b, c)) select * from data",  # b'SERROR\x00CXX000\x00MNested array types are not supporte'
-    "WITH data AS (select * from values ('one', array(11, 12, 13), array(array(111, 112, 113), array(121, 122, 123))), ('two', array(21, 22, 23), array(array(211, 212, 213), array(221, 222, 223))) as data(a, b, c)) select a, b[0], b[0] + b[1] from data",  # INVALID_INDEX_OF_ZERO
-    "WITH data AS (select * from values ('one', array(11, 12, 13), array(array(111, 112, 113), array(121, 122, 123))), ('two', array(21, 22, 23), array(array(211, 212, 213), array(221, 222, 223))) as data(a, b, c)) select a, c[0][0] + c[0][0 + 1] from data",  # INVALID_INDEX_OF_ZERO
+    "WITH data AS (select * from values ('one', array(11, 12, 13), array(array(111, 112, 113), array(121, 122, 123))), ('two', array(21, 22, 23), array(array(211, 212, 213), array(221, 222, 223))) as data(a, b, c)) select a, b[0], b[0] + b[1] from data",  # r11 zero-subscript rewrite -> substring(array) DATATYPE_MISMATCH
+    "WITH data AS (select * from values ('one', array(11, 12, 13), array(array(111, 112, 113), array(121, 122, 123))), ('two', array(21, 22, 23), array(array(211, 212, 213), array(221, 222, 223))) as data(a, b, c)) select a, c[0][0] + c[0][0 + 1] from data",  # r11 zero-subscript rewrite -> substring(array) DATATYPE_MISMATCH
     "select sort_array(array('b', 'd'), '1')",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE
     # --- bitwise.sql ---
     "select bit_count('bit count')",  # DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE

@@ -1,0 +1,103 @@
+"""End-to-end tests with the real pg_dump binary (PostgreSQL 15).
+
+Beyond-reference surface: the reference services psql and the pgjdbc
+metadata queries (``catalog.scala:284-379``); pg_dump walks a much
+larger slice of pg_catalog — every object-class relation (types,
+operators, casts, languages, FDWs, text-search objects, policies, …),
+``tableoid`` on every row, the ``OPERATOR(pg_catalog.=)`` spelling,
+``set_config``/``LOCK TABLE``/``SET TRANSACTION`` session setup, and
+COPY with schema-qualified names + column lists for the data phase.
+A successful ``pg_dump`` of the server is the strongest available
+evidence that the catalog emulation is coherent end to end.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import shutil
+import subprocess
+import threading
+
+import pytest
+
+from spark_sql_server_spark.protocol.server import SparkPGServer
+from spark_sql_server_spark.session import register_tables
+from tests.conftest import SF_SMOKE
+
+pg_dump_missing = shutil.which("pg_dump") is None
+pytestmark = pytest.mark.skipif(
+    pg_dump_missing, reason="pg_dump binary not available"
+)
+
+
+@pytest.fixture(scope="module")
+def dump_server(spark):
+    loop = asyncio.new_event_loop()
+    thread = threading.Thread(target=loop.run_forever, daemon=True)
+    thread.start()
+
+    async def make():
+        srv = SparkPGServer(
+            spark, port=0, init_session=lambda s: register_tables(s, SF_SMOKE)
+        )
+        await srv.start()
+        return srv
+
+    srv = asyncio.run_coroutine_threadsafe(make(), loop).result(120)
+    yield srv
+    asyncio.run_coroutine_threadsafe(srv.stop(), loop).result(30)
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def pg_dump(srv, *args: str, timeout: int = 240) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        ["pg_dump", "-h", "127.0.0.1", "-p", str(srv.port), "-U", "tester",
+         "-d", "default", *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+class TestSchemaDump:
+    def test_schema_only_dump_succeeds(self, dump_server):
+        out = pg_dump(dump_server, "-s")
+        assert out.returncode == 0, out.stderr
+        # every registered table appears as a CREATE TABLE in the
+        # 'spark' schema with PG type names
+        for t in ("region", "nation", "customer", "orders", "lineitem",
+                  "supplier", "part", "events", "documents", "embeddings"):
+            assert f"CREATE TABLE spark.{t} (" in out.stdout, t
+        assert "CREATE SCHEMA spark;" in out.stdout
+        assert "int8" in out.stdout and "float8" in out.stdout
+        assert "timestamp" in out.stdout
+        # no builtin objects leak into the dump: types live in
+        # pg_catalog's namespace, system functions too
+        assert "CREATE TYPE" not in out.stdout
+        assert "CREATE FUNCTION" not in out.stdout
+
+    def test_single_table_dump_with_data(self, dump_server):
+        out = pg_dump(dump_server, "-t", "spark.region")
+        assert out.returncode == 0, out.stderr
+        assert "COPY spark.region (r_regionkey, r_name) FROM stdin;" in out.stdout
+        body = out.stdout.split("FROM stdin;", 1)[1]
+        rows = body.split("\\.", 1)[0].strip().splitlines()
+        assert len(rows) == 5  # the 5 TPC-H regions
+        assert any(r.split("\t") == ["0", "AFRICA"] for r in rows)
+
+    def test_full_dump_with_data(self, dump_server):
+        out = pg_dump(dump_server)
+        assert out.returncode == 0, out.stderr
+        # one COPY block per table
+        assert out.stdout.count("FROM stdin;") == 10
+
+    def test_custom_format_dump(self, dump_server):
+        # -Fc exercises the same catalog walk through a different writer
+        out = subprocess.run(
+            ["pg_dump", "-h", "127.0.0.1", "-p", str(dump_server.port),
+             "-U", "tester", "-d", "default", "-s", "-Fc"],
+            capture_output=True,
+            timeout=240,
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        assert out.stdout[:5] == b"PGDMP"  # custom-format magic

@@ -169,7 +169,11 @@ class TestPsqlMetaCommandBattery:
         assert "0 rows" in self._ok(psql_server, r"\da")
 
     def test_dT_types(self, psql_server):
-        out = self._ok(psql_server, r"\dT")
+        # r11: builtin types moved to pg_catalog's namespace (pg_dump
+        # must not see them as user objects), so plain \dT is empty —
+        # exactly like real PG on a fresh database — and \dTS lists
+        # the system types
+        out = self._ok(psql_server, r"\dTS")
         assert "int4" in out and "varchar" in out
 
     def test_db_tablespaces(self, psql_server):

@@ -412,3 +412,47 @@ class TestMalformedMessageBattery:
         # both are live-server outcomes; wedging/crashing is the failure
         assert any(t in (b"C", b"E") for t, _ in msgs)
         assert rows_of(after) in ([[b"2"]], [[b"0"]])
+
+
+class TestDeferredSessionInit:
+    """The handshake goes out before the per-connection session init
+    (health checks with stock timeouts — pg_isready's 3 s — must see a
+    normal PG); the first dispatch awaits the init."""
+
+    def test_terminate_before_first_statement(self, server):
+        # pg_isready's probe shape: startup -> ReadyForQuery -> Terminate
+        # with no statement in between; the deferred init task must be
+        # cleaned up quietly and the server must keep serving
+        srv, loop = server
+
+        async def go():
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            w.write(_startup({"user": "probe"}))
+            await w.drain()
+            c = PgClient(r, w)
+            msgs = await c.until_ready()
+            w.write(b"X" + struct.pack("!i", 4))
+            await w.drain()
+            w.close()
+            # a fresh connection still works after the probe
+            c2 = await PgClient.connect(srv.port)
+            out = await c2.simple("SELECT 5 AS v")
+            await c2.close()
+            return msgs, out
+
+        msgs, out = loop.run_until_complete(go())
+        assert msgs[0][0] == b"R"  # AuthenticationOk came first
+        assert rows_of(out) == [[b"5"]]
+
+    def test_first_statement_sees_registered_tables(self, server):
+        # the very first message on a fresh connection races the deferred
+        # init — dispatch must await it, so the registered views resolve
+        srv, loop = server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            out = await c.simple("SELECT count(*) AS n FROM region")
+            await c.close()
+            return out
+
+        assert rows_of(loop.run_until_complete(go())) == [[b"5"]]

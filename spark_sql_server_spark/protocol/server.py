@@ -490,6 +490,15 @@ class SparkPGServer:
         finally:
             if state is not None:
                 self._sessions.pop(state.pid, None)
+                # a health-check probe (pg_isready) disconnects before
+                # its first statement: reap the deferred init task so
+                # the loop never tears down around a pending task
+                task = state.init_task
+                if task is not None and not task.done():
+                    try:
+                        await task
+                    except Exception:  # noqa: BLE001 — init failed; conn is gone
+                        pass
             writer.close()
             try:
                 await writer.wait_closed()

@@ -262,3 +262,20 @@ class TestPsqlScrollCursor:
         out = psql(psql_server, "-At", "-c",
                    "DECLARE ns CURSOR FOR SELECT 1; FETCH PRIOR FROM ns")
         assert "scan forward" in out.stderr
+
+
+class TestPgIsReady:
+    """The real pg_isready binary with its STOCK 3-second timeout —
+    only passes because the handshake goes out before the deferred
+    per-connection session init (r11)."""
+
+    def test_pg_isready_default_timeout(self, psql_server):
+        out = subprocess.run(
+            ["pg_isready", "-h", "127.0.0.1", "-p", str(psql_server.port),
+             "-U", "tester", "-d", "default"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        assert out.returncode == 0, out.stdout + out.stderr
+        assert "accepting connections" in out.stdout

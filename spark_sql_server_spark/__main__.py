@@ -57,6 +57,11 @@ def main() -> None:
     p.add_argument("--auth-password", default=None,
                    help="the single accepted password for --auth modes "
                         "(default: $SPARK_PG_PASSWORD)")
+    p.add_argument("--tx-noop", action="store_true",
+                   help="COMMIT/ROLLBACK answer like PG outside a "
+                        "transaction (WARNING + tag) instead of the "
+                        "reference's rejection — pgbench and "
+                        "BEGIN..COMMIT-wrapping loaders need it")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args()
 
@@ -79,6 +84,7 @@ def main() -> None:
         host=args.host,
         port=args.port,
         auth=args.auth,
+        tx_noop=args.tx_noop,
         password_check=(
             (lambda user, pw: pw == auth_password) if auth_password else None
         ),

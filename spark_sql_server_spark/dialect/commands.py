@@ -410,7 +410,53 @@ def split_statements(raw: str) -> list[str]:
     s = "".join(buf).strip()
     if s:
         out.append(s)
-    return out
+    return [e for stmt in out for e in _expand_multi_drop(stmt)]
+
+
+_ALTER_OWNER_RE = re.compile(
+    r"^\s*ALTER\s+(?P<kind>TABLE|SCHEMA|VIEW|DATABASE|SEQUENCE|TYPE|FUNCTION)"
+    r"\s+[\w.\"]+\s+OWNER\s+TO\s+[\w\"-]+\s*$",
+    re.IGNORECASE,
+)
+
+_CREATE_USER_SCHEMA_RE = re.compile(
+    r"^\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:spark|public)\s*$",
+    re.IGNORECASE,
+)
+
+_MULTI_DROP_RE = re.compile(
+    r"^\s*DROP\s+(?P<kind>TABLE|VIEW)\s+(?P<ifex>IF\s+EXISTS\s+)?"
+    r"(?P<names>[\w.\"]+(?:\s*,\s*[\w.\"]+)+)\s*(?P<tail>CASCADE|RESTRICT)?\s*$",
+    re.IGNORECASE,
+)
+
+_MULTI_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?"
+    r"(?P<names>[\w.\"]+(?:\s*,\s*[\w.\"]+)+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _expand_multi_drop(stmt: str) -> list[str]:
+    """PG allows ``DROP TABLE a, b, c`` and ``TRUNCATE a, b, c``; Spark
+    takes one relation per statement. Expand the list forms (pgbench -i
+    leads with a 4-table drop + truncate) — names can't contain
+    top-level commas, so a plain split is exact."""
+    m = _MULTI_DROP_RE.match(stmt)
+    if m:
+        kind = m.group("kind")
+        ifex = "IF EXISTS " if m.group("ifex") else ""
+        return [
+            f"DROP {kind} {ifex}{name.strip()}"
+            for name in m.group("names").split(",")
+        ]
+    m = _MULTI_TRUNCATE_RE.match(stmt)
+    if m:
+        return [
+            f"TRUNCATE TABLE {name.strip()}"
+            for name in m.group("names").split(",")
+        ]
+    return [stmt]
 
 
 def classify_statement(sql: str) -> Statement:
@@ -426,6 +472,24 @@ def classify_statement(sql: str) -> Statement:
         return Statement(StatementClass.COMMIT, sql, tag="COMMIT")
     if word0 in ("VACUUM", "CHECKPOINT", "REINDEX"):
         return Statement(StatementClass.MAINT, sql, tag=word0)
+    if word0 == "ALTER":
+        m = _ALTER_OWNER_RE.match(s)
+        if m:
+            # pg_dump emits ALTER <kind> x OWNER TO role after every
+            # object; single-role emulation — nothing to change
+            return Statement(
+                StatementClass.MAINT, sql,
+                tag=f"ALTER {m.group('kind').upper()}",
+            )
+    if word0 == "CREATE":
+        m = _CREATE_USER_SCHEMA_RE.match(s)
+        if m:
+            # the 'spark'/'public' namespace already exists by the
+            # catalog fiction (nspname 'spark' IS Spark's default db) —
+            # restoring a dump of this server must not error on it
+            return Statement(
+                StatementClass.MAINT, sql, tag="CREATE SCHEMA",
+            )
     if word0 == "LOCK":
         # pg_dump takes ACCESS SHARE locks on every dumped table; no
         # lock manager here (reads are snapshot-isolated parquet scans)

@@ -2201,6 +2201,38 @@ def _map_ddl_group_types(toks: list[Tok], oi: int) -> None:
         _map_ddl_type_at(toks, type_i, hi)
 
 
+def _strip_user_schema_targets(toks: list[Tok]) -> list[Tok]:
+    """Drop a ``spark.``/``public.`` qualifier on DDL/DML *targets*
+    (``CREATE TABLE spark.x``, ``DROP TABLE IF EXISTS spark.x``,
+    ``TRUNCATE spark.x``, ``INSERT INTO spark.x``): the catalog fiction
+    says nspname 'spark' IS Spark's default database, and a pg_dump of
+    this server spells every object that way — restoring the dump back
+    must resolve. Scoped to target positions (the token before the
+    qualifier is INTO/TABLE/EXISTS/VIEW/TRUNCATE) so a table *aliased*
+    ``spark`` in a query never loses its column qualifiers."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "word" and t.text.lower() in ("spark", "public"):
+            di = _next_code(toks, i)
+            wi = _next_code(toks, di) if di < len(toks) else len(toks)
+            pi = _prev_code(toks, i)
+            if (
+                di < len(toks)
+                and toks[di].text == "."
+                and wi < len(toks)
+                and toks[wi].kind in ("word", "qident")
+                and pi >= 0
+                and toks[pi].kind == "word"
+                and toks[pi].text.upper()
+                in ("INTO", "TABLE", "EXISTS", "VIEW", "TRUNCATE")
+            ):
+                del toks[i:wi]
+                continue
+        i += 1
+    return toks
+
+
 def _rewrite_ddl_column_types(toks: list[Tok]) -> list[Tok]:
     """Map PG type spellings in CREATE TABLE column lists — ``CREATE
     TABLE t (body text, n int8)`` must become ``STRING``/``BIGINT``
@@ -2218,6 +2250,23 @@ def _rewrite_ddl_column_types(toks: list[Tok]) -> list[Tok]:
         return toks
     if not any(w == "table" for _, w in words[:4]):
         return toks
+    # strip PG storage options — `… ) WITH (fillfactor=100)` (pgbench's
+    # table DDL): heap knobs with no Spark analogue; keyed on the
+    # k=v shape so a CTAS `CREATE TABLE t AS WITH cte …` is untouched
+    for i, t in enumerate(toks):
+        if (
+            t.kind == "word"
+            and t.text.upper() == "WITH"
+            and (pi := _prev_code(toks, i)) >= 0
+            and toks[pi].text == ")"
+        ):
+            op = _next_code(toks, i)
+            if op < len(toks) and toks[op].text == "(":
+                close = _find_matching_paren(toks, op)
+                inner = toks[op + 1 : close] if close != -1 else []
+                if close != -1 and any(x.text == "=" for x in inner):
+                    del toks[i : close + 1]
+                    break
     # the column list is the first top-level paren group; a CTAS has
     # none before AS/USING — stop the scan there
     oi = -1
@@ -2432,6 +2481,7 @@ def rewrite_sql(sql: str, params: bool = True) -> str:
     toks = _lex(sql)
     toks = _merge_multiword_types(toks)
     toks = _rewrite_timestamptz_literals(toks)
+    toks = _strip_user_schema_targets(toks)
     toks = _rewrite_ddl_column_types(toks)
     toks = _strip_qualified_type_names(toks)
     toks = _rewrite_casts(toks)

@@ -167,9 +167,10 @@ def error_response(message: str, code: str = "XX000", severity: str = "ERROR") -
     return _msg(b"E", body)
 
 
-def notice_response(message: str) -> bytes:
+def notice_response(message: str, severity: str = "NOTICE") -> bytes:
     body = (
-        b"SNOTICE\x00C00000\x00M" + message.encode("utf-8", "replace") + b"\x00\x00"
+        b"S" + severity.encode() + b"\x00C00000\x00M"
+        + message.encode("utf-8", "replace") + b"\x00\x00"
     )
     return _msg(b"N", body)
 

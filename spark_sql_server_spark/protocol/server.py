@@ -322,6 +322,9 @@ class SparkPGServer:
         ssl_key: str | None = None,
         ssl_self_signed: bool = False,
         auth: str = "trust",
+        tx_noop: bool = False,  # COMMIT/ROLLBACK answer like PG outside
+        # a transaction (WARNING + tag) instead of the reference's
+        # rejection — pgbench and BEGIN…COMMIT-wrapping loaders need it
         password_check=None,  # callback(user, password) -> bool
         password_lookup=None,  # callback(user) -> cleartext password | None
         scram_iterations: int | None = None,
@@ -365,6 +368,7 @@ class SparkPGServer:
         if auth not in ("trust", "password", "md5", "scram-sha-256"):
             raise ValueError(f"unsupported auth mode {auth!r}")
         self.auth = auth
+        self.tx_noop = tx_noop
         self.password_check = password_check
         # SCRAM derives the verifier per-exchange from the cleartext
         # password the embedder supplies (PG stores salted verifiers in
@@ -880,6 +884,21 @@ class SparkPGServer:
             writer.write(M.command_complete(stmt.tag))
             return
         if stmt.cls in (StatementClass.COMMIT, StatementClass.ROLLBACK):
+            if self.tx_noop:
+                # BEGIN is a no-op, so no transaction is ever in
+                # progress — answer exactly like real PG outside a
+                # transaction: WARNING + the command tag. Every write
+                # already autocommitted, so COMMIT truly has nothing to
+                # do (and ROLLBACK truly cannot undo — the warning is
+                # the honest signal). Opt-in: default stays the
+                # reference's rejection (protocol.scala:605-608).
+                writer.write(
+                    M.notice_response(
+                        "there is no transaction in progress", "WARNING"
+                    )
+                )
+                writer.write(M.command_complete(stmt.tag))
+                return
             raise ValueError(f"Operation not allowed: {stmt.sql.strip()}")
         if stmt.cls is StatementClass.DEALLOCATE:
             # PG: DEALLOCATE name drops one prepared statement (SQL-level
@@ -1628,6 +1647,14 @@ class SparkPGServer:
             writer.write(M.command_complete(stmt.tag))
             return
         if stmt.cls in (StatementClass.COMMIT, StatementClass.ROLLBACK):
+            if self.tx_noop:
+                writer.write(
+                    M.notice_response(
+                        "there is no transaction in progress", "WARNING"
+                    )
+                )
+                writer.write(M.command_complete(stmt.tag))
+                return
             raise ValueError(f"Operation not allowed: {ps.raw_sql.strip()}")
         if stmt.cls is StatementClass.SET:
             key, val = stmt.set_kv
@@ -2599,12 +2626,30 @@ def _dml_rowcount(df: DataFrame) -> int:
 
 
 def _tag_for(sql: str, rows: int = 0, df: DataFrame | None = None) -> str:
-    head = sql.lstrip().split(None, 1)
+    head = sql.lstrip().split(None, 2)
     word = head[0].upper() if head else "OK"
     if word == "INSERT":
         if df is not None:
             rows = _dml_rowcount(df)
         return f"INSERT 0 {rows}"
+    if word in ("CREATE", "DROP", "ALTER", "TRUNCATE"):
+        # PG tags carry the object kind: CREATE TABLE, DROP VIEW, …
+        # (psql prints the tag; pg_dump-restore transcripts diff clean)
+        mods = {"OR", "REPLACE", "IF", "NOT", "EXISTS", "TEMP",
+                "TEMPORARY", "EXTERNAL", "GLOBAL", "UNIQUE",
+                "MATERIALIZED"}
+        kinds = {"TABLE", "VIEW", "SCHEMA", "DATABASE", "NAMESPACE",
+                 "FUNCTION", "INDEX", "SEQUENCE", "TYPE", "EXTENSION",
+                 "ROLE", "TRIGGER"}
+        for w in sql.split()[1:6]:
+            u = w.upper()
+            if u in mods:
+                continue
+            if u in kinds:
+                return f"{word} {u}"
+            break
+        if word == "TRUNCATE":
+            return "TRUNCATE TABLE"  # PG's tag even for the bare form
     return word
 
 

@@ -840,3 +840,39 @@ class TestPgDumpCommands:
         )
         assert st.cls is StatementClass.COPY_OUT
         assert st.copy_query == "SELECT r_regionkey, r_name FROM region"
+
+
+class TestPgbenchDialect:
+    """The statement shapes pgbench -i sends (r11 — see
+    tests/test_pgbench.py for the end-to-end drive)."""
+
+    def test_multi_table_drop_expands(self):
+        from spark_sql_server_spark.dialect.commands import split_statements
+
+        assert split_statements(
+            "drop table if exists a, b, c"
+        ) == ["DROP table IF EXISTS a", "DROP table IF EXISTS b",
+              "DROP table IF EXISTS c"]
+
+    def test_multi_table_truncate_expands(self):
+        from spark_sql_server_spark.dialect.commands import split_statements
+
+        assert split_statements("truncate a, b") == [
+            "TRUNCATE TABLE a", "TRUNCATE TABLE b"
+        ]
+
+    def test_single_drop_untouched(self):
+        from spark_sql_server_spark.dialect.commands import split_statements
+
+        assert split_statements("DROP TABLE t1") == ["DROP TABLE t1"]
+
+    def test_storage_options_stripped(self):
+        out = rewrite_sql(
+            "create table t(a int not null, f char(84)) "
+            "with (fillfactor=100)"
+        )
+        assert "fillfactor" not in out and "with" not in out.lower()
+
+    def test_ctas_with_cte_untouched(self):
+        sql = "CREATE TABLE t AS WITH c AS (SELECT 1 AS x) SELECT * FROM c"
+        assert rewrite_sql(sql) == sql

@@ -101,3 +101,37 @@ class TestSchemaDump:
         )
         assert out.returncode == 0, out.stderr[-500:]
         assert out.stdout[:5] == b"PGDMP"  # custom-format magic
+
+
+class TestDumpRestoreRoundTrip:
+    def test_table_round_trips_through_dump(self, dump_server, spark, tmp_path):
+        """CREATE over the wire → pg_dump -t → DROP → psql -f restore
+        (ON_ERROR_STOP) → identical data. Exercises ALTER … OWNER TO as
+        a no-op, CREATE SCHEMA spark as a no-op (the namespace fiction
+        already provides it), the spark.-qualifier strip on DDL/COPY
+        targets, and COPY FROM STDIN."""
+        psql_base = ["psql", "-h", "127.0.0.1", "-p", str(dump_server.port),
+                     "-U", "tester", "-d", "default", "-X", "-At"]
+
+        def run(*args, **kw):
+            out = subprocess.run(
+                [*psql_base, *args], capture_output=True, text=True,
+                timeout=240, **kw,
+            )
+            assert out.returncode == 0, out.stderr
+            return out
+
+        try:
+            run("-c", "CREATE TABLE rt_demo (id int8, name text)")
+            run("-c", "INSERT INTO rt_demo VALUES (1, 'a'), (2, 'b''q'), "
+                      "(3, NULL)")
+            dump = pg_dump(dump_server, "-t", "spark.rt_demo")
+            assert dump.returncode == 0, dump.stderr
+            f = tmp_path / "rt.sql"
+            f.write_text(dump.stdout)
+            run("-c", "DROP TABLE rt_demo")
+            run("-v", "ON_ERROR_STOP=1", "-f", str(f))
+            out = run("-c", "SELECT id, name FROM rt_demo ORDER BY id")
+            assert out.stdout.splitlines() == ["1|a", "2|b'q", "3|"]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS rt_demo")

@@ -1312,6 +1312,18 @@ def _rewrite_array_subquery(toks: list[Tok]) -> list[Tok]:
                     if keyed and keyed[-1].text.upper() in ("ASC", "DESC"):
                         asc = keyed[-1].text.upper() == "ASC"
                         keyed = keyed[:-1]
+                    # otoks dropped the whitespace — re-space adjacent
+                    # word tokens so a multi-token key can't concatenate
+                    spaced: list[Tok] = []
+                    for k in keyed:
+                        if (
+                            spaced
+                            and spaced[-1].kind == "word"
+                            and k.kind == "word"
+                        ):
+                            spaced.append(Tok("ws", " "))
+                        spaced.append(k)
+                    keyed = spaced
                     body_end = order_i
             if sortable:
                 head = [

@@ -215,9 +215,9 @@ CATALOG_TABLE_SCHEMAS: dict[str, str] = {
     "pg_database": (
         "oid INT, datname STRING, datdba INT, encoding INT, datcollate STRING, "
         "datctype STRING, datacl ARRAY<STRING>, dattablespace INT, "
-        # pg_dump -Fc dumpDatabase column set
+        # pg_dump -Fc dumpDatabase / pg_dumpall column set
         "datistemplate BOOLEAN, datconnlimit INT, datfrozenxid INT, "
-        "datminmxid INT, tableoid INT"
+        "datminmxid INT, datallowconn BOOLEAN, tableoid INT"
     ),
     # ---- pg_dump surface: object classes that don't exist in this
     # emulation (no text-search objects, FDWs, transforms, …) — all
@@ -573,6 +573,15 @@ def init_information_schema(spark: SparkSession) -> None:
     views over the system catalogs. All views delegate to the live
     pg_catalog tables, so refresh_runtime_catalog keeps them current;
     CREATE OR REPLACE makes re-init idempotent."""
+    # pg_authid = pg_roles + rolpassword (NULL — no stored verifiers);
+    # pg_dumpall --globals-only reads it for CREATE/ALTER ROLE output.
+    # Lives here because this function runs on BOTH the fresh-build and
+    # the revision-probe early-exit paths (idempotent CREATE OR REPLACE)
+    spark.sql(
+        f"CREATE OR REPLACE VIEW {CATALOG_DB}.pg_authid AS "
+        f"SELECT *, CAST(NULL AS STRING) AS rolpassword "
+        f"FROM {CATALOG_DB}.pg_roles"
+    )
     spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
     dt_case = "CASE t.typname " + " ".join(
         f"WHEN '{k}' THEN '{v}'" for k, v in _INFOSCHEMA_DATA_TYPES.items()
@@ -668,6 +677,7 @@ def refresh_runtime_catalog(spark: SparkSession) -> None:
             datconnlimit=-1,
             datfrozenxid=0,
             datminmxid=0,
+            datallowconn=True,
             tableoid=1262,
         )
         for db in spark.catalog.listDatabases()

@@ -1205,7 +1205,11 @@ def _bare_catalog_names() -> frozenset:
             CATALOG_TABLE_SCHEMAS,
         )
 
-        _BARE_CATALOG_NAMES = frozenset(CATALOG_TABLE_SCHEMAS)
+        # + the derived views that aren't in the schema map (pg_authid
+        # is CREATE OR REPLACE VIEW over pg_roles)
+        _BARE_CATALOG_NAMES = frozenset(CATALOG_TABLE_SCHEMAS) | {
+            "pg_authid"
+        }
     return _BARE_CATALOG_NAMES
 
 

@@ -135,3 +135,29 @@ class TestDumpRestoreRoundTrip:
             assert out.stdout.splitlines() == ["1|a", "2|b'q", "3|"]
         finally:
             spark.sql("DROP TABLE IF EXISTS rt_demo")
+
+
+class TestPgDumpall:
+    def test_globals_only(self, dump_server):
+        out = subprocess.run(
+            ["pg_dumpall", "-h", "127.0.0.1", "-p", str(dump_server.port),
+             "-U", "tester", "-l", "default", "--globals-only"],
+            capture_output=True,
+            text=True,
+            timeout=240,
+        )
+        assert out.returncode == 0, out.stderr
+        assert 'CREATE ROLE "spark-user";' in out.stdout
+        assert "WITH SUPERUSER" in out.stdout  # pg_authid flags rendered
+
+    def test_full_cluster_dump(self, dump_server):
+        # connects to every row of pg_database in turn and dumps each
+        out = subprocess.run(
+            ["pg_dumpall", "-h", "127.0.0.1", "-p", str(dump_server.port),
+             "-U", "tester", "-l", "default"],
+            capture_output=True,
+            text=True,
+            timeout=420,
+        )
+        assert out.returncode == 0, out.stderr
+        assert "CREATE TABLE" in out.stdout

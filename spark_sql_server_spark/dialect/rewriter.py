@@ -2223,12 +2223,27 @@ def _strip_user_schema_targets(toks: list[Tok]) -> list[Tok]:
     ``TRUNCATE spark.x``, ``INSERT INTO spark.x``): the catalog fiction
     says nspname 'spark' IS Spark's default database, and a pg_dump of
     this server spells every object that way — restoring the dump back
-    must resolve. Scoped to target positions (the token before the
-    qualifier is INTO/TABLE/EXISTS/VIEW/TRUNCATE) so a table *aliased*
-    ``spark`` in a query never loses its column qualifiers."""
+    must resolve. Scoped to relation positions (the token before the
+    qualifier is INTO/TABLE/EXISTS/VIEW/TRUNCATE/FROM/JOIN) so a table
+    *aliased* ``spark`` never loses its column qualifiers — an alias
+    reference ``spark.col`` follows ON/WHERE/SELECT tokens, never
+    these. PG's inheritance qualifier ``FROM ONLY rel`` (pg_dump
+    --inserts spells its data cursor that way) drops first: no table
+    inheritance here, so ONLY is the identity."""
     i = 0
     while i < len(toks):
         t = toks[i]
+        if (
+            t.kind == "word"
+            and t.text.upper() == "ONLY"
+            and (opi := _prev_code(toks, i)) >= 0
+            and toks[opi].kind == "word"
+            and toks[opi].text.upper() in ("FROM", "JOIN")
+            and (oni := _next_code(toks, i)) < len(toks)
+            and toks[oni].kind in ("word", "qident")
+        ):
+            del toks[i:oni]
+            continue
         if t.kind == "word" and t.text.lower() in ("spark", "public"):
             di = _next_code(toks, i)
             wi = _next_code(toks, di) if di < len(toks) else len(toks)
@@ -2241,7 +2256,8 @@ def _strip_user_schema_targets(toks: list[Tok]) -> list[Tok]:
                 and pi >= 0
                 and toks[pi].kind == "word"
                 and toks[pi].text.upper()
-                in ("INTO", "TABLE", "EXISTS", "VIEW", "TRUNCATE")
+                in ("INTO", "TABLE", "EXISTS", "VIEW", "TRUNCATE",
+                    "FROM", "JOIN")
             ):
                 del toks[i:wi]
                 continue

@@ -161,3 +161,28 @@ class TestPgDumpall:
         )
         assert out.returncode == 0, out.stderr
         assert "CREATE TABLE" in out.stdout
+
+
+class TestInsertsDumpAndQualifiers:
+    def test_inserts_dump(self, dump_server):
+        # --inserts fetches through DECLARE … CURSOR FOR SELECT … FROM
+        # ONLY spark.region — the ONLY inheritance qualifier and the
+        # FROM-position schema strip both rewrite
+        out = pg_dump(dump_server, "-t", "spark.region", "--inserts",
+                      "--rows-per-insert=2")
+        assert out.returncode == 0, out.stderr
+        assert "INSERT INTO spark.region VALUES" in out.stdout
+        assert "(0, 'AFRICA')" in out.stdout
+
+    def test_schema_qualified_select_over_wire(self, dump_server):
+        # users type what \d shows them: spark.orders resolves (the
+        # nspname fiction — schema 'spark' IS Spark's default database)
+        out = subprocess.run(
+            ["psql", "-h", "127.0.0.1", "-p", str(dump_server.port),
+             "-U", "tester", "-d", "default", "-X", "-At", "-c",
+             "SELECT count(*) FROM spark.region JOIN spark.nation "
+             "ON r_regionkey = n_regionkey"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.strip() == "25"

@@ -103,14 +103,44 @@ def init_system_functions(spark: SparkSession) -> None:
     # pg_dump's connection preamble (never a standby here)
     udf("pg_is_in_recovery", lambda: False, T.BooleanType())
     # pg_dump quoting helpers (PG's exact quoting rules: ident quoted
-    # unless a clean lower-case identifier; literal doubles quotes)
+    # unless a clean lower-case identifier that is not a non-
+    # unreserved keyword — quote_identifier() in ruleutils.c quotes
+    # every keyword whose category != UNRESERVED_KEYWORD, so an object
+    # named `table` dumps as "table" and restores; literal doubles
+    # quotes). Keyword set = PG 15 kwlist.h RESERVED + TYPE_FUNC_NAME
+    # + COL_NAME categories (r11 ADVICE).
     import re as _re
+
+    _pg_reserved = frozenset(
+        """all analyse analyze and any array as asc asymmetric both
+        case cast check collate column constraint create current_catalog
+        current_date current_role current_time current_timestamp
+        current_user default deferrable desc distinct do else end except
+        false fetch for foreign from grant group having in initially
+        intersect into lateral leading limit localtime localtimestamp
+        not null offset on only or order placing primary references
+        returning select session_user some symmetric system_user table
+        then to trailing true union unique user using variadic when
+        where window with authorization binary collation concurrently
+        cross current_schema freeze full ilike inner is isnull join
+        left like natural notnull outer overlaps right similar
+        tablesample verbose between bigint bit boolean char character
+        coalesce dec decimal exists extract float greatest grouping
+        inout int integer interval least national nchar none normalize
+        nullif numeric out overlay position precision real row setof
+        smallint substring time timestamp treat trim values varchar
+        xmlattributes xmlconcat xmlelement xmlexists xmlforest
+        xmlnamespaces xmlparse xmlpi xmlroot xmlserialize
+        xmltable""".split()
+    )
 
     udf(
         "quote_ident",
         lambda s: (
             None if s is None
-            else s if _re.fullmatch(r"[a-z_][a-z0-9_]*", s)
+            else s
+            if _re.fullmatch(r"[a-z_][a-z0-9_]*", s)
+            and s not in _pg_reserved
             else '"' + s.replace('"', '""') + '"'
         ),
         T.StringType(),

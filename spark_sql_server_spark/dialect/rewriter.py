@@ -1231,6 +1231,58 @@ def _rewrite_pg_namespace(toks: list[Tok]) -> list[Tok]:
     return toks
 
 
+def _parse_array_order_keys(
+    otoks: list[Tok],
+) -> list[tuple[list[Tok], bool, bool]] | None:
+    """Split an ARRAY(SELECT … ORDER BY <otoks>) key list into
+    ``(key_tokens, asc, nulls_last)`` triples. ``otoks`` are the CODE
+    tokens after ORDER BY (whitespace already dropped — key tokens are
+    re-spaced so multi-token expressions can't concatenate). Returns
+    ``None`` for shapes the struct-sort can't express — ``USING op``
+    (arbitrary operator ordering) or an empty segment — so the caller
+    keeps the plain collect_list conversion, which fails loudly in
+    Spark rather than silently mis-ordering (r11 ADVICE)."""
+    segs: list[list[Tok]] = [[]]
+    depth = 0
+    for t in otoks:
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        if depth == 0 and t.text == ",":
+            segs.append([])
+        else:
+            segs[-1].append(t)
+    out: list[tuple[list[Tok], bool, bool]] = []
+    for seg in segs:
+        if not seg:
+            return None
+        ups = [t.text.upper() if t.kind == "word" else "" for t in seg]
+        if "USING" in ups:
+            return None
+        nulls_spec: bool | None = None
+        if len(seg) >= 2 and ups[-2] == "NULLS" and ups[-1] in (
+            "FIRST", "LAST",
+        ):
+            nulls_spec = ups[-1] == "LAST"
+            seg, ups = seg[:-2], ups[:-2]
+        asc = True
+        if seg and ups[-1] in ("ASC", "DESC"):
+            asc = ups[-1] == "ASC"
+            seg = seg[:-1]
+        if not seg or "NULLS" in ups[: len(seg)]:
+            return None
+        # PG defaults: ASC → NULLS LAST, DESC → NULLS FIRST
+        nulls_last = nulls_spec if nulls_spec is not None else asc
+        spaced: list[Tok] = []
+        for k in seg:
+            if spaced and spaced[-1].kind == "word" and k.kind == "word":
+                spaced.append(Tok("ws", " "))
+            spaced.append(k)
+        out.append((spaced, asc, nulls_last))
+    return out
+
+
 def _rewrite_array_subquery(toks: list[Tok]) -> list[Tok]:
     """``ARRAY(SELECT expr FROM ...)`` → ``(SELECT collect_list(expr)
     FROM ...)`` — PG's array-from-subquery constructor (psql \\d row-
@@ -1286,7 +1338,7 @@ def _rewrite_array_subquery(toks: list[Tok]) -> list[Tok]:
                     elif up == "LIMIT":
                         has_limit = True
             sortable = False
-            keyed: list[Tok] | None = None
+            keyed: list[tuple[list[Tok], bool]] | None = None
             asc = True
             body_end = close
             if order_i != -1 and not has_limit:
@@ -1300,35 +1352,32 @@ def _rewrite_array_subquery(toks: list[Tok]) -> list[Tok]:
                     sortable = True
                     asc = spelled[3:] != ["DESC"]
                     body_end = order_i
-                elif (
-                    len(spelled) > 2
-                    and spelled[:2] == ["ORDER", "BY"]
-                    and "," not in spelled
-                ):
-                    # single order key ≠ the projection (pg_dump's FDW
+                elif len(spelled) > 2 and spelled[:2] == ["ORDER", "BY"]:
+                    # order key(s) ≠ the projection (pg_dump's FDW
                     # query: ARRAY(SELECT quote_ident(o_name) || … FROM
-                    # … ORDER BY option_name)): sort (key, expr) structs
-                    # by the key, then project the expr back out —
-                    # transform(sort_array(collect_list(struct(K, x))),
-                    # s -> s._x). Keeps the subquery aggregate-shaped so
-                    # empty-relation propagation / decorrelation work.
-                    keyed = otoks[2:]
-                    if keyed and keyed[-1].text.upper() in ("ASC", "DESC"):
-                        asc = keyed[-1].text.upper() == "ASC"
-                        keyed = keyed[:-1]
-                    # otoks dropped the whitespace — re-space adjacent
-                    # word tokens so a multi-token key can't concatenate
-                    spaced: list[Tok] = []
-                    for k in keyed:
-                        if (
-                            spaced
-                            and spaced[-1].kind == "word"
-                            and k.kind == "word"
-                        ):
-                            spaced.append(Tok("ws", " "))
-                        spaced.append(k)
-                    keyed = spaced
-                    body_end = order_i
+                    # … ORDER BY option_name)): sort (keys…, expr)
+                    # structs by the keys, then project the expr back —
+                    # transform(sort_array(collect_list(struct(K1, K2,
+                    # x))), s -> s._x). Keeps the subquery aggregate-
+                    # shaped so empty-relation propagation /
+                    # decorrelation work. Each key rides with an
+                    # `IS [NOT] NULL` flag field so NULL keys land
+                    # where PG puts them (ASC→NULLS LAST, DESC→NULLS
+                    # FIRST, explicit NULLS FIRST/LAST honored) —
+                    # sort_array alone orders NULL struct fields first
+                    # on ASC, a silent divergence (r11 ADVICE).
+                    keyed = _parse_array_order_keys(otoks[2:])
+                    if keyed is not None:
+                        dirs = {d for _, d, _ in keyed}
+                        if len(dirs) > 1:
+                            # mixed ASC/DESC — one sort_array bool
+                            # can't express it; keep the plain
+                            # conversion (fails loudly downstream,
+                            # pinned in tests) rather than mis-order
+                            keyed = None
+                        else:
+                            asc = dirs == {True}
+                            body_end = order_i
             if sortable:
                 head = [
                     Tok("word", "sort_array"), Tok("op", "("),
@@ -1338,9 +1387,19 @@ def _rewrite_array_subquery(toks: list[Tok]) -> list[Tok]:
                     [] if asc else [Tok("op", ","), Tok("word", "false")]
                 ) + [Tok("op", ")"), Tok("ws", " ")]
             elif keyed is not None:
-                head = _lex("transform(sort_array(collect_list(struct(") + list(
-                    keyed
-                ) + _lex(" AS _o, ")
+                head = _lex("transform(sort_array(collect_list(struct(")
+                for n, (ktoks, _kasc, nulls_last) in enumerate(keyed):
+                    # sorted ASC, a false flag sorts first; sorted
+                    # DESC, true first. NULLs-last under ASC (and
+                    # NULLs-first under DESC) therefore wants the
+                    # `IS NULL` flag; the opposite placement wants
+                    # `IS NOT NULL`.
+                    flag = "IS NULL" if nulls_last == asc else "IS NOT NULL"
+                    head += (
+                        [Tok("op", "(")] + list(ktoks)
+                        + _lex(f") {flag} AS _n{n}, ")
+                        + list(ktoks) + _lex(f" AS _o{n}, ")
+                    )
                 tail_proj = _lex(
                     " AS _x))" + ("" if asc else ", false") + "), s -> s._x) "
                 )
@@ -2217,6 +2276,48 @@ def _map_ddl_group_types(toks: list[Tok], oi: int) -> None:
         _map_ddl_type_at(toks, type_i, hi)
 
 
+#: SQL functions whose argument list contains a FROM keyword that is
+#: NOT a relation position — `EXTRACT(YEAR FROM spark.ts)` must keep
+#: its column qualifier even when a table is aliased `spark`
+_EXPR_FROM_FUNCS = frozenset(
+    {"extract", "substring", "trim", "overlay", "position", "date_part"}
+)
+
+#: clause keywords that can never be the relation name after FROM ONLY —
+#: a table literally NAMED `only` (`SELECT * FROM only WHERE …`) must
+#: not be stripped into `FROM WHERE …`
+_CLAUSE_KEYWORDS = frozenset(
+    {"WHERE", "ON", "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET",
+     "UNION", "INTERSECT", "EXCEPT", "JOIN", "INNER", "LEFT", "RIGHT",
+     "FULL", "CROSS", "NATURAL", "USING", "AS", "SET", "RETURNING",
+     "FETCH", "FOR", "WINDOW"}
+)
+
+
+def _from_is_expression_from(toks: list[Tok], fi: int) -> bool:
+    """True when the FROM token at ``fi`` sits inside the parens of an
+    expression-FROM function (EXTRACT/SUBSTRING/TRIM/OVERLAY/POSITION)
+    — scan back for the nearest unmatched ``(`` and check the word
+    before it (r11 ADVICE: `EXTRACT(YEAR FROM spark.ts)` against a
+    table aliased ``spark`` silently dropped the qualifier)."""
+    depth = 0
+    for j in range(fi - 1, -1, -1):
+        tx = toks[j].text
+        if tx == ")":
+            depth += 1
+        elif tx == "(":
+            if depth == 0:
+                pi = _prev_code(toks, j)
+                return (
+                    pi >= 0
+                    and toks[pi].kind == "word"
+                    and toks[pi].text.lower().split(".")[-1]
+                    in _EXPR_FROM_FUNCS
+                )
+            depth -= 1
+    return False
+
+
 def _strip_user_schema_targets(toks: list[Tok]) -> list[Tok]:
     """Drop a ``spark.``/``public.`` qualifier on DDL/DML *targets*
     (``CREATE TABLE spark.x``, ``DROP TABLE IF EXISTS spark.x``,
@@ -2227,9 +2328,13 @@ def _strip_user_schema_targets(toks: list[Tok]) -> list[Tok]:
     qualifier is INTO/TABLE/EXISTS/VIEW/TRUNCATE/FROM/JOIN) so a table
     *aliased* ``spark`` never loses its column qualifiers — an alias
     reference ``spark.col`` follows ON/WHERE/SELECT tokens, never
-    these. PG's inheritance qualifier ``FROM ONLY rel`` (pg_dump
+    these; a FROM belonging to EXTRACT/SUBSTRING/TRIM/OVERLAY/POSITION
+    is excluded too (`EXTRACT(YEAR FROM spark.ts)` keeps its
+    qualifier). PG's inheritance qualifier ``FROM ONLY rel`` (pg_dump
     --inserts spells its data cursor that way) drops first: no table
-    inheritance here, so ONLY is the identity."""
+    inheritance here, so ONLY is the identity — but the token after
+    ONLY must not be a clause keyword (a table literally named ``only``
+    stays)."""
     i = 0
     while i < len(toks):
         t = toks[i]
@@ -2241,6 +2346,8 @@ def _strip_user_schema_targets(toks: list[Tok]) -> list[Tok]:
             and toks[opi].text.upper() in ("FROM", "JOIN")
             and (oni := _next_code(toks, i)) < len(toks)
             and toks[oni].kind in ("word", "qident")
+            and toks[oni].text.upper() not in _CLAUSE_KEYWORDS
+            and not _from_is_expression_from(toks, opi)
         ):
             del toks[i:oni]
             continue
@@ -2258,6 +2365,10 @@ def _strip_user_schema_targets(toks: list[Tok]) -> list[Tok]:
                 and toks[pi].text.upper()
                 in ("INTO", "TABLE", "EXISTS", "VIEW", "TRUNCATE",
                     "FROM", "JOIN")
+                and not (
+                    toks[pi].text.upper() == "FROM"
+                    and _from_is_expression_from(toks, pi)
+                )
             ):
                 del toks[i:wi]
                 continue

@@ -42,46 +42,39 @@ from spark_sql_server_spark.operators.registry import REGISTRY, QuerySpec
 #: Everything listed after rests on its r1–r3 driver record and the
 #: local bit-exact twin (tests/test_oracle_parity.py runs ALL of them).
 _DRIVER_SAMPLE_PRIORITY = [
-    # r11 rotation (VERDICT r10 task 1): burn the freshness debt to
-    # zero-older-than-r5. The 31 ops whose LATEST green driver row is
-    # r4 lead, then the 11 r5s, then 8 of the 11 r6s:
-    # 31 + 11 + 8 = exactly the 50-slot sample.
-    # --- latest driver row is r4 (all 31) ---
-    "q7_nation_trade", "q9_product_profit", "q10_returned_items",
-    "q11_important_parts", "q12_priority_lines",
-    "q13_customer_distribution", "q14_promo_revenue",
-    "q16_supplier_cnt", "q17_small_qty_revenue", "q18_large_orders",
-    "q19_bracket_revenue", "q20_excess_suppliers", "q21_last_shipper",
-    "q22_global_sales_opp",
-    "q_bucketed_join", "q_salted_join", "q_math_funcs",
-    "q_recursive_cte", "q_try_arith", "q_unpivot", "q_variant_json",
-    "qds14_cross_channel", "qds63_monthly_deviation",
-    "qds67_topk_rollup", "qds81_returns_above_avg",
-    "s_ann_bruteforce",
-    "st_dedup_stream", "st_enrich_stream", "st_hourly_stream",
-    "st_running_totals", "st_stream_stream_join",
-    # --- latest driver row is r5 (all 11) ---
-    "qds11_yoy_growth", "qds17_sale_return_repurchase",
-    "qds23_cte_reuse", "qds34_frequent_buyers", "qds36_hierarchy_rank",
-    "qds49_channel_return_ranks", "qds51_cumulative_windows",
-    "qds72_wide_dim_join", "qds88_multi_scalar",
-    "qds93_returns_adjustment", "qds95_reused_subquery",
-    # --- latest driver row is r6 (8 of 11; deterministic alphabetical
-    # cut — s_label_centroids / sk_quantile_bands / t_hash_split are
-    # the r12 rotation priority, then the 47 r7s oldest-first) ---
-    "q_approx_distinct", "q_csv_funcs", "q_explode_outer",
-    "q_minmax_by", "q_ordinals", "q_posexplode", "q_union_by_name",
-    "q_window_time_range",
-    # ---- 50-slot cut falls here ----
-    # r12 rotation priority: s_label_centroids, sk_quantile_bands,
-    # t_hash_split (r6), then the r7 block (d_dedup_exact,
-    # pipe_build_dataset, q6_forecast_revenue, q_array_funcs, ...).
+    # r12 rotation (VERDICT r11 task 1): finish the freshness sweep.
+    # Exactly 50 ops have a latest green driver row older than r8 —
+    # the 3 r6s plus all 47 r7s — so the r12 sample IS that set.
+    # After a green CORRECTNESS_r12, no registry op's latest row is
+    # older than r8 (steady-state 4-round re-certification cadence).
+    # --- latest driver row is r6 (all 3) ---
     "s_label_centroids", "sk_quantile_bands", "t_hash_split",
+    # --- latest driver row is r7 (all 47, alphabetical) ---
+    "d_dedup_exact", "pipe_build_dataset", "q6_forecast_revenue",
+    "q_array_funcs", "q_asof_join", "q_bitwise", "q_date_funcs",
+    "q_distinct_on", "q_distribute_sort_by", "q_events_hourly",
+    "q_events_json", "q_events_sessionize", "q_higher_order",
+    "q_inline_values", "q_interval_arith", "q_json_funcs",
+    "q_lateral_explode", "q_limit_offset", "q_null_funcs",
+    "q_order_nulls", "q_predicates", "q_range_join", "q_range_tvf",
+    "q_sample", "q_string_agg", "q_struct_map",
+    "qds16_multi_supplier_clean", "qds21_shipflow_balance",
+    "qds31_quarterly_acceleration", "qds33_union_leg_reagg",
+    "qds35_multi_channel_exists", "qds39_volatile_supply",
+    "qds47_moving_avg_rank", "qds54_cohort_spend_bands",
+    "qds64_two_cycle_sales", "qds66_monthly_pivot",
+    "qds75_yoy_channel_decline", "qds78_channel_rollup",
+    "qds97_channel_overlap", "qds98_class_revenue_ratio",
+    "qds9_quantity_buckets",
+    "s_ann_ivf", "s_ann_lsh", "s_ann_pq", "s_kmeans", "s_semdedup",
+    "st_sessionize_stream",
+    # ---- 50-slot cut falls here ----
+    # r13 rotation priority: the oldest r8-certified ops (the 23
+    # wave-10/11 TPC-DS families + r8 dialect ops), oldest-first.
     # anchors with a continuous driver record (cheap cross-round
     # stability signal if the sample ever widens)
     "q1_pricing_summary", "q3_shipping_priority",
-    "pipe_curate_corpus", "pipe_build_dataset",
-    "st_sessionize_stream", "d_dedup_exact",
+    "pipe_curate_corpus", "st_running_totals",
 ]
 # every priority name MUST resolve — a reserved name with no
 # implementation silently shrank the r6 sample (judge r6 "What's

@@ -746,12 +746,57 @@ class TestPgDumpDialect:
 
     def test_array_subquery_keyed_order(self):
         out = rewrite_sql("SELECT ARRAY(SELECT f(x) FROM t ORDER BY y)")
-        assert "transform(sort_array(collect_list(struct(y AS _o," in out
+        # NULL-flag field rides first so NULL keys land NULLS LAST on
+        # ASC (PG's default; bare sort_array puts them first)
+        assert "transform(sort_array(collect_list(struct((y) IS NULL AS _n0, y AS _o0," in out
         assert "s -> s._x" in out
 
     def test_array_subquery_keyed_order_desc(self):
         out = rewrite_sql("SELECT ARRAY(SELECT x FROM t ORDER BY y DESC)")
         assert ", false), s -> s._x)" in out
+        # DESC default is NULLS FIRST — under a descending struct sort
+        # the IS NULL flag (true first) gives exactly that
+        assert "(y) IS NULL AS _n0" in out
+
+    def test_array_subquery_two_keys(self):
+        out = rewrite_sql("SELECT ARRAY(SELECT x FROM t ORDER BY a, b)")
+        assert "(a) IS NULL AS _n0, a AS _o0" in out
+        assert "(b) IS NULL AS _n1, b AS _o1" in out
+        assert "s -> s._x" in out
+
+    def test_array_subquery_three_keys_desc(self):
+        out = rewrite_sql(
+            "SELECT ARRAY(SELECT x FROM t ORDER BY a DESC, b DESC, c DESC)"
+        )
+        assert "(c) IS NULL AS _n2, c AS _o2" in out
+        assert ", false), s -> s._x)" in out
+
+    def test_array_subquery_nulls_first(self):
+        # explicit NULLS FIRST on ASC flips the flag polarity
+        out = rewrite_sql(
+            "SELECT ARRAY(SELECT x FROM t ORDER BY a NULLS FIRST)"
+        )
+        assert "(a) IS NOT NULL AS _n0" in out
+
+    def test_array_subquery_mixed_directions_fall_through(self):
+        # one sort_array bool can't express ASC+DESC — keep the plain
+        # conversion, which fails loudly (UNRESOLVED_COLUMN) instead of
+        # silently mis-ordering
+        out = rewrite_sql(
+            "SELECT ARRAY(SELECT x FROM t ORDER BY a ASC, b DESC)"
+        )
+        assert "collect_list( x )" in out and "ORDER BY a ASC, b DESC" in out
+
+    def test_array_subquery_using_falls_through(self):
+        out = rewrite_sql("SELECT ARRAY(SELECT x FROM t ORDER BY a USING <)")
+        assert "sort_array" not in out
+
+    def test_array_subquery_func_key_with_comma(self):
+        # commas inside a key's own parens must not split the key list
+        out = rewrite_sql(
+            "SELECT ARRAY(SELECT x FROM t ORDER BY f(a, b), c)"
+        )
+        assert "_o0" in out and "(c) IS NULL AS _n1" in out
 
     def test_recursive_union_over_empty_catalog(self):
         out = rewrite_sql(

@@ -9,8 +9,9 @@ client hits.  Pure stdlib: ``hashlib.pbkdf2_hmac`` + ``hmac``.
 Wire shape (PG flavor of RFC 5802):
 
 1. server → AuthenticationSASL carrying the mechanism list
-   (``SCRAM-SHA-256`` only — channel binding / ``-PLUS`` is not
-   advertised, so a ``p=…`` gs2 header is rejected per the RFC)
+   (``SCRAM-SHA-256``; on TLS connections also ``SCRAM-SHA-256-PLUS``
+   with RFC 5929 tls-server-end-point channel binding — libpq sends
+   ``channel_binding=prefer`` by default over SSL and picks -PLUS)
 2. client → SASLInitialResponse: ``n,,n=<user>,r=<client-nonce>``
 3. server → AuthenticationSASLContinue:
    ``r=<client+server nonce>,s=<b64 salt>,i=<iterations>``
@@ -36,9 +37,30 @@ import os
 import secrets
 
 MECHANISM = "SCRAM-SHA-256"
+MECHANISM_PLUS = "SCRAM-SHA-256-PLUS"
 
 #: PG's default scram iteration count (scram_iterations GUC default)
 DEFAULT_ITERATIONS = 4096
+
+#: the only channel-binding type PG implements (RFC 5929 §4)
+CHANNEL_BINDING_TYPE = "tls-server-end-point"
+
+
+def tls_server_end_point(cert_pem: bytes) -> bytes:
+    """RFC 5929 tls-server-end-point binding data: hash of the server
+    certificate (DER) using the certificate's signature hash, with
+    MD5/SHA-1 upgraded to SHA-256 per the RFC."""
+    import hashlib as _hashlib
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives.serialization import Encoding
+
+    cert = x509.load_pem_x509_certificate(cert_pem)
+    algo = cert.signature_hash_algorithm
+    name = algo.name if algo is not None else "sha256"
+    if name in ("md5", "sha1"):
+        name = "sha256"
+    return _hashlib.new(name, cert.public_bytes(Encoding.DER)).digest()
 
 
 class ScramError(ValueError):
@@ -73,7 +95,15 @@ class ScramServer:
         iterations: int = DEFAULT_ITERATIONS,
         salt: bytes | None = None,
         server_nonce: str | None = None,
+        cbind_data: bytes | None = None,
+        plus_advertised: bool = False,
     ):
+        # RFC 5929 tls-server-end-point data when this connection runs
+        # over TLS and the server advertised SCRAM-SHA-256-PLUS; the
+        # client's chosen gs2 header decides whether it is used
+        self._cbind_data = cbind_data
+        self._plus_advertised = plus_advertised
+        self._cbind_used = False
         self._salt = salt if salt is not None else os.urandom(16)
         self._iterations = iterations
         self._server_nonce = server_nonce or secrets.token_urlsafe(18)
@@ -95,14 +125,32 @@ class ScramServer:
             msg = data.decode("utf-8")
         except UnicodeDecodeError as e:
             raise ScramError(f"client-first not UTF-8: {e}") from None
-        # gs2-header: "n" (no channel binding) or "y" (client could,
-        # server didn't advertise -PLUS); "p=<cb>" requires -PLUS which
-        # we never offer → RFC 5802 says reject
+        # gs2-header: "n" (no channel binding), "y" (client could bind,
+        # believes the server cannot), or "p=<cb-type>" (bind). RFC 5802
+        # downgrade rules: "p=…" is only legal when -PLUS was offered
+        # AND this exchange runs on the -PLUS mechanism; "y" from a
+        # client when the server DID advertise -PLUS is a
+        # downgrade-attack signal → reject (PG does the same).
         if msg.startswith("p="):
+            if self._cbind_data is None:
+                raise ScramError(
+                    "channel binding requested but SCRAM-SHA-256-PLUS "
+                    "not offered"
+                )
+            cb_type, _, rest = msg[2:].partition(",")
+            if cb_type != CHANNEL_BINDING_TYPE:
+                raise ScramError(
+                    f"unsupported channel-binding type {cb_type!r} "
+                    f"(server implements {CHANNEL_BINDING_TYPE})"
+                )
+            self._cbind_used = True
+            msg = f"p={cb_type},{rest}"
+        elif msg.startswith("y,") and self._plus_advertised:
             raise ScramError(
-                "channel binding requested but SCRAM-SHA-256-PLUS not offered"
+                "channel binding downgrade detected: client sent gs2 "
+                "'y' but SCRAM-SHA-256-PLUS was advertised"
             )
-        if not (msg.startswith("n,") or msg.startswith("y,")):
+        elif not (msg.startswith("n,") or msg.startswith("y,")):
             raise ScramError(f"malformed gs2 header: {msg[:8]!r}")
         flag, authzid, bare = msg.split(",", 2)
         if authzid not in ("", None) and not authzid.startswith("a="):
@@ -134,9 +182,15 @@ class ScramServer:
         attrs = _attrs(msg, "client-final-message")
         if not {"c", "r", "p"} <= set(attrs):
             raise ScramError("client-final missing c=/r=/p=")
-        # channel-binding data must be the base64 of the original gs2
-        # header (no cbind data — we never advertise -PLUS)
-        want_c = base64.b64encode(self._gs2_header.encode()).decode()
+        # channel-binding attribute: base64 of the gs2 header plus —
+        # when the client chose "p=tls-server-end-point" — the RFC 5929
+        # binding data (hash of OUR certificate). A MITM terminating
+        # TLS presents a different cert, the hashes split, and the
+        # proof check below fails even with a stolen password.
+        cbind_raw = self._gs2_header.encode()
+        if self._cbind_used:
+            cbind_raw += self._cbind_data
+        want_c = base64.b64encode(cbind_raw).decode()
         if attrs["c"] != want_c:
             raise ScramError(
                 f"channel-binding data mismatch: {attrs['c']!r} != {want_c!r}"

@@ -35,9 +35,16 @@ def _hmac(key: bytes, msg: bytes) -> bytes:
 
 
 class _RfcClient:
-    def __init__(self, password: str, gs2: str = "n,,", nonce: str | None = None):
+    def __init__(
+        self,
+        password: str,
+        gs2: str = "n,,",
+        nonce: str | None = None,
+        cbind_data: bytes = b"",
+    ):
         self.password = password
         self.gs2 = gs2
+        self.cbind_data = cbind_data  # RFC 5929 data for p= exchanges
         self.nonce = nonce or pysecrets.token_urlsafe(18)
         self.first_bare = f"n=,r={self.nonce}"
 
@@ -53,7 +60,7 @@ class _RfcClient:
         salted = hashlib.pbkdf2_hmac("sha256", self.password.encode(), salt, i)
         client_key = _hmac(salted, b"Client Key")
         stored_key = hashlib.sha256(client_key).digest()
-        c = base64.b64encode(self.gs2.encode()).decode()
+        c = base64.b64encode(self.gs2.encode() + self.cbind_data).decode()
         without_proof = f"c={c},r={attrs['r']}"
         auth_message = ",".join(
             (self.first_bare, server_first.decode(), without_proof)
@@ -420,3 +427,377 @@ class TestMd5Psql:
         out = self._psql(srv, "wrong", "SELECT 1")
         assert out.returncode != 0
         assert "password authentication failed" in out.stderr
+
+
+# --------------------------------------------------------------------- #
+# r12: auth-phase fuzz battery (VERDICT r11 task 7 + the r11 ADVICE
+# plen bound) — a hostile client poking the UNauthenticated handshake
+# must get 08P01/28P01 and never crash the server or buffer ~2 GB.
+
+
+async def _good_scram_login_works(port: int) -> bool:
+    r, w, sig_ok = await _sasl_login(port, "alice", "s3cret")
+    ok = sig_ok is True
+    if r is not None:
+        c = PgClient(r, w)
+        await c.until_ready()
+        await c.close()
+    return ok
+
+
+class TestAuthFuzzBattery:
+    def test_oversized_plen_in_sasl_initial(self, scram_server):
+        # plen 10 MB blows the 64 KiB pre-auth bound → FATAL 08P01 at
+        # receipt (no buffering), server stays alive
+        srv, loop = scram_server
+
+        async def go():
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            w.write(_startup({"user": "alice"}))
+            await w.drain()
+            await _read_msg(r)  # AuthenticationSASL
+            w.write(b"p" + struct.pack("!i", 10_000_000))
+            await w.drain()
+            tag, body = await _read_msg(r)
+            w.close()
+            alive = await _good_scram_login_works(srv.port)
+            return tag, body, alive
+
+        tag, body, alive = asyncio.run_coroutine_threadsafe(go(), loop).result(120)
+        assert tag == b"E" and b"08P01" in body
+        assert alive
+
+    def test_negative_plen_in_sasl_initial(self, scram_server):
+        srv, loop = scram_server
+
+        async def go():
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            w.write(_startup({"user": "alice"}))
+            await w.drain()
+            await _read_msg(r)
+            w.write(b"p" + struct.pack("!i", -5))
+            await w.drain()
+            tag, body = await _read_msg(r)
+            w.close()
+            alive = await _good_scram_login_works(srv.port)
+            return tag, body, alive
+
+        tag, body, alive = asyncio.run_coroutine_threadsafe(go(), loop).result(120)
+        assert tag == b"E" and b"08P01" in body
+        assert alive
+
+    def test_garbage_sasl_initial_body(self, scram_server):
+        # no NUL-terminated mechanism / bogus length word inside the
+        # SASLInitialResponse → malformed, 08P01/28000, server alive
+        srv, loop = scram_server
+
+        async def go():
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            w.write(_startup({"user": "alice"}))
+            await w.drain()
+            await _read_msg(r)
+            w.write(_pmsg(b"\xff\xfe\xfd\xfc\xfb\xfa"))
+            await w.drain()
+            tag, body = await _read_msg(r)
+            w.close()
+            alive = await _good_scram_login_works(srv.port)
+            return tag, body, alive
+
+        tag, body, alive = asyncio.run_coroutine_threadsafe(go(), loop).result(120)
+        assert tag == b"E"
+        assert b"08P01" in body or b"28000" in body
+        assert alive
+
+    def test_truncated_sasl_initial_data_length(self, scram_server):
+        # mechanism ok but the declared data length exceeds the bytes
+        # present — the sliced-short client-first fails SCRAM parsing
+        srv, loop = scram_server
+
+        async def go():
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            w.write(_startup({"user": "alice"}))
+            await w.drain()
+            await _read_msg(r)
+            w.write(_pmsg(b"SCRAM-SHA-256\x00" + struct.pack("!i", 999) + b"n,,"))
+            await w.drain()
+            tag, body = await _read_msg(r)
+            w.close()
+            alive = await _good_scram_login_works(srv.port)
+            return tag, body, alive
+
+        tag, body, alive = asyncio.run_coroutine_threadsafe(go(), loop).result(120)
+        assert tag == b"E"
+        assert alive
+
+    def test_disconnect_mid_scram(self, scram_server):
+        # vanish after the server-first message — the handler's quiet
+        # path reaps the connection; the next login is unaffected
+        srv, loop = scram_server
+
+        async def go():
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            w.write(_startup({"user": "alice"}))
+            await w.drain()
+            await _read_msg(r)
+            cli = _RfcClient("s3cret")
+            first = cli.first()
+            w.write(
+                _pmsg(b"SCRAM-SHA-256\x00" + struct.pack("!i", len(first)) + first)
+            )
+            await w.drain()
+            await _read_msg(r)  # server-first (SASLContinue)
+            w.close()  # die mid-exchange
+            return await _good_scram_login_works(srv.port)
+
+        assert asyncio.run_coroutine_threadsafe(go(), loop).result(120)
+
+    def test_garbage_sasl_final(self, scram_server):
+        # a syntactically hostile client-final → ScramError → 28P01/08P01
+        srv, loop = scram_server
+
+        async def go():
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            w.write(_startup({"user": "alice"}))
+            await w.drain()
+            await _read_msg(r)
+            cli = _RfcClient("s3cret")
+            first = cli.first()
+            w.write(
+                _pmsg(b"SCRAM-SHA-256\x00" + struct.pack("!i", len(first)) + first)
+            )
+            await w.drain()
+            await _read_msg(r)
+            w.write(_pmsg(b"\x00garbage\xffnot-scram"))
+            await w.drain()
+            tag, body = await _read_msg(r)
+            w.close()
+            alive = await _good_scram_login_works(srv.port)
+            return tag, body, alive
+
+        tag, body, alive = asyncio.run_coroutine_threadsafe(go(), loop).result(120)
+        assert tag == b"E"
+        # 28P01 (bad proof), 28000 (malformed/not-UTF-8) and 08P01
+        # (protocol violation) are all acceptable rejections
+        assert b"28P01" in body or b"08P01" in body or b"28000" in body
+        assert alive
+
+    def test_oversized_plen_in_md5(self, md5_server):
+        srv, loop = md5_server
+
+        async def go():
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            w.write(_startup({"user": "alice"}))
+            await w.drain()
+            tag, body = await _read_msg(r)  # AuthenticationMD5Password
+            assert tag == b"R" and struct.unpack("!i", body[:4])[0] == 5
+            w.write(b"p" + struct.pack("!i", 1 << 29))
+            await w.drain()
+            tag, body = await _read_msg(r)
+            w.close()
+            # server alive: a real MD5 login still succeeds
+            r2, w2, _ = await _md5_login(srv.port, "alice", "s3cret")
+            alive = r2 is not None
+            if r2 is not None:
+                w2.close()
+            return tag, body, alive
+
+        tag, body, alive = asyncio.run_coroutine_threadsafe(go(), loop).result(120)
+        assert tag == b"E" and b"08P01" in body
+        assert alive
+
+    def test_garbage_md5_response(self, md5_server):
+        srv, loop = md5_server
+
+        async def go():
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            w.write(_startup({"user": "alice"}))
+            await w.drain()
+            await _read_msg(r)
+            w.write(_pmsg(b"\xde\xad\xbe\xef not an md5 hash"))
+            await w.drain()
+            tag, body = await _read_msg(r)
+            w.close()
+            r2, w2, _ = await _md5_login(srv.port, "alice", "s3cret")
+            alive = r2 is not None
+            if r2 is not None:
+                w2.close()
+            return tag, body, alive
+
+        tag, body, alive = asyncio.run_coroutine_threadsafe(go(), loop).result(120)
+        assert tag == b"E" and b"28P01" in body
+        assert alive
+
+
+# --------------------------------------------------------------------- #
+# r12: SCRAM-SHA-256-PLUS channel binding (RFC 5929 tls-server-end-point)
+# — VERDICT r11 task 4.
+
+
+class TestScramPlusStateMachine:
+    CB = b"\x01\x02" * 16  # fake 32-byte binding data
+
+    def _plus_srv(self, password="pw"):
+        return scram.ScramServer(
+            password, cbind_data=self.CB, plus_advertised=True
+        )
+
+    def test_plus_exchange_green(self):
+        cli = _RfcClient(
+            "pw", gs2="p=tls-server-end-point,,", cbind_data=self.CB
+        )
+        srv = self._plus_srv()
+        cfinal, want = cli.final(srv.handle_client_first(cli.first()))
+        assert srv.handle_client_final(cfinal) == want
+        assert srv._cbind_used
+
+    def test_plus_wrong_cbind_data_rejected(self):
+        # a MITM terminating TLS presents a different cert → different
+        # tls-server-end-point hash → c= mismatch before the proof
+        cli = _RfcClient(
+            "pw", gs2="p=tls-server-end-point,,", cbind_data=b"\xff" * 32
+        )
+        srv = self._plus_srv()
+        cfinal, _ = cli.final(srv.handle_client_first(cli.first()))
+        with pytest.raises(scram.ScramError, match="channel-binding"):
+            srv.handle_client_final(cfinal)
+
+    def test_y_downgrade_rejected_when_plus_advertised(self):
+        # RFC 5802: gs2 'y' claims "server can't do CB"; if we DID
+        # advertise -PLUS that claim is a downgrade attack
+        with pytest.raises(scram.ScramError, match="downgrade"):
+            self._plus_srv().handle_client_first(b"y,,n=,r=abc")
+
+    def test_y_still_fine_when_plus_not_advertised(self):
+        cli = _RfcClient("pw", gs2="y,,")
+        srv = scram.ScramServer("pw")
+        cfinal, want = cli.final(srv.handle_client_first(cli.first()))
+        assert srv.handle_client_final(cfinal) == want
+
+    def test_unsupported_cb_type_rejected(self):
+        with pytest.raises(scram.ScramError, match="tls-server-end-point"):
+            self._plus_srv().handle_client_first(b"p=tls-unique,,n=,r=abc")
+
+    def test_tls_server_end_point_is_cert_hash(self):
+        cryptography = pytest.importorskip("cryptography")  # noqa: F841
+        from cryptography import x509
+        from cryptography.hazmat.primitives.serialization import Encoding
+
+        from spark_sql_server_spark.protocol.tls import (
+            generate_self_signed_cert,
+        )
+
+        cert_path, _ = generate_self_signed_cert()
+        pem = open(cert_path, "rb").read()
+        data = scram.tls_server_end_point(pem)
+        cert = x509.load_pem_x509_certificate(pem)
+        assert data == hashlib.sha256(cert.public_bytes(Encoding.DER)).digest()
+        assert len(data) == 32
+
+
+@pytest.fixture(scope="module")
+def scram_tls_server(spark):
+    pytest.importorskip("cryptography")
+    loop = asyncio.new_event_loop()
+    thread = threading.Thread(target=loop.run_forever, daemon=True)
+    thread.start()
+
+    async def make():
+        srv = SparkPGServer(
+            spark,
+            port=0,
+            pg_catalog=False,
+            auth="scram-sha-256",
+            ssl_self_signed=True,
+            password_lookup=lambda user: "s3cret" if user == "alice" else None,
+        )
+        await srv.start()
+        return srv
+
+    srv = asyncio.run_coroutine_threadsafe(make(), loop).result(120)
+    yield srv, loop
+    asyncio.run_coroutine_threadsafe(srv.stop(), loop).result(30)
+    loop.call_soon_threadsafe(loop.stop)
+
+
+@pytest.mark.skipif(psql_missing, reason="psql binary not available")
+class TestScramPlusPsql:
+    """Real libpq over TLS: sslmode=require + channel_binding=require
+    forces SCRAM-SHA-256-PLUS — the hardened-auth story end-to-end."""
+
+    def _psql(self, srv, password: str, sql: str, channel_binding: str):
+        conninfo = (
+            f"host=127.0.0.1 port={srv.port} user=alice dbname=default "
+            f"sslmode=require channel_binding={channel_binding}"
+        )
+        return subprocess.run(
+            ["psql", conninfo, "-X", "-At", "-c", sql],
+            capture_output=True,
+            text=True,
+            timeout=120,
+            env={"PATH": "/usr/bin:/bin", "PGPASSWORD": password,
+                 "PGCONNECT_TIMEOUT": "30"},
+        )
+
+    def test_channel_binding_require_green(self, scram_tls_server):
+        srv, _ = scram_tls_server
+        out = self._psql(srv, "s3cret", "SELECT 2+3", "require")
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.strip() == "5"
+
+    def test_channel_binding_prefer_green(self, scram_tls_server):
+        # libpq's default over SSL — picks -PLUS when offered
+        srv, _ = scram_tls_server
+        out = self._psql(srv, "s3cret", "SELECT 1", "prefer")
+        assert out.returncode == 0, out.stderr
+
+    def test_channel_binding_disable_still_plain_scram(self, scram_tls_server):
+        srv, _ = scram_tls_server
+        out = self._psql(srv, "s3cret", "SELECT 7", "disable")
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.strip() == "7"
+
+    def test_wrong_password_with_binding(self, scram_tls_server):
+        srv, _ = scram_tls_server
+        out = self._psql(srv, "nope", "SELECT 1", "require")
+        assert out.returncode != 0
+        assert "password authentication failed" in out.stderr
+
+
+class TestScramPlusAdvertising:
+    def test_non_tls_connection_gets_plain_only(self, scram_tls_server):
+        # same server, no SSLRequest: the mechanism list must not
+        # contain -PLUS (RFC 5802 — binding needs the TLS channel)
+        srv, loop = scram_tls_server
+
+        async def go():
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            w.write(_startup({"user": "alice"}))
+            await w.drain()
+            tag, body = await _read_msg(r)
+            w.close()
+            return tag, body
+
+        tag, body = asyncio.run_coroutine_threadsafe(go(), loop).result(120)
+        assert tag == b"R" and struct.unpack("!i", body[:4])[0] == 10
+        mechs = body[4:].rstrip(b"\x00").split(b"\x00")
+        assert b"SCRAM-SHA-256" in mechs
+        assert b"SCRAM-SHA-256-PLUS" not in mechs
+
+    def test_plus_over_plain_socket_rejected(self, scram_tls_server):
+        srv, loop = scram_tls_server
+
+        async def go():
+            r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+            w.write(_startup({"user": "alice"}))
+            await w.drain()
+            await _read_msg(r)
+            w.write(
+                _pmsg(b"SCRAM-SHA-256-PLUS\x00" + struct.pack("!i", 3) + b"n,,")
+            )
+            await w.drain()
+            tag, body = await _read_msg(r)
+            w.close()
+            return tag, body
+
+        tag, body = asyncio.run_coroutine_threadsafe(go(), loop).result(120)
+        assert tag == b"E" and b"28000" in body

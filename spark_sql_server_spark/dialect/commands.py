@@ -60,6 +60,12 @@ class StatementClass(enum.Enum):
                                # maintenance scripts and ORMs don't error
                                # (Spark's own ANALYZE TABLE/TABLES still
                                # passes through and runs for real)
+    UPDATE_DELETE = "update_delete"  # PG UPDATE/DELETE — emulated over
+                               # immutable Spark storage (dialect/dml.py):
+                               # temp views + wire-created managed tables
+                               # get a SELECT-rewrite + relation replace;
+                               # everything else a clean 0A000, never a
+                               # raw Spark stack trace (r11 VERDICT 3)
 
 
 @dataclass
@@ -472,6 +478,10 @@ def classify_statement(sql: str) -> Statement:
         return Statement(StatementClass.COMMIT, sql, tag="COMMIT")
     if word0 in ("VACUUM", "CHECKPOINT", "REINDEX"):
         return Statement(StatementClass.MAINT, sql, tag=word0)
+    if word0 in ("UPDATE", "DELETE"):
+        # emulated DML (dialect/dml.py); Spark's native parser has no
+        # usable UPDATE/DELETE for these tables — intercept both
+        return Statement(StatementClass.UPDATE_DELETE, sql, tag=word0)
     if word0 == "ALTER":
         m = _ALTER_OWNER_RE.match(s)
         if m:

@@ -49,6 +49,11 @@ def main() -> None:
                    help="COPY FROM STDIN spills complete-row batches to a "
                         "parquet staging dir past this driver-buffer bound "
                         "(default 32 MiB)")
+    p.add_argument("--scroll-buffer-max-rows", type=int, default=1_000_000,
+                   help="SCROLL cursors buffer fetched-so-far rows on the "
+                        "driver; past this bound the fetch fails with PG's "
+                        "54000 program_limit_exceeded instead of OOMing "
+                        "(default 1M rows)")
     p.add_argument("--auth", default="trust",
                    choices=["trust", "password", "md5", "scram-sha-256"],
                    help="client authentication: trust (default), cleartext "
@@ -102,6 +107,7 @@ def main() -> None:
         metrics_port=args.metrics_port,
         metrics_host=args.metrics_host,
         copy_in_batch_bytes=args.copy_in_batch_bytes,
+        scroll_buffer_max_rows=args.scroll_buffer_max_rows,
     )
 
     async def run() -> None:

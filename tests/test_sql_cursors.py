@@ -347,3 +347,79 @@ class TestScrollCursors:
         msgs, back = loop.run_until_complete(go())
         assert [r[0] for r in rows_of(msgs)] == [b"0", b"1"]
         assert [r[0] for r in rows_of(back)] == [b"0"]
+
+
+@pytest.fixture(scope="module")
+def bounded_server(spark):
+    """Server with a tiny SCROLL buffer bound (r12: VERDICT r11 task 5)."""
+    loop = asyncio.new_event_loop()
+
+    async def _run():
+        srv = SparkPGServer(
+            spark, port=0, pg_catalog=False,
+            init_session=lambda s: register_tables(s, SF_SMOKE),
+            scroll_buffer_max_rows=50,
+        )
+        await srv.start()
+        return srv
+
+    srv = loop.run_until_complete(_run())
+    yield srv, loop
+    loop.run_until_complete(srv.stop())
+    loop.close()
+
+
+def _err_code(msgs) -> bytes | None:
+    for tag, body in msgs:
+        if tag == b"E":
+            for part in body.split(b"\x00"):
+                if part[:1] == b"C":
+                    return part[1:]
+    return None
+
+
+class TestScrollBufferBound:
+    def test_fetch_past_cap_is_54000_and_cursor_survives(self, bounded_server):
+        srv, loop = bounded_server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            # orders at sf0.001 has 1500 rows — far past the 50-row cap
+            await c.simple(
+                "DECLARE bigc SCROLL CURSOR FOR "
+                "SELECT o_orderkey FROM orders ORDER BY o_orderkey"
+            )
+            ok = await c.simple("FETCH FORWARD 40 FROM bigc")
+            boom = await c.simple("FETCH ALL FROM bigc")
+            # the already-buffered rows stay fetchable backward
+            back = await c.simple("FETCH BACKWARD 5 FROM bigc")
+            cl = await c.simple("CLOSE bigc")
+            await c.close()
+            return ok, boom, back, cl
+
+        ok, boom, back, cl = run_coro(loop, go())
+        assert len(rows_of(ok)) == 40
+        assert _err_code(boom) == b"54000"
+        assert len(rows_of(back)) == 5
+        assert completes_of(cl) == ["CLOSE CURSOR"]
+
+    def test_under_cap_unaffected(self, bounded_server):
+        srv, loop = bounded_server
+
+        async def go():
+            c = await PgClient.connect(srv.port)
+            await c.simple(
+                "DECLARE smallc SCROLL CURSOR FOR "
+                "SELECT n_nationkey FROM nation ORDER BY n_nationkey"
+            )
+            f = await c.simple("FETCH ALL FROM smallc")
+            await c.simple("CLOSE smallc")
+            await c.close()
+            return f
+
+        f = run_coro(loop, go())
+        assert len(rows_of(f)) == 25
+
+
+def run_coro(loop, coro):
+    return loop.run_until_complete(coro)

@@ -227,19 +227,47 @@ def _pair_counts_for(docs: DataFrame) -> DataFrame:
         .select("gkey")
     )
     rare_postings = postings.join(F.broadcast(common), "gkey", "left_anti")
-    a = rare_postings.alias("a")
-    b = rare_postings.alias("b")
-    rare_shared = (
-        a.join(
-            b,
-            (F.col("a.gkey") == F.col("b.gkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # r12 (optimization guide §2.4): the pair generator used to be an
+    # inverted-index SELF-JOIN on gkey — the checkpointed postings were
+    # shuffled TWICE (once per join side), sorted twice, and merge-
+    # joined, before the joined pair rows shuffled again into the pair
+    # aggregation. Grouping the postings by gkey ONCE and emitting each
+    # posting list's ordered pairs map-side produces the identical pair
+    # multiset with half the gkey shuffles and no sort. Memory stays
+    # bounded at 100 TB: a posting list is ≤ the df-cap (10k) structs
+    # (~160 KB), and the pair fan-out streams through two pipelined
+    # Generate operators — per outer element the `slice` builds only
+    # the O(L) tail array, never the O(L²) pair set as one value.
+    # array_sort orders by doc_id (first struct field; ids are unique
+    # within a list — array_distinct upstream), so doc_a < doc_b holds
+    # exactly as the old join condition did. posexplode_outer/
+    # explode_outer keep InferFiltersFromGenerate from re-running
+    # upstream expressions (the r3 explode lesson); the slice past the
+    # last element is empty, so its explode_outer emits one NULL row
+    # per list that the isNotNull filter drops.
+    lists = (
+        rare_postings.groupBy("gkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "n_grams"))
+            ).alias("ds")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_grams").alias("na"),
-            F.col("b.n_grams").alias("nb"),
+        .filter(F.size("ds") >= 2)
+    )
+    heads = lists.select(F.posexplode_outer("ds").alias("i", "x"), "ds")
+    pair_rows = heads.select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("x.n_grams").alias("na"),
+        F.explode_outer(
+            F.slice("ds", F.col("i") + F.lit(2), F.size("ds"))
+        ).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    rare_shared = (
+        pair_rows.groupBy(
+            "doc_a",
+            F.col("y.doc_id").alias("doc_b"),
+            "na",
+            F.col("y.n_grams").alias("nb"),
         )
         .agg(F.count("*").alias("rare_inter"))
     )

@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_sql_server_spark.operators.registry import query
-from spark_sql_server_spark.operators.relational import DSUM, dsum
+from spark_sql_server_spark.operators.relational import DSUM
 from spark_sql_server_spark.operators.relational7 import (
     _netpaid_threshold_build,
     _netpaid_threshold_sql,
@@ -125,28 +125,49 @@ def qds14b_period_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     line price in BOTH 1996 and 1997 (reference ``queries/q14b.sql``:
     ``this_year``/``last_year`` on adjacent ``d_week_seq``).
 
-    Scale: each INTERSECT branch reduces to a distinct partkey set
-    before intersecting (hash-aggregated semi joins, never row×row);
-    both period legs semi-join the same small intersection and share
-    the 1-row broadcast average; the final join keys on p_brand —
-    ~25 gated rows per side, an in-memory hash join at any SF. Year
-    screens push to the orders scan.
+    r12 (optimization guide §2.4): the previous spelling ran the
+    lineitem⋈orders fact join SIX times — three INTERSECT channels and
+    the per-leg re-derivations (``cross_parts`` and ``avg_sales`` were
+    un-materialized, so each period leg recomputed both). The fact join
+    now runs ONCE (projected to four columns, ``localCheckpoint``-ed);
+    the INTERSECT collapses to one aggregation with three channel
+    membership flags (the qds38/qds87 MAX(CASE) discipline — set
+    intersection of distinct partkey streams ⇔ partkey seen under all
+    three priorities); the two HAVING-gated period legs collapse to one
+    (p_brand, year)-conditional aggregation over a single year-screened
+    pass, gated per side against the shared 1-row broadcast average —
+    a pivot is exactly the equi-join of the two ≤25-row gated legs
+    (both-sides-exist ⇔ both conditional counts > 0).
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
 
-    def channel(prio: str) -> DataFrame:
-        return (
-            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            .filter(F.col("o_orderpriority") == prio)
-            .select("l_partkey")
+    joined = (
+        li.select("l_orderkey", "l_partkey", "l_extendedprice")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
         )
-
+        .select(
+            "l_partkey",
+            "l_extendedprice",
+            F.year("o_orderdate").alias("o_year"),
+            "o_orderpriority",
+        )
+        .localCheckpoint()
+    )
     cross_parts = (
-        channel(_QDS14B_CHANNELS[0])
-        .intersect(channel(_QDS14B_CHANNELS[1]))
-        .intersect(channel(_QDS14B_CHANNELS[2]))
+        joined.filter(F.col("o_orderpriority").isin(*_QDS14B_CHANNELS))
+        .groupBy("l_partkey")
+        .agg(
+            *[
+                F.max(F.col("o_orderpriority") == ch).alias(f"in_{i}")
+                for i, ch in enumerate(_QDS14B_CHANNELS)
+            ]
+        )
+        .filter(F.col("in_0") & F.col("in_1") & F.col("in_2"))
+        .select("l_partkey")
     )
     avg_sales = li.agg(
         (
@@ -155,40 +176,32 @@ def qds14b_period_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("average_sales")
     )
 
-    def leg(year: int, suffix: str) -> DataFrame:
-        return (
-            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            .filter(F.year(F.col("o_orderdate")) == year)
-            .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-            .join(cross_parts, "l_partkey", "left_semi")
-            .groupBy("p_brand")
-            .agg(
-                F.count(F.lit(1)).alias(f"n_{suffix}"),
-                dsum(F.col("l_extendedprice")).alias(f"sales_{suffix}"),
-            )
-            .crossJoin(F.broadcast(avg_sales))
-            .filter(
-                F.col(f"sales_{suffix}")
-                > F.col("average_sales") * F.col(f"n_{suffix}")
-            )
-            .select(
-                F.col("p_brand").alias(f"brand_{suffix}"),
-                f"n_{suffix}",
-                f"sales_{suffix}",
-            )
+    dec = F.col("l_extendedprice").cast("decimal(38,6)")
+    legs = (
+        joined.filter(
+            F.col("o_year").isin(_QDS14B_YEAR_TY, _QDS14B_YEAR_LY)
         )
-
-    ty = leg(_QDS14B_YEAR_TY, "ty")
-    ly = leg(_QDS14B_YEAR_LY, "ly")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cross_parts, "l_partkey", "left_semi")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.when(F.col("o_year") == _QDS14B_YEAR_TY, 1)).alias("n_ty"),
+            F.sum(F.when(F.col("o_year") == _QDS14B_YEAR_TY, dec))
+            .cast("double")
+            .alias("sales_ty"),
+            F.count(F.when(F.col("o_year") == _QDS14B_YEAR_LY, 1)).alias("n_ly"),
+            F.sum(F.when(F.col("o_year") == _QDS14B_YEAR_LY, dec))
+            .cast("double")
+            .alias("sales_ly"),
+        )
+    )
     return (
-        ty.join(ly, F.col("brand_ty") == F.col("brand_ly"))
-        .select(
-            F.col("brand_ty").alias("p_brand"),
-            "n_ty",
-            "sales_ty",
-            "n_ly",
-            "sales_ly",
+        legs.crossJoin(F.broadcast(avg_sales))
+        .filter(
+            (F.col("sales_ty") > F.col("average_sales") * F.col("n_ty"))
+            & (F.col("sales_ly") > F.col("average_sales") * F.col("n_ly"))
         )
+        .select(F.col("p_brand"), "n_ty", "sales_ty", "n_ly", "sales_ly")
         .orderBy("p_brand")
         .limit(100)
     )

@@ -176,29 +176,38 @@ def qds14_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brands of parts sold under ALL THREE priority channels, keeping
     brands whose average line price beats the corpus average.
 
-    Scale: each INTERSECT branch reduces to a distinct partkey set
-    before intersecting (set semantics — Spark plans these as
-    hash-aggregated semi joins, never row×row); the final membership
-    check is a semi join on the already-small intersection, and the
-    1-row global average broadcasts into HAVING. The threshold is
-    average_sales × COUNT(*) — comparing a decimal-exact group sum
-    against a deterministic IEEE product, no rounding needed.
+    Scale: r12 (optimization guide §2.4) — the three INTERSECT branches
+    are one lineitem⋈orders pass with per-channel membership flags
+    (qds38/qds87 MAX(CASE) discipline: set intersection of distinct
+    partkey streams ⇔ partkey seen under all three priorities), cutting
+    three fact joins + two intersect shuffles to one join + one
+    aggregation. The final membership check is a semi join on the
+    already-small intersection, and the 1-row global average broadcasts
+    into HAVING. The threshold is average_sales × COUNT(*) — comparing
+    a decimal-exact group sum against a deterministic IEEE product, no
+    rounding needed.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
 
-    def channel(prio: str) -> DataFrame:
-        return (
-            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            .filter(F.col("o_orderpriority") == prio)
-            .select("l_partkey")
-        )
-
     cross_parts = (
-        channel(_QDS14_CHANNELS[0])
-        .intersect(channel(_QDS14_CHANNELS[1]))
-        .intersect(channel(_QDS14_CHANNELS[2]))
+        li.select("l_orderkey", "l_partkey")
+        .join(
+            orders.select("o_orderkey", "o_orderpriority").filter(
+                F.col("o_orderpriority").isin(*_QDS14_CHANNELS)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            *[
+                F.max(F.col("o_orderpriority") == ch).alias(f"in_{i}")
+                for i, ch in enumerate(_QDS14_CHANNELS)
+            ]
+        )
+        .filter(F.col("in_0") & F.col("in_1") & F.col("in_2"))
+        .select("l_partkey")
     )
     avg_sales = li.agg(
         (
@@ -509,14 +518,68 @@ _QDS23_SQL = f"""
 def qds23_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q23's topology: `frequent_parts` and `best_customers` (itself
     built on `customer_totals` and a scalar subquery over the SAME CTE)
-    gate both branches of a UNION ALL. Exercises Catalyst's
-    semi-join-from-IN planning and (under AQE) subplan/exchange reuse
-    for the doubly-consumed CTEs; the scalar threshold is one
-    broadcast row. Exact decimal sums; the 0.5*MAX threshold compare is
-    one IEEE multiply+compare of exact-decimal-derived doubles.
+    gate both branches of a UNION ALL.
+
+    r12 (optimization guide §2.4/§3.3): the shared-SQL spelling ran the
+    lineitem⋈orders fact join FOUR times (frequent_parts,
+    customer_totals, and once per UNION ALL branch — Catalyst inlines
+    CTEs per reference and the branch filters differ, so no exchange
+    reuse fires). The fact join now runs ONCE, projected to the five
+    columns every consumer needs, and is ``localCheckpoint``-ed; the
+    three aggregations read the materialized RDD. The UNION ALL
+    branches are disjoint priority slices summed by one exact decimal
+    SUM, so a single `isin` pass computes the identical total (qds49
+    CASE-split discipline). The 0.5*MAX threshold is a 1-row driver
+    collect off the tiny per-customer aggregate (qds24 pattern) —
+    the identical IEEE multiply both engines evaluate.
     """
-    register_tables(spark, sf_dir)
-    return spark.sql(_QDS23_SQL)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sales_dec = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(38,6)")
+    joined = (
+        li.select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+        .join(
+            orders.select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_partkey",
+            "o_custkey",
+            "o_orderdate",
+            "o_orderpriority",
+            sales_dec.alias("sales_dec"),
+        )
+        .localCheckpoint()
+    )
+    frequent_parts = (
+        joined.filter(
+            F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 8)
+        .select("l_partkey")
+    )
+    customer_totals = (
+        joined.groupBy("o_custkey")
+        .agg(F.sum("sales_dec").cast("double").alias("total"))
+        .localCheckpoint()
+    )
+    max_total = customer_totals.agg(F.max("total").alias("m")).collect()[0]["m"]
+    threshold = 0.5 * max_total if max_total is not None else None
+    best_customers = customer_totals.filter(
+        F.col("total") > F.lit(threshold)
+    ).select("o_custkey")
+    return (
+        joined.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .join(frequent_parts, "l_partkey", "left_semi")
+        .join(best_customers, "o_custkey", "left_semi")
+        .agg(F.sum("sales_dec").cast("double").alias("total_sales"))
+    )
 
 
 # --------------------------------------------------------------------------

@@ -263,13 +263,17 @@ def qds64_two_cycle_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     (HAVING compares two exact decimal sums — no ratio, no rounding)
     and enters the star as a left-semi join; nation/region broadcast;
     the same nation table is joined twice under different aliases with
-    an inequality between them (q64's cd1 <> cd2 shape). The grouped
-    ``cross_sales`` base is ``localCheckpoint``-ed before the
-    two-cycle self-join so the 9-relation plan executes ONCE — without
-    it Spark recomputes the whole star for each side, the exact
-    double-work a 100× scale-up cannot afford. The self-join keys are
-    the full group key minus year, so it shuffles on small aggregated
-    data only.
+    an inequality between them (q64's cd1 <> cd2 shape).
+
+    r12 (optimization guide §2.4): the two-cycle self-join's keys are
+    the full group key minus year, so the 1996→1997 pairing collapses
+    into ONE conditional aggregation — per-year CASE sums in a single
+    groupBy (inner-join-both-years-exist ⇔ both conditional counts
+    > 0; the qds4/qds38 membership discipline). That removes the
+    eager ``localCheckpoint`` materialization, both post-checkpoint
+    exchanges, the sorts, and the SortMergeJoin, and lets the
+    1996/1997 year screen push all the way into the orders scan
+    (the old plan aggregated every year, then filtered).
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -307,8 +311,14 @@ def qds64_two_cycle_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_regionkey",
         )
     )
+    syear = F.year("o_orderdate").cast("long")
+
+    def per_year(year, col, alias):
+        return F.sum(F.when(F.col("syear") == year, col)).alias(alias)
+
     cross_sales = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.year("o_orderdate").isin(1996, 1997))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(cn, F.col("c_nationkey") == F.col("cn_key"))
         .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -319,51 +329,46 @@ def qds64_two_cycle_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(cs_ui, F.col("l_partkey") == F.col("pk"), "left_semi")
         .filter(F.col("cust_nation") != F.col("supp_nation"))
-        .groupBy(
+        .select(
             F.col("p_name").alias("product_name"),
             F.col("p_partkey").alias("item_sk"),
             F.col("s_name").alias("store_name"),
             "cust_nation",
             "supp_nation",
-            F.year("o_orderdate").cast("long").alias("syear"),
+            syear.alias("syear"),
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+        .groupBy(
+            "product_name", "item_sk", "store_name", "cust_nation", "supp_nation"
         )
         .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(dec(F.col("l_quantity"))).alias("s1_dec"),
-            F.sum(dec(F.col("l_extendedprice"))).alias("s2_dec"),
-            F.sum(dec(F.col("l_extendedprice") * F.col("l_discount"))).alias(
-                "s3_dec"
+            F.count(F.when(F.col("syear") == 1996, 1)).alias("cnt1"),
+            per_year(1996, dec(F.col("l_quantity")), "s1_dec"),
+            per_year(1996, dec(F.col("l_extendedprice")), "s2_dec"),
+            per_year(
+                1996, dec(F.col("l_extendedprice") * F.col("l_discount")), "s3_dec"
+            ),
+            F.count(F.when(F.col("syear") == 1997, 1)).alias("cnt2"),
+            per_year(1997, dec(F.col("l_quantity")), "s1_dec2"),
+            per_year(1997, dec(F.col("l_extendedprice")), "s2_dec2"),
+            per_year(
+                1997, dec(F.col("l_extendedprice") * F.col("l_discount")), "s3_dec2"
             ),
         )
-        .localCheckpoint(eager=True)
-    )
-    cs1 = cross_sales.filter(F.col("syear") == 1996)
-    cs2 = cross_sales.filter(F.col("syear") == 1997).select(
-        F.col("item_sk").alias("item_sk2"),
-        F.col("store_name").alias("store_name2"),
-        F.col("cust_nation").alias("cust_nation2"),
-        F.col("supp_nation").alias("supp_nation2"),
-        F.col("cnt").alias("cnt2"),
-        F.col("s1_dec").alias("s1_dec2"),
-        F.col("s2_dec").alias("s2_dec2"),
-        F.col("s3_dec").alias("s3_dec2"),
     )
     return (
-        cs1.join(
-            cs2,
-            (F.col("item_sk") == F.col("item_sk2"))
-            & (F.col("store_name") == F.col("store_name2"))
-            & (F.col("cust_nation") == F.col("cust_nation2"))
-            & (F.col("supp_nation") == F.col("supp_nation2")),
+        cross_sales.filter(
+            (F.col("cnt1") > 0) & (F.col("cnt2") > 0) & (F.col("cnt2") <= F.col("cnt1"))
         )
-        .filter(F.col("cnt2") <= F.col("cnt"))
         .select(
             "product_name",
             "store_name",
             "cust_nation",
             "supp_nation",
             "item_sk",
-            F.col("cnt").alias("cnt1"),
+            "cnt1",
             F.col("s1_dec").cast("double").alias("qty1"),
             F.col("s2_dec").cast("double").alias("price1"),
             F.col("s3_dec").cast("double").alias("disc1"),

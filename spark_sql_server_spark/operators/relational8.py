@@ -97,56 +97,59 @@ def qds4_triple_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping customers whose catalog spend grew faster than BOTH their
     store and web spend.
 
-    Scale: one CASE-split pass computes all three channels' totals
-    (the qds74 plan, one more channel), ``localCheckpoint``-ed so the
-    six arms read an ExistingRDD (plan-gated: 0 parquet scans — the
-    shared-SQL spelling would re-run the star six times). Both growth
-    comparisons are exact DECIMAL(24,6) cross-multiplications: no
-    division, no rounding, int128-backed in DuckDB.
+    Scale: r12 (optimization guide §2.4) — the six arms collapse into
+    ONE per-customer conditional aggregation: each (channel, period)
+    total is an exact decimal SUM(CASE) column, so the six-way
+    self-join disappears entirely (an inner equi-join of six ≤1-row-
+    per-cid arms ⇔ all six conditional sums non-NULL — the qds38/qds87
+    membership-flag discipline applied to the year-total family). One
+    fact pass, one shuffle on cid, no checkpoint, no join of arms.
+    Both growth comparisons remain exact DECIMAL(24,6)
+    cross-multiplications: no division, no rounding, int128-backed in
+    DuckDB.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.year("o_orderdate").between(1995, 1998)
     )
     customer = load_table(spark, sf_dir, "customer")
+    per = F.when(F.year("o_orderdate") <= 1996, 1).otherwise(2)
+    st = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "s")
+        .when(F.col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"), "c")
+        .otherwise("w")
+    )
+    dec = F.col("l_extendedprice").cast("decimal(38,6)")
+
+    def arm_total(st_v: str, per_v: int, alias: str):
+        return F.sum(
+            F.when((F.col("st") == st_v) & (F.col("per") == per_v), dec)
+        ).alias(alias)
+
     yt = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(
-            F.col("c_name").alias("cid"),
-            F.when(F.year("o_orderdate") <= 1996, 1).otherwise(2)
-            .alias("per"),
-            F.when(F.col("o_orderpriority") == "1-URGENT", "s")
-            .when(F.col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"), "c")
-            .otherwise("w")
-            .alias("st"),
-        )
+        .select(F.col("c_name").alias("cid"), per.alias("per"), st.alias("st"), "l_extendedprice")
+        .groupBy("cid")
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias(
-                "total"
-            )
+            arm_total("s", 1, "s1_total"),
+            arm_total("s", 2, "s2_total"),
+            arm_total("c", 1, "c1_total"),
+            arm_total("c", 2, "c2_total"),
+            arm_total("w", 1, "w1_total"),
+            arm_total("w", 2, "w2_total"),
         )
-        .localCheckpoint()
     )
-
-    def arm(st: str, per: int, alias: str) -> DataFrame:
-        return yt.filter((F.col("st") == st) & (F.col("per") == per)).select(
-            F.col("cid").alias(f"{alias}_cid"),
-            F.col("total").alias(f"{alias}_total"),
-        )
-
-    s1, s2 = arm("s", 1, "s1"), arm("s", 2, "s2")
-    c1, c2 = arm("c", 1, "c1"), arm("c", 2, "c2")
-    w1, w2 = arm("w", 1, "w1"), arm("w", 2, "w2")
     d24 = lambda c: F.col(c).cast("decimal(24,6)")  # noqa: E731
     return (
-        s1.join(s2, F.col("s1_cid") == F.col("s2_cid"))
-        .join(c1, F.col("s1_cid") == F.col("c1_cid"))
-        .join(c2, F.col("s1_cid") == F.col("c2_cid"))
-        .join(w1, F.col("s1_cid") == F.col("w1_cid"))
-        .join(w2, F.col("s1_cid") == F.col("w2_cid"))
-        .filter(
-            (F.col("s1_total") > 0)
+        yt.filter(
+            F.col("s1_total").isNotNull()
+            & F.col("s2_total").isNotNull()
+            & F.col("c1_total").isNotNull()
+            & F.col("c2_total").isNotNull()
+            & F.col("w1_total").isNotNull()
+            & F.col("w2_total").isNotNull()
+            & (F.col("s1_total") > 0)
             & (F.col("c1_total") > 0)
             & (F.col("w1_total") > 0)
             & (d24("c2_total") * d24("s1_total")
@@ -155,7 +158,7 @@ def qds4_triple_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                > d24("w2_total") * d24("c1_total"))
         )
         .select(
-            F.col("s2_cid").alias("customer_id"),
+            F.col("cid").alias("customer_id"),
             F.col("c2_total").cast("double")
             .alias("catalog_secperiod_total"),
         )

@@ -11,7 +11,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from spark_sql_server_spark.operators.dedup import cosine_sim
 from spark_sql_server_spark.operators.registry import query
 from spark_sql_server_spark.session import load_table
 
@@ -48,25 +47,71 @@ _BRUTE_ORACLE = f"""
 def s_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k neighbors for a small query set.
 
-    Scale: the query side is tiny and broadcast, so the corpus is
-    scanned exactly once with no shuffle of the big side; ranking is a
-    window over qid (k × |queries| rows after a partial top-k). Ranking
-    key is cosine rounded to 6dp with vec_id tiebreak → deterministic
-    across engines.
+    Scale: the query side is tiny (a bounded O(|Q|) collect, the
+    s_ann_ivf discipline) and rides an ``sc.broadcast``; the corpus is
+    scanned exactly once, map-only. Ranking key is cosine rounded to
+    6dp with vec_id tiebreak → deterministic across engines.
+
+    r12 (guide §4.2): scoring used to be `cosine_sim` — an interpreted
+    Catalyst HOF fold per (corpus row × query) pair, |corpus|·|Q| folds
+    of 64 elements each (the same anti-pattern `_bucketize_pandas`'s
+    docstring measured at ~2.3 s per 5k×64·32). One Arrow-batched numpy
+    pass now computes every pair — but accumulated DIMENSION-BY-
+    DIMENSION (`D += E[:,i]·Q[:,i]`, `na += E[:,i]²`), so each cell
+    sees the IDENTICAL sequential IEEE add/mul sequence as the HOF
+    left-fold and `dot / sqrt(na·nb)` is bit-identical to
+    `cosine_sim` (a numpy matmul would re-associate the sum and shift
+    6dp-boundary values — pinned by
+    tests/test_llm_ops.py::test_bruteforce_fold_bit_identity).
+    ROUND(…, 6) stays in Spark — Python has no BigDecimal-HALF_UP twin.
     """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    qrows = emb.filter(F.col("vec_id") < _N_QUERIES).collect()
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.e for r in qrows], dtype=np.float64)
+    nb = np.zeros(len(qids), dtype=np.float64)
+    for i in range(Q.shape[1]):
+        nb += Q[:, i] * Q[:, i]
+    bq = spark.sparkContext.broadcast((qids, Q, nb))
+
+    schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cos_raw", T.DoubleType()),
+        ]
     )
-    scored = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(cosine_sim(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
-        )
+
+    def score(batches):
+        import pandas as pd
+
+        b_qids, b_q, b_nb = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            E = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+            n, dim = E.shape
+            D = np.zeros((n, len(b_qids)), dtype=np.float64)
+            na = np.zeros(n, dtype=np.float64)
+            for i in range(dim):
+                col = E[:, i]
+                D += col[:, None] * b_q[None, :, i]
+                na += col * col
+            cos = D / np.sqrt(na[:, None] * b_nb[None, :])
+            r, j = np.nonzero(ids[:, None] != b_qids[None, :])
+            yield pd.DataFrame(
+                {"qid": b_qids[j], "vec_id": ids[r], "cos_raw": cos[r, j]}
+            )
+
+    scored = emb.mapInPandas(score, schema=schema).select(
+        "qid", "vec_id", F.round("cos_raw", 6).alias("cos_sim")
     )
     w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -572,7 +617,11 @@ def _kmeans_fit_micro(spark: SparkSession, emb: DataFrame, k: int, iters: int):
 
     from pyspark.sql import types as T
 
-    emb = emb.localCheckpoint()
+    # r12 (guide §4.1): the fit reads only (vec_id, m) — project before
+    # the checkpoint so callers' extra columns (s_semdedup ships a second
+    # 64-long milli vector) are neither materialized per round nor
+    # Arrow-shipped to the Python workers on every Lloyd's pass.
+    emb = emb.select("vec_id", "m").localCheckpoint()
     init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     C = np.array([r.m for r in init], dtype=np.int64)
 

@@ -310,7 +310,11 @@ def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     # split(" ") yields >= 1 word per document, so tf covers every doc
-    n_docs = tf.select("doc_id").distinct().count()
+    # and COUNT(*) over documents equals COUNT(DISTINCT doc_id) over tf.
+    # r12: count the base table instead of distinct-counting the
+    # exploded tf — the former folds to parquet row-group metadata
+    # (no scan, no shuffle), the latter shuffled the doc×word frame.
+    n_docs = docs.count()
     df_tbl = (
         tf.groupBy("word")
         .agg(F.count("*").alias("df"))

@@ -338,6 +338,62 @@ class TestSemDedup:
             assert found, f"vec {d.vec_id} dropped without a ≥τ lower neighbor"
 
 
+class TestBruteforceFoldIdentity:
+    def test_bruteforce_fold_bit_identity(self, spark):
+        """r12: s_ann_bruteforce scores with a per-dimension-accumulated
+        numpy pass instead of the Catalyst `cosine_sim` HOF fold. The
+        accumulation order is dimension-by-dimension, so every cell sees
+        the identical sequential IEEE sequence — raw cosines must be
+        BIT-identical to the HOF fold (not merely round6-equal)."""
+        from pyspark.sql import functions as F
+
+        from spark_sql_server_spark.operators.dedup import cosine_sim
+        from spark_sql_server_spark.operators.similarity import _N_QUERIES
+        from spark_sql_server_spark.session import load_table
+
+        emb = load_table(spark, SF_SMOKE, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+        )
+        hof = {
+            (r.qid, r.vec_id): r.c
+            for r in emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid",
+                "vec_id",
+                cosine_sim(F.col("qe"), F.col("e")).alias("c"),
+            )
+            .collect()
+        }
+        rows = emb.collect()
+        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        E = np.array([r.e for r in rows], dtype=np.float64)
+        qmask = ids < _N_QUERIES
+        qids, Q = ids[qmask], E[qmask]
+        nb = np.zeros(len(qids))
+        na = np.zeros(len(ids))
+        D = np.zeros((len(ids), len(qids)))
+        for i in range(E.shape[1]):
+            nb += Q[:, i] * Q[:, i]
+            col = E[:, i]
+            D += col[:, None] * Q[None, :, i]
+            na += col * col
+        cos = D / np.sqrt(na[:, None] * nb[None, :])
+        n_checked = 0
+        for r, vid in enumerate(ids):
+            for j, qid in enumerate(qids):
+                if vid == qid:
+                    continue
+                assert cos[r, j] == hof[(qid, vid)], (
+                    f"fold mismatch at (q={qid}, v={vid}): "
+                    f"{cos[r, j]!r} != {hof[(qid, vid)]!r}"
+                )
+                n_checked += 1
+        assert n_checked == len(hof)
+
+
 class TestAnnLsh:
     def test_recall_vs_bruteforce(self, spark):
         brute = REGISTRY["s_ann_bruteforce"].fn(spark, SF_SMOKE).collect()

@@ -90,9 +90,13 @@ class TestJoinStrategies:
         assert "CartesianProduct" not in plan
         assert "Join" in plan
 
-    def test_ann_bruteforce_broadcasts_queries(self, spark):
+    def test_ann_bruteforce_map_only_scoring(self, spark):
         plan = plan_of(spark, "s_ann_bruteforce")
-        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        # r12: scoring is one Arrow-batched corpus pass against the
+        # sc.broadcast query set — no join of the corpus side at all
+        assert "MapInPandas" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
 
 
 class TestTopKAndAgg:
@@ -535,14 +539,15 @@ class TestTpcdsWave3Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
-    def test_qds64_checkpointed_base_single_star(self, spark):
+    def test_qds64_single_star_pivot(self, spark):
         df = REGISTRY["qds64_two_cycle_sales"].fn(spark, SF_CORRECT)
         plan = executed_plan(df)
-        # the 9-relation star is localCheckpoint-ed: the two-cycle
-        # self-join reads the materialized RDD twice (Scan
-        # ExistingRDD), never re-running the star per side
-        assert plan.count("Scan ExistingRDD") == 2
-        assert "Scan parquet" not in plan  # star already materialized
+        # r12: the two-cycle pairing is per-year conditional aggregation
+        # inside ONE star pass — no checkpoint, no self-join of the
+        # aggregate, and lineitem is scanned exactly twice (cs_ui
+        # screen + star); the 1996/1997 year screen reaches the scan
+        assert "Scan ExistingRDD" not in plan
+        assert plan.count("lineitem.parquet") == 2
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
@@ -961,13 +966,13 @@ class TestTpcdsWave10Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
-    def test_qds4_checkpointed_six_arms(self, spark):
+    def test_qds4_single_pass_pivot(self, spark):
         plan = plan_of(spark, "qds4_triple_channel_growth")
-        # the three-channel period totals are consumed by SIX arms —
-        # one CASE-split pass, checkpointed (shared SQL would run the
-        # star six times)
-        assert "Scan ExistingRDD" in plan
-        assert plan.count("Scan parquet") == 0
+        # r12: the six arms are per-(channel, period) conditional sums
+        # in ONE per-customer aggregation — no checkpoint, no self-join,
+        # three parquet scans (lineitem, orders, customer), one shuffle
+        assert "Scan ExistingRDD" not in plan
+        assert plan.count("Scan parquet") == 3
         assert "CartesianProduct" not in plan
 
     def test_qds2_checkpointed_week_pivot(self, spark):

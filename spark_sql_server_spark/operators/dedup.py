@@ -245,8 +245,24 @@ def _pair_counts_for(docs: DataFrame) -> DataFrame:
     # upstream expressions (the r3 explode lesson); the slice past the
     # last element is empty, so its explode_outer emits one NULL row
     # per list that the isNotNull filter drops.
+    # r12 wave 2 (guide §2.2/§2.5): the gkey exchange feeding this
+    # aggregation carries only a few MB at bench scale, so AQE coalesced
+    # its read to ~4 partitions — and the O(L²) pair expansion below
+    # (the most CPU-intensive stage of the whole dedup path, ~1.2M
+    # generated rows at sf0.1) inherited those 4 tasks on a 32-core
+    # box. AQE sizes partitions by *input bytes* and cannot see a
+    # Generate fan-out. An explicit scale-adaptive repartition pins the
+    # expansion's parallelism at 2× the executor cores (explicit N is
+    # exempt from AQE coalescing) and is strictly cheaper on the wire:
+    # raw (gkey, doc_id, n_grams) posting rows are narrower than the
+    # partially-built collect_list buffers the groupBy used to exchange
+    # (partial collect_list barely combines — postings for one gram
+    # rarely co-reside map-side). groupBy on the same key reuses the
+    # partitioning, so the exchange count is unchanged.
+    n_expand = docs.sparkSession.sparkContext.defaultParallelism * 2
     lists = (
-        rare_postings.groupBy("gkey")
+        rare_postings.repartition(n_expand, "gkey")
+        .groupBy("gkey")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("doc_id", "n_grams"))

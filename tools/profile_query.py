@@ -49,17 +49,31 @@ def main() -> None:
     # stage metrics for the whole run
     with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages?status=complete") as r:
         stages = json.load(r)
-    stages.sort(key=lambda s: -(s.get("executorRunTime") or 0))
-    print(f"{'stageId':>7} {'runTime_s':>9} {'cpu_s':>7} {'in_MB':>7} {'shRd_MB':>8} {'shWr_MB':>8} {'tasks':>5}  name")
+
+    def wall(s):
+        try:
+            from datetime import datetime
+
+            fmt = "%Y-%m-%dT%H:%M:%S.%fGMT"
+            t0 = datetime.strptime(s["firstTaskLaunchedTime"], fmt)
+            t1 = datetime.strptime(s["completionTime"], fmt)
+            return (t1 - t0).total_seconds()
+        except Exception:
+            return 0.0
+
+    for s in stages:
+        s["_wall"] = wall(s)
+    stages.sort(key=lambda s: -s["_wall"])
+    print(f"{'stageId':>7} {'wall_s':>7} {'runTime_s':>9} {'cpu_s':>7} {'in_MB':>7} {'shRd_MB':>8} {'shWr_MB':>8} {'tasks':>5}  desc | name")
     for s in stages[:40]:
         print(
-            f"{s['stageId']:>7} {s['executorRunTime']/1e3:>9.2f} "
+            f"{s['stageId']:>7} {s['_wall']:>7.2f} {s['executorRunTime']/1e3:>9.2f} "
             f"{s.get('executorCpuTime',0)/1e9:>7.2f} "
             f"{s.get('inputBytes',0)/1e6:>7.1f} "
             f"{s.get('shuffleReadBytes',0)/1e6:>8.2f} "
             f"{s.get('shuffleWriteBytes',0)/1e6:>8.2f} "
             f"{s.get('numCompleteTasks',0):>5}  "
-            f"{(s.get('description') or s.get('name',''))[:90]}"
+            f"{(s.get('description') or '')[:40]} | {(s.get('name') or '')[:60]}"
         )
 
 

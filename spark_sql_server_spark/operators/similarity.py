@@ -590,6 +590,18 @@ def _tree_reduce_partials(parts: DataFrame, keys: list[str]) -> DataFrame:
 
 _EMB_DIM = 64
 
+#: r12 (guide §2.4/§5): ceiling on the int64 component values the DRIVER
+#: may fold directly from per-task partial rows (n_partitions × k × dim;
+#: 2M values ≈ 16 MB). At or below it, each Lloyd's round collects the
+#: per-task partials and folds them on the driver — int64 sums are
+#: associative, so the fold is bit-identical to the distributed
+#: tree-reduce while skipping that reduce's exchange + extra stage
+#: (locally the fit is latency-bound: single-row stages of ~0.3-0.5 s
+#: each, ×2 stages ×5 rounds). Above the bound — e.g. 100k+ partitions
+#: at 100 TB — the tree-reduce path runs unchanged, keeping the driver
+#: pull at O(k×dim) (the r4 design argument, preserved verbatim).
+_FIT_DRIVER_FOLD_MAX_VALUES = 2_000_000
+
 #: micro-space embedding expression (Spark SQL) — one HOF pass
 _EMB_MICRO_EXPR = (
     "transform(embedding, x -> "
@@ -640,36 +652,77 @@ def _kmeans_fit_micro(spark: SparkSession, emb: DataFrame, k: int, iters: int):
             import pandas as pd
 
             Cb = bc.value
+            # r12: accumulate across ALL of the task's Arrow batches and
+            # emit one row set per TASK (≤ k rows), not per batch —
+            # int64 sums are associative so the in-task fold is
+            # bit-identical, and the partial-row count becomes
+            # O(partitions × k) independent of batch size
+            acc_s: dict[int, object] = {}
+            acc_n: dict[int, int] = {}
             for pdf in batches:
                 if pdf.empty:
                     continue
                 E = np.vstack(pdf["m"].to_numpy()).astype(np.int64)
                 d2 = (E * E).sum(1)[:, None] - 2 * (E @ Cb.T) + (Cb * Cb).sum(1)[None, :]
                 a = np.argmin(d2, axis=1)  # first-min → lowest cluster id
-                cl, ns, ss = [], [], []
                 for c in np.unique(a):
                     sel = a == c
-                    cl.append(int(c))
-                    ns.append(int(sel.sum()))
-                    ss.append(E[sel].sum(axis=0).tolist())
-                yield pd.DataFrame({"cluster": cl, "s": ss, "n": ns})
+                    ci = int(c)
+                    s = E[sel].sum(axis=0)
+                    if ci in acc_s:
+                        acc_s[ci] += s
+                        acc_n[ci] += int(sel.sum())
+                    else:
+                        acc_s[ci] = s
+                        acc_n[ci] = int(sel.sum())
+            if acc_s:
+                cl = sorted(acc_s)
+                yield pd.DataFrame(
+                    {
+                        "cluster": cl,
+                        "s": [acc_s[c].tolist() for c in cl],
+                        "n": [acc_n[c] for c in cl],
+                    }
+                )
 
         return emit
 
+    # adaptive reduction (guide §2.4): below the driver-fold bound each
+    # round is ONE map stage whose ≤ partitions×k partial rows the
+    # driver folds itself (exact int64 — identical centroids); above it
+    # the tree-reduce exchange keeps the collect at O(k×dim)
+    n_parts = emb.rdd.getNumPartitions()
+    dim = C.shape[1]
+    driver_fold = n_parts * k * dim <= _FIT_DRIVER_FOLD_MAX_VALUES
+
     for _ in range(iters):
-        reduced = _tree_reduce_partials(
-            emb.mapInPandas(partials(C), schema=part_schema), ["cluster"]
-        ).collect()
+        parts_df = emb.mapInPandas(partials(C), schema=part_schema)
         nxt = C.copy()  # empty clusters keep their previous centroid
         counts: dict[int, int] = {}
-        sums: dict[tuple[int, int], int] = {}
-        for r in reduced:
-            sums[(r.cluster, r.pos)] = int(r.sv)
-            if r.pos == 0:
-                counts[r.cluster] = int(r.cn)
-        for (c, pos), sv in sums.items():
-            # mirror of SQL CAST(FLOOR(CAST(sv AS DOUBLE)/n) AS BIGINT)
-            nxt[c, pos] = math.floor(float(sv) / float(counts[c]))
+        if driver_fold:
+            fsums: dict[int, object] = {}
+            for r in parts_df.collect():
+                sv = np.asarray(r.s, dtype=np.int64)
+                if r.cluster in fsums:
+                    fsums[r.cluster] += sv
+                    counts[r.cluster] += int(r.n)
+                else:
+                    fsums[r.cluster] = sv
+                    counts[r.cluster] = int(r.n)
+            for c, sv in fsums.items():
+                for pos in range(dim):
+                    # mirror of SQL CAST(FLOOR(CAST(sv AS DOUBLE)/n) AS BIGINT)
+                    nxt[c, pos] = math.floor(float(int(sv[pos])) / float(counts[c]))
+        else:
+            reduced = _tree_reduce_partials(parts_df, ["cluster"]).collect()
+            sums: dict[tuple[int, int], int] = {}
+            for r in reduced:
+                sums[(r.cluster, r.pos)] = int(r.sv)
+                if r.pos == 0:
+                    counts[r.cluster] = int(r.cn)
+            for (c, pos), sv in sums.items():
+                # mirror of SQL CAST(FLOOR(CAST(sv AS DOUBLE)/n) AS BIGINT)
+                nxt[c, pos] = math.floor(float(sv) / float(counts[c]))
         C = nxt
     return C
 
@@ -1081,11 +1134,15 @@ def _pq_fit(spark: SparkSession, emb, m: int, k: int, iters: int):
             import pandas as pd
 
             Cb = bc.value
+            # r12: per-TASK accumulation (see _kmeans_fit_micro) — the
+            # task emits ≤ m×k rows regardless of its batch count;
+            # int64 folds are associative so partials are bit-identical
+            acc_s: dict[tuple[int, int], object] = {}
+            acc_n: dict[tuple[int, int], int] = {}
             for pdf in batches:
                 if pdf.empty:
                     continue
                 E = np.vstack(pdf["m"].to_numpy()).astype(np.int64)
-                sub, cl, ss, ns = [], [], [], []
                 for j in range(m):
                     S = E[:, j * sd : (j + 1) * sd]
                     Cj = Cb[j]
@@ -1093,31 +1150,66 @@ def _pq_fit(spark: SparkSession, emb, m: int, k: int, iters: int):
                     a = np.argmin(d2, axis=1)
                     for c in np.unique(a):
                         sel = a == c
-                        sub.append(j)
-                        cl.append(int(c))
-                        ns.append(int(sel.sum()))
-                        ss.append(S[sel].sum(axis=0).tolist())
-                yield pd.DataFrame({"sub": sub, "cluster": cl, "s": ss, "n": ns})
+                        key = (j, int(c))
+                        s = S[sel].sum(axis=0)
+                        if key in acc_s:
+                            acc_s[key] += s
+                            acc_n[key] += int(sel.sum())
+                        else:
+                            acc_s[key] = s
+                            acc_n[key] = int(sel.sum())
+            if acc_s:
+                keys = sorted(acc_s)
+                yield pd.DataFrame(
+                    {
+                        "sub": [j for j, _ in keys],
+                        "cluster": [c for _, c in keys],
+                        "s": [acc_s[key].tolist() for key in keys],
+                        "n": [acc_n[key] for key in keys],
+                    }
+                )
 
         return emit
 
+    # adaptive reduction — same bound as _kmeans_fit_micro (per-task
+    # partial volume is partitions × m × k × sd = partitions × k × dim)
+    n_parts = emb.rdd.getNumPartitions()
+    driver_fold = n_parts * m * k * sd <= _FIT_DRIVER_FOLD_MAX_VALUES
+
     for _ in range(iters):
-        # tree-reduce before the collect (same rationale as
-        # _kmeans_fit_micro): the driver receives O(m×k×sub_dim) reduced
-        # rows, never O(P×m×k) raw partials
-        reduced = _tree_reduce_partials(
-            emb.mapInPandas(partials(C), schema=part_schema), ["sub", "cluster"]
-        ).collect()
+        parts_df = emb.mapInPandas(partials(C), schema=part_schema)
         nxt = C.copy()  # empty cells keep their previous centroid
         counts: dict[tuple[int, int], int] = {}
-        for r in reduced:
-            if r.pos == 0:
-                counts[(r.sub, r.cluster)] = int(r.cn)
-        for r in reduced:
-            # mirror of SQL CAST(FLOOR(CAST(sv AS DOUBLE)/n) AS BIGINT)
-            nxt[r.sub, r.cluster, r.pos] = math.floor(
-                float(int(r.sv)) / float(counts[(r.sub, r.cluster)])
-            )
+        if driver_fold:
+            fsums: dict[tuple[int, int], object] = {}
+            for r in parts_df.collect():
+                key = (r.sub, r.cluster)
+                sv = np.asarray(r.s, dtype=np.int64)
+                if key in fsums:
+                    fsums[key] += sv
+                    counts[key] += int(r.n)
+                else:
+                    fsums[key] = sv
+                    counts[key] = int(r.n)
+            for (j, c), sv in fsums.items():
+                for pos in range(sd):
+                    # mirror of SQL CAST(FLOOR(CAST(sv AS DOUBLE)/n) AS BIGINT)
+                    nxt[j, c, pos] = math.floor(
+                        float(int(sv[pos])) / float(counts[(j, c)])
+                    )
+        else:
+            # tree-reduce before the collect (same rationale as
+            # _kmeans_fit_micro): the driver receives O(m×k×sub_dim)
+            # reduced rows, never O(P×m×k) raw partials
+            reduced = _tree_reduce_partials(parts_df, ["sub", "cluster"]).collect()
+            for r in reduced:
+                if r.pos == 0:
+                    counts[(r.sub, r.cluster)] = int(r.cn)
+            for r in reduced:
+                # mirror of SQL CAST(FLOOR(CAST(sv AS DOUBLE)/n) AS BIGINT)
+                nxt[r.sub, r.cluster, r.pos] = math.floor(
+                    float(int(r.sv)) / float(counts[(r.sub, r.cluster)])
+                )
         C = nxt
     return C
 

@@ -454,16 +454,56 @@ def qds11_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 1997 than their regular-sales revenue (q11's exact join/predicate
     topology; returnflag stands in for the store/web channel split).
 
-    Determinism: each year_total is an exact DECIMAL(38,6) sum rendered
-    to DOUBLE, so the growth-ratio comparison is one IEEE division per
-    side — identical in both engines, no rounding needed. Catalyst
-    collapses the four CTE references into one aggregated subplan
-    scanned four times (or reused via exchange reuse under AQE); the
-    join graph is all-equi on customer_id so no cartesian appears
-    (plan-gated).
+    Scale: r12 (optimization guide §2.4) — the shared SQL inlined the
+    year_total CTE once per self-join arm (FOUR lineitem⋈orders fact
+    joins); the four arms are now conditional DSUM columns of ONE
+    per-customer aggregation over one fact join (the qds4 pivot
+    discipline: inner-join of ≤1-row-per-customer arms ⇔ all four
+    conditional sums non-NULL), and the 1996/1997 screen pushes into
+    the orders scan. Determinism: each year_total is an exact
+    DECIMAL(38,6) sum rendered to DOUBLE — same per-cell row sets as
+    the grouped CTE, so the one-IEEE-division growth comparison is
+    bit-identical to the four-way join's.
     """
-    register_tables(spark, sf_dir)
-    return spark.sql(_QDS11_SQL)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    yr = F.year("o_orderdate")
+    is_r = F.col("l_returnflag") == "R"
+
+    def arm(returns: bool, year: int, alias: str):
+        cond = (is_r if returns else ~is_r) & (yr == year)
+        return F.sum(F.when(cond, rev)).cast("double").alias(alias)
+
+    yt = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            arm(False, 1996, "s_first"),
+            arm(False, 1997, "s_sec"),
+            arm(True, 1996, "r_first"),
+            arm(True, 1997, "r_sec"),
+        )
+    )
+    return (
+        yt.filter(
+            F.col("s_sec").isNotNull()
+            & F.col("r_sec").isNotNull()
+            & (F.col("s_first") > 0)
+            & (F.col("r_first") > 0)
+            & (
+                F.col("r_sec") / F.col("r_first")
+                > F.col("s_sec") / F.col("s_first")
+            )
+        )
+        .select("customer_id", "s_first", "s_sec", "r_first", "r_sec")
+        .orderBy("customer_id")
+        .limit(100)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1234,15 +1274,68 @@ def qds31_quarterly_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate referenced SIX times (two channels × three quarters),
     all equi-joined on the nation key with constant channel/quarter
     residuals. The widest CTE self-join fan in the suite (qds11 is
-    four-way); Catalyst prunes each reference down to its (chan, q)
-    slice before the joins, so no reference scans more than its own
-    quarter at scale.
+    four-way).
 
+    Scale: r12 (optimization guide §2.4) — the shared SQL inlined the
+    quarterly CTE once per reference (SIX orders⋈customer⋈nation
+    aggregation passes); the six cells are now conditional sums of ONE
+    per-nation aggregation over one star pass (the qds4 pivot
+    discipline: the all-inner six-way join ⇔ all six conditional sums
+    non-NULL). The chan CASE keeps its ELSE semantics verbatim.
     Determinism: each growth ratio is ONE IEEE division of
-    exact-decimal-derived doubles — identical in both engines both for
-    the comparison predicate and the output columns (no rounding
-    needed); n_name is unique per row (one row per qualifying nation),
-    so the ORDER BY is total.
+    exact-decimal-derived doubles — per-cell row sets identical to the
+    grouped CTE's, so predicate and output columns are bit-identical to
+    the six-way join's; n_name is unique per row, so the ORDER BY is
+    total.
     """
-    register_tables(spark, sf_dir)
-    return spark.sql(_QDS31_SQL)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1996
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    chan = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "web"
+    ).otherwise("store")
+    qtr = F.quarter("o_orderdate")
+    tp = F.col("o_totalprice").cast("decimal(38,6)")
+
+    def cell(ch: str, qv: int, alias: str):
+        return (
+            F.sum(F.when((F.col("chan") == ch) & (F.col("q") == qv), tp))
+            .cast("double")
+            .alias(alias)
+        )
+
+    qs = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", chan.alias("chan"), qtr.alias("q"), "o_totalprice")
+        .groupBy("n_name")
+        .agg(
+            cell("web", 1, "ws1"),
+            cell("web", 2, "ws2"),
+            cell("web", 3, "ws3"),
+            cell("store", 1, "ss1"),
+            cell("store", 2, "ss2"),
+            cell("store", 3, "ss3"),
+        )
+    )
+    return (
+        qs.filter(
+            F.col("ws1").isNotNull()
+            & F.col("ws2").isNotNull()
+            & F.col("ws3").isNotNull()
+            & F.col("ss1").isNotNull()
+            & F.col("ss2").isNotNull()
+            & F.col("ss3").isNotNull()
+            & (F.col("ws2") / F.col("ws1") > F.col("ss2") / F.col("ss1"))
+        )
+        .select(
+            "n_name",
+            (F.col("ws2") / F.col("ws1")).alias("web_q1_q2_increase"),
+            (F.col("ss2") / F.col("ss1")).alias("store_q1_q2_increase"),
+            (F.col("ws3") / F.col("ws2")).alias("web_q2_q3_increase"),
+            (F.col("ss3") / F.col("ss2")).alias("store_q2_q3_increase"),
+        )
+        .orderBy("n_name")
+    )

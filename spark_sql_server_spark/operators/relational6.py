@@ -629,15 +629,23 @@ def qds75_yoy_channel_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark plan reads the fact once, not once per channel (the
     oracle keeps the faithful two-leg spelling, proving equivalence).
     Returns pre-aggregate per (orderkey, partkey) before the LEFT JOIN
-    — line-grain equi join, no fan-out blowup. The year self-join runs
-    over the tiny (year, brand, type) aggregate, localCheckpoint-ed so
-    neither side re-runs the fact star. Net quantities are
-    exact BIGINTs end-to-end (l_quantity is integral in this corpus),
-    so the decline predicate and ORDER BY need no rounding; (brand,
-    type) is the join key, making the LIMIT tiebreak unique.
+    — line-grain equi join, no fan-out blowup. r12 (optimization guide
+    §2.4): the year self-join over the (year, brand, type) aggregate
+    (and its localCheckpoint) is gone — prev/curr are conditional year
+    cells of ONE per-(brand, type) aggregation (the qds4 pivot
+    discipline: inner join of two ≤1-row arms ⇔ both conditional sums
+    non-NULL — net_qty is never NULL, so a non-NULL cell ⇔ the year
+    group existed), and the 1996/1997 screen now pushes into the
+    orders scan (other years never survived the self-join's year
+    pins). Net quantities are exact BIGINTs end-to-end (l_quantity is
+    integral in this corpus), so the decline predicate and ORDER BY
+    need no rounding; (brand, type) is the join key, making the LIMIT
+    tiebreak unique.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
     part = load_table(spark, sf_dir, "part")
     ret = (
         li.filter(F.col("l_returnflag") == "R")
@@ -668,26 +676,19 @@ def qds75_yoy_channel_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()  # == the reference's two-leg UNION (legs disjoint)
     )
-    # the year self-join would otherwise re-run the whole fact star per
-    # side (the qds64 trap); the (year, brand, type) aggregate is a few
-    # hundred rows — materialize it once
-    all_sales = (
-        base.groupBy("d_year", "p_brand", "p_type")
-        .agg(F.sum("net_qty").alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
-    curr = all_sales.filter(F.col("d_year") == 1997).select(
-        "p_brand", "p_type", F.col("cnt").alias("curr_cnt")
-    )
-    prev = all_sales.filter(F.col("d_year") == 1996).select(
-        F.col("p_brand").alias("pb"),
-        F.col("p_type").alias("pt"),
-        F.col("cnt").alias("prev_cnt"),
+    # r12: prev/curr year cells of one per-(brand, type) aggregation —
+    # no checkpoint, no self-join of the aggregate
+    all_sales = base.groupBy("p_brand", "p_type").agg(
+        F.sum(F.when(F.col("d_year") == 1996, F.col("net_qty"))).alias(
+            "prev_cnt"
+        ),
+        F.sum(F.when(F.col("d_year") == 1997, F.col("net_qty"))).alias(
+            "curr_cnt"
+        ),
     )
     return (
-        curr.join(
-            prev,
-            (F.col("p_brand") == F.col("pb")) & (F.col("p_type") == F.col("pt")),
+        all_sales.filter(
+            F.col("prev_cnt").isNotNull() & F.col("curr_cnt").isNotNull()
         )
         .filter(F.col("curr_cnt") < F.col("prev_cnt"))
         .select(

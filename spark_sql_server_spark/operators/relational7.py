@@ -773,64 +773,63 @@ def qds74_yoy_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     first/second year) and customers whose web sales grew faster than
     their store sales survive.
 
-    Scale: the CTE-referenced-four-times inline trap (qds70/qds64/qds24
-    class) — shared SQL re-runs the two-channel union per self-join
-    side (8 fact scans); the Spark side computes the year totals in ONE
-    CASE-split pass (the channels partition the order priorities) and
-    ``localCheckpoint``-s the ~4-row-per-customer aggregate, so the
-    four joins read an ExistingRDD (plan-gated: 0 parquet scans).
-    Determinism: the growth comparison is a cross-multiplication of
-    exact DECIMAL(24,6) totals — (37,12) products, no rounding, no
-    division — engine-identical regardless of how close the two growth
-    ratios are.
+    Scale: r12 (optimization guide §2.4) — the r8 form computed the
+    year totals in one CASE-split pass but still localCheckpoint-ed the
+    aggregate and self-joined it FOUR ways; the four arms are now
+    conditional sums of ONE per-customer aggregation (the qds4 pivot
+    discipline: the all-inner four-way join ⇔ all four conditional sums
+    non-NULL), removing the checkpoint and every arm join/exchange.
+    Determinism: per-cell row sets are identical to the grouped CTE's
+    (exact decimal sums are order-insensitive), and the growth
+    comparison stays a cross-multiplication of exact DECIMAL(24,6)
+    totals — (37,12) products, no rounding, no division —
+    engine-identical regardless of how close the two growth ratios are.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.year("o_orderdate").isin(1996, 1997)
     )
     customer = load_table(spark, sf_dir, "customer")
+    st = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "s"
+    ).otherwise("w")
+    yr = F.year("o_orderdate")
+    dec = F.col("l_extendedprice").cast("decimal(38,6)")
+
+    def arm(st_v: str, yr_v: int, alias: str):
+        return F.sum(
+            F.when((F.col("st") == st_v) & (F.col("yr") == yr_v), dec)
+        ).alias(alias)
+
     yt = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(
+        .select(
             F.col("c_name").alias("cid"),
-            F.year("o_orderdate").cast("long").alias("yr"),
-            F.when(
-                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "s"
-            ).otherwise("w").alias("st"),
+            yr.alias("yr"),
+            st.alias("st"),
+            "l_extendedprice",
         )
+        .groupBy("cid")
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias(
-                "total"
-            )
+            arm("s", 1996, "s1_total"),
+            arm("s", 1997, "s2_total"),
+            arm("w", 1996, "w1_total"),
+            arm("w", 1997, "w2_total"),
         )
-        .localCheckpoint()
     )
-
-    def leg(st: str, yr: int, alias: str) -> DataFrame:
-        return (
-            yt.filter((F.col("st") == st) & (F.col("yr") == yr))
-            .select(
-                F.col("cid").alias(f"{alias}_cid"),
-                F.col("total").alias(f"{alias}_total"),
-            )
-        )
-
-    s1, s2 = leg("s", 1996, "s1"), leg("s", 1997, "s2")
-    w1, w2 = leg("w", 1996, "w1"), leg("w", 1997, "w2")
     d18 = lambda c: F.col(c).cast("decimal(24,6)")  # noqa: E731
     return (
-        s1.join(s2, F.col("s1_cid") == F.col("s2_cid"))
-        .join(w1, F.col("s1_cid") == F.col("w1_cid"))
-        .join(w2, F.col("s1_cid") == F.col("w2_cid"))
-        .filter(
-            (F.col("s1_total") > 0)
+        yt.filter(
+            F.col("s2_total").isNotNull()
+            & F.col("w2_total").isNotNull()
+            & (F.col("s1_total") > 0)
             & (F.col("w1_total") > 0)
             & (d18("w2_total") * d18("s1_total")
                > d18("s2_total") * d18("w1_total"))
         )
         .select(
-            F.col("s2_cid").alias("customer_id"),
+            F.col("cid").alias("customer_id"),
             F.col("s2_total").cast("double").alias("store_secyear_total"),
             F.col("w2_total").cast("double").alias("web_secyear_total"),
         )

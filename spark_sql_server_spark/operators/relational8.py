@@ -219,43 +219,62 @@ def qds2_weekly_yoy_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivots into seven day-of-week sums via CASE, and the weekly CTE
     self-joins one year apart on the ISO week to emit per-day ratios.
 
-    Scale: the CTE-referenced-twice trap again — the weekly pivot is
-    ``localCheckpoint``-ed (≈53 rows per year) so the fact join runs
-    once (plan-gated). Determinism: day sums are exact decimals; a
-    missing day is NULL (propagates through the ratio identically in
-    both engines); the 2dp ratio rounds in hundredth space —
-    ``FLOOR(q*100+0.5)/100`` is the same IEEE sequence in both engines
-    where ``ROUND(q, 2)`` of a quotient is not (the ROUND6 lesson).
+    Scale: r12 (optimization guide §2.4) — the r8 form
+    localCheckpoint-ed the weekly pivot and self-joined it one year
+    apart; both year legs are now conditional sums of ONE per-week
+    aggregation (14 day×year cells + two existence counts — the qds4
+    pivot discipline), removing the checkpoint and the join, and the
+    1996/1997 screen pushes into the orders scan (other years never
+    survived the year legs). Determinism: per-cell row sets are
+    identical to the (yr, wk)-grouped CTE's (exact decimal sums are
+    order-insensitive); a missing day is NULL (propagates through the
+    ratio identically in both engines); the 2dp ratio rounds in
+    hundredth space — ``FLOOR(q*100+0.5)/100`` is the same IEEE
+    sequence in both engines where ``ROUND(q, 2)`` of a quotient is
+    not (the ROUND6 lesson).
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") != "1-URGENT"
+        (F.col("o_orderpriority") != "1-URGENT")
+        & F.year("o_orderdate").isin(1996, 1997)
     )
-    pivot = [
-        F.sum(
+    yr = F.year("o_orderdate")
+    dec = F.col("l_extendedprice").cast("decimal(38,6)")
+
+    def cell(year: int, dow: int, alias: str):
+        return F.sum(
             F.when(
-                F.dayofweek("o_orderdate") == i + 1,
-                F.col("l_extendedprice").cast("decimal(38,6)"),
+                (F.col("yr") == year) & (F.col("dow") == dow), F.col("dec")
             )
-        ).alias(f"{d}_sales")
-        for i, d in enumerate(_QDS2_DAYS)
-    ]
+        ).alias(alias)
+
     wswscs = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(
-            F.year("o_orderdate").cast("long").alias("yr"),
+        .select(
+            yr.alias("yr"),
             F.weekofyear("o_orderdate").cast("long").alias("wk"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            dec.alias("dec"),
         )
-        .agg(*pivot)
-        .localCheckpoint()
+        .groupBy("wk")
+        .agg(
+            *[
+                cell(1996, i + 1, f"a_{d}_sales")
+                for i, d in enumerate(_QDS2_DAYS)
+            ],
+            *[
+                cell(1997, i + 1, f"b_{d}_sales")
+                for i, d in enumerate(_QDS2_DAYS)
+            ],
+            F.count(F.when(F.col("yr") == 1996, 1)).alias("a_rows"),
+            F.count(F.when(F.col("yr") == 1997, 1)).alias("b_rows"),
+        )
     )
-    a = wswscs.filter(F.col("yr") == 1996).alias("a")
-    b = wswscs.filter(F.col("yr") == 1997).alias("b")
 
     def ratio(d: str):
         q = (
-            F.col(f"a.{d}_sales").cast("double")
-            / F.col(f"b.{d}_sales").cast("double")
+            F.col(f"a_{d}_sales").cast("double")
+            / F.col(f"b_{d}_sales").cast("double")
         )
         return (
             (F.floor(q * 100 + F.lit(0.5)).cast("double") / 100)
@@ -263,8 +282,8 @@ def qds2_weekly_yoy_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        a.join(b, F.col("a.wk") == F.col("b.wk"))
-        .select(F.col("a.wk").alias("week_seq"),
+        wswscs.filter((F.col("a_rows") > 0) & (F.col("b_rows") > 0))
+        .select(F.col("wk").alias("week_seq"),
                 *[ratio(d) for d in _QDS2_DAYS])
         .orderBy("week_seq")
     )

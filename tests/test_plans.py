@@ -398,8 +398,11 @@ class TestTpcdsShapes:
 class TestTpcdsWave2Plans:
     def test_qds11_four_way_self_join_all_equi(self, spark):
         plan = plan_of(spark, "qds11_yoy_growth")
-        # the year_total CTE self-joins four ways strictly on
-        # customer_id equality — any cartesian here explodes at scale
+        # r12: the four year_total arms are conditional sums of ONE
+        # per-customer aggregation over one lineitem⋈orders pass — no
+        # self-join, no checkpoint, two parquet scans
+        assert "Scan ExistingRDD" not in plan
+        assert plan.count("Scan parquet") == 2
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "TakeOrderedAndProject" in plan  # LIMIT 100 is a heap
@@ -515,8 +518,11 @@ class TestTpcdsWave3Plans:
 
     def test_qds31_six_way_self_join_all_equi(self, spark):
         plan = plan_of(spark, "qds31_quarterly_acceleration")
-        # six references to the quarterly CTE join strictly on n_name
-        # equality with constant chan/q residuals — never a cartesian
+        # r12: the six quarterly cells are conditional sums of ONE
+        # per-nation aggregation over one star pass — no self-join,
+        # three parquet scans (orders, customer, nation)
+        assert "Scan ExistingRDD" not in plan
+        assert plan.count("Scan parquet") == 3
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
@@ -564,12 +570,12 @@ class TestTpcdsWave3Plans:
     def test_qds75_checkpointed_aggregate_self_join(self, spark):
         df = REGISTRY["qds75_yoy_channel_decline"].fn(spark, SF_CORRECT)
         plan = executed_plan(df)
-        # the year self-join reads the localCheckpoint-ed (year, brand,
-        # type) aggregate twice — never re-running the fact star per
-        # side; the UNION-as-DISTINCT rewrite keeps the star itself to
-        # one pass over each relation (lineitem twice: fact + returns)
-        assert plan.count("Scan ExistingRDD") == 2
-        assert "Scan parquet" not in plan
+        # r12: prev/curr are conditional year cells of ONE per-(brand,
+        # type) aggregation — no checkpoint, no self-join; the
+        # UNION-as-DISTINCT rewrite keeps the star to one pass over
+        # each relation (lineitem twice: fact + returns pre-aggregate)
+        assert "Scan ExistingRDD" not in plan
+        assert plan.count("Scan parquet") <= 4  # lineitem×2, orders, part
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
@@ -942,11 +948,11 @@ class TestTpcdsWave10Plans:
 
     def test_qds74_checkpointed_year_totals(self, spark):
         plan = plan_of(spark, "qds74_yoy_channel_growth")
-        # the year_total CTE is consumed FOUR ways — shared SQL would
-        # re-run the two-channel union per side (8 fact scans); the
-        # one-pass CASE-split aggregate is localCheckpoint-ed
-        assert "Scan ExistingRDD" in plan
-        assert plan.count("Scan parquet") == 0
+        # r12: the four year-total arms are conditional sums of ONE
+        # per-customer aggregation over one fact pass — no checkpoint,
+        # no arm joins, three parquet scans (lineitem, orders, customer)
+        assert "Scan ExistingRDD" not in plan
+        assert plan.count("Scan parquet") == 3
         assert "CartesianProduct" not in plan
 
     def test_qds76_one_pass_channel_census(self, spark):
@@ -977,8 +983,11 @@ class TestTpcdsWave10Plans:
 
     def test_qds2_checkpointed_week_pivot(self, spark):
         plan = plan_of(spark, "qds2_weekly_yoy_ratios")
-        assert "Scan ExistingRDD" in plan
-        assert plan.count("Scan parquet") == 0
+        # r12: both year legs are conditional day×year cells of ONE
+        # per-week aggregation — no checkpoint, no self-join, two
+        # parquet scans (lineitem, orders)
+        assert "Scan ExistingRDD" not in plan
+        assert plan.count("Scan parquet") == 2
         assert "CartesianProduct" not in plan
 
     def test_qds50_fact_fact_band_census(self, spark):

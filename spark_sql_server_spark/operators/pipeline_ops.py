@@ -227,32 +227,21 @@ def pipe_build_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the curation chain keeps its staged design; packing inherits
     t_pack_contexts' shard-partitioned running sum (no global window —
-    the only cross-shard step is a 256-row cumulative offset pass); the
-    manifest aggregate collapses map-side to one row per window. The
-    curated set is checkpointed once before the packing SQL reads it
-    through its window/offset CTEs.
+    the only cross-shard step is a 256-row offset aggregation); the
+    manifest aggregate collapses map-side to one row per window. r12:
+    the packing runs through :func:`packed_windows` — ONE tokenize +
+    window pass over the narrow checkpointed token proxy (the SQL
+    spelling re-ran the pipeline once per ``local`` CTE consumer), and
+    the temp-view splice is gone with it.
     """
-    import uuid
+    from spark_sql_server_spark.operators.textops import packed_windows
 
-    from spark_sql_server_spark.operators.textops import _PACK_SQL
-
-    kept = (
-        curated_docs(spark, sf_dir).select("doc_id", "text").localCheckpoint()
-    )
-    view = f"curated_docs_{uuid.uuid4().hex[:8]}"
-    kept.createOrReplaceTempView(view)
-    try:
-        # analysis resolves the view into the plan eagerly, so the view
-        # registration can be dropped right after — otherwise every
-        # invocation leaks a catalog entry that pins the checkpointed
-        # blocks (ContextCleaner can never free them)
-        packed = spark.sql(
-            _PACK_SQL.format(NWORDS="size(split(text, ' '))").replace(
-                "FROM documents", f"FROM {view}"
-            )
-        )
-    finally:
-        spark.catalog.dropTempView(view)
+    # no checkpoint here any more: the curated set is consumed exactly
+    # once (packed_windows' narrow token-proxy build, which is itself
+    # checkpointed) — the old spelling needed it because the packing
+    # SQL read the curated view once per `local` CTE consumer
+    kept = curated_docs(spark, sf_dir).select("doc_id", "text")
+    packed = packed_windows(kept)
     return (
         packed.groupBy("window_id")
         .agg(

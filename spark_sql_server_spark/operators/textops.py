@@ -388,6 +388,74 @@ _PACK_SQL = f"""
 """
 
 
+def packed_windows(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, window_id) for every document of ``docs``
+    (any DataFrame with doc_id/text) — the 2048-token shard-packed
+    window assignment of ``_PACK_SQL``, as one pass over the corpus.
+
+    r12 (optimization guide §2.4/§8): the SQL spelling references its
+    ``local`` CTE twice (per-shard window counts + the final join), so
+    Catalyst inlined the whole tokenize→shard-window pipeline once per
+    consumer — two corpus scans, two tokenize passes, two shard-window
+    shuffle+sorts. Here the heavy side runs ONCE: tokenize projects to
+    the narrow (doc_id, n_tokens, shard) proxy (24 B/doc — decide with
+    small rows, move text never), localCheckpoint-ed so both consumers
+    read the materialized proxy; the per-shard window count needs no
+    window at all — ``local_window`` is non-decreasing in doc_id
+    (n_tokens ≥ 1, so the running sum is strictly increasing), hence
+    ``MAX(local_window) = FLOOR((S_shard − n_last)/2048.0)`` where
+    ``n_last`` is the last document's token count, one map-side
+    aggregation. Expressions mirror the oracle token-for-token
+    (``FLOOR((cum − n)/2048.0)`` in DOUBLE, BIGINT casts, COALESCE on
+    the first shard), so the assignment is bit-identical.
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+    ).localCheckpoint()
+    cum = F.sum("n_tokens").over(
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = toks.withColumn(
+        "local_window",
+        F.floor((cum - F.col("n_tokens")) / F.lit(2048.0)).cast("bigint"),
+    )
+    n_windows = (
+        F.floor((F.col("s_tokens") - F.col("n_last")) / F.lit(2048.0)) + 1
+    )
+    offsets = (
+        toks.groupBy("shard")
+        .agg(
+            F.sum("n_tokens").alias("s_tokens"),
+            F.max_by("n_tokens", "doc_id").alias("n_last"),
+        )
+        .select("shard", n_windows.alias("n_windows"))
+        .withColumn(
+            "win_offset",
+            F.coalesce(
+                F.sum("n_windows").over(
+                    W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+    )
+    return local.join(
+        F.broadcast(offsets.select("shard", "win_offset")), "shard"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("win_offset") + F.col("local_window"))
+        .cast("bigint")
+        .alias("window_id"),
+    )
+
+
 @query(
     "t_pack_contexts",
     oracle=_PACK_SQL.format(NWORDS="len(string_split(text, ' '))"),
@@ -403,9 +471,12 @@ def t_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one row per shard (256 rows regardless of corpus size) before
     its own tiny cumulative window, and joins back broadcast. Window
     ids stay globally dense and the whole assignment is a pure function
-    of (doc_id, text)."""
-    register_tables(spark, sf_dir)
-    return spark.sql(_PACK_SQL.format(NWORDS="size(split(text, ' '))"))
+    of (doc_id, text). r12: one corpus pass via :func:`packed_windows`
+    (the SQL spelling ran the tokenize→window pipeline once per
+    ``local`` consumer)."""
+    return packed_windows(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
 
 
 _CHUNK_SPARK = """

@@ -125,13 +125,25 @@ def decontam_flags_for(docs: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    # r12 (optimization guide §2.3): gram strings are ~50+ bytes; hash
+    # them to fixed-width int64 keys before anything shuffles or
+    # broadcasts (the _pair_counts_for discipline) — the eval-side
+    # DISTINCT exchange and the broadcast hash relation shrink ~6× and
+    # every membership probe compares 8 bytes. Counting semantics
+    # unchanged short of an int64 collision between distinct 8-gram
+    # strings of one corpus (birthday bound ~2^32 distinct grams).
     eval_grams = (
-        shingled.filter(is_eval).select(F.explode("grams").alias("gram")).distinct()
+        shingled.filter(is_eval)
+        .select(F.explode("grams").alias("gram"))
+        .select(F.xxhash64("gram").alias("gkey"))
+        .distinct()
     )
     train = shingled.filter(~is_eval)
-    postings = train.select("doc_id", F.explode("grams").alias("gram"))
+    postings = train.select("doc_id", F.explode("grams").alias("gram")).select(
+        "doc_id", F.xxhash64("gram").alias("gkey")
+    )
     hits = (
-        postings.join(F.broadcast(eval_grams), "gram", "left_semi")
+        postings.join(F.broadcast(eval_grams), "gkey", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit"))
     )

@@ -270,18 +270,86 @@ def qds23b_best_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference ``queries/q23b.sql:34-67`` — the "best customer
     grouping" variant).
 
-    Scale: `frequent_parts` / `best_customers` plan as semi joins into
-    both branches exactly as in qds23 (Catalyst reuses the aggregated
-    subplans under AQE); the added customer join is equi on the natural
-    key with the customer dimension broadcast; per-branch grouping keys
-    on (c_custkey) so the union carries at most 2 rows per best
-    customer. LIMIT rides TakeOrderedAndProject; (c_name, c_custkey,
-    sales) is a total order — custkey is unique per branch and the two
-    branches' rows for one customer differ only in sales, which the
-    third key orders.
+    Scale: r12 (optimization guide §2.4) — the shared-SQL spelling ran
+    the lineitem⋈orders fact join once per CTE consumer (frequent_parts,
+    customer_totals, and per UNION ALL branch). Same treatment as the
+    wave-1 qds23: ONE projected fact join, localCheckpoint-ed, read by
+    every consumer; the 0.5*MAX threshold is a 1-row driver collect off
+    the per-customer aggregate (qds24 pattern); and the two UNION ALL
+    branches — disjoint priority slices grouped per customer — become
+    one (o_custkey, o_orderpriority) grouping of a single `isin` pass
+    (identical groups: priority takes exactly the two branch values and
+    c_name is functional in c_custkey). The customer name attaches
+    broadcast AFTER the aggregation, which shrinks the join input to
+    ≤2 rows per best customer; inner-join semantics are unchanged
+    because dropping a keyless row before or after grouping on that
+    key removes the same output rows. LIMIT rides
+    TakeOrderedAndProject; (c_name, c_custkey, sales) stays a total
+    order — custkey is unique per priority slice and the two slices'
+    rows for one customer differ only in sales, which the third key
+    orders.
     """
-    register_tables(spark, sf_dir)
-    return spark.sql(_QDS23B_SQL)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    sales_dec = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(38,6)")
+    joined = (
+        li.select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+        .join(
+            orders.select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_partkey",
+            "o_custkey",
+            "o_orderdate",
+            "o_orderpriority",
+            sales_dec.alias("sales_dec"),
+        )
+        .localCheckpoint()
+    )
+    frequent_parts = (
+        joined.filter(
+            F.col("o_orderdate")
+            >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 8)
+        .select("l_partkey")
+    )
+    customer_totals = (
+        joined.groupBy("o_custkey")
+        .agg(F.sum("sales_dec").cast("double").alias("total"))
+        .localCheckpoint()
+    )
+    max_total = customer_totals.agg(F.max("total").alias("m")).collect()[0][
+        "m"
+    ]
+    threshold = 0.5 * max_total if max_total is not None else None
+    best_customers = customer_totals.filter(
+        F.col("total") > F.lit(threshold)
+    ).select("o_custkey")
+    per_customer = (
+        joined.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .join(frequent_parts, "l_partkey", "left_semi")
+        .join(best_customers, "o_custkey", "left_semi")
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(F.sum("sales_dec").cast("double").alias("sales"))
+    )
+    return (
+        per_customer.join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_custkey", "c_name", "sales")
+        .orderBy("c_name", "c_custkey", "sales")
+        .limit(100)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -363,6 +431,20 @@ def qds39b_sustained_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     The predicate applies AFTER the self-join in both spellings (it
     references only the a-side, so Catalyst pushes it below the join —
     same rows either way, smaller build side at scale).
+
+    r12 (optimization guide §2.4): same single-pass treatment as qds39
+    — the ``volatile`` stats are computed once and checkpointed
+    (shared `_qds39_volatile_stats`), instead of the shared SQL
+    inlining the fact aggregation once per self-join side.
     """
-    register_tables(spark, sf_dir)
-    return spark.sql(_QDS39B_SQL)
+    from spark_sql_server_spark.operators.relational5 import (
+        _qds39_pair_join,
+        _qds39_volatile_stats,
+    )
+
+    vol = _qds39_volatile_stats(spark, sf_dir)
+    tight = (
+        16 * F.col("n") * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+        > 9 * (F.col("n") - 1) * F.col("s") * F.col("s")
+    )
+    return _qds39_pair_join(vol, a_filter=tight)

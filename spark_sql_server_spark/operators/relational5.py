@@ -1128,9 +1128,75 @@ def qds39_volatile_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     is equi on (supp, mon+1) — one shuffle, no window needed. At scale
     the month offset join beats LAG-over-window when the period key is
     sparse per group (no sort of the whole stats table).
+
+    r12 (optimization guide §2.4): the shared SQL referenced
+    ``volatile`` twice, so the lineitem⋈orders fact aggregation was
+    inlined once per self-join side; the stats aggregate (one row per
+    (supplier, month) — O(suppliers·12), tiny at any scale) is now
+    computed ONCE and ``localCheckpoint``-ed, and both join sides read
+    the materialized rows.
     """
-    register_tables(spark, sf_dir)
-    return spark.sql(_QDS39_SQL)
+    return _qds39_pair_join(_qds39_volatile_stats(spark, sf_dir))
+
+
+def _qds39_volatile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpointed ``volatile`` stats of the q39 family: one row
+    per (supplier, month) passing the exact-integer CoV > 1/2 screen —
+    shared by qds39 and qds39b (relational11), each of which self-joins
+    it on consecutive months."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1996
+    )
+    q = F.col("l_quantity").cast("bigint")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("l_suppkey").alias("supp"),
+            F.month("o_orderdate").cast("bigint").alias("mon"),
+            q.alias("q"),
+        )
+        .groupBy("supp", "mon")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").cast("bigint").alias("s"),
+            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("s2"),
+        )
+        .filter(F.col("n") > 1)
+        .filter(
+            4 * F.col("n") * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+            > (F.col("n") - 1) * F.col("s") * F.col("s")
+        )
+        .localCheckpoint()
+    )
+
+
+def _qds39_pair_join(vol: DataFrame, a_filter=None) -> DataFrame:
+    """Consecutive-month self-join of the volatile stats — the q39
+    output shape. ``a_filter`` optionally tightens the first-month side
+    (qds39b's single added predicate; it references only a-side
+    columns, so filtering before the join keeps the identical rows)."""
+    a = (vol.filter(a_filter) if a_filter is not None else vol).alias("a")
+    b = vol.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.supp") == F.col("b.supp"))
+            & (F.col("b.mon") == F.col("a.mon") + 1),
+        )
+        .select(
+            F.col("a.supp").alias("supp"),
+            F.col("a.mon").alias("mon1"),
+            F.col("b.mon").alias("mon2"),
+            F.col("a.n").alias("n1"),
+            F.col("a.s").alias("sum1"),
+            F.col("a.s2").alias("sumsq1"),
+            F.col("b.n").alias("n2"),
+            F.col("b.s").alias("sum2"),
+            F.col("b.s2").alias("sumsq2"),
+        )
+        .orderBy("supp", "mon1")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -495,8 +495,11 @@ class TestTpcdsWave3Plans:
 
     def test_qds39_agg_filter_offset_self_join(self, spark):
         plan = plan_of(spark, "qds39_volatile_supply")
-        # the CoV filter shrinks the stats table BEFORE the
-        # consecutive-month self-join; the join is pure equi
+        # r12: the volatile stats are checkpointed once — both self-join
+        # sides read the ExistingRDD, no parquet scan per side; the CoV
+        # filter shrinks the stats BEFORE the join; the join is pure equi
+        assert "Scan ExistingRDD" in plan
+        assert plan.count("Scan parquet") == 0
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
@@ -1315,10 +1318,15 @@ class TestTpcdsBVariantPlans:
 
     def test_qds23b_per_customer_head(self, spark):
         plan = plan_of(spark, "qds23b_best_customer_names")
-        # frequent_parts / best_customers filter as semi joins in both
-        # branches (as in qds23); the ordered LIMIT is a heap
+        # r12: one checkpointed fact join feeds every consumer;
+        # frequent_parts / best_customers filter as semi joins; the two
+        # UNION ALL branches are one (custkey, priority) grouping; the
+        # customer name attaches broadcast post-aggregation; the
+        # ordered LIMIT is a heap
         assert "LeftSemi" in plan
         assert "TakeOrderedAndProject" in plan
+        assert "Union" not in plan
+        assert plan.count("Scan parquet") <= 1  # customer dim only
         assert "CartesianProduct" not in plan
 
     def test_qds24b_checkpointed_ssales(self, spark):
@@ -1331,7 +1339,10 @@ class TestTpcdsBVariantPlans:
 
     def test_qds39b_tightened_screen_stays_equi(self, spark):
         plan = plan_of(spark, "qds39b_sustained_volatility")
-        # the added first-month CoV predicate is a scalar filter — the
-        # consecutive-month self-join stays pure equi
+        # r12: shares qds39's checkpointed volatile stats (single fact
+        # pass); the added first-month CoV predicate is a scalar filter
+        # on the a side — the self-join stays pure equi
+        assert "Scan ExistingRDD" in plan
+        assert plan.count("Scan parquet") == 0
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan

@@ -760,6 +760,25 @@ _QDS71_SQL = """
     LIMIT 100
 """
 
+# r12 single-pass form: the oracle's three UNION ALL slices are
+# disjoint event_type predicates over the same table — one scan with
+# the combined IN filter yields the identical row multiset.
+_QDS71_SPARK_SQL = """
+    SELECT c_mktsegment AS brand,
+           CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS t_hour,
+           CAST(EXTRACT(MINUTE FROM ts) AS BIGINT) AS t_minute,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS ext_price
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    WHERE event_type IN ('click', 'view', 'purchase')
+      AND c_acctbal > 0
+      AND (EXTRACT(HOUR FROM ts) BETWEEN 6 AND 8
+           OR EXTRACT(HOUR FROM ts) BETWEEN 18 AND 20)
+    GROUP BY 1, 2, 3
+    ORDER BY ext_price DESC, brand, t_hour, t_minute
+    LIMIT 100
+"""
+
 
 @query(
     "qds71_time_of_day_union",
@@ -788,12 +807,16 @@ def qds71_time_of_day_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     (38,6) path (relational2's window family); equal sums fall to the
     unique (brand, hour, minute) tiebreak.
 
-    Scale: the three slices are one scan each with pushed type
-    filters (UNION ALL is append-only, no shuffle); customer
-    broadcasts; one hash aggregate.
+    Scale (r12): the three UNION ALL slices are disjoint event_type
+    predicates over ONE table — Spark scanned events once per slice.
+    The Spark side now runs a single scan with the combined
+    `event_type IN (...)` filter (identical row multiset: each row
+    matches at most one slice), keeping the pushed filter, the
+    customer broadcast and the single hash aggregate. 3 event scans
+    → 1; oracle keeps the faithful UNION ALL spelling.
     """
     register_tables(spark, sf_dir)
-    return spark.sql(_QDS71_SQL)
+    return spark.sql(_QDS71_SPARK_SQL)
 
 
 # --------------------------------------------------------------------------

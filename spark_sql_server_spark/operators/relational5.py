@@ -646,6 +646,33 @@ _QDS95_SQL = f"""
 """
 
 
+# r12 single-derivation form of the executed query. Two exact
+# simplifications, oracle unchanged:
+# - `DISTINCT l1.l_orderkey` over the self-join "∃ another line with a
+#   different supplier" ⇔ the order has ≥2 distinct (non-null)
+#   suppkeys ⇔ MIN(l_suppkey) <> MAX(l_suppkey) per order — a grouped
+#   screen with NO pair expansion.
+# - the nested `l_orderkey IN (multi_supp)` inside the returns
+#   subquery is redundant under the outer `o_orderkey IN multi_supp`
+#   (k ∈ ms ∧ k ∈ {R-orders ∩ ms} ⇔ k ∈ ms ∧ k ∈ R-orders), so
+#   multi_supp is consumed ONCE and Catalyst's per-consumer CTE
+#   inlining cannot re-run it.
+_QDS95_SPARK_SQL = f"""
+    WITH multi_supp AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING MIN(l_suppkey) <> MAX(l_suppkey)
+    )
+    SELECT COUNT(DISTINCT o_orderkey) AS order_count,
+           {DSUM('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderkey IN (SELECT l_orderkey FROM multi_supp)
+      AND o_orderkey IN (
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+"""
+
+
 @query(
     "qds95_reused_subquery",
     oracle=_QDS95_SQL,
@@ -653,14 +680,21 @@ _QDS95_SQL = f"""
     "IN-subqueries (semi-join stacking)",
 )
 def qds95_reused_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q95's topology: the `multi_supp` self-join CTE feeds two
-    IN-subqueries (one nested inside the other's filter), both planned
-    as left-semi joins over the same subplan. The lineitem self-join is
-    an equi-join on l_orderkey with a non-equi residual — one shuffle
-    on the natural key, no cartesian (plan-gated).
+    """q95's topology: the `multi_supp` CTE feeds two IN-subqueries
+    (one nested inside the other's filter in the oracle spelling),
+    both planned as left-semi joins.
+
+    Scale (r12): the oracle's `multi_supp` self-join ran TWICE under
+    Catalyst's per-consumer CTE inlining (4 lineitem scans + two
+    O(lines²-per-order) pair expansions). The Spark side now derives
+    multi_supp as a grouped MIN≠MAX suppkey screen (exactly the
+    "two lines with different suppliers" set, no pair expansion) and
+    consumes it once — the nested membership filter is redundant under
+    the outer one (set algebra, data-independent). 5 lineitem scans →
+    2; both semi joins remain, no cartesian (plan-gated).
     """
     register_tables(spark, sf_dir)
-    return spark.sql(_QDS95_SQL)
+    return spark.sql(_QDS95_SPARK_SQL)
 
 
 # --------------------------------------------------------------------------
@@ -788,6 +822,50 @@ _QDS51_SQL = """
     ORDER BY custkey, period
 """
 
+# r12 single-pass form: both channels are disjoint priority slices of
+# orders at the same (k, period) grain — one conditional aggregation
+# builds both cell columns, one window pass computes both running
+# sums (SUM ignores NULL cells, so each running sum equals that
+# side's cumulative at exactly the periods where the side exists),
+# and `amt IS NOT NULL` reconstructs FULL OUTER presence.
+_QDS51_SPARK_SQL = """
+    WITH cells AS (
+      SELECT o_custkey AS k,
+             CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS period,
+             SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN CAST(o_totalprice AS DECIMAL(38,6)) END)
+               AS web_amt,
+             SUM(CASE WHEN o_orderpriority IN ('3-MEDIUM',
+                          '4-NOT SPECIFIED', '5-LOW')
+                      THEN CAST(o_totalprice AS DECIMAL(38,6)) END)
+               AS store_amt
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                                '4-NOT SPECIFIED', '5-LOW')
+        AND EXTRACT(YEAR FROM o_orderdate) = 1996
+      GROUP BY o_custkey, EXTRACT(MONTH FROM o_orderdate)
+    ),
+    cum AS (
+      SELECT k, period, web_amt, store_amt,
+             SUM(web_amt) OVER (PARTITION BY k ORDER BY period
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS web_run,
+             SUM(store_amt) OVER (PARTITION BY k ORDER BY period
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS store_run
+      FROM cells
+    )
+    SELECT k AS custkey, period,
+           CAST(CASE WHEN web_amt IS NOT NULL THEN web_run END
+                AS DOUBLE) AS web_cume,
+           CAST(CASE WHEN store_amt IS NOT NULL THEN store_run END
+                AS DOUBLE) AS store_cume
+    FROM cum
+    WHERE COALESCE(CASE WHEN web_amt IS NOT NULL THEN web_run END, 0)
+        > COALESCE(CASE WHEN store_amt IS NOT NULL THEN store_run END, 0)
+    ORDER BY custkey, period
+"""
+
 
 @query(
     "qds51_cumulative_windows",
@@ -807,9 +885,21 @@ def qds51_cumulative_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; the > comparison runs on the exact decimals (COALESCE 0)
     and only the output casts to DOUBLE. (custkey, period) is unique
     per side, so the final ORDER BY is a total order.
+
+    Scale (r12): the oracle keeps the two-CTE FULL OUTER spelling;
+    Spark ran two orders scans, two aggregations, two window sorts and
+    a SortMergeJoin. The channels are disjoint priority slices of ONE
+    table at the same (k, period) grain, so the Spark side now pivots
+    them into one conditional aggregation (web_amt/store_amt cells),
+    runs BOTH running sums in one window pass, and reconstructs each
+    side's presence with `amt IS NOT NULL` (a SUM window ignores NULL
+    cells, so each running sum equals its side's cumulative exactly at
+    the periods where that side exists — the FULL OUTER row set is the
+    cells row set). 2 scans + 2 aggs + 2 windows + SMJ → 1 scan +
+    1 agg + 1 window.
     """
     register_tables(spark, sf_dir)
-    return spark.sql(_QDS51_SQL)
+    return spark.sql(_QDS51_SPARK_SQL)
 
 
 # --------------------------------------------------------------------------
@@ -878,6 +968,34 @@ _QDS93_SQL = f"""
     LIMIT 100
 """
 
+# r12 single-pass form, exact for ANY data: a lineitem row with k > 0
+# return rows on its (orderkey, partkey, suppkey) grain fans out to k
+# copies of the 0.5-branch under the oracle's LEFT JOIN (k = 0 keeps
+# the full-price branch), so its total contribution is
+# k·(rev·0.5) — computable from a per-grain R-count window with no
+# self-join. All arithmetic stays exact decimal at scale ≤ 6, so
+# k·CAST(v) == CAST(k·v) and the custkey sums are bit-identical.
+# (sf0.001 has 8 duplicate grains — a flag-only fold is WRONG there;
+# the window form reproduces the fan-out exactly.)
+_QDS93_SPARK_SQL = f"""
+    WITH flagged AS (
+      SELECT l_orderkey, l_extendedprice, l_discount,
+             COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END)
+               OVER (PARTITION BY l_orderkey, l_partkey, l_suppkey)
+               AS n_ret
+      FROM lineitem
+    )
+    SELECT o_custkey AS custkey,
+           {DSUM("CASE WHEN n_ret > 0 "
+                 "THEN n_ret * (l_extendedprice * (1 - l_discount) * 0.5) "
+                 "ELSE l_extendedprice * (1 - l_discount) END")} AS act_sales
+    FROM flagged
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_custkey
+    ORDER BY act_sales, custkey
+    LIMIT 100
+"""
+
 
 @query(
     "qds93_returns_adjustment",
@@ -890,14 +1008,20 @@ def qds93_returns_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line on the full line grain and the revenue expression
     CASE-branches on match presence — the "adjust, don't filter"
     returns pattern (q93 subtracts refunded quantity; halved revenue
-    stands in). (l_orderkey, l_partkey, l_suppkey) is unique in this
-    corpus, so the LEFT JOIN cannot fan out rows. The join is pure equi
-    on the natural shuffle key; no cartesian (plan-gated). Sums are
-    exact decimals; ORDER BY (act_sales, custkey) + LIMIT is a bounded
-    heap with a unique tiebreak.
+    stands in).
+
+    Scale (r12): the oracle keeps the LEFT self-join spelling; the
+    Spark side replaces it with a per-grain R-count window — a row
+    with k matching return rows fans out to k copies of the halved
+    branch under the join, i.e. contributes exactly k·(rev·0.5), which
+    the window form computes without a second lineitem scan or a
+    self-join shuffle (3 scans → 2; exact for any data including the
+    8 duplicate grains at sf0.001). Sums are exact decimals; ORDER BY
+    (act_sales, custkey) + LIMIT is a bounded heap with a unique
+    tiebreak.
     """
     register_tables(spark, sf_dir)
-    return spark.sql(_QDS93_SQL)
+    return spark.sql(_QDS93_SPARK_SQL)
 
 
 # --------------------------------------------------------------------------
@@ -1264,6 +1388,30 @@ _QDS54_SQL = """
     FROM spend GROUP BY 1 ORDER BY band
 """
 
+# r12 single-pass form: cohort membership ("has a 1-URGENT order" ×
+# "segment BUILDING") and total spend both key on o_custkey — one
+# orders aggregation computes rev + the urgent flag per customer, and
+# the BUILDING screen joins the ≤|customers| aggregate to the customer
+# dim AFTER aggregation (broadcastable dim) instead of scanning orders
+# twice. Row set and the exact decimal rev are identical.
+_QDS54_SPARK_SQL = """
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS has_urgent
+      FROM orders
+      GROUP BY o_custkey
+    )
+    SELECT CAST(FLOOR(CAST(CAST(FLOOR(rev * 100) AS BIGINT) AS DOUBLE)
+                      / 5000000.0) AS BIGINT) AS band,
+           COUNT(*) AS cnt
+    FROM spend
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND has_urgent = 1
+    GROUP BY 1 ORDER BY band
+"""
+
 
 @query(
     "qds54_cohort_spend_bands",
@@ -1283,11 +1431,18 @@ def qds54_cohort_spend_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL→BIGINT cast truncates in Spark but rounds in DuckDB — only
     safe here because the value is integral; FLOOR makes it explicit).
     The band division runs in doubles on integers ≪ 2^53 — identical
-    IEEE ops. Cohort join is equi on the natural key; the cohort side
-    is DISTINCT-shrunk before joining (plan-gated no cartesian).
+    IEEE ops.
+
+    Scale (r12): the oracle's cohort CTE made Spark scan orders twice
+    (cohort screen, then total spend). Both facts key on o_custkey, so
+    the Spark side computes rev + an urgent-order flag in ONE orders
+    aggregation and applies the BUILDING screen via a post-aggregation
+    customer join (≤|customers| rows against a broadcastable dim).
+    2 orders scans + 2 joins → 1 scan + 1 join; identical row set and
+    exact decimal rev (plan-gated no cartesian).
     """
     register_tables(spark, sf_dir)
-    return spark.sql(_QDS54_SQL)
+    return spark.sql(_QDS54_SPARK_SQL)
 
 
 # --------------------------------------------------------------------------

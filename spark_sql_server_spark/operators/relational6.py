@@ -1212,6 +1212,36 @@ _QDS9_SQL = "SELECT " + ",\n       ".join(
     for i, ((lo, hi), thr) in enumerate(zip(_QDS9_BANDS, _QDS9_THRESHOLDS))
 )
 
+# r12 single-pass form: the oracle's fifteen scalar subqueries are
+# fifteen global aggregates over disjoint-band slices of ONE table —
+# one conditional aggregation computes every (count, discount-sum,
+# gross-sum) triple in a single lineitem pass. A scalar-subquery SUM
+# over an empty slice is NULL exactly like a conditional SUM with no
+# matching rows, and COUNT(*)-with-WHERE equals the conditional COUNT,
+# so every CASE input is identical; exact DECIMAL(38,6) sums make the
+# fold order-insensitive.
+_QDS9_SPARK_SQL = (
+    "SELECT "
+    + ",\n       ".join(
+        f"CASE WHEN cnt{i + 1} > {thr} THEN disc{i + 1} "
+        f"ELSE gross{i + 1} END AS bucket{i + 1}"
+        for i, (_, thr) in enumerate(zip(_QDS9_BANDS, _QDS9_THRESHOLDS))
+    )
+    + "\nFROM (SELECT "
+    + ",\n             ".join(
+        f"COUNT(CASE WHEN l_quantity BETWEEN {lo} AND {hi} THEN 1 END)"
+        f" AS cnt{i + 1},\n             "
+        f"CAST(SUM(CASE WHEN l_quantity BETWEEN {lo} AND {hi} "
+        f"THEN CAST(l_extendedprice * l_discount AS DECIMAL(38,6)) END) "
+        f"AS DOUBLE) AS disc{i + 1},\n             "
+        f"CAST(SUM(CASE WHEN l_quantity BETWEEN {lo} AND {hi} "
+        f"THEN CAST(l_extendedprice AS DECIMAL(38,6)) END) "
+        f"AS DOUBLE) AS gross{i + 1}"
+        for i, (lo, hi) in enumerate(_QDS9_BANDS)
+    )
+    + "\n      FROM lineitem) agg"
+)
+
 
 @query(
     "qds9_quantity_buckets",
@@ -1226,17 +1256,19 @@ def qds9_quantity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     — q9's scalar-subquery stress shape: fifteen independent global
     aggregates in a single projection.
 
-    Scale: Spark plans every scalar subquery as its own reusable
-    subquery stage over the quantity-band-pruned scan, then the final
-    projection is a single driver-side row assembly — there is no join,
-    no shuffle wider than each band's partial aggregation, and AQE
-    dedups the identical count/sum subtrees per band. Determinism: the
-    chosen branch per bucket is fixed by alternating literal
-    thresholds (0 vs 10^15) so both branches run at every SF, and every
-    value is an exact decimal sum cast to DOUBLE once.
+    Scale (r12): the oracle spells fifteen scalar subqueries; Spark
+    planned each as its own full lineitem pass (15 scans). The Spark
+    side now computes all fifteen values in ONE conditional
+    aggregation over a single scan (disjoint quantity bands → CASE-
+    tagged COUNT/SUM columns), then assembles the same CASE choices in
+    a projection over the 1-row aggregate. Empty-band NULL semantics
+    and the exact DECIMAL(38,6)→DOUBLE casts are identical to the
+    scalar-subquery spelling, so the fold is bit-exact. Determinism:
+    the chosen branch per bucket is fixed by alternating literal
+    thresholds (0 vs 10^15) so both branches run at every SF.
     """
     register_tables(spark, sf_dir)
-    return spark.sql(_QDS9_SQL)
+    return spark.sql(_QDS9_SPARK_SQL)
 
 
 # --------------------------------------------------------------------------
@@ -1276,6 +1308,31 @@ _QDS33_SQL = f"""
 """
 
 
+# r12 single-pass form: the three legs differ ONLY in disjoint
+# o_orderpriority predicates whose union is the full priority domain,
+# and the outer re-aggregation SUMs the per-leg exact decimal sums per
+# brand — additive over a disjoint row partition, so one pass with the
+# combined IN filter computes the identical value (the IN list keeps
+# the row set equal to the legs' union even if the data ever carried
+# another priority value).
+_QDS33_SPARK_SQL = """
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS total_sales
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type IN (SELECT p_type FROM part WHERE p_size < 25)
+      AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      AND EXTRACT(MONTH FROM o_orderdate) = 5
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                              '4-NOT SPECIFIED', '5-LOW')
+    GROUP BY p_brand
+    ORDER BY p_brand
+    LIMIT 100
+"""
+
+
 @query(
     "qds33_union_leg_reagg",
     oracle=_QDS33_SQL,
@@ -1288,16 +1345,18 @@ def qds33_union_leg_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg restricted to item types picked by an IN subquery (q33's
     three-channel manufacturer census).
 
-    Scale: the IN subquery over the part dimension becomes a broadcast
-    semi join (never a per-row probe); each leg is a pruned fact pass
-    into a (brand) hash aggregation, and the UNION ALL re-aggregation
-    is map-side over ~75 leg rows. The three legs differ only in a
-    disjoint priority predicate — Spark still scans per leg like the
-    reference (the legs are the faithful shape here; qds66 demonstrates
-    the folded variant). Exact decimal sums; ORDER BY brand is unique.
+    Scale (r12): the oracle keeps the faithful three-leg UNION ALL
+    spelling; Spark ran the lineitem⋈orders⋈part star once PER LEG
+    (three fact passes). The legs differ only in disjoint priority
+    predicates and the re-aggregation sums exact decimals per brand,
+    so the Spark side now runs ONE star pass with the combined
+    priority IN filter — bit-identical totals (additive exact sums
+    over a disjoint partition). The IN subquery over the part
+    dimension stays a broadcast semi join; one (brand) hash
+    aggregation; ORDER BY brand is unique.
     """
     register_tables(spark, sf_dir)
-    return spark.sql(_QDS33_SQL)
+    return spark.sql(_QDS33_SPARK_SQL)
 
 
 # --------------------------------------------------------------------------

@@ -406,10 +406,17 @@ _HLL_IX_SPARK_SQL = """
       FROM per_type
     ),
     exact AS (
+      -- r12: the INTERSECT of two slices of the same table folded to
+      -- per-user membership flags (qds38 discipline): one scan + one
+      -- aggregation instead of two scans + two DISTINCTs + a join;
+      -- identical distinct-user count. The sketch legs above are
+      -- untouched so every estimate stays bit-identical.
       SELECT COUNT(*) AS exact_both FROM (
-        SELECT user_id FROM events WHERE event_type = 'view'
-        INTERSECT
-        SELECT user_id FROM events WHERE event_type = 'purchase'
+        SELECT user_id
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id
+        HAVING MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1
+           AND MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
       )
     )
     SELECT e.exact_both,

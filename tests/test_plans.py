@@ -416,11 +416,13 @@ class TestTpcdsWave2Plans:
 
     def test_qds95_semi_join_stack_no_cartesian(self, spark):
         plan = plan_of(spark, "qds95_reused_subquery")
-        # lineitem×lineitem is an equi join on l_orderkey with the
-        # suppkey inequality as residual — NOT a nested loop
+        # r12: multi_supp is a grouped MIN≠MAX suppkey screen consumed
+        # once — no lineitem self-join, no pair expansion; both
+        # IN-filters still plan as semi joins
         assert "LeftSemi" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("Scan parquet") <= 3
 
     def test_qds88_scalars_no_join_between_slices(self, spark):
         plan = plan_of(spark, "qds88_multi_scalar")
@@ -450,12 +452,14 @@ class TestTpcdsWave2Plans:
 class TestTpcdsWave3Plans:
     def test_qds51_full_outer_of_windows_no_cartesian(self, spark):
         plan = plan_of(spark, "qds51_cumulative_windows")
-        # two cumulative windows feed a FULL OUTER join strictly on
-        # (k, period) equality — never a nested loop
+        # r12: the two channel series pivot into one conditional
+        # aggregation + ONE window pass; the FULL OUTER presence test
+        # became `amt IS NOT NULL`, so the plan has no join at all and
+        # exactly one orders scan
         assert "Window" in plan
-        assert "FullOuter" in plan
+        assert "Join" not in plan
+        assert plan.count("Scan parquet") <= 1
         assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
 
     def test_qds34_band_filter_before_dim_join(self, spark):
         plan = plan_of(spark, "qds34_frequent_buyers")
@@ -469,11 +473,14 @@ class TestTpcdsWave3Plans:
 
     def test_qds93_left_join_equi_heap_limit(self, spark):
         plan = plan_of(spark, "qds93_returns_adjustment")
-        # returns attach via a pure equi LEFT JOIN on the line grain;
-        # the LIMIT is a bounded heap
+        # r12: the returns LEFT self-join became a per-grain R-count
+        # window (exact under fan-out) — one lineitem scan + orders,
+        # no self-join; the LIMIT is a bounded heap
+        assert "Window" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "TakeOrderedAndProject" in plan
+        assert plan.count("Scan parquet") <= 2
 
     def test_qds17_three_fact_legs_all_equi(self, spark):
         plan = plan_of(spark, "qds17_sale_return_repurchase")
@@ -513,9 +520,11 @@ class TestTpcdsWave3Plans:
 
     def test_qds54_cohort_distinct_before_join(self, spark):
         plan = plan_of(spark, "qds54_cohort_spend_bands")
-        # two aggregation levels (per-customer spend, then band
-        # histogram) and an equi cohort join — no cartesian
+        # r12: ONE orders aggregation (spend + urgent flag), the
+        # BUILDING screen joins the aggregate to the customer dim, then
+        # the band histogram — a single orders scan, no cartesian
         assert plan.count("HashAggregate") >= 4  # 2 aggs x partial/final
+        assert plan.count("Scan parquet") <= 2
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
@@ -635,20 +644,20 @@ class TestTpcdsWave3Plans:
 
     def test_qds9_scalar_subqueries_no_joins(self, spark):
         plan = plan_of(spark, "qds9_quantity_buckets")
-        # fifteen scalar subqueries, zero joins: every bucket value is
-        # an independent band-pruned global aggregate
-        assert "Subquery" in plan
+        # r12: the oracle's fifteen scalar subqueries fold into ONE
+        # conditional aggregation — a single lineitem scan, zero joins
         assert "Join" not in plan
-        assert plan.count("Scan parquet") <= 15
+        assert plan.count("Scan parquet") == 1
         assert "CartesianProduct" not in plan
 
     def test_qds33_in_subquery_as_semi_join(self, spark):
         plan = plan_of(spark, "qds33_union_leg_reagg")
-        # the IN-subquery item filter plans as a (broadcast) semi join
-        # per leg; the three legs union and re-aggregate — no nested
-        # loop anywhere
+        # r12: the three priority legs fold into ONE star pass (the
+        # combined IN filter); the IN-subquery item filter still plans
+        # as a (broadcast) semi join — no Union, no nested loop
         assert "LeftSemi" in plan
-        assert "Union" in plan
+        assert "Union" not in plan
+        assert plan.count("Scan parquet") <= 4
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
@@ -1222,7 +1231,9 @@ class TestTpcdsWave14Plans:
         _no_nlj(plan)
         assert "BroadcastHashJoin" in plan
         assert "TakeOrderedAndProject" in plan
-        # the three channel slices push their event_type screens
+        # r12: the three slices fold to one IN-filtered scan
+        assert plan.count("Scan parquet") <= 2
+        # the combined event_type screen still pushes to the scan
         assert any(
             "event_type" in ln for ln in plan.splitlines()
             if "PushedFilters" in ln

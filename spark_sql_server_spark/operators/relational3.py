@@ -771,6 +771,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip); the part count comes from the part table's footer
     statistics. Both sums take the single-level decimal path, so the
     HAVING cutoff is bit-exact across engines.
+
+    r12: the cutoff and the per-part values both consumed the
+    semi-joined fact frame, re-running the pass twice; the fact now
+    aggregates ONCE into a checkpointed per-part decimal frame and the
+    cutoff is the (exact, associative) sum of those partials — the
+    identical decimal, hence the identical double.
     """
     li = load_table(spark, sf_dir, "lineitem")
     nation_supp = (
@@ -789,14 +795,25 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
     )
     n_parts = load_table(spark, sf_dir, "part").count()
-    total = nat_li.agg(
-        (F.lit(_Q11_MULTIPLE / n_parts) * dsum(F.col("l_extendedprice"))).alias(
+    # r12: the global total and the per-part aggregate both consumed
+    # nat_li — the semi-joined fact pass ran TWICE. Exact decimal sums
+    # are associative, so the total is the sum of the per-part decimal
+    # partials: aggregate once (O(|parts|) rows, checkpointed), derive
+    # the cutoff from the partials, and filter the same rows.
+    per_part = (
+        nat_li.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("vdec"))
+        .localCheckpoint()
+    )
+    total = per_part.agg(
+        (F.lit(_Q11_MULTIPLE / n_parts) * F.sum("vdec").cast("double")).alias(
             "cutoff"
         )
     )
     return (
-        nat_li.groupBy("l_partkey")
-        .agg(dsum(F.col("l_extendedprice")).alias("value"))
+        per_part.select(
+            "l_partkey", F.col("vdec").cast("double").alias("value")
+        )
         .crossJoin(F.broadcast(total))
         .filter(F.col("value") > F.col("cutoff"))
         .select("l_partkey", "value")

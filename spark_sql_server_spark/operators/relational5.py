@@ -754,6 +754,26 @@ _QDS88_SQL = "SELECT " + ", ".join(
 )
 
 
+# r12 single-pass form: the six scalar COUNT subqueries are disjoint
+# (quantity band × priority) slices of the SAME lineitem⋈orders join —
+# one conditional aggregation computes all six counts in one fact
+# pass. COUNT of an empty slice is 0 in both spellings; the combined
+# OR-of-bands predicate keeps a pushable coarse screen on the scan.
+_QDS88_SPARK_SQL = (
+    "SELECT "
+    + ", ".join(
+        f"COUNT(CASE WHEN l_quantity BETWEEN {lo} AND {hi} "
+        f"AND o_orderpriority = '{pri}' THEN 1 END) AS h{i + 1}"
+        for i, (lo, hi, pri) in enumerate(_QDS88_BANDS)
+    )
+    + " FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE "
+    + " OR ".join(
+        f"(l_quantity BETWEEN {lo} AND {hi} AND o_orderpriority = '{pri}')"
+        for lo, hi, pri in _QDS88_BANDS
+    )
+)
+
+
 @query(
     "qds88_multi_scalar",
     oracle=_QDS88_SQL,
@@ -763,17 +783,19 @@ _QDS88_SQL = "SELECT " + ", ".join(
 def qds88_multi_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q88's topology: six uncorrelated scalar COUNT subqueries over
     disjoint (quantity band × priority) slices, concatenated into one
-    row — the plan family where every scalar is its own
-    scan-filter-agg job with the band predicate pushed to the parquet
-    scan, and the subquery results broadcast into a single-row project
-    (no join between the scalars, plan-gated). At 100 TB you would
-    usually fold this into ONE conditional aggregation pass
-    (SUM(CASE WHEN ...)) — q12_priority_lines covers that shape — but
-    dashboards and BI tools emit exactly this multi-scalar form, so the
-    planner path itself needs coverage.
+    row — the oracle keeps that faithful multi-scalar spelling (the
+    planner path itself stays covered by the golden corpus's scalar
+    subquery batteries and the oracle).
+
+    Scale (r12): Spark ran the lineitem⋈orders join once PER SCALAR
+    (six fact joins, 12 scans). The r4 docstring already noted the
+    100 TB form is ONE conditional aggregation — that is now what the
+    Spark side executes: one fact pass, six COUNT(CASE) columns
+    (empty slice ⇒ 0 in both spellings), the OR-of-slices predicate
+    still pushed to the scan. 12 scans → 2, no subqueries.
     """
     register_tables(spark, sf_dir)
-    return spark.sql(_QDS88_SQL)
+    return spark.sql(_QDS88_SPARK_SQL)
 
 
 # --------------------------------------------------------------------------

@@ -745,43 +745,35 @@ def qds97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard, or through both priority channels (q97's store/catalog
     overlap census).
 
-    Scale: each channel leg is a distinct-pair aggregation (map-side
-    partial dedup, one shuffle on the pair key); the FULL OUTER JOIN
-    then reuses the same (ck, pk) hash key, so AQE plans it without an
-    extra exchange on either side. The final count is a single scalar
-    aggregation — three exact BIGINTs, trivially deterministic. No
-    driver-side state at any point; at 100 TB the distinct-pair legs
-    shrink the join inputs by the pair multiplicity before any wide
-    exchange.
+    Scale (r12): the oracle keeps the two-leg FULL OUTER spelling;
+    Spark ran the lineitem⋈orders join once PER LEG (the legs are
+    complementary priority slices of the SAME join). The executed form
+    is the qds38 membership-flag discipline: ONE fact join, one
+    (ck, pk) aggregation carrying a MAX(CASE) flag per channel, and a
+    scalar count of each flag combination — identical pair presence
+    (a pair is in a leg iff its flag is 1; FULL OUTER null patterns ⇔
+    flag patterns). 4 scans + 2 aggs + FOJ → 2 scans + 1 agg. Three
+    exact BIGINTs, trivially deterministic; no driver-side state.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    expedite = (
-        joined.filter(hi)
-        .groupBy(F.col("o_custkey").alias("eck"), F.col("l_partkey").alias("epk"))
-        .agg(F.lit(1).alias("e1"))
-    )
-    standard = (
-        joined.filter(~hi)
-        .groupBy(F.col("o_custkey").alias("sck"), F.col("l_partkey").alias("spk"))
-        .agg(F.lit(1).alias("s1"))
-    )
-    full = expedite.join(
-        standard,
-        (F.col("eck") == F.col("sck")) & (F.col("epk") == F.col("spk")),
-        "full_outer",
+    pairs = joined.groupBy(
+        F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
+    ).agg(
+        F.max(F.when(hi, 1).otherwise(0)).alias("has_e"),
+        F.max(F.when(~hi, 1).otherwise(0)).alias("has_s"),
     )
     flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
-    return full.agg(
-        flag(F.col("eck").isNotNull() & F.col("sck").isNull()).alias(
+    return pairs.agg(
+        flag((F.col("has_e") == 1) & (F.col("has_s") == 0)).alias(
             "expedite_only"
         ),
-        flag(F.col("eck").isNull() & F.col("sck").isNotNull()).alias(
+        flag((F.col("has_e") == 0) & (F.col("has_s") == 1)).alias(
             "standard_only"
         ),
-        flag(F.col("eck").isNotNull() & F.col("sck").isNotNull()).alias(
+        flag((F.col("has_e") == 1) & (F.col("has_s") == 1)).alias(
             "both_channels"
         ),
     )
@@ -1549,6 +1541,11 @@ def qds59_weekday_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+    # r12: the self-join consumed the SAME wss subtree twice — Spark
+    # re-ran the whole 4-relation star per side (8 scans). wss is
+    # O(stores × weeks) rows at any scale; materialize it once and let
+    # both sides read the checkpointed rows (the qds39 discipline).
+    wss = wss.localCheckpoint()
     y1, y2 = wss.alias("y1"), wss.alias("y2")
     return (
         y1.join(

@@ -290,9 +290,13 @@ class TestTpchWave2:
 
     def test_q11_semi_filter_and_scalar_broadcast(self, spark):
         plan = plan_of(spark, "q11_important_parts")
-        assert "LeftSemi" in plan
-        # one-row cutoff joins as a broadcast nested loop (no key), but
-        # never a shuffled cartesian
+        # r12: the semi-joined fact pass aggregates ONCE into a
+        # checkpointed per-part frame (the LeftSemi runs inside the
+        # checkpoint); cutoff + filter read the materialized rows.
+        # The one-row cutoff joins as a broadcast nested loop (no
+        # key), but never a shuffled cartesian
+        assert "ExistingRDD" in plan
+        assert plan.count("Scan parquet") == 0
         assert "CartesianProduct" not in plan
 
     def test_q12_date_filter_pushed(self, spark):
@@ -426,10 +430,11 @@ class TestTpcdsWave2Plans:
 
     def test_qds88_scalars_no_join_between_slices(self, spark):
         plan = plan_of(spark, "qds88_multi_scalar")
-        # six independent scalar subqueries — each band filter reaches
-        # its own scan; the scalars must never join against each other
+        # r12: the six scalar slices fold into ONE conditional
+        # aggregation over a single fact join; the OR-of-bands screen
+        # still reaches the scan
         assert "CartesianProduct" not in plan
-        assert "Subquery" in plan or "scalar-subquery" in plan
+        assert plan.count("Scan parquet") <= 2
         df = REGISTRY["qds88_multi_scalar"].fn(spark, SF_CORRECT)
         assert any("l_quantity" in f for f in pushed_filters(df))
 
@@ -593,11 +598,11 @@ class TestTpcdsWave3Plans:
 
     def test_qds97_full_outer_on_prededuped_pairs(self, spark):
         plan = plan_of(spark, "qds97_channel_overlap")
-        # each channel leg dedups (customer, part) pairs BEFORE the
-        # full outer join, so the wide join sees shrunken inputs; the
-        # join itself is pure equi on the pair key
-        assert "FullOuter" in plan
-        assert plan.count("Scan parquet") <= 4
+        # r12: the two channel legs fold into ONE fact join + one
+        # (ck, pk) aggregation with MAX(CASE) membership flags — no
+        # FULL OUTER join, each base relation scanned once
+        assert "FullOuter" not in plan
+        assert plan.count("Scan parquet") <= 2
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
@@ -675,13 +680,13 @@ class TestTpcdsWave3Plans:
 
     def test_qds59_single_fact_pass_weekday_pivot(self, spark):
         plan = plan_of(spark, "qds59_weekday_ratio")
-        # the weekday pivot is CASE arms inside one aggregation — the
-        # fact join tree is evaluated once per self-join side at most,
-        # never seven times; the 52-week offset join is pure equi
+        # r12: the weekly aggregate materializes ONCE (localCheckpoint)
+        # and both 52-week-offset join sides read the checkpointed
+        # rows — the 4-relation star no longer re-runs per side
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        # two sides of the self-join → each base relation at most twice
-        assert plan.count("Scan parquet") <= 8
+        assert "ExistingRDD" in plan
+        assert plan.count("Scan parquet") == 0
 
     def test_qds65_fact_scanned_once(self, spark):
         plan = plan_of(spark, "qds65_store_min_avg")

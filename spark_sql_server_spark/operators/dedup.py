@@ -98,12 +98,57 @@ def word_ngrams(words: Column, n: int) -> Column:
     arrays shorter than n yield an empty list (a bare ``sequence(0,
     size-n)`` would go descending and feed ``slice`` an invalid 0 —
     downstream length filters don't help, because they are not
-    guaranteed to evaluate before this projection)."""
+    guaranteed to evaluate before this projection).
+
+    r12: no operator hot path uses this HOF form any more — every
+    shingling site goes through :func:`shingled_frame` (compiled-JVM
+    NGram). Kept as the expression-level REFERENCE implementation that
+    ``tests/test_ngram_shingle.py`` pins ``shingled_frame`` against."""
     idx = F.sequence(F.lit(0), F.size(words) - n)
     return F.when(
         F.size(words) >= n,
         F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingled_frame(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, grams) — the distinct word n-grams of ``text`` per
+    document, rows with fewer than n words dropped. Same rows and the
+    same positionally-ordered distinct gram arrays as
+    ``array_distinct(word_ngrams(words, n))`` + ``size(words) >= n``
+    (pinned by ``tests/test_ngram_shingle.py``), but built by
+    pyspark.ml ``NGram``'s compiled Scala UDF instead of the
+    interpreted HOF.
+
+    r12 optimization (guide §1.2.2 per-task work / §4.1 prefer JVM
+    execution): Catalyst never codegens higher-order-function lambdas —
+    ``transform(idx, i -> array_join(slice(words, i+1, n), ' '))``
+    re-enters the interpreted expression evaluator per element and per
+    slice, and the profile showed the gram build dominating the whole
+    pair path's CPU (~205 of ~390 CPU-seconds of pipe_build_dataset at
+    sf0.1, more than 4× the O(L²) pair expansion itself). NGram's
+    ``sliding(n).map(_.mkString(" "))`` runs as one compiled Scala call
+    per row: 5.2× faster on the sf0.1 3-gram pass, byte-identical gram
+    multiset (measured; `exceptAll` both ways empty).
+
+    A null ``text`` coalesces to an empty words array and is dropped by
+    the same ``size >= n`` filter that dropped its NULL before; the
+    UDF's input projection carries only (doc_id, words), so nothing
+    wider reaches the opaque expression (guide §4.1 column-pruning
+    note).
+    """
+    from pyspark.ml.feature import NGram
+
+    words = F.coalesce(
+        F.split(F.col("text"), " "), F.array().cast("array<string>")
+    )
+    wdf = docs.select("doc_id", words.alias("_shingle_words"))
+    raw = NGram(
+        n=n, inputCol="_shingle_words", outputCol="_shingle_grams"
+    ).transform(wdf)
+    return raw.filter(F.size("_shingle_words") >= n).select(
+        "doc_id", F.array_distinct("_shingle_grams").alias("grams")
+    )
 
 
 _JACCARD_THRESHOLD = 0.5
@@ -179,10 +224,9 @@ def _pair_counts_for(docs: DataFrame) -> DataFrame:
     from spark_sql_server_spark.session import spread
 
     docs = spread(docs)
-    words = F.split(F.col("text"), " ")
-    shingled = docs.select(
-        "doc_id", F.array_distinct(word_ngrams(words, _NGRAM_N)).alias("grams")
-    ).filter(F.size(words) >= _NGRAM_N)
+    # r12: compiled-JVM shingling (see shingled_frame — the interpreted
+    # gram HOF was the pair path's single largest CPU consumer)
+    shingled = shingled_frame(docs, _NGRAM_N)
     # materialize the exploded postings once: consumed three times below
     # (df agg, self-join sides, common-set build) — without this the
     # gram HOF re-runs for each consumer. localCheckpoint, NOT persist:
@@ -400,10 +444,8 @@ def d_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_server_spark.session import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    words = F.split(F.col("text"), " ")
-    spans = docs.select(
-        "doc_id", F.array_distinct(word_ngrams(words, _SPAN_W)).alias("sp")
-    ).filter(F.size(words) >= _SPAN_W)
+    # r12: compiled-JVM shingling (see shingled_frame)
+    spans = shingled_frame(docs, _SPAN_W).withColumnRenamed("grams", "sp")
     # explode_outer: see _pair_counts_for — keeps InferFiltersFromGenerate
     # from re-running the 20-word-window HOF below the exchange; the
     # `size(words) >= _SPAN_W` filter guarantees non-empty span arrays
@@ -1504,10 +1546,8 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def shingle(side: DataFrame) -> DataFrame:
-        words = F.split(F.col("text"), " ")
-        return side.select(
-            "doc_id", F.array_distinct(word_ngrams(words, _NGRAM_N)).alias("grams")
-        ).filter(F.size(words) >= _NGRAM_N)
+        # r12: compiled-JVM shingling (see shingled_frame)
+        return shingled_frame(side, _NGRAM_N)
 
     def postings(sh: DataFrame) -> DataFrame:
         # explode_outer + int64 gram keys + one checkpoint per side:

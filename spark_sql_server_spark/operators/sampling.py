@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_sql_server_spark.operators.dedup import word_ngrams
+from spark_sql_server_spark.operators.dedup import shingled_frame
 from spark_sql_server_spark.operators.registry import query
 from spark_sql_server_spark.session import load_table, register_tables
 
@@ -107,23 +107,17 @@ def decontam_flags_for(docs: DataFrame) -> DataFrame:
     from spark_sql_server_spark.session import spread
 
     docs = spread(docs)
-    words = F.split(F.col("text"), " ")
-    # gram HOF in its own projection (CollapseProject duplication trap —
-    # see word_ngrams docstring); materialized because THREE consumers
-    # read it (eval grams, train postings, train gram counts) — without
-    # this the expensive 8-gram shingling expression re-runs per
-    # consumer. localCheckpoint, not persist: persist() entries live in
-    # the CacheManager until an explicit unpersist that no caller can
-    # issue (the consumers run after this function returns), so repeated
-    # invocations leak cached copies; checkpoint blocks are reclaimed by
-    # the ContextCleaner once the query's DataFrames are dropped.
-    shingled = (
-        docs.select(
-            "doc_id", F.array_distinct(word_ngrams(words, _DECON_N)).alias("grams")
-        )
-        .filter(F.size(words) >= _DECON_N)
-        .localCheckpoint()
-    )
+    # r12: compiled-JVM shingling (see dedup.shingled_frame — the
+    # interpreted 8-gram HOF was this path's largest CPU consumer);
+    # still materialized because THREE consumers read it (eval grams,
+    # train postings, train gram counts) — without this the shingling
+    # re-runs per consumer. localCheckpoint, not persist: persist()
+    # entries live in the CacheManager until an explicit unpersist that
+    # no caller can issue (the consumers run after this function
+    # returns), so repeated invocations leak cached copies; checkpoint
+    # blocks are reclaimed by the ContextCleaner once the query's
+    # DataFrames are dropped.
+    shingled = shingled_frame(docs, _DECON_N).localCheckpoint()
     is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
     # r12 (optimization guide §2.3): gram strings are ~50+ bytes; hash
     # them to fixed-width int64 keys before anything shuffles or

@@ -322,14 +322,22 @@ def _pair_counts_for(docs: DataFrame) -> DataFrame:
             F.slice("ds", F.col("i") + F.lit(2), F.size("ds"))
         ).alias("y"),
     ).filter(F.col("y").isNotNull())
-    rare_shared = (
-        pair_rows.groupBy(
-            "doc_a",
-            F.col("y.doc_id").alias("doc_b"),
-            "na",
-            F.col("y.n_grams").alias("nb"),
-        )
-        .agg(F.count("*").alias("rare_inter"))
+    # r12 wave 11 (guide §2.3 shuffle fewer bytes): no consumer needs
+    # na and nb separately — every Jaccard site uses na + nb - inter —
+    # so the pair aggregation groups by (doc_a, doc_b) alone and carries
+    # the exact int64 sum as ONE aggregated value (MAX of a constant:
+    # every row of a pair has the same nab). The SQL-tab profile showed
+    # this exchange as the query's largest (57.6 MiB at sf0.1, the pair
+    # partial agg combines only ~3%), and the 4-column grouping key made
+    # both hash-aggregation builds compare 32-byte keys; this halves the
+    # key and drops one long per shuffled row. nab is the same integer
+    # sum the consumers computed AFTER the shuffle, so jaccard bits are
+    # unchanged.
+    rare_shared = pair_rows.groupBy(
+        "doc_a", F.col("y.doc_id").alias("doc_b")
+    ).agg(
+        F.count("*").alias("rare_inter"),
+        F.max(F.col("na") + F.col("y.n_grams")).alias("nab"),
     )
     common_sets = (
         postings.join(F.broadcast(common), "gkey")
@@ -345,8 +353,9 @@ def _pair_counts_for(docs: DataFrame) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            "na",
-            "nb",
+            # |grams(A)| + |grams(B)| as one exact int64 (see the pair
+            # aggregation note: consumers only ever use the sum)
+            "nab",
             (
                 F.col("rare_inter")
                 + F.size(
@@ -392,8 +401,11 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_pairs_for(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b, jaccard) pairs of ``docs`` above the threshold."""
     counted = _pair_counts_for(docs)
+    # nab - inter is the same int64 value (na + nb) - inter always was;
+    # one integer subtraction then the single IEEE division — bits
+    # identical to the pre-wave-11 spelling
     jac = F.col("inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("inter")
+        F.col("nab") - F.col("inter")
     ).cast("double")
     return counted.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= _JACCARD_THRESHOLD
@@ -1188,8 +1200,9 @@ def d_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-reproducible.
     """
     counted = _pair_counts_for(load_table(spark, sf_dir, "documents"))
+    # nab = na + nb (exact int64 from the pair aggregation) — same bits
     jac = F.col("inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("inter")
+        F.col("nab") - F.col("inter")
     ).cast("double")
     return (
         counted.select(F.floor(jac * 10).cast("long").alias("decile"))
@@ -1579,16 +1592,20 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rare_new = post_new.join(F.broadcast(common), "gkey", "left_anti")
     rare_base = post_base.join(F.broadcast(common), "gkey", "left_anti")
+    # r12 wave 11: (new_id, base_id) grouping key only; na + nb rides
+    # as ONE aggregated exact int64 (constant per pair — see
+    # _pair_counts_for's nab note)
     rare_shared = (
         rare_new.alias("a")
         .join(rare_base.alias("b"), F.col("a.gkey") == F.col("b.gkey"))
         .groupBy(
             F.col("a.doc_id").alias("new_id"),
             F.col("b.doc_id").alias("base_id"),
-            F.col("a.n_grams").alias("na"),
-            F.col("b.n_grams").alias("nb"),
         )
-        .agg(F.count("*").alias("rare_inter"))
+        .agg(
+            F.count("*").alias("rare_inter"),
+            F.max(F.col("a.n_grams") + F.col("b.n_grams")).alias("nab"),
+        )
     )
 
     def common_sets(post: DataFrame, key: str) -> DataFrame:
@@ -1614,7 +1631,7 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     jac = F.col("inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("inter")
+        F.col("nab") - F.col("inter")
     ).cast("double")
     near_ids = (
         pairs.filter(jac >= _JACCARD_THRESHOLD).select(

@@ -35,6 +35,22 @@ def _uptime_sec() -> int:
         return -1
 
 
+def _cpu_gauge_sec() -> float:
+    """Single-thread throughput gauge: a 10M-iteration Python add loop.
+
+    The Firecracker host can be multi-core throttled while loadavg reads
+    near zero (r12 measurement doctrine): ≤ ~0.9 s is a calm box whose
+    numbers are comparable across rounds; ≥ ~1.3 s is degraded — treat
+    the run's timings as environment-inflated. Runs OUTSIDE the timed
+    region (before the session build / after the last query).
+    """
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -71,6 +87,7 @@ def main() -> None:
             file=sys.stderr,
         )
     load_before = [round(x, 2) for x in os.getloadavg()]
+    cpu_gauge_before = _cpu_gauge_sec()
 
     spark = build_session(app_name="spark-pg-server-bench")
 
@@ -104,6 +121,7 @@ def main() -> None:
         print(f"# {name}: best={min(times):.3f}s avg={sum(times)/len(times):.3f}s rows={rows}",
               file=sys.stderr)
 
+    cpu_gauge_after = _cpu_gauge_sec()
     protocol = None if only else bench_protocol(spark, sf_dir)
 
     total = round(sum(results.values()), 4)
@@ -129,6 +147,10 @@ def main() -> None:
             "uptime_sec": _uptime_sec(),
             "hot_machine": hot_machine,
             "calm_wait_sec": round(waited, 1),
+            # single-thread throughput gauge (r12 doctrine, machine-
+            # checkable per r12 VERDICT item 8): ≤0.9 calm, ≥1.3 degraded
+            "cpu_gauge_sec": cpu_gauge_before,
+            "cpu_gauge_sec_after": cpu_gauge_after,
         },
         # duplicated as the FINAL key so the one number that matters
         # survives the driver's tail-window truncation of long lines

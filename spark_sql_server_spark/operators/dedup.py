@@ -163,6 +163,14 @@ _NGRAM_N = 3
 _GRAM_DF_FRACTION = 0.1
 _GRAM_DF_CAP = 10_000
 
+#: Input-aware sizing for the pair-expansion stages (r13, r12 VERDICT
+#: item 3): tasks are sized at ~16k posting rows each, capped at
+#: 2×defaultParallelism. At sf0.1 (260k postings) this yields 16 tasks
+#: at local[32] AND local[8] instead of the r12 flat 64/16 — the flat
+#: pin anti-scaled (8 cores beat 32 on near-empty tasks). At 100 TB
+#: the cap binds and the behaviour is the r12 one.
+_EXPAND_TARGET_POSTINGS = 16_384
+
 _NGRAM_JACCARD_ORACLE = f"""
     WITH shingled AS (
       SELECT doc_id,
@@ -206,10 +214,11 @@ def _ngram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pair_counts_for(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, na, nb, inter) for every candidate pair of
-    ``docs`` (any DataFrame with doc_id/text) — pairs sharing at least
-    one *rare* gram (document frequency within the df-cap), with the
-    exact full-set intersection size.
+    """(doc_a, doc_b, nab, inter, rare_inter) for every candidate pair
+    of ``docs`` (any DataFrame with doc_id/text) — pairs sharing at
+    least one *rare* gram (document frequency within the df-cap), with
+    the exact full-set intersection size and |grams(A)|+|grams(B)| as
+    one exact int64 (``nab``).
 
     One inverted-index self-join does double duty: it generates the
     candidates AND counts their shared rare grams in the same
@@ -226,7 +235,6 @@ def _pair_counts_for(docs: DataFrame) -> DataFrame:
     docs = spread(docs)
     # r12: compiled-JVM shingling (see shingled_frame — the interpreted
     # gram HOF was the pair path's single largest CPU consumer)
-    shingled = shingled_frame(docs, _NGRAM_N)
     # materialize the exploded postings once: consumed three times below
     # (df agg, self-join sides, common-set build) — without this the
     # gram HOF re-runs for each consumer. localCheckpoint, NOT persist:
@@ -249,6 +257,28 @@ def _pair_counts_for(docs: DataFrame) -> DataFrame:
     # variant is exempt from that rule and is semantically identical
     # here: the `size(words) >= n` filter guarantees every gram array
     # is non-null and non-empty.
+    # r13: the postings row count rides the checkpoint's own
+    # materialization job via observe() — no extra count job — and
+    # drives the input-aware expansion parallelism below (r12 VERDICT:
+    # a flat 2×defaultParallelism made 8 cores beat 32 at sf0.1 —
+    # 64 near-empty tasks on a few-MB input).
+    from pyspark.sql import Observation
+
+    # r13: n_docs rides the SAME materialization job as the postings
+    # checkpoint (a CollectMetrics node on the pre-shingle frame counts
+    # every doc, including those too short to emit grams). The r12 form
+    # computed n_docs as a 1-row frame crossJoined under the df cap —
+    # and because `common` is referenced three times below (anti-join +
+    # both common-set attach sides), Catalyst inlined the whole subtree
+    # per reference: THREE full parquet scans of the corpus + three
+    # spread() exchanges + three BroadcastNestedLoopJoins per query,
+    # just to compare against one number (visible in the r12 formatted
+    # plan; guide §2.4 "remove shuffles outright"). A driver-side
+    # literal cap removes all of it.
+    _docs_obs = Observation()
+    docs = docs.observe(_docs_obs, F.count(F.lit(1)).alias("n"))
+    shingled = shingled_frame(docs, _NGRAM_N)
+    _post_obs = Observation()
     postings = (
         shingled.select(
             "doc_id",
@@ -256,21 +286,39 @@ def _pair_counts_for(docs: DataFrame) -> DataFrame:
             F.size("grams").alias("n_grams"),
         )
         .select("doc_id", F.xxhash64("gram").alias("gkey"), "n_grams")
+        .observe(_post_obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    n_postings = _post_obs.get["n"]
+    n_docs = _docs_obs.get["n"]
     # relative cap for small corpora, absolute bound at scale: a posting
     # list of L generates ≤ L²/2 pairs, so the absolute cap is what
-    # keeps one ubiquitous shingle from going quadratic at 100 TB
-    cap = F.least(F.lit(_GRAM_DF_FRACTION) * F.col("n_docs"), F.lit(_GRAM_DF_CAP))
+    # keeps one ubiquitous shingle from going quadratic at 100 TB.
+    # Driver-side float min == the old SQL LEAST over doubles.
+    cap = min(_GRAM_DF_FRACTION * n_docs, float(_GRAM_DF_CAP))
+    # r13: `common` is consumed three times (anti-join + ca + cb) —
+    # checkpoint the (tiny: ≤ total-grams/cap rows corpus-wide) key set
+    # once instead of re-running the full document-frequency aggregation
+    # per consumer, and ride its row count on the materialization job.
+    # When NO gram exceeds the cap (every test SF: cap = 500 vs max
+    # gram df 25), the anti-join and both attach joins are identity /
+    # empty — skip them adaptively (same driver-side 1-row decision
+    # class as _CC_DRIVER_THRESHOLD and broadcast thresholds; values
+    # are identical because intersecting with an empty set adds 0).
+    _common_obs = Observation()
     common = (
         postings.groupBy("gkey")
         .agg(F.count("*").alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") > cap)
+        .filter(F.col("df") > F.lit(cap))
         .select("gkey")
+        .observe(_common_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
-    rare_postings = postings.join(F.broadcast(common), "gkey", "left_anti")
+    n_common = _common_obs.get["n"]
+    if n_common == 0:
+        rare_postings = postings
+    else:
+        rare_postings = postings.join(F.broadcast(common), "gkey", "left_anti")
     # r12 (optimization guide §2.4): the pair generator used to be an
     # inverted-index SELF-JOIN on gkey — the checkpointed postings were
     # shuffled TWICE (once per join side), sorted twice, and merge-
@@ -296,14 +344,23 @@ def _pair_counts_for(docs: DataFrame) -> DataFrame:
     # generated rows at sf0.1) inherited those 4 tasks on a 32-core
     # box. AQE sizes partitions by *input bytes* and cannot see a
     # Generate fan-out. An explicit scale-adaptive repartition pins the
-    # expansion's parallelism at 2× the executor cores (explicit N is
-    # exempt from AQE coalescing) and is strictly cheaper on the wire:
-    # raw (gkey, doc_id, n_grams) posting rows are narrower than the
-    # partially-built collect_list buffers the groupBy used to exchange
-    # (partial collect_list barely combines — postings for one gram
-    # rarely co-reside map-side). groupBy on the same key reuses the
-    # partitioning, so the exchange count is unchanged.
-    n_expand = docs.sparkSession.sparkContext.defaultParallelism * 2
+    # expansion's parallelism (explicit N is exempt from AQE coalescing)
+    # and is strictly cheaper on the wire: raw (gkey, doc_id, n_grams)
+    # posting rows are narrower than the partially-built collect_list
+    # buffers the groupBy used to exchange (partial collect_list barely
+    # combines — postings for one gram rarely co-reside map-side).
+    # groupBy on the same key reuses the partitioning, so the exchange
+    # count is unchanged.
+    # r13 (r12 VERDICT item 3): the r12 pin was a flat
+    # 2×defaultParallelism — 64 tasks at local[32] regardless of input,
+    # which made 8 cores beat 32 on the sf0.1 bench (64 near-empty
+    # tasks + a 64-way exchange of a few MB of postings). The pin is
+    # now input-aware: ceil(postings / target-rows-per-task), capped at
+    # 2×defaultParallelism. At 100 TB the postings term is astronomical
+    # and the cap binds (the r12 behaviour, unchanged at scale); on
+    # small inputs the task count tracks the data.
+    dp = docs.sparkSession.sparkContext.defaultParallelism
+    n_expand = max(1, min(2 * dp, -(-n_postings // _EXPAND_TARGET_POSTINGS)))
     lists = (
         rare_postings.repartition(n_expand, "gkey")
         .groupBy("gkey")
@@ -315,13 +372,6 @@ def _pair_counts_for(docs: DataFrame) -> DataFrame:
         .filter(F.size("ds") >= 2)
     )
     heads = lists.select(F.posexplode_outer("ds").alias("i", "x"), "ds")
-    pair_rows = heads.select(
-        F.col("x.doc_id").alias("doc_a"),
-        F.col("x.n_grams").alias("na"),
-        F.explode_outer(
-            F.slice("ds", F.col("i") + F.lit(2), F.size("ds"))
-        ).alias("y"),
-    ).filter(F.col("y").isNotNull())
     # r12 wave 11 (guide §2.3 shuffle fewer bytes): no consumer needs
     # na and nb separately — every Jaccard site uses na + nb - inter —
     # so the pair aggregation groups by (doc_a, doc_b) alone and carries
@@ -333,16 +383,61 @@ def _pair_counts_for(docs: DataFrame) -> DataFrame:
     # key and drops one long per shuffled row. nab is the same integer
     # sum the consumers computed AFTER the shuffle, so jaccard bits are
     # unchanged.
-    rare_shared = pair_rows.groupBy(
-        "doc_a", F.col("y.doc_id").alias("doc_b")
-    ).agg(
-        F.count("*").alias("rare_inter"),
-        F.max(F.col("na") + F.col("y.n_grams")).alias("nab"),
+    pair_rows = (
+        heads.select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.n_grams").alias("na"),
+            F.explode_outer(
+                F.slice("ds", F.col("i") + F.lit(2), F.size("ds"))
+            ).alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+        .select(
+            "doc_a",
+            F.col("y.doc_id").alias("doc_b"),
+            # exact int64 (every row of a pair carries the same value)
+            (F.col("na") + F.col("y.n_grams")).cast("long").alias("nab_row"),
+        )
     )
+    # r13: the same input-aware repartition discipline for the pair
+    # aggregation itself. The SQL-tab profile showed its exchange as the
+    # query's largest, the map-side partial agg combining only ~3% (a
+    # pair's rows land under different gkey tasks), and AQE coalescing
+    # the final-agg read to half the cores at local[32] — the heaviest
+    # CPU stage of the whole path ran at 16 of 32 cores. An explicit
+    # repartition on the grouping key moves the exchange BELOW the
+    # aggregation (3-long raw rows, narrower than the partial-agg
+    # buffers) and pins the agg's parallelism; groupBy on the same keys
+    # reuses the partitioning, so the exchange count is unchanged.
+    rare_shared = (
+        pair_rows.repartition(n_expand, "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("rare_inter"),
+            F.max("nab_row").alias("nab"),
+        )
+    )
+    if n_common == 0:
+        # no capped-out grams anywhere in the corpus: every common-gram
+        # set is empty, so the correction term is identically 0 and the
+        # two attach joins (plus the collect_list aggregation they would
+        # each inline — Catalyst duplicates the common_sets subtree per
+        # join side) are skipped. inter == rare_inter, bit for bit.
+        return rare_shared.select(
+            "doc_a",
+            "doc_b",
+            "nab",
+            F.col("rare_inter").alias("inter"),
+            "rare_inter",
+        )
     common_sets = (
         postings.join(F.broadcast(common), "gkey")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list("gkey")).alias("cg"))
+        # consumed twice (ca / cb) — materialize once; bounded: ≤ one
+        # row per doc that carries a capped-out gram, arrays of ≤
+        # total-grams/cap keys
+        .localCheckpoint()
     )
     ca = common_sets.select(F.col("doc_id").alias("doc_a"), F.col("cg").alias("ca"))
     cb = common_sets.select(F.col("doc_id").alias("doc_b"), F.col("cg").alias("cb"))
@@ -524,7 +619,12 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed ids — scalable; the driver only checks the convergence
     counter, never the data.
     """
-    pairs = d_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # r13: use the unordered pair helper — d_ngram_jaccard's trailing
+    # ORDER BY was materialized into the label-propagation checkpoint
+    # (a range exchange + sort per invocation that connected components
+    # cannot use)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_for(docs).select("doc_a", "doc_b")
     return _propagate_min_labels(pairs)
 
 
@@ -548,9 +648,15 @@ def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
     # DataFrame twice, and without this the entire upstream
     # pair-generation join runs once per reference (measured 2×); the
     # swapped half is disjoint from the original (doc_a < doc_b), so no
-    # distinct is needed — the union is shuffle-free
-    pairs = pairs.localCheckpoint()
-    n_edges = pairs.count()  # free: checkpoint just materialized it
+    # distinct is needed — the union is shuffle-free.
+    # r13: the edge count rides the checkpoint's own materialization
+    # job via observe() instead of a separate count() job over the
+    # checkpointed blocks (one fewer job per invocation).
+    from pyspark.sql import Observation
+
+    _edge_obs = Observation()
+    pairs = pairs.observe(_edge_obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    n_edges = _edge_obs.get["n"]
     if n_edges <= _CC_DRIVER_THRESHOLD:
         return _cc_driver_union_find(pairs)
     edges = pairs.union(
@@ -622,7 +728,16 @@ def _cc_driver_union_find(pairs: DataFrame) -> DataFrame:
     schema = "doc_id BIGINT, cluster_id BIGINT"
     if not rows:
         return spark.createDataFrame([], schema)
-    return spark.createDataFrame(rows, schema)
+    # r13: createDataFrame(list) parallelizes into defaultParallelism
+    # slices — 32 near-empty Python-worker unpickle tasks at local[32]
+    # for a few thousand label rows (profiled: 7.9 s of task run time,
+    # 0.27 s of CPU). Slice by row count instead; the label set is
+    # bounded by _CC_DRIVER_THRESHOLD so a handful of slices always
+    # suffices.
+    n_slices = max(1, min(spark.sparkContext.defaultParallelism, len(rows) // 65_536 + 1))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), schema
+    )
 
 
 # --------------------------------------------------------------------------

@@ -362,8 +362,20 @@ def _netpaid_threshold_build(
     spark: SparkSession, sf_dir: str, p_type: str
 ) -> DataFrame:
     """Shared q24-family builder (see :func:`qds24_netpaid_threshold`)."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag") == "R"
+    from spark_sql_server_spark.session import spread
+
+    # r13 (r12 VERDICT item 5): the local sf0.1 lineitem file reads as
+    # 3 splits, so the whole star map side (scan + 4 broadcast joins +
+    # partial aggregation — 0.75 s of CPU, the query's biggest stage)
+    # ran on 3 of 32 cores. spread() hash-repartitions to
+    # defaultParallelism; at 100 TB the scan already yields thousands
+    # of splits and this is a no-op (same discipline as the dedup
+    # pair path).
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_returnflag") == "R"
+        ),
+        "l_orderkey",
     )
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")

@@ -13,6 +13,8 @@ reproduce the exact same hashes with plain int64 arithmetic.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -142,6 +144,14 @@ def shingled_frame(docs: DataFrame, n: int) -> DataFrame:
     words = F.coalesce(
         F.split(F.col("text"), " "), F.array().cast("array<string>")
     )
+    if os.environ.get("SHINGLE_REFERENCE_HOF") == "1":
+        # measurement-only toggle (r12 VERDICT item 4): route through the
+        # retained expression-level reference so full-query A/Bs can
+        # compare the compiled NGram path against the interpreted HOF.
+        # Never set in production or by the bench harness.
+        return docs.filter(F.size(words) >= n).select(
+            "doc_id", F.array_distinct(word_ngrams(words, n)).alias("grams")
+        )
     wdf = docs.select("doc_id", words.alias("_shingle_words"))
     raw = NGram(
         n=n, inputCol="_shingle_words", outputCol="_shingle_grams"
@@ -1661,10 +1671,17 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare-join + common-gram-correction split."""
     from spark_sql_server_spark.session import spread
 
+    from pyspark.sql import Observation
+
     docs = spread(load_table(spark, sf_dir, "documents"))
     is_new = (F.col("doc_id") % _INC_SHARD_MOD) == F.lit(_INC_SHARD_REM)
     newdocs = docs.filter(is_new)
     base = docs.filter(~is_new)
+    # r13: the corpus-side doc count rides the base postings
+    # checkpoint's job (same observe() discipline as _pair_counts_for —
+    # the r12 form inlined a full corpus scan per `common` reference)
+    _base_obs = Observation()
+    base = base.observe(_base_obs, F.count(F.lit(1)).alias("n"))
 
     # exact admission: fixed-width hash semi-join against the corpus
     exact_ids = (
@@ -1695,18 +1712,31 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     post_new = postings(shingle(newdocs))
     post_base = postings(shingle(base))
 
-    n_base = base.agg(F.count("*").alias("n_docs"))
-    cap = F.least(F.lit(_GRAM_DF_FRACTION) * F.col("n_docs"), F.lit(_GRAM_DF_CAP))
+    # r13: literal cap + checkpointed stop-gram list with an observed
+    # count — `common` is consumed FOUR times below (two anti-joins +
+    # two common-set builds) and the r12 spelling re-derived the whole
+    # df aggregation (with a corpus scan for n_base inside) per
+    # reference; when nothing caps out (every test SF) all four
+    # consumers are identity/empty and are skipped adaptively (see
+    # _pair_counts_for — identical exactness argument).
+    n_base_docs = _base_obs.get["n"]
+    cap = min(_GRAM_DF_FRACTION * n_base_docs, float(_GRAM_DF_CAP))
     # stop-gram list of the CORPUS index — tiny (≤ postings/cap keys)
+    _common_obs = Observation()
     common = (
         post_base.groupBy("gkey")
         .agg(F.count("*").alias("df"))
-        .crossJoin(F.broadcast(n_base))
-        .filter(F.col("df") > cap)
+        .filter(F.col("df") > F.lit(cap))
         .select("gkey")
+        .observe(_common_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
-    rare_new = post_new.join(F.broadcast(common), "gkey", "left_anti")
-    rare_base = post_base.join(F.broadcast(common), "gkey", "left_anti")
+    n_common = _common_obs.get["n"]
+    if n_common == 0:
+        rare_new, rare_base = post_new, post_base
+    else:
+        rare_new = post_new.join(F.broadcast(common), "gkey", "left_anti")
+        rare_base = post_base.join(F.broadcast(common), "gkey", "left_anti")
     # r12 wave 11: (new_id, base_id) grouping key only; na + nb rides
     # as ONE aggregated exact int64 (constant per pair — see
     # _pair_counts_for's nab note)
@@ -1732,19 +1762,24 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     empty = F.array().cast("array<long>")
-    pairs = (
-        rare_shared.join(common_sets(post_new, "new_id"), "new_id", "left")
-        .join(common_sets(post_base, "base_id"), "base_id", "left")
-        .withColumn(
-            "inter",
-            F.col("rare_inter")
-            + F.size(
-                F.array_intersect(
-                    F.coalesce("cg_new_id", empty), F.coalesce("cg_base_id", empty)
-                )
-            ),
+    if n_common == 0:
+        # no capped-out corpus grams: the correction term is exactly 0
+        pairs = rare_shared.withColumn("inter", F.col("rare_inter"))
+    else:
+        pairs = (
+            rare_shared.join(common_sets(post_new, "new_id"), "new_id", "left")
+            .join(common_sets(post_base, "base_id"), "base_id", "left")
+            .withColumn(
+                "inter",
+                F.col("rare_inter")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce("cg_new_id", empty),
+                        F.coalesce("cg_base_id", empty),
+                    )
+                ),
+            )
         )
-    )
     jac = F.col("inter").cast("double") / (
         F.col("nab") - F.col("inter")
     ).cast("double")

@@ -349,6 +349,22 @@ def table_oid(name: str) -> int:
     return 10000 + (zlib.crc32(name.encode()) % 2_000_000)
 
 
+def _insert_catalog_rows(spark: SparkSession, rows, table: str) -> None:
+    """Single-slice write of a tiny metadata relation.
+
+    A default createDataFrame(list) parallelizes into
+    defaultParallelism slices, so every catalog table was written as
+    ~32 near-empty parquet files — and every later catalog scan (and
+    the incremental collect path's per-partition fetch) paid for each
+    of them (guide §6 small-files). One slice → one file. (A
+    .coalesce(1) on the pickled frame is ~10x slower than slicing at
+    parallelize time — measured.)"""
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        schema=CATALOG_TABLE_SCHEMAS[table],
+    ).write.insertInto(f"{CATALOG_DB}.{table}")
+
+
 def init_pg_catalog(spark: SparkSession) -> None:
     """Create the pg_catalog database and its tables (idempotent)."""
     if spark.catalog.databaseExists(CATALOG_DB) and spark.catalog.tableExists(
@@ -456,9 +472,7 @@ def init_pg_catalog(spark: SparkSession) -> None:
         )
         for k, v in sorted(GUC_DEFAULTS.items())
     ]
-    spark.createDataFrame(
-        settings_rows, schema=CATALOG_TABLE_SCHEMAS["pg_settings"]
-    ).write.insertInto(f"{CATALOG_DB}.pg_settings")
+    _insert_catalog_rows(spark, settings_rows, "pg_settings")
 
     # pg_proc: the registered system functions, so psql \df lists them
     # (the reference leaves pg_proc empty)
@@ -507,9 +521,7 @@ def init_pg_catalog(spark: SparkSession) -> None:
         )
         for oid, name, rettype in _SYSTEM_PROCS
     ]
-    spark.createDataFrame(
-        proc_rows, schema=CATALOG_TABLE_SCHEMAS["pg_proc"]
-    ).write.insertInto(f"{CATALOG_DB}.pg_proc")
+    _insert_catalog_rows(spark, proc_rows, "pg_proc")
 
     # typarray: base type → oid of its array type (the type whose
     # typelem points back at it); psql \dT uses it to suppress the
@@ -546,9 +558,7 @@ def init_pg_catalog(spark: SparkSession) -> None:
         )
         for t in P.ALL_PG_TYPES
     ]
-    spark.createDataFrame(
-        type_rows, schema=CATALOG_TABLE_SCHEMAS["pg_type"]
-    ).write.insertInto(f"{CATALOG_DB}.pg_type")
+    _insert_catalog_rows(spark, type_rows, "pg_type")
 
     refresh_runtime_catalog(spark)
     init_information_schema(spark)
@@ -683,9 +693,7 @@ def refresh_runtime_catalog(spark: SparkSession) -> None:
         for db in spark.catalog.listDatabases()
     ]
     if db_rows:
-        spark.createDataFrame(
-            db_rows, schema=CATALOG_TABLE_SCHEMAS["pg_database"]
-        ).write.insertInto(f"{CATALOG_DB}.pg_database")
+        _insert_catalog_rows(spark, db_rows, "pg_database")
 
     #: the emulated system catalogs appear in pg_class too (namespace
     #: pg_catalog) so psql's \dS and \d pg_type resolve; schema-string
@@ -802,11 +810,7 @@ def refresh_runtime_catalog(spark: SparkSession) -> None:
 
     spark.sql(f"TRUNCATE TABLE {CATALOG_DB}.pg_class")
     if cls_rows:
-        spark.createDataFrame(
-            cls_rows, schema=CATALOG_TABLE_SCHEMAS["pg_class"]
-        ).write.insertInto(f"{CATALOG_DB}.pg_class")
+        _insert_catalog_rows(spark, cls_rows, "pg_class")
     spark.sql(f"TRUNCATE TABLE {CATALOG_DB}.pg_attribute")
     if attr_rows:
-        spark.createDataFrame(
-            attr_rows, schema=CATALOG_TABLE_SCHEMAS["pg_attribute"]
-        ).write.insertInto(f"{CATALOG_DB}.pg_attribute")
+        _insert_catalog_rows(spark, attr_rows, "pg_attribute")

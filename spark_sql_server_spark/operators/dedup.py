@@ -745,8 +745,14 @@ def _cc_driver_union_find(pairs: DataFrame) -> DataFrame:
     # bounded by _CC_DRIVER_THRESHOLD so a handful of slices always
     # suffices.
     n_slices = max(1, min(spark.sparkContext.defaultParallelism, len(rows) // 65_536 + 1))
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, n_slices), schema
+    # r13: RDD-backed frames carry no size statistics, so consumers'
+    # anti-joins against these labels planned as SortMergeJoin — a full
+    # shuffle+sort of the corpus to drop a few hundred ids. This path
+    # is bounded (≤ 2 × _CC_DRIVER_THRESHOLD label rows ≈ 6 MB), so the
+    # broadcast hint is always safe HERE; the distributed-loop path
+    # (unbounded labels) stays unhinted.
+    return F.broadcast(
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, n_slices), schema)
     )
 
 

@@ -437,6 +437,17 @@ class SparkPGServer:
         self._sessions: dict[int, SessionState] = {}
         self._pid_counter = itertools.count(1)
         self._server: asyncio.AbstractServer | None = None
+        # runtime-catalog refresh cache (see _init in _startup): bumped
+        # on every catalog-mutating command so the next connection's
+        # refresh sees a fresh fingerprint
+        self._catalog_epoch = 0
+        self._catalog_refresh_token: tuple | None = None
+
+    def _note_catalog_mutation(self, sql: str) -> None:
+        """Invalidate the runtime-catalog refresh cache after DDL."""
+        head = (sql or "").lstrip().split(None, 1)
+        if head and head[0].upper() in ("CREATE", "DROP", "ALTER"):
+            self._catalog_epoch += 1
 
     def _conf(self, key: str, default: str) -> str:
         try:
@@ -637,33 +648,62 @@ class SparkPGServer:
             ),
             params=startup.params,
         )
-        def _init(sess: SparkSession) -> None:
+        def _init(sess: SparkSession) -> list:
             if self.pg_catalog:
                 from spark_sql_server_spark.catalog import init_system_functions
 
                 init_system_functions(sess)  # per-session, like PgSessionInitializer
             if self.init_session is not None:
                 self.init_session(sess)
+            listed: list = []
+            try:
+                listed = sess.catalog.listTables()
+            except Exception:  # noqa: BLE001
+                listed = []
             if self.pg_catalog:
                 # sync pg_class/pg_attribute with this session's views so
                 # psql \d works (the reference leaves its runtime catalog
-                # tables empty — a TODO in catalog.scala)
+                # tables empty — a TODO in catalog.scala).
+                # r13 (optimization): the rewrite (3 TRUNCATE+insert
+                # parquet writes + a listColumns RPC per table — measured
+                # 3.2 s) used to run on EVERY connection, yet every
+                # connection of a server derives the identical content
+                # unless catalog-mutating DDL ran in between: registered
+                # tables are fixed per server and client temp views are
+                # session-local (they were never visible to a later
+                # connection's listTables anyway). Skip when the
+                # (DDL-epoch, table-list) fingerprint matches the last
+                # refresh — any CREATE/DROP/ALTER over the wire bumps the
+                # epoch, so \d sees new objects exactly as before.
                 try:
                     from spark_sql_server_spark.catalog import refresh_runtime_catalog
 
-                    refresh_runtime_catalog(sess)
+                    token = (
+                        self._catalog_epoch,
+                        tuple(
+                            sorted(
+                                (t.name, t.tableType, bool(t.isTemporary))
+                                for t in listed
+                            )
+                        ),
+                    )
+                    if token != self._catalog_refresh_token:
+                        refresh_runtime_catalog(sess)
+                        self._catalog_refresh_token = token
                 except Exception:
                     log.debug("runtime catalog refresh failed", exc_info=True)
+            return listed
 
         def _init_all() -> None:
-            _init(state.session)
+            listed = _init(state.session)
             # snapshot the boot-time temp views (registered tables,
             # pg_stat_* live views) so DISCARD ALL/TEMP only drops
-            # client-created ones
+            # client-created ones (reuses the init listing — no second
+            # listTables RPC)
             try:
                 state.boot_temp_views = {
                     t.name
-                    for t in state.session.catalog.listTables()
+                    for t in listed
                     if t.tableType == "TEMPORARY" and t.namespace == []
                 }
             except Exception:  # noqa: BLE001
@@ -1011,6 +1051,7 @@ class SparkPGServer:
             resolved = self._resolve_execute(state, stmt)
             df = await self._spark_sql(state, rewrite_sql(resolved))
             if not df.schema.fields:
+                self._note_catalog_mutation(resolved)
                 writer.write(M.command_complete(_tag_for(resolved, df=df)))
                 return
             await self._stream_result(
@@ -1129,6 +1170,7 @@ class SparkPGServer:
         df = await self._spark_sql(state, rewrite_sql(sql))
         if not df.schema.fields:
             if not await self._stream_zero_columns(state, df, writer, sql):
+                self._note_catalog_mutation(sql)
                 writer.write(M.command_complete(_tag_for(sql, df=df)))
             return
         await self._stream_result(state, df, [0], writer, limit=0, tag_word=None, sql=sql)
@@ -1838,6 +1880,7 @@ class SparkPGServer:
             resolved = self._resolve_execute(state, stmt)
             df = await self._spark_sql(state, rewrite_sql(resolved))
             if not df.schema.fields:
+                self._note_catalog_mutation(resolved)
                 writer.write(M.command_complete(_tag_for(resolved, df=df)))
                 return
             portal.df = df
@@ -1849,6 +1892,7 @@ class SparkPGServer:
                 portal.df = df
                 portal.serializer = self._make_serializer(df, portal.result_formats)
             else:
+                self._note_catalog_mutation(ps.raw_sql)
                 writer.write(M.command_complete(_tag_for(ps.raw_sql, df=df)))
                 return
         await self._stream_result(

@@ -43,6 +43,10 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: (path, mtime) → StructType — see load_table. Caches parquet footer
+#: SCHEMAS only (never data or results); invalidated by file mtime.
+_SCHEMA_CACHE: dict = {}
+
 
 def build_session(
     app_name: str = "spark-pg-server",
@@ -118,7 +122,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = spark.read.parquet(table_path(sf_dir, name))
+    # r13: schema cache keyed by (path, mtime) — every new server
+    # connection re-registers all 10 tables, and each bare
+    # spark.read.parquet pays a footer-read/schema-merge job (~60 ms ×
+    # tables × connections across the e2e suite). An explicit schema
+    # skips that job; the mtime key keeps a regenerated test file from
+    # serving a stale schema. Scan laziness/pushdown are unaffected.
+    path = table_path(sf_dir, name)
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = None
+    cached = _SCHEMA_CACHE.get(key) if key else None
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key:
+            _SCHEMA_CACHE[key] = df.schema
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # TIMESTAMP(NANOS) read as long nanos → micro-precision NTZ wall
         # time (matches DuckDB's nanos→micros truncation; NTZ like the

@@ -26,7 +26,14 @@ def main() -> None:
     if len(sys.argv) > 2:
         names = [n.strip() for n in sys.argv[2].split(",") if n.strip()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    out_dir = os.environ.get(
+        "PLANS_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "plans",
+            "r13",
+        ),
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = build_session(app_name="plan-capture")
